@@ -1,0 +1,408 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in [[SparkEntry.queries]].
+  *
+  * Dialect notes (DuckDB 1.x): regexp_replace needs the 'g' flag to
+  * replace all matches (Spark replaces all by default); `/` on integers is
+  * float division; count/sum results are cast to BIGINT to match Spark's
+  * 64-bit longs; shingle/bit explosion uses `unnest(generate_series(...))`
+  * in the select list.
+  */
+object Oracles {
+
+  /** Shared synthetic file-listing CTE — mirrors
+    * [[graft.listing.ObjectListing.filesDF]] exactly. Queries append
+    * ", name AS (...)" or a bare SELECT. */
+  private val FILES =
+    """WITH files0 AS (
+  SELECT concat('lineitem/l_returnflag=', l_returnflag,
+                '/l_linestatus=', l_linestatus,
+                '/part-', lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '-',
+                lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
+                '.parquet') AS key,
+         l_orderkey * 131 + l_linenumber * 7 AS size,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem
+), files AS (
+  SELECT key, size, md5(key) AS etag, l_shipdate AS last_modified,
+         'STANDARD' AS storage_class, l_returnflag, l_linestatus
+  FROM files0
+)"""
+
+  private val ALLOWED =
+    "(l_returnflag = 'R' AND l_linestatus = 'F') OR (l_returnflag = 'N')"
+  private val ALLOWED_RF_NO =
+    "(l_returnflag = 'R' AND l_linestatus = 'F') OR (l_returnflag = 'N' AND l_linestatus = 'O')"
+
+  val sql: Map[String, String] = Map(
+
+    "s1_list_buckets" ->
+      """SELECT 'datalake' AS name, TIMESTAMP '2024-01-01 00:00:00' AS creation_date""",
+
+    "s2_list_tables" ->
+      """SELECT alias || '/' AS common_prefix
+FROM (VALUES ('region'),('nation'),('customer'),('supplier'),('part'),
+             ('orders'),('lineitem'),('events'),('documents'),('embeddings')) t(alias)
+ORDER BY common_prefix""",
+
+    "s3_listing_page" -> (FILES +
+      """
+SELECT key, size, etag, last_modified, storage_class
+FROM files
+WHERE key LIKE 'lineitem/l_returnflag=N/%'
+  AND key > 'lineitem/l_returnflag=N/l_linestatus=O/part-0000010000-01.parquet'
+ORDER BY key
+LIMIT 100"""),
+
+    "s3_common_prefixes" -> (FILES +
+      """
+SELECT DISTINCT 'lineitem/' || split_part(substr(key, 10), '/', 1) || '/' AS common_prefix
+FROM files
+WHERE key LIKE 'lineitem/%' AND strpos(substr(key, 10), '/') > 0
+ORDER BY common_prefix"""),
+
+    "s8_head_metadata" -> (FILES +
+      """
+SELECT key, size, etag, last_modified, storage_class
+FROM files ORDER BY key LIMIT 1"""),
+
+    "w4_pagination" -> (FILES +
+      """
+SELECT key, size, rn FROM (
+  SELECT key, size, row_number() OVER (ORDER BY key) AS rn FROM files
+) WHERE rn > 200 AND rn <= 300 ORDER BY key"""),
+
+    "p3_acl_allow" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE $ALLOWED_RF_NO
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "p4_acl_allowed_files" -> (FILES +
+      s"""
+SELECT key FROM files WHERE $ALLOWED ORDER BY key LIMIT 200"""),
+
+    "p6_acl_denied" -> (FILES +
+      s"""
+SELECT key FROM files
+WHERE size % 97 = 0
+  AND key NOT IN (SELECT key FROM files WHERE $ALLOWED)
+ORDER BY key"""),
+
+    "p7_acl_empty_bypass" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem""",
+
+    "j1_catalog_join" ->
+      """SELECT r.alias, c.file_name, c.alias IS NOT NULL AS found
+FROM (VALUES ('lineitem'),('orders'),('no_such_table'),('events')) r(alias)
+LEFT JOIN (VALUES ('region','region.parquet'),('nation','nation.parquet'),
+  ('customer','customer.parquet'),('supplier','supplier.parquet'),
+  ('part','part.parquet'),('orders','orders.parquet'),
+  ('lineitem','lineitem.parquet'),('events','events.parquet'),
+  ('documents','documents.parquet'),('embeddings','embeddings.parquet'))
+  c(alias, file_name)
+ON r.alias = c.alias
+ORDER BY r.alias""",
+
+    "j2_allowed_semi" -> (FILES +
+      s"""
+SELECT key FROM files
+WHERE size % 53 = 0
+  AND key IN (SELECT key FROM files WHERE $ALLOWED)
+ORDER BY key"""),
+
+    "j4_perm_merge" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE $ALLOWED
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "u1_union_distinct" -> (FILES +
+      s"""
+SELECT CAST(count(*) AS BIGINT) AS n_files, CAST(sum(size) AS BIGINT) AS total_size
+FROM (
+  SELECT DISTINCT key, size FROM (
+    SELECT key, size FROM files WHERE l_returnflag = 'N'
+    UNION ALL
+    SELECT key, size FROM files WHERE $ALLOWED_RF_NO
+  )
+)"""),
+
+    "f1_xml_escape" ->
+      """SELECT doc_id,
+  replace(replace(replace(replace(replace(
+    '<doc id="' || CAST(doc_id AS VARCHAR) || '">&''' || substr(text, 1, 20) || '''</doc>',
+    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;') AS escaped
+FROM documents ORDER BY doc_id LIMIT 50""",
+
+    "f2_extract_aws_user" ->
+      """SELECT DISTINCT regexp_extract(
+  'AWS4-HMAC-SHA256 Credential=AKIA' || lpad(CAST(user_id AS VARCHAR), 6, '0')
+    || '/20240101/us-east-1/s3/aws4_request',
+  'Credential=([^/]+)/', 1) AS access_key
+FROM events ORDER BY access_key""",
+
+    "f3_s3_uri_parse" ->
+      """SELECT uri,
+  regexp_extract(uri, '^s3://([^/]+)', 1) AS bucket,
+  regexp_replace(regexp_extract(uri, '^s3://[^/]+/(.*)$', 1), '/+$', '') AS prefix
+FROM (
+  SELECT 's3://bucket-' || CAST(n_regionkey AS VARCHAR) || '/data/' || lower(n_name) || '/' AS uri
+  FROM nation
+) ORDER BY uri""",
+
+    "f5_key_rewrite" -> (FILES +
+      """
+SELECT 'trades/' || key AS logical_key,
+       'warehouse/abc123/' || key AS physical_key
+FROM (SELECT key FROM files ORDER BY key LIMIT 100)
+ORDER BY logical_key"""),
+
+    "f6_query_decode" ->
+      """SELECT DISTINCT qs,
+  nullif(regexp_extract(qs, 'prefix=([^&]*)', 1), '') AS prefix_param,
+  CAST(try_cast(nullif(regexp_extract(qs, 'max-keys=([^&]*)', 1), '') AS INT) AS BIGINT) AS max_keys
+FROM (
+  SELECT 'list-type=2&prefix=' || l_returnflag || '/f&max-keys=' || CAST(l_linenumber AS VARCHAR) AS qs
+  FROM lineitem
+) ORDER BY qs""",
+
+    "f8_timestamp_format" ->
+      """SELECT o_orderdate,
+  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS s3_ts,
+  strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS http_date
+FROM (SELECT DISTINCT o_orderdate FROM orders)
+ORDER BY o_orderdate LIMIT 100""",
+
+    "f10_presign_detect" -> (FILES +
+      """
+SELECT presigned, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT (url LIKE '%Signature=%' OR url LIKE '%X-Amz-Signature=%') AS presigned
+  FROM (
+    SELECT 'https://s3.example/' || key ||
+      CASE WHEN size % 2 = 0 THEN '?X-Amz-Signature=abc' ELSE '' END AS url
+    FROM files
+  )
+) GROUP BY presigned ORDER BY presigned"""),
+
+    "f13_f14_keys_ranges" ->
+      """SELECT DISTINCT
+  'u' || CAST(user_id AS VARCHAR) || ':' || event_type AS cache_key,
+  'bytes=' || CAST(event_id % 1000 AS VARCHAR) || '-' || CAST(event_id % 1000 + 99 AS VARCHAR) AS range_header,
+  CAST(event_id % 1000 AS BIGINT) AS range_start,
+  CAST(event_id % 1000 + 99 AS BIGINT) AS range_end,
+  CAST(100 AS BIGINT) AS range_len
+FROM events ORDER BY cache_key, range_header LIMIT 500""",
+
+    "a1_request_counters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a2_distinct_users_minute" ->
+      """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY window_start ORDER BY window_start""",
+
+    "a3_avg_latency_minute" ->
+      """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+  sum(round(value * 100)) / 100.0 / count(*) AS avg_latency
+FROM events GROUP BY window_start ORDER BY window_start""",
+
+    "a5_metrics_minute" ->
+      """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+  CAST(count(*) AS BIGINT) AS queries_served,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+  sum(round(value * 100)) / 100.0 / count(*) AS avg_latency,
+  CAST(sum(event_id % 4096 + 128) AS DOUBLE) / count(*) AS avg_size_bytes
+FROM events GROUP BY window_start ORDER BY window_start""",
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS sum_disc_price,
+  sum(l_quantity) / count(*) AS avg_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey,
+  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+  CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY content_hash ORDER BY keeper_doc_id""",
+
+    "d2_minhash_lsh" ->
+      """WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 10) AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text) - 9, 1))) AS i
+        FROM documents)
+), sig AS (
+  SELECT doc_id,
+    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7,
+    min(md5('8:' || shingle)) AS h8, min(md5('9:' || shingle)) AS h9,
+    min(md5('10:' || shingle)) AS h10, min(md5('11:' || shingle)) AS h11
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h3 || h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h6 || h7 || h8) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h9 || h10 || h11) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b""",
+
+    "d3_simhash" ->
+      """WITH toks AS (
+  SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS hhex
+  FROM documents
+), bits AS (
+  SELECT doc_id, j,
+    strpos('0123456789abcdef', substr(hhex, 1 + j // 4, 1)) - 1 AS nib
+  FROM (SELECT doc_id, hhex, unnest(generate_series(0, 31)) AS j FROM toks)
+), votes AS (
+  SELECT doc_id, j, sum(2 * ((nib >> (j % 4)) & 1) - 1) AS vote
+  FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id""",
+
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (
+  SELECT DISTINCT doc_id, lang, source, substr(text, i, 3) AS shingle
+  FROM (SELECT doc_id, lang, source, text,
+          unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source
+   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, inter,
+  sa.n_sh + sb.n_sh - inter AS un,
+  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter
+ORDER BY doc_a, doc_b""",
+
+    "d5_embedding_neardup" ->
+      """WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), c AS (
+  SELECT vec_a, vec_b,
+    round(SUM(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM p, (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM c
+WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""",
+
+    "sim_topk_cosine" ->
+      """WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+), s AS (
+  SELECT query_id, e.vec_id AS cand_id,
+    round(SUM(CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM q, embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) g
+  WHERE e.vec_id <> query_id
+  GROUP BY query_id, cand_id
+)
+SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rn
+  FROM s
+) WHERE rn <= 10 ORDER BY query_id, rk""",
+
+    "t1_langid" ->
+      """WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+), scores AS (
+  SELECT doc_id, 'en' AS cand_lang, CAST(sum(CASE WHEN token IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'de', CAST(sum(CASE WHEN token IN ('der','die','das','und','ist','ein','zu') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'es', CAST(sum(CASE WHEN token IN ('el','la','de','y','es','un','en') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'fr', CAST(sum(CASE WHEN token IN ('le','la','et','les','est','un','dans') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'zh', CAST(sum(CASE WHEN token IN ('的','是','了','在','和','有','我') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+)
+SELECT doc_id, cand_lang AS predicted, hits AS stopword_hits FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+  FROM scores
+) WHERE rk = 1 ORDER BY doc_id""",
+
+    "t2_quality_score" ->
+      """WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_m,
+    CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(list_filter(string_split(text, ' '),
+      t -> t IN ('the','a','of','and','to','in','is','der','die','das','und','ist','ein','zu','el','la','de','y','es','un','en','le','et','les','est','dans','的','是','了','在','和','有','我'))) AS BIGINT) AS n_stops,
+    CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_keep
+  FROM documents
+)
+SELECT doc_id, n_chars_m, n_tokens,
+  CAST(n_alpha AS DOUBLE) / n_chars_m AS alpha_ratio,
+  CAST(n_stops AS DOUBLE) / n_tokens AS stopword_ratio,
+  CAST(n_chars_m - n_keep AS DOUBLE) / n_chars_m AS punct_ratio,
+  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+  CAST(n_alpha AS DOUBLE) / n_chars_m + CAST(n_stops AS DOUBLE) / n_tokens
+    - CAST(n_chars_m - n_keep AS DOUBLE) / n_chars_m AS quality_score
+FROM f ORDER BY doc_id""",
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+  CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_regex_tokens
+FROM documents ORDER BY doc_id""",
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+  CAST(coalesce(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+    (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS BIGINT) AS rolling_hash
+FROM documents ORDER BY doc_id""",
+
+    "m1_multimodal_meta" ->
+      """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS sha,
+  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
+  CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames
+FROM documents ORDER BY doc_id""")
+}

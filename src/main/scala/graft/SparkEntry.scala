@@ -1,13 +1,278 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.acl.PartitionAcl
+import graft.catalog.Catalog
+import graft.functions.StringFns
+import graft.listing.ObjectListing
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.metrics.Metrics
+
+/** Driver contract — see /root/repo/SURVEY.md §2/§7 and the module
+  * Scaladocs for the reference citations. Every operator in SURVEY §2's
+  * inventory is a named entry in `queries` with a DuckDB oracle in
+  * `oracleSql` (column names aligned on both sides; all integer outputs
+  * are 64-bit on both sides; all double outputs are either exact integer
+  * ratios / grid sums or rounded before comparison — see Metrics/Similarity
+  * Scaladocs for the exactness argument).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- fixture bindings -------------------------------------------------
+
+  /** The ACL filter sets used across queries (FIXTURES.md role mapping:
+    * l_returnflag/l_linestatus stand in for partition columns). */
+  private val AclAllow: PartitionAcl.Filters =
+    Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"),
+      Map("l_returnflag" -> "N"))
+  private val AclAllowRfNo: PartitionAcl.Filters =
+    Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"),
+      Map("l_returnflag" -> "N", "l_linestatus" -> "O"))
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def files(s: SparkSession, d: String) = ObjectListing.filesDF(s, d)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the
+    * reference's validation read — governed table scan with an OR-of-ANDs
+    * partition ACL, projected and limited (README.md:227-246 transposed
+    * per SURVEY §7). */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    PartitionAcl(li(spark, d), AclAllow)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(10)
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  private val scanQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_list_buckets" -> ((s, _) => Catalog.forSf("x").listBuckets(s)),
+    "s2_list_tables" -> ((s, d) => Catalog.forSf(d).listTables(s)),
+    "s3_listing_page" -> ((s, d) =>
+      ObjectListing.list(files(s, d), "lineitem/l_returnflag=N/",
+        Some("lineitem/l_returnflag=N/l_linestatus=O/part-0000010000-01.parquet"),
+        100)),
+    "s3_common_prefixes" -> ((s, d) =>
+      ObjectListing.commonPrefixes(files(s, d), "lineitem/")),
+    "s8_head_metadata" -> ((s, d) =>
+      files(s, d)
+        .select("key", "size", "etag", "last_modified", "storage_class")
+        .orderBy("key").limit(1)),
+    "w4_pagination" -> ((s, d) =>
+      ObjectListing.page(files(s, d), 100, 3)
+        .withColumn("rn", col("rn").cast("long")).orderBy("key")))
+
+  private val aclQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_acl_allow" -> ((s, d) =>
+      PartitionAcl(li(s, d), AclAllowRfNo)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "p4_acl_allowed_files" -> ((s, d) =>
+      PartitionAcl.allowedFiles(files(s, d), AclAllow)
+        .select("key").orderBy("key").limit(200)),
+    "p6_acl_denied" -> ((s, d) => {
+      val f = files(s, d)
+      PartitionAcl.denied(f.where(pmod(col("size"), lit(97)) === 0),
+        PartitionAcl.allowedFiles(f, AclAllow))
+        .select("key").orderBy("key")
+    }),
+    "p7_acl_empty_bypass" -> ((s, d) =>
+      PartitionAcl(li(s, d), Seq(Map.empty, Map.empty))
+        .agg(count(lit(1)).as("n"))),
+    "j1_catalog_join" -> ((s, d) => {
+      import s.implicits._
+      val requests = Seq("lineitem", "orders", "no_such_table", "events")
+        .toDF("alias")
+      requests.join(broadcast(Catalog.forSf(d).toDF(s)), Seq("alias"), "left")
+        .select(col("alias"),
+          regexp_replace(col("physical_path"), "^.*/", "").as("file_name"),
+          col("physical_path").isNotNull.as("found"))
+        .orderBy("alias")
+    }),
+    "j2_allowed_semi" -> ((s, d) => {
+      val f = files(s, d)
+      PartitionAcl.authorize(f.where(pmod(col("size"), lit(53)) === 0),
+        PartitionAcl.allowedFiles(f, AclAllow))
+        .select("key").orderBy("key")
+    }),
+    "j4_perm_merge" -> ((s, d) => {
+      import s.implicits._
+      val perms = Seq(
+        (1, "alice", "lineitem", """[{"l_returnflag":"N"}]"""),
+        (2, "alice", "orders", """[{"o_orderstatus":"F"}]"""),
+        (3, "bob", "lineitem", """[{"l_returnflag":"A"}]"""))
+        .toDF("id", "user_id", "table_name", "partition_filters")
+      val static = Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"))
+      val db = PartitionAcl.filtersFor(
+        PartitionAcl.parsePermissions(perms), "alice", "lineitem")
+      PartitionAcl(li(s, d), PartitionAcl.merge(static, db))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "u1_union_distinct" -> ((s, d) => {
+      val f = files(s, d)
+      val set1 = PartitionAcl.allowedFiles(f, Seq(Map("l_returnflag" -> "N")))
+      val set2 = PartitionAcl.allowedFiles(f, AclAllowRfNo)
+      set1.select("key", "size").union(set2.select("key", "size")).distinct()
+        .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_size"))
+    }))
+
+  private val fnQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_xml_escape" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        StringFns.xmlEscape(concat(lit("<doc id=\""),
+          col("doc_id").cast("string"), lit("\">&'"),
+          substring(col("text"), 1, 20), lit("'</doc>"))).as("escaped"))
+        .orderBy("doc_id").limit(50)),
+    "f2_extract_aws_user" -> ((s, d) =>
+      ev(s, d).select(StringFns.extractAwsUser(
+        concat(lit("AWS4-HMAC-SHA256 Credential=AKIA"),
+          lpad(col("user_id").cast("string"), 6, "0"),
+          lit("/20240101/us-east-1/s3/aws4_request"))).as("access_key"))
+        .distinct().orderBy("access_key")),
+    "f3_s3_uri_parse" -> ((s, d) => {
+      val n = Tables.load(s, d, "nation")
+      val uri = concat(lit("s3://bucket-"), col("n_regionkey").cast("string"),
+        lit("/data/"), lower(col("n_name")), lit("/"))
+      n.select(uri.as("uri"), StringFns.s3Bucket(uri).as("bucket"),
+        StringFns.s3Prefix(uri).as("prefix")).orderBy("uri")
+    }),
+    "f5_key_rewrite" -> ((s, d) => {
+      val base = "warehouse/abc123/"
+      val phys = files(s, d).select("key").orderBy("key").limit(100)
+        .withColumn("key", concat(lit(base), col("key")))
+      ObjectListing.toLogical(phys, base, "trades")
+        .select(col("key").as("logical_key"))
+        .withColumn("physical_key",
+          concat(lit(base), expr("substring(logical_key, 8)")))
+        .orderBy("logical_key")
+    }),
+    "f6_query_decode" -> ((s, d) => {
+      val qs = concat(lit("list-type=2&prefix="), col("l_returnflag"),
+        lit("/f&max-keys="), col("l_linenumber").cast("string"))
+      li(s, d).select(qs.as("qs"))
+        .withColumn("prefix_param", StringFns.queryParam(col("qs"), "prefix"))
+        .withColumn("max_keys",
+          StringFns.tryInt(StringFns.queryParam(col("qs"), "max-keys"))
+            .cast("long"))
+        .distinct().orderBy("qs")
+    }),
+    "f8_timestamp_format" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .select(col("o_orderdate")).distinct()
+        .select(col("o_orderdate"),
+          StringFns.s3Timestamp(col("o_orderdate")).as("s3_ts"),
+          StringFns.httpDate(col("o_orderdate")).as("http_date"))
+        .orderBy("o_orderdate").limit(100)),
+    "f10_presign_detect" -> ((s, d) => {
+      val url = concat(lit("https://s3.example/"), col("key"),
+        when(pmod(col("size"), lit(2)) === 0,
+          lit("?X-Amz-Signature=abc")).otherwise(lit("")))
+      files(s, d).select(StringFns.isPresigned(url).as("presigned"))
+        .groupBy("presigned").agg(count(lit(1)).as("n")).orderBy("presigned")
+    }),
+    "f13_f14_keys_ranges" -> ((s, d) => {
+      val e = ev(s, d)
+      val range = concat(lit("bytes="),
+        pmod(col("event_id"), lit(1000)).cast("string"),
+        lit("-"), (pmod(col("event_id"), lit(1000)) + 99).cast("string"))
+      e.select(
+        StringFns.cacheKey(concat(lit("u"), col("user_id").cast("string")),
+          col("event_type")).as("cache_key"),
+        range.as("range_header"),
+        StringFns.rangeStart(range).as("range_start"),
+        StringFns.rangeEnd(range).as("range_end"),
+        StringFns.rangeLen(range).as("range_len"))
+        .distinct().orderBy("cache_key", "range_header").limit(500)
+    }))
+
+  private val aggQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_request_counters" -> ((s, d) => Metrics.counters(ev(s, d))),
+    "a2_distinct_users_minute" -> ((s, d) =>
+      Metrics.distinctUsersPerMinute(ev(s, d))),
+    "a3_avg_latency_minute" -> ((s, d) =>
+      Metrics.avgLatencyPerMinute(ev(s, d))),
+    "a5_metrics_minute" -> ((s, d) => Metrics.perMinute(ev(s, d))),
+    "q1_pricing_summary" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0)
+            .as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000)) / 10000.0).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_top_revenue" -> ((s, d) => {
+      val c = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, d, "orders")
+        .where(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
+      val l = li(s, d)
+        .where(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000)) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }))
+
+  private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
+    "d3_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d5_embedding_neardup" -> ((s, d) =>
+      Similarity.cellNearDup(emb(s, d), 0.35)),
+    "sim_topk_cosine" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0, 10)
+        .withColumn("rk", col("rk").cast("long"))),
+    "t1_langid" -> ((s, d) =>
+      TextAnalysis.languageId(docs(s, d))
+        .withColumn("stopword_hits", col("stopword_hits").cast("long"))
+        .orderBy("doc_id")),
+    "t2_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d))
+        .withColumn("n_chars_m", col("n_chars_m").cast("long"))
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id")),
+    "t3_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).cast("long")
+          .as("n_regex_tokens"))
+        .orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id")),
+    "m1_multimodal_meta" -> ((s, d) => {
+      val m = Multimodal.metaExpr(docs(s, d))
+      m.select(col("doc_id"), col("n_bytes"), col("sha"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    }))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scanQueries ++ aclQueries ++ fnQueries ++ aggQueries ++ llmQueries
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Four families, each with a scale story:
+  *  - exact: hash-groupBy on content digest (one shuffle on the digest;
+  *    at 100 TB the md5 keys distribute uniformly, no skew)
+  *  - MinHash + LSH: per-doc signatures (narrow), banding, and a
+  *    band-bucket self-join — candidate pairs only, never the full
+  *    cross join
+  *  - SimHash: per-doc 32-bit signature via token-hash bit voting
+  *  - n-gram Jaccard: exact verification on blocked candidate pairs
+  *
+  * Hashing uses md5 hex (same algorithm and casing in Spark and DuckDB),
+  * and minima over fixed-length hex strings == minima over the unsigned
+  * hash values, which keeps every step engine-portable and exact.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  /** Character k-shingles of the text, distinct per document. */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        i => col("text").substr(i, lit(k)))))
+        .as("shingle"))
+
+  /** MinHash signature: numHashes minima of seeded md5 over the doc's
+    * shingle set. One narrow pass + one groupBy(doc_id). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: band b = md5 of the concatenated signature rows in that
+    * band. Docs sharing any band hash become candidate pairs. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(cols: _*)).as("band_hash"))
+    }.reduce(_ union _)
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup candidates, end to end. */
+  def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
+                 bands: Int = 4): DataFrame =
+    lshCandidates(minhashSignatures(shingles(docs, k), numHashes),
+      numHashes, bands).orderBy("doc_a", "doc_b")
+
+  /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
+    * token multiplicity; bit j set iff the vote sum is positive. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .withColumn("hhex", md5(col("token")))
+    val bits = toks.select(col("doc_id"), col("hhex"),
+      explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("nib",
+        expr("instr('0123456789abcdef', substring(hhex, 1 + cast(j / 4 as int), 1)) - 1"))
+      .withColumn("bit", expr("(nib >> (j % 4)) & 1"))
+      .withColumn("contrib", col("bit") * 2 - 1)
+    bits.groupBy("doc_id", "j")
+      .agg(sum(col("contrib")).as("vote"))
+      .withColumn("bitval",
+        when(col("vote") > 0, expr("cast(shiftleft(cast(1 as bigint), cast(j as int)) as bigint)"))
+          .otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum(col("bitval")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact n-gram Jaccard on blocked pairs: candidates limited to the same
+    * (lang, source) block — the blocking key stands in for an LSH bucket
+    * so the pair space stays linear-ish, never the full cross join.
+    * Threshold is evaluated on integers (2*inter >= union  <=>  J >= 0.5)
+    * — no FP in the cut. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("lang"), col("source"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => col("text").substr(i, lit(n))))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "sh_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "sh_b"), "doc_b")
+      .withColumn("un", col("sh_a") + col("sh_b") - col("inter"))
+      .where(col("inter") * 2 >= col("un"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),
+        (col("inter").cast("double") / col("un")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

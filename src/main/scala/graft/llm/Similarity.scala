@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (small query set x all vectors —
+  * the query side is broadcast, candidates never shuffle). Scale paths:
+  *  - IVF-style: restrict the pair space to a coarse cell (here the
+  *    `label` column plays the cluster-id role a KMeans assignment would)
+  *  - sign-LSH: bucket vectors by the sign pattern of deterministic
+  *    pseudo-hyperplane projections and search within buckets.
+  *
+  * Elements are cast to double before multiplying, so the per-element
+  * products are exact in both engines; final scores are rounded to 4
+  * decimals before any ordering or thresholding, which absorbs
+  * sum-association differences (~1e-13) between engines/partitionings.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine rounded for engine-stable comparison/ranking. */
+  def cosineR(a: Column, b: Column, scale: Int = 4): Column =
+    round(cosine(a, b), scale)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest other
+    * vectors, ranked by rounded score desc then vec_id (deterministic).
+    * `queryPred` selects the (small, broadcastable) query side. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    val scored = broadcast(q).crossJoin(cand)
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineR(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  /** IVF-style near-duplicate pairs: only pairs within the same coarse
+    * cell (`label`) are scored; pairs at/above the rounded threshold
+    * survive. Linear in (cell size)^2, never a full cross join. */
+  def cellNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = emb.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, col("label") === col("label_b") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineR(col("ea"), col("eb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Sign-LSH bucket id: sign bits of projections onto `planes`
+    * deterministic pseudo-hyperplanes. Plane p's component i is
+    * (((i*2654435761 + p*40503) mod 65536) - 32768) — a fixed integer
+    * hash, identical everywhere, no RNG state needed. */
+  def lshBucket(v: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") *
+            (pmod(i * 2654435761L + lit(p) * 40503L, lit(65536L)) - 32768L)
+              .cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed near-dup scan: exact cosine only within buckets. */
+  def lshNearDup(emb: DataFrame, dim: Int, planes: Int,
+                 threshold: Double): DataFrame = {
+    val withB = emb.withColumn("bucket",
+      lshBucket(col("embedding"), dim, planes))
+    val a = withB.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = withB.select(col("bucket").as("bucket_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("bucket") === col("bucket_b") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineR(col("ea"), col("eb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins over the `documents`
+  * fixture table (doc_id, text, lang, source, n_chars). All scores are
+  * exact integer ratios (int/int double division), so results are
+  * bit-identical across engines and partitionings — no FP-order hazards.
+  *
+  * Scale: every operator here is embarrassingly parallel per-document
+  * (narrow transformations, no shuffle except final ordering / grouping),
+  * so it scales linearly with input size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (robust to repeated spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: letter runs, digit runs, single
+    * non-alphanumeric marks. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"),
+      lit(0)))
+
+  /** Number of characters that are not lowercase-alnum-space. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", ""))
+
+  // Tiny per-language function-word lists (public-knowledge stopwords).
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "et", "les", "est", "un", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Language ID: per-language stopword hit counts, argmax with
+    * lexicographic tiebreak (deterministic). Emits (doc_id, predicted,
+    * score). */
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = stopwords.map { case (lang, words) =>
+      docs.select(col("doc_id"), lit(lang).as("cand_lang"),
+        stopwordHits(col("text"), words).as("hits"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("cand_lang").as("predicted"),
+        col("hits").as("stopword_hits"))
+  }
+
+  /** Quality features + composite score, all exact integer ratios. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val toks = tokenCount(t)
+    val chars = length(t)
+    val alpha = length(regexp_replace(t, "[^a-z]", ""))
+    val stops = stopwordHits(t, stopwords.flatMap(_._2))
+    val punct = punctCount(t)
+    docs.select(
+      col("doc_id"),
+      chars.as("n_chars_m"),
+      toks.as("n_tokens"),
+      (alpha.cast("double") / chars).as("alpha_ratio"),
+      (stops.cast("double") / toks).as("stopword_ratio"),
+      (punct.cast("double") / chars).as("punct_ratio"),
+      ((chars - (toks - 1)).cast("double") / toks).as("mean_token_len"))
+      .withColumn("quality_score",
+        col("alpha_ratio") + col("stopword_ratio") - col("punct_ratio"))
+  }
+
+  /** Normalized text: lowercase, strip non-alnum-space, collapse runs of
+    * spaces, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /** Content fingerprint = md5 of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling polynomial hash over characters: h = h*31 + ascii(c) mod 1e9+7.
+    * Expressed as a left fold over the char array — sequential per value,
+    * hence deterministic. */
+  def rollingHash(text: Column): Column = {
+    val p = 1000000007L
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(p)))
+  }
+}

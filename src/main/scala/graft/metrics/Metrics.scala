@@ -1,0 +1,69 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-minute metrics aggregation (SURVEY §2.4 A1-A5, §2.7 T1-T4).
+  *
+  * Reference semantics (/root/reference/src/metrics.rs:90-137): a 60 s
+  * tumbling window over request events producing request counters, exact
+  * distinct-user count, average backend latency and average message size;
+  * window state is reset on emit (= tumbling-window close).
+  *
+  * Batch form here (oracle-checkable); the Structured Streaming form with
+  * identical aggregations lives in [[graft.streaming.MetricsStream]].
+  *
+  * Exactness: averages are computed as sum(round(x*100))/100/count —
+  * the fixture doubles sit on a 2-decimal grid, so every partial sum is an
+  * exact integer and the result is bit-identical regardless of partial
+  * aggregation order (Spark map-side combine) or engine (DuckDB oracle).
+  *
+  * Scale: groupBy(window) is a hash aggregate with map-side partial
+  * aggregation; distinct-user per window shuffles (user_id, window) — at
+  * 100 TB switch the exact countDistinct for approx_count_distinct (HLL)
+  * to keep it one pass, as the reference's HashSet would not fit either.
+  */
+object Metrics {
+
+  /** Exact grid-average (see class doc): bit-stable across engines. */
+  def gridAvg(c: Column): Column =
+    sum(round(c * 100)) / 100.0 / count(lit(1))
+
+  private def minuteWindow: Column = window(col("ts"), "1 minute")
+
+  /** A1: lifetime request counters by class. */
+  def counters(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A2: exact distinct users per 1-minute tumbling window. */
+  def distinctUsersPerMinute(events: DataFrame): DataFrame =
+    events.groupBy(minuteWindow)
+      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .select(col("window.start").as("window_start"), col("unique_users"))
+      .orderBy("window_start")
+
+  /** A3: average "latency" (value) per minute, exact grid average. */
+  def avgLatencyPerMinute(events: DataFrame): DataFrame =
+    events.groupBy(minuteWindow)
+      .agg(gridAvg(col("value")).as("avg_latency"))
+      .select(col("window.start").as("window_start"), col("avg_latency"))
+      .orderBy("window_start")
+
+  /** A1-A5 combined: the reference's full per-minute emit
+    * (queries_served, unique_users, avg latency, avg size). Message size
+    * stands in as an exact integer derived from the event id. */
+  def perMinute(events: DataFrame): DataFrame =
+    events
+      .withColumn("size_bytes", col("event_id") % 4096 + 128)
+      .groupBy(minuteWindow)
+      .agg(
+        count(lit(1)).as("queries_served"),
+        countDistinct(col("user_id")).as("unique_users"),
+        gridAvg(col("value")).as("avg_latency"),
+        (sum(col("size_bytes")) / count(lit(1))).as("avg_size_bytes"))
+      .select(col("window.start").as("window_start"),
+        col("queries_served"), col("unique_users"),
+        col("avg_latency"), col("avg_size_bytes"))
+      .orderBy("window_start")
+}
