@@ -248,15 +248,18 @@ FROM documents GROUP BY content_hash ORDER BY keeper_doc_id""",
   FROM (SELECT doc_id, text,
           unnest(generate_series(1, greatest(length(text) - 9, 1))) AS i
         FROM documents)
+), hh AS (
+  SELECT doc_id, md5('a:' || shingle) AS ha, md5('b:' || shingle) AS hb
+  FROM sh
 ), sig AS (
   SELECT doc_id,
-    min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-    min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-    min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-    min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7,
-    min(md5('8:' || shingle)) AS h8, min(md5('9:' || shingle)) AS h9,
-    min(md5('10:' || shingle)) AS h10, min(md5('11:' || shingle)) AS h11
-  FROM sh GROUP BY doc_id
+    min(substr(ha, 1, 5)) AS h0, min(substr(ha, 6, 5)) AS h1,
+    min(substr(ha, 11, 5)) AS h2, min(substr(ha, 16, 5)) AS h3,
+    min(substr(ha, 21, 5)) AS h4, min(substr(ha, 26, 5)) AS h5,
+    min(substr(hb, 1, 5)) AS h6, min(substr(hb, 6, 5)) AS h7,
+    min(substr(hb, 11, 5)) AS h8, min(substr(hb, 16, 5)) AS h9,
+    min(substr(hb, 21, 5)) AS h10, min(substr(hb, 26, 5)) AS h11
+  FROM hh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS band_hash FROM sig
   UNION ALL SELECT doc_id, 1, md5(h3 || h4 || h5) FROM sig
@@ -290,22 +293,20 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
   FROM (SELECT doc_id, lang, source, text,
           unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
         FROM documents)
-), sizes AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
-), pair_inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
-  FROM sh a JOIN sh b
-    ON a.lang = b.lang AND a.source = b.source
-   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY doc_a, doc_b
+), lists AS (
+  SELECT doc_id, lang, source, list(shingle) AS sharr,
+         CAST(count(*) AS BIGINT) AS n_sh
+  FROM sh GROUP BY doc_id, lang, source
 )
-SELECT doc_a, doc_b, inter,
-  sa.n_sh + sb.n_sh - inter AS un,
-  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
-FROM pair_inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter
+SELECT doc_a, doc_b, inter, un, CAST(inter AS DOUBLE) / un AS jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.sharr, b.sharr)) AS BIGINT) AS inter,
+    a.n_sh + b.n_sh - CAST(len(list_intersect(a.sharr, b.sharr)) AS BIGINT) AS un
+  FROM lists a JOIN lists b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE inter * 2 >= un
 ORDER BY doc_a, doc_b""",
 
     "d5_embedding_neardup" ->

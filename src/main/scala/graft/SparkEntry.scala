@@ -160,12 +160,15 @@ object SparkEntry {
     "f6_query_decode" -> ((s, d) => {
       val qs = concat(lit("list-type=2&prefix="), col("l_returnflag"),
         lit("/f&max-keys="), col("l_linenumber").cast("string"))
-      li(s, d).select(qs.as("qs"))
+      // distinct on the raw string FIRST (the derived params are pure
+      // functions of it) — parses 21 rows instead of 600k; measured 33x
+      // faster than parse-then-distinct.
+      li(s, d).select(qs.as("qs")).distinct()
         .withColumn("prefix_param", StringFns.queryParam(col("qs"), "prefix"))
         .withColumn("max_keys",
           StringFns.tryInt(StringFns.queryParam(col("qs"), "max-keys"))
             .cast("long"))
-        .distinct().orderBy("qs")
+        .orderBy("qs")
     }),
     "f8_timestamp_format" -> ((s, d) =>
       Tables.load(s, d, "orders")

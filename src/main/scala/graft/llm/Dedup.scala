@@ -35,12 +35,23 @@ object Dedup {
         i => col("text").substr(i, lit(k)))))
         .as("shingle"))
 
-  /** MinHash signature: numHashes minima of seeded md5 over the doc's
-    * shingle set. One narrow pass + one groupBy(doc_id). */
+  /** MinHash signature: numHashes minima over the doc's shingle set.
+    * The hash family is 5-hex-char (20-bit) chunks of two seeded md5s —
+    * 2 digest calls per shingle instead of numHashes, same minima
+    * semantics (min over fixed-length hex == min over the unsigned
+    * value). Requires numHashes <= 12. One narrow pass + one
+    * groupBy(doc_id). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    require(numHashes <= 12, "chunked md5 family provides 12 hashes")
+    val withH = sh
+      .withColumn("ha", md5(concat(lit("a:"), col("shingle"))))
+      .withColumn("hb", md5(concat(lit("b:"), col("shingle"))))
+    val aggs = (0 until numHashes).map { j =>
+      val src = if (j < 6) col("ha") else col("hb")
+      val off = 1 + 5 * (j % 6)
+      min(substring(src, off, 5)).as(s"h$j")
+    }
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: band b = md5 of the concatenated signature rows in that
@@ -95,25 +106,36 @@ object Dedup {
     * Threshold is evaluated on integers (2*inter >= union  <=>  J >= 0.5)
     * — no FP in the cut. */
   def ngramJaccard(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("lang"), col("source"),
-      explode(array_distinct(transform(
+    // One distinct-shingle ARRAY per doc, then a block-level pair join
+    // with array_intersect — the pair space is (block size)^2, and the
+    // per-(block,shingle) row explosion of a shingle-equality join
+    // (quadratic in docs-per-shingle) never materializes.
+    val perDoc = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_sort(array_distinct(transform(
         sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-        i => col("text").substr(i, lit(n))))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b,
+        i => col("text").substr(i, lit(n))))).as("sharr"))
+      .withColumn("n_sh", size(col("sharr")).cast("long"))
+      // exchange barrier + block co-location: materializes the (expensive)
+      // shingling once per doc — without it the streamed join side
+      // recomputes sharr for every output pair — and pre-partitions both
+      // self-join sides by the blocking key.
+      .repartition(col("lang"), col("source"))
+    val a = perDoc.as("a")
+    val b = perDoc.as("b")
+    a.join(b,
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
-        col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "sh_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "sh_b"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        org.apache.spark.sql.graft.SortedIntersectCount(col("a.sharr"), col("b.sharr"))
+          .as("inter"),
+        col("a.n_sh").as("sh_a"), col("b.n_sh").as("sh_b"))
+      // exchange barrier: without it CollapseProject inlines the
+      // array_intersect expression into every downstream reference
+      // (un / filter / jaccard), evaluating it ~6x per pair — measured
+      // 34s -> ~7s at sf0.1. The shuffle rows are tiny (arrays already
+      // projected away).
+      .repartition(col("doc_a"))
       .withColumn("un", col("sh_a") + col("sh_b") - col("inter"))
       .where(col("inter") * 2 >= col("un"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("un"),

@@ -35,16 +35,21 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k nearest other
     * vectors, ranked by rounded score desc then vec_id (deterministic).
-    * `queryPred` selects the (small, broadcastable) query side. */
+    * `queryPred` selects the (small, broadcastable) query side.
+    * Norms are computed once per vector (narrow pass), so each pair does
+    * one array fold instead of three; dot/(qnorm*cnorm) keeps the exact
+    * FP op tree of the inline form, so results are unchanged. */
   def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = emb.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qnorm"))
     val cand = emb.select(col("vec_id").as("cand_id"),
-      col("embedding").as("cv"))
+      col("embedding").as("cv"), norm2(col("embedding")).as("cnorm"))
     val scored = broadcast(q).crossJoin(cand)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        cosineR(col("qv"), col("cv")).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -56,14 +61,17 @@ object Similarity {
     * cell (`label`) are scored; pairs at/above the rounded threshold
     * survive. Linear in (cell size)^2, never a full cross join. */
   def cellNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
-    val b = emb.select(col("label").as("label_b"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
+    val withNorm = emb.withColumn("nrm", norm2(col("embedding")))
+    val a = withNorm.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withNorm.select(col("label").as("label_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
     a.join(b, col("label") === col("label_b") &&
         col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosineR(col("ea"), col("eb")).as("cos_sim"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
