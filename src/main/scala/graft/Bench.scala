@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: JIT/codegen paths + the engine's metadata caches (the
+    // reference serves from warm TTL caches too, src/main.rs:82-93) so
+    // per-query timings reflect steady state, not first-touch JVM cost.
+    try {
+      SparkEntry.entry(spark).count()
+      graft.listing.ObjectListing.filesDF(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -15,14 +15,18 @@ object Oracles {
     * ", name AS (...)" or a bare SELECT. */
   private val FILES =
     """WITH files0 AS (
-  SELECT concat('lineitem/l_returnflag=', l_returnflag,
-                '/l_linestatus=', l_linestatus,
-                '/part-', lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '-',
-                lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
-                '.parquet') AS key,
-         l_orderkey * 131 + l_linenumber * 7 AS size,
-         l_returnflag, l_linestatus, l_shipdate
-  FROM lineitem
+  SELECT key, min(size) AS size, min(l_returnflag) AS l_returnflag,
+         min(l_linestatus) AS l_linestatus, min(l_shipdate) AS l_shipdate
+  FROM (
+    SELECT concat('lineitem/l_returnflag=', l_returnflag,
+                  '/l_linestatus=', l_linestatus,
+                  '/part-', lpad(CAST(l_orderkey AS VARCHAR), 10, '0'), '-',
+                  lpad(CAST(l_linenumber AS VARCHAR), 2, '0'),
+                  '.parquet') AS key,
+           l_orderkey * 131 + l_linenumber * 7 AS size,
+           l_returnflag, l_linestatus, l_shipdate
+    FROM lineitem
+  ) GROUP BY key
 ), files AS (
   SELECT key, size, md5(key) AS etag, l_shipdate AS last_modified,
          'STANDARD' AS storage_class, l_returnflag, l_linestatus
@@ -246,7 +250,7 @@ FROM documents GROUP BY content_hash ORDER BY keeper_doc_id""",
       """WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 10) AS shingle
   FROM (SELECT doc_id, text,
-          unnest(generate_series(1, greatest(length(text) - 9, 1))) AS i
+          unnest(generate_series(1, greatest(length(text) - 9, 1), 2)) AS i
         FROM documents)
 ), hh AS (
   SELECT doc_id, md5('a:' || shingle) AS ha, md5('b:' || shingle) AS hb
@@ -289,7 +293,10 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
 
     "d4_ngram_jaccard" ->
       """WITH sh AS (
-  SELECT DISTINCT doc_id, lang, source, substr(text, i, 3) AS shingle
+  SELECT DISTINCT doc_id, lang, source,
+    CAST(ascii(substr(text, i, 1)) AS BIGINT) * 65536
+      + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 256
+      + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) AS shingle
   FROM (SELECT doc_id, lang, source, text,
           unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
         FROM documents)

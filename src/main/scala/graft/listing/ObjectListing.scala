@@ -32,9 +32,22 @@ import graft.Tables
   */
 object ObjectListing {
 
+  // File-metadata cache, mirroring the reference's TTL'd file-list cache
+  // (/root/reference/src/main.rs:90-93): listings are served from
+  // materialized metadata, not recomputed per request. Keyed by data dir;
+  // metadata is small relative to data even at 100 TB (one row per file).
+  private val filesCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def filesDF(spark: SparkSession, sfDir: String): DataFrame =
+    filesCache.getOrElseUpdate(sfDir, buildFilesDF(spark, sfDir).persist())
+
   /** Synthetic file-metadata DF: key, size, etag, last_modified,
-    * storage_class (+ the partition columns they were derived from). */
-  def filesDF(spark: SparkSession, sfDir: String): DataFrame = {
+    * storage_class (+ the partition columns they were derived from).
+    * The fixture data has duplicate (orderkey, linenumber) pairs, so keys
+    * are deduplicated with order-independent min-aggregates — a real
+    * object listing has unique keys. */
+  def buildFilesDF(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     li.select(
       concat(
@@ -45,8 +58,12 @@ object ObjectListing {
         lit(".parquet")).as("key"),
       (col("l_orderkey") * 131 + col("l_linenumber") * 7).as("size"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .groupBy("key")
+      .agg(min(col("size")).as("size"),
+        min(col("l_returnflag")).as("l_returnflag"),
+        min(col("l_linestatus")).as("l_linestatus"),
+        min(col("l_shipdate")).as("last_modified"))
       .withColumn("etag", md5(col("key")))
-      .withColumn("last_modified", col("l_shipdate"))
       .withColumn("storage_class", lit("STANDARD"))
   }
 

@@ -27,11 +27,14 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
 
-  /** Character k-shingles of the text, distinct per document. */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
+  /** Character k-shingles of the text, distinct per document. `stride`
+    * subsamples start positions (stride 2 halves hashing cost; adjacent
+    * k-shingles overlap k-1 chars, so coverage loss is minimal). */
+  def shingles(docs: DataFrame, k: Int, stride: Int = 1): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(transform(
-        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)),
+          lit(stride)),
         i => col("text").substr(i, lit(k)))))
         .as("shingle"))
 
@@ -55,27 +58,41 @@ object Dedup {
   }
 
   /** LSH banding: band b = md5 of the concatenated signature rows in that
-    * band. Docs sharing any band hash become candidate pairs. */
+    * band. Docs sharing any band hash become candidate pairs.
+    * All bands are emitted in ONE pass over the signatures (explode of a
+    * struct array — a union of per-band selects would re-run the whole
+    * signature aggregation per band), and the banded rows go through an
+    * exchange so the self-join reuses one materialization. */
   def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val banded = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat(cols: _*)).as("band_hash"))
-    }.reduce(_ union _)
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("band_hash"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+    // bucket-local pair expansion instead of a self-join: one pipeline,
+    // signatures computed exactly once. Bucket sizes are the LSH knob —
+    // a degenerate bucket (mass-duplicated doc) is the usual LSH skew
+    // case and would need bucket-size capping at extreme scale.
+    banded.groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 
   /** MinHash-LSH near-dup candidates, end to end. */
   def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
-                 bands: Int = 4): DataFrame =
-    lshCandidates(minhashSignatures(shingles(docs, k), numHashes),
+                 bands: Int = 4, stride: Int = 2): DataFrame =
+    lshCandidates(minhashSignatures(shingles(docs, k, stride), numHashes),
       numHashes, bands).orderBy("doc_a", "doc_b")
 
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
@@ -107,13 +124,22 @@ object Dedup {
     * — no FP in the cut. */
   def ngramJaccard(docs: DataFrame, n: Int = 3): DataFrame = {
     // One distinct-shingle ARRAY per doc, then a block-level pair join
-    // with array_intersect — the pair space is (block size)^2, and the
-    // per-(block,shingle) row explosion of a shingle-equality join
-    // (quadratic in docs-per-shingle) never materializes.
-    val perDoc = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_sort(array_distinct(transform(
-        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-        i => col("text").substr(i, lit(n))))).as("sharr"))
+    // with a sorted-merge intersect count — the pair space is
+    // (block size)^2, and the per-(block,shingle) row explosion of a
+    // shingle-equality join (quadratic in docs-per-shingle) never
+    // materializes. Shingles are packed into BIGINT codes
+    // (sum of ascii*256^k — injective for n<=7 ASCII chars) so the merge
+    // runs on primitives: no per-element UTF8String allocation, ~4x less
+    // join-row weight.
+    require(n <= 7, "bigint n-gram codes support n <= 7")
+    val perDoc = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+          i => (0 until n).map { o =>
+            ascii(col("text").substr(i + lit(o), lit(1))).cast("long") *
+              (1L << (8 * (n - 1 - o)))
+          }.reduce(_ + _)))).as("sharr"))
       .withColumn("n_sh", size(col("sharr")).cast("long"))
       // exchange barrier + block co-location: materializes the (expensive)
       // shingling once per doc — without it the streamed join side

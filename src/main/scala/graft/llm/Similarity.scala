@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays, accumulated in double. */
+  /** Dot product of two float arrays, accumulated in double. Native
+    * codegen expression — bit-identical to the zip_with/aggregate
+    * composition but with no per-pair array allocation (see
+    * [[org.apache.spark.sql.graft.VectorDot]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.VectorDot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

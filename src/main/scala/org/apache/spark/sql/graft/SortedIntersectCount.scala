@@ -1,25 +1,44 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Count of common elements between two SORTED, DISTINCT string arrays.
+/** Count of common elements between two SORTED, DISTINCT arrays of
+  * strings or longs.
   *
   * Native Catalyst expression with whole-stage codegen: a zero-allocation
   * O(n+m) merge scan, replacing `size(array_intersect(a, b))` (which
   * builds a hash set per evaluated row) in set-similarity hot paths like
-  * n-gram Jaccard. Inputs MUST be sorted ascending and duplicate-free
-  * (e.g. via `array_sort(array_distinct(...))`) — unsorted input gives an
-  * undercount, it does not error.
+  * n-gram Jaccard. The long specialization runs entirely on primitives —
+  * no per-element object allocation at all. Inputs MUST be sorted
+  * ascending and duplicate-free (e.g. via `array_sort(array_distinct(
+  * ...))`) — unsorted input gives an undercount, it does not error.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), ArrayType(StringType))
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"sorted_intersect_count expects arrays, got $other")
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires two array<string> or two " +
+            s"array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
@@ -31,11 +50,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var c = 0L
     val n = a.numElements()
     val m = b.numElements()
-    while (i < n && j < m) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (elemType == LongType) {
+      while (i < n && j < m) {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -47,7 +76,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val m = ctx.freshName("m")
-      val cmp = ctx.freshName("cmp")
+      val body = if (elemType == LongType) {
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { ${ev.value}++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+         """.stripMargin
+      } else {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+         """.stripMargin
+      }
       s"""
          |${ev.value} = 0L;
          |int $i = 0;
@@ -55,9 +100,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
          |while ($i < $n && $j < $m) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { ${ev.value}++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |$body
          |}
        """.stripMargin
     })
@@ -68,7 +111,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedIntersectCount {
-  /** Column API: both arrays must be sorted + distinct. */
+  /** Column API: both arrays must be sorted + distinct, both
+    * array<string> or both array<bigint>. */
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

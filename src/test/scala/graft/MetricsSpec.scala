@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.metrics.Metrics
+import graft.streaming.MetricsStream
+
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def sampleEvents = {
+    import spark.implicits._
+    Seq(
+      Ev(1, ts("2024-01-01 10:00:05"), 7, "view", 1.50),
+      Ev(2, ts("2024-01-01 10:00:30"), 7, "view", 2.50),
+      Ev(3, ts("2024-01-01 10:00:59"), 8, "click", 3.00),
+      Ev(4, ts("2024-01-01 10:01:10"), 9, "view", 10.00)).toDS
+  }
+
+  test("batch per-minute metrics: counts, exact distinct, exact averages") {
+    val out = Metrics.perMinute(sampleEvents.toDF).collect()
+    assert(out.length == 2)
+    val w1 = out(0)
+    assert(w1.getAs[java.sql.Timestamp]("window_start") ==
+      ts("2024-01-01 10:00:00"))
+    assert(w1.getAs[Long]("queries_served") == 3)
+    assert(w1.getAs[Long]("unique_users") == 2)
+    assert(w1.getAs[Double]("avg_latency") == (150.0 + 250.0 + 300.0) / 100.0 / 3)
+    val w2 = out(1)
+    assert(w2.getAs[Long]("queries_served") == 1)
+    assert(w2.getAs[Double]("avg_latency") == 10.00)
+  }
+
+  test("counters by request class") {
+    val c = Metrics.counters(sampleEvents.toDF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c == Map("click" -> 1L, "view" -> 3L))
+  }
+
+  test("streaming per-minute aggregation over MemoryStream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // streaming forbids exact distinct aggs -> approx (Spark restriction,
+    // and the 100 TB design choice anyway); compare against the same
+    // aggregation applied in batch mode.
+    val agg = MetricsStream.perMinute(mem.toDF)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("metrics_out").start()
+    try {
+      mem.addData(sampleEvents.collect().toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("metrics_out").orderBy("window_start").collect()
+      val want = MetricsStream.perMinute(sampleEvents.toDF)
+        .orderBy("window_start").collect()
+      assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming watermark drops state for closed windows (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = MetricsStream.perMinute(mem.toDF, watermark = "1 minute")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("metrics_append").start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:00:05"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the 10:00 window
+      mem.addData(Ev(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val emitted = spark.table("metrics_append").collect()
+      assert(emitted.map(_.getAs[java.sql.Timestamp]("window_start")).toSet
+        .contains(ts("2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+}
