@@ -76,6 +76,38 @@ SELECT key, size, rn FROM (
   SELECT key, size, row_number() OVER (ORDER BY key) AS rn FROM files
 ) WHERE rn > 200 AND rn <= 300 ORDER BY key"""),
 
+    "s3_list_truncation" -> (FILES +
+      """
+SELECT CAST(count(*) AS BIGINT) AS key_count,
+       count(*) = 100 AS is_truncated,
+       max(key) AS next_continuation_token
+FROM (
+  SELECT key FROM files WHERE key LIKE 'lineitem/l_returnflag=R/%'
+  ORDER BY key LIMIT 100
+)"""),
+
+    "s7_ranged_read" ->
+      """SELECT doc_id,
+  (doc_id * 7) % 40 AS range_start,
+  doc_id % 20 + 5 AS range_len,
+  substr(text, CAST((doc_id * 7) % 40 + 1 AS INT), CAST(doc_id % 20 + 5 AS INT)) AS chunk
+FROM documents ORDER BY doc_id""",
+
+    "p8_routing" -> (FILES +
+      """
+SELECT path,
+  split_part(path, '/', 1) AS alias,
+  substr(path, strpos(path, '/') + 1) AS rest,
+  CASE WHEN path LIKE '%/' THEN 'LIST'
+       WHEN substr(path, strpos(path, '/') + 1) LIKE '_delta_log/%'
+         THEN 'LOG_PASSTHROUGH'
+       ELSE 'DATA_GET' END AS route
+FROM (
+  SELECT key AS path FROM (SELECT key FROM files ORDER BY key LIMIT 50)
+  UNION ALL SELECT 'lineitem/'
+  UNION ALL SELECT 'lineitem/_delta_log/00000000000000000000.json'
+) ORDER BY path"""),
+
     "p3_acl_allow" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
 FROM lineitem WHERE $ALLOWED_RF_NO
@@ -113,6 +145,18 @@ SELECT key FROM files
 WHERE size % 53 = 0
   AND key IN (SELECT key FROM files WHERE $ALLOWED)
 ORDER BY key"""),
+
+    "j3_perm_lookup" ->
+      """SELECT r.user_id, r.table_name, e.perm_id, e.n_filters
+FROM (VALUES ('alice','lineitem'),('alice','orders'),
+             ('bob','lineitem'),('carol','lineitem')) r(user_id, table_name)
+LEFT JOIN (VALUES ('alice','lineitem',CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+                  ('alice','orders',CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+                  ('bob','lineitem',CAST(3 AS BIGINT),CAST(1 AS BIGINT)),
+                  ('bob','part',CAST(4 AS BIGINT),CAST(0 AS BIGINT)))
+  e(user_id, table_name, perm_id, n_filters)
+ON r.user_id = e.user_id AND r.table_name = e.table_name
+ORDER BY r.user_id, r.table_name""",
 
     "j4_perm_merge" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
@@ -186,6 +230,19 @@ SELECT presigned, CAST(count(*) AS BIGINT) AS n FROM (
     FROM files
   )
 ) GROUP BY presigned ORDER BY presigned"""),
+
+    "f12_xml_render" -> (FILES +
+      """
+SELECT key,
+  '<Contents><Key>' ||
+  replace(replace(replace(replace(replace(key,
+    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;')
+  || '</Key><Size>' || CAST(size AS VARCHAR)
+  || '</Size><ETag>&quot;' || etag
+  || '&quot;</ETag><StorageClass>' || storage_class
+  || '</StorageClass></Contents>' AS xml
+FROM (SELECT * FROM files ORDER BY key LIMIT 100)
+ORDER BY key"""),
 
     "f13_f14_keys_ranges" ->
       """SELECT DISTINCT
@@ -332,6 +389,26 @@ ORDER BY doc_a, doc_b""",
 )
 SELECT vec_a, vec_b, cos_sim FROM c
 WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""",
+
+    "sim_lsh_buckets" ->
+      """WITH pi AS (
+  SELECT unnest(generate_series(0, 7)) AS p
+), di AS (
+  SELECT unnest(generate_series(0, 63)) AS i
+), w AS (
+  SELECT p, i,
+    ((CAST(i AS BIGINT) * 2654435761 + CAST(p AS BIGINT) * 40503) % 65536)
+      - 32768 AS wt
+  FROM pi, di
+), proj AS (
+  SELECT e.vec_id, w.p,
+    SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS pr
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+)
+SELECT vec_id,
+  CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id ORDER BY vec_id""",
 
     "sim_topk_cosine" ->
       """WITH q AS (

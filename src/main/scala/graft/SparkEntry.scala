@@ -68,7 +68,46 @@ object SparkEntry {
         .orderBy("key").limit(1)),
     "w4_pagination" -> ((s, d) =>
       ObjectListing.page(files(s, d), 100, 3)
-        .withColumn("rn", col("rn").cast("long")).orderBy("key")))
+        .withColumn("rn", col("rn").cast("long")).orderBy("key")),
+    "s3_list_truncation" -> ((s, d) => {
+      // W4 continuation-token emit: IsTruncated + NextContinuationToken
+      // (last key of the page) exactly as ListObjectsV2 renders them
+      // (/root/reference/src/main.rs:255-257,281-284).
+      val page = ObjectListing.list(files(s, d),
+        "lineitem/l_returnflag=R/", None, 100)
+      page.agg(count(lit(1)).as("key_count"),
+        (count(lit(1)) === 100).as("is_truncated"),
+        max(col("key")).as("next_continuation_token"))
+    }),
+    "s7_ranged_read" -> ((s, d) => {
+      // S7 ranged GET: byte-range slice of the object content
+      // (/root/reference/src/main.rs:721-725): bytes=a-b inclusive.
+      val start = pmod(col("doc_id") * 7, lit(40))
+      val len = pmod(col("doc_id"), lit(20)) + 5
+      docs(s, d).select(col("doc_id"),
+        start.as("range_start"), len.as("range_len"),
+        col("text").substr((start + 1).cast("int"), len.cast("int"))
+          .as("chunk"))
+        .orderBy("doc_id")
+    }),
+    "p8_routing" -> ((s, d) => {
+      // P8 path-class routing + F4 alias/rest split
+      // (/root/reference/src/main.rs:498-538): trailing '/' or empty =>
+      // LIST; _delta_log prefix after the alias => log passthrough;
+      // otherwise data GET.
+      val paths = files(s, d).select(col("key")).orderBy("key").limit(50)
+        .union(s.range(1).select(lit("lineitem/").as("key")))
+        .union(s.range(1).select(
+          lit("lineitem/_delta_log/00000000000000000000.json").as("key")))
+      paths.select(col("key").as("path"),
+        StringFns.pathAlias(col("path")).as("alias"),
+        StringFns.pathRest(col("path")).as("rest"))
+        .withColumn("route",
+          when(col("path").endsWith("/"), "LIST")
+            .when(col("rest").startsWith("_delta_log/"), "LOG_PASSTHROUGH")
+            .otherwise("DATA_GET"))
+        .orderBy("path")
+    }))
 
   private val aclQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_acl_allow" -> ((s, d) =>
@@ -103,6 +142,26 @@ object SparkEntry {
       PartitionAcl.authorize(f.where(pmod(col("size"), lit(53)) === 0),
         PartitionAcl.allowedFiles(f, AclAllow))
         .select("key").orderBy("key")
+    }),
+    "j3_perm_lookup" -> ((s, d) => {
+      // J3: (user, table) keyed permission lookup as a two-column equi
+      // join with JSON filter decode (/root/reference/src/database.rs:38-43).
+      import s.implicits._
+      val perms = Seq(
+        (1, "alice", "lineitem", """[{"l_returnflag":"N"}]"""),
+        (2, "alice", "orders", """[{"o_orderstatus":"F"},{"o_orderstatus":"O"}]"""),
+        (3, "bob", "lineitem", """[{"l_returnflag":"A"}]"""),
+        (4, "bob", "part", """[]"""))
+        .toDF("id", "user_id", "table_name", "partition_filters")
+      val requests = Seq(("alice", "lineitem"), ("alice", "orders"),
+        ("bob", "lineitem"), ("carol", "lineitem"))
+        .toDF("user_id", "table_name")
+      requests.join(broadcast(PartitionAcl.parsePermissions(perms)),
+          Seq("user_id", "table_name"), "left")
+        .select(col("user_id"), col("table_name"),
+          col("id").cast("long").as("perm_id"),
+          size(col("filters")).cast("long").as("n_filters"))
+        .orderBy("user_id", "table_name")
     }),
     "j4_perm_merge" -> ((s, d) => {
       import s.implicits._
@@ -184,6 +243,19 @@ object SparkEntry {
       files(s, d).select(StringFns.isPresigned(url).as("presigned"))
         .groupBy("presigned").agg(count(lit(1)).as("n")).orderBy("presigned")
     }),
+    "f12_xml_render" -> ((s, d) => {
+      // F12: ListObjectsV2 <Contents> rendering with XML escaping
+      // (/root/reference/src/main.rs:267-319) — output formatting as a
+      // pure string projection.
+      val f = files(s, d).orderBy("key").limit(100)
+      f.select(col("key"),
+        concat(lit("<Contents><Key>"), StringFns.xmlEscape(col("key")),
+          lit("</Key><Size>"), col("size").cast("string"),
+          lit("</Size><ETag>&quot;"), col("etag"),
+          lit("&quot;</ETag><StorageClass>"), col("storage_class"),
+          lit("</StorageClass></Contents>")).as("xml"))
+        .orderBy("key")
+    }),
     "f13_f14_keys_ranges" -> ((s, d) => {
       val e = ev(s, d)
       val range = concat(lit("bytes="),
@@ -242,6 +314,13 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
     "d5_embedding_neardup" -> ((s, d) =>
       Similarity.cellNearDup(emb(s, d), 0.35)),
+    "sim_lsh_buckets" -> ((s, d) =>
+      // the similarity-search scale path: deterministic sign-LSH bucket
+      // ids (8 pseudo-hyperplanes) — at 100 TB candidate generation is
+      // bucket-local instead of all-pairs.
+      emb(s, d).select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
+        .orderBy("vec_id")),
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0, 10)
         .withColumn("rk", col("rk").cast("long"))),
