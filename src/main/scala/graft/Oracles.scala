@@ -286,6 +286,32 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
+    "q5_nation_volume" ->
+      """SELECT n_name,
+  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "w5_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+  sum(round(o_totalprice * 100)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+    AS running_total,
+  CAST(row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+    AS order_seq
+FROM orders WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderkey""",
+
     "q3_top_revenue" ->
       """SELECT o_orderkey,
   sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue

@@ -291,6 +291,44 @@ object SparkEntry {
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "q5_nation_volume" -> ((s, d) => {
+      // Deep join tree (6 tables): Catalyst reorders + broadcasts the
+      // dimension chain; revenue is an exact grid sum.
+      val r = Tables.load(s, d, "region").where(col("r_name") === "ASIA")
+      val n = Tables.load(s, d, "nation")
+      val c = Tables.load(s, d, "customer")
+      val sup = Tables.load(s, d, "supplier")
+      val o = Tables.load(s, d, "orders")
+        .where(col("o_orderdate") >= to_timestamp(lit("1994-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-01-01 00:00:00")))
+      val l = li(s, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000)) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "w5_running_total" -> ((s, d) => {
+      // Window functions: per-customer running total + rank over a total
+      // order; the running sum is over grid-rounded integers, so every
+      // prefix is exact on both engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      Tables.load(s, d, "orders")
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          (sum(round(col("o_totalprice") * 100))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0)
+            .as("running_total"),
+          row_number().over(w).cast("long").as("order_seq"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q3_top_revenue" -> ((s, d) => {
       val c = Tables.load(s, d, "customer")
         .where(col("c_mktsegment") === "BUILDING")

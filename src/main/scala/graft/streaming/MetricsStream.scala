@@ -50,4 +50,26 @@ object MetricsStream {
   /** Lifetime counters by request class (A1), streaming-compatible. */
   def counters(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** T2 manual-state analogue: per-user lifetime request counts via
+    * flatMapGroupsWithState — the explicit form of the reference's
+    * mutable per-key state (src/metrics.rs:74-77), emitting the updated
+    * count on every batch a user appears in. State is one long per user
+    * (bounded); at 100 TB-of-events scale the state store shards by the
+    * group key across executors. */
+  def runningUserCounts(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+      .toDF("user_id", "n")
+  }
 }

@@ -64,6 +64,28 @@ class MetricsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful per-user counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = MetricsStream.runningUserCounts(mem.toDF)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_counts").start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:00:05"), 7, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:00:06"), 7, "view", 1.0),
+        Ev(3, ts("2024-01-01 10:00:07"), 8, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 10:00:08"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // last emitted value per user reflects lifetime totals
+      val last = spark.table("user_counts").groupBy("user_id")
+        .agg(max("n").as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == Map(7L -> 3L, 8L -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming watermark drops state for closed windows (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
