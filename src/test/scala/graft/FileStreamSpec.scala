@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.MetricsStream
+
+/** The readStream -> windowed agg -> writeStream path over a parquet
+  * directory source (how the metrics engine would consume an event log
+  * landing in object storage at scale: new files become micro-batches). */
+class FileStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("parquet file source streams into per-minute metrics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("filestream").toString
+    // land a first file; schema must be provided for streaming sources
+    val batch1 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:05"), 7L, "view", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:10"), 8L, "view", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch1.write.parquet(s"$dir/b1")
+
+    val stream = spark.readStream
+      .schema(batch1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = MetricsStream.perMinute(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_metrics").start()
+    try {
+      q.processAllAvailable()
+      val w1 = spark.table("file_metrics").orderBy("window_start").collect()
+      assert(w1.length == 2)
+      // a second file lands -> next micro-batch updates the same windows
+      Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 9L, "view", 3.5))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val w2 = spark.table("file_metrics").orderBy("window_start").collect()
+      assert(w2.length == 2)
+      assert(w2(0).getAs[Long]("queries_served") == 2) // 10:00 window grew
+    } finally q.stop()
+  }
+}
