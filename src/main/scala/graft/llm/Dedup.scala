@@ -151,7 +151,12 @@ object Dedup {
     a.join(b,
         col("a.lang") === col("b.lang") &&
         col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        // size-band prune: J >= 0.5 forces max(n) <= 2*min(n), so these
+        // pairs can never reach the final threshold — dropping them here
+        // cannot change results, it only skips doomed intersects.
+        col("a.n_sh") <= col("b.n_sh") * 2 &&
+        col("b.n_sh") <= col("a.n_sh") * 2)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         org.apache.spark.sql.graft.SortedIntersectCount(col("a.sharr"), col("b.sharr"))
           .as("inter"),
