@@ -60,22 +60,8 @@ object MiniDelta {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
     val version = nextVersion(spark, table)
-    val lines = added.map { case (rel, size) =>
-      val parts = rel.split("/").dropRight(1)
-        .filter(_.contains("="))
-        .map { seg =>
-          val Array(k, v) = seg.split("=", 2)
-          s""""$k":"$v""""
-        }.mkString(",")
-      s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":true}}"""
-    }
-    val commit =
-      (s"""{"commitInfo":{"operation":"WRITE","version":$version}}""" +: lines)
-        .mkString("\n")
-    f.mkdirs(new Path(logDir(table)))
-    val out = f.create(new Path(f"${logDir(table)}%s/$version%020d.json"), false)
-    out.write(commit.getBytes("UTF-8"))
-    out.close()
+    writeCommit(spark, table, version,
+      added.map { case (p, s2) => addLine(p, s2) }, "WRITE")
     version
   }
 
@@ -119,13 +105,68 @@ object MiniDelta {
   def logDF(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(logSchema).json(s"${logDir(table)}/*.json")
 
-  /** S4: current snapshot = add actions replayed in version order, minus
-    * files removed later. Pure log metadata. */
-  def snapshotFiles(spark: SparkSession, table: String): DataFrame = {
+  private def writeCommit(spark: SparkSession, table: String,
+                          version: Long, lines: Seq[String],
+                          operation: String): Unit = {
+    val f = fs(spark, table)
+    val commit =
+      (s"""{"commitInfo":{"operation":"$operation","version":$version}}""" +:
+        lines).mkString("\n")
+    f.mkdirs(new Path(logDir(table)))
+    val out = f.create(new Path(f"${logDir(table)}%s/$version%020d.json"),
+      false)
+    out.write(commit.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def addLine(rel: String, size: Long): String = {
+    val parts = rel.split("/").dropRight(1)
+      .filter(_.contains("="))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        s""""$k":"$v""""
+      }.mkString(",")
+    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":true}}"""
+  }
+
+  /** Compaction (OPTIMIZE-style): rewrite the current snapshot into one
+    * file per partition directory, committing removes for the old files
+    * and adds for the rewritten ones. Old files stay on disk (vacuum is
+    * out of scope); the snapshot no longer references them.
+    *
+    * Scale: at 100 TB compaction runs per-partition (coalesce within a
+    * partition directory), exactly how OPTIMIZE binpacks; the log commit
+    * is still metadata-only. Single-writer, like append. */
+  def compact(spark: SparkSession, table: String,
+              partitionBy: Seq[String], readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val current = snapshotFiles(spark, table).collect()
+    val oldPaths = current.map(_.getString(0)).toSet
+    val data = spark.read.option("basePath", table)
+      .parquet(current.map(r => s"$table/${r.getString(0)}").toIndexedSeq: _*)
+    val before = listDataFiles(spark, table).map(_._1).toSet
+    val writer = data.coalesce(1).write.mode("append")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(table)
+    val added = listDataFiles(spark, table)
+      .filterNot { case (p, _) => before.contains(p) }
+    val version = nextVersion(spark, table)
+    val removes = oldPaths.toSeq.sorted.map(p =>
+      s"""{"remove":{"path":"$p","dataChange":false}}""")
+    writeCommit(spark, table, version,
+      removes ++ added.map { case (p, s) => addLine(p, s) }, "OPTIMIZE")
+    version
+  }
+
+  /** Time travel: the snapshot as of `version` (inclusive) — replay adds
+    * and removes only up to that commit. */
+  def snapshotFilesAt(spark: SparkSession, table: String,
+                      version: Long): DataFrame = {
     val log = logDF(spark, table)
       .withColumn("version",
         regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
           .cast("long"))
+      .where(col("version") <= version)
     val adds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
@@ -140,6 +181,11 @@ object MiniDelta {
       .where(col("rm_v").isNull || col("rm_v") < col("add_v"))
       .select("path", "partitionValues", "size")
   }
+
+  /** S4: current snapshot = add actions replayed in version order, minus
+    * files removed later. Pure log metadata. */
+  def snapshotFiles(spark: SparkSession, table: String): DataFrame =
+    snapshotFilesAt(spark, table, Long.MaxValue)
 
   /** P5: resolve OR-of-ANDs string-equality partition filters against the
     * snapshot — predicate to file set with zero data IO, the reference's

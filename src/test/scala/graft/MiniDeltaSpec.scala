@@ -65,6 +65,43 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction rewrites the snapshot; data identical; removes replayed") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    val beforeFiles = MiniDelta.snapshotFiles(spark, t).count()
+    val beforeData = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id", "year").collect().map(_.toSeq).toSeq
+    val v = MiniDelta.compact(spark, t, Seq("year"))
+    assert(v == 3L)
+    val afterSnap = MiniDelta.snapshotFiles(spark, t)
+    assert(afterSnap.count() == 2) // one file per year partition
+    assert(afterSnap.count() < beforeFiles)
+    val afterData = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id", "year").collect().map(_.toSeq).toSeq
+    assert(afterData == beforeData)
+    // pruning still resolves exactly after compaction
+    assert(MiniDelta.readFiltered(spark, t, Seq(Map("year" -> "2023")))
+      .count() == 5)
+  }
+
+  test("time travel: snapshotFilesAt replays only up to a version") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    val v0 = MiniDelta.snapshotFilesAt(spark, t, 0)
+    val v1 = MiniDelta.snapshotFilesAt(spark, t, 1)
+    val v2 = MiniDelta.snapshotFilesAt(spark, t, 2)
+    assert(v0.select(element_at(col("partitionValues"), "year")).distinct()
+      .collect().map(_.getString(0)).toSet == Set("2023"))
+    assert(v1.count() > v0.count())
+    assert(v2.count() == 2) // post-compaction: one file per partition
+    // v1's files are disjoint from v2's rewritten files for old data
+    assert(v2.join(v1, Seq("path"), "left_semi").count() == 0)
+  }
+
   test("the log itself reads as data (S5 passthrough)") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
