@@ -93,6 +93,21 @@ FROM (
   substr(text, CAST((doc_id * 7) % 40 + 1 AS INT), CAST(doc_id % 20 + 5 AS INT)) AS chunk
 FROM documents ORDER BY doc_id""",
 
+    "s6_get_mode" -> (FILES +
+      """
+SELECT get_mode, ranged, proxy_partial, action, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT CASE WHEN size % 2 = 0 THEN 'proxy' ELSE 'presignedUrl' END AS get_mode,
+         size % 3 = 0 AS ranged,
+         size % 5 = 0 AS proxy_partial,
+         CASE WHEN size % 2 = 0 THEN 'STREAM_PROXY'
+              WHEN size % 3 = 0 AND size % 5 = 0 THEN 'STREAM_PROXY_RANGE'
+              WHEN size % 3 = 0 THEN 'REDIRECT_PRESIGNED_RANGE'
+              ELSE 'REDIRECT_PRESIGNED' END AS action
+  FROM files
+) GROUP BY get_mode, ranged, proxy_partial, action
+ORDER BY get_mode, ranged, proxy_partial"""),
+
     "p8_routing" -> (FILES +
       """
 SELECT path,
@@ -436,6 +451,43 @@ SELECT vec_id,
   CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id ORDER BY vec_id""",
 
+    "sim_lsh_neardup" ->
+      """WITH pi AS (
+  SELECT unnest(generate_series(0, 7)) AS p
+), di AS (
+  SELECT unnest(generate_series(0, 63)) AS i
+), w AS (
+  SELECT p, i,
+    ((CAST(i AS BIGINT) * 2654435761 + CAST(p AS BIGINT) * 40503) % 65536)
+      - 32768 AS wt
+  FROM pi, di
+), proj AS (
+  SELECT e.vec_id, w.p,
+    SUM(CAST(e.embedding[w.i + 1] AS DOUBLE) * CAST(w.wt AS DOUBLE)) AS pr
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+), buckets AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), c AS (
+  SELECT p2.vec_a, p2.vec_b,
+    round(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM pairs p2
+  JOIN embeddings ea ON ea.vec_id = p2.vec_a
+  JOIN embeddings eb ON eb.vec_id = p2.vec_b,
+  (SELECT unnest(generate_series(1, 64)) AS i) g
+  GROUP BY p2.vec_a, p2.vec_b
+)
+SELECT vec_a, vec_b, cos_sim FROM c
+WHERE cos_sim >= 0.2 ORDER BY vec_a, vec_b""",
+
     "sim_topk_cosine" ->
       """WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
@@ -507,6 +559,47 @@ FROM documents ORDER BY doc_id""",
       list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
     (acc, x) -> (acc * 31 + x) % 1000000007), 0) AS BIGINT) AS rolling_hash
 FROM documents ORDER BY doc_id""",
+
+    "pipe1_clean_corpus" ->
+      """WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars_m,
+    CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(list_filter(string_split(text, ' '),
+      t -> t IN ('the','a','of','and','to','in','is','der','die','das','und','ist','ein','zu','el','la','de','y','es','un','en','le','et','les','est','dans','的','是','了','在','和','有','我'))) AS BIGINT) AS n_stops,
+    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+), quality AS (
+  SELECT doc_id FROM f
+  WHERE CAST(n_alpha AS DOUBLE) / n_chars_m + CAST(n_stops AS DOUBLE) / n_tokens
+        - CAST(n_punct AS DOUBLE) / n_chars_m >= 0.88
+    AND n_tokens >= 20
+), fp AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+), toks AS (
+  SELECT d.doc_id, unnest(list_filter(string_split(d.text, ' '), t -> t <> '')) AS token
+  FROM documents d JOIN fp ON d.doc_id = fp.doc_id
+), scores AS (
+  SELECT doc_id, 'en' AS cand_lang, CAST(sum(CASE WHEN token IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) AS BIGINT) AS hits FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'de', CAST(sum(CASE WHEN token IN ('der','die','das','und','ist','ein','zu') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'es', CAST(sum(CASE WHEN token IN ('el','la','de','y','es','un','en') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'fr', CAST(sum(CASE WHEN token IN ('le','la','et','les','est','un','dans') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, 'zh', CAST(sum(CASE WHEN token IN ('的','是','了','在','和','有','我') THEN 1 ELSE 0 END) AS BIGINT) FROM toks GROUP BY doc_id
+), pred AS (
+  SELECT doc_id, cand_lang AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rk
+    FROM scores
+  ) WHERE rk = 1
+)
+SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY predicted ORDER BY predicted""",
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -90,6 +90,25 @@ object SparkEntry {
           .as("chunk"))
         .orderBy("doc_id")
     }),
+    "s6_get_mode" -> ((s, d) => {
+      // the reference's GET dispatch (src/main.rs:596-633): proxy mode
+      // streams; presignedUrl mode redirects; ranged requests under
+      // proxyPartial are proxied, otherwise presigned-with-range.
+      val f = files(s, d)
+      val reqs = f.select(col("key"),
+        (pmod(col("size"), lit(3)) === 0).as("ranged"),
+        when(pmod(col("size"), lit(2)) === 0, "proxy")
+          .otherwise("presignedUrl").as("get_mode"),
+        (pmod(col("size"), lit(5)) === 0).as("proxy_partial"))
+      reqs.withColumn("action",
+          when(col("get_mode") === "proxy", "STREAM_PROXY")
+            .when(col("ranged") && col("proxy_partial"), "STREAM_PROXY_RANGE")
+            .when(col("ranged"), "REDIRECT_PRESIGNED_RANGE")
+            .otherwise("REDIRECT_PRESIGNED"))
+        .groupBy("get_mode", "ranged", "proxy_partial", "action")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("get_mode", "ranged", "proxy_partial")
+    }),
     "p8_routing" -> ((s, d) => {
       // P8 path-class routing + F4 alias/rest split
       // (/root/reference/src/main.rs:498-538): trailing '/' or empty =>
@@ -359,6 +378,11 @@ object SparkEntry {
       emb(s, d).select(col("vec_id"),
         Similarity.lshBucket(col("embedding"), 64, 8).as("bucket"))
         .orderBy("vec_id")),
+    "sim_lsh_neardup" -> ((s, d) =>
+      // end-to-end LSH near-dup: bucket by sign-LSH, exact cosine only
+      // within buckets, rounded threshold — the full scale path.
+      Similarity.lshNearDup(emb(s, d), dim = 64, planes = 8,
+        threshold = 0.2)),
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0, 10)
         .withColumn("rk", col("rk").cast("long"))),
@@ -382,6 +406,23 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
         .orderBy("doc_id")),
+    "pipe1_clean_corpus" -> ((s, d) => {
+      // composite training-data pipeline: quality filter -> fingerprint
+      // dedup (keep min doc_id) -> predicted-language distribution.
+      val q = TextAnalysis.qualityScore(docs(s, d))
+        .where(col("quality_score") >= 0.88 && col("n_tokens") >= 20)
+        .select("doc_id")
+      val kept = docs(s, d).join(q, "doc_id")
+      val deduped = kept
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val survivors = docs(s, d).join(broadcast(deduped), "doc_id")
+      TextAnalysis.languageId(survivors)
+        .groupBy(col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("predicted")
+    }),
     "m1_multimodal_meta" -> ((s, d) => {
       val m = Multimodal.metaExpr(docs(s, d))
       m.select(col("doc_id"), col("n_bytes"), col("sha"),
