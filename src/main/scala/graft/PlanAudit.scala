@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for representative queries — the evidence
+  * trail for the scale-design claims in ARCHITECTURE.md (pushdown reaches
+  * the scan, top-k compiles to TakeOrderedAndProject, dimensions
+  * broadcast). Run: sbt "runMain graft.PlanAudit <sfDir> <outFile>". */
+object PlanAudit {
+  val audited: Seq[String] = Seq(
+    "p3_acl_allow",       // ACL predicate pushed to parquet scan
+    "q3_top_revenue",     // broadcast joins + TakeOrderedAndProject
+    "q5_nation_volume",   // six-table join tree
+    "s3_listing_page",    // cached metadata + top-k, no global sort
+    "d4_ngram_jaccard",   // blocked pair join + native intersect
+    "sim_topk_cosine")    // broadcast query side + native dot
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "docs/PLANS.md"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sb = new StringBuilder
+    sb.append("# Physical plans (captured by graft.PlanAudit at ")
+      .append(sfDir).append(")\n\nEvidence for ARCHITECTURE.md's scale ")
+      .append("claims; regenerate with `sbt \"runMain graft.PlanAudit\"`.\n")
+    audited.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

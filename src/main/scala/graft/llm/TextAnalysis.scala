@@ -51,10 +51,17 @@ object TextAnalysis {
     * lexicographic tiebreak (deterministic). Emits (doc_id, predicted,
     * score). */
   def languageId(docs: DataFrame): DataFrame = {
-    val scored = stopwords.map { case (lang, words) =>
-      docs.select(col("doc_id"), lit(lang).as("cand_lang"),
+    // all language scores in ONE pass over the docs (explode of a struct
+    // array) — a union of per-language selects would rescan/re-tokenize
+    // the corpus once per language.
+    val scoreStructs = stopwords.map { case (lang, words) =>
+      struct(lit(lang).as("cand_lang"),
         stopwordHits(col("text"), words).as("hits"))
-    }.reduce(_ union _)
+    }
+    val scored = docs
+      .select(col("doc_id"), explode(array(scoreStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.cand_lang").as("cand_lang"),
+        col("s.hits").as("hits"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("hits").desc, col("cand_lang").asc)
     scored.withColumn("rk", row_number().over(w))
