@@ -57,6 +57,30 @@ object Dedup {
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Shuffle-free signatures: the whole signature computed per document
+    * row with higher-order array functions (no explode, no groupBy) —
+    * the narrow-path variant of [[minhashSignatures]], identical output.
+    * The md5 arrays go through an exchange barrier so CollapseProject
+    * does not re-evaluate the digests once per chunk column. */
+  def minhashSignaturesNarrow(docs: DataFrame, k: Int, stride: Int,
+                              numHashes: Int): DataFrame = {
+    require(numHashes <= 12, "chunked md5 family provides 12 hashes")
+    val sharr = array_distinct(transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)),
+        lit(stride)),
+      i => col("text").substr(i, lit(k))))
+    val withH = docs.select(col("doc_id"),
+        transform(sharr, s => md5(concat(lit("a:"), s))).as("ha"),
+        transform(sharr, s => md5(concat(lit("b:"), s))).as("hb"))
+      .repartition(col("doc_id"))
+    val sigCols = (0 until numHashes).map { j =>
+      val src = if (j < 6) col("ha") else col("hb")
+      val off = 1 + 5 * (j % 6)
+      array_min(transform(src, h => h.substr(lit(off), lit(5)))).as(s"h$j")
+    }
+    withH.select(col("doc_id") +: sigCols: _*)
+  }
+
   /** LSH banding: band b = md5 of the concatenated signature rows in that
     * band. Docs sharing any band hash become candidate pairs.
     * All bands are emitted in ONE pass over the signatures (explode of a
@@ -89,10 +113,10 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH near-dup candidates, end to end. */
+  /** MinHash-LSH near-dup candidates, end to end (narrow signatures). */
   def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
                  bands: Int = 4, stride: Int = 2): DataFrame =
-    lshCandidates(minhashSignatures(shingles(docs, k, stride), numHashes),
+    lshCandidates(minhashSignaturesNarrow(docs, k, stride, numHashes),
       numHashes, bands).orderBy("doc_a", "doc_b")
 
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
