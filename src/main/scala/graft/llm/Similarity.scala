@@ -29,7 +29,14 @@ object Similarity {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  /** Cosine with a zero-norm guard: a zero vector is similar to nothing
+    * (0.0), instead of an ANSI divide-by-zero / NaN. Nonzero cases keep
+    * the exact dot/(na*nb) op tree. */
+  def safeCosine(dotC: Column, na: Column, nb: Column): Column =
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dotC / (na * nb))
+
+  def cosine(a: Column, b: Column): Column =
+    safeCosine(dot(a, b), norm2(a), norm2(b))
 
   /** Cosine rounded for engine-stable comparison/ranking. */
   def cosineR(a: Column, b: Column, scale: Int = 4): Column =
@@ -50,8 +57,8 @@ object Similarity {
     val scored = broadcast(q).crossJoin(cand)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")), 4)
-          .as("cos_sim"))
+        round(safeCosine(dot(col("qv"), col("cv")),
+          col("qnorm"), col("cnorm")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -72,8 +79,8 @@ object Similarity {
     a.join(b, col("label") === col("label_b") &&
         col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4)
-          .as("cos_sim"))
+        round(safeCosine(dot(col("ea"), col("eb")),
+          col("na"), col("nb")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

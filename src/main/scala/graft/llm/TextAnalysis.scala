@@ -70,6 +70,12 @@ object TextAnalysis {
         col("hits").as("stopword_hits"))
   }
 
+  /** Exact integer ratio, 0.0 when the denominator is 0 (empty/token-less
+    * docs exist in real corpora; ANSI division would error). The guard
+    * leaves nonzero cases bit-identical. */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
+
   /** Quality features + composite score, all exact integer ratios. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = col("text")
@@ -82,10 +88,10 @@ object TextAnalysis {
       col("doc_id"),
       chars.as("n_chars_m"),
       toks.as("n_tokens"),
-      (alpha.cast("double") / chars).as("alpha_ratio"),
-      (stops.cast("double") / toks).as("stopword_ratio"),
-      (punct.cast("double") / chars).as("punct_ratio"),
-      ((chars - (toks - 1)).cast("double") / toks).as("mean_token_len"))
+      ratio(alpha, chars).as("alpha_ratio"),
+      ratio(stops, toks).as("stopword_ratio"),
+      ratio(punct, chars).as("punct_ratio"),
+      ratio(chars - (toks - 1), toks).as("mean_token_len"))
       .withColumn("quality_score",
         col("alpha_ratio") + col("stopword_ratio") - col("punct_ratio"))
   }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.acl.PartitionAcl
+import graft.io.MiniDelta
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.plans.GovernedTables
+
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("_delta_log stays readable under ACL governance (metadata never filtered)") {
+    // reference subtlety (src/main.rs:532-538): partition ACLs gate DATA
+    // files only; the transaction log is always readable. The enforcement
+    // rule drops filter maps that reference columns a relation lacks, so
+    // a governed table's log (schema: add/remove/commitInfo) passes
+    // through unfiltered.
+    val root = Files.createTempDirectory("logacl").toString
+    val table = s"$root/trades"
+    MiniDelta.append(spark,
+      Seq((1L, "XLON"), (2L, "XPAR")).toDF("id", "mic"), table, Seq("mic"))
+    try {
+      GovernedTables.govern(table, Seq(Map("mic" -> "XLON")))
+      // data read: filtered
+      assert(spark.read.parquet(table).select("mic").distinct()
+        .collect().map(_.getString(0)).toSet == Set("XLON"))
+      // log read: complete, including the denied partition's add action
+      val logMics = MiniDelta.logDF(spark, table)
+        .where(col("add").isNotNull)
+        .select(element_at(col("add.partitionValues"), "mic"))
+        .collect().map(_.getString(0)).toSet
+      assert(logMics == Set("XLON", "XPAR"))
+    } finally GovernedTables.clear()
+  }
+
+  test("llm operators tolerate degenerate inputs") {
+    val weird = Seq(
+      (1L, ""),                      // empty text
+      (2L, "a"),                     // shorter than any shingle
+      (3L, "   "),                   // whitespace only
+      (4L, "héllo wörld ünïcode"),   // non-ascii
+      (5L, "x" * 2000))              // long run, single token
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Dedup.exact(weird).count() == 5)
+    assert(Dedup.simhash(weird).count() == 3) // only docs with tokens
+    Dedup.minhashLsh(weird).collect()         // no throw
+    Dedup.ngramJaccard(weird).collect()       // no throw
+    val q = TextAnalysis.qualityScore(weird).collect()
+    assert(q.length == 5)
+    val fp = weird.select(TextAnalysis.fingerprint(col("text"))).collect()
+    assert(fp.length == 5)
+    val rh = weird.select(TextAnalysis.rollingHash(col("text")))
+      .collect().map(_.getLong(0))
+    assert(rh.forall(h => h >= 0 && h < 1000000007L))
+  }
+
+  test("similarity handles zero and empty vectors without NaN explosions") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f), 0), // zero vector -> cos = NaN/div-by-zero
+      (2L, Array(0.5f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.cellNearDup(e, 0.5).collect()
+    // pairs involving the zero vector are filtered out (NaN >= t is false)
+    assert(pairs.forall(r => r.getLong(0) != 1L && r.getLong(1) != 1L))
+  }
+
+  test("ACL on a column the table lacks denies nothing via the algebra") {
+    // predicate() compares as strings; a missing column would throw at
+    // analysis — allowedFiles against a filter naming only existing
+    // columns is the supported surface. Document the rule-level behavior:
+    // the enforcement rule DROPS maps naming missing columns (allow),
+    // mirroring "metadata is never filtered".
+    val df = spark.range(10).toDF("id")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      PartitionAcl(df, Seq(Map("nope" -> "x"))).collect()
+    }
+  }
+
+  test("listing ops on an empty file set are empty, not errors") {
+    val files = graft.listing.ObjectListing.filesDF(spark, TestSpark.sfTiny)
+      .where(lit(false))
+    assert(graft.listing.ObjectListing.list(files, "x/", None, 10).count() == 0)
+    assert(graft.listing.ObjectListing.commonPrefixes(files, "x/").count() == 0)
+    assert(graft.listing.ObjectListing.page(files, 10, 1).count() == 0)
+  }
+}
