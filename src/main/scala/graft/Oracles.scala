@@ -327,6 +327,15 @@ GROUP BY n_name ORDER BY revenue DESC, n_name""",
 FROM orders WHERE o_custkey < 200
 ORDER BY o_custkey, o_orderkey""",
 
+    "q6_part_stats" ->
+      """SELECT p_brand,
+  CAST(count(*) AS BIGINT) AS n_parts,
+  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+  sum(round(p_retailprice * 100)) / 100.0 AS total_retail,
+  CAST(min(p_size) AS BIGINT) AS min_size,
+  CAST(max(p_size) AS BIGINT) AS max_size
+FROM part GROUP BY p_brand ORDER BY p_brand""",
+
     "q3_top_revenue" ->
       """SELECT o_orderkey,
   sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue

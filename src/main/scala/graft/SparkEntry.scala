@@ -348,6 +348,16 @@ object SparkEntry {
           row_number().over(w).cast("long").as("order_seq"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "q6_part_stats" -> ((s, d) =>
+      Tables.load(s, d, "part")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("p_type")).as("n_types"),
+          (sum(round(col("p_retailprice") * 100)) / 100.0)
+            .as("total_retail"),
+          min(col("p_size")).cast("long").as("min_size"),
+          max(col("p_size")).cast("long").as("max_size"))
+        .orderBy("p_brand")),
     "q3_top_revenue" -> ((s, d) => {
       val c = Tables.load(s, d, "customer")
         .where(col("c_mktsegment") === "BUILDING")

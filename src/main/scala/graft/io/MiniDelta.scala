@@ -158,6 +158,25 @@ object MiniDelta {
     version
   }
 
+  /** VACUUM: physically delete data files no longer referenced by the
+    * current snapshot (files removed by compaction/overwrites). Returns
+    * the deleted relative paths. No retention window here (the reference
+    * environment has no concurrent readers); a production build would
+    * keep files younger than a retention horizon for in-flight readers
+    * and time travel. Time travel to pre-vacuum versions stops resolving
+    * by design. */
+  def vacuum(spark: SparkSession, table: String,
+             readOnly: Boolean = false): Seq[String] = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val live = snapshotFiles(spark, table).select("path")
+      .collect().map(_.getString(0)).toSet
+    val f = fs(spark, table)
+    val onDisk = listDataFiles(spark, table).map(_._1)
+    val dead = onDisk.filterNot(live.contains)
+    dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    dead
+  }
+
   /** Time travel: the snapshot as of `version` (inclusive) — replay adds
     * and removes only up to that commit. */
   def snapshotFilesAt(spark: SparkSession, table: String,

@@ -102,6 +102,26 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(v2.join(v1, Seq("path"), "left_semi").count() == 0)
   }
 
+  test("vacuum deletes only unreferenced files; reads stay correct") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    val before = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id", "year").collect().map(_.toSeq).toSeq
+    val deleted = MiniDelta.vacuum(spark, t)
+    assert(deleted.nonEmpty) // the pre-compaction files
+    val after = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id", "year").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // idempotent
+    assert(MiniDelta.vacuum(spark, t).isEmpty)
+    // read-only gate applies
+    intercept[MiniDelta.ReadOnlyTableException] {
+      MiniDelta.vacuum(spark, t, readOnly = true)
+    }
+  }
+
   test("the log itself reads as data (S5 passthrough)") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
