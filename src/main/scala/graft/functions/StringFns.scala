@@ -11,9 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object StringFns {
 
-  /** F1 xml escape: & < > " ' -> entities; & first, matching the
-    * reference's chained replaces (/root/reference/src/main.rs:192-198). */
-  def xmlEscape(c: Column): Column = {
+  /** F1 xml escape: & < > " ' -> entities; output-identical to the
+    * reference's &-first chained replaces
+    * (/root/reference/src/main.rs:192-198), executed as a single-pass
+    * native codegen expression. */
+  def xmlEscape(c: Column): Column =
+    org.apache.spark.sql.graft.XmlEscape(c)
+
+  /** The five-step replace chain (reference's literal algorithm); kept as
+    * the differential-test partner of the native expression. */
+  def xmlEscapeChained(c: Column): Column = {
     val steps = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
       "\"" -> "&quot;", "'" -> "&apos;")
     steps.foldLeft(c) { case (acc, (from, to)) =>

@@ -35,6 +35,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native xmlEscape == chained-replace reference algorithm") {
+    val samples = Gen.listOfN(300, asciiText).sample.get ++
+      Seq("", "&amp;", "&&&", "<<>>\"'", "héllo<ünïcode>&")
+    val out = samples.toDF("s")
+      .select(StringFns.xmlEscape(col("s")).as("a"),
+        StringFns.xmlEscapeChained(col("s")).as("b"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("range parse round-trips generated ranges") {
     val gen = for {
       a <- Gen.chooseNum(0L, 1000000L)
