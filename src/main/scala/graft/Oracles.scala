@@ -282,6 +282,19 @@ FROM events GROUP BY window_start ORDER BY window_start""",
   sum(round(value * 100)) / 100.0 / count(*) AS avg_latency
 FROM events GROUP BY window_start ORDER BY window_start""",
 
+    "a4_avg_size_minute" ->
+      """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
+  CAST(sum(event_id % 4096 + 128) AS DOUBLE) / count(*) AS avg_size_bytes
+FROM events GROUP BY window_start ORDER BY window_start""",
+
+    "a7_key_count_pages" -> (FILES +
+      """
+SELECT page, CAST(count(*) AS BIGINT) AS key_count FROM (
+  SELECT CAST((rn - 1) // 1000 + 1 AS BIGINT) AS page FROM (
+    SELECT row_number() OVER (ORDER BY key) AS rn FROM files
+  )
+) GROUP BY page ORDER BY page"""),
+
     "a5_metrics_minute" ->
       """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
   CAST(count(*) AS BIGINT) AS queries_served,

@@ -296,7 +296,27 @@ object SparkEntry {
       Metrics.distinctUsersPerMinute(ev(s, d))),
     "a3_avg_latency_minute" -> ((s, d) =>
       Metrics.avgLatencyPerMinute(ev(s, d))),
+    "a4_avg_size_minute" -> ((s, d) =>
+      // A4: average message size per minute (size derived as in a5).
+      ev(s, d)
+        .withColumn("size_bytes", col("event_id") % 4096 + 128)
+        .groupBy(window(col("ts"), "1 minute"))
+        .agg((sum(col("size_bytes")) / count(lit(1))).as("avg_size_bytes"))
+        .select(col("window.start").as("window_start"),
+          col("avg_size_bytes"))
+        .orderBy("window_start")),
     "a5_metrics_minute" -> ((s, d) => Metrics.perMinute(ev(s, d))),
+    "a7_key_count_pages" -> ((s, d) => {
+      // A7: per-page key counts over the ordered listing (the KeyCount
+      // field of each ListObjectsV2 page, src/main.rs:279).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("key")
+      files(s, d).select(col("key"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("page", expr("((rn - 1) div 1000) + 1").cast("long"))
+        .groupBy("page").agg(count(lit(1)).as("key_count"))
+        .orderBy("page")
+    }),
     "q1_pricing_summary" -> ((s, d) =>
       li(s, d)
         .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
