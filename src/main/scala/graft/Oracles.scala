@@ -414,8 +414,8 @@ FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "d4_ngram_jaccard" ->
       """WITH sh AS (
   SELECT DISTINCT doc_id, lang, source,
-    CAST(ascii(substr(text, i, 1)) AS BIGINT) * 65536
-      + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 256
+    CAST(ascii(substr(text, i, 1)) AS BIGINT) * 4398046511104
+      + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 2097152
       + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) AS shingle
   FROM (SELECT doc_id, lang, source, text,
           unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i

@@ -151,19 +151,29 @@ object Dedup {
     // with a sorted-merge intersect count — the pair space is
     // (block size)^2, and the per-(block,shingle) row explosion of a
     // shingle-equality join (quadratic in docs-per-shingle) never
-    // materializes. Shingles are packed into BIGINT codes
-    // (sum of ascii*256^k — injective for n<=7 ASCII chars) so the merge
+    // materializes. Shingles are packed into BIGINT codes so the merge
     // runs on primitives: no per-element UTF8String allocation, ~4x less
-    // join-row weight.
+    // join-row weight. Packing: Spark's ascii() returns the full Unicode
+    // code point (<= 0x10FFFF < 2^21), so n <= 3 uses 21-bit slots —
+    // injective for ALL text, ASCII or not (3*21 = 63 bits). For
+    // 4 <= n <= 7 a positional packing cannot fit a 64-bit word, so the
+    // code is the first 60 bits of md5(shingle) — a hashed shingle with
+    // collision probability ~|shingles|^2/2^61 (negligible, documented).
     require(n <= 7, "bigint n-gram codes support n <= 7")
+    def code(i: Column): Column =
+      if (n <= 3)
+        (0 until n).map { o =>
+          ascii(col("text").substr(i + lit(o), lit(1))).cast("long") *
+            (1L << (21 * (n - 1 - o)))
+        }.reduce(_ + _)
+      else
+        conv(substring(md5(col("text").substr(i, lit(n))), 1, 15), 16, 10)
+          .cast("long")
     val perDoc = docs
       .select(col("doc_id"), col("lang"), col("source"),
         array_sort(array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-          i => (0 until n).map { o =>
-            ascii(col("text").substr(i + lit(o), lit(1))).cast("long") *
-              (1L << (8 * (n - 1 - o)))
-          }.reduce(_ + _)))).as("sharr"))
+          i => code(i)))).as("sharr"))
       .withColumn("n_sh", size(col("sharr")).cast("long"))
       // exchange barrier + block co-location: materializes the (expensive)
       // shingling once per doc — without it the streamed join side

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
@@ -46,16 +46,21 @@ object Multimodal {
   }
 
   /** Same metadata derived with pure codegen'd expressions — used as the
-    * oracle-checkable form and as a cross-check of `decode`. */
-  def metaExpr(docs: DataFrame): DataFrame =
+    * oracle-checkable form and as a cross-check of `decode`. Bytes are
+    * extracted WITHOUT a string cast (substring on binary yields a binary
+    * slice; hex -> base-10) so the values match `fakeDecode`'s raw-byte
+    * reads for ANY payload, including non-UTF-8 binary media. */
+  def metaExpr(docs: DataFrame): DataFrame = {
+    def byteAt(pos: Int): Column = coalesce(
+      nullif(conv(hex(substring(col("payload"), pos, 1)), 16, 10), lit("")),
+      lit("0")).cast("int")
     payloads(docs).select(
       col("doc_id"),
       length(col("payload")).cast("long").as("n_bytes"),
       sha2(col("payload"), 256).as("sha"),
-      (lit(1) + pmod(ascii(substring(col("payload").cast("string"), 1, 1)),
-        lit(64))).as("width"),
-      (lit(1) + pmod(ascii(substring(col("payload").cast("string"), 2, 1)),
-        lit(64))).as("height"),
+      (lit(1) + pmod(byteAt(1), lit(64))).as("width"),
+      (lit(1) + pmod(byteAt(2), lit(64))).as("height"),
       (lit(1) + pmod(length(col("payload")), lit(7))).as("n_frames"))
       .orderBy("doc_id")
+  }
 }

@@ -16,6 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * no per-element object allocation at all. Inputs MUST be sorted
   * ascending and duplicate-free (e.g. via `array_sort(array_distinct(
   * ...))`) — unsorted input gives an undercount, it does not error.
+  *
+  * Null elements (array_sort places them last) follow `array_intersect`
+  * semantics: a null element present in BOTH arrays counts as one common
+  * element; a null on one side only does not match anything.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,8 +54,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var c = 0L
     val n = a.numElements()
     val m = b.numElements()
+    // nulls are sorted last: once either cursor hits one, no non-null
+    // match remains; a null on both sides counts once (array_intersect).
     if (elemType == LongType) {
-      while (i < n && j < m) {
+      while (i < n && j < m && !a.isNullAt(i) && !b.isNullAt(j)) {
         val x = a.getLong(i)
         val y = b.getLong(j)
         if (x == y) { c += 1; i += 1; j += 1 }
@@ -59,13 +65,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         else j += 1
       }
     } else {
-      while (i < n && j < m) {
+      while (i < n && j < m && !a.isNullAt(i) && !b.isNullAt(j)) {
         val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
         else if (cmp < 0) i += 1
         else j += 1
       }
     }
+    if (n > 0 && m > 0 && a.isNullAt(n - 1) && b.isNullAt(m - 1)) c += 1
     c
   }
 
@@ -99,8 +106,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $j = 0;
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
-         |while ($i < $n && $j < $m) {
+         |while ($i < $n && $j < $m
+         |       && !$a.isNullAt($i) && !$b.isNullAt($j)) {
          |$body
+         |}
+         |if ($n > 0 && $m > 0
+         |    && $a.isNullAt($n - 1) && $b.isNullAt($m - 1)) {
+         |  ${ev.value}++;
          |}
        """.stripMargin
     })

@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Lengths may differ; the scan stops at the shorter (zip_with would pad
   * with null -> null product -> null sum; pass equal-length vectors).
+  *
+  * A null ELEMENT inside the scanned range makes the result null — the
+  * same outcome as the zip_with composition (null product poisons the
+  * aggregate) — rather than reading garbage through a primitive getter.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,6 +46,17 @@ case class VectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_dot"
 
+  // null ELEMENTS poison the result, so the expression is nullable
+  // whenever either array may contain one — not just when an input
+  // itself may be null.
+  override def nullable: Boolean = {
+    def cn(e: Expression) = e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
+    super.nullable || cn(left) || cn(right)
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -50,11 +65,13 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     if (elemIsFloat) {
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
         i += 1
       }
     } else {
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         acc += a.getDouble(i) * b.getDouble(i)
         i += 1
       }
@@ -72,6 +89,7 @@ case class VectorDot(left: Expression, right: Expression)
          |${ev.value} = 0.0;
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  ${ev.value} += (double) $a.$get($i) * (double) $b.$get($i);
          |}
        """.stripMargin

@@ -57,4 +57,49 @@ class AclRuleSpec extends AnyFunSuite {
       assert(n < plain)
     } finally GovernedTables.clear()
   }
+
+  test("fail closed: filters on columns the table lacks deny everything") {
+    val dir = writeGoverned()
+    try {
+      // key typo / schema drift: no such column -> zero rows, NOT allow-all
+      GovernedTables.govern(dir, Seq(Map("mic_typo" -> "XLON")))
+      assert(spark.read.parquet(dir).count() == 0)
+      // mixed: the expressible map still grants its slice
+      GovernedTables.govern(dir,
+        Seq(Map("mic_typo" -> "XLON"), Map("mic" -> "XMIL")))
+      val mics = spark.read.parquet(dir).select("mic").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(mics == Set("XMIL"))
+    } finally GovernedTables.clear()
+  }
+
+  test("empty filter list / empty maps mean allow-all (P7), not deny") {
+    val dir = writeGoverned()
+    try {
+      GovernedTables.govern(dir, Seq(Map.empty[String, String]))
+      assert(spark.read.parquet(dir).count() == 20)
+    } finally GovernedTables.clear()
+  }
+
+  test("path matching is segment-bounded and longest-key deterministic") {
+    val base = Files.createTempDirectory("bound").toString
+    val t = base + "/trades"
+    val tb = base + "/trades_backup"
+    Seq((1L, "XLON"), (2L, "XPAR")).toDF("id", "mic")
+      .write.partitionBy("mic").parquet(t)
+    Seq((3L, "XLON"), (4L, "XPAR")).toDF("id", "mic")
+      .write.partitionBy("mic").parquet(tb)
+    try {
+      GovernedTables.govern(t, Seq(Map("mic" -> "XLON")))
+      // 'trades' key must NOT bleed onto trades_backup
+      assert(spark.read.parquet(t).count() == 1)
+      assert(spark.read.parquet(tb).count() == 2)
+      // overlapping registrations: the longest (most specific) key wins
+      GovernedTables.govern(base, Seq(Map("mic" -> "XPAR")))
+      assert(spark.read.parquet(t).select("mic").distinct()
+        .collect().map(_.getString(0)).toSet == Set("XLON"))
+      assert(spark.read.parquet(tb).select("mic").distinct()
+        .collect().map(_.getString(0)).toSet == Set("XPAR"))
+    } finally GovernedTables.clear()
+  }
 }

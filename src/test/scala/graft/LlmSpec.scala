@@ -136,4 +136,88 @@ class LlmSpec extends AnyFunSuite {
       .toMap
     assert(viaIter == viaExpr)
   }
+
+  test("multimodal: decode == metaExpr on non-ASCII payloads (byte semantics)") {
+    // leading bytes 0xC3 (é), 0xE6 (日 in UTF-8), 0xF0 (emoji) — a string
+    // cast would read CHARACTER code points here and diverge
+    val docs = docsDF(1L -> "éclair", 2L -> "日本語テキスト",
+      3L -> "😀 smiley", 4L -> "plain ascii")
+    val viaIter = Multimodal.decode(spark, docs).collect()
+      .map(m => m.doc_id -> ((m.n_bytes, m.sha, m.width, m.height, m.n_frames)))
+      .toMap
+    val viaExpr = Multimodal.metaExpr(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    assert(viaIter == viaExpr)
+  }
+
+  test("ngram jaccard is exact on non-ASCII text (21-bit code points)") {
+    val t1 = "über die brücke läuft ein bär"
+    val t2 = "über die brücke läuft ein reh"
+    val t3 = "中文文本去重测试中文文本"
+    val d = docsDF(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t3)
+    def shingleSet(t: String, n: Int) =
+      if (t.length < n) Set(t) else t.sliding(n).toSet
+    def jac(a: String, b: String, n: Int) = {
+      val (sa, sb) = (shingleSet(a, n), shingleSet(b, n))
+      val i = (sa & sb).size.toDouble
+      i / (sa.size + sb.size - i)
+    }
+    val got = Dedup.ngramJaccard(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val texts = Map(1L -> t1, 2L -> t2, 3L -> t3, 4L -> t3)
+    for (a <- 1L to 4L; b <- (a + 1) to 4L) {
+      val expect = jac(texts(a), texts(b), 3)
+      if (expect >= 0.5)
+        assert(math.abs(got((a, b)) - expect) < 1e-12, s"pair ($a,$b)")
+      else assert(!got.contains((a, b)), s"pair ($a,$b) should be cut")
+    }
+  }
+
+  test("ngram jaccard n=4 (hashed codes) matches string-shingle reference") {
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "the quick brown fox jumps over the lazy cat"
+    val d = docsDF(1L -> t1, 2L -> t2, 3L -> t1)
+    def shingleSet(t: String) = t.sliding(4).toSet
+    def jac(a: String, b: String) = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      val i = (sa & sb).size.toDouble
+      i / (sa.size + sb.size - i)
+    }
+    val got = Dedup.ngramJaccard(d, n = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got((1L, 3L)) == 1.0)
+    assert(math.abs(got((1L, 2L)) - jac(t1, t2)) < 1e-12)
+  }
+
+  test("vector_dot with a null element is null (zip_with composition parity)") {
+    val df = spark.range(1).select(
+      expr("array(1.0D, 2.0D, 3.0D)").as("a"),
+      expr("array(4.0D, CAST(NULL AS DOUBLE), 6.0D)").as("b"),
+      expr("array(4.0D, 5.0D, 6.0D)").as("c"))
+    val r = df.select(
+      org.apache.spark.sql.graft.VectorDot(col("a"), col("b")).as("withNull"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        .as("composed"),
+      org.apache.spark.sql.graft.VectorDot(col("a"), col("c")).as("clean"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 32.0)
+  }
+
+  test("sorted_intersect_count null elements follow array_intersect") {
+    val df = spark.range(1).select(
+      expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
+      expr("array_sort(array(3L, 5L, CAST(NULL AS BIGINT)))").as("b"),
+      expr("array_sort(array(3L, 5L))").as("c"))
+    val r = df.select(
+      SortedIntersectCount(col("a"), col("b")).as("bothNull"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("refBoth"),
+      SortedIntersectCount(col("a"), col("c")).as("oneNull"),
+      size(array_intersect(col("a"), col("c"))).cast("long").as("refOne"))
+      .collect()(0)
+    assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == 2L)
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(2) == 1L)
+  }
 }
