@@ -58,27 +58,22 @@ object Dedup {
   }
 
   /** Shuffle-free signatures: the whole signature computed per document
-    * row with higher-order array functions (no explode, no groupBy) —
-    * the narrow-path variant of [[minhashSignatures]], identical output.
-    * The md5 arrays go through an exchange barrier so CollapseProject
-    * does not re-evaluate the digests once per chunk column. */
+    * row in ONE pass by the native [[org.apache.spark.sql.graft
+    * .MinHashSig]] expression (no explode, no groupBy) — identical
+    * output to [[minhashSignatures]]. The signature array goes through
+    * an exchange barrier so CollapseProject does not re-evaluate the
+    * expression once per extracted chunk column. */
   def minhashSignaturesNarrow(docs: DataFrame, k: Int, stride: Int,
                               numHashes: Int): DataFrame = {
     require(numHashes <= 12, "chunked md5 family provides 12 hashes")
-    val sharr = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)),
-        lit(stride)),
-      i => col("text").substr(i, lit(k))))
-    val withH = docs.select(col("doc_id"),
-        transform(sharr, s => md5(concat(lit("a:"), s))).as("ha"),
-        transform(sharr, s => md5(concat(lit("b:"), s))).as("hb"))
+    val withSig = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.MinHashSig(col("text"), k, stride)
+          .as("mh"))
       .repartition(col("doc_id"))
     val sigCols = (0 until numHashes).map { j =>
-      val src = if (j < 6) col("ha") else col("hb")
-      val off = 1 + 5 * (j % 6)
-      array_min(transform(src, h => h.substr(lit(off), lit(5)))).as(s"h$j")
+      element_at(col("mh"), j + 1).as(s"h$j")
     }
-    withH.select(col("doc_id") +: sigCols: _*)
+    withSig.select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: band b = md5 of the concatenated signature rows in that
@@ -160,20 +155,18 @@ object Dedup {
     // code is the first 60 bits of md5(shingle) — a hashed shingle with
     // collision probability ~|shingles|^2/2^61 (negligible, documented).
     require(n <= 7, "bigint n-gram codes support n <= 7")
-    def code(i: Column): Column =
-      if (n <= 3)
-        (0 until n).map { o =>
-          ascii(col("text").substr(i + lit(o), lit(1))).cast("long") *
-            (1L << (21 * (n - 1 - o)))
-        }.reduce(_ + _)
-      else
-        conv(substring(md5(col("text").substr(i, lit(n))), 1, 15), 16, 10)
-          .cast("long")
+    // n <= 3: native one-pass expression (codegen; the equivalent
+    // sequence/transform composition runs interpreted lambdas per
+    // element and measured ~25x slower). n in 4..7: hashed-code
+    // composition (no packed form fits 64 bits).
+    val sharr: Column =
+      if (n <= 3) org.apache.spark.sql.graft.NgramCodes(col("text"), n)
+      else array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => conv(substring(md5(col("text").substr(i, lit(n))), 1, 15),
+          16, 10).cast("long"))))
     val perDoc = docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_sort(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
-          i => code(i)))).as("sharr"))
+      .select(col("doc_id"), col("lang"), col("source"), sharr.as("sharr"))
       .withColumn("n_sh", size(col("sharr")).cast("long"))
       // exchange barrier + block co-location: materializes the (expensive)
       // shingling once per doc — without it the streamed join side

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: language ID,
@@ -22,7 +21,10 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Native one-pass count of non-empty whitespace tokens
+    * (== `size(tokens(text))`). */
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.graft.TokenCount(text)
 
   /** BPE-ish regex token count: letter runs, digit runs, single
     * non-alphanumeric marks. */
@@ -49,25 +51,30 @@ object TextAnalysis {
 
   /** Language ID: per-language stopword hit counts, argmax with
     * lexicographic tiebreak (deterministic). Emits (doc_id, predicted,
-    * score). */
+    * score).
+    *
+    * All 5 language scores come from ONE tokenization pass
+    * ([[org.apache.spark.sql.graft.StopwordHitsArray]]) and the argmax
+    * is an inline when-chain — no explode, no window, no shuffle at all
+    * (the explode + row_number formulation moved every doc through a
+    * partitionBy(doc_id) exchange just to rank 5 rows). */
   def languageId(docs: DataFrame): DataFrame = {
-    // all language scores in ONE pass over the docs (explode of a struct
-    // array) — a union of per-language selects would rescan/re-tokenize
-    // the corpus once per language.
-    val scoreStructs = stopwords.map { case (lang, words) =>
-      struct(lit(lang).as("cand_lang"),
-        stopwordHits(col("text"), words).as("hits"))
+    val withH = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.StopwordHitsArray(col("text"),
+        stopwords.map(_._2)).as("h"))
+    val byLang = stopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("h"), i + 1)
     }
-    val scored = docs
-      .select(col("doc_id"), explode(array(scoreStructs: _*)).as("s"))
-      .select(col("doc_id"), col("s.cand_lang").as("cand_lang"),
-        col("s.hits").as("hits"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("hits").desc, col("cand_lang").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("cand_lang").as("predicted"),
-        col("hits").as("stopword_hits"))
+    val mx = greatest(byLang.map(_._2): _*)
+    // first match in lexicographic language order == orderBy(hits desc,
+    // cand_lang asc) rank 1
+    val predicted = byLang.sortBy(_._1).tail.foldLeft(
+      when(byLang.sortBy(_._1).head._2 === mx,
+        lit(byLang.sortBy(_._1).head._1))) { case (acc, (lang, h)) =>
+      acc.when(h === mx, lit(lang))
+    }
+    withH.select(col("doc_id"), predicted.as("predicted"),
+      mx.as("stopword_hits"))
   }
 
   /** Exact integer ratio, 0.0 when the denominator is 0 (empty/token-less
@@ -76,14 +83,18 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     when(den === 0, lit(0.0)).otherwise(num.cast("double") / den)
 
-  /** Quality features + composite score, all exact integer ratios. */
+  /** Quality features + composite score, all exact integer ratios.
+    * Feature extraction runs on the one-pass native scans (alpha/punct
+    * counts, stopword hits) instead of regexp_replace chains — same
+    * values, ~5x less per-row work. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val t = col("text")
     val toks = tokenCount(t)
     val chars = length(t)
-    val alpha = length(regexp_replace(t, "[^a-z]", ""))
-    val stops = stopwordHits(t, stopwords.flatMap(_._2))
-    val punct = punctCount(t)
+    val alpha = org.apache.spark.sql.graft.CharClassCount.alpha(t)
+    val stops = element_at(org.apache.spark.sql.graft.StopwordHitsArray(
+      t, Seq(stopwords.flatMap(_._2))), 1)
+    val punct = org.apache.spark.sql.graft.CharClassCount.punct(t)
     docs.select(
       col("doc_id"),
       chars.as("n_chars_m"),
@@ -97,8 +108,15 @@ object TextAnalysis {
   }
 
   /** Normalized text: lowercase, strip non-alnum-space, collapse runs of
-    * spaces, trim. */
+    * spaces, trim — the native one-pass form of
+    * `trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", ""),
+    * " +", " "))`. */
   def normalized(text: Column): Column =
+    org.apache.spark.sql.graft.NormalizeText(text)
+
+  /** The regexp-chain composition of [[normalized]] — kept as the
+    * documented reference form for parity testing. */
+  def normalizedComposed(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""),
       " +", " "))
 

@@ -108,4 +108,114 @@ class PropertySpec extends AnyFunSuite {
       .map(p => ObjectListing.page(files, pageSize, p).count())
     assert(pages.sum == n)
   }
+
+  // strings that exercise every edge the native one-pass expressions
+  // must share with their documented Spark-SQL compositions: empty,
+  // shorter than the window, ASCII, multi-byte BMP, astral (surrogate
+  // pairs), repeats (dedup), whitespace
+  private val parityTexts = Seq("", "a", "ab", "abc", "abcd",
+    "aaaaaaaaaaaa", "über brücke ße", "中文文本去重测试中文文本",
+    "😀😀 astral 😀 plane", "the quick brown fox jumps over the lazy dog",
+    " leading and trailing  ", "mixéd ascii ünd ünïcode 中 text")
+
+  test("NgramCodes matches the sequence/transform composition exactly") {
+    for (n <- 1 to 3) {
+      val df = parityTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val composed = array_sort(array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (n - 1), lit(1))),
+        i => (0 until n).map { o =>
+          ascii(col("text").substr(i + lit(o), lit(1))).cast("long") *
+            (1L << (21 * (n - 1 - o)))
+        }.reduce(_ + _))))
+      val rows = df.select(col("id"),
+        org.apache.spark.sql.graft.NgramCodes(col("text"), n).as("native"),
+        composed.as("composed")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n text='${parityTexts(r.getLong(0).toInt)}'")
+      }
+    }
+  }
+
+  test("text-scan natives match their regexp/lambda compositions exactly") {
+    import graft.llm.TextAnalysis
+    val df = parityTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val all = TextAnalysis.stopwords.flatMap(_._2)
+    val rows = df.select(col("id"),
+      org.apache.spark.sql.graft.CharClassCount.alpha(col("text")).as("na"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("ca"),
+      org.apache.spark.sql.graft.CharClassCount.punct(col("text")).as("np"),
+      length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("cp"),
+      org.apache.spark.sql.graft.NormalizeText(col("text")).as("nn"),
+      TextAnalysis.normalizedComposed(col("text")).as("cn"),
+      element_at(org.apache.spark.sql.graft.StopwordHitsArray(col("text"),
+        Seq(all)), 1).as("ns"),
+      TextAnalysis.stopwordHits(col("text"), all).as("cs"),
+      org.apache.spark.sql.graft.TokenCount(col("text")).as("nt"),
+      size(TextAnalysis.tokens(col("text"))).as("ct")).collect()
+    rows.foreach { r =>
+      val t = parityTexts(r.getLong(0).toInt)
+      assert(r.getInt(1) == r.getInt(2), s"alpha '$t'")
+      assert(r.getInt(3) == r.getInt(4), s"punct '$t'")
+      assert(r.getString(5) == r.getString(6), s"normalize '$t'")
+      assert(r.getInt(7) == r.getInt(8), s"stopwords '$t'")
+      assert(r.getInt(9) == r.getInt(10), s"tokens '$t'")
+    }
+  }
+
+  test("languageId inline argmax matches the explode+window ranking") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.load(spark, TestSpark.sfTiny, "documents")
+    // the pre-optimization formulation, inlined as the reference
+    val scoreStructs = TextAnalysis.stopwords.map { case (lang, words) =>
+      struct(lit(lang).as("cand_lang"),
+        TextAnalysis.stopwordHits(col("text"), words).as("hits"))
+    }
+    val scored = docs
+      .select(col("doc_id"), explode(array(scoreStructs: _*)).as("s"))
+      .select(col("doc_id"), col("s.cand_lang").as("cand_lang"),
+        col("s.hits").as("hits"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("cand_lang").asc)
+    val ref = scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    val got = TextAnalysis.languageId(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == ref)
+  }
+
+  test("MinHashSig matches the md5-chunk-min composition exactly") {
+    for ((k, stride) <- Seq((10, 2), (5, 1), (3, 3))) {
+      val df = parityTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val shingles = array_distinct(transform(
+        sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1)),
+          lit(stride)),
+        i => col("text").substr(i, lit(k))))
+      val composedCols = (0 until 12).map { j =>
+        val prefix = if (j < 6) "a:" else "b:"
+        val off = 1 + 5 * (j % 6)
+        array_min(transform(shingles,
+          s => md5(concat(lit(prefix), s)).substr(lit(off), lit(5))))
+          .as(s"c$j")
+      }
+      val native = df.select(col("id"),
+        org.apache.spark.sql.graft.MinHashSig(col("text"), k, stride)
+          .as("mh"))
+      val rows = native.select(col("id") +: (0 until 12).map(j =>
+          element_at(col("mh"), j + 1).as(s"n$j")): _*)
+        .join(df.select(col("id") +: composedCols: _*), "id")
+        .collect()
+      rows.foreach { r =>
+        for (j <- 0 until 12)
+          assert(r.getString(1 + j) == r.getString(13 + j),
+            s"k=$k stride=$stride chunk=$j " +
+              s"text='${parityTexts(r.getLong(0).toInt)}'")
+      }
+    }
+  }
 }
