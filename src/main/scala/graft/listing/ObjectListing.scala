@@ -1,7 +1,6 @@
 package graft.listing
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,9 +25,10 @@ import graft.Tables
   * Filters (`prefix`, `startAfter`) are predicate-pushed to the scan;
   * `orderBy.limit(n)` compiles to TakeOrderedAndProject (top-k per
   * partition, then k-way merge on the driver) — no global sort shuffle, so
-  * it holds at 100 TB. Offset pagination (W4) uses a single-partition
-  * window only when a global row_number is demanded; at scale prefer
-  * keyset pagination (start-after), which is what S3 itself does.
+  * it holds at 100 TB. Offset pagination (W4) numbers rows with the
+  * distributed two-pass prefix sum (graft.operators.GlobalRowNumber);
+  * at scale prefer keyset pagination (start-after), which is what S3
+  * itself does.
   */
 object ObjectListing {
 
@@ -91,17 +91,18 @@ object ObjectListing {
   }
 
   /** Continuation-token pagination: rows (pageNum-1)*pageSize+1 .. of the
-    * key-ordered listing, with their global row numbers. Single-partition
-    * window — correct but driver-bound; keyset pagination is the scale
-    * path (see class doc). */
-  def page(files: DataFrame, pageSize: Int, pageNum: Int): DataFrame = {
-    val w = Window.orderBy("key")
-    files
-      .select("key", "size")
-      .withColumn("rn", row_number().over(w))
+    * key-ordered listing, with their global row numbers. Numbering runs
+    * distributed ([[graft.operators.GlobalRowNumber]]: range partition +
+    * per-partition offsets) — not the single-partition
+    * `Window.orderBy` plan, which cannot hold at 100 TB. Keys are unique,
+    * so the order is total and rn is deterministic. At scale prefer
+    * keyset pagination (start-after, what S3 itself does) when the row
+    * number itself isn't needed. */
+  def page(files: DataFrame, pageSize: Int, pageNum: Int): DataFrame =
+    graft.operators.GlobalRowNumber(
+      files.select("key", "size"), Seq(col("key")))
       .where(col("rn") > (pageNum - 1) * pageSize &&
              col("rn") <= pageNum.toLong * pageSize)
-  }
 
   /** F5/P10: physical key -> logical key (base prefix swapped for alias). */
   def toLogical(df: DataFrame, physicalBase: String, alias: String): DataFrame =

@@ -64,4 +64,18 @@ class ListingSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert((p1 ++ p2).sameElements(all))
   }
+
+  test("GlobalRowNumber == single-partition window row_number, distributed") {
+    import org.apache.spark.sql.expressions.Window
+    val numbered = graft.operators.GlobalRowNumber(
+      files.select("key", "size"), Seq(col("key")), numPartitions = 7)
+    // actually distributed: rows span multiple range partitions
+    assert(numbered.select(spark_partition_id()).distinct().count() > 1)
+    val got = numbered.orderBy("rn").collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val ref = files.select(col("key"),
+        row_number().over(Window.orderBy("key")).cast("long").as("rn"))
+      .orderBy("rn").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(ref))
+  }
 }
