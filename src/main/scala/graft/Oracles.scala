@@ -527,6 +527,46 @@ SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
   FROM s
 ) WHERE rn <= 10 ORDER BY query_id, rk""",
 
+    "sim_ivf_topk" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+ascore AS (
+  SELECT e.vec_id, c.cent_id,
+    round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))), 4) AS cscore
+  FROM embeddings e, c, g
+  GROUP BY e.vec_id, c.cent_id
+),
+asg AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rk
+    FROM ascore) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cent_id AS cell FROM (
+    SELECT a.vec_id AS query_id, a.cent_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY a.cscore DESC, a.cent_id) AS prk
+    FROM ascore a WHERE a.vec_id % 100 = 0) WHERE prk <= 3
+),
+s AS (
+  SELECT p.query_id, a.vec_id AS cand_id, a.cell,
+    round(SUM(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM probes p
+  JOIN asg a ON a.cell = p.cell
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings ec ON ec.vec_id = a.vec_id, g
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id, a.cell
+)
+SELECT query_id, cand_id, cell, cos_sim, rn AS rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rn
+  FROM s
+) WHERE rn <= 5 ORDER BY query_id, rk""",
+
     "t1_langid" ->
       """WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token

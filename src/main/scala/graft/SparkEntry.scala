@@ -416,6 +416,11 @@ object SparkEntry {
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0, 10)
         .withColumn("rk", col("rk").cast("long"))),
+    "sim_ivf_topk" -> ((s, d) =>
+      // IVF ANN: fixed-seed coarse quantizer (8 cells), probe the 3
+      // nearest cells per query, exact top-5 within probed cells only.
+      Similarity.ivfTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0,
+        k = 8, nprobe = 3, topk = 5)),
     "t1_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
         .withColumn("stopword_hits", col("stopword_hits").cast("long"))

@@ -206,6 +206,21 @@ object MiniDelta {
   def snapshotFiles(spark: SparkSession, table: String): DataFrame =
     snapshotFilesAt(spark, table, Long.MaxValue)
 
+  // Snapshot cache: 20 entries / 120 s TTL, exactly the reference's moka
+  // Delta-snapshot cache (/root/reference/src/main.rs:41,82-85). Like the
+  // reference, writes do NOT invalidate — a snapshot may be up to 120 s
+  // stale (documented quirk); call invalidateSnapshot for immediacy.
+  private val snapshotCache =
+    new graft.util.TtlCache[String, DataFrame](20, 120000L,
+      onEvict = df => { df.unpersist(); () })
+
+  /** [[snapshotFiles]] through the TTL cache, persisted — repeated
+    * pruning queries replay the log once per 120 s, not per query. */
+  def snapshotFilesCached(spark: SparkSession, table: String): DataFrame =
+    snapshotCache.getOrElseUpdate(table)(snapshotFiles(spark, table).persist())
+
+  def invalidateSnapshot(table: String): Unit = snapshotCache.invalidate(table)
+
   /** P5: resolve OR-of-ANDs string-equality partition filters against the
     * snapshot — predicate to file set with zero data IO, the reference's
     * central query (src/main.rs:402-405). Empty list / all-empty maps =

@@ -85,6 +85,75 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF coarse quantizer: the first `k` vectors by vec_id are the
+    * centroids (a fixed-seed coarse quantizer — FAISS-style IVF admits
+    * any quantizer, and fixed seeds keep it deterministic and
+    * engine-portable: no FP-accumulation-order hazards that Lloyd
+    * iterations' running averages would introduce). Assignment = argmax
+    * of rounded cosine, ties to the smallest centroid id.
+    *
+    * Scale: centroids are tiny and broadcast; assignment is one narrow
+    * pass over the vectors (k dots each), so it scales linearly and
+    * shuffles nothing. At 100 TB k grows to ~sqrt(N) and the
+    * assignment pass is unchanged. */
+  def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
+    val cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        norm2(col("embedding")).as("cnorm"))
+    val scored = emb.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("vnorm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        round(safeCosine(dot(col("embedding"), col("cv")),
+          col("vnorm"), col("cnorm")), 4).as("cscore"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k search: probe the `nprobe` nearest cells per query, then
+    * exact cosine top-k among the vectors assigned to those cells only —
+    * the candidate set shrinks by ~nprobe/k versus brute force, the IVF
+    * recall/cost dial. Queries and probe lists are broadcast; candidate
+    * vectors never shuffle. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, nprobe: Int,
+              topk: Int): DataFrame = {
+    val cents = emb.where(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        norm2(col("embedding")).as("cnorm"))
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qnorm"))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("pscore").desc, col("cent_id").asc)
+    val probes = broadcast(q).crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"),
+        round(safeCosine(dot(col("qv"), col("cv")),
+          col("qnorm"), col("cnorm")), 4).as("pscore"))
+      .withColumn("prk", row_number().over(pw))
+      .where(col("prk") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val cand = ivfAssign(emb, k)
+      .join(emb.select(col("vec_id"), col("embedding").as("cand_v"),
+        norm2(col("embedding")).as("cnorm2")), "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    broadcast(probes.join(q, "query_id")).join(cand, "cell")
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("cell"),
+        round(safeCosine(dot(col("qv"), col("cand_v")),
+          col("qnorm"), col("cnorm2")), 4).as("cos_sim"))
+      // a candidate can sit in several probed cells only if duplicated;
+      // cells partition vectors, so (query_id, cand_id) is unique here
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topk)
+      .select(col("query_id"), col("cand_id"), col("cell"),
+        col("cos_sim"), col("rk").cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Sign-LSH bucket id: sign bits of projections onto `planes`
     * deterministic pseudo-hyperplanes. Plane p's component i is
     * (((i*2654435761 + p*40503) mod 65536) - 32768) — a fixed integer

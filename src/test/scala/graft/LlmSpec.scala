@@ -206,6 +206,31 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 32.0)
   }
 
+  test("ivf with all cells probed == brute force; probing restricts to cells") {
+    val e = Tables.load(spark, TestSpark.sfTiny, "embeddings")
+    val pred = pmod(col("vec_id"), lit(100)) === 0
+    // nprobe = k means nothing is pruned -> exact brute-force agreement
+    val full = Similarity.ivfTopK(e, pred, k = 8, nprobe = 8, topk = 5)
+      .select("query_id", "cand_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val brute = Similarity.bruteForceTopK(e, pred, 5)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rk").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(full.toSet == brute.toSet)
+    // nprobe < k: every returned candidate lives in a probed cell and
+    // pages stay ranked
+    val probed = Similarity.ivfTopK(e, pred, k = 8, nprobe = 3, topk = 5)
+      .collect()
+    val byQuery = probed.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getLong(4)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.map(_.getLong(2)).toSet.size <= 3)
+    }
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
