@@ -527,6 +527,14 @@ SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
   FROM s
 ) WHERE rn <= 10 ORDER BY query_id, rk""",
 
+    "s9_write_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 5 AND l_returnflag IN ('N', 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sim_ivf_topk" ->
       """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
 c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
@@ -662,6 +670,31 @@ FROM documents ORDER BY doc_id""",
 )
 SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY predicted ORDER BY predicted""",
+
+    "m2_multimodal_hist" ->
+      """SELECT doc_id, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT doc_id, ascii(substr(text, i, 1)) % 16 AS bin
+      FROM (SELECT doc_id, text,
+              unnest(generate_series(1, length(text))) AS i
+            FROM documents)
+      WHERE length(text) > 0)
+GROUP BY doc_id, bin ORDER BY doc_id, bin""",
+
+    "m3_resize_frames" ->
+      """WITH meta AS (
+  SELECT doc_id,
+    1 + ascii(substr(text, 1, 1)) % 64 AS w,
+    1 + ascii(substr(text, 2, 1)) % 64 AS h,
+    1 + octet_length(encode(text)) % 7 AS n_frames
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN greatest(w, h) <= 48 THEN w
+       ELSE greatest(1, floor(w * 48 / greatest(w, h))) END AS BIGINT) AS fit_w,
+  CAST(CASE WHEN greatest(w, h) <= 48 THEN h
+       ELSE greatest(1, floor(h * 48 / greatest(w, h))) END AS BIGINT) AS fit_h,
+  CAST(length(generate_series(0, n_frames - 1, 2)) AS BIGINT) AS n_sampled
+FROM meta ORDER BY doc_id""",
 
     "m1_multimodal_meta" ->
       """SELECT doc_id,

@@ -66,6 +66,35 @@ object SparkEntry {
       files(s, d)
         .select("key", "size", "etag", "last_modified", "storage_class")
         .orderBy("key").limit(1)),
+    "s9_write_roundtrip" -> ((s, d) => {
+      // S9+P9+S4+P5 end to end: two append commits and an OPTIMIZE
+      // compaction + vacuum on a fresh MiniDelta table, then a read back
+      // THROUGH the log-driven snapshot with OR-of-ANDs partition
+      // pruning. The aggregate must equal the same aggregate computed
+      // straight from the source — the whole write->log->prune->read
+      // loop preserves the data exactly.
+      val dir = java.nio.file.Files.createTempDirectory("s9rt").toString
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.vacuum(s, table)
+      graft.io.MiniDelta.readFiltered(s, table,
+          Seq(Map("l_returnflag" -> "R"), Map("l_returnflag" -> "N")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "w4_pagination" -> ((s, d) =>
       ObjectListing.page(files(s, d), 100, 3)
         .withColumn("rn", col("rn").cast("long")).orderBy("key")),
@@ -457,6 +486,22 @@ object SparkEntry {
         .groupBy(col("predicted"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("predicted")
+    }),
+    "m2_multimodal_hist" -> ((s, d) =>
+      // feature extraction over opaque binary payloads: sparse 16-bin
+      // byte histogram, one native pass per payload, no row explosion
+      // until the (tiny) bin output.
+      Multimodal.featureHistogram(docs(s, d))),
+    "m3_resize_frames" -> ((s, d) => {
+      // resize-to-fit dims + sampled-frame count per payload, integer
+      // arithmetic only (the codec handoff surface of a real build).
+      val m = Multimodal.metaExpr(docs(s, d))
+      val (rw, rh) = Multimodal.resizeDims(col("width"), col("height"), 48)
+      val sampled = Multimodal.sampleFrames(docs(s, d), 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+      m.select(col("doc_id"), rw.as("fit_w"), rh.as("fit_h"))
+        .join(sampled, "doc_id")
+        .orderBy("doc_id")
     }),
     "m1_multimodal_meta" -> ((s, d) => {
       val m = Multimodal.metaExpr(docs(s, d))

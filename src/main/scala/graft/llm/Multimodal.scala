@@ -45,6 +45,50 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) => fakeDecode(id, bytes) })
   }
 
+  /** Feature extraction: 16-bin low-nibble byte histogram per payload —
+    * the feature-vector stand-in a real build would replace with e.g. a
+    * color histogram or an embedding model call. One native pass per
+    * payload ([[org.apache.spark.sql.graft.ByteHistogram]]); rows for
+    * empty bins are dropped (sparse form). */
+  def featureHistogram(docs: DataFrame): DataFrame =
+    payloads(docs)
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.ByteHistogram(col("payload"), 16)))
+      .where(col("col") > 0)
+      .select(col("doc_id"), col("pos").cast("long").as("bin"),
+        col("col").as("n"))
+      .orderBy("doc_id", "bin")
+
+  /** Resize: fit (width, height) into a maxDim box preserving aspect
+    * ratio, integer arithmetic only (deterministic, engine-portable).
+    * A real build would hand these dims to the codec. */
+  def resizeDims(width: Column, height: Column, maxDim: Int)
+      : (Column, Column) = {
+    val mx = greatest(width, height)
+    // floor(side*maxDim / mx) in doubles: the numerator is an exact
+    // small integer, so the division rounds identically in any engine
+    // and floor is exact — no truncate-vs-round cast hazards
+    def fit(side: Column) =
+      when(mx <= maxDim, side.cast("long"))
+        .otherwise(greatest(lit(1L), floor(side * maxDim / mx)))
+        .cast("long")
+    (fit(width), fit(height))
+  }
+
+  /** Frame sampling: every `stride`-th frame index of each payload's
+    * fake frame count (1 + n_bytes % 7). Real build: these indices
+    * drive the demuxer's seek; the plumbing (explode of a per-row
+    * sequence, no shuffle) is what scales. */
+  def sampleFrames(docs: DataFrame, stride: Int): DataFrame =
+    payloads(docs)
+      .select(col("doc_id"),
+        (lit(1) + pmod(length(col("payload")), lit(7))).as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Same metadata derived with pure codegen'd expressions — used as the
     * oracle-checkable form and as a cross-check of `decode`. Bytes are
     * extracted WITHOUT a string cast (substring on binary yields a binary

@@ -206,6 +206,42 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 32.0)
   }
 
+  test("byte histogram == per-byte explode composition, incl. non-ASCII") {
+    val docs = docsDF(1L -> "hello world", 2L -> "übergrößen 中文",
+      3L -> "", 4L -> "aaa")
+    val native = Multimodal.featureHistogram(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // composition: explode byte positions of the utf-8 payload
+    val composed = Multimodal.payloads(docs)
+      .where(length(col("payload")) > 0) // sequence(1,0) would descend
+      .select(col("doc_id"), col("payload"), explode(sequence(lit(1),
+        length(col("payload")))).as("i"))
+      .select(col("doc_id"),
+        (conv(hex(expr("substring(payload, i, 1)")), 16, 10)
+          .cast("long") % 16).as("bin"))
+      .groupBy("doc_id", "bin").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(native == composed)
+    assert(!native.keys.exists(_._1 == 3L)) // empty payload -> no bins
+  }
+
+  test("frame sampling strides the fake frame count; resize fits the box") {
+    val docs = docsDF(1L -> ("x" * 20), 2L -> "y")
+    val frames = Multimodal.sampleFrames(docs, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    // len 20 -> n_frames 1+20%7=7 -> idx 0,2,4,6 ; len 1 -> 1+1=2 -> 0
+    assert(frames(1L) == Seq(0L, 2L, 4L, 6L))
+    assert(frames(2L) == Seq(0L))
+    val (rw, rh) = Multimodal.resizeDims(lit(60), lit(30), 48)
+    val r = spark.range(1).select(rw.as("w"), rh.as("h")).collect()(0)
+    assert(r.getLong(0) == 48 && r.getLong(1) == 24)
+    val (sw, sh) = Multimodal.resizeDims(lit(10), lit(20), 48)
+    val s2 = spark.range(1).select(sw.as("w"), sh.as("h")).collect()(0)
+    assert(s2.getLong(0) == 10 && s2.getLong(1) == 20)
+  }
+
   test("ivf with all cells probed == brute force; probing restricts to cells") {
     val e = Tables.load(spark, TestSpark.sfTiny, "embeddings")
     val pred = pmod(col("vec_id"), lit(100)) === 0
