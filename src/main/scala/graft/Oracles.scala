@@ -532,7 +532,7 @@ SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
-WHERE l_quantity <= 5 AND l_returnflag IN ('N', 'R')
+WHERE l_quantity <= 2 AND l_returnflag IN ('N', 'R')
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "sim_ivf_topk" ->

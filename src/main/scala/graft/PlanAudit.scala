@@ -15,7 +15,11 @@ object PlanAudit {
     "q5_nation_volume",   // six-table join tree
     "s3_listing_page",    // cached metadata + top-k, no global sort
     "d4_ngram_jaccard",   // blocked pair join + native intersect
-    "sim_topk_cosine")    // broadcast query side + native dot
+    "sim_topk_cosine",    // broadcast query side + native dot
+    "d2_minhash_lsh",     // one-pass native signatures, bucket expansion
+    "sim_ivf_topk",       // broadcast centroids/probes, cell-local topk
+    "w4_pagination",      // distributed prefix-sum, no 1-partition window
+    "t2_quality_score")   // single codegen span of native text scans
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -76,7 +76,7 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("s9rt").toString
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
-        .where(col("l_quantity") <= 5)
+        .where(col("l_quantity") <= 2)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
       graft.io.MiniDelta.append(s,

@@ -175,6 +175,17 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard join == blocked all-pairs, fixtures incl.") {
+    val fx = Tables.load(spark, TestSpark.sfTiny, "documents").limit(200)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(key(Dedup.ngramJaccardPrefix(fx)) == key(Dedup.ngramJaccard(fx)))
+    val synth = docsDF(1L -> "abcdefgh", 2L -> "abcdefgh", 3L -> "zzzzzzzz",
+      4L -> "über die brücke", 5L -> "über die brücke")
+    assert(key(Dedup.ngramJaccardPrefix(synth)) == key(Dedup.ngramJaccard(synth)))
+  }
+
   test("ngram jaccard n=4 (hashed codes) matches string-shingle reference") {
     val t1 = "the quick brown fox jumps over the lazy dog"
     val t2 = "the quick brown fox jumps over the lazy cat"
