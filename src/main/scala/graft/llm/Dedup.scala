@@ -177,8 +177,19 @@ object Dedup {
   }
 
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
-    * token multiplicity; bit j set iff the vote sum is positive. */
-  def simhash(docs: DataFrame): DataFrame = {
+    * token multiplicity; bit j set iff the vote sum is positive.
+    * One native pass per document ([[org.apache.spark.sql.graft
+    * .SimHash64]]); token-less docs are dropped, matching the exploded
+    * composition (no token rows -> no output row). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.where(org.apache.spark.sql.graft.TokenCount(col("text")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graft.SimHash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** The exploded (doc x token x bit) composition of [[simhash]] — kept
+    * as the documented reference form for parity testing. */
+  def simhashComposed(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
       .withColumn("hhex", md5(col("token")))

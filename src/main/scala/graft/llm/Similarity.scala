@@ -157,8 +157,14 @@ object Similarity {
   /** Sign-LSH bucket id: sign bits of projections onto `planes`
     * deterministic pseudo-hyperplanes. Plane p's component i is
     * (((i*2654435761 + p*40503) mod 65536) - 32768) — a fixed integer
-    * hash, identical everywhere, no RNG state needed. */
-  def lshBucket(v: Column, dim: Int, planes: Int): Column = {
+    * hash, identical everywhere, no RNG state needed. One native pass
+    * ([[org.apache.spark.sql.graft.SignLshBucket]]); the fold-based
+    * composition is kept as [[lshBucketComposed]] for parity tests. */
+  def lshBucket(v: Column, dim: Int, planes: Int): Column =
+    org.apache.spark.sql.graft.SignLshBucket(v, dim, planes)
+
+  /** The aggregate/zip_with composition of [[lshBucket]]. */
+  def lshBucketComposed(v: Column, dim: Int, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), lit(dim - 1)),

@@ -188,6 +188,30 @@ class PropertySpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("SimHash64 matches the exploded token-bit-vote composition") {
+    import graft.llm.Dedup
+    val docs = Tables.load(spark, TestSpark.sfTiny, "documents").limit(150)
+      .union(parityTexts.zipWithIndex
+        .map { case (t, i) => (100000L + i, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val native = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val composed = Dedup.simhashComposed(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == composed)
+  }
+
+  test("SignLshBucket matches the aggregate/zip_with composition") {
+    import graft.llm.Similarity
+    val e = Tables.load(spark, TestSpark.sfTiny, "embeddings").limit(200)
+    val rows = e.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64, 8).as("nat"),
+      Similarity.lshBucketComposed(col("embedding"), 64, 8).as("comp"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}"))
+  }
+
   test("MinHashSig matches the md5-chunk-min composition exactly") {
     for ((k, stride) <- Seq((10, 2), (5, 1), (3, 3))) {
       val df = parityTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
