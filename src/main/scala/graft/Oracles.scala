@@ -272,6 +272,38 @@ FROM events ORDER BY cache_key, range_header LIMIT 500""",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "w6_asof_join" ->
+      """WITH u AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS side, value,
+         NULL::DOUBLE AS view_value, NULL::TIMESTAMP AS view_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0, NULL,
+         value, CAST(ts AS TIMESTAMP)
+  FROM events WHERE event_type = 'view'
+), w AS (
+  SELECT user_id, ts, event_id, side, value,
+    last_value(view_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value,
+    last_value(view_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, side, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ts
+  FROM u
+)
+SELECT user_id, event_id, ts, value, asof_view_value, asof_view_ts
+FROM w WHERE side = 1 ORDER BY user_id, event_id""",
+
+    "w7_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND abs(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)))
+       <= 60 * 1000 * 1000
+ORDER BY p.user_id, purchase_id, view_id""",
+
     "a2_distinct_users_minute" ->
       """SELECT time_bucket(INTERVAL '1 minute', CAST(ts AS TIMESTAMP)) AS window_start,
   CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users

@@ -381,6 +381,41 @@ object SparkEntry {
           * 10000)) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "w6_asof_join" -> ((s, d) => {
+      // as-of join: each purchase enriched with the latest view AT OR
+      // BEFORE it by the same user (point-in-time correctness — the
+      // leak-free feature-generation primitive). Union + one
+      // partitioned window, no range self-join.
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("view_value"), col("ts").as("view_ts"))
+      graft.operators.AsOfJoin.lastPrior(purchases, views,
+          keys = Seq("user_id"), tsCol = "ts", idCol = "event_id",
+          rightVals = Seq("view_value", "view_ts"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"), col("asof_view_value"), col("asof_view_ts"))
+        .orderBy("user_id", "event_id")
+    }),
+    "w7_range_join" -> ((s, d) => {
+      // banded range join: purchase-view pairs by the same user within
+      // 60 s of each other — equi-join on (user, band) + exact filter,
+      // never a per-key cross product.
+      val e = ev(s, d)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("purchase_id"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("view_id"))
+      graft.operators.RangeJoin.banded(p, v, Seq("user_id"),
+          "t", "t", 60L * 1000 * 1000)
+        .select(col("user_id"), col("purchase_id"), col("view_id"),
+          (col("t") - col("t_right")).as("gap_us"))
+        .orderBy("user_id", "purchase_id", "view_id")
+    }),
     "w5_running_total" -> ((s, d) => {
       // Window functions: per-customer running total + rank over a total
       // order; the running sum is over grid-rounded integers, so every
