@@ -272,6 +272,48 @@ FROM events ORDER BY cache_key, range_header LIMIT 500""",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "a9_latency_quantiles" ->
+      """SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a8_sessionization" ->
+      """WITH t AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus,
+    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+              IS NULL
+           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM t
+), sessions AS (
+  SELECT user_id, event_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(n_events) AS BIGINT) AS n_events,
+  CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id""",
+
+    "t5_vocab_topk" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n_docs DESC, n_total DESC, token ASC
+LIMIT 50""",
+
     "w6_asof_join" ->
       """WITH u AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS side, value,

@@ -381,6 +381,25 @@ object SparkEntry {
           * 10000)) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "a9_latency_quantiles" -> ((s, d) =>
+      // exact p50/p90/p99 per event class (linear interpolation on the
+      // sorted values; rounded to 4 decimals — the interpolation op tree
+      // may differ in final ulps across engines). Exact percentile needs
+      // a per-group sort; at 100 TB swap for approx_percentile
+      // (t-digest) to keep it one pass.
+      ev(s, d).groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")),
+    "a8_sessionization" -> ((s, d) =>
+      // gap-based sessions (30 min): per-user session/event counts —
+      // one shuffle on user_id, stacked windows, integer-exact.
+      Metrics.sessionStats(ev(s, d), gapSeconds = 1800)),
+    "t5_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocabTopK(docs(s, d), 50)
+        .select(col("token"), col("n_docs"), col("n_total"))),
     "w6_asof_join" -> ((s, d) => {
       // as-of join: each purchase enriched with the latest view AT OR
       // BEFORE it by the same user (point-in-time correctness — the

@@ -123,6 +123,20 @@ object TextAnalysis {
   /** Content fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Vocabulary top-k: the k most document-frequent tokens with doc and
+    * total occurrence counts — the corpus-statistics primitive behind
+    * tokenizer/vocab construction. One explode + one groupBy(token)
+    * (map-side partial aggs), then a top-k that compiles to
+    * TakeOrderedAndProject — no global sort. Ties break
+    * lexicographically for determinism. */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("n_docs").desc, col("n_total").desc, col("token").asc)
+      .limit(k)
+
   /** Rolling polynomial hash over characters: h = h*31 + ascii(c) mod 1e9+7.
     * Expressed as a left fold over the char array — sequential per value,
     * hence deterministic. */

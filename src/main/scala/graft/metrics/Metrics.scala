@@ -50,6 +50,41 @@ object Metrics {
       .select(col("window.start").as("window_start"), col("avg_latency"))
       .orderBy("window_start")
 
+  /** Gap-based sessionization: a new session starts when a user's gap
+    * from their previous event exceeds `gapSeconds`. Two stacked
+    * per-user windows (lag to flag session starts, running sum to
+    * number sessions) — ONE shuffle on user_id, linear per user, the
+    * standard scalable form (never a self-join on time ranges).
+    * Timestamps compare as epoch micros: pure integer arithmetic,
+    * engine-exact. */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    val flagged = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_session",
+        (col("prev").isNull ||
+          col("tus") - col("prev") > gapSeconds * 1000000L).cast("long"))
+    flagged.withColumn("session_id",
+      sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-user session stats over [[sessionize]]: session count, events,
+    * and the longest session's event count. All integers — exact. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame =
+    sessionize(events, gapSeconds)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+
   /** A1-A5 combined: the reference's full per-minute emit
     * (queries_served, unique_users, avg latency, avg size). Message size
     * stands in as an exact integer derived from the event id. */

@@ -38,6 +38,28 @@ class MetricsSpec extends AnyFunSuite {
     assert(w2.getAs[Double]("avg_latency") == 10.00)
   }
 
+  test("sessionization splits on gaps and numbers sessions in order") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (1L, t("2024-01-01 10:10:00"), 2L),  // same session (gap 10m)
+      (1L, t("2024-01-01 11:00:00"), 3L),  // new session (gap 50m)
+      (2L, t("2024-01-01 09:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val sess = Metrics.sessionize(ev, gapSeconds = 1800)
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(1L) == 1L && sess(2L) == 1L && sess(3L) == 2L)
+    assert(sess(4L) == 1L)
+    val stats = Metrics.sessionStats(ev, 1800).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(stats(1L) == ((2L, 3L, 2L)))
+    assert(stats(2L) == ((1L, 1L, 1L)))
+  }
+
   test("counters by request class") {
     val c = Metrics.counters(sampleEvents.toDF).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
