@@ -440,6 +440,27 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10""",
   CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY content_hash ORDER BY keeper_doc_id""",
 
+    "d6_chunk_dedup" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(tk, i*10+1, i*10+10), ' ')) AS chunk_hash
+  FROM (SELECT doc_id, tk,
+          unnest(generate_series(0,
+            CAST(greatest(ceil(len(tk)/10.0), 1) AS BIGINT) - 1)) AS i
+        FROM toks)
+), freq AS (
+  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+FROM chunks c JOIN freq f USING (chunk_hash)
+GROUP BY c.doc_id ORDER BY c.doc_id""",
+
     "d2_minhash_lsh" ->
       """WITH sh AS (
   SELECT DISTINCT doc_id, substr(text, i, 10) AS shingle

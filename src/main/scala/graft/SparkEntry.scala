@@ -479,6 +479,7 @@ object SparkEntry {
 
   private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "d6_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(docs(s, d), k = 10)),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),

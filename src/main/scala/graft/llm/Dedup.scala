@@ -176,6 +176,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Sub-document (chunk-level) dedup — the CCNet/Dolma-style
+    * "duplicated n-gram fraction" quality signal: split each doc into
+    * non-overlapping k-token chunks, hash them, and report per doc how
+    * many of its chunks also appear in ANOTHER document (boilerplate /
+    * template detection). Doc-level dedup misses shared passages inside
+    * otherwise-distinct documents; this is the operator that catches
+    * them.
+    *
+    * Shape: explode chunks (narrow), one groupBy(chunk_hash) for global
+    * doc-frequency (map-side combine), join back, integer-exact ratio.
+    * At 100 TB the chunk-hash aggregation is the classic skewed-key
+    * case (empty/boilerplate chunks) — cap or salt hot hashes. */
+  def chunkDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    val chunks = docs
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+          i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_hash"))
+    val freq = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(freq, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        (col("dup_chunks").cast("double") / col("n_chunks"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
     * token multiplicity; bit j set iff the vote sum is positive.
     * One native pass per document ([[org.apache.spark.sql.graft

@@ -175,6 +175,19 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk dedup flags shared k-token chunks across documents") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
+    val d = docsDF(
+      1L -> (shared + " unique tail one two three four five six seven"),
+      2L -> (shared + " other ending eight nine ten eleven twelve more x"),
+      3L -> "totally different words that no other document contains here")
+    val r = Dedup.chunkDedup(d, k = 10).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((2L, 1L))) // 2 chunks, the shared one flagged
+    assert(r(2L) == ((2L, 1L)))
+    assert(r(3L) == ((1L, 0L)))
+  }
+
   test("prefix-filtered jaccard join == blocked all-pairs, fixtures incl.") {
     val fx = Tables.load(spark, TestSpark.sfTiny, "documents").limit(200)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
