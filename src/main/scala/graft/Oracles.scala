@@ -272,6 +272,14 @@ FROM events ORDER BY cache_key, range_header LIMIT 500""",
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "a10_rollup" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  sum(round(value * 100)) / 100.0 AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, user_bucket)
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
+
     "a9_latency_quantiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.5), 4) AS p50,

@@ -381,6 +381,17 @@ object SparkEntry {
           * 10000)) / 10000.0).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    "a10_rollup" -> ((s, d) =>
+      // multi-dimensional aggregation with subtotal rows (ROLLUP):
+      // (event_type, user bucket) -> per-cell, per-type, grand total.
+      // Spark plans this as a single Expand + hash aggregate.
+      ev(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .rollup("event_type", "user_bucket")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_bucket").asc_nulls_first)),
     "a9_latency_quantiles" -> ((s, d) =>
       // exact p50/p90/p99 per event class (linear interpolation on the
       // sorted values; rounded to 4 decimals — the interpolation op tree

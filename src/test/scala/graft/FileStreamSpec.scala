@@ -44,4 +44,39 @@ class FileStreamSpec extends AnyFunSuite {
       assert(w2(0).getAs[Long]("queries_served") == 2) // 10:00 window grew
     } finally q.stop()
   }
+
+  test("streaming sink: foreachBatch appends micro-batches to a MiniDelta table") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val src = Files.createTempDirectory("sinksrc").toString
+    val table = Files.createTempDirectory("sinktbl").toString + "/t"
+    Seq((1L, "XLON", 10.0), (2L, "XPAR", 11.0))
+      .toDF("id", "mic", "price").coalesce(1).write.parquet(s"$src/b1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+    // the guarded write path as a streaming sink: each micro-batch is
+    // one versioned commit (exactly the reference's append surface, S9)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        MiniDelta.append(spark, batch, table, Seq("mic")); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, "XLON", 12.0)).toDF("id", "mic", "price")
+        .coalesce(1).write.parquet(s"$src/b2")
+      q.processAllAvailable()
+      // two commits in the log, snapshot sees all rows, pruning works
+      val versions = MiniDelta.logDF(spark, table)
+        .where(col("commitInfo").isNotNull).count()
+      assert(versions == 2)
+      assert(MiniDelta.snapshotFiles(spark, table).count() >= 2)
+      val xlon = MiniDelta.readFiltered(spark, table,
+        Seq(Map("mic" -> "XLON")))
+      assert(xlon.select("id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3L))
+    } finally q.stop()
+  }
 }
