@@ -498,6 +498,46 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b""",
 
+    "d7_neardup_clusters" ->
+      """WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 10) AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text) - 9, 1), 2)) AS i
+        FROM documents)
+), hh AS (
+  SELECT doc_id, md5('a:' || shingle) AS ha, md5('b:' || shingle) AS hb
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    min(substr(ha, 1, 5)) AS h0, min(substr(ha, 6, 5)) AS h1,
+    min(substr(ha, 11, 5)) AS h2, min(substr(ha, 16, 5)) AS h3,
+    min(substr(ha, 21, 5)) AS h4, min(substr(ha, 26, 5)) AS h5,
+    min(substr(hb, 1, 5)) AS h6, min(substr(hb, 6, 5)) AS h7,
+    min(substr(hb, 11, 5)) AS h8, min(substr(hb, 16, 5)) AS h9,
+    min(substr(hb, 21, 5)) AS h10, min(substr(hb, 26, 5)) AS h11
+  FROM hh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h3 || h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h6 || h7 || h8) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h9 || h10 || h11) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), ed AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM ed
+), reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.b AS node, reach.r FROM reach JOIN ed e ON e.a = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id""",
+
     "d3_simhash" ->
       """WITH toks AS (
   SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS hhex

@@ -491,6 +491,11 @@ object SparkEntry {
   private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d6_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(docs(s, d), k = 10)),
+    "d7_neardup_clusters" -> ((s, d) =>
+      // dedup finisher: minhash-LSH pairs -> connected components ->
+      // (doc, canonical cluster id). A pairwise list alone cannot pick
+      // one keeper per duplicate GROUP; the components can.
+      Dedup.connectedComponents(Dedup.minhashLsh(docs(s, d)))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
     "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),

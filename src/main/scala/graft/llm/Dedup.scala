@@ -108,6 +108,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list (doc_a, doc_b) —
+    * the dedup FINISHER: near-dup pairs form clusters, and one canonical
+    * document (the minimum id) survives per cluster. Without this step a
+    * pairwise dedup keeps B and C of a triangle A-B, A-C.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors (two edge-label joins
+    * + a groupBy-min), until a fixpoint. Rounds needed = graph diameter
+    * — near-dup clusters are shallow (stars/cliques around a template),
+    * so this converges in a few rounds; each round is plain shuffles, so
+    * the operator scales like any iterative Spark job (GraphX/Pregel's
+    * CC is this exact loop). Deterministic throughout.
+    *
+    * Returns (doc_id, cluster_id = min doc_id in the component) for
+    * every document that appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .distinct().persist()
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges.join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("label"))
+        .union(edges.join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("label")))
+      val next = labels.select(col("node"), col("label")).union(msgs)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") =!= col("o.label")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-LSH near-dup candidates, end to end (narrow signatures). */
   def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
                  bands: Int = 4, stride: Int = 2): DataFrame =

@@ -175,6 +175,20 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components merge chains, stars, and leave islands apart") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1
+      (10L, 11L), (10L, 12L),       // star  -> cluster 10
+      (20L, 21L))                   // island pair -> cluster 20
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
   test("chunk dedup flags shared k-token chunks across documents") {
     val shared = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
     val d = docsDF(
