@@ -312,6 +312,23 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
   CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id""",
 
+    "pipe2_weighted_mix" ->
+      """WITH b AS (
+  SELECT doc_id, lang,
+    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+      AS bucket
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(min(doc_id) AS BIGINT) AS first_kept
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 100
+  WHEN 'es' THEN 100 WHEN 'fr' THEN 100 WHEN 'zh' THEN 25 ELSE 0 END
+GROUP BY lang ORDER BY lang""",
+
     "t5_vocab_topk" ->
       """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
   CAST(count(*) AS BIGINT) AS n_total

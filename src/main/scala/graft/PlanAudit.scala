@@ -19,7 +19,9 @@ object PlanAudit {
     "d2_minhash_lsh",     // one-pass native signatures, bucket expansion
     "sim_ivf_topk",       // broadcast centroids/probes, cell-local topk
     "w4_pagination",      // distributed prefix-sum, no 1-partition window
-    "t2_quality_score")   // single codegen span of native text scans
+    "t2_quality_score",   // single codegen span of native text scans
+    "w6_asof_join",       // union + one partitioned window, single shuffle
+    "a8_sessionization")  // stacked per-key windows, one exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -411,6 +411,16 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d), 50)
         .select(col("token"), col("n_docs"), col("n_total"))),
+    "pipe2_weighted_mix" -> ((s, d) =>
+      // corpus mixing: deterministic hash-bucket sampling with
+      // per-language keep rates; counts audit the realized mix.
+      TextAnalysis.weightedMix(docs(s, d), "lang",
+          Map("en" -> 40, "de" -> 100, "es" -> 100, "fr" -> 100,
+            "zh" -> 25))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_kept"))
+        .orderBy("lang")),
     "w6_asof_join" -> ((s, d) => {
       // as-of join: each purchase enriched with the latest view AT OR
       // BEFORE it by the same user (point-in-time correctness — the

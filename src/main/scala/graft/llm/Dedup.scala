@@ -124,30 +124,45 @@ object Dedup {
     * Returns (doc_id, cluster_id = min doc_id in the component) for
     * every document that appears in at least one pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): iterative algorithms re-ANALYZE the
+    // whole upstream lineage every round otherwise — with an expensive
+    // pair producer (minhash) the planning alone dominated the loop.
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     val nodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct()
-    var labels = nodes.withColumn("label", col("node")).persist()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // hop 1: neighbor minimum
       val msgs = edges.join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("label"))
         .union(edges.join(labels, col("b") === col("node"))
           .select(col("a").as("node"), col("label")))
-      val next = labels.select(col("node"), col("label")).union(msgs)
+      // checkpointed before the self-join below: fresh attribute ids
+      // (a Union self-joined with itself trips constraint rewriting)
+      // and a truncated plan for the next round
+      val hop = labels.select(col("node"), col("label")).union(msgs)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .persist()
+        .localCheckpoint()
+      // pointer jump: label := label(label) — doubles the propagation
+      // distance per round, so a diameter-D chain converges in O(log D)
+      // rounds instead of D (the GraphX/Pregel CC shortcut)
+      val next = hop.as("x")
+        .join(hop.select(col("node").as("pnode"),
+          col("label").as("plabel")).as("y"),
+          col("x.label") === col("pnode"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("plabel"), col("x.label")))
+            .as("label"))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .where(col("n.label") =!= col("o.label")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

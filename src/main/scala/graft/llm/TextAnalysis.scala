@@ -123,6 +123,28 @@ object TextAnalysis {
   /** Content fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Deterministic sampling bucket in [0, 100): the first 4 hex chars
+    * of md5(doc_id) mod 100. Hash-based (not rand()) so the sample is
+    * reproducible across runs, partitionings, and engines — the
+    * property training-data sampling needs for auditability. */
+  def sampleBucket(docId: Column): Column =
+    pmod(conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Weighted data mix: keep a document iff its [[sampleBucket]] falls
+    * under its group's percentage weight — the corpus-mixing step of a
+    * training-data pipeline (e.g. upsample low-resource languages,
+    * downsample boilerplate-heavy sources). Pure per-row predicate: no
+    * shuffle, no RNG state, linear at any scale. `weights` maps group
+    * value -> keep percentage (0-100); missing groups keep nothing. */
+  def weightedMix(docs: DataFrame, groupCol: String,
+                  weights: Map[String, Int]): DataFrame = {
+    val pct = weights.foldLeft(lit(0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    docs.where(sampleBucket(col("doc_id")) < pct)
+  }
+
   /** Vocabulary top-k: the k most document-frequent tokens with doc and
     * total occurrence counts — the corpus-statistics primitive behind
     * tokenizer/vocab construction. One explode + one groupBy(token)

@@ -175,6 +175,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted mix keeps deterministic per-group fractions") {
+    val d = (1L to 400L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "zh", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = TextAnalysis.weightedMix(d, "lang",
+      Map("en" -> 50, "zh" -> 0))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("zh"))            // weight 0 -> dropped
+    assert(byLang("en") > 60 && byLang("en") < 140) // ~50% of 200
+    // deterministic: same input -> identical sample
+    val again = TextAnalysis.weightedMix(d, "lang",
+      Map("en" -> 50, "zh" -> 0)).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("connected components merge chains, stars, and leave islands apart") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), // chain -> cluster 1
