@@ -312,6 +312,37 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
   CAST(max(n_events) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY user_id ORDER BY user_id""",
 
+    "pipe3_mix_dedup_stats" ->
+      """WITH mixed AS (
+  SELECT * FROM documents
+  WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+    < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 100 WHEN 'es' THEN 100
+        WHEN 'fr' THEN 100 WHEN 'zh' THEN 50 ELSE 0 END
+), keep AS (
+  SELECT min(doc_id) AS doc_id FROM mixed
+  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+), q AS (
+  SELECT doc_id,
+    CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+      + CAST(length(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to','in','is','der','die','das','und','ist','ein','zu','el','la','de','y','es','un','en','le','et','les','est','dans','的','是','了','在','和','有','我'))) AS DOUBLE)
+        / length(list_filter(string_split(text, ' '), t -> t <> ''))
+      - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+      AS quality_score
+  FROM mixed
+)
+SELECT m.lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens_total,
+  round(sum(q.quality_score) / count(*), 4) AS avg_quality
+FROM mixed m JOIN keep k ON m.doc_id = k.doc_id
+JOIN q ON q.doc_id = m.doc_id
+GROUP BY m.lang ORDER BY m.lang""",
+
     "pipe2_weighted_mix" ->
       """WITH b AS (
   SELECT doc_id, lang,

@@ -411,6 +411,27 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d), 50)
         .select(col("token"), col("n_docs"), col("n_total"))),
+    "pipe3_mix_dedup_stats" -> ((s, d) => {
+      // the full training-data flow: weighted corpus mix -> exact
+      // fingerprint dedup (keep min doc_id) -> per-language corpus
+      // stats. Every stage is the already-oracled operator, composed.
+      val mixed = TextAnalysis.weightedMix(docs(s, d), "lang",
+        Map("en" -> 60, "de" -> 100, "es" -> 100, "fr" -> 100,
+          "zh" -> 50))
+      val keep = mixed
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val q = TextAnalysis.qualityScore(mixed)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      mixed.join(keep, "doc_id").join(q, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens_total"),
+          round(sum(col("quality_score")) / count(lit(1)), 4)
+            .as("avg_quality"))
+        .orderBy("lang")
+    }),
     "pipe2_weighted_mix" -> ((s, d) =>
       // corpus mixing: deterministic hash-bucket sampling with
       // per-language keep rates; counts audit the realized mix.
