@@ -862,6 +862,12 @@ FROM documents ORDER BY doc_id""",
 SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred GROUP BY predicted ORDER BY predicted""",
 
+    // NOTE (m1/m2/m3): the engine computes BYTE-true metadata (see
+    // Multimodal scaladoc + the non-ASCII cross-check specs); these
+    // oracles express the same values through character functions,
+    // which coincide because the fixture corpus is pure ASCII (byte ==
+    // code point). DuckDB lacks blob byte indexing, so the byte-true
+    // contract is gated by LlmSpec instead for non-ASCII payloads.
     "m2_multimodal_hist" ->
       """SELECT doc_id, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT doc_id, ascii(substr(text, i, 1)) % 16 AS bin

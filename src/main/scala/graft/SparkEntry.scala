@@ -73,7 +73,10 @@ object SparkEntry {
       // pruning. The aggregate must equal the same aggregate computed
       // straight from the source — the whole write->log->prune->read
       // loop preserves the data exactly.
-      val dir = java.nio.file.Files.createTempDirectory("s9rt").toString
+      // fixed path, wiped before each run — createTempDirectory would
+      // leak one table copy per Verify/Bench invocation into /tmp
+      val dir = "/tmp/graft_s9_roundtrip"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
         .where(col("l_quantity") <= 2)

@@ -37,6 +37,13 @@ object AclCaches {
       resolve.select("path").collect().map(_.getString(0)).toSeq
     }
 
+  /** Auth-result memo (reference src/main.rs:541-549: the proxy checks
+    * the cache and inserts `true` on a miss — verification itself is a
+    * placeholder there, a fact its README admits; `check` is the hook a
+    * real validator plugs into). */
+  def authFor(accessKey: String)(check: => Boolean): Boolean =
+    auth.getOrElseUpdate(accessKey)(check)
+
   /** Per-(user, table) permission filters, LRU-memoized like the
     * reference's `cached` macro over the SQLite lookup (J3). */
   def permsFor(user: String, table: String)

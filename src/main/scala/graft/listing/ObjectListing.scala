@@ -101,7 +101,7 @@ object ObjectListing {
   def page(files: DataFrame, pageSize: Int, pageNum: Int): DataFrame =
     graft.operators.GlobalRowNumber(
       files.select("key", "size"), Seq(col("key")))
-      .where(col("rn") > (pageNum - 1) * pageSize &&
+      .where(col("rn") > (pageNum - 1).toLong * pageSize &&
              col("rn") <= pageNum.toLong * pageSize)
 
   /** F5/P10: physical key -> logical key (base prefix swapped for alias). */

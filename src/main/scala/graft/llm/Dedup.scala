@@ -163,6 +163,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // never return silently-wrong (non-minimal) labels: with pointer
+    // jumping, maxIter rounds cover components of diameter ~2^maxIter,
+    // so tripping this means something is genuinely pathological
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * with duplicate order keys, rows sharing a key keep an arbitrary but
   * stable relative order within the same run only).
   *
-  * The range-partitioned intermediate is persisted (MEMORY_AND_DISK)
-  * so both passes see identical range boundaries; Spark's LRU cache
-  * eviction reclaims it. For pure pagination, keyset (`start-after`)
-  * pagination needs no numbering at all — this operator exists for when
-  * the row number itself is the deliverable.
+  * The range-partitioned intermediate is persisted so both passes see
+  * identical range boundaries, and released before returning (the
+  * result is local-checkpointed, making the operator eager). For pure
+  * pagination, keyset (`start-after`) pagination needs no numbering at
+  * all — this operator exists for when the row number itself is the
+  * deliverable.
   */
 object GlobalRowNumber {
 
@@ -57,11 +58,16 @@ object GlobalRowNumber {
     val bc = spark.sparkContext.broadcast(offsets)
     val outSchema = StructType(
       ranged.schema.fields :+ StructField(rnCol, LongType, nullable = false))
-    // pass 2: sequential numbering inside each sorted range partition
-    ranged.mapPartitions { it =>
+    // pass 2: sequential numbering inside each sorted range partition.
+    // Materialized (localCheckpoint) so the ranged intermediate can be
+    // unpersisted immediately — otherwise every call leaks one cached
+    // dataset for the session's lifetime.
+    val numbered = ranged.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var i = bc.value(pid)
       it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-    }(Encoders.row(outSchema))
+    }(Encoders.row(outSchema)).localCheckpoint()
+    ranged.unpersist()
+    numbered
   }
 }

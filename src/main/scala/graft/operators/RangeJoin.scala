@@ -25,10 +25,19 @@ object RangeJoin {
   def banded(a: DataFrame, b: DataFrame, keys: Seq[String],
              leftT: String, rightT: String, width: Long): DataFrame = {
     require(width > 0, "width must be positive")
-    val aBand = a.withColumn("__band", floor(col(leftT) / width))
-    val bBand = b
-      .withColumnRenamed(rightT, s"__rt")
-      .withColumn("__rband", floor(col("__rt") / width))
+    // floor-division in pure LONG arithmetic: floor(col/width) through
+    // doubles loses precision past 2^53 (epoch nanos), which would place
+    // rows two bands apart and silently drop in-window pairs. Subtracting
+    // pmod makes the numerator an exact floor multiple, so integer `div`
+    // (truncating) equals floor division for negatives too.
+    def withBand(df: DataFrame, t: String, bandCol: String): DataFrame =
+      df.withColumn("__tl", col(t).cast("long"))
+        .withColumn(bandCol,
+          expr(s"(__tl - pmod(__tl, ${width}L)) div ${width}L"))
+        .drop("__tl")
+    val aBand = withBand(a, leftT, "__band")
+    val bBand = withBand(b.withColumnRenamed(rightT, "__rt"),
+        "__rt", "__rband")
       .withColumn("__band",
         explode(array(col("__rband") - 1, col("__rband"),
           col("__rband") + 1)))

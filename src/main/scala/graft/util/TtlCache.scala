@@ -29,20 +29,37 @@ class TtlCache[K, V](maxEntries: Int, ttlMillis: Long,
   private def expired(e: Entry, now: Long): Boolean =
     ttlMillis > 0 && now - e.insertedAt >= ttlMillis
 
-  def getOrElseUpdate(key: K)(compute: => V): V = synchronized {
-    val now = clock()
-    val hit = map.get(key)
-    if (hit != null && !expired(hit, now)) hit.value
-    else {
-      if (hit != null) { map.remove(key); onEvict(hit.value) }
-      val v = compute
-      if (map.size >= maxEntries) {
-        val eldest = map.entrySet().iterator().next()
-        map.remove(eldest.getKey)
-        onEvict(eldest.getValue.value)
+  /** `compute` runs OUTSIDE the cache monitor — a slow miss (a Spark
+    * job resolving a file list, a log replay) must not serialize
+    * lookups for unrelated keys. Two racing misses on the SAME key may
+    * both compute; the loser's value is discarded through onEvict
+    * (moka dedupes per key; for driver-side metadata memos the rare
+    * duplicate compute is cheaper than a per-key latch). */
+  def getOrElseUpdate(key: K)(compute: => V): V = {
+    synchronized {
+      val hit = map.get(key)
+      if (hit != null) {
+        if (!expired(hit, clock())) return hit.value
+        map.remove(key)
+        onEvict(hit.value)
       }
-      map.put(key, Entry(v, now))
-      v
+    }
+    val v = compute
+    synchronized {
+      val raced = map.get(key)
+      if (raced != null && !expired(raced, clock())) {
+        onEvict(v)
+        raced.value
+      } else {
+        if (raced != null) { map.remove(key); onEvict(raced.value) }
+        if (map.size >= maxEntries) {
+          val eldest = map.entrySet().iterator().next()
+          map.remove(eldest.getKey)
+          onEvict(eldest.getValue.value)
+        }
+        map.put(key, Entry(v, clock()))
+        v
+      }
     }
   }
 

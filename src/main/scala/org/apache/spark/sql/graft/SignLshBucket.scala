@@ -58,7 +58,11 @@ object SignLshBucket {
 
   def compute(v: ArrayData, dim: Int, planes: Int,
               isFloat: Boolean): Long = {
-    val n = math.min(dim, v.numElements())
+    // parity with the zip_with composition: a length mismatch there
+    // null-pads, the null product poisons every fold, and all sign
+    // bits come out 0 — mirror that instead of a partial projection
+    if (v.numElements() != dim) return 0L
+    val n = dim
     var bucket = 0L
     var p = 0
     while (p < planes) {

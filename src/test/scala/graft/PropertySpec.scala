@@ -210,6 +210,14 @@ class PropertySpec extends AnyFunSuite {
       .collect()
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
       s"vec ${r.getLong(0)}"))
+    // length mismatch: the composition null-poisons every fold -> 0;
+    // the native form must agree, not compute a partial projection
+    val ragged = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
+    val rr = ragged.select(
+      Similarity.lshBucket(col("embedding"), 64, 8).as("nat"),
+      Similarity.lshBucketComposed(col("embedding"), 64, 8).as("comp"))
+      .collect()(0)
+    assert(rr.getLong(0) == 0L && rr.isNullAt(1) == false && rr.getLong(1) == 0L)
   }
 
   test("MinHashSig matches the md5-chunk-min composition exactly") {

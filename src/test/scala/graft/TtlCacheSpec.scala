@@ -85,6 +85,16 @@ class TtlCacheSpec extends AnyFunSuite {
     AclCaches.clearAll()
   }
 
+  test("authFor memoizes auth checks per access key (insert-on-miss)") {
+    AclCaches.clearAll()
+    var checks = 0
+    def check = { checks += 1; true }
+    assert(AclCaches.authFor("AKIA123")(check))
+    assert(AclCaches.authFor("AKIA123")(check))
+    assert(checks == 1)
+    AclCaches.clearAll()
+  }
+
   test("snapshot cache serves the pre-append snapshot until invalidated") {
     val spark = TestSpark.spark
     import spark.implicits._
