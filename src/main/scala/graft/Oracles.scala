@@ -586,6 +586,65 @@ ORDER BY doc_a, doc_b""",
 SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY node ORDER BY doc_id""",
 
+    "d8_minhash_estimate" ->
+      """WITH sh AS (
+  SELECT DISTINCT doc_id, substr(text, i, 10) AS shingle
+  FROM (SELECT doc_id, text,
+          unnest(generate_series(1, greatest(length(text) - 9, 1), 2)) AS i
+        FROM documents)
+), hh AS (
+  SELECT doc_id, md5('a:' || shingle) AS ha, md5('b:' || shingle) AS hb
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    min(substr(ha, 1, 5)) AS h0, min(substr(ha, 6, 5)) AS h1,
+    min(substr(ha, 11, 5)) AS h2, min(substr(ha, 16, 5)) AS h3,
+    min(substr(ha, 21, 5)) AS h4, min(substr(ha, 26, 5)) AS h5,
+    min(substr(hb, 1, 5)) AS h6, min(substr(hb, 6, 5)) AS h7,
+    min(substr(hb, 11, 5)) AS h8, min(substr(hb, 16, 5)) AS h9,
+    min(substr(hb, 21, 5)) AS h10, min(substr(hb, 26, 5)) AS h11
+  FROM hh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(h0 || h1 || h2) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h3 || h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h6 || h7 || h8) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h9 || h10 || h11) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+  CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h8 = b.h8 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h9 = b.h9 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h10 = b.h10 THEN 1 ELSE 0 END)
+     + (CASE WHEN a.h11 = b.h11 THEN 1 ELSE 0 END) AS DOUBLE) / 12
+    AS est_jaccard
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b""",
+
     "d3_simhash" ->
       """WITH toks AS (
   SELECT doc_id, md5(unnest(list_filter(string_split(text, ' '), t -> t <> ''))) AS hhex

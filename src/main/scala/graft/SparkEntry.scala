@@ -525,6 +525,7 @@ object SparkEntry {
   private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "d6_chunk_dedup" -> ((s, d) => Dedup.chunkDedup(docs(s, d), k = 10)),
+    "d8_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(docs(s, d))),
     "d7_neardup_clusters" -> ((s, d) =>
       // dedup finisher: minhash-LSH pairs -> connected components ->
       // (doc, canonical cluster id). A pairwise list alone cannot pick

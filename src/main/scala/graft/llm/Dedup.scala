@@ -172,6 +172,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MinHash similarity ESTIMATE for LSH candidate pairs: the fraction
+    * of agreeing signature components is an unbiased estimator of the
+    * pair's Jaccard similarity — the cheap middle stage of the
+    * candidate -> estimate -> exact-verify funnel (estimates prune the
+    * candidate list before the expensive exact intersection touches
+    * the raw text). n_agree/12 is an exact integer ratio. */
+  def minhashEstimate(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
+                      bands: Int = 4, stride: Int = 2): DataFrame = {
+    val sig = minhashSignaturesNarrow(docs, k, stride, numHashes)
+      .localCheckpoint() // reused by banding AND both join sides
+    val pairs = lshCandidates(sig, numHashes, bands)
+    def side(tag: String) = sig.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (0 until numHashes).map(j => col(s"h$j").as(s"${tag}h$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"ah$j") === col(s"bh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / numHashes)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash-LSH near-dup candidates, end to end (narrow signatures). */
   def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
                  bands: Int = 4, stride: Int = 2): DataFrame =

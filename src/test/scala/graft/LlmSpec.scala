@@ -175,6 +175,18 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash estimate: identical docs agree on all components") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsDF(1L -> base, 2L -> base, 3L -> (base + " tail"))
+    val est = Dedup.minhashEstimate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(est((1L, 2L)) == ((12L, 1.0)))
+    est.values.foreach { case (n, e) =>
+      assert(n >= 0 && n <= 12 && e == n / 12.0)
+    }
+  }
+
   test("weighted mix keeps deterministic per-group fractions") {
     val d = (1L to 400L).map(i =>
       (i, s"text $i", if (i % 2 == 0) "en" else "zh", "s", 6L))
