@@ -24,13 +24,29 @@ import graft.acl.PartitionAcl
   *
   * Scale: the log is metadata (KBs per commit); snapshot replay is a
   * groupBy(path) over log entries — at 100 TB the data never moves, which
-  * is the whole point of log-driven pruning. Single-writer only (no
-  * concurrent-commit protocol) — documented limitation.
+  * is the whole point of log-driven pruning. Snapshot cost is bounded by
+  * parquet checkpoints (every [[checkpointInterval]] commits): replay =
+  * latest checkpoint + tail JSON, O(since-last-checkpoint) not O(history),
+  * mirroring the reference's "log JSON/checkpoint" passthrough
+  * (/root/reference/src/main.rs:532-538) and delta-rs's open_table replay.
+  *
+  * Concurrency: commits use optimistic create-if-absent on the version
+  * file. Blind appends commute, so a losing appender rebases onto the next
+  * version and retries ([[writeCommit]]); OPTIMIZE/VACUUM read the snapshot
+  * first, so their commits do NOT retry — a conflict throws, the caller
+  * re-runs against the fresh snapshot (the Delta protocol's conflict rule).
   */
 object MiniDelta {
 
   final class ReadOnlyTableException(path: String)
     extends RuntimeException(s"405: table at $path is read-only")
+
+  final class ConcurrentCommitException(path: String, version: Long)
+    extends RuntimeException(
+      s"409: commit $version at $path lost a concurrent-writer race")
+
+  /** Write a parquet checkpoint automatically after every N commits. */
+  val checkpointInterval = 10
 
   private def logDir(table: String) = s"$table/_delta_log"
 
@@ -52,17 +68,16 @@ object MiniDelta {
   def append(spark: SparkSession, df: DataFrame, table: String,
              partitionBy: Seq[String], readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    val f = fs(spark, table)
     val beforePaths = listDataFiles(spark, table).map(_._1).toSet
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
-    val version = nextVersion(spark, table)
-    writeCommit(spark, table, version,
-      added.map { case (p, s2) => addLine(p, s2) }, "WRITE")
-    version
+    // blind append: no snapshot was read, so losing the version race is
+    // harmless — rebase onto the next version and retry (retry = true)
+    writeCommit(spark, table, nextVersion(spark, table),
+      added.map { case (p, s2) => addLine(p, s2) }, "WRITE", retry = true)
   }
 
   private def listDataFiles(spark: SparkSession,
@@ -105,19 +120,68 @@ object MiniDelta {
   def logDF(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(logSchema).json(s"${logDir(table)}/*.json")
 
-  private def writeCommit(spark: SparkSession, table: String,
-                          version: Long, lines: Seq[String],
-                          operation: String): Unit = {
+  /** Optimistic commit: create-if-absent on the version file. A losing
+    * writer either rebases to the next free version and retries (blind
+    * appends — add-only commits commute under the Delta conflict rules)
+    * or, when `retry = false` (OPTIMIZE/VACUUM, which read the snapshot
+    * first), throws [[ConcurrentCommitException]] so the caller re-runs
+    * against the fresh snapshot. Returns the version actually committed. */
+  private[graft] def writeCommit(spark: SparkSession, table: String,
+                                 version: Long, lines: Seq[String],
+                                 operation: String, retry: Boolean = false,
+                                 maxRetries: Int = 20): Long = {
     val f = fs(spark, table)
-    val commit =
-      (s"""{"commitInfo":{"operation":"$operation","version":$version}}""" +:
-        lines).mkString("\n")
     f.mkdirs(new Path(logDir(table)))
-    val out = f.create(new Path(f"${logDir(table)}%s/$version%020d.json"),
-      false)
-    out.write(commit.getBytes("UTF-8"))
-    out.close()
+    var v = version
+    var attempt = 0
+    while (true) {
+      val p = new Path(f"${logDir(table)}%s/$v%020d.json")
+      val commit =
+        (s"""{"commitInfo":{"operation":"$operation","version":$v}}""" +:
+          lines).mkString("\n")
+      try {
+        val out = f.create(p, false)
+        out.write(commit.getBytes("UTF-8"))
+        out.close()
+        if ((v + 1) % checkpointInterval == 0) writeCheckpoint(spark, table, v)
+        return v
+      } catch {
+        case e: java.io.IOException if f.exists(p) =>
+          if (!retry) throw new ConcurrentCommitException(table, v)
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          v = nextVersion(spark, table)
+      }
+    }
+    v // unreachable
   }
+
+  private def checkpointPath(table: String, version: Long): String =
+    f"${logDir(table)}%s/$version%020d.checkpoint.parquet"
+
+  /** Latest checkpoint at or below `atMost`, if any. */
+  private def latestCheckpoint(spark: SparkSession, table: String,
+                               atMost: Long): Option[Long] = {
+    val dir = new Path(logDir(table))
+    val f = fs(spark, table)
+    if (!f.exists(dir)) return None
+    val vs = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong)
+      .filter(_ <= atMost)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Materialize the snapshot as of `version` as a parquet checkpoint:
+    * subsequent snapshot loads replay checkpoint + tail JSON instead of
+    * the whole history. The checkpoint is the pruned file manifest —
+    * metadata, KBs-to-MBs even for a 100 TB table — and is written
+    * distributed (no coalesce: at millions of files it is a multi-part
+    * checkpoint, like Delta's). */
+  def writeCheckpoint(spark: SparkSession, table: String,
+                      version: Long): Unit =
+    snapshotFilesAt(spark, table, version, useCheckpoint = false)
+      .write.mode("overwrite").parquet(checkpointPath(table, version))
 
   private def addLine(rel: String, size: Long): String = {
     val parts = rel.split("/").dropRight(1)
@@ -134,28 +198,42 @@ object MiniDelta {
     * and adds for the rewritten ones. Old files stay on disk (vacuum is
     * out of scope); the snapshot no longer references them.
     *
-    * Scale: at 100 TB compaction runs per-partition (coalesce within a
-    * partition directory), exactly how OPTIMIZE binpacks; the log commit
-    * is still metadata-only. Single-writer, like append. */
+    * Scale: the rewrite is `repartition(partitionCols)` — each partition
+    * value hashes to exactly one task, so every partition directory is
+    * compacted independently and in parallel (how OPTIMIZE binpacks),
+    * never funneled through a single task. A giant single partition can
+    * additionally be split by `maxRecordsPerFile`. The log commit is
+    * metadata-only, and does NOT retry on a concurrent-writer conflict:
+    * the removes were computed from the pre-rewrite snapshot, so the
+    * caller must re-run against the fresh snapshot (Delta conflict rule). */
   def compact(spark: SparkSession, table: String,
-              partitionBy: Seq[String], readOnly: Boolean = false): Long = {
+              partitionBy: Seq[String], readOnly: Boolean = false,
+              maxRecordsPerFile: Long = 0L): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
     val data = spark.read.option("basePath", table)
       .parquet(current.map(r => s"$table/${r.getString(0)}").toIndexedSeq: _*)
     val before = listDataFiles(spark, table).map(_._1).toSet
-    val writer = data.coalesce(1).write.mode("append")
+    // explicit partition count: a column-only repartition is eligible for
+    // AQE partition coalescing, which at low volume re-creates the exact
+    // single-task funnel this rewrite removes; with the count pinned each
+    // partition value compacts in its own task unconditionally
+    val binpacked =
+      if (partitionBy.nonEmpty)
+        data.repartition(spark.sessionState.conf.numShufflePartitions,
+          partitionBy.map(col): _*)
+      else data.coalesce(1)
+    val writer = binpacked.write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val added = listDataFiles(spark, table)
       .filterNot { case (p, _) => before.contains(p) }
-    val version = nextVersion(spark, table)
     val removes = oldPaths.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"$p","dataChange":false}}""")
-    writeCommit(spark, table, version,
+    writeCommit(spark, table, nextVersion(spark, table),
       removes ++ added.map { case (p, s) => addLine(p, s) }, "OPTIMIZE")
-    version
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
@@ -177,19 +255,34 @@ object MiniDelta {
     dead
   }
 
-  /** Time travel: the snapshot as of `version` (inclusive) — replay adds
-    * and removes only up to that commit. */
+  /** Time travel: the snapshot as of `version` (inclusive) — replay the
+    * latest parquet checkpoint at or below `version` plus the JSON tail
+    * after it (O(since-last-checkpoint), not O(history)); set
+    * `useCheckpoint = false` to force the full-JSON replay (parity
+    * testing / checkpoint-less reads). */
   def snapshotFilesAt(spark: SparkSession, table: String,
-                      version: Long): DataFrame = {
+                      version: Long,
+                      useCheckpoint: Boolean = true): DataFrame = {
+    val cp = if (useCheckpoint) latestCheckpoint(spark, table, version)
+             else None
     val log = logDF(spark, table)
       .withColumn("version",
         regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
           .cast("long"))
-      .where(col("version") <= version)
-    val adds = log.where(col("add").isNotNull)
+      .where(col("version") <= version &&
+        col("version") > cp.getOrElse(-1L))
+    // the checkpoint IS the folded snapshot at cp: treat its manifest
+    // rows as adds at version cp, then replay only the tail on top
+    val base = cp.map { v =>
+      spark.read.parquet(checkpointPath(table, v))
+        .select(col("path"), col("partitionValues"), col("size"),
+          lit(v).as("version"))
+    }
+    val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"), col("version"))
+    val adds = base.fold(jsonAdds)(_.unionByName(jsonAdds))
     val addLatest = adds.groupBy("path").agg(max("version").as("add_v"))
     val removes = log.where(col("remove").isNotNull)
       .select(col("remove.path").as("path"), col("version"))

@@ -81,24 +81,22 @@ object Dedup {
     * All bands are emitted in ONE pass over the signatures (explode of a
     * struct array — a union of per-band selects would re-run the whole
     * signature aggregation per band), and the banded rows go through an
-    * exchange so the self-join reuses one materialization. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
-      struct(lit(b).as("band"), md5(concat(cols: _*)).as("band_hash"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"),
-        col("bh.band_hash").as("band_hash"))
+    * exchange so the self-join reuses one materialization.
+    *
+    * `maxBucket` caps bucket size: a degenerate bucket (one document
+    * mass-duplicated 10^6 times at 100 TB) would otherwise produce one
+    * collect_set row whose size² pair expansion lands on a single task —
+    * the classic LSH skew killer. Buckets above the cap are DROPPED
+    * (production MinHash dedup does the same: members of a huge bucket
+    * still pair through their other, finer bands, and a bucket that big
+    * is boilerplate better handled by exact dedup). [[lshDroppedBuckets]]
+    * surfaces what was dropped — capping is never silent. */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+                    maxBucket: Int = 10000): DataFrame = {
     // bucket-local pair expansion instead of a self-join: one pipeline,
-    // signatures computed exactly once. Bucket sizes are the LSH knob —
-    // a degenerate bucket (mass-duplicated doc) is the usual LSH skew
-    // case and would need bucket-size capping at extreme scale.
-    banded.groupBy("band", "band_hash")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+    // signatures computed exactly once.
+    lshBuckets(sig, numHashes, bands)
+      .where(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
@@ -107,6 +105,32 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
+
+  /** All (band, band_hash) buckets with their sorted member sets — the
+    * shared banding stage behind [[lshCandidates]] / [[lshDroppedBuckets]]. */
+  private def lshBuckets(sig: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(j => col(s"h$j"))
+      struct(lit(b).as("band"), md5(concat(cols: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"),
+        col("bh.band_hash").as("band_hash"))
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+  }
+
+  /** The buckets [[lshCandidates]] dropped under `maxBucket`, with sizes —
+    * the audit trail for capping (count it, alert on it, route the member
+    * docs to exact dedup). Empty when nothing was capped. */
+  def lshDroppedBuckets(sig: DataFrame, numHashes: Int, bands: Int,
+                        maxBucket: Int = 10000): DataFrame =
+    lshBuckets(sig, numHashes, bands)
+      .where(size(col("ids")) > maxBucket)
+      .select(col("band"), col("band_hash"),
+        size(col("ids")).cast("long").as("bucket_size"))
 
   /** Connected components over an undirected pair list (doc_a, doc_b) —
     * the dedup FINISHER: near-dup pairs form clusters, and one canonical
@@ -179,10 +203,11 @@ object Dedup {
     * candidate list before the expensive exact intersection touches
     * the raw text). n_agree/12 is an exact integer ratio. */
   def minhashEstimate(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
-                      bands: Int = 4, stride: Int = 2): DataFrame = {
+                      bands: Int = 4, stride: Int = 2,
+                      maxBucket: Int = 10000): DataFrame = {
     val sig = minhashSignaturesNarrow(docs, k, stride, numHashes)
       .localCheckpoint() // reused by banding AND both join sides
-    val pairs = lshCandidates(sig, numHashes, bands)
+    val pairs = lshCandidates(sig, numHashes, bands, maxBucket)
     def side(tag: String) = sig.select(
       col("doc_id").as(s"doc_$tag") +:
         (0 until numHashes).map(j => col(s"h$j").as(s"${tag}h$j")): _*)
@@ -198,9 +223,10 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidates, end to end (narrow signatures). */
   def minhashLsh(docs: DataFrame, k: Int = 10, numHashes: Int = 12,
-                 bands: Int = 4, stride: Int = 2): DataFrame =
+                 bands: Int = 4, stride: Int = 2,
+                 maxBucket: Int = 10000): DataFrame =
     lshCandidates(minhashSignaturesNarrow(docs, k, stride, numHashes),
-      numHashes, bands).orderBy("doc_a", "doc_b")
+      numHashes, bands, maxBucket).orderBy("doc_a", "doc_b")
 
   /** Prefix-filtered exact n-gram Jaccard (AllPairs-style candidate
     * generation) — identical output to [[ngramJaccard]], different

@@ -33,6 +33,35 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lsh bucket cap drops only oversized buckets, and audibly") {
+    // 6 identical docs (one degenerate bucket of size 6 in every band)
+    // plus a distinct near-pair that must survive capping
+    val boiler = "spam spam spam wonderful spam spam spam baked beans spam"
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docsDF(
+      (1L to 6L).map(i => i -> boiler) ++
+        Seq(10L -> base, 11L -> (base + " tail")): _*)
+    val uncapped = Dedup.minhashLsh(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(d, maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped is a subset; the small-bucket pair survives
+    assert(capped.subsetOf(uncapped))
+    assert(capped.contains((10L, 11L)))
+    // every removed pair involves only boilerplate docs (the big bucket)
+    val removed = uncapped -- capped
+    assert(removed.nonEmpty)
+    assert(removed.forall { case (a, b) => a <= 6L && b <= 6L })
+    // the audit trail reports the dropped buckets with their sizes
+    val sig = Dedup.minhashSignaturesNarrow(d, 10, 2, 12)
+    val dropped = Dedup.lshDroppedBuckets(sig, 12, 4, maxBucket = 5)
+      .collect()
+    assert(dropped.nonEmpty)
+    assert(dropped.forall(_.getLong(2) == 6L))
+    // nothing dropped at the default cap
+    assert(Dedup.lshDroppedBuckets(sig, 12, 4).count() == 0)
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val d = docsDF(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "epsilon zeta eta theta iota kappa")

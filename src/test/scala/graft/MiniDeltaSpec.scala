@@ -122,6 +122,77 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction binpacks partition directories in parallel tasks") {
+    val t = freshTable()
+    // 4 partition values, 2 small files each
+    for (y <- Seq("2021", "2022", "2023", "2024"); _ <- 1 to 2)
+      MiniDelta.append(spark, sample(y, 2), t, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    val paths = MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0))
+    assert(paths.length == 4) // one file per partition directory
+    // the rewrite ran as multiple tasks, not a coalesce(1) funnel:
+    // parquet part files carry their writing task's index in the name
+    val taskIds = paths.map(p =>
+      "part-(\\d+)-".r.findFirstMatchIn(p.split("/").last).get.group(1))
+    assert(taskIds.distinct.length > 1,
+      s"all compacted files written by one task: ${paths.mkString(", ")}")
+  }
+
+  test("checkpoint replay equals full-JSON replay; auto-checkpoint fires") {
+    val t = freshTable()
+    for (i <- 1 to 20)
+      MiniDelta.append(spark, sample((2000 + i % 3).toString, 1), t,
+        Seq("year"))
+    // auto-checkpoints at versions 9 and 19 (every 10th commit)
+    val logFiles = new java.io.File(s"$t/_delta_log").list().toSet
+    assert(logFiles.contains(f"${9L}%020d.checkpoint.parquet"))
+    assert(logFiles.contains(f"${19L}%020d.checkpoint.parquet"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("path"), element_at(col("partitionValues"), "year"),
+        col("size")).collect().map(_.toSeq).toSet
+    // current snapshot: checkpoint(19) + empty tail == all 20 JSON commits
+    assert(rows(MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue)) ==
+      rows(MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue,
+        useCheckpoint = false)))
+    // mid-history: checkpoint(9) + tail commits 10..14
+    assert(rows(MiniDelta.snapshotFilesAt(spark, t, 14)) ==
+      rows(MiniDelta.snapshotFilesAt(spark, t, 14, useCheckpoint = false)))
+    // before any checkpoint: pure JSON replay still works
+    assert(rows(MiniDelta.snapshotFilesAt(spark, t, 5)) ==
+      rows(MiniDelta.snapshotFilesAt(spark, t, 5, useCheckpoint = false)))
+    // and checkpoints fold removes: compact, checkpoint, snapshot matches
+    MiniDelta.compact(spark, t, Seq("year")) // version 20
+    MiniDelta.writeCheckpoint(spark, t, 20)
+    assert(rows(MiniDelta.snapshotFiles(spark, t)) ==
+      rows(MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue,
+        useCheckpoint = false)))
+  }
+
+  test("optimistic commit: losing appender rebases and retries") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
+    // two writers race for version 1 — blind adds, so the loser must
+    // land at version 2, not fail
+    val v1 = MiniDelta.writeCommit(spark, t, 1,
+      Seq("""{"add":{"path":"year=2023/a.parquet","partitionValues":{"year":"2023"},"size":1,"dataChange":true}}"""),
+      "WRITE", retry = true)
+    val v2 = MiniDelta.writeCommit(spark, t, 1,
+      Seq("""{"add":{"path":"year=2023/b.parquet","partitionValues":{"year":"2023"},"size":1,"dataChange":true}}"""),
+      "WRITE", retry = true)
+    assert(Set(v1, v2) == Set(1L, 2L))
+    // both commits are in the snapshot
+    val paths = MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(paths.contains("year=2023/a.parquet"))
+    assert(paths.contains("year=2023/b.parquet"))
+    // a snapshot-dependent commit (OPTIMIZE semantics) must NOT retry:
+    // its removes were computed against a stale snapshot
+    intercept[MiniDelta.ConcurrentCommitException] {
+      MiniDelta.writeCommit(spark, t, 2, Seq.empty, "OPTIMIZE")
+    }
+  }
+
   test("the log itself reads as data (S5 passthrough)") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
