@@ -396,17 +396,10 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first,
           col("user_bucket").asc_nulls_first)),
     "a9_latency_quantiles" -> ((s, d) =>
-      // exact p50/p90/p99 per event class (linear interpolation on the
-      // sorted values; rounded to 4 decimals — the interpolation op tree
-      // may differ in final ulps across engines). Exact percentile needs
-      // a per-group sort; at 100 TB swap for approx_percentile
-      // (t-digest) to keep it one pass.
-      ev(s, d).groupBy("event_type")
-        .agg(
-          round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          round(expr("percentile(value, 0.99)"), 4).as("p99"))
-        .orderBy("event_type")),
+      // exact p50/p90/p99 per event class (oracle-matched); the
+      // executable 100 TB path is latencyQuantiles(approx = true) —
+      // one-pass mergeable quantile sketch instead of a per-group sort.
+      Metrics.latencyQuantiles(ev(s, d))),
     "a8_sessionization" -> ((s, d) =>
       // gap-based sessions (30 min): per-user session/event counts —
       // one shuffle on user_id, stacked windows, integer-exact.

@@ -25,9 +25,25 @@ object AclCaches {
   /** F13: the composite cache key (`format!("{}:{}", user, table)`). */
   def cacheKey(user: String, table: String): String = s"$user:$table"
 
-  val fileList = new TtlCache[String, Seq[String]](100, 120000L)
-  val auth = new TtlCache[String, Boolean](100, 120000L)
-  val dbPerms = new TtlCache[String, PartitionAcl.Filters](100, 0L)
+  @volatile private var _fileList =
+    new TtlCache[String, Seq[String]](100, 120000L)
+  @volatile private var _auth = new TtlCache[String, Boolean](100, 120000L)
+  @volatile private var _dbPerms =
+    new TtlCache[String, PartitionAcl.Filters](100, 0L)
+
+  def fileList: TtlCache[String, Seq[String]] = _fileList
+  def auth: TtlCache[String, Boolean] = _auth
+  def dbPerms: TtlCache[String, PartitionAcl.Filters] = _dbPerms
+
+  /** Rebuild the caches from config knobs ([[graft.catalog.GraftConfig]]
+    * fileListCache/authCache) — existing entries are discarded, exactly
+    * like a reference restart with a new config file. */
+  def configure(fileListCfg: graft.catalog.CacheConfig,
+                authCfg: graft.catalog.CacheConfig): Unit = {
+    _fileList =
+      new TtlCache(fileListCfg.maxEntries, fileListCfg.ttlMs)
+    _auth = new TtlCache(authCfg.maxEntries, authCfg.ttlMs)
+  }
 
   /** Resolved allowed-file set for (user, alias), memoized. `resolve`
     * runs P5 pruning (snapshot metadata only) on a miss. */

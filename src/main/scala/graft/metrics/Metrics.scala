@@ -36,10 +36,21 @@ object Metrics {
     events.groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
 
-  /** A2: exact distinct users per 1-minute tumbling window. */
-  def distinctUsersPerMinute(events: DataFrame): DataFrame =
+  /** Distinct-user aggregation, exact or sketched. Exact countDistinct
+    * shuffles (user_id, window) expanded rows — what the oracle needs and
+    * what the reference's per-window HashSet computes. At 100 TB neither
+    * fits: `approx = true` switches to approx_count_distinct (HLL++,
+    * default 5% rsd), a one-pass mergeable sketch — the executable scale
+    * path, not a comment. */
+  private def uniqueUsers(approx: Boolean): Column =
+    if (approx) approx_count_distinct(col("user_id")).as("unique_users")
+    else countDistinct(col("user_id")).as("unique_users")
+
+  /** A2: distinct users per 1-minute tumbling window. */
+  def distinctUsersPerMinute(events: DataFrame,
+                             approx: Boolean = false): DataFrame =
     events.groupBy(minuteWindow)
-      .agg(countDistinct(col("user_id")).as("unique_users"))
+      .agg(uniqueUsers(approx))
       .select(col("window.start").as("window_start"), col("unique_users"))
       .orderBy("window_start")
 
@@ -88,17 +99,34 @@ object Metrics {
   /** A1-A5 combined: the reference's full per-minute emit
     * (queries_served, unique_users, avg latency, avg size). Message size
     * stands in as an exact integer derived from the event id. */
-  def perMinute(events: DataFrame): DataFrame =
+  def perMinute(events: DataFrame, approx: Boolean = false): DataFrame =
     events
       .withColumn("size_bytes", col("event_id") % 4096 + 128)
       .groupBy(minuteWindow)
       .agg(
         count(lit(1)).as("queries_served"),
-        countDistinct(col("user_id")).as("unique_users"),
+        uniqueUsers(approx),
         gridAvg(col("value")).as("avg_latency"),
         (sum(col("size_bytes")) / count(lit(1))).as("avg_size_bytes"))
       .select(col("window.start").as("window_start"),
         col("queries_served"), col("unique_users"),
         col("avg_latency"), col("avg_size_bytes"))
       .orderBy("window_start")
+
+  /** A9: latency quantiles per event class. Exact percentile (linear
+    * interpolation, oracle-matched) needs the group's values gathered
+    * for a sort; `approx = true` swaps in approx_percentile — Spark's
+    * one-pass mergeable quantile sketch with a bounded accuracy
+    * parameter — which is the only shape that survives a 100 TB group.
+    * Rounded to 4 decimals so the exact form is engine-stable. */
+  def latencyQuantiles(events: DataFrame,
+                       approx: Boolean = false): DataFrame = {
+    val fn = if (approx) "approx_percentile" else "percentile"
+    events.groupBy("event_type")
+      .agg(
+        round(expr(s"$fn(value, 0.5)"), 4).as("p50"),
+        round(expr(s"$fn(value, 0.9)"), 4).as("p90"),
+        round(expr(s"$fn(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+  }
 }

@@ -79,4 +79,49 @@ class FileStreamSpec extends AnyFunSuite {
         Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("streamed MiniDelta table equals the batch-written table exactly") {
+    // T4 parity gate: the same rows written (a) as streaming micro-batch
+    // commits through foreachBatch and (b) as one batch append must
+    // produce tables with identical CONTENT under the log-driven reader
+    // — the sink is not a lossy approximation of the batch path.
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val src = Files.createTempDirectory("eqsrc").toString
+    val streamed = Files.createTempDirectory("eqstream").toString + "/t"
+    val batched = Files.createTempDirectory("eqbatch").toString + "/t"
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "XLON" else "XPAR", i * 1.25))
+    // three source files -> three micro-batches
+    rows.grouped(14).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("id", "mic", "price").coalesce(1)
+        .write.parquet(s"$src/b$i")
+    }
+    val schema = spark.read.parquet(s"$src/b0").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        MiniDelta.append(spark, batch, streamed, Seq("mic")); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    MiniDelta.append(spark, rows.toDF("id", "mic", "price"), batched,
+      Seq("mic"))
+    def content(t: String) =
+      MiniDelta.readFiltered(spark, t, Seq.empty)
+        .select("id", "mic", "price")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(content(streamed) == content(batched))
+    // and both prune identically
+    def pruned(t: String) =
+      MiniDelta.readFiltered(spark, t, Seq(Map("mic" -> "XLON")))
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(pruned(streamed) == pruned(batched))
+    // micro-batch granularity shows only in the log (3 commits vs 1)
+    assert(MiniDelta.logDF(spark, streamed)
+      .where(col("commitInfo").isNotNull).count() == 3)
+    assert(MiniDelta.logDF(spark, batched)
+      .where(col("commitInfo").isNotNull).count() == 1)
+  }
 }

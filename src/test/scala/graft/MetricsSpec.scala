@@ -60,6 +60,52 @@ class MetricsSpec extends AnyFunSuite {
     assert(stats(2L) == ((1L, 1L, 1L)))
   }
 
+  test("approx scale path tracks exact within sketch tolerance") {
+    // real fixture data: enough cardinality to exercise the sketches
+    val ev = Tables.events(spark, TestSpark.sfTiny)
+    val exactU = Metrics.distinctUsersPerMinute(ev)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val approxU = Metrics.distinctUsersPerMinute(ev, approx = true)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approxU.keySet == exactU.keySet) // same windows
+    // HLL++ default rsd is 5%; allow 3 sigma plus slack for tiny windows
+    exactU.foreach { case (w, n) =>
+      assert(math.abs(approxU(w) - n) <= math.max(3, 0.15 * n),
+        s"window $w: approx ${approxU(w)} vs exact $n")
+    }
+    // perMinute: only the unique_users column may differ, within the
+    // same tolerance; counts and averages stay bit-exact
+    val ex = Metrics.perMinute(ev).collect()
+    val ap = Metrics.perMinute(ev, approx = true).collect()
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(e.getTimestamp(0) == a.getTimestamp(0))
+      assert(e.getLong(1) == a.getLong(1))
+      assert(math.abs(a.getLong(2) - e.getLong(2)) <=
+        math.max(3, 0.15 * e.getLong(2)))
+      assert(e.getDouble(3) == a.getDouble(3))
+      assert(e.getDouble(4) == a.getDouble(4))
+    }
+    // quantiles: the sketch's guarantee is on RANK, not value — assert
+    // each approx quantile lies between exact quantiles a few rank
+    // percent on either side (value-relative checks break on heavy
+    // tails where neighboring order statistics differ by 25%+)
+    val brackets = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.45, 0.55, 0.85, 0.95, 0.97, 1.0))")
+        .as("b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val apQ = Metrics.latencyQuantiles(ev, approx = true).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(apQ.keySet == brackets.keySet)
+    apQ.foreach { case (k, Seq(p50, p90, p99)) =>
+      val b = brackets(k)
+      assert(p50 >= b(0) && p50 <= b(1), s"$k p50=$p50 not in ${b(0)}..${b(1)}")
+      assert(p90 >= b(2) && p90 <= b(3), s"$k p90=$p90 not in ${b(2)}..${b(3)}")
+      assert(p99 >= b(4) && p99 <= b(5), s"$k p99=$p99 not in ${b(4)}..${b(5)}")
+    }
+  }
+
   test("counters by request class") {
     val c = Metrics.counters(sampleEvents.toDF).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
