@@ -785,6 +785,25 @@ FROM lineitem
 WHERE l_quantity <= 2 AND l_returnflag IN ('N', 'R')
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s10_time_travel" ->
+      """SELECT 'current' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+UNION ALL
+SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2 AND l_linenumber % 2 = 0
+ORDER BY snap""",
+
+    "s11_vacuum" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sim_ivf_topk" ->
       """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
 c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

@@ -98,6 +98,68 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s10_time_travel" -> ((s, d) => {
+      // Time travel + checkpoint replay end to end: commit 0 = even line
+      // numbers, commit 1 = odd, commit 2 = OPTIMIZE; a parquet
+      // checkpoint at v2 makes the "current" read replay checkpoint +
+      // empty tail while the v0 read replays raw JSON. v0 must see ONLY
+      // the first commit's rows; current must see all — both equal the
+      // same aggregates computed straight from the source.
+      val dir = "/tmp/graft_s10_timetravel"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.writeCheckpoint(s, table, 2)
+      def agg(df: DataFrame, snap: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            (sum(round(col("l_extendedprice") * 100)) / 100.0)
+              .as("sum_price"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .withColumn("snap", lit(snap))
+      agg(graft.io.MiniDelta.readFiltered(s, table, Seq.empty), "current")
+        .unionByName(agg(graft.io.MiniDelta.readFiltered(s, table,
+          Seq.empty, versionAsOf = Some(0L)), "v0"))
+        .select("snap", "n_rows", "sum_price", "sum_qty")
+        .orderBy("snap")
+    }),
+    "s11_vacuum" -> ((s, d) => {
+      // VACUUM gate via a RAW directory scan: after append+append+
+      // OPTIMIZE+vacuum, a plain parquet read of the table directory
+      // (no log, underscore dirs skipped) must equal the source — it
+      // can only do so if vacuum physically deleted the superseded
+      // pre-compaction files (otherwise every row double-counts).
+      val dir = "/tmp/graft_s11_vacuum"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.vacuum(s, table)
+      s.read.parquet(table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "w4_pagination" -> ((s, d) =>
       ObjectListing.page(files(s, d), 100, 3)
         .withColumn("rn", col("rn").cast("long")).orderBy("key")),

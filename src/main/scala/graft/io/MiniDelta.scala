@@ -329,10 +329,14 @@ object MiniDelta {
   }
 
   /** Read the table THROUGH the pruned file set: scan only the files the
-    * filters resolve to (the reference's authorize-then-fetch, J2+S6). */
+    * filters resolve to (the reference's authorize-then-fetch, J2+S6).
+    * `versionAsOf` time-travels the snapshot (None = current). */
   def readFiltered(spark: SparkSession, table: String,
-                   filters: PartitionAcl.Filters): DataFrame = {
-    val files = filesForFilters(snapshotFiles(spark, table), filters)
+                   filters: PartitionAcl.Filters,
+                   versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshotFilesAt(spark, table,
+      versionAsOf.getOrElse(Long.MaxValue))
+    val files = filesForFilters(snap, filters)
       .select("path").collect().map(r => s"$table/${r.getString(0)}")
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("basePath", table).parquet(files.toIndexedSeq: _*)
