@@ -370,6 +370,64 @@ GROUP BY token
 ORDER BY n_docs DESC, n_total DESC, token ASC
 LIMIT 50""",
 
+    "t6_repetition" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(tk) AS w FROM toks)
+  GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+    CAST(count(*) AS BIGINT) AS n_distinct_words,
+    CAST(max(c) AS BIGINT) AS max_word_count
+  FROM wc GROUP BY doc_id
+), bc AS (
+  SELECT doc_id, b, count(*) AS c
+  FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+        FROM (SELECT doc_id, tk,
+                unnest(generate_series(1, len(tk) - 1)) AS i
+              FROM toks WHERE len(tk) >= 2))
+  GROUP BY doc_id, b
+), bagg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS max_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_words, 0) AS n_words,
+  coalesce(n_distinct_words, 0) AS n_distinct_words,
+  coalesce(max_word_count, 0) AS max_word_count,
+  coalesce(max_bigram_count, 0) AS max_bigram_count,
+  CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
+    ELSE CAST(n_words - n_distinct_words AS DOUBLE) / n_words END
+    AS dup_word_ratio,
+  CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0
+    ELSE CAST(max_word_count AS DOUBLE) / n_words END AS top_word_ratio,
+  CASE WHEN coalesce(n_words, 0) <= 1 THEN 0.0
+    ELSE CAST(coalesce(max_bigram_count, 0) AS DOUBLE) / (n_words - 1) END
+    AS top_bigram_ratio
+FROM documents d
+LEFT JOIN wagg USING (doc_id)
+LEFT JOIN bagg USING (doc_id)
+ORDER BY doc_id""",
+
+    "d9_decontaminate" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i
+        FROM toks WHERE len(tk) >= 4)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+FROM grams JOIN ev USING (g)
+WHERE doc_id % 97 <> 0
+GROUP BY doc_id ORDER BY doc_id""",
+
     "w6_asof_join" ->
       """WITH u AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS side, value,
@@ -774,6 +832,27 @@ WHERE cos_sim >= 0.2 ORDER BY vec_a, vec_b""",
 )
 SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rn
+  FROM s
+) WHERE rn <= 10 ORDER BY query_id, rk""",
+
+    "sim_quantized_topk" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+ma AS (
+  SELECT vec_id, greatest(max(abs(CAST(embedding[i] AS DOUBLE))), 1e-30) AS m
+  FROM embeddings, g GROUP BY vec_id
+), qv AS (
+  SELECT e.vec_id, i,
+    floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / ma.m + 0.5) AS q
+  FROM embeddings e JOIN ma USING (vec_id), g
+), s AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+    CAST(SUM(a.q * c.q) AS BIGINT) AS qdot
+  FROM qv a JOIN qv c ON a.i = c.i AND c.vec_id <> a.vec_id
+  WHERE a.vec_id % 100 = 0
+  GROUP BY a.vec_id, c.vec_id
+)
+SELECT query_id, cand_id, qdot, rn AS rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, cand_id) AS BIGINT) AS rn
   FROM s
 ) WHERE rn <= 10 ORDER BY query_id, rk""",
 

@@ -469,6 +469,19 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d), 50)
         .select(col("token"), col("n_docs"), col("n_total"))),
+    "t6_repetition" -> ((s, d) =>
+      // Gopher repetition filters: counts + ratios from ONE native
+      // tokenization pass per doc — narrow projection, zero shuffle.
+      TextAnalysis.repetitionStats(docs(s, d))),
+    "d9_decontaminate" -> ((s, d) =>
+      // eval-set decontamination: training docs sharing a word n-gram
+      // with the held-out subset (doc_id % 97 == 0) — broadcast the
+      // tiny eval shingle set, one narrow pass over the corpus. Real
+      // corpora use n=8 (the API default); the fixtures are ~35-word
+      // docs over a ~30-word vocabulary, where n=4 plays the same
+      // "long verbatim overlap" role with a non-degenerate result.
+      Dedup.decontaminate(docs(s, d),
+        pmod(col("doc_id"), lit(97)) === 0, n = 4)),
     "pipe3_mix_dedup_stats" -> ((s, d) => {
       // the full training-data flow: weighted corpus mix -> exact
       // fingerprint dedup (keep min doc_id) -> per-language corpus
@@ -606,6 +619,11 @@ object SparkEntry {
     "sim_topk_cosine" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0, 10)
         .withColumn("rk", col("rk").cast("long"))),
+    "sim_quantized_topk" -> ((s, d) =>
+      // int8 scalar-quantized ANN: 4x smaller vectors, integer dots —
+      // the bandwidth-bound first funnel stage at 100 TB.
+      Similarity.quantizedTopK(emb(s, d),
+        pmod(col("vec_id"), lit(100)) === 0, 10)),
     "sim_ivf_topk" -> ((s, d) =>
       // IVF ANN: fixed-seed coarse quantizer (8 cells), probe the 3
       // nearest cells per query, exact top-5 within probed cells only.

@@ -322,6 +322,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Word n-grams (adjacent windows of n whitespace tokens, joined by a
+    * single space), one row per (doc_id, gram) with duplicates kept.
+    * Documents shorter than n grams emit nothing. */
+  def wordNgrams(docs: DataFrame, n: Int): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    // guard: sequence(1, 0) DESCENDS [1, 0] — short docs emit nothing
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+  }
+
+  /** Eval-set decontamination: documents that share at least one word
+    * `n`-gram with the held-out set selected by `evalPred` — the standard
+    * test-set-leakage check run before training (e.g. GPT-3 appendix C /
+    * PaLM's 8-gram overlap rule). Returns (doc_id, n_shared) of
+    * contaminated TRAINING docs (eval docs themselves excluded), with
+    * the count of distinct leaked n-grams.
+    *
+    * Scale: the eval side is distinct-ed and tiny relative to the corpus
+    * (benchmarks, not corpora) — it is broadcast, so the 100 TB training
+    * side takes ONE narrow pass (shingle + broadcast-hash-probe) with
+    * the only shuffle being the final groupBy(doc_id) over surviving
+    * matches, which are rare by construction. */
+  def decontaminate(docs: DataFrame, evalPred: Column,
+                    n: Int = 8): DataFrame = {
+    val evalGrams = wordNgrams(docs.where(evalPred), n)
+      .select("gram").distinct()
+    wordNgrams(docs.where(!evalPred), n)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
     * token multiplicity; bit j set iff the vote sum is positive.
     * One native pass per document ([[org.apache.spark.sql.graft

@@ -154,6 +154,46 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** int8 scalar quantization: per-vector symmetric scale to [-127, 127],
+    * `q_i = floor(x_i * 127 / max|x| + 0.5)` (floor(+0.5) instead of
+    * round() because the two engines' round() tie rules differ; floor is
+    * bit-identical everywhere). Emitted as array<double> of exact
+    * integers so the dot products stay engine-exact. */
+  def quantize(v: Column): Column = {
+    val m = greatest(array_max(transform(v, x => abs(x.cast("double")))),
+      lit(1e-30))
+    transform(v, x => floor(x.cast("double") * lit(127.0) / m + 0.5)
+      .cast("double"))
+  }
+
+  /** Scalar-quantized brute-force top-k: rank candidates by the int8
+    * dot product. The memory-compression variant of [[bruteForceTopK]]:
+    * int8 vectors are 4x smaller than f32, so the candidate scan is 4x
+    * less bandwidth and a 4x larger fraction of a 100 TB index fits in
+    * executor cache / broadcast — the standard first funnel stage of a
+    * production ANN (quantized scan -> exact re-rank of the survivors).
+    * Integer dots (|sum| <= 64*127² ≈ 1.0M) are exact in double, so the
+    * ranking is deterministic and engine-portable — no FP rounding step
+    * needed at all. */
+  def quantizedTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val qemb = emb.select(col("vec_id"),
+      quantize(col("embedding")).as("qv"))
+    val q = qemb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    val cand = qemb.select(col("vec_id").as("cand_id"), col("qv").as("qc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("cand_id").asc)
+    broadcast(q).crossJoin(cand)
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        dot(col("qq"), col("qc")).cast("long").as("qdot"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("qdot"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** Sign-LSH bucket id: sign bits of projections onto `planes`
     * deterministic pseudo-hyperplanes. Plane p's component i is
     * (((i*2654435761 + p*40503) mod 65536) - 32768) — a fixed integer

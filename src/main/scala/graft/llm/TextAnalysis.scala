@@ -145,6 +145,52 @@ object TextAnalysis {
     docs.where(sampleBucket(col("doc_id")) < pct)
   }
 
+  /** Gopher-style repetition quality signals per document: word counts,
+    * the most-repeated word/bigram, and the derived repetition ratios
+    * used to drop boilerplate-heavy documents from training corpora
+    * (Rae et al. 2021 "Scaling Language Models" repetition filters).
+    *
+    * All four counters come from ONE native tokenization pass
+    * ([[org.apache.spark.sql.graft.RepetitionStats]]) — a narrow
+    * projection with zero shuffle, linear at any corpus size. Ratios are
+    * exact integer ratios (engine-stable); 0.0 on degenerate docs. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.RepetitionStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).cast("long").as("n_words"),
+        element_at(col("st"), 2).cast("long").as("n_distinct_words"),
+        element_at(col("st"), 3).cast("long").as("max_word_count"),
+        element_at(col("st"), 4).cast("long").as("max_bigram_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("max_word_count"), col("max_bigram_count"),
+        ratio(col("n_words") - col("n_distinct_words"), col("n_words"))
+          .as("dup_word_ratio"),
+        ratio(col("max_word_count"), col("n_words")).as("top_word_ratio"),
+        // explicit <=1 guard: n_words = 0 would make the denominator -1
+        // and produce IEEE -0.0 instead of the oracle's 0.0
+        when(col("n_words") <= 1, lit(0.0))
+          .otherwise(col("max_bigram_count").cast("double") /
+            (col("n_words") - 1)).as("top_bigram_ratio"))
+      .orderBy("doc_id")
+
+  /** The higher-order-function composition of the
+    * [[org.apache.spark.sql.graft.RepetitionStats]] counters — kept as
+    * the documented reference form for parity testing (O(n²) per row;
+    * never the production path). */
+  def repetitionCountsComposed(text: Column): Column = {
+    val toks = tokens(text)
+    def maxCnt(xs: Column): Column =
+      coalesce(array_max(transform(array_distinct(xs),
+        w => size(filter(xs, x => x === w)))), lit(0))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    array(size(toks), size(array_distinct(toks)), maxCnt(toks),
+      maxCnt(bigrams))
+  }
+
   /** Vocabulary top-k: the k most document-frequent tokens with doc and
     * total occurrence counts — the corpus-statistics primitive behind
     * tokenizer/vocab construction. One explode + one groupBy(token)

@@ -145,6 +145,74 @@ object TokenCount {
   }
 }
 
+/** Gopher-style repetition signals in ONE tokenization pass:
+  * `[n_words, n_distinct_words, max_word_count, max_bigram_count]` over
+  * single-space-delimited tokens (empties dropped). Equals the
+  * composition (with `toks = filter(split(t, " "), x -> x <> '')`):
+  *   - n_words            = `size(toks)`
+  *   - n_distinct_words   = `size(array_distinct(toks))`
+  *   - max_word_count     = `array_max(transform(array_distinct(toks),
+  *                            w -> size(filter(toks, x -> x = w))))` (0 if empty)
+  *   - max_bigram_count   = same over adjacent-pair strings `wᵢ + " " + wᵢ₊₁`
+  * The composition is O(n²) interpreted lambda work per row; this is one
+  * hash-counting pass. */
+case class RepetitionStats(child: Expression) extends TextScanExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(text: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(text)))
+
+  def compute(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val wordCnt = new java.util.HashMap[UTF8String, Int]()
+    val bigramCnt = new java.util.HashMap[UTF8String, Int]()
+    val space = UTF8String.fromString(" ")
+    var nWords = 0
+    var maxWord = 0
+    var maxBigram = 0
+    var prev: UTF8String = null
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      // a space byte (0x20) never occurs inside a UTF-8 multibyte seq
+      if (i == n || bytes(i) == ' '.toByte) {
+        if (i > start) {
+          val tok = UTF8String.fromBytes(bytes, start, i - start)
+          nWords += 1
+          val wc = wordCnt.merge(tok, 1, Integer.sum)
+          if (wc > maxWord) maxWord = wc
+          if (prev != null) {
+            val bg = UTF8String.concat(prev, space, tok)
+            val bc = bigramCnt.merge(bg, 1, Integer.sum)
+            if (bc > maxBigram) maxBigram = bc
+          }
+          prev = tok
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      Array(nWords, wordCnt.size, maxWord, maxBigram))
+  }
+}
+
 /** Per-group counts of whitespace tokens that belong to each word set,
   * in ONE tokenization pass. Element g equals
   * `size(filter(filter(split(t, " "), x -> x <> ''),

@@ -104,6 +104,34 @@ class LlmSpec extends AnyFunSuite {
     assert(top.head.getDouble(2) == 1.0)
   }
 
+  test("decontaminate flags n-gram overlap with the eval set only") {
+    val d = docsDF(
+      0L -> "alpha beta gamma delta epsilon zeta", // eval doc
+      1L -> "alpha beta gamma delta epsilon zeta", // exact copy: 3 grams
+      2L -> "intro beta gamma delta epsilon outro", // 1 shared 4-gram
+      3L -> "alpha beta gamma", // 3 tokens < n: emits no grams at all
+      4L -> "totally different words here entirely now")
+    val r = Dedup.decontaminate(d, col("doc_id") === 0, n = 4).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 1L)) // eval + short + disjoint absent
+  }
+
+  test("quantize emits exact int8 grid values; quantized topk ranks dups first") {
+    val q = Seq((0L, Array(1.0f, -0.5f, 0.25f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantize(col("embedding")).as("q")).collect()
+    assert(q.head.getSeq[Double](0) == Seq(127.0, -63.0, 32.0, 0.0))
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 0)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.quantizedTopK(e, col("vec_id") === 0, 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(top.head.getLong(2) == 127L * 127L) // identical vector: q·q
+    assert(top.last.getLong(2) == 0L)          // orthogonal: zero dot
+  }
+
   test("cell near-dup only pairs within the same label") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.01f), 0),

@@ -165,6 +165,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("RepetitionStats matches the HOF composition exactly") {
+    import graft.llm.TextAnalysis
+    val texts = parityTexts ++ Seq("a a a a b b c", "x y x y x y",
+      "one two one two one", "solo")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select(col("id"),
+      org.apache.spark.sql.graft.RepetitionStats(col("text")).as("n"),
+      TextAnalysis.repetitionCountsComposed(col("text")).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"text='${texts(r.getLong(0).toInt)}'")
+    }
+  }
+
   test("languageId inline argmax matches the explode+window ranking") {
     import graft.llm.TextAnalysis
     val docs = Tables.load(spark, TestSpark.sfTiny, "documents")
