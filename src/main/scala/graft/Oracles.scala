@@ -370,6 +370,27 @@ GROUP BY token
 ORDER BY n_docs DESC, n_total DESC, token ASC
 LIMIT 50""",
 
+    "t7_tfidf" ->
+      """WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+), dfx AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+  SELECT doc_id, token, tf, df,
+    CAST(tf * (n + 1) AS DOUBLE) / (df + 1) AS tfidf
+  FROM tf JOIN dfx USING (token), nn
+)
+SELECT doc_id, token, tf, df, tfidf, rn AS rk FROM (
+  SELECT *, CAST(row_number() OVER
+    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rn
+  FROM s
+) WHERE rn <= 3 ORDER BY doc_id, rk""",
+
     "t6_repetition" ->
       """WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk

@@ -21,7 +21,11 @@ object PlanAudit {
     "w4_pagination",      // distributed prefix-sum, no 1-partition window
     "t2_quality_score",   // single codegen span of native text scans
     "w6_asof_join",       // union + one partitioned window, single shuffle
-    "a8_sessionization")  // stacked per-key windows, one exchange
+    "a8_sessionization",  // stacked per-key windows, one exchange
+    "t6_repetition",      // native one-pass counters, zero shuffle
+    "d9_decontaminate",   // broadcast eval-shingle join, narrow corpus pass
+    "sim_quantized_topk", // int8 quantize + broadcast query side
+    "t7_tfidf")           // two partial aggs + broadcast DF join
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

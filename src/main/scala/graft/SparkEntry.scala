@@ -469,6 +469,10 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d), 50)
         .select(col("token"), col("n_docs"), col("n_total"))),
+    "t7_tfidf" -> ((s, d) =>
+      // per-doc keyword extraction: top-3 tokens by TF-IDF with the
+      // rational (log-free, rank-identical, engine-exact) IDF.
+      TextAnalysis.tfIdf(docs(s, d), 3)),
     "t6_repetition" -> ((s, d) =>
       // Gopher repetition filters: counts + ratios from ONE native
       // tokenization pass per doc — narrow projection, zero shuffle.

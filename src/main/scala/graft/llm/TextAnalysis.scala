@@ -205,6 +205,35 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("n_total").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document top-k keywords by TF-IDF. The IDF is the RATIONAL form
+    * `(N + 1) / (df + 1)` (no logarithm): scoring is then pure integer
+    * arithmetic plus one exact double division, so ranks are bit-identical
+    * across engines — `ln()` is not correctly-rounded-guaranteed and the
+    * log is monotone in the ratio anyway, so top-k per doc is unchanged.
+    *
+    * Shape: one explode + groupBy(doc_id, token) for TF (map-side
+    * combine), one groupBy(token) for DF joined back (token-keyed
+    * broadcast-able side at realistic vocab sizes), one per-doc window
+    * for the top-k. At 100 TB the DF table is vocabulary-sized (millions,
+    * not trillions) — broadcast it and the whole score pass is narrow. */
+  def tfIdf(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(broadcast(df), "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        ((col("tf") * (n + 1)).cast("double") / (col("df") + 1))
+          .as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy("doc_id", "rk")
+  }
+
   /** Rolling polynomial hash over characters: h = h*31 + ascii(c) mod 1e9+7.
     * Expressed as a left fold over the char array — sequential per value,
     * hence deterministic. */

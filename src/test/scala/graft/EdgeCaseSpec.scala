@@ -59,6 +59,34 @@ class EdgeCaseSpec extends AnyFunSuite {
     val rh = weird.select(TextAnalysis.rollingHash(col("text")))
       .collect().map(_.getLong(0))
     assert(rh.forall(h => h >= 0 && h < 1000000007L))
+    // repetition stats: empty/whitespace docs keep a row of zeros with
+    // 0.0 ratios (never -0.0 / NaN / null); single-token doc has no bigram
+    val rs = TextAnalysis.repetitionStats(weird).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs.size == 5)
+    Seq(1L, 3L).foreach { id =>
+      assert(rs(id).getLong(1) == 0L)
+      (5 to 7).foreach(i => assert(
+        java.lang.Double.compare(rs(id).getDouble(i), 0.0) == 0)) // not -0.0
+    }
+    assert(rs(5L).getLong(1) == 1L && rs(5L).getLong(4) == 0L)
+    // decontamination with degenerate docs: nothing shares a 4-gram
+    assert(Dedup.decontaminate(weird, col("doc_id") === 1L, 4).count() == 0)
+    // tf-idf: token-less docs emit no keyword rows, others get <= k
+    val tk = TextAnalysis.tfIdf(weird, 2).collect()
+    assert(!tk.map(_.getLong(0)).contains(1L))
+    assert(tk.groupBy(_.getLong(0)).values.forall(_.length <= 2))
+  }
+
+  test("quantize: zero vector maps to the zero grid point, no overflow") {
+    val q = Seq((0L, Array(0.0f, 0.0f, 0.0f)),
+        (1L, Array(Float.MaxValue, -Float.MaxValue, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(q(0L) == Seq(0.0, 0.0, 0.0))       // 0/1e-30 guard, floor(0.5)=0
+    assert(q(1L).head == 127.0 && q(1L)(1) == -127.0) // extremes clamp to grid
+    assert(q(1L)(2) == 0.0)                   // 1/3.4e38 rounds to zero
   }
 
   test("similarity handles zero and empty vectors without NaN explosions") {

@@ -80,6 +80,40 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup suppresses duplicates across micro-batches") {
+    // the streaming form of Dedup.exact: dropDuplicates on the content
+    // fingerprint holds seen-hash state across micro-batches, so a doc
+    // repeated in a LATER file emits nothing — the shape an incremental
+    // corpus-ingest dedup runs at scale (state is the distinct-hash set,
+    // bounded by unique content, not input volume).
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val dir = Files.createTempDirectory("streamdedup").toString
+    Seq((1L, "aaa bbb"), (2L, "ccc ddd")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() == 2)
+      // duplicates of batch-1 content plus one new doc land later
+      Seq((3L, "aaa bbb"), (4L, "AAA   bbb!"), (5L, "eee fff"))
+        .toDF("doc_id", "text").write.parquet(s"$dir/b2")
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup").collect()
+      assert(out.length == 3) // 3 and 4 (normalized dup of 1) suppressed
+      val batchFps = Seq("aaa bbb", "ccc ddd", "eee fff").toDF("text")
+        .select(TextAnalysis.fingerprint(col("text"))).as[String]
+        .collect().toSet
+      assert(out.map(_.getString(1)).toSet == batchFps)
+    } finally q.stop()
+  }
+
   test("streamed MiniDelta table equals the batch-written table exactly") {
     // T4 parity gate: the same rows written (a) as streaming micro-batch
     // commits through foreachBatch and (b) as one batch append must
