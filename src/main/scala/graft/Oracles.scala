@@ -897,6 +897,13 @@ SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem WHERE l_quantity <= 2 AND l_linenumber % 2 = 0
 ORDER BY snap""",
 
+    "s12_stats_skipping" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity >= 3 AND l_quantity <= 4
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

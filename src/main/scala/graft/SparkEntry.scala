@@ -132,6 +132,30 @@ object SparkEntry {
         .select("snap", "n_rows", "sum_price", "sum_qty")
         .orderBy("snap")
     }),
+    "s12_stats_skipping" -> ((s, d) => {
+      // File-level min/max data skipping (Delta-protocol stats JSON on
+      // add actions): two commits with disjoint l_quantity ranges, then
+      // a range read that prunes commit-1's files from log METADATA
+      // alone and applies the exact predicate on top. The aggregate
+      // must equal the same range computed straight from the source.
+      val dir = "/tmp/graft_s12_skipping"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src.where(col("l_quantity") <= 2),
+        table, Seq("l_returnflag"), statsCols = Seq("l_quantity"))
+      graft.io.MiniDelta.append(s, src.where(col("l_quantity") >= 3),
+        table, Seq("l_returnflag"), statsCols = Seq("l_quantity"))
+      graft.io.MiniDelta.readRange(s, table, "l_quantity", 3.0, 4.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory

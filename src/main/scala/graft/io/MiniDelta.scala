@@ -64,9 +64,14 @@ object MiniDelta {
   }
 
   /** S9 + P9: append `df` as a new commit. Writes Hive-partitioned
-    * parquet, then logs the newly created files as add actions. */
+    * parquet, then logs the newly created files as add actions.
+    * `statsCols` opts into Delta-protocol per-file `stats` JSON
+    * (numRecords + minValues/maxValues for those columns), collected in
+    * one aggregate pass over ONLY the just-written files — the
+    * data-skipping index for [[filesForRange]]. */
   def append(spark: SparkSession, df: DataFrame, table: String,
-             partitionBy: Seq[String], readOnly: Boolean = false): Long = {
+             partitionBy: Seq[String], readOnly: Boolean = false,
+             statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     val beforePaths = listDataFiles(spark, table).map(_._1).toSet
     val writer = df.write.mode("append")
@@ -74,10 +79,46 @@ object MiniDelta {
      else writer).parquet(table)
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
+    val stats = fileStats(spark, table, added.map(_._1), statsCols)
     // blind append: no snapshot was read, so losing the version race is
     // harmless — rebase onto the next version and retry (retry = true)
     writeCommit(spark, table, nextVersion(spark, table),
-      added.map { case (p, s2) => addLine(p, s2) }, "WRITE", retry = true)
+      added.map { case (p, s2) => addLine(p, s2, stats.get(p)) },
+      "WRITE", retry = true)
+  }
+
+  /** Per-file stats JSON (Delta protocol shape: numRecords, minValues,
+    * maxValues) for the given relative paths — one distributed aggregate
+    * over just those files, one result row per file (metadata-scale
+    * collect). Empty `statsCols` skips the pass entirely. */
+  private def fileStats(spark: SparkSession, table: String,
+                        rels: Seq[String],
+                        statsCols: Seq[String]): Map[String, String] = {
+    if (statsCols.isEmpty || rels.isEmpty) return Map.empty
+    val aggs = count(lit(1)).as("numRecords") +:
+      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    val rows = spark.read.option("basePath", table)
+      .parquet(rels.map(r => s"$table/$r").toIndexedSeq: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val abs = r.getString(0)
+      val rel = rels.find(abs.endsWith(_)).getOrElse(
+        sys.error(s"stats file $abs matches no added path"))
+      def jlit(v: Any): String = v match {
+        case null => "null"
+        case s: String =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case x => x.toString
+      }
+      def jsonOf(prefix: String) = statsCols.map { c =>
+        s""""$c":${jlit(r.get(r.fieldIndex(s"${prefix}_$c")))}"""
+      }.mkString("{", ",", "}")
+      rel -> (s"""{"numRecords":${r.getLong(r.fieldIndex("numRecords"))},""" +
+        s""""minValues":${jsonOf("min")},"maxValues":${jsonOf("max")}}""")
+    }.toMap
   }
 
   private def listDataFiles(spark: SparkSession,
@@ -110,7 +151,9 @@ object MiniDelta {
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        // Delta protocol: per-file stats ride as a JSON-escaped STRING
+        StructField("stats", StringType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("dataChange", BooleanType))))))
@@ -183,14 +226,20 @@ object MiniDelta {
     snapshotFilesAt(spark, table, version, useCheckpoint = false)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
 
-  private def addLine(rel: String, size: Long): String = {
+  private def addLine(rel: String, size: Long,
+                      stats: Option[String] = None): String = {
     val parts = rel.split("/").dropRight(1)
       .filter(_.contains("="))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
         s""""$k":"$v""""
       }.mkString(",")
-    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":true}}"""
+    val statsField = stats.fold("") { s =>
+      // protocol shape: the stats JSON is carried as an escaped string
+      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      s""","stats":"$esc""""
+    }
+    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":true$statsField}}"""
   }
 
   /** Compaction (OPTIMIZE-style): rewrite the current snapshot into one
@@ -208,7 +257,8 @@ object MiniDelta {
     * caller must re-run against the fresh snapshot (Delta conflict rule). */
   def compact(spark: SparkSession, table: String,
               partitionBy: Seq[String], readOnly: Boolean = false,
-              maxRecordsPerFile: Long = 0L): Long = {
+              maxRecordsPerFile: Long = 0L,
+              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
@@ -230,10 +280,12 @@ object MiniDelta {
      else writer).parquet(table)
     val added = listDataFiles(spark, table)
       .filterNot { case (p, _) => before.contains(p) }
+    val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val removes = oldPaths.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"$p","dataChange":false}}""")
     writeCommit(spark, table, nextVersion(spark, table),
-      removes ++ added.map { case (p, s) => addLine(p, s) }, "OPTIMIZE")
+      removes ++ added.map { case (p, s) => addLine(p, s, stats.get(p)) },
+      "OPTIMIZE")
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
@@ -276,12 +328,13 @@ object MiniDelta {
     val base = cp.map { v =>
       spark.read.parquet(checkpointPath(table, v))
         .select(col("path"), col("partitionValues"), col("size"),
-          lit(v).as("version"))
+          col("stats"), lit(v).as("version"))
     }
     val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
-        col("add.size").as("size"), col("version"))
+        col("add.size").as("size"), col("add.stats").as("stats"),
+        col("version"))
     val adds = base.fold(jsonAdds)(_.unionByName(jsonAdds))
     val addLatest = adds.groupBy("path").agg(max("version").as("add_v"))
     val removes = log.where(col("remove").isNotNull)
@@ -291,7 +344,7 @@ object MiniDelta {
       .where(col("version") === col("add_v"))
       .join(removes, Seq("path"), "left")
       .where(col("rm_v").isNull || col("rm_v") < col("add_v"))
-      .select("path", "partitionValues", "size")
+      .select("path", "partitionValues", "size", "stats")
   }
 
   /** S4: current snapshot = add actions replayed in version order, minus
@@ -313,6 +366,37 @@ object MiniDelta {
     snapshotCache.getOrElseUpdate(table)(snapshotFiles(spark, table).persist())
 
   def invalidateSnapshot(table: String): Unit = snapshotCache.invalidate(table)
+
+  /** Data skipping on per-file min/max stats: keep only files whose
+    * `[min, max]` range for `statCol` can intersect `[lo, hi]`. Files
+    * WITHOUT stats (older commits, all-null column) are conservatively
+    * kept — skipping is an optimization, never a filter, so callers
+    * still apply the exact row predicate on top. Pure log metadata, zero
+    * data IO: this is the mechanism that turns a range query on a
+    * 100 TB range-clustered table into a scan of the few overlapping
+    * files (Delta/Iceberg min-max pruning). */
+  def filesForRange(snapshot: DataFrame, statCol: String,
+                    lo: Double, hi: Double): DataFrame = {
+    val mn = get_json_object(col("stats"), s"$$.minValues.$statCol")
+      .cast("double")
+    val mx = get_json_object(col("stats"), s"$$.maxValues.$statCol")
+      .cast("double")
+    snapshot.where(col("stats").isNull || mn.isNull || mx.isNull ||
+      (mx >= lo && mn <= hi))
+  }
+
+  /** Read the table through min/max data skipping, with the exact range
+    * predicate applied on top (pruning is a superset, the filter makes
+    * it exact). The scan touches only stats-surviving files. */
+  def readRange(spark: SparkSession, table: String, statCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    val files = filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
+      .select("path").collect().map(r => s"$table/${r.getString(0)}")
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", table)
+      .parquet(files.toIndexedSeq: _*)
+      .where(col(statCol) >= lo && col(statCol) <= hi)
+  }
 
   /** P5: resolve OR-of-ANDs string-equality partition filters against the
     * snapshot — predicate to file set with zero data IO, the reference's

@@ -169,6 +169,39 @@ class MiniDeltaSpec extends AnyFunSuite {
         useCheckpoint = false)))
   }
 
+  test("min/max stats skip non-overlapping files; exact on top; survive checkpoint") {
+    val t = freshTable()
+    def batch(lo: Long, hi: Long, year: String) =
+      (lo to hi).map(i => (i, year, s"v$i")).toDF("id", "year", "payload")
+    // two commits with disjoint id ranges -> per-file stats discriminate
+    MiniDelta.append(spark, batch(1, 10, "2023"), t, Seq("year"),
+      statsCols = Seq("id"))
+    MiniDelta.append(spark, batch(100, 110, "2023"), t, Seq("year"),
+      statsCols = Seq("id"))
+    val snap = MiniDelta.snapshotFiles(spark, t)
+    val pruned = MiniDelta.filesForRange(snap, "id", 100, 105)
+    assert(pruned.count() < snap.count()) // commit-1 files skipped
+    // the read is exact: skipping + row filter == full scan + row filter
+    val got = MiniDelta.readRange(spark, t, "id", 100, 105)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (100L to 105L).toSet)
+    // a range nothing overlaps resolves to zero files, empty result
+    assert(MiniDelta.readRange(spark, t, "id", 50, 60).isEmpty)
+    // stats ride through parquet checkpoints (replay = checkpoint + tail)
+    MiniDelta.writeCheckpoint(spark, t, 1)
+    val viaCp = MiniDelta.filesForRange(
+      MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue), "id", 100, 105)
+    assert(viaCp.count() == pruned.count())
+    // files without stats (statsCols not requested) are kept, not dropped
+    val before = MiniDelta.snapshotFiles(spark, t).count()
+    MiniDelta.append(spark, batch(200, 201, "2023"), t, Seq("year"))
+    val snap2 = MiniDelta.snapshotFiles(spark, t)
+    val statless = snap2.count() - before
+    assert(statless >= 1)
+    val kept = MiniDelta.filesForRange(snap2, "id", 100, 105)
+    assert(kept.count() == pruned.count() + statless) // all survive
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
