@@ -73,6 +73,8 @@ object MiniDelta {
              partitionBy: Seq[String], readOnly: Boolean = false,
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    val prior = latestSchema(spark, table)
+    val merged = mergedSchema(prior, df.schema)
     val beforePaths = listDataFiles(spark, table).map(_._1).toSet
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
@@ -80,10 +82,14 @@ object MiniDelta {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    val metaLines =
+      if (prior.exists(_.json == merged.json)) Nil
+      else Seq(metaDataLine(merged, partitionBy))
     // blind append: no snapshot was read, so losing the version race is
     // harmless — rebase onto the next version and retry (retry = true)
     writeCommit(spark, table, nextVersion(spark, table),
-      added.map { case (p, s2) => addLine(p, s2, stats.get(p)) },
+      metaLines ++
+        added.map { case (p, s2) => addLine(p, s2, stats.get(p)) },
       "WRITE", retry = true)
   }
 
@@ -156,12 +162,56 @@ object MiniDelta {
         StructField("stats", StringType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      // Delta protocol: table schema rides as a JSON-escaped STRING
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)))))))
   }
 
   /** S5: the raw log as a DataFrame (one row per action). */
   def logDF(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(logSchema).json(s"${logDir(table)}/*.json")
+
+  /** The table's current schema: the LATEST metaData action in the log
+    * (Delta keeps schema in the log, not in data files — old files
+    * simply lack newer columns and read as null). None before the first
+    * commit or on pre-metaData tables. */
+  def latestSchema(spark: SparkSession,
+                   table: String): Option[org.apache.spark.sql.types.StructType] = {
+    if (!fs(spark, table).exists(new Path(logDir(table)))) return None
+    logDF(spark, table)
+      .where(col("metaData").isNotNull)
+      .withColumn("version",
+        regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
+          .cast("long"))
+      .orderBy(col("version").desc).limit(1)
+      .select("metaData.schemaString").collect().headOption
+      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
+                           partitionBy: Seq[String]): String = {
+    // protocol shape: schemaString is the schema JSON, carried escaped
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val parts = partitionBy.map(p => s""""$p"""").mkString(",")
+    s"""{"metaData":{"schemaString":"$esc","partitionColumns":[$parts]}}"""
+  }
+
+  /** Schema evolution rule (Delta mergeSchema semantics): existing
+    * columns keep their position and type; columns the incoming frame
+    * adds are APPENDED. Dropping/retyping requires an explicit rewrite,
+    * exactly like Delta without overwriteSchema. */
+  private def mergedSchema(prior: Option[org.apache.spark.sql.types.StructType],
+                           incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = prior match {
+    case None => incoming
+    case Some(old) =>
+      val have = old.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        old.fields ++ incoming.fields.filterNot(f => have.contains(f.name)))
+  }
 
   /** Optimistic commit: create-if-absent on the version file. A losing
     * writer either rebases to the next free version and retries (blind
@@ -258,7 +308,8 @@ object MiniDelta {
   def compact(spark: SparkSession, table: String,
               partitionBy: Seq[String], readOnly: Boolean = false,
               maxRecordsPerFile: Long = 0L,
-              statsCols: Seq[String] = Nil): Long = {
+              statsCols: Seq[String] = Nil,
+              clusterBy: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
@@ -274,7 +325,20 @@ object MiniDelta {
         data.repartition(spark.sessionState.conf.numShufflePartitions,
           partitionBy.map(col): _*)
       else data.coalesce(1)
-    val writer = binpacked.write.mode("append")
+    // clusterBy: sort within each rewrite task so maxRecordsPerFile
+    // splits yield files covering CONTIGUOUS clusterBy ranges — tight,
+    // disjoint min/max stats that make filesForRange discriminate
+    // (OPTIMIZE ZORDER's goal, 1-D form; at 100 TB this is what turns
+    // stats skipping from "conservative" into "most files skipped").
+    // The partition columns lead the sort: the partitioned write
+    // requires ordering by them, and presenting input already in that
+    // order keeps the writer from re-sorting (which would shred the
+    // clusterBy order).
+    val clustered =
+      if (clusterBy.isEmpty) binpacked
+      else binpacked.sortWithinPartitions(
+        (partitionBy ++ clusterBy).map(col): _*)
+    val writer = clustered.write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)

@@ -202,6 +202,32 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(kept.count() == pruned.count() + statless) // all survive
   }
 
+  test("clustered compaction makes stats skipping discriminate") {
+    val t = freshTable()
+    // hash-scatter ids across writer tasks: every pre-compaction file
+    // spans (nearly) the whole id range, so min/max stats prune nothing
+    val rows = (1L to 400L).map(i => (i, "2023", s"v$i")).toDF(
+      "id", "year", "payload").repartition(4, col("payload"))
+    MiniDelta.append(spark, rows.where(col("id") % 2 === 0), t,
+      Seq("year"), statsCols = Seq("id"))
+    MiniDelta.append(spark, rows.where(col("id") % 2 === 1), t,
+      Seq("year"), statsCols = Seq("id"))
+    val before = MiniDelta.snapshotFiles(spark, t)
+    assert(MiniDelta.filesForRange(before, "id", 10, 20).count() ==
+      before.count()) // every file overlaps: nothing skippable
+    // cluster by id while binpacking: files now cover disjoint id ranges
+    MiniDelta.compact(spark, t, Seq("year"), maxRecordsPerFile = 100,
+      statsCols = Seq("id"), clusterBy = Seq("id"))
+    val after = MiniDelta.snapshotFiles(spark, t)
+    assert(after.count() >= 4) // 400 rows / 100 per file
+    val hit = MiniDelta.filesForRange(after, "id", 10, 20)
+    assert(hit.count() < after.count(), "clustered files must prune")
+    // and the clustered read is still exact
+    val got = MiniDelta.readRange(spark, t, "id", 10, 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (10L to 20L).toSet)
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
