@@ -30,10 +30,30 @@ object Bench {
       }.min
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    def fmt(v: Double) = f"$v%.3f"
+    // full per-query detail, prefixed so it is never mistaken for the
+    // machine-readable headline line below
+    println("BENCH_DETAIL " + results.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}"))
+    // The harness captures only the LAST ~2000 characters of output and
+    // parses the headline JSON line out of that window; at 75+ queries a
+    // full-precision map exceeds it and the line truncates mid-JSON.
+    // Emit a line guaranteed to fit: rounded values, and if still over
+    // budget keep only the slowest queries (the ones worth reading) plus
+    // an explicit omitted-count + the exact grand total.
+    def line(es: Seq[(String, Double)], omitted: Int): String = {
+      val qs = es.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+        .mkString("{", ",", "}")
+      val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":$qs$om,"n_queries":${results.size},"sf":"$sfDir","runs":$runs}"""
+    }
+    val bySlowest = results.toSeq.sortBy(-_._2)
+    val keep = Iterator.iterate(bySlowest.size)(_ - 5)
+      .find(k => k <= 5 || line(bySlowest.take(k), bySlowest.size - k).length <= 1700)
+      .getOrElse(5)
+    println(line(bySlowest.take(keep), bySlowest.size - keep))
     spark.stop()
   }
 }

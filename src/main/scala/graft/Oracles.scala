@@ -904,6 +904,14 @@ ORDER BY snap""",
 FROM lineitem WHERE l_quantity >= 3 AND l_quantity <= 4
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s13_schema_evolution" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(count(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS BIGINT) AS n_disc,
+  sum(CASE WHEN l_linenumber % 2 = 1 THEN round(l_discount * 100) END) / 100.0 AS sum_disc
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

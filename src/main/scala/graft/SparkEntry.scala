@@ -156,6 +156,36 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s13_schema_evolution" -> ((s, d) => {
+      // Schema evolution end to end: commit 0 writes WITHOUT l_discount,
+      // commit 1 appends WITH it (metaData action evolves the declared
+      // schema). The read replays the log and projects the evolved
+      // schema — commit-0 rows surface l_discount as NULL — so the
+      // null-aware aggregate equals the same computed from the source
+      // with discount visible only on odd line numbers.
+      val dir = "/tmp/graft_s13_schema"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag")),
+        table, Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"), col("l_discount")),
+        table, Seq("l_returnflag"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(col("l_discount")).as("n_disc"),
+          (sum(round(col("l_discount") * 100)) / 100.0).as("sum_disc"))
+        .orderBy("l_returnflag")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory

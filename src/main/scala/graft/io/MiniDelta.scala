@@ -177,14 +177,16 @@ object MiniDelta {
     * (Delta keeps schema in the log, not in data files — old files
     * simply lack newer columns and read as null). None before the first
     * commit or on pre-metaData tables. */
-  def latestSchema(spark: SparkSession,
-                   table: String): Option[org.apache.spark.sql.types.StructType] = {
+  def latestSchema(spark: SparkSession, table: String,
+                   atMost: Long = Long.MaxValue)
+      : Option[org.apache.spark.sql.types.StructType] = {
     if (!fs(spark, table).exists(new Path(logDir(table)))) return None
     logDF(spark, table)
       .where(col("metaData").isNotNull)
       .withColumn("version",
         regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
           .cast("long"))
+      .where(col("version") <= atMost)
       .orderBy(col("version").desc).limit(1)
       .select("metaData.schemaString").collect().headOption
       .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
@@ -313,8 +315,11 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
-    val data = spark.read.option("basePath", table)
-      .parquet(current.map(r => s"$table/${r.getString(0)}").toIndexedSeq: _*)
+    // declared-schema read: the rewrite materializes columns appended
+    // after a file was written (as nulls), so post-compaction files all
+    // carry the full current schema — Delta's OPTIMIZE does the same
+    val data = readFiles(spark, table,
+      current.map(r => s"$table/${r.getString(0)}").toIndexedSeq)
     val before = listDataFiles(spark, table).map(_._1).toSet
     // explicit partition count: a column-only repartition is eligible for
     // AQE partition coalescing, which at low volume re-creates the exact
@@ -449,6 +454,29 @@ object MiniDelta {
       (mx >= lo && mn <= hi))
   }
 
+  /** Read `files` of `table` under the table's DECLARED schema (latest
+    * metaData action): files written before a column was appended read
+    * it as null — Delta's schema-evolution read semantics. Tables with
+    * no metaData in the log (pre-evolution) fall back to parquet
+    * self-description. Empty file sets keep the declared schema so
+    * downstream projections still resolve. */
+  private def readFiles(spark: SparkSession, table: String,
+                        files: Seq[String],
+                        schemaAsOf: Long = Long.MaxValue): DataFrame = {
+    val declared = latestSchema(spark, table, schemaAsOf)
+    if (files.isEmpty)
+      declared.fold(spark.emptyDataFrame)(s =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s))
+    else {
+      val reader = spark.read.option("basePath", table)
+      val df = declared.fold(reader)(reader.schema)
+        .parquet(files.toIndexedSeq: _*)
+      // partitioned reads surface partition columns LAST regardless of
+      // the declared schema — restore the declared column order
+      declared.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
+    }
+  }
+
   /** Read the table through min/max data skipping, with the exact range
     * predicate applied on top (pruning is a superset, the filter makes
     * it exact). The scan touches only stats-surviving files. */
@@ -456,10 +484,9 @@ object MiniDelta {
                 lo: Double, hi: Double): DataFrame = {
     val files = filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
       .select("path").collect().map(r => s"$table/${r.getString(0)}")
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", table)
-      .parquet(files.toIndexedSeq: _*)
-      .where(col(statCol) >= lo && col(statCol) <= hi)
+    val base = readFiles(spark, table, files.toIndexedSeq)
+    if (files.isEmpty) base // zero files: the predicate is vacuous (and
+    else base.where(col(statCol) >= lo && col(statCol) <= hi) // may not resolve)
   }
 
   /** P5: resolve OR-of-ANDs string-equality partition filters against the
@@ -486,7 +513,9 @@ object MiniDelta {
       versionAsOf.getOrElse(Long.MaxValue))
     val files = filesForFilters(snap, filters)
       .select("path").collect().map(r => s"$table/${r.getString(0)}")
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", table).parquet(files.toIndexedSeq: _*)
+    // time travel reads under the schema AS OF that version (a column
+    // appended later must not appear), current reads under the latest
+    readFiles(spark, table, files.toIndexedSeq,
+      versionAsOf.getOrElse(Long.MaxValue))
   }
 }

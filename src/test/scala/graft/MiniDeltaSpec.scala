@@ -228,6 +228,32 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got == (10L to 20L).toSet)
   }
 
+  test("schema evolution: appended column reads as null for old files") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year")) // v0: no score
+    MiniDelta.append(spark,
+      (4 to 5).map(i => (i.toLong, "2023", s"v$i", i * 10.0))
+        .toDF("id", "year", "payload", "score"),
+      t, Seq("year")) // v1: + score
+    // declared schema = old fields, new column APPENDED
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("id", "year", "payload", "score"))
+    val df = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "year", "payload", "score"))
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert((1 to 3).forall(i => byId(i.toLong).isNullAt(3))) // old files: null
+    assert(byId(4L).getDouble(3) == 40.0 && byId(5L).getDouble(3) == 50.0)
+    // time travel reads under the schema AS OF v0 — no score column
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty, versionAsOf = Some(0L))
+      .schema.fieldNames.toSeq == Seq("id", "year", "payload"))
+    // compaction materializes the evolved schema into every file
+    MiniDelta.compact(spark, t, Seq("year"))
+    val post = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(post.schema.fieldNames.toSeq == Seq("id", "year", "payload", "score"))
+    assert(post.count() == 5 &&
+      post.where(col("score").isNull).count() == 3)
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
