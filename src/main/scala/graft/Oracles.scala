@@ -912,6 +912,26 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s14_delete" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity = 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "s15_update" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(CASE WHEN l_quantity = 1 THEN 0 ELSE round(l_extendedprice * 100) END) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "s16_merge" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round((CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000 ELSE o_totalprice END) * 100)) / 100.0 AS sum_price
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -186,6 +186,73 @@ object SparkEntry {
           (sum(round(col("l_discount") * 100)) / 100.0).as("sum_disc"))
         .orderBy("l_returnflag")
     }),
+    "s14_delete" -> ((s, d) => {
+      // DELETE end to end: copy-on-write removal of l_quantity=1 rows —
+      // only files containing a match are rewritten — then a log-driven
+      // read back. Must equal the source with those rows excluded.
+      val dir = "/tmp/graft_s14_delete"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.delete(s, table, col("l_quantity") === 1,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "s15_update" -> ((s, d) => {
+      // UPDATE end to end: set l_extendedprice = 0 where l_quantity = 1,
+      // copy-on-write in-place rewrite, then read back. Must equal the
+      // source with the CASE applied.
+      val dir = "/tmp/graft_s15_update"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.update(s, table, col("l_quantity") === 1,
+        Map("l_extendedprice" -> lit(0.0)), Seq("l_returnflag"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "s16_merge" -> ((s, d) => {
+      // MERGE (upsert) end to end: target = even order keys; source =
+      // odd keys (inserts) plus keys divisible by 10 with totalprice
+      // bumped (updates). The merged table must equal ALL orders with
+      // the bump applied to the %10 keys.
+      val dir = "/tmp/graft_s16_merge"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/orders"
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      graft.io.MiniDelta.append(s,
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 0), table,
+        Seq("o_orderstatus"))
+      val source = orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .unionByName(orders.where(pmod(col("o_orderkey"), lit(10)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+      graft.io.MiniDelta.merge(s, table, source, Seq("o_orderkey"),
+        Seq("o_orderstatus"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("o_totalprice") * 100)) / 100.0).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory

@@ -357,6 +357,132 @@ object MiniDelta {
       "OPTIMIZE")
   }
 
+  /** Relative paths of snapshot files that contain at least one row
+    * matching `hit` — the copy-on-write blast radius. One filter scan
+    * with the predicate pushed to parquet (row groups whose min/max
+    * exclude the predicate never decompress), projecting only the file
+    * name; the collect is metadata-scale (file paths, not rows). */
+  private def matchingFiles(spark: SparkSession, table: String,
+                            paths: Seq[String],
+                            hit: DataFrame => DataFrame): Seq[String] = {
+    if (paths.isEmpty) return Nil
+    val abs = hit(
+      readFiles(spark, table, paths.map(p => s"$table/$p"))
+        .withColumn("__file", input_file_name()))
+      .select("__file").distinct().collect().map(_.getString(0))
+    paths.filter(p => abs.exists(_.endsWith(p)))
+  }
+
+  /** Rewrite `touched` files as `rewrite(their contents)` and commit
+    * removes for the old files + adds for the new ones — the shared
+    * copy-on-write tail of DELETE/UPDATE/MERGE. Files outside `touched`
+    * are never read or written. The commit does NOT retry: the touched
+    * set came from the pre-rewrite snapshot, so losing a race means the
+    * caller must re-run against the fresh snapshot (Delta conflict rule). */
+  private def copyOnWrite(spark: SparkSession, table: String,
+                          touched: Seq[String],
+                          rewrite: DataFrame => DataFrame,
+                          partitionBy: Seq[String], operation: String,
+                          statsCols: Seq[String]): Long = {
+    val before = listDataFiles(spark, table).map(_._1).toSet
+    val newData = rewrite(
+      readFiles(spark, table, touched.map(p => s"$table/$p")))
+    val writer = newData.write.mode("append")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(table)
+    val added = listDataFiles(spark, table)
+      .filterNot { case (p, _) => before.contains(p) }
+    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    writeCommit(spark, table, nextVersion(spark, table),
+      touched.sorted.map(p =>
+        s"""{"remove":{"path":"$p","dataChange":true}}""") ++
+        added.map { case (p, s) => addLine(p, s, stats.get(p)) },
+      operation)
+  }
+
+  /** DELETE WHERE (Delta semantics): remove rows where `predicate` is
+    * TRUE (null-predicate rows are kept). Copy-on-write: only files that
+    * actually contain a matching row are rewritten; the rest of the
+    * table is untouched metadata — at 100 TB a selective delete rewrites
+    * a handful of files, not the table. A delete that matches nothing
+    * commits nothing. Returns the committed version (or the current
+    * latest on a no-op). */
+  def delete(spark: SparkSession, table: String, predicate: org.apache.spark.sql.Column,
+             partitionBy: Seq[String], readOnly: Boolean = false,
+             statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val paths = snapshotFiles(spark, table)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val touched = matchingFiles(spark, table, paths, _.where(predicate))
+    if (touched.isEmpty) return nextVersion(spark, table) - 1
+    copyOnWrite(spark, table, touched,
+      _.where(not(coalesce(predicate, lit(false)))),
+      partitionBy, "DELETE", statsCols)
+  }
+
+  /** UPDATE ... SET WHERE (Delta semantics): for rows where `predicate`
+    * is TRUE, replace each column in `set`; all other rows and columns
+    * pass through. Copy-on-write with the same file blast radius as
+    * [[delete]]. Updating a partition column moves rows to their new
+    * directory naturally (the rewrite re-partitions). */
+  def update(spark: SparkSession, table: String, predicate: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             partitionBy: Seq[String], readOnly: Boolean = false,
+             statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val paths = snapshotFiles(spark, table)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val touched = matchingFiles(spark, table, paths, _.where(predicate))
+    if (touched.isEmpty) return nextVersion(spark, table) - 1
+    copyOnWrite(spark, table, touched,
+      df => df.columns.foldLeft(df) { (d, c) =>
+        set.get(c).fold(d)(v =>
+          d.withColumn(c, when(coalesce(predicate, lit(false)), v)
+            .otherwise(col(c))))
+      },
+      partitionBy, "UPDATE", statsCols)
+  }
+
+  /** MERGE (upsert, Delta's whenMatched-update-all / whenNotMatched-
+    * insert-all): rows of `source` whose `keys` match an existing row
+    * replace it; the rest are inserted. `source` must be key-unique
+    * (checked — multiple matches for one target row is an error, as in
+    * the Delta MERGE protocol).
+    *
+    * Scale: the touched-file discovery is a semi join of the table
+    * against the DISTINCT source keys — a narrow projection that AQE
+    * broadcasts when the source is small (the common upsert shape), so
+    * the table-side scan stays shuffle-free; only files containing a
+    * matched key are rewritten, plus one new file set for the source
+    * rows. Untouched files — at 100 TB, nearly all of them — are pure
+    * log metadata. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keys: Seq[String], partitionBy: Seq[String],
+            readOnly: Boolean = false,
+            statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val dup = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+    if (dup.collect().nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
+          "multiple source matches per target row are ambiguous")
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val paths = snapshotFiles(spark, table)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val touched =
+      matchingFiles(spark, table, paths, _.join(srcKeys, keys, "left_semi"))
+    val declaredCols = latestSchema(spark, table)
+      .map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
+    val aligned = source.select(declaredCols.map(col): _*)
+    copyOnWrite(spark, table, touched,
+      df => if (df.columns.isEmpty) aligned // schema-less empty table
+            else df.join(srcKeys, keys, "left_anti")
+              .select(declaredCols.map(col): _*).unionByName(aligned),
+      partitionBy, "MERGE", statsCols)
+  }
+
   /** VACUUM: physically delete data files no longer referenced by the
     * current snapshot (files removed by compaction/overwrites). Returns
     * the deleted relative paths. No retention window here (the reference

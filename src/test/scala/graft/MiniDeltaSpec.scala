@@ -254,6 +254,65 @@ class MiniDeltaSpec extends AnyFunSuite {
       post.where(col("score").isNull).count() == 3)
   }
 
+  test("delete rewrites only files containing matches (copy-on-write)") {
+    val t = freshTable()
+    def paths() = MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year")) // ids 1-2
+    val lowFiles = paths() // the files that will hold matching rows
+    MiniDelta.append(spark,
+      (3 to 4).map(i => (i.toLong, "2023", s"v$i"))
+        .toDF("id", "year", "payload"), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 3), t, Seq("year"))
+    val before = paths()
+    MiniDelta.delete(spark, t,
+      col("year") === "2023" && col("id") <= 2, Seq("year"))
+    val after = paths()
+    // files holding matches are de-referenced (all their rows matched,
+    // so nothing was rewritten for them)
+    assert(lowFiles.intersect(after).isEmpty)
+    // every other file is untouched: same physical paths stay referenced
+    assert((before -- lowFiles).subsetOf(after))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("year", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("2023", 3L), ("2023", 4L),
+      ("2024", 1L), ("2024", 2L), ("2024", 3L)))
+    // a delete that matches nothing commits nothing
+    val v = MiniDelta.delete(spark, t, col("id") === 999L, Seq("year"))
+    assert(MiniDelta.delete(spark, t, col("id") === 999L, Seq("year")) == v)
+  }
+
+  test("update rewrites matching rows in place") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("payload" -> lit("patched")), Seq("year"))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "v1"), (2L, "patched"), (3L, "v3")))
+  }
+
+  test("merge upserts: matched rows replaced, unmatched inserted") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    val src = Seq((2L, "2023", "updated"), (9L, "2024", "new"))
+      .toDF("id", "year", "payload")
+    MiniDelta.merge(spark, t, src, Seq("id"), Seq("year"))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "v1"), (2L, "updated"), (3L, "v3"),
+      (9L, "new")))
+    // duplicate source keys are ambiguous -> rejected (Delta MERGE rule)
+    val dup = Seq((5L, "2023", "a"), (5L, "2023", "b"))
+      .toDF("id", "year", "payload")
+    intercept[IllegalArgumentException] {
+      MiniDelta.merge(spark, t, dup, Seq("id"), Seq("year"))
+    }
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
