@@ -52,6 +52,15 @@ final case class GraftConfig(
     * the J4 static ∪ DB permission merge. */
   def staticFilters(alias: String): PartitionAcl.Filters =
     allowedPartitions.getOrElse(alias, Seq.empty)
+
+  /** Apply every cache knob to the engine's runtime caches (ACL
+    * file-list/auth caches AND the Delta snapshot cache) — existing
+    * entries are discarded, like a reference restart with a new
+    * config file. */
+  def applyCaches(): Unit = {
+    graft.acl.AclCaches.configure(fileListCache, authCache)
+    graft.io.MiniDelta.configureSnapshotCache(snapshotCache)
+  }
 }
 
 object GraftConfig {

@@ -50,18 +50,34 @@ object MiniDelta {
 
   private def logDir(table: String) = s"$table/_delta_log"
 
+  /** `input_file_name()` yields the URL-ENCODED file URI while
+    * [[listDataFiles]] yields decoded filesystem paths — decode before
+    * any endsWith match or partition values containing spaces/%/
+    * non-ASCII never resolve. Falls back to the raw string for inputs
+    * that are not valid URIs. */
+  private def decodeFileUri(abs: String): String =
+    try new java.net.URI(abs).getPath catch { case _: Exception => abs }
+
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True once the table has a `_delta_log` directory (first commit). */
+  def tableExists(spark: SparkSession, table: String): Boolean =
+    fs(spark, table).exists(new Path(logDir(table)))
 
   private def nextVersion(spark: SparkSession, table: String): Long = {
     val dir = new Path(logDir(table))
     val f = fs(spark, table)
     if (!f.exists(dir)) 0L
     else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
+      .filter(commitFileName.matches(_))
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max) + 1
   }
+
+  // exactly a commit file — NOT the checkpoint schema sidecar, which
+  // also ends in .json
+  private val commitFileName = "[0-9]{20}\\.json".r
 
   /** S9 + P9: append `df` as a new commit. Writes Hive-partitioned
     * parquet, then logs the newly created files as add actions.
@@ -73,8 +89,8 @@ object MiniDelta {
              partitionBy: Seq[String], readOnly: Boolean = false,
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    val prior = latestSchema(spark, table)
-    val merged = mergedSchema(prior, df.schema)
+    // validate schema compatibility BEFORE any data lands on disk
+    mergedSchema(latestSchema(spark, table), df.schema)
     val beforePaths = listDataFiles(spark, table).map(_._1).toSet
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
@@ -82,15 +98,26 @@ object MiniDelta {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val metaLines =
-      if (prior.exists(_.json == merged.json)) Nil
-      else Seq(metaDataLine(merged, partitionBy))
-    // blind append: no snapshot was read, so losing the version race is
-    // harmless — rebase onto the next version and retry (retry = true)
-    writeCommit(spark, table, nextVersion(spark, table),
-      metaLines ++
-        added.map { case (p, s2) => addLine(p, s2, stats.get(p)) },
-      "WRITE", retry = true)
+    val addLines = added.map { case (p, s2) => addLine(p, s2, stats.get(p)) }
+    // blind append: the add actions commute, so losing the version race
+    // is harmless — but the metaData line does NOT commute (a stale one
+    // would roll back a concurrent writer's schema evolution), so each
+    // attempt re-merges against the CURRENT declared schema
+    var attempt = 0
+    while (true) {
+      val prior = latestSchema(spark, table)
+      val merged = mergedSchema(prior, df.schema)
+      val metaLines =
+        if (prior.exists(_.json == merged.json)) Nil
+        else Seq(metaDataLine(merged, partitionBy))
+      try
+        return writeCommit(spark, table, nextVersion(spark, table),
+          metaLines ++ addLines, "WRITE")
+      catch {
+        case _: ConcurrentCommitException if attempt < 20 => attempt += 1
+      }
+    }
+    -1L // unreachable
   }
 
   /** Per-file stats JSON (Delta protocol shape: numRecords, minValues,
@@ -110,14 +137,22 @@ object MiniDelta {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
-      val abs = r.getString(0)
+      val abs = decodeFileUri(r.getString(0))
       val rel = rels.find(abs.endsWith(_)).getOrElse(
         sys.error(s"stats file $abs matches no added path"))
+      def quote(s: String) =
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       def jlit(v: Any): String = v match {
         case null => "null"
-        case s: String =>
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case x => x.toString
+        case s: String => quote(s)
+        // NaN/Infinity are not JSON — a malformed stats string would
+        // silently disable skipping for the whole file
+        case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+        case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
+        case n: java.lang.Number => n.toString
+        case b: java.lang.Boolean => b.toString
+        // Date/Timestamp/etc. ride as quoted strings (Delta does the same)
+        case x => quote(x.toString)
       }
       def jsonOf(prefix: String) = statsCols.map { c =>
         s""""$c":${jlit(r.get(r.fieldIndex(s"${prefix}_$c")))}"""
@@ -169,28 +204,84 @@ object MiniDelta {
         StructField("partitionColumns", ArrayType(StringType)))))))
   }
 
-  /** S5: the raw log as a DataFrame (one row per action). */
-  def logDF(spark: SparkSession, table: String): DataFrame =
-    spark.read.schema(logSchema).json(s"${logDir(table)}/*.json")
+  /** S5: the raw log as a DataFrame (one row per action). Reads the
+    * listed commit files only — the checkpoint schema sidecar also
+    * lives in `_delta_log` with a .json suffix and is NOT an action. */
+  def logDF(spark: SparkSession, table: String): DataFrame = {
+    val files = logJsonVersions(spark, table).map(_._2)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), logSchema)
+    else spark.read.schema(logSchema).json(files.toIndexedSeq: _*)
+  }
 
-  /** The table's current schema: the LATEST metaData action in the log
-    * (Delta keeps schema in the log, not in data files — old files
-    * simply lack newer columns and read as null). None before the first
-    * commit or on pre-metaData tables. */
-  def latestSchema(spark: SparkSession, table: String,
-                   atMost: Long = Long.MaxValue)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    if (!fs(spark, table).exists(new Path(logDir(table)))) return None
-    logDF(spark, table)
-      .where(col("metaData").isNotNull)
+  /** (version, absolute path) of every JSON commit — driver-side
+    * directory listing, the index that lets replay read ONLY the tail
+    * after a checkpoint instead of globbing the entire history. */
+  private def logJsonVersions(spark: SparkSession,
+                              table: String): Seq[(Long, String)] = {
+    val dir = new Path(logDir(table))
+    val f = fs(spark, table)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => commitFileName.matches(p.getName))
+      .map(p => (p.getName.stripSuffix(".json").toLong, p.toString))
+  }
+
+  /** The listed log files as action rows, with their commit version. */
+  private def logDFIn(spark: SparkSession,
+                      files: Seq[String]): DataFrame =
+    spark.read.schema(logSchema).json(files.toIndexedSeq: _*)
       .withColumn("version",
         regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
           .cast("long"))
-      .where(col("version") <= atMost)
-      .orderBy(col("version").desc).limit(1)
-      .select("metaData.schemaString").collect().headOption
-      .map(r => org.apache.spark.sql.types.DataType.fromJson(r.getString(0))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** The table's declared schema as of `atMost` — the LATEST metaData
+    * action (Delta keeps schema in the log, not in data files; old files
+    * simply lack newer columns and read as null). None before the first
+    * commit or on pre-metaData tables.
+    *
+    * Scale: resolved from the checkpoint's schema sidecar plus the JSON
+    * tail after it — O(since-last-checkpoint), not O(history), same as
+    * snapshot replay. */
+  def latestSchema(spark: SparkSession, table: String,
+                   atMost: Long = Long.MaxValue)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    if (!tableExists(spark, table)) return None
+    val cp = latestCheckpoint(spark, table, atMost)
+    val base = cp.flatMap(v => readSchemaSidecar(spark, table, v))
+    val from = if (base.isDefined) cp.get else -1L
+    val tail = logJsonVersions(spark, table)
+      .filter { case (v, _) => v > from && v <= atMost }
+    val fromTail =
+      if (tail.isEmpty) None
+      else logDFIn(spark, tail.map(_._2))
+        .where(col("metaData").isNotNull)
+        .orderBy(col("version").desc).limit(1)
+        .select("metaData.schemaString").collect().headOption
+        .map(_.getString(0))
+    fromTail.map(parseSchema).orElse(base)
+  }
+
+  private def parseSchema(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def schemaSidecarPath(table: String, version: Long): String =
+    f"${logDir(table)}%s/$version%020d.checkpoint.schema.json"
+
+  private def readSchemaSidecar(spark: SparkSession, table: String,
+                                version: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(schemaSidecarPath(table, version))
+    val f = fs(spark, table)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      Some(parseSchema(new String(bytes, "UTF-8")))
+    } finally in.close()
   }
 
   private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
@@ -210,6 +301,19 @@ object MiniDelta {
       : org.apache.spark.sql.types.StructType = prior match {
     case None => incoming
     case Some(old) =>
+      // retyping an existing column is REJECTED (Delta does the same
+      // without overwriteSchema): silently keeping the old declared type
+      // while parquet files carry the new physical type would poison
+      // every subsequent declared-schema read of the table
+      val conflicts = incoming.fields.flatMap { f =>
+        old.fields.find(_.name == f.name)
+          .filter(_.dataType != f.dataType)
+          .map(o => s"${f.name}: ${o.dataType.simpleString} -> ${f.dataType.simpleString}")
+      }
+      if (conflicts.nonEmpty)
+        throw new IllegalArgumentException(
+          s"append would retype existing column(s) [${conflicts.mkString("; ")}]" +
+            " — rewrite the table explicitly to change a column's type")
       val have = old.fieldNames.toSet
       org.apache.spark.sql.types.StructType(
         old.fields ++ incoming.fields.filterNot(f => have.contains(f.name)))
@@ -234,18 +338,34 @@ object MiniDelta {
       val commit =
         (s"""{"commitInfo":{"operation":"$operation","version":$v}}""" +:
           lines).mkString("\n")
-      try {
-        val out = f.create(p, false)
-        out.write(commit.getBytes("UTF-8"))
-        out.close()
-        if ((v + 1) % checkpointInterval == 0) writeCheckpoint(spark, table, v)
+      val created =
+        try {
+          val out = f.create(p, false)
+          out.write(commit.getBytes("UTF-8"))
+          out.close()
+          true
+        } catch {
+          case e: java.io.IOException if f.exists(p) =>
+            if (!retry) throw new ConcurrentCommitException(table, v)
+            attempt += 1
+            if (attempt > maxRetries) throw e
+            v = nextVersion(spark, table)
+            false
+        }
+      if (created) {
+        // OUTSIDE the conflict try: a failed checkpoint job must not be
+        // misread as a commit conflict (the commit itself persisted) —
+        // and a partial checkpoint is never selected because
+        // latestCheckpoint requires the writer's _SUCCESS marker
+        if ((v + 1) % checkpointInterval == 0)
+          try writeCheckpoint(spark, table, v) catch {
+            case e: Exception => // non-fatal: the commit persisted and a
+              // partial checkpoint is never selected (no _SUCCESS);
+              // snapshots fall back to full JSON replay
+              System.err.println(
+                s"[minidelta] checkpoint at v=$v failed (non-fatal): $e")
+          }
         return v
-      } catch {
-        case e: java.io.IOException if f.exists(p) =>
-          if (!retry) throw new ConcurrentCommitException(table, v)
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          v = nextVersion(spark, table)
       }
     }
     v // unreachable
@@ -264,6 +384,10 @@ object MiniDelta {
       .filter(_.endsWith(".checkpoint.parquet"))
       .map(_.stripSuffix(".checkpoint.parquet").toLong)
       .filter(_ <= atMost)
+      // only COMPLETE checkpoints: a crashed checkpoint job leaves a
+      // directory without the _SUCCESS marker; replaying it would
+      // silently drop live files from every subsequent snapshot
+      .filter(v => f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")))
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -274,9 +398,19 @@ object MiniDelta {
     * distributed (no coalesce: at millions of files it is a multi-part
     * checkpoint, like Delta's). */
   def writeCheckpoint(spark: SparkSession, table: String,
-                      version: Long): Unit =
+                      version: Long): Unit = {
+    // schema sidecar first: replaying from this checkpoint must also
+    // resolve the declared schema without scanning pre-checkpoint JSON.
+    // Written before the manifest; consulted only alongside a manifest
+    // whose _SUCCESS marker exists, and absence falls back to full scan.
+    latestSchema(spark, table, version).foreach { s =>
+      val f = fs(spark, table)
+      val out = f.create(new Path(schemaSidecarPath(table, version)), true)
+      try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
     snapshotFilesAt(spark, table, version, useCheckpoint = false)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
+  }
 
   private def addLine(rel: String, size: Long,
                       stats: Option[String] = None): String = {
@@ -364,12 +498,14 @@ object MiniDelta {
     * name; the collect is metadata-scale (file paths, not rows). */
   private def matchingFiles(spark: SparkSession, table: String,
                             paths: Seq[String],
+                            declared: Option[org.apache.spark.sql.types.StructType],
                             hit: DataFrame => DataFrame): Seq[String] = {
     if (paths.isEmpty) return Nil
     val abs = hit(
-      readFiles(spark, table, paths.map(p => s"$table/$p"))
+      readFilesAs(spark, table, paths.map(p => s"$table/$p"), declared)
         .withColumn("__file", input_file_name()))
-      .select("__file").distinct().collect().map(_.getString(0))
+      .select("__file").distinct().collect()
+      .map(r => decodeFileUri(r.getString(0)))
     paths.filter(p => abs.exists(_.endsWith(p)))
   }
 
@@ -381,12 +517,14 @@ object MiniDelta {
     * caller must re-run against the fresh snapshot (Delta conflict rule). */
   private def copyOnWrite(spark: SparkSession, table: String,
                           touched: Seq[String],
+                          declared: Option[org.apache.spark.sql.types.StructType],
                           rewrite: DataFrame => DataFrame,
                           partitionBy: Seq[String], operation: String,
-                          statsCols: Seq[String]): Long = {
+                          statsCols: Seq[String],
+                          extraLines: Seq[String] = Nil): Long = {
     val before = listDataFiles(spark, table).map(_._1).toSet
     val newData = rewrite(
-      readFiles(spark, table, touched.map(p => s"$table/$p")))
+      readFilesAs(spark, table, touched.map(p => s"$table/$p"), declared))
     val writer = newData.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
@@ -394,8 +532,9 @@ object MiniDelta {
       .filterNot { case (p, _) => before.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     writeCommit(spark, table, nextVersion(spark, table),
-      touched.sorted.map(p =>
-        s"""{"remove":{"path":"$p","dataChange":true}}""") ++
+      extraLines ++
+        touched.sorted.map(p =>
+          s"""{"remove":{"path":"$p","dataChange":true}}""") ++
         added.map { case (p, s) => addLine(p, s, stats.get(p)) },
       operation)
   }
@@ -411,11 +550,13 @@ object MiniDelta {
              partitionBy: Seq[String], readOnly: Boolean = false,
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    if (!tableExists(spark, table)) return -1L // nothing to delete from
+    val declared = latestSchema(spark, table)
     val paths = snapshotFiles(spark, table)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val touched = matchingFiles(spark, table, paths, _.where(predicate))
+    val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
     if (touched.isEmpty) return nextVersion(spark, table) - 1
-    copyOnWrite(spark, table, touched,
+    copyOnWrite(spark, table, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
       partitionBy, "DELETE", statsCols)
   }
@@ -430,16 +571,21 @@ object MiniDelta {
              partitionBy: Seq[String], readOnly: Boolean = false,
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    if (!tableExists(spark, table)) return -1L // nothing to update
+    val declared = latestSchema(spark, table)
     val paths = snapshotFiles(spark, table)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val touched = matchingFiles(spark, table, paths, _.where(predicate))
+    val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
     if (touched.isEmpty) return nextVersion(spark, table) - 1
-    copyOnWrite(spark, table, touched,
-      df => df.columns.foldLeft(df) { (d, c) =>
-        set.get(c).fold(d)(v =>
-          d.withColumn(c, when(coalesce(predicate, lit(false)), v)
-            .otherwise(col(c))))
-      },
+    copyOnWrite(spark, table, touched, declared,
+      // ONE projection: every SET expression and the predicate resolve
+      // against the PRE-update row (SQL UPDATE semantics) — a sequential
+      // withColumn chain would let later SETs see earlier SETs' results
+      df => df.select(df.columns.map { c =>
+        set.get(c).fold(col(c))(v =>
+          when(coalesce(predicate, lit(false)), v)
+            .otherwise(col(c)).as(c))
+      }.toIndexedSeq: _*),
       partitionBy, "UPDATE", statsCols)
   }
 
@@ -462,25 +608,44 @@ object MiniDelta {
             statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(keys.nonEmpty, "merge requires at least one key column")
+    // merging into a not-yet-created table = create it from the source
+    // (every source row is whenNotMatched, i.e. a plain append)
+    if (!tableExists(spark, table))
+      return append(spark, source, table, partitionBy, readOnly, statsCols)
     val dup = source.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
     if (dup.collect().nonEmpty)
       throw new IllegalArgumentException(
         s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
           "multiple source matches per target row are ambiguous")
+    val declared = latestSchema(spark, table)
+    // schema evolution, same rule as append: source-only columns are
+    // APPENDED to the declared schema (committed as a metaData action);
+    // retyping an existing column is rejected inside mergedSchema
+    val merged = mergedSchema(declared, source.schema)
+    val metaLines = declared match {
+      case Some(d) if d.json != merged.json =>
+        Seq(metaDataLine(merged, partitionBy))
+      case _ => Nil
+    }
+    // align BOTH sides to the evolved schema: survivors null-fill
+    // source-only columns, the source null-fills declared columns it
+    // lacks (Delta's insertAll semantics after evolution)
+    def align(df: DataFrame): DataFrame =
+      df.select(merged.fields.map { fld =>
+        if (df.columns.contains(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)
+      }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val paths = snapshotFiles(spark, table)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val touched =
-      matchingFiles(spark, table, paths, _.join(srcKeys, keys, "left_semi"))
-    val declaredCols = latestSchema(spark, table)
-      .map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
-    val aligned = source.select(declaredCols.map(col): _*)
-    copyOnWrite(spark, table, touched,
-      df => if (df.columns.isEmpty) aligned // schema-less empty table
-            else df.join(srcKeys, keys, "left_anti")
-              .select(declaredCols.map(col): _*).unionByName(aligned),
-      partitionBy, "MERGE", statsCols)
+    val touched = matchingFiles(spark, table, paths, declared,
+      _.join(srcKeys, keys, "left_semi"))
+    copyOnWrite(spark, table, touched, declared,
+      df => if (df.columns.isEmpty) align(source) // schema-less empty table
+            else align(df.join(srcKeys, keys, "left_anti"))
+              .unionByName(align(source)),
+      partitionBy, "MERGE", statsCols, extraLines = metaLines)
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
@@ -512,12 +677,17 @@ object MiniDelta {
                       useCheckpoint: Boolean = true): DataFrame = {
     val cp = if (useCheckpoint) latestCheckpoint(spark, table, version)
              else None
-    val log = logDF(spark, table)
-      .withColumn("version",
-        regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
-          .cast("long"))
-      .where(col("version") <= version &&
-        col("version") > cp.getOrElse(-1L))
+    // read ONLY the tail commits (driver-side listing): replay after a
+    // checkpoint touches O(since-last-checkpoint) log files, not every
+    // JSON in a long-lived table's history
+    val tailFiles = logJsonVersions(spark, table)
+      .filter { case (v, _) => v <= version && v > cp.getOrElse(-1L) }
+      .map(_._2)
+    val log =
+      if (tailFiles.nonEmpty) logDFIn(spark, tailFiles)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        logSchema.add("version", org.apache.spark.sql.types.LongType))
     // the checkpoint IS the folded snapshot at cp: treat its manifest
     // rows as adds at version cp, then replay only the tail on top
     val base = cp.map { v =>
@@ -551,9 +721,19 @@ object MiniDelta {
   // Delta-snapshot cache (/root/reference/src/main.rs:41,82-85). Like the
   // reference, writes do NOT invalidate — a snapshot may be up to 120 s
   // stale (documented quirk); call invalidateSnapshot for immediacy.
-  private val snapshotCache =
+  @volatile private var snapshotCache =
     new graft.util.TtlCache[String, DataFrame](20, 120000L,
       onEvict = df => { df.unpersist(); () })
+
+  /** Rebuild the snapshot cache from the `snapshotCache` config knob
+    * ([[graft.catalog.GraftConfig]]) — entries are discarded and their
+    * persisted frames released, like a reference restart. */
+  def configureSnapshotCache(cfg: graft.catalog.CacheConfig): Unit = {
+    val old = snapshotCache
+    snapshotCache = new graft.util.TtlCache[String, DataFrame](
+      cfg.maxEntries, cfg.ttlMs, onEvict = df => { df.unpersist(); () })
+    old.clear()
+  }
 
   /** [[snapshotFiles]] through the TTL cache, persisted — repeated
     * pruning queries replay the log once per 120 s, not per query. */
@@ -588,8 +768,16 @@ object MiniDelta {
     * downstream projections still resolve. */
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[String],
-                        schemaAsOf: Long = Long.MaxValue): DataFrame = {
-    val declared = latestSchema(spark, table, schemaAsOf)
+                        schemaAsOf: Long = Long.MaxValue): DataFrame =
+    readFilesAs(spark, table, files, latestSchema(spark, table, schemaAsOf))
+
+  /** [[readFiles]] with the declared schema already resolved — DML
+    * operations resolve it ONCE and thread it through their scan,
+    * rewrite, and alignment steps instead of re-replaying the log. */
+  private def readFilesAs(spark: SparkSession, table: String,
+                          files: Seq[String],
+                          declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
     if (files.isEmpty)
       declared.fold(spark.emptyDataFrame)(s =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s))

@@ -106,7 +106,9 @@ class CatalogSpec extends AnyFunSuite {
 
   test("cache knobs from config rebuild AclCaches") {
     val cfg = GraftConfig.fromJson(fixtureJson, env = Map.empty)
-    graft.acl.AclCaches.configure(cfg.fileListCache, cfg.authCache)
+    // applyCaches covers all three knobs: fileList/auth here, the
+    // snapshot-cache knob's behavior is asserted in MiniDeltaSpec
+    cfg.applyCaches()
     try {
       var calls = 0
       def resolveOnce: Boolean = { calls += 1; true }
@@ -122,6 +124,7 @@ class CatalogSpec extends AnyFunSuite {
       graft.acl.AclCaches.configure(CacheConfig(100, 120000L),
         CacheConfig(100, 120000L))
       graft.acl.AclCaches.clearAll()
+      graft.io.MiniDelta.configureSnapshotCache(CacheConfig(20, 120000L))
     }
   }
 

@@ -294,6 +294,95 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got == Set((1L, "v1"), (2L, "patched"), (3L, "v3")))
   }
 
+  test("update SET expressions all see the PRE-update row") {
+    val t = freshTable()
+    (1 to 2).map(i => (i.toLong, "2023", s"a$i", s"b$i"))
+      .toDF("id", "year", "a", "b")
+      .write.mode("overwrite").partitionBy("year").parquet(t)
+    // build through the log so the table is MiniDelta-managed
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    MiniDelta.append(spark,
+      (1 to 2).map(i => (i.toLong, "2023", s"a$i", s"b$i"))
+        .toDF("id", "year", "a", "b"), t, Seq("year"))
+    // swap a and b where id = 1: both RHS must resolve pre-update
+    MiniDelta.update(spark, t, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")), Seq("year"))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "b1", "a1"), (2L, "a2", "b2")))
+  }
+
+  test("DML on a not-yet-created table: delete/update no-op, merge creates") {
+    val t = freshTable()
+    assert(MiniDelta.delete(spark, t, col("id") === 1L, Seq("year")) == -1L)
+    assert(MiniDelta.update(spark, t, col("id") === 1L,
+      Map("payload" -> lit("x")), Seq("year")) == -1L)
+    // merge into nothing = create-table insert (all rows whenNotMatched)
+    MiniDelta.merge(spark, t, sample("2023", 2), Seq("id"), Seq("year"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+  }
+
+  test("merge aligns schemas both ways: null-fill and evolution") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      (1 to 2).map(i => (i.toLong, "2023", s"v$i", i * 1.0))
+        .toDF("id", "year", "payload", "score"), t, Seq("year"))
+    // source LACKS score (null-filled on insert/replace) and BRINGS a
+    // new column extra (appended to the declared schema)
+    val src = Seq((2L, "2023", "upd", "E2"), (9L, "2023", "new", "E9"))
+      .toDF("id", "year", "payload", "extra")
+    MiniDelta.merge(spark, t, src, Seq("id"), Seq("year"))
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("id", "year", "payload", "score", "extra"))
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "payload", "score", "extra").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(rows(1L) == (("v1", Some(1.0), None)))    // untouched + null extra
+    assert(rows(2L) == (("upd", None, Some("E2"))))  // replaced: score nulled
+    assert(rows(9L) == (("new", None, Some("E9"))))  // inserted
+  }
+
+  test("append rejects retyping an existing column") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 1), t, Seq("year"))
+    val retyped = Seq((7, "2023", 42)) // payload: Int instead of String
+      .toDF("id", "year", "payload")
+    intercept[IllegalArgumentException] {
+      MiniDelta.append(spark, retyped, t, Seq("year"))
+    }
+    // nothing was written: validation precedes the data write
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 1)
+  }
+
+  test("a partial checkpoint (no _SUCCESS) is never selected") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 1), t, Seq("year"))
+    val full = MiniDelta.snapshotFiles(spark, t).count()
+    // simulate a crashed checkpoint job at v1: directory without marker
+    val partial = new java.io.File(
+      s"$t/_delta_log/${"%020d".format(1)}.checkpoint.parquet")
+    partial.mkdirs()
+    val fw = new java.io.FileWriter(new java.io.File(partial, "part-0.parquet"))
+    fw.write("not parquet"); fw.close()
+    assert(MiniDelta.snapshotFiles(spark, t).count() == full) // ignored
+  }
+
+  test("snapshot cache honors configured capacity") {
+    import graft.catalog.CacheConfig
+    MiniDelta.configureSnapshotCache(CacheConfig(1, 0L)) // LRU of 1
+    try {
+      val t1 = freshTable(); MiniDelta.append(spark, sample("2023", 1), t1, Seq("year"))
+      val t2 = freshTable(); MiniDelta.append(spark, sample("2023", 1), t2, Seq("year"))
+      val a = MiniDelta.snapshotFilesCached(spark, t1)
+      assert(MiniDelta.snapshotFilesCached(spark, t1) eq a) // warm hit
+      MiniDelta.snapshotFilesCached(spark, t2) // capacity 1: evicts t1
+      assert(!(MiniDelta.snapshotFilesCached(spark, t1) eq a))
+    } finally MiniDelta.configureSnapshotCache(CacheConfig(20, 120000L))
+  }
+
   test("merge upserts: matched rows replaced, unmatched inserted") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
