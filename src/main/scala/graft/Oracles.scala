@@ -932,6 +932,14 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM orders
 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
+    "s17_zorder" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 5 AND l_extendedprice >= 1000.0 AND l_extendedprice <= 3000.0
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -253,6 +253,32 @@ object SparkEntry {
           (sum(round(col("o_totalprice") * 100)) / 100.0).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    "s17_zorder" -> ((s, d) => {
+      // OPTIMIZE ZORDER end to end: append scattered, z-order compact
+      // on (l_quantity, l_extendedprice), then a range read on the
+      // SECOND z-dimension through min/max stats skipping. The result
+      // must equal the same range computed straight from the source —
+      // and the clustering must leave the data bit-identical.
+      val dir = "/tmp/graft_s17_zorder"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq.empty)
+      graft.io.MiniDelta.compact(s, table, Seq.empty,
+        maxRecordsPerFile = 4096,
+        statsCols = Seq("l_quantity", "l_extendedprice"),
+        zOrderBy = Seq("l_quantity", "l_extendedprice"))
+      graft.io.MiniDelta.readRange(s, table, "l_extendedprice",
+          1000.0, 3000.0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory

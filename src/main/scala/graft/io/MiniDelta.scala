@@ -445,15 +445,25 @@ object MiniDelta {
               partitionBy: Seq[String], readOnly: Boolean = false,
               maxRecordsPerFile: Long = 0L,
               statsCols: Seq[String] = Nil,
-              clusterBy: Seq[String] = Nil): Long = {
+              clusterBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
     // declared-schema read: the rewrite materializes columns appended
     // after a file was written (as nulls), so post-compaction files all
     // carry the full current schema — Delta's OPTIMIZE does the same
-    val data = readFiles(spark, table,
+    val read = readFiles(spark, table,
       current.map(r => s"$table/${r.getString(0)}").toIndexedSeq)
+    // OPTIMIZE ZORDER: sort within each rewrite task by the Morton code
+    // of the z-order columns so maxRecordsPerFile splits yield files
+    // covering small hyper-rectangles — min/max stats discriminate on
+    // every z-ordered column (graft.operators.ZOrder)
+    val (data, sortCols) =
+      if (zOrderBy.isEmpty) (read, clusterBy)
+      else (graft.operators.ZOrder.withZValue(read, zOrderBy), Seq("__z"))
     val before = listDataFiles(spark, table).map(_._1).toSet
     // explicit partition count: a column-only repartition is eligible for
     // AQE partition coalescing, which at low volume re-creates the exact
@@ -474,10 +484,14 @@ object MiniDelta {
     // order keeps the writer from re-sorting (which would shred the
     // clusterBy order).
     val clustered =
-      if (clusterBy.isEmpty) binpacked
+      if (sortCols.isEmpty) binpacked
       else binpacked.sortWithinPartitions(
-        (partitionBy ++ clusterBy).map(col): _*)
-    val writer = clustered.write.mode("append")
+        (partitionBy ++ sortCols).map(col): _*)
+    // the z-value is a clustering key, not table data: project it away
+    // AFTER the sort (a projection preserves ordering)
+    val toWrite =
+      if (zOrderBy.isEmpty) clustered else clustered.drop("__z")
+    val writer = toWrite.write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)

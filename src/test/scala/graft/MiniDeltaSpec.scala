@@ -402,6 +402,33 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order compaction: stats discriminate on BOTH dimensions") {
+    val t = freshTable()
+    // 32x32 grid scattered by an unrelated hash: every pre-compaction
+    // file spans (nearly) the full range of x AND y
+    val rows = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong, s"p$x-$y")).toDF("x", "y", "payload")
+      .repartition(8, col("payload"))
+    MiniDelta.append(spark, rows, t, Seq.empty, statsCols = Seq("x", "y"))
+    val before = MiniDelta.snapshotFiles(spark, t)
+    assert(MiniDelta.filesForRange(before, "x", 4, 8).count() ==
+      before.count()) // nothing skippable pre-compaction
+    MiniDelta.compact(spark, t, Seq.empty, maxRecordsPerFile = 64,
+      statsCols = Seq("x", "y"), zOrderBy = Seq("x", "y"))
+    val after = MiniDelta.snapshotFiles(spark, t)
+    assert(after.count() >= 16) // 1024 rows / 64 per file
+    // a narrow range on EITHER dimension prunes most files — the
+    // 1-D clusterBy form can only ever discriminate on its leading key
+    val hitX = MiniDelta.filesForRange(after, "x", 4, 8).count()
+    val hitY = MiniDelta.filesForRange(after, "y", 4, 8).count()
+    assert(hitX <= after.count() / 2, s"x-range kept $hitX of ${after.count()}")
+    assert(hitY <= after.count() / 2, s"y-range kept $hitY of ${after.count()}")
+    // reads through skipping stay exact, and __z never leaks to disk
+    val got = MiniDelta.readRange(spark, t, "y", 4.0, 8.0)
+    assert(!got.columns.contains("__z"))
+    assert(got.count() == 32 * 5)
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0

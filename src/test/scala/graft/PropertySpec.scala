@@ -265,4 +265,31 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("InterleaveBits matches the shift-or composition exactly") {
+    import graft.operators.ZOrder
+    val gen = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0, 65535), Gen.chooseNum(0, 65535),
+        Gen.chooseNum(0, 65535)))
+    val triples = gen.sample.get :+ ((0, 0, 0)) :+ ((65535, 65535, 65535))
+    for ((bits, dims) <- Seq((16, 2), (16, 3), (8, 3), (4, 2))) {
+      val df = triples.toDF("a", "b", "c")
+      val cols = Seq(col("a"), col("b"), col("c")).take(dims)
+      val rows = df.select(
+        org.apache.spark.sql.graft.InterleaveBits(bits, cols: _*).as("n"),
+        ZOrder.interleaveComposed(bits, cols: _*).as("r")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bits=$bits dims=$dims"))
+    }
+    // null in any child -> null
+    val withNull = Seq((Some(1), None: Option[Int])).toDF("a", "b")
+    assert(withNull.select(org.apache.spark.sql.graft.InterleaveBits(
+      16, col("a"), col("b"))).collect()(0).isNullAt(0))
+    // ordering locality: z-codes of close points interleave monotonically
+    // on the diagonal (a == b ascending => code ascending)
+    val diag = (0 until 1000).map(i => (i, i)).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.InterleaveBits(
+        16, col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(diag.sameElements(diag.sorted))
+  }
 }
