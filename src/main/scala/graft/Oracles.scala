@@ -1027,6 +1027,73 @@ SELECT doc_id, n_chars_m, n_tokens,
     - CAST(n_chars_m - n_keep AS DOUBLE) / n_chars_m AS quality_score
 FROM f ORDER BY doc_id""",
 
+    "t8_pii_redact" ->
+      """SELECT event_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        event_type || ' user=' || CAST(user_id AS VARCHAR) ||
+          ' ip=10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+          CAST(event_id % 256 AS VARCHAR) ||
+          ' mail=u' || CAST(user_id AS VARCHAR) || '@example.com ' || props,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+FROM events WHERE event_id < 300 ORDER BY event_id""",
+
+    "t9_source_overlap" ->
+      """WITH fp AS (
+  SELECT DISTINCT source,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.source <= b.source
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "pipe4_token_shards" ->
+      """WITH t AS (
+  SELECT doc_id,
+    CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT CAST(floor(cumb / 2000) AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1""",
+
+    "pipe5_quality_cut" ->
+      """WITH f AS (
+  SELECT doc_id, lang,
+    CAST(length(text) AS BIGINT) AS n_chars_m,
+    CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+    CAST(length(list_filter(string_split(text, ' '),
+      t -> t IN ('the','a','of','and','to','in','is','der','die','das','und','ist','ein','zu','el','la','de','y','es','un','en','le','et','les','est','dans','的','是','了','在','和','有','我'))) AS BIGINT) AS n_stops,
+    CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_keep
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(n_alpha AS DOUBLE) / n_chars_m + CAST(n_stops AS DOUBLE) / n_tokens
+      - CAST(n_chars_m - n_keep AS DOUBLE) / n_chars_m AS q
+  FROM f
+), r AS (
+  SELECT lang, n_tokens, q,
+    percent_rank() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+  FROM s
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+  sum(round(q * 10000)) / 10000.0 AS sum_score
+FROM r WHERE pr >= 1.0 - 0.7
+GROUP BY lang ORDER BY lang""",
+
     "t3_token_count" ->
       """SELECT doc_id,
   CAST(length(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,

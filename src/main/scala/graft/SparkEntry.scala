@@ -616,6 +616,45 @@ object SparkEntry {
     "t5_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocabTopK(docs(s, d), 50)
         .select(col("token"), col("n_docs"), col("n_total"))),
+    "t8_pii_redact" -> ((s, d) => {
+      // PII scrubbing over synthesized-from-fixture log lines (emails,
+      // IPs, ids derived deterministically from events columns). The
+      // oracle applies the identical three-pass regex chain, so the
+      // redacted STRINGS hash-compare — not just counts.
+      val line = concat(
+        col("event_type"), lit(" user="), col("user_id").cast("string"),
+        lit(" ip=10.0."), pmod(col("user_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("event_id"), lit(256L)).cast("string"),
+        lit(" mail=u"), col("user_id").cast("string"),
+        lit("@example.com "), col("props"))
+      ev(s, d).where(col("event_id") < 300)
+        .select(col("event_id"),
+          TextAnalysis.redactPii(line).as("redacted"))
+        .orderBy("event_id")
+    }),
+    "t9_source_overlap" -> ((s, d) =>
+      // cross-source duplicate matrix (diagonal = per-source distinct
+      // fingerprints)
+      TextAnalysis.sourceOverlap(docs(s, d))
+        .orderBy("source_a", "source_b")),
+    "pipe4_token_shards" -> ((s, d) =>
+      // fixed token-budget shard packing via the distributed prefix
+      // sum; per-shard doc/token totals
+      TextAnalysis.packShards(docs(s, d), 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("shard")),
+    "pipe5_quality_cut" -> ((s, d) =>
+      // percentile quality gate: top 70% per language, then per-language
+      // survivor stats
+      TextAnalysis.qualityCut(docs(s, d), 0.7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          (sum(round(col("quality_score") * 10000)) / 10000.0)
+            .as("sum_score"))
+        .orderBy("lang")),
     "t7_tfidf" -> ((s, d) =>
       // per-doc keyword extraction: top-3 tokens by TF-IDF with the
       // rational (log-free, rank-identical, engine-exact) IDF.

@@ -123,6 +123,85 @@ object TextAnalysis {
   /** Content fingerprint = md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** PII redaction: emails, then IPv4 addresses, then residual digit
+    * runs (>= 3 digits) become typed placeholder tokens — IN THAT ORDER
+    * (emails and IPs contain digit runs, so the digit pass must only
+    * see what the earlier passes left). Patterns are deliberately
+    * engine-portable (character classes only, no lookarounds or \\b),
+    * so the DuckDB oracle applies the byte-identical chain.
+    *
+    * Scale: a pure per-row codegen'd regex chain — no shuffle, linear
+    * at any corpus size; the redaction alphabet is fixed so output
+    * size is bounded by input size + token overhead. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "[0-9]{3,}", "<NUM>")
+  }
+
+  /** Cross-source duplicate matrix: for every ordered pair of sources
+    * (diagonal included), the number of distinct normalized
+    * fingerprints present in BOTH — the corpus-curation view that shows
+    * which ingestion sources re-crawl each other. The diagonal row is
+    * each source's distinct-document count.
+    *
+    * Scale: one distinct on (source, fingerprint) — a shuffle keyed by
+    * content hash — then a self-equi-join ON the fingerprint: group
+    * sizes are bounded by the NUMBER OF SOURCES (each source
+    * contributes a fingerprint at most once after the distinct), so
+    * pair expansion per key is at most |sources|², never row-count². */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("source"),
+      fingerprint(col("text")).as("fp")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Pack documents into fixed token-budget shards (training-sequence
+    * sharding): documents in doc_id order accumulate into a shard until
+    * the budget is crossed, then the next shard starts — i.e. shard =
+    * floor(exclusive-prefix-sum(tokens) / budget). Deterministic: same
+    * corpus, same shards, independent of partitioning.
+    *
+    * Scale: the prefix sum is [[graft.operators.GlobalRowNumber
+    * .prefixSum]] — range partition + per-partition partials + driver
+    * offsets — never the single-partition global window. */
+  def packShards(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val withTok = docs.select(col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.GlobalRowNumber
+      .prefixSum(withTok, Seq(col("doc_id")), col("n_tokens"))
+      .withColumn("shard",
+        floor(col("cum_before").cast("double") / budget).cast("long"))
+  }
+
+  /** Percentile quality gate: keep the TOP `keepFrac` of documents per
+    * language by [[qualityScore]], with a deterministic (score, doc_id)
+    * order. percent_rank = (rank-1)/(n-1) — an integer ratio over an
+    * exact-double ordering, so the kept set is engine-exact.
+    *
+    * Scale: one shuffle keyed by language; a giant language makes a fat
+    * window partition (documented skew: production sub-buckets by score
+    * range and merges boundary ranks — the CCNet perplexity-bucket
+    * shape). */
+  def qualityCut(docs: DataFrame, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality_score"), col("doc_id"))
+    scored
+      .withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= 1.0 - keepFrac)
+  }
+
   /** Deterministic sampling bucket in [0, 100): the first 4 hex chars
     * of md5(doc_id) mod 100. Hash-based (not rand()) so the sample is
     * reproducible across runs, partitionings, and engines — the

@@ -70,4 +70,52 @@ object GlobalRowNumber {
     ranged.unpersist()
     numbered
   }
+
+  /** Distributed EXCLUSIVE prefix sum of `valueCol` (cast to long,
+    * null = 0) over a total order: each row gets the sum of all
+    * STRICTLY preceding rows' values. Same two-pass shape as [[apply]]
+    * — per-partition partial sums, driver-side offsets (P values), one
+    * numbering pass — so the single-partition
+    * `sum().over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * -1))` form is never executed. The order must be total (include a
+    * tiebreak column). */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                outCol: String = "cum_before",
+                numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val withV = df.withColumn("__psv", coalesce(valueCol.cast("long"), lit(0L)))
+    val ranged0 =
+      if (numPartitions > 0)
+        withV.repartitionByRange(numPartitions, orderCols: _*)
+      else withV.repartitionByRange(orderCols: _*)
+    val ranged = ranged0.sortWithinPartitions(orderCols: _*).persist()
+    val sums = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("__psv")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (sums.isEmpty) -1 else sums.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    for (p <- 0 to maxPid) {
+      offsets(p) = acc
+      acc += sums.getOrElse(p, 0L)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val vIdx = ranged.schema.fieldIndex("__psv")
+    val outSchema = StructType(
+      ranged.schema.fields.patch(vIdx, Nil, 1) :+
+        StructField(outCol, LongType, nullable = false))
+    val summed = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var running = bc.value(pid)
+      it.map { r =>
+        val out = Row.fromSeq(
+          r.toSeq.patch(vIdx, Nil, 1) :+ running)
+        running += r.getLong(vIdx)
+        out
+      }
+    }(Encoders.row(outSchema)).localCheckpoint()
+    ranged.unpersist()
+    summed
+  }
 }

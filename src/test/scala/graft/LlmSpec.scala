@@ -391,6 +391,82 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction: typed placeholders, pass order, short runs kept") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      "write to bob.smith+x@mail-host.co.uk now",     // email (has dots/+)
+      "from 192.168.001.250 port 80",                 // IP, short digits kept
+      "id 1234567 and pin 42",                        // long run only
+      "mixed a@b.io at 10.0.0.1 ref 98765",           // all three
+      "clean text, nothing to do")
+      .toDF("s").select(TextAnalysis.redactPii(col("s")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "write to <EMAIL> now")
+    assert(rows(1) == "from <IP> port 80")
+    assert(rows(2) == "id <NUM> and pin 42")
+    assert(rows(3) == "mixed <EMAIL> at <IP> ref <NUM>")
+    assert(rows(4) == "clean text, nothing to do")
+  }
+
+  test("prefixSum == single-partition window; packShards crosses budget") {
+    import graft.operators.GlobalRowNumber
+    val df = (1 to 500).map(i => (i.toLong, (i % 7).toLong))
+      .toDF("id", "v").repartition(8)
+    val got = GlobalRowNumber.prefixSum(df, Seq(col("id")), col("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = df.withColumn("cum_ref",
+      coalesce(sum(col("v")).over(w), lit(0L)))
+    val joined = got.join(ref.select("id", "cum_ref"), "id").collect()
+    assert(joined.length == 500)
+    joined.foreach(r => assert(
+      r.getLong(r.fieldIndex("cum_before")) ==
+        r.getLong(r.fieldIndex("cum_ref"))))
+    // shards: every shard's STARTING doc has cum_before in
+    // [shard*budget, ...) and shard ids are dense from 0
+    val docs = (1 to 100).map(i => (i.toLong, "w " * 50)).toDF("doc_id", "text")
+    val shards = graft.llm.TextAnalysis.packShards(docs, 200L)
+      .groupBy("shard").agg(count(lit(1)).as("n"),
+        sum(col("n_tokens")).as("tok")).orderBy("shard").collect()
+    assert(shards.map(_.getLong(0)).toSeq ==
+      (0L until shards.length.toLong))
+    // 50 tokens/doc, 200 budget -> 4 docs per shard
+    assert(shards.init.forall(_.getLong(1) == 4L))
+  }
+
+  test("sourceOverlap diagonal counts distinct fps; shared dups pair up") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta", "s1", "x"), (2L, "alpha beta", "s1", "x"),
+      (3L, "ALPHA beta!", "s2", "x"), // normalizes equal -> cross dup
+      (4L, "unique two", "s2", "x"), (5L, "unique three", "s2", "x"))
+      .toDF("doc_id", "text", "source", "lang")
+    val m = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("s1", "s1")) == 1L) // two docs, one distinct fp
+    assert(m(("s2", "s2")) == 3L)
+    assert(m(("s1", "s2")) == 1L) // the normalized dup
+  }
+
+  test("qualityCut keeps the top fraction per language deterministically") {
+    import graft.llm.TextAnalysis
+    // 10 docs per lang with strictly increasing quality (more alpha)
+    val docs = (for (l <- Seq("aa", "bb"); i <- 1 to 10) yield {
+      val junk = "!" * (10 - i)
+      (l.hashCode.toLong * 100 + i, s"${"word " * i}$junk", l, "src")
+    }).toDF("doc_id", "text", "lang", "source")
+    val kept = TextAnalysis.qualityCut(docs, 0.5)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // percent_rank >= 0.5 over 10 rows keeps ranks 6..10 -> 5 rows
+    assert(byLang == Map("aa" -> 5L, "bb" -> 5L))
+    // deterministic: same input, same kept set
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.qualityCut(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
