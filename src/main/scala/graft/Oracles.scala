@@ -940,6 +940,14 @@ FROM lineitem
 WHERE l_quantity <= 5 AND l_extendedprice >= 1000.0 AND l_extendedprice <= 3000.0
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s18_incremental" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 2 AND l_linenumber % 3 <> 0
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -279,6 +279,35 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s18_incremental" -> ((s, d) => {
+      // Change-feed read end to end: three append commits with an
+      // OPTIMIZE rewrite in between; the incremental read AFTER v0 must
+      // see exactly commits 1 and 3's rows (the rewrite's re-added
+      // files carry dataChange=false and stay invisible).
+      val dir = "/tmp/graft_s18_incremental"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(3)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(3)) === 1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(3)) === 2), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.readChanges(s, table, fromVersion = 0)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory

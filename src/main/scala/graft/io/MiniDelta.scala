@@ -412,8 +412,12 @@ object MiniDelta {
       .write.mode("overwrite").parquet(checkpointPath(table, version))
   }
 
+  /** `dataChange = false` marks a pure rewrite (OPTIMIZE): the rows are
+    * not logically new, and incremental readers ([[readChanges]]) must
+    * skip them — exactly the Delta protocol's dataChange bit. */
   private def addLine(rel: String, size: Long,
-                      stats: Option[String] = None): String = {
+                      stats: Option[String] = None,
+                      dataChange: Boolean = true): String = {
     val parts = rel.split("/").dropRight(1)
       .filter(_.contains("="))
       .map { seg =>
@@ -425,7 +429,7 @@ object MiniDelta {
       val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
       s""","stats":"$esc""""
     }
-    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":true$statsField}}"""
+    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField}}"""
   }
 
   /** Compaction (OPTIMIZE-style): rewrite the current snapshot into one
@@ -501,7 +505,8 @@ object MiniDelta {
     val removes = oldPaths.toSeq.sorted.map(p =>
       s"""{"remove":{"path":"$p","dataChange":false}}""")
     writeCommit(spark, table, nextVersion(spark, table),
-      removes ++ added.map { case (p, s) => addLine(p, s, stats.get(p)) },
+      removes ++ added.map { case (p, s) =>
+        addLine(p, s, stats.get(p), dataChange = false) }, // pure rewrite
       "OPTIMIZE")
   }
 
@@ -845,5 +850,46 @@ object MiniDelta {
     // appended later must not appear), current reads under the latest
     readFiles(spark, table, files.toIndexedSeq,
       versionAsOf.getOrElse(Long.MaxValue))
+  }
+
+  /** Incremental (change-feed-style) read: rows of files added with
+    * `dataChange = true` in versions (`fromVersion`, `toVersion`] —
+    * the input of an incremental consumer that has already processed
+    * everything up to `fromVersion`. OPTIMIZE rewrites carry
+    * `dataChange = false` and are correctly invisible here. Each row is
+    * tagged `_commit_version`.
+    *
+    * For blind appends this IS the exact change feed. DML rewrites
+    * (DELETE/UPDATE/MERGE) re-add their surviving rows, so a consumer
+    * of those commits sees rewritten survivors too — row-level
+    * before/after images require the Delta CDF change-file extension,
+    * which this engine does not implement (documented limitation).
+    *
+    * Scale: the log tail is listed driver-side (O(window), not
+    * O(history)); only the window's files are read. */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+                  toVersion: Long = Long.MaxValue): DataFrame = {
+    val tail = logJsonVersions(spark, table)
+      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+      .map(_._2)
+    val declared = latestSchema(spark, table,
+      if (toVersion == Long.MaxValue) Long.MaxValue else toVersion)
+    def empty = {
+      val base = declared.fold(spark.emptyDataFrame)(s =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), s))
+      base.withColumn("_commit_version", lit(null).cast("long"))
+    }
+    if (tail.isEmpty) return empty
+    val changed = logDFIn(spark, tail)
+      .where(col("add").isNotNull && col("add.dataChange"))
+      .select(col("add.path").as("path"), col("version"))
+      .collect()
+    if (changed.isEmpty) return empty
+    changed.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
+      readFilesAs(spark, table,
+        rows.map(r => s"$table/${r.getString(0)}").toIndexedSeq, declared)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

@@ -429,6 +429,30 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got.count() == 32 * 5)
   }
 
+  test("readChanges: append feed with OPTIMIZE rewrites invisible") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year")) // v0
+    MiniDelta.append(spark, sample("2024", 3), t, Seq("year")) // v1
+    MiniDelta.compact(spark, t, Seq("year"))                   // v2: rewrite
+    MiniDelta.append(spark,
+      (6 to 7).map(i => (i.toLong, "2025", s"v$i"))
+        .toDF("id", "year", "payload"), t, Seq("year"))        // v3
+    // full feed = every appended row ONCE: the OPTIMIZE re-adds carry
+    // dataChange=false and never double-count
+    assert(MiniDelta.readChanges(spark, t, -1).count() == 7)
+    val after0 = MiniDelta.readChanges(spark, t, 0)
+    assert(after0.count() == 5) // v1 (3 rows) + v3 (2 rows)
+    assert(after0.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // bounded window
+    assert(MiniDelta.readChanges(spark, t, 0, 1).count() == 3)
+    // empty window keeps the declared schema
+    val none = MiniDelta.readChanges(spark, t, 3)
+    assert(none.count() == 0 &&
+      none.columns.toSeq ==
+        Seq("id", "year", "payload", "_commit_version"))
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
