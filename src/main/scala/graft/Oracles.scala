@@ -877,6 +877,41 @@ SELECT query_id, cand_id, qdot, rn AS rk FROM (
   FROM s
 ) WHERE rn <= 10 ORDER BY query_id, rk""",
 
+    "sim_funnel_topk" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+ma AS (
+  SELECT vec_id, greatest(max(abs(CAST(embedding[i] AS DOUBLE))), 1e-30) AS m
+  FROM embeddings, g GROUP BY vec_id
+), qv AS (
+  SELECT e.vec_id, i,
+    floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / ma.m + 0.5) AS q
+  FROM embeddings e JOIN ma USING (vec_id), g
+), s AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS cand_id,
+    CAST(SUM(a.q * c.q) AS BIGINT) AS qdot
+  FROM qv a JOIN qv c ON a.i = c.i AND c.vec_id <> a.vec_id
+  WHERE a.vec_id % 100 = 0
+  GROUP BY a.vec_id, c.vec_id
+), cand AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, cand_id) AS rn
+    FROM s
+  ) WHERE rn <= 25
+), ex AS (
+  SELECT cd.query_id, cd.cand_id,
+    round(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 4) AS cos_sim
+  FROM cand cd
+  JOIN embeddings a ON a.vec_id = cd.query_id
+  JOIN embeddings b ON b.vec_id = cd.cand_id, g
+  GROUP BY cd.query_id, cd.cand_id
+)
+SELECT query_id, cand_id, cos_sim, rn AS rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rn
+  FROM ex
+) WHERE rn <= 5 ORDER BY query_id, rk""",
+
     "s9_write_roundtrip" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
@@ -947,6 +982,13 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem
 WHERE l_quantity <= 2 AND l_linenumber % 3 <> 0
 GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "b1_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_quantity <= 2
+GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

@@ -25,7 +25,11 @@ object PlanAudit {
     "t6_repetition",      // native one-pass counters, zero shuffle
     "d9_decontaminate",   // broadcast eval-shingle join, narrow corpus pass
     "sim_quantized_topk", // int8 quantize + broadcast query side
-    "t7_tfidf")           // two partial aggs + broadcast DF join
+    "t7_tfidf",           // two partial aggs + broadcast DF join
+    "t8_pii_redact",      // pure narrow regex chain, no shuffle
+    "t9_source_overlap",  // fp-keyed self-join, bounded group fan-out
+    "pipe4_token_shards", // distributed prefix sum, no global window
+    "pipe5_quality_cut")  // per-language window, one exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

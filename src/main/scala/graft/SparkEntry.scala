@@ -308,6 +308,25 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "b1_bucketed_join" -> ((s, d) => {
+      // Pay-the-shuffle-once: both join sides written bucketed+sorted
+      // on the join key, then the recurring equi-join runs with zero
+      // Exchange (BucketingSpec asserts the plan). The aggregate must
+      // equal the plain join computed straight from the sources.
+      val orders = Tables.load(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      val li = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey").as("k"), col("l_extendedprice"))
+      graft.io.Bucketing.writeBucketed(orders, "graft_orders_b", 8, "k")
+      graft.io.Bucketing.writeBucketed(li, "graft_lineitem_b", 8, "k")
+      graft.io.Bucketing
+        .bucketedEquiJoin(s, "graft_orders_b", "graft_lineitem_b", "k")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory
@@ -684,6 +703,11 @@ object SparkEntry {
           (sum(round(col("quality_score") * 10000)) / 10000.0)
             .as("sum_score"))
         .orderBy("lang")),
+    "sim_funnel_topk" -> ((s, d) =>
+      // two-stage retrieval: int8 candidates (25) -> exact cosine
+      // rerank (5); both stages deterministic, so engine-exact
+      Similarity.funnelTopK(emb(s, d),
+        pmod(col("vec_id"), lit(100)) === 0, 25, 5)),
     "t7_tfidf" -> ((s, d) =>
       // per-doc keyword extraction: top-3 tokens by TF-IDF with the
       // rational (log-free, rank-identical, engine-exact) IDF.

@@ -66,6 +66,43 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Candidate→rerank funnel: the int8-quantized dot ([[quantizedTopK]])
+    * nominates `candK` coarse candidates per query at 4x the memory
+    * bandwidth of floats, then ONLY those pairs are re-scored with the
+    * exact float cosine and re-ranked to `k`. The exact pass touches
+    * candK rows per query instead of the corpus — at 100 TB the funnel
+    * is what makes exact reranking affordable (the standard two-stage
+    * retrieval shape). Both stages are deterministic (cand_id
+    * tiebreaks), so the funnel output is engine-exact.
+    *
+    * The final ranking can differ from [[bruteForceTopK]] only when a
+    * true top-k neighbor falls outside the quantized top-candK — the
+    * recall/candK trade every production funnel tunes. */
+  def funnelTopK(emb: DataFrame, queryPred: Column, candK: Int,
+                 k: Int): DataFrame = {
+    require(k <= candK, "rerank k must not exceed the candidate pool")
+    val cands = quantizedTopK(emb, queryPred, candK)
+      .select("query_id", "cand_id")
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm2(col("embedding")).as("qnorm"))
+    val c = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), norm2(col("embedding")).as("cnorm"))
+    // the pair list is queries x candK — broadcast it through both
+    // joins so the corpus side never shuffles
+    val exact = broadcast(cands).join(q, "query_id").join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        round(safeCosine(dot(col("qv"), col("cv")),
+          col("qnorm"), col("cnorm")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    exact.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** IVF-style near-duplicate pairs: only pairs within the same coarse
     * cell (`label`) are scored; pairs at/above the rounded threshold
     * survive. Linear in (cell size)^2, never a full cross join. */

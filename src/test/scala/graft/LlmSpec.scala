@@ -467,6 +467,30 @@ class LlmSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("funnel with a full candidate pool == brute force; funnel ⊆ candidates") {
+    val e = Tables.load(spark, TestSpark.sfTiny, "embeddings")
+    val pred = pmod(col("vec_id"), lit(100)) === 0
+    val n = e.count().toInt
+    // candK = corpus size: the quantized stage prunes nothing, so the
+    // exact rerank must agree with brute force bit for bit
+    val funnel = Similarity.funnelTopK(e, pred, candK = n, k = 5)
+      .select("query_id", "cand_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val brute = Similarity.bruteForceTopK(e, pred, 5)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"),
+        col("rk").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(funnel.toSet == brute.toSet)
+    // a narrow pool returns only nominated candidates, still k per query
+    val cands = Similarity.quantizedTopK(e, pred, 10)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Similarity.funnelTopK(e, pred, candK = 10, k = 5).collect()
+    assert(narrow.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    narrow.foreach(r =>
+      assert(cands.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
