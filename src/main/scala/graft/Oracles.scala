@@ -280,6 +280,14 @@ FROM events
 GROUP BY ROLLUP (event_type, user_bucket)
 ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
 
+    "a11_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+  CAST(count(*) AS BIGINT) AS n,
+  sum(round(value * 100)) / 100.0 AS sum_value
+FROM events
+GROUP BY CUBE (event_type, user_bucket)
+ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
+
     "a9_latency_quantiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.5), 4) AS p50,
@@ -989,6 +997,13 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_quantity <= 2
 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "s19_stream_consume" ->
+      """SELECT CAST(l_linenumber % 3 AS BIGINT) AS version,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1 ORDER BY 1""",
 
     "s11_vacuum" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,

@@ -327,6 +327,37 @@ object SparkEntry {
           (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
+    "s19_stream_consume" -> ((s, d) => {
+      // Exactly-once change-feed consumption end to end: three append
+      // commits, then processChanges drains the feed one commit per
+      // batch from a fresh checkpoint. The per-batch (version, rows,
+      // qty) records must equal the same split computed from the
+      // source — and a second drain must deliver nothing.
+      val dir = "/tmp/graft_s19_stream"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val cp = s"$dir/_checkpoint"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      for (m <- 0 to 2)
+        graft.io.MiniDelta.append(s,
+          src.where(pmod(col("l_linenumber"), lit(3)) === m), table,
+          Seq("l_returnflag"))
+      val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      graft.io.MiniDelta.processChanges(s, table, cp) { (df, v) =>
+        val r = df.agg(count(lit(1)),
+          sum(col("l_quantity").cast("long"))).collect()(0)
+        batches += ((v, r.getLong(0), r.getLong(1)))
+      }
+      graft.io.MiniDelta.processChanges(s, table, cp) { (_, _) =>
+        sys.error("redelivery after drain")
+      }
+      import s.implicits._
+      batches.toSeq.toDF("version", "n_rows", "sum_qty")
+        .orderBy("version")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory
@@ -648,6 +679,17 @@ object SparkEntry {
       ev(s, d)
         .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
         .rollup("event_type", "user_bucket")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_bucket").asc_nulls_first)),
+    "a11_cube" -> ((s, d) =>
+      // full CUBE: every subtotal combination incl. per-bucket-only
+      // marginals (which ROLLUP lacks) — one Expand + hash aggregate,
+      // 4 grouping sets from one scan
+      ev(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .cube("event_type", "user_bucket")
         .agg(count(lit(1)).as("n"),
           (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
         .orderBy(col("event_type").asc_nulls_first,

@@ -852,6 +852,55 @@ object MiniDelta {
       versionAsOf.getOrElse(Long.MaxValue))
   }
 
+  /** Exactly-once micro-batch consumption of the change feed: invokes
+    * `handle(batch, version)` once per unprocessed commit, in version
+    * order, committing a progress marker under `checkpointDir` AFTER
+    * each handler returns (atomic temp+rename). A crash between handler
+    * and marker replays that one commit — the same at-least-once-with-
+    * idempotent-sink contract as Structured Streaming's foreachBatch,
+    * with the commit version as the natural batch id for sink-side
+    * dedup. Returns the last processed version (-1 on empty tables).
+    *
+    * This is the table-as-stream consumption path (Delta's streaming
+    * source): offsets ARE commit versions, so no separate offset log is
+    * needed and a consumer can be re-pointed at any version by editing
+    * one marker file. Batches carry only dataChange=true files —
+    * OPTIMIZE rewrites never re-deliver. */
+  def processChanges(spark: SparkSession, table: String,
+                     checkpointDir: String)
+                    (handle: (DataFrame, Long) => Unit): Long = {
+    val f = fs(spark, checkpointDir)
+    val marker = new Path(s"$checkpointDir/last_version")
+    def readMarker(): Long =
+      if (!f.exists(marker)) -1L
+      else {
+        val in = f.open(marker)
+        try {
+          val bytes = new Array[Byte](f.getFileStatus(marker).getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8").trim.toLong
+        } finally in.close()
+      }
+    def writeMarker(v: Long): Unit = {
+      val tmp = new Path(s"$checkpointDir/last_version.tmp")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (f.exists(marker)) f.delete(marker, false)
+      if (!f.rename(tmp, marker))
+        throw new java.io.IOException(s"marker rename failed at v=$v")
+    }
+    f.mkdirs(new Path(checkpointDir))
+    val latest = nextVersion(spark, table) - 1
+    var last = readMarker()
+    while (last < latest) {
+      val v = last + 1
+      handle(readChanges(spark, table, v - 1, v), v)
+      writeMarker(v)
+      last = v
+    }
+    latest
+  }
+
   /** Incremental (change-feed-style) read: rows of files added with
     * `dataChange = true` in versions (`fromVersion`, `toVersion`] —
     * the input of an incremental consumer that has already processed

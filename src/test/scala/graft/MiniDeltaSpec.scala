@@ -453,6 +453,39 @@ class MiniDeltaSpec extends AnyFunSuite {
         Seq("id", "year", "payload", "_commit_version"))
   }
 
+  test("processChanges: exactly-once delivery, crash replay, resume") {
+    val t = freshTable()
+    val cp = Files.createTempDirectory("cp").toString
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year")) // v0
+    MiniDelta.append(spark, sample("2024", 3), t, Seq("year")) // v1
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    MiniDelta.processChanges(spark, t, cp) { (df, v) =>
+      seen += ((v, df.count()))
+    }
+    assert(seen.toSeq == Seq((0L, 2L), (1L, 3L)))
+    // nothing redelivered on a second run
+    MiniDelta.processChanges(spark, t, cp) { (_, _) => fail("redelivery") }
+    // new commits deliver incrementally
+    MiniDelta.append(spark, sample("2025", 1), t, Seq("year")) // v2
+    seen.clear()
+    MiniDelta.processChanges(spark, t, cp) { (df, v) =>
+      seen += ((v, df.count()))
+    }
+    assert(seen.toSeq == Seq((2L, 1L)))
+    // crash BETWEEN handler and marker: the commit replays next run
+    MiniDelta.append(spark, sample("2026", 2), t, Seq("year")) // v3
+    intercept[RuntimeException] {
+      MiniDelta.processChanges(spark, t, cp) { (_, _) =>
+        throw new RuntimeException("sink crash")
+      }
+    }
+    seen.clear()
+    MiniDelta.processChanges(spark, t, cp) { (df, v) =>
+      seen += ((v, df.count()))
+    }
+    assert(seen.toSeq == Seq((3L, 2L))) // replayed exactly once
+  }
+
   test("optimistic commit: losing appender rebases and retries") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 1), t, Seq("year")) // version 0
