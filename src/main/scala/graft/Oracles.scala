@@ -351,6 +351,29 @@ FROM mixed m JOIN keep k ON m.doc_id = k.doc_id
 JOIN q ON q.doc_id = m.doc_id
 GROUP BY m.lang ORDER BY m.lang""",
 
+    "pipe6_temperature_mix" ->
+      """WITH c AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source,
+    least(100, greatest(1,
+      CAST(round(pow(n, -0.5) * (50.0 / (SELECT min(pow(n, -0.5)) FROM c))) AS INT))) AS pct
+  FROM c
+), b AS (
+  SELECT doc_id, source,
+    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100
+      AS bucket
+  FROM documents
+)
+SELECT b.source, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(min(doc_id) AS BIGINT) AS first_kept
+FROM b JOIN w ON b.source = w.source
+WHERE bucket < pct
+GROUP BY b.source ORDER BY b.source""",
+
     "pipe2_weighted_mix" ->
       """WITH b AS (
   SELECT doc_id, lang,

@@ -29,7 +29,9 @@ object PlanAudit {
     "t8_pii_redact",      // pure narrow regex chain, no shuffle
     "t9_source_overlap",  // fp-keyed self-join, bounded group fan-out
     "pipe4_token_shards", // distributed prefix sum, no global window
-    "pipe5_quality_cut")  // per-language window, one exchange
+    "pipe5_quality_cut",  // per-language window, one exchange
+    "b1_bucketed_join",   // zero-Exchange SortMergeJoin on buckets
+    "sim_funnel_topk")    // broadcast candidate pairs, corpus unshuffled
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

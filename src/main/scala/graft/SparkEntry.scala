@@ -750,6 +750,18 @@ object SparkEntry {
       // rerank (5); both stages deterministic, so engine-exact
       Similarity.funnelTopK(emb(s, d),
         pmod(col("vec_id"), lit(100)) === 0, 25, 5)),
+    "pipe6_temperature_mix" -> ((s, d) => {
+      // temperature-rebalanced corpus: keep rate ∝ count^(alpha-1),
+      // largest source anchored at 50% — downsample the head, keep the
+      // tail — then the deterministic hash-bucket mix
+      val w = TextAnalysis.temperatureWeights(docs(s, d), "source",
+        alpha = 0.5, maxPct = 50)
+      TextAnalysis.weightedMix(docs(s, d), "source", w)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_kept"))
+        .orderBy("source")
+    }),
     "t7_tfidf" -> ((s, d) =>
       // per-doc keyword extraction: top-3 tokens by TF-IDF with the
       // rational (log-free, rank-identical, engine-exact) IDF.

@@ -224,6 +224,34 @@ object TextAnalysis {
     docs.where(sampleBucket(col("doc_id")) < pct)
   }
 
+  /** Temperature-rebalanced keep percentages: group g's keep rate is
+    * proportional to count(g)^(alpha-1), scaled so the LARGEST group's
+    * rate is `maxPct` — alpha=1 keeps natural proportions, alpha→0
+    * flattens toward uniform group totals (the multilingual-sampling
+    * temperature of Conneau & Lample's XLM and successors: p_g ∝
+    * count^alpha over natural frequency). Drive [[weightedMix]] with
+    * the result for a reproducible temperature-mixed corpus.
+    *
+    * Scale: one count aggregate (groups are few — driver-side math on
+    * a handful of rows), then the pure per-row mix predicate. */
+  def temperatureWeights(docs: DataFrame, groupCol: String,
+                         alpha: Double, maxPct: Int = 100): Map[String, Int] = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0, 1]")
+    require(maxPct >= 1 && maxPct <= 100, "maxPct in [1, 100]")
+    val counts = docs.groupBy(groupCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return Map.empty
+    // keep(g) ∝ count^alpha / count = count^(alpha-1); normalize so the
+    // biggest group (smallest rate) anchors at maxPct of ITS documents
+    val raw = counts.map { case (g, n) =>
+      g -> math.pow(n.toDouble, alpha - 1.0)
+    }
+    val norm = maxPct / raw.values.min
+    raw.map { case (g, r) =>
+      g -> math.min(100, math.max(1, math.round(r * norm).toInt))
+    }
+  }
+
   /** Gopher-style repetition quality signals per document: word counts,
     * the most-repeated word/bigram, and the derived repetition ratios
     * used to drop boilerplate-heavy documents from training corpora

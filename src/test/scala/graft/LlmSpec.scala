@@ -491,6 +491,21 @@ class LlmSpec extends AnyFunSuite {
       assert(cands.contains((r.getLong(0), r.getLong(1)))))
   }
 
+  test("temperatureWeights: head anchored, tail boosted, alpha=1 flat") {
+    import graft.llm.TextAnalysis
+    val docs = ((1 to 1000).map(i => (i.toLong, "t", "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "t", "mid")) ++
+      (1101 to 1110).map(i => (i.toLong, "t", "small")))
+      .toDF("doc_id", "text", "source")
+    val w = TextAnalysis.temperatureWeights(docs, "source", 0.5, maxPct = 50)
+    assert(w("big") == 50) // largest group anchors at maxPct
+    assert(w("big") < w("mid") && w("mid") <= w("small")) // tail boosted
+    assert(w.values.forall(p => p >= 1 && p <= 100))
+    // alpha = 1: natural proportions -> every group keeps maxPct
+    val flat = TextAnalysis.temperatureWeights(docs, "source", 1.0, 40)
+    assert(flat.values.toSet == Set(40))
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
