@@ -357,7 +357,7 @@ GROUP BY m.lang ORDER BY m.lang""",
 ), w AS (
   SELECT source,
     least(100, greatest(1,
-      CAST(round(pow(n, -0.5) * (50.0 / (SELECT min(pow(n, -0.5)) FROM c))) AS INT))) AS pct
+      CAST(round((1.0 / sqrt(n)) * (50.0 / (SELECT min(1.0 / sqrt(n)) FROM c))) AS INT))) AS pct
   FROM c
 ), b AS (
   SELECT doc_id, source,

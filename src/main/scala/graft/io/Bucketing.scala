@@ -68,6 +68,11 @@ object Bucketing {
     require(nl == nr,
       s"bucket counts differ ($left=$nl, $right=$nr): the join would " +
         "re-shuffle; rewrite one side with a matching count")
-    spark.table(left).join(spark.table(right), key)
+    // force the merge strategy: the module's premise is two LARGE
+    // bucketed sides, where SMJ-over-buckets is the zero-Exchange plan.
+    // Without the hint, a side that happens to be small at test scale
+    // broadcasts instead and the audited plan stops demonstrating the
+    // property the tables were bucketed FOR.
+    spark.table(left).hint("merge").join(spark.table(right), key)
   }
 }

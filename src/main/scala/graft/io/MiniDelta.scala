@@ -885,16 +885,29 @@ object MiniDelta {
       val tmp = new Path(s"$checkpointDir/last_version.tmp")
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (f.exists(marker)) f.delete(marker, false)
-      if (!f.rename(tmp, marker))
-        throw new java.io.IOException(s"marker rename failed at v=$v")
+      // atomic overwrite-rename (FileContext, not FileSystem.rename): a
+      // delete-then-rename window would lose the marker on a crash and
+      // replay the WHOLE feed instead of one commit
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(marker.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     f.mkdirs(new Path(checkpointDir))
     val latest = nextVersion(spark, table) - 1
     var last = readMarker()
     while (last < latest) {
       val v = last + 1
-      handle(readChanges(spark, table, v - 1, v), v)
+      // a commit with no dataChange adds (OPTIMIZE) delivers nothing:
+      // advance the marker without waking the handler — an empty batch
+      // would crash typical aggregate-and-index handlers
+      val hasChanges = logJsonVersions(spark, table)
+        .filter(_._1 == v).map(_._2) match {
+        case Seq() => false
+        case files => logDFIn(spark, files)
+          .where(col("add").isNotNull && col("add.dataChange"))
+          .limit(1).collect().nonEmpty
+      }
+      if (hasChanges) handle(readChanges(spark, table, v - 1, v), v)
       writeMarker(v)
       last = v
     }
@@ -935,6 +948,18 @@ object MiniDelta {
       .select(col("add.path").as("path"), col("version"))
       .collect()
     if (changed.isEmpty) return empty
+    // a consumer resuming from before a VACUUM horizon would read files
+    // that no longer exist — fail with the actual cause, not a deep
+    // FileNotFound, so the operator resets the checkpoint deliberately
+    // (Delta guards the same case with a retention window)
+    val f = fs(spark, table)
+    val gone = changed.map(_.getString(0))
+      .filterNot(p => f.exists(new Path(s"$table/$p")))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"change feed at versions (${fromVersion}, $toVersion] references " +
+          s"${gone.length} vacuumed file(s) (first: ${gone.head}); the " +
+          "consumer checkpoint predates the table's retention — reset it")
     changed.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
       readFilesAs(spark, table,
         rows.map(r => s"$table/${r.getString(0)}").toIndexedSeq, declared)

@@ -88,9 +88,12 @@ object Similarity {
         norm2(col("embedding")).as("qnorm"))
     val c = emb.select(col("vec_id").as("cand_id"),
       col("embedding").as("cv"), norm2(col("embedding")).as("cnorm"))
-    // the pair list is queries x candK — broadcast it through both
-    // joins so the corpus side never shuffles
-    val exact = broadcast(cands).join(q, "query_id").join(c, "cand_id")
+    // the pair list is queries x candK — broadcast the PAIR+QUERY frame
+    // (still queries x candK rows) into the corpus-side join so the
+    // corpus never shuffles; a hint on cands alone would be consumed by
+    // the first join and leave the big join unhinted
+    val exact = broadcast(broadcast(cands).join(q, "query_id"))
+      .join(c, "cand_id")
       .select(col("query_id"), col("cand_id"),
         round(safeCosine(dot(col("qv"), col("cv")),
           col("qnorm"), col("cnorm")), 4).as("cos_sim"))

@@ -87,7 +87,14 @@ object TextAnalysis {
     * Feature extraction runs on the one-pass native scans (alpha/punct
     * counts, stopword hits) instead of regexp_replace chains — same
     * values, ~5x less per-row work. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    qualityScoreWith(docs, Nil)
+
+  /** [[qualityScore]] with extra input columns carried through the SAME
+    * projection — one corpus pass, no re-scan-and-join to recover
+    * columns of the very row being scored. */
+  def qualityScoreWith(docs: DataFrame,
+                       passthrough: Seq[String]): DataFrame = {
     val t = col("text")
     val toks = tokenCount(t)
     val chars = length(t)
@@ -96,13 +103,13 @@ object TextAnalysis {
       t, Seq(stopwords.flatMap(_._2))), 1)
     val punct = org.apache.spark.sql.graft.CharClassCount.punct(t)
     docs.select(
-      col("doc_id"),
-      chars.as("n_chars_m"),
-      toks.as("n_tokens"),
-      ratio(alpha, chars).as("alpha_ratio"),
-      ratio(stops, toks).as("stopword_ratio"),
-      ratio(punct, chars).as("punct_ratio"),
-      ratio(chars - (toks - 1), toks).as("mean_token_len"))
+      (col("doc_id") +: passthrough.map(col)) ++ Seq(
+        chars.as("n_chars_m"),
+        toks.as("n_tokens"),
+        ratio(alpha, chars).as("alpha_ratio"),
+        ratio(stops, toks).as("stopword_ratio"),
+        ratio(punct, chars).as("punct_ratio"),
+        ratio(chars - (toks - 1), toks).as("mean_token_len")): _*)
       .withColumn("quality_score",
         col("alpha_ratio") + col("stopword_ratio") - col("punct_ratio"))
   }
@@ -193,8 +200,9 @@ object TextAnalysis {
   def qualityCut(docs: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, "keepFrac in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val scored = qualityScore(docs)
-      .join(docs.select("doc_id", "lang"), "doc_id")
+    // lang rides through the scoring projection — one corpus pass, no
+    // corpus-vs-corpus self-join to recover a column of the same row
+    val scored = qualityScoreWith(docs, Seq("lang"))
     val w = Window.partitionBy("lang")
       .orderBy(col("quality_score"), col("doc_id"))
     scored
@@ -242,9 +250,13 @@ object TextAnalysis {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) return Map.empty
     // keep(g) ∝ count^alpha / count = count^(alpha-1); normalize so the
-    // biggest group (smallest rate) anchors at maxPct of ITS documents
+    // biggest group (smallest rate) anchors at maxPct of ITS documents.
+    // alpha = 0.5 (the common temperature) uses 1/sqrt(n): sqrt is IEEE
+    // correctly-rounded in every engine, pow is only ~1-ulp — the same
+    // engine-exactness rule tfIdf follows for its rational IDF
     val raw = counts.map { case (g, n) =>
-      g -> math.pow(n.toDouble, alpha - 1.0)
+      g -> (if (alpha == 0.5) 1.0 / math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha - 1.0))
     }
     val norm = maxPct / raw.values.min
     raw.map { case (g, r) =>

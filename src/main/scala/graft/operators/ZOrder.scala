@@ -34,10 +34,14 @@ object ZOrder {
     coalesce(r, lit(0)) // nulls first, like Delta ZORDER
   }
 
-  /** `df` plus a z-value column `out` interleaving `cols`. */
+  /** `df` plus a z-value column `out` interleaving `cols`. `bits = 0`
+    * (the default) auto-sizes to the widest rank that fits a signed
+    * long — 16 bits up to 3 columns, 63/n beyond — so z-ordering 4+
+    * columns (routine for OPTIMIZE ZORDER) works out of the box. */
   def withZValue(df: DataFrame, cols: Seq[String], out: String = "__z",
-                 bits: Int = 16): DataFrame = {
+                 bits: Int = 0): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two columns")
+    val bits0 = if (bits > 0) bits else math.min(16, 63 / cols.size)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"),
         max(col(c).cast("double")).as(s"hi_$c")))
@@ -45,8 +49,8 @@ object ZOrder {
     def d(name: String): Double =
       if (row.isNullAt(row.fieldIndex(name))) 0.0
       else row.getDouble(row.fieldIndex(name))
-    val ranks = cols.map(c => rank(col(c), d(s"lo_$c"), d(s"hi_$c"), bits))
-    df.withColumn(out, InterleaveBits(bits, ranks: _*))
+    val ranks = cols.map(c => rank(col(c), d(s"lo_$c"), d(s"hi_$c"), bits0))
+    df.withColumn(out, InterleaveBits(bits0, ranks: _*))
   }
 
   /** The interleave as a pure Spark-SQL shift-or fold — the documented

@@ -465,15 +465,17 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq((0L, 2L), (1L, 3L)))
     // nothing redelivered on a second run
     MiniDelta.processChanges(spark, t, cp) { (_, _) => fail("redelivery") }
-    // new commits deliver incrementally
-    MiniDelta.append(spark, sample("2025", 1), t, Seq("year")) // v2
+    // an OPTIMIZE commit delivers nothing — the handler is never woken
+    // with an empty batch; new appends after it deliver incrementally
+    MiniDelta.compact(spark, t, Seq("year"))                   // v2
+    MiniDelta.append(spark, sample("2025", 1), t, Seq("year")) // v3
     seen.clear()
     MiniDelta.processChanges(spark, t, cp) { (df, v) =>
       seen += ((v, df.count()))
     }
-    assert(seen.toSeq == Seq((2L, 1L)))
+    assert(seen.toSeq == Seq((3L, 1L)))
     // crash BETWEEN handler and marker: the commit replays next run
-    MiniDelta.append(spark, sample("2026", 2), t, Seq("year")) // v3
+    MiniDelta.append(spark, sample("2026", 2), t, Seq("year")) // v4
     intercept[RuntimeException] {
       MiniDelta.processChanges(spark, t, cp) { (_, _) =>
         throw new RuntimeException("sink crash")
@@ -483,7 +485,40 @@ class MiniDeltaSpec extends AnyFunSuite {
     MiniDelta.processChanges(spark, t, cp) { (df, v) =>
       seen += ((v, df.count()))
     }
-    assert(seen.toSeq == Seq((3L, 2L))) // replayed exactly once
+    assert(seen.toSeq == Seq((4L, 2L))) // replayed exactly once
+  }
+
+  test("readChanges fails loudly when the window was vacuumed") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year")) // v0
+    MiniDelta.append(spark, sample("2024", 1), t, Seq("year")) // v1
+    MiniDelta.compact(spark, t, Seq("year"))                   // v2
+    MiniDelta.vacuum(spark, t) // physically deletes v0/v1 files
+    val e = intercept[IllegalStateException] {
+      MiniDelta.readChanges(spark, t, -1, 1).count()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // a consumer starting after the horizon is fine (nothing to read
+    // in (2, ...]; the compacted files are dataChange=false)
+    assert(MiniDelta.readChanges(spark, t, 2).count() == 0)
+  }
+
+  test("z-order on four columns auto-sizes bits and stays exact") {
+    val t = freshTable()
+    val rows = (for (a <- 0 until 6; b <- 0 until 6; c <- 0 until 6;
+                     dd <- 0 until 2)
+      yield (a.toLong, b.toLong, c.toLong, dd.toLong,
+        s"p$a-$b-$c-$dd")).toDF("a", "b", "c", "d", "payload")
+      .repartition(4, col("payload"))
+    MiniDelta.append(spark, rows, t, Seq.empty,
+      statsCols = Seq("a", "b", "c", "d"))
+    // 4 cols * 16 bits would overflow a long; auto-sizing (63/4 = 15
+    // bits) must make this succeed
+    MiniDelta.compact(spark, t, Seq.empty, maxRecordsPerFile = 72,
+      statsCols = Seq("a", "b", "c", "d"),
+      zOrderBy = Seq("a", "b", "c", "d"))
+    val got = MiniDelta.readRange(spark, t, "c", 2.0, 3.0)
+    assert(got.count() == 6 * 6 * 2 * 2)
   }
 
   test("optimistic commit: losing appender rebases and retries") {
