@@ -51,6 +51,25 @@ object MetricsStream {
   def counters(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Event-time session windows: Spark's native `session_window` merges
+    * a user's events whose gaps stay under `gap` into one growing
+    * window; the watermark closes sessions and bounds state (only open
+    * sessions are held, sharded by user across executors — the
+    * streaming form of the batch sessionization in
+    * [[graft.metrics.Metrics.sessionize]]). Emits one row per CLOSED
+    * session in append mode. */
+  def sessions(events: DataFrame, gap: String = "30 seconds",
+               watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        Metrics.gridAvg(col("value")).as("avg_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("avg_value"))
+
   /** T2 manual-state analogue: per-user lifetime request counts via
     * flatMapGroupsWithState — the explicit form of the reference's
     * mutable per-key state (src/metrics.rs:74-77), emitting the updated

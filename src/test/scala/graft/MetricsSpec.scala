@@ -132,6 +132,36 @@ class MetricsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within gap, close on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = MetricsStream.sessions(mem.toDF, gap = "30 seconds",
+        watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      // user 7: two events 10s apart (one session), then a 2-min gap
+      // (new session); user 8: one event
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 2.0),
+        Ev(2, ts("2024-01-01 10:00:10"), 7, "view", 4.0),
+        Ev(3, ts("2024-01-01 10:00:05"), 8, "view", 6.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark so sessions close
+      mem.addData(Ev(4, ts("2024-01-01 10:05:00"), 7, "view", 8.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, ts("2024-01-01 10:30:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      // closed: user 7's merged 2-event session, user 7's 10:05
+      // singleton, user 8's singleton; user 9's session is still open
+      // (nothing past its watermark) and must NOT appear
+      assert(rows == Set((7L, 2L, 3.0), (7L, 1L, 8.0), (8L, 1L, 6.0)))
+    } finally q.stop()
+  }
+
   test("stateful per-user counts accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
