@@ -288,6 +288,26 @@ FROM events
 GROUP BY CUBE (event_type, user_bucket)
 ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
 
+    "a12_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY 1 ORDER BY 1""",
+
+    "a13_unpivot" ->
+      """WITH p AS (
+  SELECT user_id % 10 AS ub, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), g AS (SELECT DISTINCT user_id % 10 AS ub FROM events),
+t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+SELECT g.ub AS user_bucket, t.event_type,
+  CAST(coalesce(p.n, 0) AS BIGINT) AS n
+FROM g CROSS JOIN t LEFT JOIN p ON p.ub = g.ub AND p.event_type = t.event_type
+ORDER BY 1, 2""",
+
     "a9_latency_quantiles" ->
       """SELECT event_type,
   round(quantile_cont(value, 0.5), 4) AS p50,

@@ -694,6 +694,31 @@ object SparkEntry {
           (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
         .orderBy(col("event_type").asc_nulls_first,
           col("user_bucket").asc_nulls_first)),
+    "a12_pivot" -> ((s, d) =>
+      // pivot (long->wide): per-user-bucket event counts, one column
+      // per event class. Explicit value list keeps the plan a single
+      // pass (no distinct-values pre-query) and the schema stable.
+      ev(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy("user_bucket")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_bucket")),
+    "a13_unpivot" -> ((s, d) => {
+      // unpivot (wide->long, melt): the pivoted counts back to
+      // (bucket, event_type, n) rows — zeros included, so the pair
+      // grid is complete
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev(s, d)
+        .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+        .groupBy("user_bucket").pivot("event_type", types)
+        .agg(count(lit(1))).na.fill(0L)
+        .unpivot(Array(col("user_bucket")), types.map(col).toArray,
+          "event_type", "n")
+        .orderBy("user_bucket", "event_type")
+    }),
     "a9_latency_quantiles" -> ((s, d) =>
       // exact p50/p90/p99 per event class (oracle-matched); the
       // executable 100 TB path is latencyQuantiles(approx = true) —
