@@ -394,6 +394,26 @@ FROM b JOIN w ON b.source = w.source
 WHERE bucket < pct
 GROUP BY b.source ORDER BY b.source""",
 
+    "pipe7_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 10 ORDER BY source, doc_id""",
+
+    "t10_edit_distance" ->
+      """WITH p AS (
+  SELECT doc_id,
+    substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 30) AS pf
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.pf, b.pf) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.pf, b.pf) <= 5
+ORDER BY 1, 2""",
+
     "pipe2_weighted_mix" ->
       """WITH b AS (
   SELECT doc_id, lang,

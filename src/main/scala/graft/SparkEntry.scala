@@ -787,6 +787,18 @@ object SparkEntry {
           min(col("doc_id")).as("first_kept"))
         .orderBy("source")
     }),
+    "pipe7_stratified_sample" -> ((s, d) =>
+      // exact-N balanced sample: deterministic md5 order, exactly
+      // min(10, |source|) docs per source; the kept IDs themselves are
+      // the gate (hash-compared), not just counts
+      TextAnalysis.stratifiedSample(docs(s, d), "source", 10)
+        .select("source", "doc_id").orderBy("source", "doc_id")),
+    "t10_edit_distance" -> ((s, d) =>
+      // fuzzy near-dup pairs by levenshtein over normalized 30-char
+      // prefixes; the length-blocked join must equal the oracle's
+      // all-pairs form exactly
+      TextAnalysis.editDistancePairs(docs(s, d), prefixLen = 30,
+        maxDist = 5).orderBy("id_a", "id_b")),
     "t7_tfidf" -> ((s, d) =>
       // per-doc keyword extraction: top-3 tokens by TF-IDF with the
       // rational (log-free, rank-identical, engine-exact) IDF.

@@ -210,6 +210,61 @@ object TextAnalysis {
       .where(col("pr") >= 1.0 - keepFrac)
   }
 
+  /** Exact-N stratified sample: exactly min(N, |group|) documents per
+    * group, chosen by a deterministic md5 order (not rand()) — the
+    * balanced-eval-set constructor. Reproducible across runs, engines,
+    * and partitionings; changing N only grows/shrinks each stratum
+    * monotonically (a prefix property hash ordering gives for free).
+    *
+    * Scale: one shuffle keyed by group; rank-then-filter per group.
+    * For very hot groups the per-key window is the documented skew
+    * point (pre-filtering each partition to its local top-N before the
+    * shuffle caps it — the TakeOrderedAndProject trick per key). */
+  def stratifiedSample(docs: DataFrame, groupCol: String,
+                       n: Int): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Edit-distance near-duplicate pairs on normalized prefixes:
+    * levenshtein over the first `prefixLen` chars of the normalized
+    * text, only WITHIN a length block (docs whose normalized lengths
+    * differ by more than `maxDist` cannot be within distance
+    * `maxDist`, so blocking on floor(len/maxDist+1) with neighbor
+    * blocks preserves exactness for the prefix comparison). The classic
+    * fuzzy-dedup primitive for titles/short docs.
+    *
+    * Scale: pair expansion is (block size)^2, bounded by the length
+    * histogram — never a corpus cross join; levenshtein is codegen'd
+    * in Spark and exact-integer in every engine. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int,
+                        maxDist: Int): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0, "bad prefix/dist")
+    val pref = substring(normalized(col("text")), 1, prefixLen)
+    val base = docs.select(col("doc_id"), pref.as("p"))
+      .withColumn("blk", floor(length(col("p")) / (maxDist + 1)))
+    val a = base.select(col("doc_id").as("id_a"), col("p").as("pa"),
+      col("blk"))
+    // neighbor blocks: a pair within maxDist can straddle at most one
+    // block boundary, so compare (b, b) and (b, b+1)
+    // ids do not correlate with lengths, so the id_a < id_b pair can
+    // sit in either length direction: expand one side to BOTH
+    // neighbors (b-1, b, b+1); the same-block double-match dedups
+    val b = base.select(col("doc_id").as("id_b"), col("p").as("pb"),
+        col("blk").as("blk_b"))
+      .withColumn("blk", explode(array(col("blk_b") - 1, col("blk_b"),
+        col("blk_b") + 1)))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist").distinct()
+  }
+
   /** Deterministic sampling bucket in [0, 100): the first 4 hex chars
     * of md5(doc_id) mod 100. Hash-based (not rand()) so the sample is
     * reproducible across runs, partitionings, and engines — the

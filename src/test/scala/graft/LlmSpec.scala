@@ -506,6 +506,48 @@ class LlmSpec extends AnyFunSuite {
     assert(flat.values.toSet == Set(40))
   }
 
+  test("stratifiedSample: exact-N per group, prefix property") {
+    import graft.llm.TextAnalysis
+    val docs = ((1 to 50).map(i => (i.toLong, "t", "big")) ++
+      (51 to 53).map(i => (i.toLong, "t", "tiny")))
+      .toDF("doc_id", "text", "source")
+    val s10 = TextAnalysis.stratifiedSample(docs, "source", 10)
+      .select("source", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byGroup = s10.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byGroup("big").size == 10)  // exactly N
+    assert(byGroup("tiny") == Set(51L, 52L, 53L)) // min(N, |group|)
+    // prefix property: shrinking N keeps a subset of the same sample
+    val s5 = TextAnalysis.stratifiedSample(docs, "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(s10.map(_._2).toSet))
+  }
+
+  test("editDistancePairs length-blocked join == all-pairs brute force") {
+    import graft.llm.TextAnalysis
+    // lengths chosen to straddle block boundaries in both directions
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s"),      // len 16
+      (2L, "alpha beta gamm", "s"),       // dist 1, block boundary
+      (3L, "alpha beta", "s"),            // len 10
+      (4L, "alpha betaxx", "s"),          // dist 2 from 3
+      (5L, "completely different text here", "s"),
+      (6L, "zzzzz", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.editDistancePairs(docs, 30, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p = docs.select(col("doc_id"),
+      substring(TextAnalysis.normalized(col("text")), 1, 30).as("pf"))
+    val brute = p.as("a").join(p.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.pf"), col("b.pf")).cast("long").as("d"))
+      .where(col("d") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((3L, 4L, 2L)))
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
