@@ -50,6 +50,30 @@ object MiniDelta {
 
   private def logDir(table: String) = s"$table/_delta_log"
 
+  /** JSON string-body escaping (RFC 8259): backslash, quote, and ALL
+    * control characters. A raw newline inside a min/max stat or
+    * partition value would split one action across two log lines,
+    * corrupting the one-action-per-line commit for every later reader. */
+  private[graft] def jsonEscape(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  private def jstr(s: String): String = "\"" + jsonEscape(s) + "\""
+
   /** `input_file_name()` yields the URL-ENCODED file URI while
     * [[listDataFiles]] yields decoded filesystem paths — decode before
     * any endsWith match or partition values containing spaces/%/
@@ -65,19 +89,67 @@ object MiniDelta {
   def tableExists(spark: SparkSession, table: String): Boolean =
     fs(spark, table).exists(new Path(logDir(table)))
 
-  private def nextVersion(spark: SparkSession, table: String): Long = {
-    val dir = new Path(logDir(table))
+  private def commitPath(table: String, v: Long): String =
+    f"${logDir(table)}%s/$v%020d.json"
+
+  /** `_delta_log/_last_checkpoint` pointer (Delta protocol): names the
+    * newest checkpoint so log discovery starts from it instead of
+    * listing the whole history. */
+  private def lastCheckpointPath(table: String): String =
+    s"${logDir(table)}/_last_checkpoint"
+
+  private val lastCheckpointVersion = "\"version\"\\s*:\\s*([0-9]+)".r
+
+  private def readLastCheckpoint(spark: SparkSession,
+                                 table: String): Option[Long] = {
+    val p = new Path(lastCheckpointPath(table))
     val f = fs(spark, table)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).map(_.getPath.getName)
-      .filter(commitFileName.matches(_))
-      .map(_.stripSuffix(".json").toLong)
-      .foldLeft(-1L)(math.max) + 1
+    if (!f.exists(p)) return None
+    try {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        lastCheckpointVersion
+          .findFirstMatchIn(new String(bytes, "UTF-8"))
+          .map(_.group(1).toLong)
+      } finally in.close()
+    } catch { case _: Exception => None } // corrupt pointer: fall back
   }
 
-  // exactly a commit file — NOT the checkpoint schema sidecar, which
-  // also ends in .json
-  private val commitFileName = "[0-9]{20}\\.json".r
+  /** Diagnostic: number of full `_delta_log` directory listings taken
+    * (the O(history) fallback). The steady-state paths below never list
+    * — specs assert this stays flat on pointer-bearing tables. */
+  private[graft] val logListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** Latest committed version, WITHOUT listing `_delta_log`. Commit
+    * versions are contiguous, so "does version v exist" is monotone:
+    * gallop forward from the `_last_checkpoint` hint, then binary-search
+    * the first gap — O(log tail-since-checkpoint) existence probes
+    * instead of an O(history) directory listing (the fix for 10⁶-commit
+    * tables, where per-commit listings dominate). Returns -1 before the
+    * first commit. */
+  private def latestVersion(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    if (!f.exists(new Path(logDir(table)))) return -1L
+    def exists(v: Long) = f.exists(new Path(commitPath(table, v)))
+    // hint must itself exist (a pointer can outlive a hand-deleted log)
+    var known = readLastCheckpoint(spark, table).filter(exists).getOrElse(-1L)
+    if (known < 0 && !exists(0L)) return -1L
+    if (known < 0) known = 0L
+    var step = 1L
+    while (exists(known + step)) { known += step; step *= 2 }
+    // first missing version lies in (known, known + step]
+    var missing = known + step
+    while (missing - known > 1) {
+      val mid = known + (missing - known) / 2
+      if (exists(mid)) known = mid else missing = mid
+    }
+    known
+  }
+
+  private def nextVersion(spark: SparkSession, table: String): Long =
+    latestVersion(spark, table) + 1
 
   /** S9 + P9: append `df` as a new commit. Writes Hive-partitioned
     * parquet, then logs the newly created files as add actions.
@@ -96,9 +168,9 @@ object MiniDelta {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val after = listDataFiles(spark, table)
-    val added = after.filterNot { case (p, _) => beforePaths.contains(p) }
+    val added = after.filterNot { case (p, _, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val addLines = added.map { case (p, s2) => addLine(p, s2, stats.get(p)) }
+    val addLines = added.map { case (p, s2, _) => addLine(p, s2, stats.get(p)) }
     // blind append: the add actions commute, so losing the version race
     // is harmless — but the metaData line does NOT commute (a stale one
     // would roll back a concurrent writer's schema evolution), so each
@@ -140,11 +212,9 @@ object MiniDelta {
       val abs = decodeFileUri(r.getString(0))
       val rel = rels.find(abs.endsWith(_)).getOrElse(
         sys.error(s"stats file $abs matches no added path"))
-      def quote(s: String) =
-        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       def jlit(v: Any): String = v match {
         case null => "null"
-        case s: String => quote(s)
+        case s: String => jstr(s)
         // NaN/Infinity are not JSON — a malformed stats string would
         // silently disable skipping for the whole file
         case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
@@ -152,7 +222,7 @@ object MiniDelta {
         case n: java.lang.Number => n.toString
         case b: java.lang.Boolean => b.toString
         // Date/Timestamp/etc. ride as quoted strings (Delta does the same)
-        case x => quote(x.toString)
+        case x => jstr(x.toString)
       }
       def jsonOf(prefix: String) = statsCols.map { c =>
         s""""$c":${jlit(r.get(r.fieldIndex(s"${prefix}_$c")))}"""
@@ -162,19 +232,24 @@ object MiniDelta {
     }.toMap
   }
 
+  /** (relative path, size, modification time) of every data file on
+    * disk. Listing the DATA directory is proportional to the table's
+    * file count — used only by writers to discover what they just wrote
+    * and by vacuum; never on the per-query read path. */
   private def listDataFiles(spark: SparkSession,
-                            table: String): Seq[(String, Long)] = {
+                            table: String): Seq[(String, Long, Long)] = {
     val root = new Path(table)
     val f = fs(spark, table)
     if (!f.exists(root)) return Seq.empty
     val it = f.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val rootUri = root.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toUri.getPath
       if (p.endsWith(".parquet") && !p.contains("_delta_log"))
-        buf += ((p.stripPrefix(rootUri).stripPrefix("/"), s.getLen))
+        buf += ((p.stripPrefix(rootUri).stripPrefix("/"), s.getLen,
+          s.getModificationTime))
     }
     buf.toSeq
   }
@@ -197,7 +272,10 @@ object MiniDelta {
         StructField("stats", StringType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        // Delta protocol: when the file was de-referenced (vacuum
+        // retention is measured against this; null on legacy commits)
+        StructField("deletionTimestamp", LongType)))),
       // Delta protocol: table schema rides as a JSON-escaped STRING
       StructField("metaData", StructType(Seq(
         StructField("schemaString", StringType),
@@ -215,17 +293,14 @@ object MiniDelta {
     else spark.read.schema(logSchema).json(files.toIndexedSeq: _*)
   }
 
-  /** (version, absolute path) of every JSON commit — driver-side
-    * directory listing, the index that lets replay read ONLY the tail
-    * after a checkpoint instead of globbing the entire history. */
+  /** (version, path) of every JSON commit. Commit file names are a pure
+    * function of the version and versions are contiguous, so the index
+    * is COMPUTED from [[latestVersion]] — no `_delta_log` listing. Tail
+    * consumers filter the range before touching any file. */
   private def logJsonVersions(spark: SparkSession,
                               table: String): Seq[(Long, String)] = {
-    val dir = new Path(logDir(table))
-    val f = fs(spark, table)
-    if (!f.exists(dir)) return Seq.empty
-    f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => commitFileName.matches(p.getName))
-      .map(p => (p.getName.stripSuffix(".json").toLong, p.toString))
+    val latest = latestVersion(spark, table)
+    (0L to latest).map(v => (v, commitPath(table, v)))
   }
 
   /** The listed log files as action rows, with their commit version. */
@@ -287,9 +362,9 @@ object MiniDelta {
   private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
                            partitionBy: Seq[String]): String = {
     // protocol shape: schemaString is the schema JSON, carried escaped
-    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
-    val parts = partitionBy.map(p => s""""$p"""").mkString(",")
-    s"""{"metaData":{"schemaString":"$esc","partitionColumns":[$parts]}}"""
+    val parts = partitionBy.map(jstr).mkString(",")
+    s"""{"metaData":{"schemaString":${jstr(schema.json)},""" +
+      s""""partitionColumns":[$parts]}}"""
   }
 
   /** Schema evolution rule (Delta mergeSchema semantics): existing
@@ -374,21 +449,39 @@ object MiniDelta {
   private def checkpointPath(table: String, version: Long): String =
     f"${logDir(table)}%s/$version%020d.checkpoint.parquet"
 
-  /** Latest checkpoint at or below `atMost`, if any. */
+  /** Latest checkpoint at or below `atMost`, if any. Steady state reads
+    * the `_last_checkpoint` pointer and probes FORWARD at the known
+    * auto-checkpoint stride (the pointer can trail by one if its write
+    * crashed) — O(tail/interval) existence checks, no listing. Only
+    * pointer-less tables and time travel BELOW the pointer fall back to
+    * the full `_delta_log` listing (counted in [[logListings]]). */
   private def latestCheckpoint(spark: SparkSession, table: String,
                                atMost: Long): Option[Long] = {
-    val dir = new Path(logDir(table))
     val f = fs(spark, table)
-    if (!f.exists(dir)) return None
-    val vs = f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .map(_.stripSuffix(".checkpoint.parquet").toLong)
-      .filter(_ <= atMost)
-      // only COMPLETE checkpoints: a crashed checkpoint job leaves a
-      // directory without the _SUCCESS marker; replaying it would
-      // silently drop live files from every subsequent snapshot
-      .filter(v => f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")))
-    if (vs.isEmpty) None else Some(vs.max)
+    // only COMPLETE checkpoints: a crashed checkpoint job leaves a
+    // directory without the _SUCCESS marker; replaying it would
+    // silently drop live files from every subsequent snapshot
+    def complete(v: Long) =
+      f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS"))
+    readLastCheckpoint(spark, table) match {
+      case Some(p) if p <= atMost && complete(p) =>
+        var best = p
+        var probe = p + checkpointInterval
+        while (probe <= atMost && complete(probe)) {
+          best = probe; probe += checkpointInterval
+        }
+        Some(best)
+      case _ =>
+        val dir = new Path(logDir(table))
+        if (!f.exists(dir)) return None
+        logListings.incrementAndGet()
+        val vs = f.listStatus(dir).map(_.getPath.getName)
+          .filter(_.endsWith(".checkpoint.parquet"))
+          .map(_.stripSuffix(".checkpoint.parquet").toLong)
+          .filter(_ <= atMost)
+          .filter(complete)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
 
   /** Materialize the snapshot as of `version` as a parquet checkpoint:
@@ -396,20 +489,31 @@ object MiniDelta {
     * the whole history. The checkpoint is the pruned file manifest —
     * metadata, KBs-to-MBs even for a 100 TB table — and is written
     * distributed (no coalesce: at millions of files it is a multi-part
-    * checkpoint, like Delta's). */
+    * checkpoint, like Delta's). The manifest FOLDS the previous
+    * checkpoint plus the JSON tail, so each checkpoint costs
+    * O(since-last-checkpoint), not O(history); afterwards the
+    * `_last_checkpoint` pointer is advanced (Delta protocol) so log
+    * discovery never lists the directory. */
   def writeCheckpoint(spark: SparkSession, table: String,
                       version: Long): Unit = {
     // schema sidecar first: replaying from this checkpoint must also
     // resolve the declared schema without scanning pre-checkpoint JSON.
     // Written before the manifest; consulted only alongside a manifest
     // whose _SUCCESS marker exists, and absence falls back to full scan.
+    val f = fs(spark, table)
     latestSchema(spark, table, version).foreach { s =>
-      val f = fs(spark, table)
       val out = f.create(new Path(schemaSidecarPath(table, version)), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
     }
-    snapshotFilesAt(spark, table, version, useCheckpoint = false)
+    snapshotFilesAt(spark, table, version)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
+    // pointer last: it only ever names a checkpoint whose manifest (and
+    // _SUCCESS) already exists, and only moves forward
+    if (readLastCheckpoint(spark, table).forall(_ < version)) {
+      val out = f.create(new Path(lastCheckpointPath(table)), true)
+      try out.write(s"""{"version":$version}""".getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** `dataChange = false` marks a pure rewrite (OPTIMIZE): the rows are
@@ -422,15 +526,22 @@ object MiniDelta {
       .filter(_.contains("="))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        s""""$k":"$v""""
+        s"${jstr(k)}:${jstr(v)}"
       }.mkString(",")
     val statsField = stats.fold("") { s =>
       // protocol shape: the stats JSON is carried as an escaped string
-      val esc = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      s""","stats":"$esc""""
+      s""","stats":${jstr(s)}"""
     }
-    s"""{"add":{"path":"$rel","partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField}}"""
+    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField}}"""
   }
+
+  /** Remove action with the Delta protocol's `deletionTimestamp` — the
+    * wall-clock moment the file was de-referenced, which is what
+    * [[vacuum]]'s retention horizon is measured against. */
+  private def removeLine(rel: String, dataChange: Boolean,
+                         tombstonedAt: Long): String =
+    s"""{"remove":{"path":${jstr(rel)},"dataChange":$dataChange,""" +
+      s""""deletionTimestamp":$tombstonedAt}}"""
 
   /** Compaction (OPTIMIZE-style): rewrite the current snapshot into one
     * file per partition directory, committing removes for the old files
@@ -454,6 +565,9 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
+    // read-set version pin, captured BEFORE the snapshot replay: the
+    // commit below lands at exactly readVersion + 1 or conflicts
+    val readVersion = latestVersion(spark, table)
     val current = snapshotFiles(spark, table).collect()
     val oldPaths = current.map(_.getString(0)).toSet
     // declared-schema read: the rewrite materializes columns appended
@@ -473,11 +587,18 @@ object MiniDelta {
     // AQE partition coalescing, which at low volume re-creates the exact
     // single-task funnel this rewrite removes; with the count pinned each
     // partition value compacts in its own task unconditionally
+    val n = spark.sessionState.conf.numShufflePartitions
     val binpacked =
-      if (partitionBy.nonEmpty)
-        data.repartition(spark.sessionState.conf.numShufflePartitions,
-          partitionBy.map(col): _*)
-      else data.coalesce(1)
+      if (partitionBy.nonEmpty) data.repartition(n, partitionBy.map(col): _*)
+      else if (sortCols.nonEmpty)
+        // unpartitioned clustered/z-ordered rewrite: RANGE partition on
+        // the sort key so the whole-table sort parallelizes across n
+        // tasks while each task still holds a CONTIGUOUS key (or
+        // z-curve) range — per-file min/max stay as tight as the old
+        // single-task sort, without the single task (the round-4
+        // scale-killer: one task z-sorting the entire table)
+        data.repartitionByRange(n, sortCols.map(col): _*)
+      else data.repartition(n)
     // clusterBy: sort within each rewrite task so maxRecordsPerFile
     // splits yield files covering CONTIGUOUS clusterBy ranges — tight,
     // disjoint min/max stats that make filesForRange discriminate
@@ -500,12 +621,17 @@ object MiniDelta {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val added = listDataFiles(spark, table)
-      .filterNot { case (p, _) => before.contains(p) }
+      .filterNot { case (p, _, _) => before.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val removes = oldPaths.toSeq.sorted.map(p =>
-      s"""{"remove":{"path":"$p","dataChange":false}}""")
-    writeCommit(spark, table, nextVersion(spark, table),
-      removes ++ added.map { case (p, s) =>
+    val now = System.currentTimeMillis()
+    val removes = oldPaths.toSeq.sorted.map(p => removeLine(p,
+      dataChange = false, now))
+    // pinned version: the removes were computed from the snapshot read
+    // above, so the commit targets EXACTLY readVersion + 1 — any commit
+    // that landed in between throws ConcurrentCommitException instead of
+    // silently re-adding files a concurrent DELETE removed
+    writeCommit(spark, table, readVersion + 1,
+      removes ++ added.map { case (p, s, _) =>
         addLine(p, s, stats.get(p), dataChange = false) }, // pure rewrite
       "OPTIMIZE")
   }
@@ -520,21 +646,33 @@ object MiniDelta {
                             declared: Option[org.apache.spark.sql.types.StructType],
                             hit: DataFrame => DataFrame): Seq[String] = {
     if (paths.isEmpty) return Nil
-    val abs = hit(
-      readFilesAs(spark, table, paths.map(p => s"$table/$p"), declared)
-        .withColumn("__file", input_file_name()))
+    val base = readFilesAs(spark, table, paths.map(p => s"$table/$p"), declared)
+    require(!base.columns.contains("__file"),
+      "table has a '__file' column, which collides with the " +
+        "copy-on-write file-discovery temp column")
+    val abs = hit(base.withColumn("__file", input_file_name()))
       .select("__file").distinct().collect()
       .map(r => decodeFileUri(r.getString(0)))
     paths.filter(p => abs.exists(_.endsWith(p)))
   }
 
+  /** Test seam: runs just before a DML commit lands — specs inject a
+    * concurrent writer here to exercise the read-set conflict check. */
+  private[graft] var beforeDmlCommitHook: () => Unit = () => ()
+
   /** Rewrite `touched` files as `rewrite(their contents)` and commit
     * removes for the old files + adds for the new ones — the shared
     * copy-on-write tail of DELETE/UPDATE/MERGE. Files outside `touched`
-    * are never read or written. The commit does NOT retry: the touched
-    * set came from the pre-rewrite snapshot, so losing a race means the
-    * caller must re-run against the fresh snapshot (Delta conflict rule). */
+    * are never read or written. The commit targets EXACTLY
+    * `readVersion + 1` — the version after the snapshot the touched set
+    * was computed from — and does NOT retry: ANY commit that landed in
+    * between (not just a same-version filename collision) throws
+    * [[ConcurrentCommitException]], because committing a touched set
+    * from a stale snapshot would silently resurrect concurrently deleted
+    * rows or drop concurrent updates (the Delta read-set conflict rule).
+    * The caller re-runs against the fresh snapshot. */
   private def copyOnWrite(spark: SparkSession, table: String,
+                          readVersion: Long,
                           touched: Seq[String],
                           declared: Option[org.apache.spark.sql.types.StructType],
                           rewrite: DataFrame => DataFrame,
@@ -548,13 +686,14 @@ object MiniDelta {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
     val added = listDataFiles(spark, table)
-      .filterNot { case (p, _) => before.contains(p) }
+      .filterNot { case (p, _, _) => before.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    writeCommit(spark, table, nextVersion(spark, table),
+    val now = System.currentTimeMillis()
+    beforeDmlCommitHook()
+    writeCommit(spark, table, readVersion + 1,
       extraLines ++
-        touched.sorted.map(p =>
-          s"""{"remove":{"path":"$p","dataChange":true}}""") ++
-        added.map { case (p, s) => addLine(p, s, stats.get(p)) },
+        touched.sorted.map(p => removeLine(p, dataChange = true, now)) ++
+        added.map { case (p, s, _) => addLine(p, s, stats.get(p)) },
       operation)
   }
 
@@ -570,12 +709,13 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to delete from
+    val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    val paths = snapshotFiles(spark, table)
+    val paths = snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
-    if (touched.isEmpty) return nextVersion(spark, table) - 1
-    copyOnWrite(spark, table, touched, declared,
+    if (touched.isEmpty) return readVersion
+    copyOnWrite(spark, table, readVersion, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
       partitionBy, "DELETE", statsCols)
   }
@@ -591,12 +731,21 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to update
+    val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    val paths = snapshotFiles(spark, table)
+    // an unknown assignment target is an ERROR (Delta raises an analysis
+    // error) — silently dropping it would turn the update into a no-op
+    declared.foreach { s =>
+      val unknown = set.keySet.diff(s.fieldNames.toSet)
+      require(unknown.isEmpty,
+        s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}" +
+          s" (table columns: ${s.fieldNames.mkString(", ")})")
+    }
+    val paths = snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
-    if (touched.isEmpty) return nextVersion(spark, table) - 1
-    copyOnWrite(spark, table, touched, declared,
+    if (touched.isEmpty) return readVersion
+    copyOnWrite(spark, table, readVersion, touched, declared,
       // ONE projection: every SET expression and the predicate resolve
       // against the PRE-update row (SQL UPDATE semantics) — a sequential
       // withColumn chain would let later SETs see earlier SETs' results
@@ -637,6 +786,7 @@ object MiniDelta {
       throw new IllegalArgumentException(
         s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
           "multiple source matches per target row are ambiguous")
+    val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
     // schema evolution, same rule as append: source-only columns are
     // APPENDED to the declared schema (committed as a metaData action);
@@ -656,11 +806,11 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val paths = snapshotFiles(spark, table)
+    val paths = snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     val touched = matchingFiles(spark, table, paths, declared,
       _.join(srcKeys, keys, "left_semi"))
-    copyOnWrite(spark, table, touched, declared,
+    copyOnWrite(spark, table, readVersion, touched, declared,
       df => if (df.columns.isEmpty) align(source) // schema-less empty table
             else align(df.join(srcKeys, keys, "left_anti"))
               .unionByName(align(source)),
@@ -668,20 +818,37 @@ object MiniDelta {
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
-    * current snapshot (files removed by compaction/overwrites). Returns
-    * the deleted relative paths. No retention window here (the reference
-    * environment has no concurrent readers); a production build would
-    * keep files younger than a retention horizon for in-flight readers
-    * and time travel. Time travel to pre-vacuum versions stops resolving
-    * by design. */
+    * current snapshot (files removed by compaction/DML), but ONLY those
+    * outside the retention horizon — a file stays on disk for at least
+    * `retainMs` after it was de-referenced, so concurrent readers of a
+    * recent snapshot and time travel within the window keep resolving
+    * (delta-rs enforces the same horizon). Age is measured against the
+    * remove action's `deletionTimestamp`; files with no tombstone in
+    * the log (uncommitted write debris, legacy commits) fall back to
+    * their filesystem modification time. Returns the deleted relative
+    * paths. `retainMs = 0` reproduces the reference environment's
+    * immediate vacuum. `nowMs` is injectable for horizon tests. */
   def vacuum(spark: SparkSession, table: String,
-             readOnly: Boolean = false): Seq[String] = {
+             retainMs: Long = 0L,
+             readOnly: Boolean = false,
+             nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
     if (readOnly) throw new ReadOnlyTableException(table)
     val live = snapshotFiles(spark, table).select("path")
       .collect().map(_.getString(0)).toSet
+    // newest tombstone per path: a file removed, re-added, and removed
+    // again is aged from its LATEST de-reference
+    val tombstones: Map[String, Long] = logDF(spark, table)
+      .where(col("remove").isNotNull &&
+        col("remove.deletionTimestamp").isNotNull)
+      .groupBy(col("remove.path").as("path"))
+      .agg(max(col("remove.deletionTimestamp")).as("ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cutoff = nowMs() - retainMs
     val f = fs(spark, table)
-    val onDisk = listDataFiles(spark, table).map(_._1)
-    val dead = onDisk.filterNot(live.contains)
+    val dead = listDataFiles(spark, table).collect {
+      case (p, _, mtime) if !live.contains(p) &&
+        tombstones.getOrElse(p, mtime) <= cutoff => p
+    }
     dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
     dead
   }

@@ -34,6 +34,8 @@ object GlobalRowNumber {
 
   def apply(df: DataFrame, orderCols: Seq[Column],
             rnCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains(rnCol),
+      s"row-number column '$rnCol' collides with an existing column")
     val spark = df.sparkSession
     val ranged0 =
       if (numPartitions > 0) df.repartitionByRange(numPartitions, orderCols: _*)
@@ -82,6 +84,12 @@ object GlobalRowNumber {
   def prefixSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
                 outCol: String = "cum_before",
                 numPartitions: Int = 0): DataFrame = {
+    // withColumn would silently replace (then drop) a user's __psv
+    require(!df.columns.contains("__psv"),
+      "input has a '__psv' column, which collides with the prefix-sum " +
+        "temp column")
+    require(!df.columns.contains(outCol),
+      s"prefix-sum output column '$outCol' collides with an existing column")
     val spark = df.sparkSession
     val withV = df.withColumn("__psv", coalesce(valueCol.cast("long"), lit(0L)))
     val ranged0 =

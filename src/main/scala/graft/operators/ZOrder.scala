@@ -41,6 +41,10 @@ object ZOrder {
   def withZValue(df: DataFrame, cols: Seq[String], out: String = "__z",
                  bits: Int = 0): DataFrame = {
     require(cols.size >= 2, "z-order needs at least two columns")
+    // withColumn would silently REPLACE (and the caller later drop) a
+    // pre-existing user column of the temp name
+    require(!df.columns.contains(out),
+      s"z-value column name '$out' collides with an existing column")
     val bits0 = if (bits > 0) bits else math.min(16, 63 / cols.size)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c).cast("double")).as(s"lo_$c"),

@@ -427,6 +427,12 @@ class MiniDeltaSpec extends AnyFunSuite {
     val got = MiniDelta.readRange(spark, t, "y", 4.0, 8.0)
     assert(!got.columns.contains("__z"))
     assert(got.count() == 32 * 5)
+    // the UNPARTITIONED z-sort rewrite ran as multiple tasks — not the
+    // round-4 coalesce(1) funnel that z-sorted the whole table in one
+    val taskIds = after.select("path").collect().map(_.getString(0)).map(p =>
+      "part-(\\d+)-".r.findFirstMatchIn(p.split("/").last).get.group(1))
+    assert(taskIds.distinct.length > 1,
+      s"unpartitioned z-order rewrite ran in one task")
   }
 
   test("readChanges: append feed with OPTIMIZE rewrites invisible") {
@@ -543,6 +549,100 @@ class MiniDeltaSpec extends AnyFunSuite {
     intercept[MiniDelta.ConcurrentCommitException] {
       MiniDelta.writeCommit(spark, t, 2, Seq.empty, "OPTIMIZE")
     }
+  }
+
+  test("log discovery is pointer-driven: no _delta_log listing after a checkpoint") {
+    val t = freshTable()
+    for (i <- 1 to 25) // auto-checkpoints at v9 and v19
+      MiniDelta.append(spark, sample((2000 + i % 3).toString, 1), t,
+        Seq("year"))
+    // the Delta-protocol pointer names the newest checkpoint
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")), "UTF-8")
+    assert(ptr.contains("\"version\":19"), ptr)
+    val before = MiniDelta.logListings.get()
+    // steady-state operations: snapshot replay, schema resolution,
+    // another commit, a change-feed read — all bounded, none may fall
+    // back to the O(history) directory listing
+    assert(MiniDelta.snapshotFiles(spark, t).count() == 25)
+    assert(MiniDelta.latestSchema(spark, t).nonEmpty)
+    assert(MiniDelta.append(spark, sample("2024", 1), t, Seq("year")) == 25L)
+    assert(MiniDelta.readChanges(spark, t, 24).count() == 1) // v25 only
+    assert(MiniDelta.logListings.get() == before,
+      "steady-state log discovery listed _delta_log")
+    // time travel BELOW the pointer still resolves (listing fallback)
+    assert(MiniDelta.snapshotFilesAt(spark, t, 5).count() == 6)
+  }
+
+  test("vacuum honors the retention horizon") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    // a 1-hour horizon right after the compact: the tombstoned files are
+    // too young — NOTHING may be deleted (concurrent readers of the
+    // pre-compact snapshot are still inside the window)
+    assert(MiniDelta.vacuum(spark, t, retainMs = 3600 * 1000L).isEmpty)
+    // time travel within the window still resolves
+    assert(MiniDelta.snapshotFilesAt(spark, t, 0).count() > 0)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty,
+      versionAsOf = Some(0L)).count() == 3)
+    // once the horizon elapses (clock injected), the same call deletes
+    val later = System.currentTimeMillis() + 2 * 3600 * 1000L
+    val deleted = MiniDelta.vacuum(spark, t, retainMs = 3600 * 1000L,
+      nowMs = () => later)
+    assert(deleted.nonEmpty)
+    // live data unaffected
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
+  }
+
+  test("DML commits validate their read set against intervening commits") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    // a concurrent writer lands BETWEEN the delete's snapshot read and
+    // its commit: the delete's touched set is stale and must conflict,
+    // not silently commit (it would resurrect the concurrent state)
+    MiniDelta.beforeDmlCommitHook = () =>
+      MiniDelta.append(spark, sample("2024", 1), t, Seq("year"))
+    try {
+      intercept[MiniDelta.ConcurrentCommitException] {
+        MiniDelta.delete(spark, t, col("id") === 1L, Seq("year"))
+      }
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+    // nothing from the failed delete is visible; re-run succeeds
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+    MiniDelta.delete(spark, t, col("id") === 1L && col("year") === "2023",
+      Seq("year"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+  }
+
+  test("UPDATE SET with an unknown column fails instead of no-opping") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    val e = intercept[IllegalArgumentException] {
+      MiniDelta.update(spark, t, col("id") === 1L,
+        Map("payloadd" -> lit("typo")), Seq("year"))
+    }
+    assert(e.getMessage.contains("payloadd"))
+  }
+
+  test("control characters in stats strings survive the log round-trip") {
+    val t = freshTable()
+    val rows = Seq((1L, "2023", "a\nmulti\tline"),
+      (2L, "2023", "zz\"quoted\\back")).toDF("id", "year", "payload")
+    MiniDelta.append(spark, rows, t, Seq("year"),
+      statsCols = Seq("payload")) // min/max carry the control chars
+    // one action per line: every log line parses, nothing split
+    val snap = MiniDelta.snapshotFiles(spark, t)
+    assert(snap.count() > 0)
+    val log = MiniDelta.logDF(spark, t)
+    assert(log.where(col("add").isNull && col("remove").isNull &&
+      col("commitInfo").isNull && col("metaData").isNull).count() == 0,
+      "log contains unparseable action lines")
+    // and the data itself reads back exactly
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(got == Set("a\nmulti\tline", "zz\"quoted\\back"))
   }
 
   test("the log itself reads as data (S5 passthrough)") {
