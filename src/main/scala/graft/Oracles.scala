@@ -178,6 +178,13 @@ ORDER BY r.user_id, r.table_name""",
 FROM lineitem WHERE $ALLOWED
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
+    // same effective filter set as j4 — static (R ∧ F) ∪ the DB grant
+    // ({l_returnflag: N} for alice/lineitem), resolved through Derby
+    "j5_db_permissions" ->
+      s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE $ALLOWED
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
     "u1_union_distinct" -> (FILES +
       s"""
 SELECT CAST(count(*) AS BIGINT) AS n_files, CAST(sum(size) AS BIGINT) AS total_size

@@ -31,6 +31,38 @@ object SparkEntry {
     Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"),
       Map("l_returnflag" -> "N", "l_linestatus" -> "O"))
 
+  /** Embedded-Derby permissions fixture (idempotent): the same grants as
+    * the j3/j4 in-memory fixture, persisted as a real `permissions`
+    * table so the JDBC path is exercised end to end. Returns the
+    * reference-style database URI. */
+  private def derbyPermsFixture(): String = {
+    val dir = "/tmp/graft_j5_db/perms"
+    // Derby writes its engine log to derby.log in the CWD by default
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    val conn = java.sql.DriverManager
+      .getConnection(s"jdbc:derby:$dir;create=true")
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE permissions (id INT PRIMARY KEY, " +
+          "user_id VARCHAR(64) NOT NULL, table_name VARCHAR(64) NOT NULL, " +
+          "partition_filters VARCHAR(1024) NOT NULL)")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => }
+      val n = { // already seeded?
+        val rs = st.executeQuery("SELECT COUNT(*) FROM permissions")
+        rs.next(); rs.getInt(1)
+      }
+      if (n == 0) {
+        st.executeUpdate("""INSERT INTO permissions VALUES """ +
+          """(1, 'alice', 'lineitem', '[{"l_returnflag":"N"}]'), """ +
+          """(2, 'alice', 'orders', '[{"o_orderstatus":"F"}]'), """ +
+          """(3, 'bob', 'lineitem', '[{"l_returnflag":"A"}]')""")
+      }
+      st.close()
+    } finally conn.close()
+    s"derby:$dir"
+  }
+
   private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
@@ -501,6 +533,28 @@ object SparkEntry {
           col("id").cast("long").as("perm_id"),
           size(col("filters")).cast("long").as("n_filters"))
         .orderBy("user_id", "table_name")
+    }),
+    "j5_db_permissions" -> ((s, d) => {
+      // J3/J4 against a REAL database: permission rows live in an
+      // embedded Derby DB (the reference's SQLite/sea-orm store,
+      // /root/reference/src/database.rs:33-52) read through Spark's JDBC
+      // source with the (user, table) predicate pushed into the DB's
+      // WHERE clause, then merged with the config statics and applied as
+      // a partition ACL — the full config->DB->merge->prune chain.
+      val cfg = graft.catalog.GraftConfig(
+        databaseEnabled = true,
+        database = graft.catalog.DatabaseConfig(derbyPermsFixture()),
+        allowedPartitions = Map("lineitem" ->
+          Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"))))
+      // the gate must exercise the DB read, not a memo from a prior run
+      graft.acl.AclCaches.dbPerms.invalidate(
+        graft.acl.AclCaches.cacheKey("alice", "lineitem"))
+      val filters = graft.acl.DbPermissions
+        .mergedFilters(s, cfg, "alice", "lineitem")
+      PartitionAcl(li(s, d), filters)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
     "j4_perm_merge" -> ((s, d) => {
       import s.implicits._

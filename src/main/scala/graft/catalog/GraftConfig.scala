@@ -60,6 +60,7 @@ final case class GraftConfig(
   def applyCaches(): Unit = {
     graft.acl.AclCaches.configure(fileListCache, authCache)
     graft.io.MiniDelta.configureSnapshotCache(snapshotCache)
+    graft.listing.ObjectListing.configureFilesCache(fileListCache)
   }
 }
 

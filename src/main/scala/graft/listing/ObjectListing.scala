@@ -36,11 +36,25 @@ object ObjectListing {
   // (/root/reference/src/main.rs:90-93): listings are served from
   // materialized metadata, not recomputed per request. Keyed by data dir;
   // metadata is small relative to data even at 100 TB (one row per file).
-  private val filesCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Obeys the SAME config knob (`fileListCache`) as the ACL file-list
+  // cache — every cache the engine owns is bounded and TTL'd through
+  // [[graft.catalog.GraftConfig.applyCaches]]; evicted frames release
+  // their persisted blocks.
+  @volatile private var filesCache =
+    new graft.util.TtlCache[String, DataFrame](100, 120000L,
+      onEvict = df => { df.unpersist(); () })
+
+  /** Rebuild the listing cache from the `fileListCache` config knob —
+    * entries discarded and unpersisted, like a reference restart. */
+  def configureFilesCache(cfg: graft.catalog.CacheConfig): Unit = {
+    val old = filesCache
+    filesCache = new graft.util.TtlCache[String, DataFrame](
+      cfg.maxEntries, cfg.ttlMs, onEvict = df => { df.unpersist(); () })
+    old.clear()
+  }
 
   def filesDF(spark: SparkSession, sfDir: String): DataFrame =
-    filesCache.getOrElseUpdate(sfDir, buildFilesDF(spark, sfDir).persist())
+    filesCache.getOrElseUpdate(sfDir)(buildFilesDF(spark, sfDir).persist())
 
   /** Synthetic file-metadata DF: key, size, etag, last_modified,
     * storage_class (+ the partition columns they were derived from).

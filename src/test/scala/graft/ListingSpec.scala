@@ -65,6 +65,18 @@ class ListingSpec extends AnyFunSuite {
     assert((p1 ++ p2).sameElements(all))
   }
 
+  test("listing cache obeys the configured capacity (config knob wired)") {
+    import graft.catalog.CacheConfig
+    ObjectListing.configureFilesCache(CacheConfig(1, 0L)) // LRU of 1
+    try {
+      val a = ObjectListing.filesDF(spark, TestSpark.sfTiny)
+      assert(ObjectListing.filesDF(spark, TestSpark.sfTiny) eq a) // warm hit
+      // a second key overflows capacity 1 and evicts the first entry
+      ObjectListing.filesDF(spark, "/root/testdata/sf0.01")
+      assert(!(ObjectListing.filesDF(spark, TestSpark.sfTiny) eq a))
+    } finally ObjectListing.configureFilesCache(CacheConfig(100, 120000L))
+  }
+
   test("GlobalRowNumber == single-partition window row_number, distributed") {
     import org.apache.spark.sql.expressions.Window
     val numbered = graft.operators.GlobalRowNumber(
