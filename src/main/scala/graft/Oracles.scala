@@ -180,6 +180,30 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
 
     // same effective filter set as j4 — static (R ∧ F) ∪ the DB grant
     // ({l_returnflag: N} for alice/lineitem), resolved through Derby
+    // the CDF of (update price=0 where qty=1) then (delete qty=2 ∧
+    // orderkey%3=0) over the qty<=2 slice: preimages = the changed rows
+    // with ORIGINAL prices, postimages = the same rows at price 0,
+    // deletes = the post-update state of the deleted rows (qty=2 rows
+    // were untouched by the update, so their prices are original)
+    "s20_cdf" ->
+      """WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+  FROM lineitem WHERE l_quantity <= 2),
+upd AS (SELECT * FROM src WHERE l_quantity = 1 AND l_extendedprice <> 0),
+del AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 0)
+SELECT * FROM (
+  SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(round(l_extendedprice*100))/100.0 AS sum_price,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM del
+  UNION ALL
+  SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(sum(l_quantity) AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+         0.0, CAST(sum(l_quantity) AS BIGINT) FROM upd
+) ORDER BY change_type""",
+
     "j5_db_permissions" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
 FROM lineitem WHERE $ALLOWED

@@ -311,6 +311,34 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s20_cdf" -> ((s, d) => {
+      // Row-level CDF end to end: append, then an UPDATE (price zeroed
+      // where qty=1) and a DELETE (qty=2, orderkey%3=0). The change feed
+      // after v0 must carry exactly the changed rows — preimages with
+      // the ORIGINAL prices, postimages with zeros, deletes with the
+      // deleted rows — reconstructed from the commits' file actions
+      // (survivor rows rewritten by copy-on-write must all cancel).
+      val dir = "/tmp/graft_s20_cdf"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.update(s, table, col("l_quantity") === 1,
+        Map("l_extendedprice" -> lit(0.0)), Seq("l_returnflag"))
+      graft.io.MiniDelta.delete(s, table,
+        col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 0,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.readCdf(s, table, fromVersion = 0)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("change_type")
+    }),
     "s18_incremental" -> ((s, d) => {
       // Change-feed read end to end: three append commits with an
       // OPTIMIZE rewrite in between; the incremental read AFTER v0 must

@@ -645,6 +645,43 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got == Set("a\nmulti\tline", "zz\"quoted\\back"))
   }
 
+  test("readCdf reconstructs row-level before/after images") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))     // v0
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("payload" -> lit("patched")), Seq("year"))               // v1
+    MiniDelta.delete(spark, t, col("id") === 3L, Seq("year"))      // v2
+    MiniDelta.compact(spark, t, Seq("year"))                       // v3
+    val cdf = MiniDelta.readCdf(spark, t, fromVersion = -1)
+      .select("id", "payload", "_change_type", "_commit_version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(cdf == Set(
+      (1L, "v1", "insert", 0L), (2L, "v2", "insert", 0L),
+      (3L, "v3", "insert", 0L),
+      // v1: ONLY the changed row, as pre+post image — the copy-on-write
+      // survivors (id 1, 3 rewritten in the same file) must all cancel
+      (2L, "v2", "update_preimage", 1L),
+      (2L, "patched", "update_postimage", 1L),
+      // v2: the deleted row; v3 OPTIMIZE contributes nothing
+      (3L, "v3", "delete", 2L)))
+    // windowed: only the update commit
+    assert(MiniDelta.readCdf(spark, t, 0, 1)
+      .select("_change_type").distinct().collect().map(_.getString(0))
+      .toSet == Set("update_preimage", "update_postimage"))
+    // empty window keeps schema
+    val none = MiniDelta.readCdf(spark, t, 3)
+    assert(none.count() == 0 && none.columns.toSeq ==
+      Seq("id", "year", "payload", "_change_type", "_commit_version"))
+    // a vacuumed window fails loudly, like readChanges
+    MiniDelta.vacuum(spark, t)
+    val e = intercept[IllegalStateException] {
+      MiniDelta.readCdf(spark, t, -1, 1).count()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("the log itself reads as data (S5 passthrough)") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
