@@ -39,25 +39,25 @@ object SparkEntry {
     val dir = "/tmp/graft_j5_db/perms"
     // Derby writes its engine log to derby.log in the CWD by default
     System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    // wipe-and-reseed every run, like the other /tmp fixtures — stale
+    // rows from a previous code version must not survive into the gate.
+    // A booted Derby database must be shut down before its files go
+    // (shutdown SIGNALS success via SQLState 08006).
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:$dir;shutdown=true")
+    catch { case _: java.sql.SQLException => }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val conn = java.sql.DriverManager
       .getConnection(s"jdbc:derby:$dir;create=true")
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(
+      st.executeUpdate(
         "CREATE TABLE permissions (id INT PRIMARY KEY, " +
           "user_id VARCHAR(64) NOT NULL, table_name VARCHAR(64) NOT NULL, " +
           "partition_filters VARCHAR(1024) NOT NULL)")
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => }
-      val n = { // already seeded?
-        val rs = st.executeQuery("SELECT COUNT(*) FROM permissions")
-        rs.next(); rs.getInt(1)
-      }
-      if (n == 0) {
-        st.executeUpdate("""INSERT INTO permissions VALUES """ +
-          """(1, 'alice', 'lineitem', '[{"l_returnflag":"N"}]'), """ +
-          """(2, 'alice', 'orders', '[{"o_orderstatus":"F"}]'), """ +
-          """(3, 'bob', 'lineitem', '[{"l_returnflag":"A"}]')""")
-      }
+      st.executeUpdate("""INSERT INTO permissions VALUES """ +
+        """(1, 'alice', 'lineitem', '[{"l_returnflag":"N"}]'), """ +
+        """(2, 'alice', 'orders', '[{"o_orderstatus":"F"}]'), """ +
+        """(3, 'bob', 'lineitem', '[{"l_returnflag":"A"}]')""")
       st.close()
     } finally conn.close()
     s"derby:$dir"
@@ -575,8 +575,7 @@ object SparkEntry {
         allowedPartitions = Map("lineitem" ->
           Seq(Map("l_returnflag" -> "R", "l_linestatus" -> "F"))))
       // the gate must exercise the DB read, not a memo from a prior run
-      graft.acl.AclCaches.dbPerms.invalidate(
-        graft.acl.AclCaches.cacheKey("alice", "lineitem"))
+      graft.acl.DbPermissions.invalidate(cfg, "alice", "lineitem")
       val filters = graft.acl.DbPermissions
         .mergedFilters(s, cfg, "alice", "lineitem")
       PartitionAcl(li(s, d), filters)

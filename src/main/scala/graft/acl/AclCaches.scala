@@ -43,6 +43,9 @@ object AclCaches {
     _fileList =
       new TtlCache(fileListCfg.maxEntries, fileListCfg.ttlMs)
     _auth = new TtlCache(authCfg.maxEntries, authCfg.ttlMs)
+    // a config reload invalidates permission memos too — grants resolved
+    // under the previous config must not outlive it
+    _dbPerms = new TtlCache(100, 0L)
   }
 
   /** Resolved allowed-file set for (user, alias), memoized. `resolve`

@@ -65,7 +65,11 @@ object DbPermissions {
   def filtersFor(spark: SparkSession, cfg: GraftConfig, user: String,
                  table: String): PartitionAcl.Filters =
     if (!cfg.databaseEnabled) Seq.empty
-    else AclCaches.permsFor(user, table) {
+    // the memo key carries the database URI: a config reload pointing at
+    // a DIFFERENT permissions DB must never serve the old DB's grants
+    // (the memo has no TTL; staleness within ONE database is the
+    // reference's documented LRU behavior, cross-database is not)
+    else AclCaches.permsFor(s"${cfg.database.uri}#$user", table) {
       // the where() lands in the database's WHERE clause (JDBC filter
       // pushdown) — only this principal's rows cross the wire
       PartitionAcl.filtersFor(
@@ -74,6 +78,12 @@ object DbPermissions {
             .where(col("user_id") === user && col("table_name") === table)),
         user, table)
     }
+
+  /** Drop the memoized grants for (user, table) under this config's
+    * database — the immediate-revocation hook (the memo has no TTL). */
+  def invalidate(cfg: GraftConfig, user: String, table: String): Unit =
+    AclCaches.dbPerms.invalidate(
+      AclCaches.cacheKey(s"${cfg.database.uri}#$user", table))
 
   /** J4: the effective filter set = config statics ∪ DB grants — the
     * reference's merge at src/main.rs:555-574. */

@@ -293,14 +293,25 @@ object MiniDelta {
     else spark.read.schema(logSchema).json(files.toIndexedSeq: _*)
   }
 
-  /** (version, path) of every JSON commit. Commit file names are a pure
-    * function of the version and versions are contiguous, so the index
-    * is COMPUTED from [[latestVersion]] — no `_delta_log` listing. Tail
-    * consumers filter the range before touching any file. */
-  private def logJsonVersions(spark: SparkSession,
-                              table: String): Seq[(Long, String)] = {
-    val latest = latestVersion(spark, table)
-    (0L to latest).map(v => (v, commitPath(table, v)))
+  /** (version, path) of the JSON commits in [`fromInclusive`,
+    * `toInclusive`] that exist. Commit file names are a pure function of
+    * the version, so the index is COMPUTED from [[latestVersion]] — no
+    * `_delta_log` listing, and each caller pays O(its own window), not
+    * O(history) (replay tails and change-feed windows are a handful of
+    * files; only the rare full-log read walks everything). The
+    * existence filter lets hand-cleaned pre-checkpoint history (log
+    * retention) degrade gracefully instead of crashing a full-log read
+    * on a computed path that is gone. */
+  private def logJsonVersions(spark: SparkSession, table: String,
+                              fromInclusive: Long = 0L,
+                              toInclusive: Long = Long.MaxValue)
+      : Seq[(Long, String)] = {
+    val lo = math.max(0L, fromInclusive)
+    val hi = math.min(latestVersion(spark, table), toInclusive)
+    if (hi < lo) return Seq.empty
+    val f = fs(spark, table)
+    (lo to hi).map(v => (v, commitPath(table, v)))
+      .filter { case (_, p) => f.exists(new Path(p)) }
   }
 
   /** The listed log files as action rows, with their commit version. */
@@ -326,8 +337,7 @@ object MiniDelta {
     val cp = latestCheckpoint(spark, table, atMost)
     val base = cp.flatMap(v => readSchemaSidecar(spark, table, v))
     val from = if (base.isDefined) cp.get else -1L
-    val tail = logJsonVersions(spark, table)
-      .filter { case (v, _) => v > from && v <= atMost }
+    val tail = logJsonVersions(spark, table, from + 1, atMost)
     val fromTail =
       if (tail.isEmpty) None
       else logDFIn(spark, tail.map(_._2))
@@ -505,7 +515,7 @@ object MiniDelta {
       val out = f.create(new Path(schemaSidecarPath(table, version)), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
     }
-    snapshotFilesAt(spark, table, version)
+    replaySnapshot(spark, table, version, cpAtMost = version - 1)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
     // pointer last: it only ever names a checkpoint whose manifest (and
     // _SUCCESS) already exists, and only moves forward
@@ -749,11 +759,18 @@ object MiniDelta {
       // ONE projection: every SET expression and the predicate resolve
       // against the PRE-update row (SQL UPDATE semantics) — a sequential
       // withColumn chain would let later SETs see earlier SETs' results
-      df => df.select(df.columns.map { c =>
-        set.get(c).fold(col(c))(v =>
-          when(coalesce(predicate, lit(false)), v)
-            .otherwise(col(c)).as(c))
-      }.toIndexedSeq: _*),
+      df => {
+        // backstop for pre-metaData tables (declared = None above): the
+        // unknown-column error must fire against the files' real schema
+        val unknown = set.keySet.diff(df.columns.toSet)
+        require(unknown.isEmpty,
+          s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}")
+        df.select(df.columns.map { c =>
+          set.get(c).fold(col(c))(v =>
+            when(coalesce(predicate, lit(false)), v)
+              .otherwise(col(c)).as(c))
+        }.toIndexedSeq: _*)
+      },
       partitionBy, "UPDATE", statsCols)
   }
 
@@ -860,15 +877,24 @@ object MiniDelta {
     * testing / checkpoint-less reads). */
   def snapshotFilesAt(spark: SparkSession, table: String,
                       version: Long,
-                      useCheckpoint: Boolean = true): DataFrame = {
-    val cp = if (useCheckpoint) latestCheckpoint(spark, table, version)
-             else None
-    // read ONLY the tail commits (driver-side listing): replay after a
-    // checkpoint touches O(since-last-checkpoint) log files, not every
-    // JSON in a long-lived table's history
-    val tailFiles = logJsonVersions(spark, table)
-      .filter { case (v, _) => v <= version && v > cp.getOrElse(-1L) }
-      .map(_._2)
+                      useCheckpoint: Boolean = true): DataFrame =
+    replaySnapshot(spark, table, version,
+      if (useCheckpoint) version else -1L)
+
+  /** Replay with the checkpoint base capped at `cpAtMost` (< 0 = pure
+    * JSON replay). [[writeCheckpoint]] caps at `version - 1` so
+    * re-checkpointing a version that already has a checkpoint folds from
+    * the PREVIOUS one instead of reading the very path it is about to
+    * overwrite (Spark rejects overwrite-while-reading). */
+  private def replaySnapshot(spark: SparkSession, table: String,
+                             version: Long, cpAtMost: Long): DataFrame = {
+    val cp = if (cpAtMost < 0) None
+             else latestCheckpoint(spark, table, cpAtMost)
+    // read ONLY the tail commits: replay after a checkpoint touches
+    // O(since-last-checkpoint) log files, not every JSON in a
+    // long-lived table's history
+    val tailFiles = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
+      version).map(_._2)
     val log =
       if (tailFiles.nonEmpty) logDFIn(spark, tailFiles)
       else spark.createDataFrame(
@@ -923,8 +949,14 @@ object MiniDelta {
 
   /** [[snapshotFiles]] through the TTL cache, persisted — repeated
     * pruning queries replay the log once per 120 s, not per query. */
-  def snapshotFilesCached(spark: SparkSession, table: String): DataFrame =
-    snapshotCache.getOrElseUpdate(table)(snapshotFiles(spark, table).persist())
+  def snapshotFilesCached(spark: SparkSession, table: String): DataFrame = {
+    val cache = snapshotCache
+    val df = cache.getOrElseUpdate(table)(snapshotFiles(spark, table).persist())
+    // configureSnapshotCache may have swapped the cache mid-miss; clear
+    // the orphaned instance (again) so the raced persist is released
+    if (cache ne snapshotCache) cache.clear()
+    df
+  }
 
   def invalidateSnapshot(table: String): Unit = snapshotCache.invalidate(table)
 
@@ -1067,8 +1099,7 @@ object MiniDelta {
       // a commit with no dataChange adds (OPTIMIZE) delivers nothing:
       // advance the marker without waking the handler — an empty batch
       // would crash typical aggregate-and-index handlers
-      val hasChanges = logJsonVersions(spark, table)
-        .filter(_._1 == v).map(_._2) match {
+      val hasChanges = logJsonVersions(spark, table, v, v).map(_._2) match {
         case Seq() => false
         case files => logDFIn(spark, files)
           .where(col("add").isNotNull && col("add.dataChange"))
@@ -1092,7 +1123,13 @@ object MiniDelta {
     * removed files' rows (pre) and the added files' rows (post) is
     * exactly the changed rows — copy-on-write re-adds survivors
     * untouched, so they cancel. Blind appends are pure inserts; OPTIMIZE
-    * rewrites carry `dataChange = false` and yield nothing.
+    * rewrites carry `dataChange = false` and yield nothing. A matched
+    * row whose SET produced NO value change also cancels (its pre and
+    * post images are identical) — Delta's native CDF, writing change
+    * files at commit time, emits an image pair even for such no-op
+    * updates; reconstruction from file actions cannot distinguish them
+    * from rewritten survivors (documented approximation, like the
+    * merge-insert labeling below).
     *
     * Labels come from the commit's operation: DELETE tags pre-only rows
     * `delete`; UPDATE/MERGE tag pre-only `update_preimage` and post-only
@@ -1120,8 +1157,7 @@ object MiniDelta {
       base.withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long"))
     }
-    val tail = logJsonVersions(spark, table)
-      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
       .map(_._2)
     if (tail.isEmpty) return emptyFeed
     val log = logDFIn(spark, tail)
@@ -1194,8 +1230,7 @@ object MiniDelta {
     * O(history)); only the window's files are read. */
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
                   toVersion: Long = Long.MaxValue): DataFrame = {
-    val tail = logJsonVersions(spark, table)
-      .filter { case (v, _) => v > fromVersion && v <= toVersion }
+    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
       .map(_._2)
     val declared = latestSchema(spark, table,
       if (toVersion == Long.MaxValue) Long.MaxValue else toVersion)

@@ -53,8 +53,15 @@ object ObjectListing {
     old.clear()
   }
 
-  def filesDF(spark: SparkSession, sfDir: String): DataFrame =
-    filesCache.getOrElseUpdate(sfDir)(buildFilesDF(spark, sfDir).persist())
+  def filesDF(spark: SparkSession, sfDir: String): DataFrame = {
+    val cache = filesCache
+    val df = cache.getOrElseUpdate(sfDir)(buildFilesDF(spark, sfDir).persist())
+    // configureFilesCache may have swapped the cache while this miss was
+    // in flight — the insert landed in the orphaned instance; clear it
+    // (again) so the raced persist is released instead of leaking
+    if (cache ne filesCache) cache.clear()
+    df
+  }
 
   /** Synthetic file-metadata DF: key, size, etag, last_modified,
     * storage_class (+ the partition columns they were derived from).

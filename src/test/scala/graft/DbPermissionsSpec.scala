@@ -77,9 +77,35 @@ class DbPermissionsSpec extends AnyFunSuite {
     // memoized: the stale result is served (the reference's LRU does
     // the same — staleness until eviction is documented)
     assert(DbPermissions.filtersFor(spark, cfg, "alice", "orders") == first)
-    AclCaches.dbPerms.invalidate(AclCaches.cacheKey("alice", "orders"))
+    DbPermissions.invalidate(cfg, "alice", "orders")
     assert(DbPermissions.filtersFor(spark, cfg, "alice", "orders").toSet ==
       Set(Map("status" -> "F"), Map("status" -> "O")))
+  }
+
+  test("a config pointing at a different DB never serves the old DB's grants") {
+    val dirA = freshDb()
+    val cfgA = GraftConfig(databaseEnabled = true,
+      database = DatabaseConfig(s"derby:$dirA"))
+    AclCaches.dbPerms.clear()
+    assert(DbPermissions.filtersFor(spark, cfgA, "alice", "trades") ==
+      Seq(Map("year" -> "2023"), Map("year" -> "2024")))
+    // DB B: same (user, table) key, different grant
+    val dirB = freshDb()
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$dirB")
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("UPDATE permissions SET partition_filters = " +
+        """'[{"year":"9999"}]' WHERE user_id = 'alice' AND """ +
+        "table_name = 'trades'")
+      st.close()
+    } finally conn.close()
+    val cfgB = cfgA.copy(database = DatabaseConfig(s"derby:$dirB"))
+    // the memo key carries the URI: B's grants, not A's memo
+    assert(DbPermissions.filtersFor(spark, cfgB, "alice", "trades") ==
+      Seq(Map("year" -> "9999")))
+    // and A's memo is still intact for A
+    assert(DbPermissions.filtersFor(spark, cfgA, "alice", "trades") ==
+      Seq(Map("year" -> "2023"), Map("year" -> "2024")))
   }
 
   test("merge: static config filters union the DB grants (J4)") {

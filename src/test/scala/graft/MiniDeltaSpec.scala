@@ -645,6 +645,39 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got == Set("a\nmulti\tline", "zz\"quoted\\back"))
   }
 
+  test("writeCheckpoint at an already-checkpointed version is idempotent") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 1), t, Seq("year"))
+    MiniDelta.writeCheckpoint(spark, t, 1)
+    // re-checkpointing the same version must fold from BELOW it, not
+    // read the path it is about to overwrite
+    MiniDelta.writeCheckpoint(spark, t, 1)
+    assert(MiniDelta.snapshotFiles(spark, t).count() ==
+      MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue,
+        useCheckpoint = false).count())
+  }
+
+  test("hand-cleaned pre-checkpoint history degrades gracefully") {
+    val t = freshTable()
+    for (i <- 1 to 12) // auto-checkpoint at v9
+      MiniDelta.append(spark, sample((2000 + i % 3).toString, 1), t,
+        Seq("year"))
+    val full = MiniDelta.snapshotFiles(spark, t).count()
+    // log-retention hygiene: drop the first two pre-checkpoint commits
+    for (v <- 0 to 1)
+      assert(new java.io.File(s"$t/_delta_log/${"%020d".format(v)}.json")
+        .delete())
+    // snapshot replay (checkpoint + tail) is untouched by the gap
+    assert(MiniDelta.snapshotFiles(spark, t).count() == full)
+    // full-log reads skip the missing files instead of crashing
+    assert(MiniDelta.logDF(spark, t).where(col("add").isNotNull)
+      .count() == 10)
+    // vacuum (which reads the full log for tombstones) still works
+    MiniDelta.compact(spark, t, Seq("year"))
+    assert(MiniDelta.vacuum(spark, t).nonEmpty)
+  }
+
   test("readCdf reconstructs row-level before/after images") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))     // v0
