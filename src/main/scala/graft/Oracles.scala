@@ -651,6 +651,31 @@ GROUP BY n_name ORDER BY revenue DESC, n_name""",
 FROM orders WHERE o_custkey < 200
 ORDER BY o_custkey, o_orderkey""",
 
+    "w8_top_per_group" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, rk FROM (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+    CAST(row_number() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+WHERE rk <= 3 ORDER BY o_orderstatus, rk""",
+
+    // ln association-order / last-ulp differences are ~1e-13 relative;
+    // round(,4) on the OUTPUT absorbs them (oracle exactness rules)
+    "t11_unigram_logprob" ->
+      """WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY token
+), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS corpus_tokens FROM tf)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(ln(corpus_tokens) - avg(ln(tf)), 4) AS avg_logprob
+FROM toks JOIN tf USING (token), tot
+GROUP BY doc_id, corpus_tokens
+ORDER BY doc_id""",
+
     "q6_part_stats" ->
       """SELECT p_brand,
   CAST(count(*) AS BIGINT) AS n_parts,

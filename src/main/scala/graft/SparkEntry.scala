@@ -979,6 +979,22 @@ object SparkEntry {
           row_number().over(w).cast("long").as("order_seq"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "w8_top_per_group" -> ((s, d) =>
+      // grouped top-k: top-3 orders per status by price. The rank-filter
+      // form compiles to WindowGroupLimitExec (bounded k-buffer per
+      // group on BOTH sides of the one group-key shuffle — the grouped
+      // TakeOrderedAndProject; plan asserted in spec).
+      graft.operators.TopKPerGroup(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")),
+        Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_orderstatus", "rk")),
+    "t11_unigram_logprob" -> ((s, d) =>
+      // CCNet-style corpus-LM quality signal: average unigram surprisal
+      // per document (TextAnalysis.unigramLogProb)
+      TextAnalysis.unigramLogProb(docs(s, d))),
     "q6_part_stats" -> ((s, d) =>
       Tables.load(s, d, "part")
         .groupBy("p_brand")

@@ -451,6 +451,39 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** CCNet-style language-model quality signal: the average token
+    * surprisal under the corpus's own unigram model,
+    * `avg(-ln(tf(token) / corpus_tokens)) = ln(corpus_tokens) -
+    * avg(ln(tf))` per document. Low = built from common words (fluent /
+    * boilerplate), high = rare-token soup — the unigram stand-in for the
+    * LM-perplexity filter CCNet uses for corpus curation (PAPERS.md).
+    *
+    * Exactness: `ln` is not correctly-rounded-guaranteed across engines
+    * and the avg's association order differs, but both effects are
+    * ~1e-13 relative — `round(, 4)` on the OUTPUT (never before a
+    * filter/rank) absorbs them, per the repo's oracle rules.
+    *
+    * Shape: one explode + token-keyed groupBy builds the frequency
+    * table (vocabulary-sized — millions of rows at 100 TB, broadcast-
+    * able); the score pass is the token stream joined against it, one
+    * doc-keyed partial agg. Documents with no tokens have no surprisal
+    * and drop out (both engines agree). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("corpus_tokens"))
+    toks.join(broadcast(tf), "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"), col("corpus_tokens"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("tf").cast("double"))).as("__avg_ln_tf"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("corpus_tokens").cast("double")) - col("__avg_ln_tf"),
+          4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial hash over characters: h = h*31 + ascii(c) mod 1e9+7.
     * Expressed as a left fold over the char array — sequential per value,
     * hence deterministic. */
