@@ -122,8 +122,101 @@ object AclEnforcementRule extends Rule[LogicalPlan] {
     }
 }
 
-/** SparkSessionExtensions hook: inject ACL enforcement at resolution. */
+/** SparkSessionExtensions hook: inject ACL enforcement at resolution
+  * and register the engine's native expressions as SQL functions
+  * (`graft_*`), so `spark.sql("SELECT graft_simhash64(text) ...")` uses
+  * the same codegen'd one-pass scans as the DataFrame API — the SQL
+  * half of the engine's API surface. Static int/string parameters
+  * (shingle size, signature length, ...) must be literals, exactly as
+  * Spark's own parameterized functions require. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import org.apache.spark.sql.graft._
+
+  private def intLit(e: Expression, fn: String, arg: String): Int =
+    e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal")
+    }
+
+  private def strLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal")
+    }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+
+  /** (name, usage, builder) for every registered SQL function. */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] =
+    Seq(
+      ("graft_xml_escape", "graft_xml_escape(str) - XML entity escaping",
+        { args => arity("graft_xml_escape", args, 1); XmlEscape(args.head) }),
+      ("graft_simhash64", "graft_simhash64(str) - 64-bit SimHash",
+        { args => arity("graft_simhash64", args, 1); SimHash64(args.head) }),
+      ("graft_token_count", "graft_token_count(str) - whitespace tokens",
+        { args => arity("graft_token_count", args, 1); TokenCount(args.head) }),
+      ("graft_normalize_text",
+        "graft_normalize_text(str) - lowercase, collapse whitespace",
+        { args => arity("graft_normalize_text", args, 1)
+          NormalizeText(args.head) }),
+      ("graft_repetition_stats",
+        "graft_repetition_stats(str) - Gopher repetition counters",
+        { args => arity("graft_repetition_stats", args, 1)
+          RepetitionStats(args.head) }),
+      ("graft_char_class_count",
+        "graft_char_class_count(str, mode) - chars in class (literal mode)",
+        { args => arity("graft_char_class_count", args, 2)
+          CharClassCount(args.head,
+            strLit(args(1), "graft_char_class_count", "mode")) }),
+      ("graft_ngram_codes",
+        "graft_ngram_codes(str, n) - packed character n-gram codes",
+        { args => arity("graft_ngram_codes", args, 2)
+          NgramCodes(args.head, intLit(args(1), "graft_ngram_codes", "n")) }),
+      ("graft_minhash_sig",
+        "graft_minhash_sig(str, k, stride) - MinHash signature",
+        { args => arity("graft_minhash_sig", args, 3)
+          MinHashSig(args.head, intLit(args(1), "graft_minhash_sig", "k"),
+            intLit(args(2), "graft_minhash_sig", "stride")) }),
+      ("graft_vector_dot", "graft_vector_dot(a, b) - float-array dot",
+        { args => arity("graft_vector_dot", args, 2)
+          VectorDot(args.head, args(1)) }),
+      ("graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(a, b) - |a ∩ b| of sorted arrays",
+        { args => arity("graft_sorted_intersect_count", args, 2)
+          SortedIntersectCount(args.head, args(1)) }),
+      ("graft_byte_histogram",
+        "graft_byte_histogram(bin, bins) - byte-value histogram",
+        { args => arity("graft_byte_histogram", args, 2)
+          ByteHistogram(args.head,
+            intLit(args(1), "graft_byte_histogram", "bins")) }),
+      ("graft_sign_lsh_bucket",
+        "graft_sign_lsh_bucket(v, dim, planes) - sign-LSH bucket id",
+        { args => arity("graft_sign_lsh_bucket", args, 3)
+          SignLshBucket(args.head,
+            intLit(args(1), "graft_sign_lsh_bucket", "dim"),
+            intLit(args(2), "graft_sign_lsh_bucket", "planes")) }),
+      ("graft_interleave_bits",
+        "graft_interleave_bits(bits, c1, c2, ...) - Morton z-value",
+        { args =>
+          if (args.length < 3) throw new IllegalArgumentException(
+            "graft_interleave_bits expects (bits, col, col, ...)")
+          InterleaveBits(args.tail,
+            intLit(args.head, "graft_interleave_bits", "bits")) }))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => AclEnforcementRule)
+    functions.foreach { case (name, _, builder) =>
+      // usage strings ride in `functions` for the Scaladoc reader; the
+      // 2-arg ExpressionInfo is (className, functionName)
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("org.apache.spark.sql.graft", name), builder))
+    }
+  }
 }
