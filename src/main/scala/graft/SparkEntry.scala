@@ -707,17 +707,17 @@ object SparkEntry {
           col("avg_size_bytes"))
         .orderBy("window_start")),
     "a5_metrics_minute" -> ((s, d) => Metrics.perMinute(ev(s, d))),
-    "a7_key_count_pages" -> ((s, d) => {
+    "a7_key_count_pages" -> ((s, d) =>
       // A7: per-page key counts over the ordered listing (the KeyCount
-      // field of each ListObjectsV2 page, src/main.rs:279).
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("key")
-      files(s, d).select(col("key"))
-        .withColumn("rn", row_number().over(w))
+      // field of each ListObjectsV2 page, src/main.rs:279). Numbering
+      // runs distributed (GlobalRowNumber: range partition + offsets) —
+      // the single-partition Window.orderBy this replaced was the one
+      // WindowExec-No-Partition plan left in a shipped query.
+      graft.operators.GlobalRowNumber(
+        files(s, d).select(col("key")), Seq(col("key")))
         .withColumn("page", expr("((rn - 1) div 1000) + 1").cast("long"))
         .groupBy("page").agg(count(lit(1)).as("key_count"))
-        .orderBy("page")
-    }),
+        .orderBy("page")),
     "q1_pricing_summary" -> ((s, d) =>
       li(s, d)
         .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
