@@ -31,7 +31,10 @@ object PlanAudit {
     "pipe4_token_shards", // distributed prefix sum, no global window
     "pipe5_quality_cut",  // per-language window, one exchange
     "b1_bucketed_join",   // zero-Exchange SortMergeJoin on buckets
-    "sim_funnel_topk")    // broadcast candidate pairs, corpus unshuffled
+    "sim_funnel_topk",    // broadcast candidate pairs, corpus unshuffled
+    "a7_key_count_pages", // distributed numbering, no 1-partition window
+    "w8_top_per_group",   // WindowGroupLimit: bounded k-buffer per group
+    "t11_unigram_logprob") // broadcast vocab table, one doc-keyed agg
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
