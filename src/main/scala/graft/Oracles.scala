@@ -1074,6 +1074,27 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s21_restore" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "s22_clone" ->
+      """WITH base AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity <= 2
+), sides AS (
+  SELECT 'clone' AS side, * FROM base WHERE l_quantity <> 1
+  UNION ALL
+  SELECT 'source' AS side, * FROM base WHERE l_quantity <> 2
+)
+SELECT side, l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM sides GROUP BY side, l_returnflag ORDER BY side, l_returnflag""",
+
     "s14_delete" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

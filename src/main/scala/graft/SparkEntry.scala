@@ -311,6 +311,70 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s21_restore" -> ((s, d) => {
+      // RESTORE end to end: append (v0), DELETE a third of the rows
+      // (v1), zero out prices (v2), then RESTORE to v0 — one metadata
+      // commit re-adding v0's files and removing the rewrites. The read
+      // back must equal the ORIGINAL source, bit for bit.
+      val dir = "/tmp/graft_s21_restore"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.delete(s, table, col("l_quantity") === 1,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.update(s, table, col("l_quantity") === 2,
+        Map("l_extendedprice" -> lit(0.0)), Seq("l_returnflag"))
+      graft.io.MiniDelta.restore(s, table, toVersion = 0)
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "s22_clone" -> ((s, d) => {
+      // Shallow clone end to end: clone a partitioned table by absolute
+      // file reference (zero data copied), then diverge — DELETE on the
+      // clone (copy-on-write rewrites land under the CLONE's root while
+      // untouched partitions still read from the source's files) and a
+      // different DELETE on the source. Each side must see only its own
+      // edit; vacuum on either side must not disturb the other.
+      val dir = "/tmp/graft_s22_clone"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val srcTable = s"$dir/src"
+      val cloneTable = s"$dir/fork"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, srcTable, Seq("l_returnflag"))
+      graft.io.MiniDelta.cloneShallow(s, srcTable, cloneTable)
+      graft.io.MiniDelta.delete(s, cloneTable, col("l_quantity") === 1,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.delete(s, srcTable, col("l_quantity") === 2,
+        Seq("l_returnflag"))
+      // clone vacuum at horizon 0 sees only the clone's own directory —
+      // the source files it stopped referencing are untouchable by
+      // construction; the SOURCE vacuums under a retention horizon
+      // (the real-Delta discipline for sources of shallow clones, whose
+      // readers the source's log cannot see)
+      graft.io.MiniDelta.vacuum(s, cloneTable)
+      graft.io.MiniDelta.vacuum(s, srcTable, retainMs = 3600000L)
+      def agg(t: String, side: String) =
+        graft.io.MiniDelta.readFiltered(s, t, Seq.empty)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .withColumn("side", lit(side))
+      agg(cloneTable, "clone").unionByName(agg(srcTable, "source"))
+        .select("side", "l_returnflag", "n_rows", "sum_price", "sum_qty")
+        .orderBy("side", "l_returnflag")
+    }),
     "s20_cdf" -> ((s, d) => {
       // Row-level CDF end to end: append, then an UPDATE (price zeroed
       // where qty=1) and a DELETE (qty=2, orderkey%3=0). The change feed

@@ -85,6 +85,29 @@ object MiniDelta {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Resolve an add/remove action's path against the table root. The
+    * Delta protocol allows ABSOLUTE paths in add actions (how shallow
+    * clones reference the source table's files without copying them,
+    * delta-rs `add.path` semantics); relative paths resolve under the
+    * table directory as usual. */
+  private def resolvePath(table: String, rel: String): String =
+    if (rel.startsWith("/") || rel.contains("://")) rel
+    else s"$table/$rel"
+
+  /** Directory-inference base for a data file: everything before the
+    * first `k=v` path segment (Spark derives partition columns from the
+    * segments after the base). Files under the table root use the table
+    * itself; external (absolute, shallow-cloned) paths derive their own
+    * source root so partition inference still works. */
+  private def inferenceBase(table: String, file: String): String =
+    if (file.startsWith(s"$table/")) table
+    else {
+      val segs = file.split("/")
+      val firstKv = segs.indexWhere(_.contains("="))
+      val cut = if (firstKv >= 0) firstKv else segs.length - 1
+      segs.take(cut).mkString("/")
+    }
+
   /** True once the table has a `_delta_log` directory (first commit). */
   def tableExists(spark: SparkSession, table: String): Boolean =
     fs(spark, table).exists(new Path(logDir(table)))
@@ -584,7 +607,7 @@ object MiniDelta {
     // after a file was written (as nulls), so post-compaction files all
     // carry the full current schema — Delta's OPTIMIZE does the same
     val read = readFiles(spark, table,
-      current.map(r => s"$table/${r.getString(0)}").toIndexedSeq)
+      current.map(r => resolvePath(table, r.getString(0))).toIndexedSeq)
     // OPTIMIZE ZORDER: sort within each rewrite task by the Morton code
     // of the z-order columns so maxRecordsPerFile splits yield files
     // covering small hyper-rectangles — min/max stats discriminate on
@@ -656,7 +679,7 @@ object MiniDelta {
                             declared: Option[org.apache.spark.sql.types.StructType],
                             hit: DataFrame => DataFrame): Seq[String] = {
     if (paths.isEmpty) return Nil
-    val base = readFilesAs(spark, table, paths.map(p => s"$table/$p"), declared)
+    val base = readFilesAs(spark, table, paths.map(resolvePath(table, _)), declared)
     require(!base.columns.contains("__file"),
       "table has a '__file' column, which collides with the " +
         "copy-on-write file-discovery temp column")
@@ -691,7 +714,7 @@ object MiniDelta {
                           extraLines: Seq[String] = Nil): Long = {
     val before = listDataFiles(spark, table).map(_._1).toSet
     val newData = rewrite(
-      readFilesAs(spark, table, touched.map(p => s"$table/$p"), declared))
+      readFilesAs(spark, table, touched.map(resolvePath(table, _)), declared))
     val writer = newData.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
@@ -866,8 +889,101 @@ object MiniDelta {
       case (p, _, mtime) if !live.contains(p) &&
         tombstones.getOrElse(p, mtime) <= cutoff => p
     }
+    // deliberately NOT resolvePath: dead candidates come from listing
+    // THIS table's directory, so vacuum can never touch an external
+    // (shallow-cloned) file living under the source table's root
     dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
     dead
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF: one metadata-only commit that
+    * flips the live file set (and, if it changed since, the declared
+    * schema) back to the snapshot at `toVersion` — Delta's RESTORE
+    * (delta-rs RestoreBuilder). Data files are never copied: the commit
+    * re-adds the old files (with their original stats, so skipping
+    * still works) and removes the ones added since. Fails loudly when a
+    * file to re-add was vacuumed away, exactly like Delta.
+    *
+    * Scale: both snapshots are log metadata (O(files) driver work, zero
+    * data IO), and the commit is read-set-pinned at `readVersion + 1` —
+    * a concurrent writer throws [[ConcurrentCommitException]] instead
+    * of being silently undone. Returns the committed version, or
+    * `readVersion` when the restore is a no-op. */
+  def restore(spark: SparkSession, table: String, toVersion: Long,
+              readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    require(toVersion >= 0 && toVersion <= readVersion,
+      s"RESTORE target version $toVersion outside [0, $readVersion]")
+    val now = System.currentTimeMillis()
+    val cur = snapshotFilesAt(spark, table, readVersion).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tgt = snapshotFilesAt(spark, table, toVersion).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val f = fs(spark, table)
+    val missing = (tgt.keySet -- cur.keySet)
+      .filterNot(p => f.exists(new Path(resolvePath(table, p))))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
+          s"vacuumed (first: ${missing.head}); restore past the " +
+          "retention horizon is unrecoverable")
+    val addLines = (tgt.keySet -- cur.keySet).toSeq.sorted.map { p =>
+      val r = tgt(p)
+      addLine(p, r.getLong(r.fieldIndex("size")),
+        Option(r.getString(r.fieldIndex("stats"))))
+    }
+    val removeLines = (cur.keySet -- tgt.keySet).toSeq.sorted
+      .map(removeLine(_, dataChange = true, now))
+    val curSchema = latestSchema(spark, table, readVersion)
+    val tgtSchema = latestSchema(spark, table, toVersion)
+    val metaLines =
+      if (tgtSchema.isDefined && tgtSchema.map(_.json) != curSchema.map(_.json))
+        Seq(metaDataLine(tgtSchema.get, partitionColsOf(tgt.keySet)))
+      else Nil
+    if (addLines.isEmpty && removeLines.isEmpty && metaLines.isEmpty)
+      return readVersion // already at the target state
+    writeCommit(spark, table, readVersion + 1,
+      metaLines ++ removeLines ++ addLines, "RESTORE")
+  }
+
+  /** Partition columns implied by a file set's `k=v` path segments, in
+    * directory order (all files of a table share one layout). */
+  private def partitionColsOf(paths: Iterable[String]): Seq[String] =
+    paths.headOption.fold(Seq.empty[String]) {
+      _.split("/").dropRight(1).filter(_.contains("="))
+        .map(_.split("=", 2)(0)).toSeq
+    }
+
+  /** Shallow clone (Delta `CLONE ... SHALLOW`): a brand-new table whose
+    * v0 commit references the SOURCE table's data files by absolute
+    * path — zero data copied, stats carried over so skipping works on
+    * the clone immediately. The clone then evolves independently:
+    * copy-on-write DML rewrites land under the clone's own root, and
+    * [[vacuum]] on either table never deletes the other's files (the
+    * clone's vacuum lists only its own directory; the source's vacuum
+    * consults only its own log). Cloning a clone re-resolves to the
+    * ORIGINAL absolute paths, so chains never stack indirection.
+    *
+    * Scale: the clone is one O(files) metadata commit — cloning a
+    * 100 TB table costs the same as cloning 100 MB, which is the whole
+    * point (instant dev/test forks of production tables). */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+                   versionAsOf: Option[Long] = None): Long = {
+    require(tableExists(spark, source), s"clone source $source has no log")
+    require(!tableExists(spark, target),
+      s"clone target $target already exists")
+    val v = versionAsOf.getOrElse(latestVersion(spark, source))
+    val files = snapshotFilesAt(spark, source, v).collect()
+    val addLines = files.map { r =>
+      val rel = r.getString(0)
+      addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
+        Option(r.getString(r.fieldIndex("stats"))))
+    }.toSeq
+    val metaLines = latestSchema(spark, source, v)
+      .map(metaDataLine(_, partitionColsOf(files.map(_.getString(0)))))
+      .toSeq
+    writeCommit(spark, target, 0L, metaLines ++ addLines, "CLONE")
   }
 
   /** Time travel: the snapshot as of `version` (inclusive) — replay the
@@ -1000,12 +1116,19 @@ object MiniDelta {
       declared.fold(spark.emptyDataFrame)(s =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s))
     else {
-      val reader = spark.read.option("basePath", table)
-      val df = declared.fold(reader)(reader.schema)
-        .parquet(files.toIndexedSeq: _*)
-      // partitioned reads surface partition columns LAST regardless of
-      // the declared schema — restore the declared column order
-      declared.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
+      // a snapshot can mix files under the table root with ABSOLUTE
+      // (shallow-cloned) paths rooted in the source table — Spark's
+      // basePath must prefix every path in a scan, so group by
+      // inference base and union (one scan per root, normally one)
+      val groups = files.groupBy(inferenceBase(table, _)).toSeq.sortBy(_._1)
+      groups.map { case (base, fs) =>
+        val reader = spark.read.option("basePath", base)
+        val df = declared.fold(reader)(reader.schema)
+          .parquet(fs.toIndexedSeq: _*)
+        // partitioned reads surface partition columns LAST regardless of
+        // the declared schema — restore the declared column order
+        declared.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
+      }.reduce(_.unionByName(_))
     }
   }
 
@@ -1015,7 +1138,7 @@ object MiniDelta {
   def readRange(spark: SparkSession, table: String, statCol: String,
                 lo: Double, hi: Double): DataFrame = {
     val files = filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
-      .select("path").collect().map(r => s"$table/${r.getString(0)}")
+      .select("path").collect().map(r => resolvePath(table, r.getString(0)))
     val base = readFiles(spark, table, files.toIndexedSeq)
     if (files.isEmpty) base // zero files: the predicate is vacuous (and
     else base.where(col(statCol) >= lo && col(statCol) <= hi) // may not resolve)
@@ -1044,7 +1167,7 @@ object MiniDelta {
     val snap = snapshotFilesAt(spark, table,
       versionAsOf.getOrElse(Long.MaxValue))
     val files = filesForFilters(snap, filters)
-      .select("path").collect().map(r => s"$table/${r.getString(0)}")
+      .select("path").collect().map(r => resolvePath(table, r.getString(0)))
     // time travel reads under the schema AS OF that version (a column
     // appended later must not appear), current reads under the latest
     readFiles(spark, table, files.toIndexedSeq,
@@ -1174,7 +1297,7 @@ object MiniDelta {
     if (adds.isEmpty && removes.isEmpty) return emptyFeed
     val f = fs(spark, table)
     val gone = (adds.values.flatten ++ removes.values.flatten)
-      .toSeq.distinct.filterNot(p => f.exists(new Path(s"$table/$p")))
+      .toSeq.distinct.filterNot(p => f.exists(new Path(resolvePath(table, p))))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"change feed at versions ($fromVersion, $toVersion] references " +
@@ -1184,7 +1307,7 @@ object MiniDelta {
       val a = adds.getOrElse(v, Seq.empty)
       val r = removes.getOrElse(v, Seq.empty)
       def read(paths: Seq[String]) =
-        readFilesAs(spark, table, paths.map(p => s"$table/$p"), declared)
+        readFilesAs(spark, table, paths.map(resolvePath(table, _)), declared)
       val (preLabel, postLabel) = ops.getOrElse(v, "WRITE") match {
         case "DELETE" => ("delete", "insert")
         case "UPDATE" | "MERGE" => ("update_preimage", "update_postimage")
@@ -1252,7 +1375,7 @@ object MiniDelta {
     // (Delta guards the same case with a retention window)
     val f = fs(spark, table)
     val gone = changed.map(_.getString(0))
-      .filterNot(p => f.exists(new Path(s"$table/$p")))
+      .filterNot(p => f.exists(new Path(resolvePath(table, p))))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"change feed at versions (${fromVersion}, $toVersion] references " +
@@ -1260,7 +1383,7 @@ object MiniDelta {
           "consumer checkpoint predates the table's retention — reset it")
     changed.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
       readFilesAs(spark, table,
-        rows.map(r => s"$table/${r.getString(0)}").toIndexedSeq, declared)
+        rows.map(r => resolvePath(table, r.getString(0))).toIndexedSeq, declared)
         .withColumn("_commit_version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

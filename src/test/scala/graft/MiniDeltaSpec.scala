@@ -722,4 +722,74 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(log.where(col("add").isNotNull).count() > 0)
     assert(log.where(col("commitInfo").isNotNull).count() == 1)
   }
+
+  test("restore flips the file set and schema back; one metadata commit") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 4), t, Seq("year"))      // v0
+    MiniDelta.delete(spark, t, col("id") <= 2, Seq("year"))          // v1
+    // schema evolution after v0: restore must roll the schema back too
+    MiniDelta.append(spark,
+      sample("2024", 1).withColumn("extra", lit(9L)), t, Seq("year")) // v2
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    val v = MiniDelta.restore(spark, t, toVersion = 0)
+    assert(v == 3L)
+    val back = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(back.count() == 4)
+    assert(back.columns.toSeq == Seq("id", "year", "payload"))
+    assert(back.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // restoring to the already-current state is a no-op (no new commit)
+    assert(MiniDelta.restore(spark, t, toVersion = 3) == 3L)
+    // a restore whose files were vacuumed away fails loudly
+    MiniDelta.vacuum(spark, t) // drops v1/v2's rewrites, now dead
+    MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))         // v4
+    MiniDelta.vacuum(spark, t) // drops the files v4 rewrote
+    val e = intercept[IllegalStateException] {
+      MiniDelta.restore(spark, t, toVersion = 3)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("shallow clone: zero copy, independent divergence, vacuum safety") {
+    val root = Files.createTempDirectory("miniclone").toString
+    val src = s"$root/src"
+    val fork = s"$root/fork"
+    MiniDelta.append(spark, sample("2023", 3), src, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), src, Seq("year"))
+    MiniDelta.cloneShallow(spark, src, fork)
+    // the clone's v0 references the source's files ABSOLUTELY — no data
+    // file was copied under the clone's root
+    val cloned = MiniDelta.snapshotFiles(spark, fork)
+      .select("path").as[String].collect()
+    assert(cloned.forall(_.startsWith("/")), "clone paths must be absolute")
+    assert(!new java.io.File(fork).listFiles()
+      .exists(f => f.isDirectory && f.getName.contains("=")),
+      "no data directories under the clone root")
+    assert(MiniDelta.readFiltered(spark, fork, Seq.empty).count() == 5)
+    // partition metadata survives the absolute-path read
+    val years = MiniDelta.readFiltered(spark, fork,
+      Seq(Map("year" -> "2024"))).count()
+    assert(years == 2)
+    // diverge: DML on the clone rewrites ONLY under the clone's root
+    MiniDelta.delete(spark, fork, col("id") === 1 && col("year") === "2023",
+      Seq("year"))
+    assert(MiniDelta.readFiltered(spark, fork, Seq.empty).count() == 4)
+    assert(MiniDelta.readFiltered(spark, src, Seq.empty).count() == 5,
+      "source must not see the clone's delete")
+    // vacuum on the clone can never delete the source's files: its dead
+    // set comes from listing the clone's own directory
+    MiniDelta.vacuum(spark, fork)
+    assert(MiniDelta.readFiltered(spark, src, Seq.empty).count() == 5)
+    // cloning a clone re-resolves to ORIGINAL absolute paths (no chains)
+    val fork2 = s"$root/fork2"
+    MiniDelta.cloneShallow(spark, fork, fork2)
+    assert(MiniDelta.readFiltered(spark, fork2, Seq.empty).count() == 4)
+    val f2paths = MiniDelta.snapshotFiles(spark, fork2)
+      .select("path").as[String].collect()
+    assert(f2paths.forall(p => !p.startsWith(fork2)))
+    // time-travel clone: versionAsOf pins the source snapshot
+    val forkV0 = s"$root/forkv0"
+    MiniDelta.cloneShallow(spark, src, forkV0, versionAsOf = Some(0L))
+    assert(MiniDelta.readFiltered(spark, forkV0, Seq.empty).count() == 3)
+  }
 }
