@@ -702,6 +702,50 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10""",
   CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY content_hash ORDER BY keeper_doc_id""",
 
+    "pipe8_dsir_sample" ->
+      """WITH toks AS (
+  SELECT doc_id, source = 'src0' AS is_target,
+    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+), tft AS (
+  SELECT token, count(*) AS tf_t FROM toks WHERE is_target GROUP BY token
+), tfr AS (
+  SELECT token, count(*) AS tf_r FROM toks WHERE NOT is_target GROUP BY token
+), vocab AS (
+  SELECT token, coalesce(tf_t, 0) AS tf_t, coalesce(tf_r, 0) AS tf_r
+  FROM tft FULL JOIN tfr USING (token)
+), tot AS (
+  SELECT sum(tf_t) AS tt, sum(tf_r) AS tr, count(*) AS v FROM vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  round(avg(ln(CAST(tf_t AS DOUBLE) + 1) - ln(CAST(tf_r AS DOUBLE) + 1)) +
+    ln(CAST(tr + v AS DOUBLE)) - ln(CAST(tt + v AS DOUBLE)), 4) AS logratio
+FROM toks JOIN vocab USING (token), tot
+WHERE NOT is_target
+GROUP BY doc_id, tt, tr, v
+ORDER BY logratio DESC, doc_id LIMIT 50""",
+
+    "t12_chunk_scrub" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(list_slice(tk, i*10+1, i*10+10), ' ') AS chunk
+  FROM (SELECT doc_id, tk,
+          unnest(generate_series(0,
+            CAST(greatest(ceil(len(tk)/10.0), 1) AS BIGINT) - 1)) AS i
+        FROM toks)
+), kept AS (
+  SELECT doc_id, pos, chunk FROM (
+    SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS occ
+    FROM chunks) WHERE occ = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(length(string_agg(chunk, ' ' ORDER BY pos)) AS BIGINT) AS scrub_len,
+  md5(string_agg(chunk, ' ' ORDER BY pos)) AS scrub_md5
+FROM kept GROUP BY doc_id ORDER BY doc_id""",
+
     "d6_chunk_dedup" ->
       """WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -1191,6 +1235,39 @@ SELECT query_id, cand_id, cell, cos_sim, rn AS rk FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rn
   FROM s
 ) WHERE rn <= 5 ORDER BY query_id, rk""",
+
+    "d10_semdedup" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 10),
+ascore AS (
+  SELECT e.vec_id, c.cent_id,
+    round(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)) /
+      (sqrt(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) *
+       sqrt(SUM(CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))), 4) AS cscore
+  FROM embeddings e, c, g
+  GROUP BY e.vec_id, c.cent_id
+),
+asg AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rk
+    FROM ascore) WHERE rk = 1
+),
+pairs AS (
+  SELECT a2.vec_id AS vec_b
+  FROM asg a1 JOIN asg a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id, g
+  GROUP BY a1.vec_id, a2.vec_id
+  HAVING round(SUM(CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)) /
+    (sqrt(SUM(CAST(e1.embedding[i] AS DOUBLE) * CAST(e1.embedding[i] AS DOUBLE))) *
+     sqrt(SUM(CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))), 4) >= 0.30
+),
+dropped AS (SELECT DISTINCT vec_b FROM pairs)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN d.vec_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_b
+GROUP BY cell ORDER BY cell""",
 
     "t1_langid" ->
       """WITH toks AS (

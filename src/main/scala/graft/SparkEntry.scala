@@ -938,6 +938,16 @@ object SparkEntry {
       // the gate (hash-compared), not just counts
       TextAnalysis.stratifiedSample(docs(s, d), "source", 10)
         .select("source", "doc_id").orderBy("source", "doc_id")),
+    "pipe8_dsir_sample" -> ((s, d) =>
+      // DSIR data selection: src0 is the target domain; the 50 raw docs
+      // whose unigram distribution best matches it win (log-likelihood
+      // ratio, add-1 smoothing, length-normalized)
+      TextAnalysis.dsirSample(docs(s, d), col("source") === "src0", 50)),
+    "t12_chunk_scrub" -> ((s, d) =>
+      // corpus-level duplicated-chunk removal with reassembly: only the
+      // FIRST occurrence of each 10-token chunk survives anywhere; the
+      // scrubbed texts themselves are the gate (md5-compared)
+      TextAnalysis.chunkScrub(docs(s, d))),
     "t10_edit_distance" -> ((s, d) =>
       // fuzzy near-dup pairs by levenshtein over normalized 30-char
       // prefixes; the length-blocked join must equal the oracle's
@@ -1124,6 +1134,11 @@ object SparkEntry {
       // nearest cells per query, exact top-5 within probed cells only.
       Similarity.ivfTopK(emb(s, d), pmod(col("vec_id"), lit(100)) === 0,
         k = 8, nprobe = 3, topk = 5)),
+    "d10_semdedup" -> ((s, d) =>
+      // SemDeDup: coarse-cluster the embedding space (10 cells), drop
+      // within-cluster semantic near-duplicates (cos >= 0.30, keep the
+      // smallest id); per-cluster total vs survivor counts.
+      Similarity.semDedup(emb(s, d), k = 10, threshold = 0.30)),
     "t1_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
         .withColumn("stopword_hits", col("stopword_hits").cast("long"))

@@ -125,6 +125,44 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — cluster the embedding space coarsely, then drop,
+    * within each cluster, every vector that has a semantically
+    * near-identical neighbor with a smaller id (cos >= threshold; the
+    * paper keeps one exemplar per duplicate group, we keep the
+    * smallest-id one — deterministic and engine-portable). Returns one
+    * row per cluster: total and surviving vector counts.
+    *
+    * Scale: clustering is [[ivfAssign]] (broadcast centroids, one
+    * narrow pass, no shuffle); the pair scan shuffles once on the
+    * cluster id and is (cell size)^2 WITHIN each cell only — with
+    * k ~ sqrt(N) cells that is ~N total pair work, never a global cross
+    * join, and a skewed cell can be capped exactly like the LSH buckets
+    * (Dedup.lshPairs' maxBucket discipline). */
+  def semDedup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cells = ivfAssign(emb, k)
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+      .join(cells, "vec_id")
+    val a = vecs.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = vecs.select(col("cell").as("cell_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val dropped = a.join(b, col("cell") === col("cell_b") &&
+        col("vec_a") < col("vec_b"))
+      .where(round(safeCosine(dot(col("ea"), col("eb")),
+        col("na"), col("nb")), 4) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    val kept = cells.join(dropped, Seq("vec_id"), "left_anti")
+    cells.groupBy("cell").agg(count(lit(1)).as("n_total"))
+      .join(kept.groupBy("cell").agg(count(lit(1)).as("n_kept")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("cell")
+  }
+
   /** IVF coarse quantizer: the first `k` vectors by vec_id are the
     * centroids (a fixed-seed coarse quantizer — FAISS-style IVF admits
     * any quantizer, and fixed seeds keep it deterministic and

@@ -494,4 +494,84 @@ object TextAnalysis {
       lit(0L),
       (acc, c) => pmod(acc * 31 + ascii(c), lit(p)))
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every RAW document by the unigram log-likelihood ratio of a
+    * TARGET distribution over a RAW distribution (add-1 smoothing over
+    * the shared vocabulary, length-normalized), and keep the top `n` —
+    * "select raw data that looks like the target domain". The per-token
+    * term is `ln(tf_t+1) - ln(tf_r+1)` (integer counts inside each ln,
+    * engine-exact); the smoothing denominators are constant across
+    * tokens, so they fold into one per-corpus additive term.
+    *
+    * Scale: the two frequency tables are one shuffle each; the vocab
+    * (unique tokens — language-bounded, millions of rows at 100 TB, a
+    * few hundred MB) is broadcast, so scoring is ONE narrow pass over
+    * the corpus; selection is `orderBy.limit` =
+    * TakeOrderedAndProject (per-partition top-n, never a global sort
+    * or single-partition window). */
+  def dsirSample(docs: DataFrame, targetPred: Column, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), targetPred.as("is_target"),
+      explode(tokens(col("text"))).as("token"))
+    val tft = toks.where(col("is_target"))
+      .groupBy("token").agg(count(lit(1)).as("tf_t"))
+    val tfr = toks.where(!col("is_target"))
+      .groupBy("token").agg(count(lit(1)).as("tf_r"))
+    val vocab = tft.join(tfr, Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("tf_t"), lit(0L)).as("tf_t"),
+        coalesce(col("tf_r"), lit(0L)).as("tf_r"))
+    val totals = vocab.agg(sum(col("tf_t")).as("tt"),
+      sum(col("tf_r")).as("tr"), count(lit(1)).as("v"))
+    toks.where(!col("is_target"))
+      .join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("tf_t").cast("double") + 1) -
+          log(col("tf_r").cast("double") + 1)).as("__avg_lr"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__avg_lr") +
+          log((col("tr") + col("v")).cast("double")) -
+          log((col("tt") + col("v")).cast("double")), 4).as("logratio"))
+      .orderBy(col("logratio").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  /** Corpus-level duplicated-chunk removal with document reassembly
+    * (the paragraph-dedup step of CCNet / RefinedWeb, on fixed
+    * `k`-token chunks since the fixture corpus is single-line): every
+    * chunk occurrence except the FIRST (smallest (doc_id, position)
+    * corpus-wide) is dropped, and each document is stitched back
+    * together from its surviving chunks in order. Returns per document
+    * the surviving-chunk count, the scrubbed length, and the md5 of
+    * the scrubbed text (value-exact, compact to compare).
+    *
+    * Scale: chunking is narrow; the first-occurrence rule is one
+    * row_number window PARTITIONED BY the chunk hash (millions of
+    * balanced partitions, no global ordering); reassembly is one
+    * groupBy(doc_id). Three shuffles total, all on high-cardinality
+    * keys. */
+  def chunkScrub(docs: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    val chunks = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(toks, i * k + 1, lit(k))).as("chunk"))))
+        .as("c"))
+      .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
+    chunks.withColumn("occ", row_number().over(w))
+      .where(col("occ") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(
+          struct(col("pos"), col("chunk")))), s => s("chunk"))).as("__scrub"))
+      .select(col("doc_id"), col("n_kept"),
+        length(col("__scrub")).cast("long").as("scrub_len"),
+        md5(col("__scrub")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
 }

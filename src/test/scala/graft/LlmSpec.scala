@@ -562,4 +562,50 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1) && r.getLong(0) == 2L)
     assert(r.getLong(2) == r.getLong(3) && r.getLong(2) == 1L)
   }
+
+  test("semDedup drops within-cluster near-identicals, keeps smallest id") {
+    // vec 0 and 1 are centroids; 2 duplicates 0's direction (cos = 1),
+    // 3 is 1's direction scaled, 4 is orthogonal-ish to both
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),   // dup of 0 -> dropped
+      (3L, Array(0f, 3f, 0f, 0f)),   // dup of 1 -> dropped
+      (4L, Array(0.9f, 0.1f, 1f, 0f)) // near cell 0, below threshold
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, k = 2, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 3L, 2L), (1L, 2L, 1L)))
+  }
+
+  test("dsirSample ranks raw docs by similarity to the target domain") {
+    val docs = Seq(
+      (1L, "spark delta table spark delta", "t"),
+      (2L, "spark table delta query spark", "t"),
+      (3L, "spark delta table query", "r"),     // target-like
+      (4L, "banana kiwi mango papaya", "r"),    // nothing like target
+      (5L, "spark banana delta kiwi", "r")      // half-like
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextAnalysis.dsirSample(docs, col("source") === "t", 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 5L)) // ranked: target-like first, fruit last
+  }
+
+  test("chunkScrub keeps only the first corpus-wide chunk occurrence") {
+    // k=2 chunks; doc 1 = [a b][c d]; doc 2 repeats [a b] then new [e f];
+    // doc 3 is ENTIRELY duplicate chunks -> vanishes from the output
+    val d = docsDF(1L -> "a b c d", 2L -> "a b e f", 3L -> "a b c d")
+    val out = TextAnalysis.chunkScrub(d, k = 2)
+      .select("doc_id", "n_kept", "scrub_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 7L), (2L, 1L, 3L)))
+    // reassembly preserves order: doc 1 scrubs to its original text
+    val full = TextAnalysis.chunkScrub(d, k = 2)
+      .where(col("doc_id") === 1).select("scrub_md5").as[String].head()
+    val expect = d.where(col("doc_id") === 1)
+      .select(md5(col("text"))).as[String].head()
+    assert(full == expect)
+  }
 }
