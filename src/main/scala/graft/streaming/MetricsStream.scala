@@ -70,6 +70,44 @@ object MetricsStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("avg_value"))
 
+  /** Watermark-bounded streaming dedup: suppress rows whose `keys`
+    * repeat within the watermark horizon, holding state ONLY for keys
+    * younger than the watermark (`dropDuplicatesWithinWatermark`) —
+    * the scale form of the unbounded `dropDuplicates` corpus dedup,
+    * whose seen-set grows with unique content forever. The trade is
+    * explicit: a duplicate arriving after its original aged out of the
+    * watermark re-emits, which is the standard at-scale contract
+    * (dedup exactly within the lateness bound, best-effort beyond). */
+  def dedupBounded(events: DataFrame, keys: Seq[String],
+                   watermark: String = "1 minute"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream interval join: match each `right` event to `left`
+    * events of the same `key` whose timestamp falls in
+    * [right.ts - `within`, right.ts] — the impression→click /
+    * request→response correlation shape. Both sides carry watermarks,
+    * so the join buffers ONLY rows inside the interval + lateness
+    * horizon (bounded state, Spark evicts older buffered rows); an
+    * unbounded stream-stream join would hold both streams forever.
+    * Inputs must expose (`key`, ts, value); output is one row per
+    * matched pair. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String = "30 seconds",
+                   watermark: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("lkey"), col("ts").as("lts"),
+        col("value").as("lvalue"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("rkey"), col("ts").as("rts"),
+        col("value").as("rvalue"))
+    l.join(r, col("lkey") === col("rkey") &&
+      col("lts") <= col("rts") &&
+      col("lts") >= col("rts") - expr(s"interval $within"))
+      .select(col("lkey").as(key), col("lts"), col("rts"),
+        col("lvalue"), col("rvalue"))
+  }
+
   /** T2 manual-state analogue: per-user lifetime request counts via
     * flatMapGroupsWithState — the explicit form of the reference's
     * mutable per-key state (src/metrics.rs:74-77), emitting the updated

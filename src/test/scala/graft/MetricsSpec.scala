@@ -202,4 +202,65 @@ class MetricsSpec extends AnyFunSuite {
         .contains(ts("2024-01-01 10:00:00")))
     } finally q.stop()
   }
+
+  test("watermark-bounded dedup suppresses repeats inside the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = MetricsStream.dedupBounded(mem.toDF, Seq("user_id"),
+        watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_bounded").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:00:20"), 7, "view", 2.0), // dup, in horizon
+        Ev(3, ts("2024-01-01 10:00:30"), 8, "view", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_bounded").select("event_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // same key again within the horizon and in the same batch: still out
+      mem.addData(Ev(4, ts("2024-01-01 10:00:40"), 7, "view", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_bounded").select("event_id")
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // advance event time far past the watermark: user 7's entry ages
+      // out of state, so a MUCH later "duplicate" re-emits — the
+      // documented bounded-state trade
+      mem.addData(Ev(5, ts("2024-01-01 10:30:00"), 9, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(6, ts("2024-01-01 10:30:10"), 7, "view", 6.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_bounded").select("event_id")
+        .as[Long].collect().toSet == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = MetricsStream.intervalJoin(impressions.toDF, clicks.toDF,
+        key = "user_id", within = "30 seconds", watermark = "10 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin").start()
+    try {
+      impressions.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "imp", 1.0),
+        Ev(2, ts("2024-01-01 10:00:00"), 8, "imp", 2.0))
+      clicks.addData(
+        Ev(3, ts("2024-01-01 10:00:20"), 7, "click", 30.0), // in window
+        Ev(4, ts("2024-01-01 10:02:00"), 8, "click", 40.0)) // too late
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      impressions.addData(Ev(5, ts("2024-01-01 10:10:00"), 99, "imp", 0.0))
+      clicks.addData(Ev(6, ts("2024-01-01 10:10:00"), 98, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin")
+        .select("user_id", "lvalue", "rvalue").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows == Set((7L, 1.0, 30.0)))
+    } finally q.stop()
+  }
 }
