@@ -535,6 +535,28 @@ LEFT JOIN wagg USING (doc_id)
 LEFT JOIN bagg USING (doc_id)
 ORDER BY doc_id""",
 
+    "d11_bloom_decontaminate" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(tk[i:i+3], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 3)) AS i
+        FROM toks WHERE len(tk) >= 4)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0
+)
+SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_shared
+FROM grams JOIN ev USING (g)
+WHERE doc_id % 89 <> 0
+GROUP BY doc_id ORDER BY doc_id""",
+
+    "s23_history" ->
+      """SELECT CAST(v AS BIGINT) AS version, op AS operation
+FROM (VALUES (4, 'RESTORE'), (3, 'OPTIMIZE'), (2, 'DELETE'),
+             (1, 'WRITE'), (0, 'WRITE')) t(v, op)
+ORDER BY version DESC""",
+
     "d9_decontaminate" ->
       """WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk

@@ -311,6 +311,25 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s23_history" -> ((s, d) => {
+      // DESCRIBE HISTORY end to end: a scripted lifecycle (two appends,
+      // a delete, an optimize, a restore) must read back as exactly
+      // that operation sequence from the commit log. File counts are
+      // parallelism-dependent, so the gate pins version+operation only.
+      val dir = "/tmp/graft_s23_history"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.io.MiniDelta.append(s, src.where(col("n_regionkey") <= 2),
+        table, Seq.empty)
+      graft.io.MiniDelta.append(s, src.where(col("n_regionkey") > 2),
+        table, Seq.empty)
+      graft.io.MiniDelta.delete(s, table, col("n_regionkey") === 0, Seq.empty)
+      graft.io.MiniDelta.compact(s, table, Seq.empty)
+      graft.io.MiniDelta.restore(s, table, toVersion = 1)
+      graft.io.MiniDelta.history(s, table).select("version", "operation")
+    }),
     "s21_restore" -> ((s, d) => {
       // RESTORE end to end: append (v0), DELETE a third of the rows
       // (v1), zero out prices (v2), then RESTORE to v0 — one metadata
@@ -1139,6 +1158,12 @@ object SparkEntry {
       // within-cluster semantic near-duplicates (cos >= 0.30, keep the
       // smallest id); per-cluster total vs survivor counts.
       Similarity.semDedup(emb(s, d), k = 10, threshold = 0.30)),
+    "d11_bloom_decontaminate" -> ((s, d) =>
+      // decontamination at eval-set scale: bloom prefilter (merged
+      // sketch broadcast, codegen'd might_contain probe) then an exact
+      // verify join — result identical to the exact path by design
+      Dedup.bloomDecontaminate(docs(s, d),
+        pmod(col("doc_id"), lit(89)) === 0, n = 4)),
     "t1_langid" -> ((s, d) =>
       TextAnalysis.languageId(docs(s, d))
         .withColumn("stopword_hits", col("stopword_hits").cast("long"))

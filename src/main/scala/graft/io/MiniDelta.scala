@@ -947,6 +947,36 @@ object MiniDelta {
       metaLines ++ removeLines ++ addLines, "RESTORE")
   }
 
+  /** DESCRIBE HISTORY: one row per commit — version, operation, and the
+    * commit's add/remove file counts (Delta's operationMetrics, the
+    * subset this log carries). Pure log metadata, newest first. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    // logDFIn, not logDF: history needs the version column (derived
+    // from each commit's file name)
+    val files = logJsonVersions(spark, table).map(_._2)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("operation",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_added",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_removed",
+            org.apache.spark.sql.types.LongType))))
+    val log = logDFIn(spark, files)
+    val ops = log.where(col("commitInfo").isNotNull)
+      .select(col("version"), col("commitInfo.operation").as("operation"))
+    val counts = log.groupBy("version").agg(
+      sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("n_added"),
+      sum(when(col("remove").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+    ops.join(counts, "version")
+      .select("version", "operation", "n_added", "n_removed")
+      .orderBy(col("version").desc)
+  }
+
   /** Partition columns implied by a file set's `k=v` path segments, in
     * directory order (all files of a table share one layout). */
   private def partitionColsOf(paths: Iterable[String]): Seq[String] =

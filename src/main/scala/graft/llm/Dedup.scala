@@ -358,6 +358,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[decontaminate]] behind a Bloom-filter prefilter — the shape that
+    * survives when the eval shingle set outgrows a broadcast hash join:
+    * fold the eval grams into ONE bloom sketch (`bloom_filter_agg`,
+    * bitwise-OR merge so the build is order-independent and exact),
+    * broadcast the kilobytes-to-megabytes sketch instead of the gram
+    * set, and probe it with a codegen'd `might_contain` during the
+    * corpus's narrow shingle pass. Bloom false positives are then
+    * removed by an exact join against the (distinct) eval grams, so
+    * the RESULT is identical to the exact path — the filter only
+    * shrinks the join's probe side (by ~(1-fpp) for clean corpora).
+    *
+    * At 100 TB: the sketch stays driver-small for any fpp while the
+    * eval set may be 10^9 grams; the exact verify join only sees bloom
+    * survivors (true overlaps + fpp of the corpus). */
+  def bloomDecontaminate(docs: DataFrame, evalPred: Column, n: Int = 8,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalGrams = wordNgrams(docs.where(evalPred), n)
+      .select("gram").distinct()
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloom = evalGrams.agg(
+      org.apache.spark.sql.graft.BloomFns.bloomAgg(
+        xxhash64(col("gram")), expectedItems, numBits).as("bf"))
+    wordNgrams(docs.where(!evalPred), n)
+      .where(org.apache.spark.sql.graft.BloomFns.mightContain(
+        bloom, xxhash64(col("gram"))))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash (32-bit): md5 each token; each bit votes +1/-1 weighted by
     * token multiplicity; bit j set iff the vote sum is positive.
     * One native pass per document ([[org.apache.spark.sql.graft

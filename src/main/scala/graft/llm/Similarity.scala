@@ -232,6 +232,65 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Distributed Lloyd k-means over the embedding column — the trained
+    * upgrade to [[ivfAssign]]'s fixed-seed quantizer (FAISS trains its
+    * IVF coarse quantizer exactly this way). Deterministic init (first
+    * `k` vectors by vec_id); each iteration broadcasts the k centroids,
+    * assigns every vector in ONE narrow pass (argmin L2, ties to the
+    * lowest centroid id), and recomputes means with a (cell, dim)
+    * partial aggregate. Per-iteration driver traffic is k×dim doubles —
+    * metadata-scale; the corpus never shuffles (the mean's combine is
+    * map-side). Empty cells keep their previous centroid. Returns the
+    * final (cent_id, centroid) pairs.
+    *
+    * Assignment means are FP-sum-order dependent at the ~1e-15 level
+    * across partitionings (inherent to any distributed mean); k-means
+    * consumers (cell blocking, IVF) are robust to that by construction.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int,
+                      iters: Int): Seq[(Long, Array[Float])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Array[Float])] = emb.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"need at least one vector with vec_id < $k")
+    for (_ <- 1 to iters) {
+      val centsDF = cents.toDF("cent_id", "cv")
+      val assigned = assignCells(emb, centsDF)
+      val means = assigned
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m").cast("float")).as("cv"))
+        .as[(Long, Array[Float])].collect().toMap
+      cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment against an explicit (cent_id, cv)
+    * centroid frame: argmin squared-L2 (ties to the lowest cent_id),
+    * broadcast centroids, one narrow pass — [[ivfAssign]] generalized
+    * to trained centroids. */
+  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      // |v-c|^2 = v.v - 2 v.c + c.c, three native dot folds, no
+      // per-pair array materialization
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("embedding"), col("embedding"))
+          - lit(2.0) * dot(col("embedding"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
   /** int8 scalar quantization: per-vector symmetric scale to [-127, 127],
     * `q_i = floor(x_i * 127 / max|x| + 0.5)` (floor(+0.5) instead of
     * round() because the two engines' round() tie rules differ; floor is

@@ -578,6 +578,48 @@ class LlmSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 3L, 2L), (1L, 2L, 1L)))
   }
 
+  test("kmeans recovers well-separated blobs; assignment is exact") {
+    // three tight blobs far apart; seeds (ids 0..2) start one per blob
+    def blob(base: Array[Float], ids: Range) =
+      ids.map(i => (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + (if (d == 0) (i % 3) * 0.01f else 0f) }))
+    val pts = blob(Array(0f, 0f, 0f, 0f), 0 to 0) ++
+      blob(Array(100f, 0f, 0f, 0f), 1 to 1) ++
+      blob(Array(0f, 100f, 0f, 0f), 2 to 2) ++
+      blob(Array(0f, 0f, 0f, 0f), 3 to 5) ++
+      blob(Array(100f, 0f, 0f, 0f), 6 to 8) ++
+      blob(Array(0f, 100f, 0f, 0f), 9 to 11)
+    val emb = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, k = 3, iters = 4)
+    assert(cents.map(_._1) == Seq(0L, 1L, 2L))
+    // each centroid sits at its blob's mean (first dim ~ base + 0.01)
+    assert(math.abs(cents(0)._2(0) - 0.01f) < 0.02)
+    assert(math.abs(cents(1)._2(0) - 100.01f) < 0.05)
+    assert(math.abs(cents(2)._2(1) - 100f) < 0.05)
+    val centsDF = cents.toDF("cent_id", "cv")
+    val cells = Similarity.assignCells(emb, centsDF)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 3L, 4L, 5L).forall(cells(_) == 0L))
+    assert(Seq(1L, 6L, 7L, 8L).forall(cells(_) == 1L))
+    assert(Seq(2L, 9L, 10L, 11L).forall(cells(_) == 2L))
+  }
+
+  test("bloom decontaminate equals the exact path (verify kills FPs)") {
+    val d = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "a completely different sentence with no overlap at all yes",
+      3L -> "quick brown fox jumps over something else entirely now ok",
+      4L -> "unrelated words that share nothing with anything here today")
+    val evalPred = col("doc_id") === 1
+    val exact = Dedup.decontaminate(d, evalPred, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = Dedup.bloomDecontaminate(d, evalPred, n = 4,
+        expectedItems = 64L, fpp = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact)
+    assert(exact.map(_._1) == Seq(3L)) // only doc 3 shares a 4-gram
+  }
+
   test("dsirSample ranks raw docs by similarity to the target domain") {
     val docs = Seq(
       (1L, "spark delta table spark delta", "t"),

@@ -723,6 +723,20 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(log.where(col("commitInfo").isNotNull).count() == 1)
   }
 
+  test("history lists commits newest first with add/remove counts") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    val h = MiniDelta.history(spark, t).collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "OPTIMIZE"), (1L, "DELETE"), (0L, "WRITE")))
+    val v0 = h.find(_.getLong(0) == 0L).get
+    assert(v0.getLong(2) > 0 && v0.getLong(3) == 0L)
+    val v2 = h.find(_.getLong(0) == 2L).get
+    assert(v2.getLong(2) > 0 && v2.getLong(3) > 0L)
+  }
+
   test("restore flips the file set and schema back; one metadata commit") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 4), t, Seq("year"))      // v0
