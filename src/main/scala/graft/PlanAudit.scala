@@ -34,7 +34,11 @@ object PlanAudit {
     "sim_funnel_topk",    // broadcast candidate pairs, corpus unshuffled
     "a7_key_count_pages", // distributed numbering, no 1-partition window
     "w8_top_per_group",   // WindowGroupLimit: bounded k-buffer per group
-    "t11_unigram_logprob") // broadcast vocab table, one doc-keyed agg
+    "t11_unigram_logprob", // broadcast vocab table, one doc-keyed agg
+    "d10_semdedup",       // literal-centroid fold: zero-shuffle assignment
+    "pipe8_dsir_sample",  // broadcast vocab, TakeOrderedAndProject top-n
+    "t12_chunk_scrub",    // chunk-hash-partitioned window, 3 shuffles
+    "d11_bloom_decontaminate") // bloom subquery probe in the narrow pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

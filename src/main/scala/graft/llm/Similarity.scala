@@ -175,20 +175,40 @@ object Similarity {
     * shuffles nothing. At 100 TB k grows to ~sqrt(N) and the
     * assignment pass is unchanged. */
   def ivfAssign(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val cents = emb.where(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
-        norm2(col("embedding")).as("cnorm"))
-    val scored = emb.select(col("vec_id"), col("embedding"),
-        norm2(col("embedding")).as("vnorm"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        round(safeCosine(dot(col("embedding"), col("cv")),
-          col("vnorm"), col("cnorm")), 4).as("cscore"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cscore").desc, col("cent_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    assignByCosineLiteral(emb, cents)
+  }
+
+  /** Zero-shuffle nearest-centroid assignment (cosine): the centroids
+    * (metadata-scale — k x dim floats) ride as a LITERAL with
+    * precomputed norms, and the argmax is a per-row `aggregate` fold
+    * over them, so assignment is one narrow projection: no crossJoin
+    * row amplification (k rows per vector) and no per-vector window
+    * shuffle — at 100 TB the corpus stream never leaves its input
+    * partitions. Tie rule: equal rounded score -> smallest centroid id
+    * (`greatest` on struct(score, -id), lexicographic). The driver-side
+    * norm accumulates in index order, bit-identical to [[norm2]]. */
+  private[llm] def assignByCosineLiteral(
+      emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignment needs at least one centroid")
+    def jnorm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val lit3 = typedLit(cents.map { case (id, cv) => (id, cv, jnorm(cv)) })
+    val vnorm = norm2(col("embedding"))
+    val best = aggregate(lit3,
+      struct(lit(-2.0).as("s"), lit(Long.MinValue).as("nid")),
+      (acc, c) => greatest(acc, struct(
+        round(safeCosine(dot(col("embedding"), c("_2")), vnorm,
+          c("_3")), 4).as("s"),
+        (-c("_1")).as("nid"))))
+    emb.select(col("vec_id"), (-best("nid")).as("cell"))
   }
 
   /** IVF top-k search: probe the `nprobe` nearest cells per query, then
@@ -272,23 +292,27 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment against an explicit (cent_id, cv)
-    * centroid frame: argmin squared-L2 (ties to the lowest cent_id),
-    * broadcast centroids, one narrow pass — [[ivfAssign]] generalized
-    * to trained centroids. */
+    * centroid frame: argmin squared-L2 (ties to the lowest cent_id) —
+    * [[ivfAssign]] generalized to trained centroids. The frame is
+    * collected (k rows, metadata-scale) and folded per row like
+    * [[assignByCosineLiteral]]: one narrow pass, zero shuffle.
+    * |v-c|^2 = v.v - 2 v.c + c.c — three native dot folds, no per-pair
+    * array materialization. */
   def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      // |v-c|^2 = v.v - 2 v.c + c.c, three native dot folds, no
-      // per-pair array materialization
-      .select(col("vec_id"), col("cent_id"),
-        (dot(col("embedding"), col("embedding"))
-          - lit(2.0) * dot(col("embedding"), col("cv"))
-          + dot(col("cv"), col("cv"))).as("d2"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cent_id"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+    require(cents.nonEmpty, "assignment needs at least one centroid")
+    val lit2 = typedLit(cents)
+    val vv = dot(col("embedding"), col("embedding"))
+    val best = aggregate(lit2,
+      struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("id")),
+      (acc, c) => least(acc, struct(
+        (vv - lit(2.0) * dot(col("embedding"), c("_2"))
+          + dot(c("_2"), c("_2"))).as("d2"),
+        c("_1").as("id"))))
+    emb.select(col("vec_id"), best("id").as("cell"))
   }
 
   /** int8 scalar quantization: per-vector symmetric scale to [-127, 127],
