@@ -271,11 +271,18 @@ object TextAnalysis {
           substring(col("p"), segStart(i), segWidth(i)).as("seg"))): _*))
         .as("k"))
       .select(col("qid"), col("k.i").as("i"), col("k.seg").as("seg"))
-    // index: substrings of matching width at positions shifted +/-maxDist
+    // index: substrings of matching width at shifted positions. Both
+    // sides of this path are EXACTLY prefixLen long, so the
+    // multi-match-aware window (PassJoin §4.2) is |shift| <= maxDist/2:
+    // a shift of s needs >= |s| edits before the error-free segment and,
+    // with zero length difference, >= |s| more after it to cancel the
+    // net shift — 2|s| <= maxDist. Halves the candidate join vs the
+    // naive +/-maxDist window, provably lossless.
+    val maxShift = maxDist / 2
     val index = full.select(col("doc_id").as("cid"),
       explode(array((for {
         i <- 0 until nseg
-        s <- -maxDist to maxDist
+        s <- -maxShift to maxShift
         if segStart(i) + s >= 1
       } yield struct(lit(i).as("i"),
         substring(col("p"), segStart(i) + s, segWidth(i)).as("seg"))): _*))

@@ -548,6 +548,34 @@ class LlmSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 1L)) && got.contains((3L, 4L, 2L)))
   }
 
+  test("editDistancePairs full-length path: boundary shifts survive the " +
+      "multi-match-aware window") {
+    import graft.llm.TextAnalysis
+    // 30-char normalized prefixes (the segment-banding path). The pairs
+    // are built to align only at shift +/-2 == floor(maxDist/2) — the
+    // exact edge of the tightened substring window (2 ins front + 2 del
+    // back and vice versa, ed = 4 <= 5).
+    val a = "aaaaabbbbbcccccdddddeeeeefffff"
+    val plus = "xx" + a.dropRight(2)  // every inner segment shifted +2
+    val minus = a.drop(2) + "yy"      // shifted -2
+    val far = "zzzzzyyyyyxxxxxwwwwwvvvvvuuuuu"
+    val docs = Seq(
+      (1L, a, "s"), (2L, plus, "s"), (3L, minus, "s"), (4L, far, "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.editDistancePairs(docs, 30, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val p = docs.select(col("doc_id"),
+      substring(TextAnalysis.normalized(col("text")), 1, 30).as("pf"))
+    val brute = p.as("a").join(p.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.pf"), col("b.pf")).cast("long").as("d"))
+      .where(col("d") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 4L)) && got.contains((1L, 3L, 4L)))
+  }
+
   test("sorted_intersect_count null elements follow array_intersect") {
     val df = spark.range(1).select(
       expr("array_sort(array(1L, 3L, CAST(NULL AS BIGINT)))").as("a"),
