@@ -747,6 +747,33 @@ WHERE NOT is_target
 GROUP BY doc_id, tt, tr, v
 ORDER BY logratio DESC, doc_id LIMIT 50""",
 
+    "t13_dup_spans" ->
+      """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        FROM toks WHERE len(tk) >= 5)
+), freq AS (
+  SELECT gram, count(*) AS n_occ FROM grams GROUP BY gram
+), flagged AS (
+  SELECT doc_id, pos, n_occ > 1 AS dup FROM grams JOIN freq USING (gram)
+), runs AS (
+  SELECT doc_id, max(run) AS max_run FROM (
+    SELECT doc_id, isl, count(*) AS run FROM (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged WHERE dup)
+    GROUP BY doc_id, isl)
+  GROUP BY doc_id
+)
+SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+  CAST(coalesce(any_value(r.max_run) + 4, 0) AS BIGINT) AS max_dup_span_words
+FROM flagged f LEFT JOIN runs r ON f.doc_id = r.doc_id
+GROUP BY f.doc_id ORDER BY f.doc_id""",
+
     "t12_chunk_scrub" ->
       """WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk

@@ -967,6 +967,10 @@ object SparkEntry {
       // FIRST occurrence of each 10-token chunk survives anywhere; the
       // scrubbed texts themselves are the gate (md5-compared)
       TextAnalysis.chunkScrub(docs(s, d))),
+    "t13_dup_spans" -> ((s, d) =>
+      // exact-substring-dedup signal: per doc, the longest run of
+      // consecutive 5-grams that occur elsewhere in the corpus
+      TextAnalysis.dupSpans(docs(s, d), n = 5)),
     "t10_edit_distance" -> ((s, d) =>
       // fuzzy near-dup pairs by levenshtein over normalized 30-char
       // prefixes; the length-blocked join must equal the oracle's

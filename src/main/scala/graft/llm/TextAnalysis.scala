@@ -502,6 +502,44 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31 + ascii(c), lit(p)))
   }
 
+  /** Duplicated-span detection (the signal behind exact-substring
+    * dedup, Lee et al. 2022, arXiv:2107.06499 §4.1): for each document,
+    * the longest run of CONSECUTIVE word `n`-grams that also occur
+    * elsewhere in the corpus (another document or another position) — a
+    * run of g duplicated grams == a duplicated substring of g + n - 1
+    * words. A true suffix array is a single-machine structure; gram
+    * frequency + gaps-and-islands is its distributed restatement: one
+    * shuffle for the gram counts, one window PARTITIONED BY doc_id for
+    * the run detection (per-document partitions, never global).
+    * Returns (doc_id, n_grams, n_dup_grams, max_dup_span_words). */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val grams = docs.select(col("doc_id"),
+        posexplode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
+    val flagged = grams.join(freq, "gram")
+      .select(col("doc_id"), col("pos"), (col("n_occ") > 1).as("dup"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // (pos - rank-within-duplicated), one window per document
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = flagged.where(col("dup"))
+      .withColumn("isl", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("max_run"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        when(col("max_run").isNull, 0L)
+          .otherwise(col("max_run") + (n - 1)).as("max_dup_span_words"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
     * score every RAW document by the unigram log-likelihood ratio of a
     * TARGET distribution over a RAW distribution (add-1 smoothing over

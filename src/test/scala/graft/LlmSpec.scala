@@ -663,6 +663,22 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(3L, 5L)) // ranked: target-like first, fruit last
   }
 
+  test("dupSpans finds the longest corpus-shared word run per doc") {
+    // docs 1 and 2 share a 7-word span (= a run of three 5-grams);
+    // doc 3 shares nothing
+    val shared = "one two three four five six seven"
+    val d = docsDF(
+      1L -> (shared + " tail1 tail2 tail3"),
+      2L -> ("head1 head2 " + shared),
+      3L -> "totally different words everywhere in this document")
+    val out = TextAnalysis.dupSpans(d, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 3 consecutive duplicated 5-grams -> span of 3 + (5-1) = 7 words
+    assert(out.map(t => t._1 -> t._4).toMap ==
+      Map(1L -> 7L, 2L -> 7L, 3L -> 0L))
+    assert(out.find(_._1 == 1L).get._3 == 3L) // three duplicated grams
+  }
+
   test("chunkScrub keeps only the first corpus-wide chunk occurrence") {
     // k=2 chunks; doc 1 = [a b][c d]; doc 2 repeats [a b] then new [e f];
     // doc 3 is ENTIRELY duplicate chunks -> vanishes from the output
