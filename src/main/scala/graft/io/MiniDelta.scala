@@ -184,8 +184,10 @@ object MiniDelta {
              partitionBy: Seq[String], readOnly: Boolean = false,
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    // validate schema compatibility BEFORE any data lands on disk
+    // validate schema compatibility AND check constraints BEFORE any
+    // data lands on disk (Delta invariant enforcement on write)
     mergedSchema(latestSchema(spark, table), df.schema)
+    enforceConstraints(df, tableConfig(spark, table))
     val beforePaths = listDataFiles(spark, table).map(_._1).toSet
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
@@ -204,7 +206,10 @@ object MiniDelta {
       val merged = mergedSchema(prior, df.schema)
       val metaLines =
         if (prior.exists(_.json == merged.json)) Nil
-        else Seq(metaDataLine(merged, partitionBy))
+        // schema evolution re-emits metaData: carry the CURRENT config
+        // forward or the new action would silently drop constraints
+        else Seq(metaDataLine(merged, partitionBy,
+          tableConfig(spark, table)))
       try
         return writeCommit(spark, table, nextVersion(spark, table),
           metaLines ++ addLines, "WRITE")
@@ -302,7 +307,10 @@ object MiniDelta {
       // Delta protocol: table schema rides as a JSON-escaped STRING
       StructField("metaData", StructType(Seq(
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)))))))
+        StructField("partitionColumns", ArrayType(StringType)),
+        // Delta protocol: table properties; CHECK constraints live here
+        // as delta.constraints.<name> -> <sql predicate>
+        StructField("configuration", MapType(StringType, StringType)))))))
   }
 
   /** S5: the raw log as a DataFrame (one row per action). Reads the
@@ -392,12 +400,133 @@ object MiniDelta {
     } finally in.close()
   }
 
+  private def configSidecarPath(table: String, version: Long): String =
+    f"${logDir(table)}%s/$version%020d.checkpoint.config.json"
+
+  /** Table configuration at a checkpoint — written alongside the schema
+    * sidecar so replaying from the checkpoint resolves table properties
+    * (constraints!) without scanning pre-checkpoint JSON. Absent file =
+    * empty config (legacy checkpoints predate properties). */
+  private def readConfigSidecar(spark: SparkSession, table: String,
+                                version: Long): Map[String, String] = {
+    val p = new Path(configSidecarPath(table, version))
+    val f = fs(spark, table)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val txt =
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+    val it = node.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
+    b.result()
+  }
+
+  /** The table's configuration (properties map) as of `atMost` — the
+    * latest metaData action's `configuration`, resolved like
+    * [[latestSchema]]: checkpoint config sidecar + JSON tail. */
+  def tableConfig(spark: SparkSession, table: String,
+                  atMost: Long = Long.MaxValue): Map[String, String] = {
+    if (!tableExists(spark, table)) return Map.empty
+    val cp = latestCheckpoint(spark, table, atMost)
+    val base = cp.map(readConfigSidecar(spark, table, _)).getOrElse(Map.empty)
+    val from = cp.getOrElse(-1L)
+    val tail = logJsonVersions(spark, table, from + 1, atMost)
+    val fromTail =
+      if (tail.isEmpty) None
+      else logDFIn(spark, tail.map(_._2))
+        .where(col("metaData").isNotNull)
+        .orderBy(col("version").desc).limit(1)
+        .select("metaData.configuration").collect().headOption
+        .map(r => if (r.isNullAt(0)) Map.empty[String, String]
+                  else r.getMap[String, String](0).toMap)
+    fromTail.getOrElse(base)
+  }
+
+  private val constraintKeyPrefix = "delta.constraints."
+
+  /** CHECK constraints in `config`: name -> SQL predicate. */
+  def constraintsOf(config: Map[String, String]): Map[String, String] =
+    config.collect { case (k, v) if k.startsWith(constraintKeyPrefix) =>
+      k.stripPrefix(constraintKeyPrefix) -> v }
+
+  final class ConstraintViolationException(violated: Seq[(String, String, Long)])
+    extends RuntimeException(
+      "CHECK constraint violated: " + violated.map { case (n, sql, c) =>
+        s"$n ($sql): $c row(s)" }.mkString("; "))
+
+  /** Enforce every CHECK constraint on `df` in ONE aggregate pass
+    * (Delta invariant semantics: a row violates when the predicate
+    * evaluates to FALSE; null passes, as in SQL CHECK). Throws
+    * [[ConstraintViolationException]] naming every violated constraint
+    * and its violation count. */
+  private def enforceConstraints(df: DataFrame,
+                                 config: Map[String, String]): Unit = {
+    val cs = constraintsOf(config).toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (name, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)), 0L).otherwise(1L)).as(name)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val violated = cs.zipWithIndex.collect {
+      case ((name, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        (name, sql, row.getLong(i))
+    }
+    if (violated.nonEmpty) throw new ConstraintViolationException(violated)
+  }
+
+  /** ALTER TABLE ... ADD CONSTRAINT (Delta CHECK): validates the
+    * EXISTING rows first (one scan), then commits a metaData action
+    * whose configuration carries the predicate. The commit is pinned at
+    * `readVersion + 1` — rows landing concurrently re-validate against
+    * the fresh snapshot after the conflict. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    sql: String, readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(name.nonEmpty && !name.contains("."), s"bad constraint name: $name")
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    enforceConstraints(readFiltered(spark, table, Seq.empty),
+      Map(constraintKeyPrefix + name -> sql))
+    val schema = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema to constrain"))
+    val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
+      .select("path").collect().map(_.getString(0)))
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(schema, parts,
+        cfg + (constraintKeyPrefix + name -> sql))), "ADD CONSTRAINT")
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT. */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+                     readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    require(cfg.contains(constraintKeyPrefix + name),
+      s"no such constraint: $name")
+    val schema = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
+      .select("path").collect().map(_.getString(0)))
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(schema, parts,
+        cfg - (constraintKeyPrefix + name))), "DROP CONSTRAINT")
+  }
+
   private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
-                           partitionBy: Seq[String]): String = {
+                           partitionBy: Seq[String],
+                           config: Map[String, String] = Map.empty): String = {
     // protocol shape: schemaString is the schema JSON, carried escaped
     val parts = partitionBy.map(jstr).mkString(",")
+    val conf = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
     s"""{"metaData":{"schemaString":${jstr(schema.json)},""" +
-      s""""partitionColumns":[$parts]}}"""
+      s""""partitionColumns":[$parts],"configuration":{$conf}}}"""
   }
 
   /** Schema evolution rule (Delta mergeSchema semantics): existing
@@ -537,6 +666,16 @@ object MiniDelta {
     latestSchema(spark, table, version).foreach { s =>
       val out = f.create(new Path(schemaSidecarPath(table, version)), true)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
+    // config sidecar: table properties (constraints) must also resolve
+    // from the checkpoint without scanning pre-checkpoint JSON
+    val cfg = tableConfig(spark, table, version)
+    if (cfg.nonEmpty) {
+      val js = cfg.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+      val out = f.create(new Path(configSidecarPath(table, version)), true)
+      try out.write(js.getBytes("UTF-8")) finally out.close()
     }
     replaySnapshot(spark, table, version, cpAtMost = version - 1)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
@@ -715,6 +854,9 @@ object MiniDelta {
     val before = listDataFiles(spark, table).map(_._1).toSet
     val newData = rewrite(
       readFilesAs(spark, table, touched.map(resolvePath(table, _)), declared))
+    // Delta enforces invariants on EVERY write: an UPDATE/MERGE whose
+    // new values violate a CHECK constraint must fail before commit
+    enforceConstraints(newData, tableConfig(spark, table, readVersion))
     val writer = newData.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
      else writer).parquet(table)
@@ -834,7 +976,8 @@ object MiniDelta {
     val merged = mergedSchema(declared, source.schema)
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
-        Seq(metaDataLine(merged, partitionBy))
+        // carry the config forward (same rule as append's evolution)
+        Seq(metaDataLine(merged, partitionBy, tableConfig(spark, table)))
       case _ => Nil
     }
     // align BOTH sides to the evolved schema: survivors null-fill
@@ -937,9 +1080,13 @@ object MiniDelta {
       .map(removeLine(_, dataChange = true, now))
     val curSchema = latestSchema(spark, table, readVersion)
     val tgtSchema = latestSchema(spark, table, toVersion)
+    // RESTORE rolls back table properties (constraints) with the schema
+    val curCfg = tableConfig(spark, table, readVersion)
+    val tgtCfg = tableConfig(spark, table, toVersion)
     val metaLines =
-      if (tgtSchema.isDefined && tgtSchema.map(_.json) != curSchema.map(_.json))
-        Seq(metaDataLine(tgtSchema.get, partitionColsOf(tgt.keySet)))
+      if (tgtSchema.isDefined &&
+          (tgtSchema.map(_.json) != curSchema.map(_.json) || tgtCfg != curCfg))
+        Seq(metaDataLine(tgtSchema.get, partitionColsOf(tgt.keySet), tgtCfg))
       else Nil
     if (addLines.isEmpty && removeLines.isEmpty && metaLines.isEmpty)
       return readVersion // already at the target state
@@ -1011,7 +1158,8 @@ object MiniDelta {
         Option(r.getString(r.fieldIndex("stats"))))
     }.toSeq
     val metaLines = latestSchema(spark, source, v)
-      .map(metaDataLine(_, partitionColsOf(files.map(_.getString(0)))))
+      .map(metaDataLine(_, partitionColsOf(files.map(_.getString(0))),
+        tableConfig(spark, source, v)))  // clone inherits properties
       .toSeq
     writeCommit(spark, target, 0L, metaLines ++ addLines, "CLONE")
   }

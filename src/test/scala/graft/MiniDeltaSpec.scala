@@ -737,6 +737,60 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(v2.getLong(2) > 0 && v2.getLong(3) > 0L)
   }
 
+  test("CHECK constraints: enforced on append and DML, survive " +
+      "checkpoints, restore rolls them back") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))        // v0
+    // adding a constraint the existing data violates is rejected
+    val pre = intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.addConstraint(spark, t, "big_ids", "id > 1")
+    }
+    assert(pre.getMessage.contains("big_ids"))
+    assert(MiniDelta.addConstraint(spark, t, "pos_ids", "id > 0") == 1L)
+    assert(MiniDelta.constraintsOf(MiniDelta.tableConfig(spark, t)) ==
+      Map("pos_ids" -> "id > 0"))
+    // a violating append fails BEFORE any commit; table is unchanged
+    val e = intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.append(spark,
+        Seq((0L, "2023", "bad")).toDF("id", "year", "payload"), t, Seq("year"))
+    }
+    assert(e.getMessage.contains("pos_ids"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // a violating UPDATE fails too (null SET passes SQL CHECK, 0 fails)
+    intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.update(spark, t, col("id") === 2,
+        Map("id" -> lit(0L)), Seq("year"))
+    }
+    // valid writes proceed
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))        // v2
+    // drive past the checkpoint interval so resolution must go through
+    // the config sidecar, then enforce again
+    (1 to MiniDelta.checkpointInterval).foreach { i =>
+      MiniDelta.append(spark,
+        Seq((100L + i, "2025", s"p$i")).toDF("id", "year", "payload"),
+        t, Seq("year"))
+    }
+    assert(MiniDelta.constraintsOf(MiniDelta.tableConfig(spark, t)) ==
+      Map("pos_ids" -> "id > 0"))
+    intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.append(spark,
+        Seq((-1L, "2025", "bad")).toDF("id", "year", "payload"), t, Seq("year"))
+    }
+    // schema evolution carries the config forward
+    MiniDelta.append(spark,
+      sample("2026", 1).withColumn("extra", lit(1L)), t, Seq("year"))
+    assert(MiniDelta.constraintsOf(MiniDelta.tableConfig(spark, t)) ==
+      Map("pos_ids" -> "id > 0"))
+    // drop, then a previously-violating append succeeds
+    MiniDelta.dropConstraint(spark, t, "pos_ids")
+    MiniDelta.append(spark,
+      Seq((0L, "2026", "ok-now")).toDF("id", "year", "payload"), t, Seq("year"))
+    // restore to v1 rolls the constraint back into force
+    MiniDelta.restore(spark, t, toVersion = 1)
+    assert(MiniDelta.constraintsOf(MiniDelta.tableConfig(spark, t)) ==
+      Map("pos_ids" -> "id > 0"))
+  }
+
   test("restore flips the file set and schema back; one metadata commit") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 4), t, Seq("year"))      // v0
