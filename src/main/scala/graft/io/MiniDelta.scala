@@ -102,10 +102,14 @@ object MiniDelta {
   private def inferenceBase(table: String, file: String): String =
     if (file.startsWith(s"$table/")) table
     else {
+      // partition dirs are the CONTIGUOUS k=v suffix of directories
+      // right above the file — walk up from the file, not down from the
+      // root, so a '=' in the source table's own path (/data/run=5/src)
+      // never truncates the base
       val segs = file.split("/")
-      val firstKv = segs.indexWhere(_.contains("="))
-      val cut = if (firstKv >= 0) firstKv else segs.length - 1
-      segs.take(cut).mkString("/")
+      var j = segs.length - 2
+      while (j >= 0 && segs(j).contains("=")) j -= 1
+      segs.take(j + 1).mkString("/")
     }
 
   /** True once the table has a `_delta_log` directory (first commit). */
@@ -185,13 +189,33 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     // validate schema compatibility AND check constraints BEFORE any
-    // data lands on disk (Delta invariant enforcement on write)
-    mergedSchema(latestSchema(spark, table), df.schema)
-    enforceConstraints(df, tableConfig(spark, table))
-    val beforePaths = listDataFiles(spark, table).map(_._1).toSet
-    val writer = df.write.mode("append")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(table)
+    // data lands on disk (Delta invariant enforcement on write). A
+    // constraint may reference a declared column the incoming frame
+    // omits (legal subset append, reads null-fill it) — enforce on the
+    // null-aligned view, matching what a reader will see.
+    val declared0 = latestSchema(spark, table)
+    mergedSchema(declared0, df.schema)
+    val cfg0 = tableConfig(spark, table)
+    // enforcement + write = two evaluations of df; cache across the
+    // pair (only when constraints exist, and without disturbing a
+    // caller's own persist)
+    val mustCache = constraintsOf(cfg0).nonEmpty &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) df.persist()
+    try {
+      enforceConstraints(alignForCheck(df, declared0), cfg0)
+      val beforePaths0 = listDataFiles(spark, table).map(_._1).toSet
+      val writer = df.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(table)
+      appendCommit(spark, df, table, partitionBy, statsCols, beforePaths0, cfg0)
+    } finally if (mustCache) { df.unpersist(); () }
+  }
+
+  private def appendCommit(spark: SparkSession, df: DataFrame, table: String,
+                           partitionBy: Seq[String], statsCols: Seq[String],
+                           beforePaths: Set[String],
+                           cfg0: Map[String, String]): Long = {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
@@ -204,12 +228,17 @@ object MiniDelta {
     while (true) {
       val prior = latestSchema(spark, table)
       val merged = mergedSchema(prior, df.schema)
+      val cfg = tableConfig(spark, table)
+      // a commit race may mean a constraint was ADDED since the
+      // pre-write enforcement (addConstraint validated only the rows it
+      // could see) — re-validate under the fresh config before landing
+      if (constraintsOf(cfg) != constraintsOf(cfg0))
+        enforceConstraints(alignForCheck(df, prior), cfg)
       val metaLines =
         if (prior.exists(_.json == merged.json)) Nil
         // schema evolution re-emits metaData: carry the CURRENT config
         // forward or the new action would silently drop constraints
-        else Seq(metaDataLine(merged, partitionBy,
-          tableConfig(spark, table)))
+        else Seq(metaDataLine(merged, partitionBy, cfg))
       try
         return writeCommit(spark, table, nextVersion(spark, table),
           metaLines ++ addLines, "WRITE")
@@ -405,13 +434,16 @@ object MiniDelta {
 
   /** Table configuration at a checkpoint — written alongside the schema
     * sidecar so replaying from the checkpoint resolves table properties
-    * (constraints!) without scanning pre-checkpoint JSON. Absent file =
-    * empty config (legacy checkpoints predate properties). */
+    * (constraints!) without scanning pre-checkpoint JSON. `None` when
+    * the file is missing (legacy or hand-cleaned checkpoint) — the
+    * caller must fall back to a full log scan, NOT assume empty: a
+    * lost sidecar silently disarming constraints would be a data-
+    * integrity hole. */
   private def readConfigSidecar(spark: SparkSession, table: String,
-                                version: Long): Map[String, String] = {
+                                version: Long): Option[Map[String, String]] = {
     val p = new Path(configSidecarPath(table, version))
     val f = fs(spark, table)
-    if (!f.exists(p)) return Map.empty
+    if (!f.exists(p)) return None
     val in = f.open(p)
     val txt =
       try {
@@ -423,18 +455,20 @@ object MiniDelta {
     val it = node.fieldNames()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val k = it.next(); b += k -> node.get(k).asText() }
-    b.result()
+    Some(b.result())
   }
 
   /** The table's configuration (properties map) as of `atMost` — the
     * latest metaData action's `configuration`, resolved like
-    * [[latestSchema]]: checkpoint config sidecar + JSON tail. */
+    * [[latestSchema]]: checkpoint config sidecar + JSON tail, falling
+    * back to the full-history scan when the sidecar is missing (same
+    * degradation rule as the schema sidecar). */
   def tableConfig(spark: SparkSession, table: String,
                   atMost: Long = Long.MaxValue): Map[String, String] = {
     if (!tableExists(spark, table)) return Map.empty
     val cp = latestCheckpoint(spark, table, atMost)
-    val base = cp.map(readConfigSidecar(spark, table, _)).getOrElse(Map.empty)
-    val from = cp.getOrElse(-1L)
+    val base = cp.flatMap(readConfigSidecar(spark, table, _))
+    val from = if (base.isDefined) cp.get else -1L
     val tail = logJsonVersions(spark, table, from + 1, atMost)
     val fromTail =
       if (tail.isEmpty) None
@@ -444,7 +478,7 @@ object MiniDelta {
         .select("metaData.configuration").collect().headOption
         .map(r => if (r.isNullAt(0)) Map.empty[String, String]
                   else r.getMap[String, String](0).toMap)
-    fromTail.getOrElse(base)
+    fromTail.orElse(base).getOrElse(Map.empty)
   }
 
   private val constraintKeyPrefix = "delta.constraints."
@@ -459,11 +493,26 @@ object MiniDelta {
       "CHECK constraint violated: " + violated.map { case (n, sql, c) =>
         s"$n ($sql): $c row(s)" }.mkString("; "))
 
+  /** The incoming frame as a READER will see it: declared columns the
+    * frame omits are null-filled (subset appends are legal), so CHECK
+    * predicates referencing them evaluate to null (pass) instead of
+    * failing analysis. */
+  private def alignForCheck(df: DataFrame,
+                            declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame =
+    declared.fold(df) { d =>
+      val missing = d.fields.filterNot(f => df.columns.contains(f.name))
+      missing.foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+
   /** Enforce every CHECK constraint on `df` in ONE aggregate pass
     * (Delta invariant semantics: a row violates when the predicate
     * evaluates to FALSE; null passes, as in SQL CHECK). Throws
     * [[ConstraintViolationException]] naming every violated constraint
-    * and its violation count. */
+    * and its violation count. Costs one extra evaluation of `df` when
+    * constraints exist — callers persist the frame around the
+    * check+write pair when the double pass matters. */
   private def enforceConstraints(df: DataFrame,
                                  config: Map[String, String]): Unit = {
     val cs = constraintsOf(config).toSeq.sortBy(_._1)
@@ -490,6 +539,10 @@ object MiniDelta {
     require(name.nonEmpty && !name.contains("."), s"bad constraint name: $name")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
+    // Delta raises on a duplicate name — silently replacing a predicate
+    // other writers rely on would relax an invariant in place
+    require(!cfg.contains(constraintKeyPrefix + name),
+      s"constraint $name already exists (drop it first)")
     enforceConstraints(readFiltered(spark, table, Seq.empty),
       Map(constraintKeyPrefix + name -> sql))
     val schema = latestSchema(spark, table, readVersion).getOrElse(
@@ -668,15 +721,15 @@ object MiniDelta {
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
     }
     // config sidecar: table properties (constraints) must also resolve
-    // from the checkpoint without scanning pre-checkpoint JSON
+    // from the checkpoint without scanning pre-checkpoint JSON. Written
+    // even when EMPTY — its absence means "unknown, scan the log", not
+    // "no properties"
     val cfg = tableConfig(spark, table, version)
-    if (cfg.nonEmpty) {
-      val js = cfg.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString("{", ",", "}")
-      val out = f.create(new Path(configSidecarPath(table, version)), true)
-      try out.write(js.getBytes("UTF-8")) finally out.close()
-    }
+    val js = cfg.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val cfgOut = f.create(new Path(configSidecarPath(table, version)), true)
+    try cfgOut.write(js.getBytes("UTF-8")) finally cfgOut.close()
     replaySnapshot(spark, table, version, cpAtMost = version - 1)
       .write.mode("overwrite").parquet(checkpointPath(table, version))
     // pointer last: it only ever names a checkpoint whose manifest (and
@@ -852,14 +905,22 @@ object MiniDelta {
                           statsCols: Seq[String],
                           extraLines: Seq[String] = Nil): Long = {
     val before = listDataFiles(spark, table).map(_._1).toSet
-    val newData = rewrite(
+    val newData0 = rewrite(
       readFilesAs(spark, table, touched.map(resolvePath(table, _)), declared))
     // Delta enforces invariants on EVERY write: an UPDATE/MERGE whose
-    // new values violate a CHECK constraint must fail before commit
-    enforceConstraints(newData, tableConfig(spark, table, readVersion))
-    val writer = newData.write.mode("append")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(table)
+    // new values violate a CHECK constraint must fail before commit.
+    // The enforcement aggregate + the write would otherwise evaluate
+    // the rewrite twice (and a nondeterministic rewrite could validate
+    // different rows than it writes) — persist across the pair.
+    val cfg = tableConfig(spark, table, readVersion)
+    val constrained = constraintsOf(cfg).nonEmpty
+    val newData = if (constrained) newData0.persist() else newData0
+    try {
+      if (constrained) enforceConstraints(newData, cfg)
+      val writer = newData.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(table)
+    } finally if (constrained) { newData.unpersist(); () }
     val added = listDataFiles(spark, table)
       .filterNot { case (p, _, _) => before.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)

@@ -385,7 +385,11 @@ object Dedup {
     wordNgrams(docs.where(!evalPred), n)
       .where(org.apache.spark.sql.graft.BloomFns.mightContain(
         bloom, xxhash64(col("gram"))))
-      .join(broadcast(evalGrams), "gram")
+      // NO broadcast hint here: the whole point of the bloom path is an
+      // eval set too large to broadcast — the verify join runs shuffled
+      // (or AQE-broadcast when it happens to be small) against only the
+      // bloom survivors
+      .join(evalGrams, "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared"))
       .orderBy("doc_id")

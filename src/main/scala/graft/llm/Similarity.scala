@@ -194,7 +194,10 @@ object Similarity {
     * norm accumulates in index order, bit-identical to [[norm2]]. */
   private[llm] def assignByCosineLiteral(
       emb: DataFrame, cents: Seq[(Long, Array[Float])]): DataFrame = {
-    require(cents.nonEmpty, "assignment needs at least one centroid")
+    // no centroids -> no assignments (the lazy crossJoin form's
+    // behavior), not an error: ivfTopK over an empty corpus stays empty
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), lit(0L).as("cell")).limit(0)
     def jnorm(v: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
@@ -303,7 +306,8 @@ object Similarity {
     import spark.implicits._
     val cents = centroids.select(col("cent_id"), col("cv"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
-    require(cents.nonEmpty, "assignment needs at least one centroid")
+    if (cents.isEmpty)
+      return emb.select(col("vec_id"), lit(0L).as("cell")).limit(0)
     val lit2 = typedLit(cents)
     val vv = dot(col("embedding"), col("embedding"))
     val best = aggregate(lit2,

@@ -781,6 +781,22 @@ class MiniDeltaSpec extends AnyFunSuite {
       sample("2026", 1).withColumn("extra", lit(1L)), t, Seq("year"))
     assert(MiniDelta.constraintsOf(MiniDelta.tableConfig(spark, t)) ==
       Map("pos_ids" -> "id > 0"))
+    // re-adding an existing name is rejected (Delta semantics)
+    intercept[IllegalArgumentException] {
+      MiniDelta.addConstraint(spark, t, "pos_ids", "id > 100")
+    }
+    // a constraint on a column the frame OMITS null-passes (SQL CHECK):
+    // 'extra' is declared (evolution above) but absent from this frame
+    MiniDelta.addConstraint(spark, t, "extra_pos", "extra > 0")
+    MiniDelta.append(spark,
+      Seq((200L, "2026", "no-extra")).toDF("id", "year", "payload"),
+      t, Seq("year"))
+    intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.append(spark,
+        Seq((201L, "2026", "bad", -5L)).toDF("id", "year", "payload", "extra"),
+        t, Seq("year"))
+    }
+    MiniDelta.dropConstraint(spark, t, "extra_pos")
     // drop, then a previously-violating append succeeds
     MiniDelta.dropConstraint(spark, t, "pos_ids")
     MiniDelta.append(spark,
