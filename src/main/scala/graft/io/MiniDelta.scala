@@ -319,7 +319,10 @@ object MiniDelta {
     StructType(Seq(
       StructField("commitInfo", StructType(Seq(
         StructField("operation", StringType),
-        StructField("version", LongType)))),
+        StructField("version", LongType),
+        // wall-clock commit time (Delta protocol timestamp) — the basis
+        // for TIMESTAMP AS OF time travel; null on legacy commits
+        StructField("timestamp", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -625,9 +628,9 @@ object MiniDelta {
     var attempt = 0
     while (true) {
       val p = new Path(f"${logDir(table)}%s/$v%020d.json")
-      val commit =
-        (s"""{"commitInfo":{"operation":"$operation","version":$v}}""" +:
-          lines).mkString("\n")
+      val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
+        s""""timestamp":${commitClock()}}}"""
+      val commit = (ci +: lines).mkString("\n")
       val created =
         try {
           val out = f.create(p, false)
@@ -884,6 +887,37 @@ object MiniDelta {
   /** Test seam: runs just before a DML commit lands — specs inject a
     * concurrent writer here to exercise the read-set conflict check. */
   private[graft] var beforeDmlCommitHook: () => Unit = () => ()
+
+  /** Commit wall-clock source (Delta's commitInfo timestamp) — a test
+    * seam so TIMESTAMP AS OF specs can script history. */
+  private[graft] var commitClock: () => Long = () => System.currentTimeMillis()
+
+  /** TIMESTAMP AS OF resolution: the latest version whose commit
+    * timestamp is <= `tsMs` (Delta's rule). Reads commitInfo rows from
+    * the log — O(history) but a rare user-facing operation, and commit
+    * timestamps are bytes per commit. Legacy commits without a
+    * timestamp are skipped. Throws when the timestamp predates the
+    * table. */
+  def versionAtTimestamp(spark: SparkSession, table: String,
+                         tsMs: Long): Long = {
+    val files = logJsonVersions(spark, table).map(_._2)
+    require(files.nonEmpty, s"$table has no commits")
+    val rows = logDFIn(spark, files)
+      .where(col("commitInfo").isNotNull &&
+        col("commitInfo.timestamp").isNotNull &&
+        col("commitInfo.timestamp") <= tsMs)
+      .agg(max(col("version"))).collect()
+    if (rows.isEmpty || rows(0).isNullAt(0))
+      throw new IllegalArgumentException(
+        s"no commit at or before timestamp $tsMs in $table")
+    rows(0).getLong(0)
+  }
+
+  /** [[readFiltered]] pinned at the snapshot as of a wall-clock time. */
+  def readAtTimestamp(spark: SparkSession, table: String, tsMs: Long,
+                      filters: PartitionAcl.Filters = Seq.empty): DataFrame =
+    readFiltered(spark, table, filters,
+      versionAsOf = Some(versionAtTimestamp(spark, table, tsMs)))
 
   /** Rewrite `touched` files as `rewrite(their contents)` and commit
     * removes for the old files + adds for the new ones — the shared

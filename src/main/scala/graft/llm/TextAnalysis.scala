@@ -515,14 +515,21 @@ object TextAnalysis {
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
+    // grams ride as xxhash64 from the start: the frequency shuffle and
+    // the flag join carry 8-byte keys instead of n-word strings (5-10x
+    // smaller shuffle payload; a 64-bit collision would need ~2^32
+    // distinct grams in one corpus to be likely)
     val grams = docs.select(col("doc_id"),
         posexplode(when(size(toks) >= n,
           transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("n_occ"))
-    val flagged = grams.join(freq, "gram")
-      .select(col("doc_id"), col("pos"), (col("n_occ") > 1).as("dup"))
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<long>"))).as(Seq("pos", "gram")))
+    // one shuffle on the gram hash (count-over-window) instead of the
+    // groupBy + self-join form, which shuffles the gram set three times
+    val wg = Window.partitionBy("gram")
+    val flagged = grams
+      .withColumn("dup", count(lit(1)).over(wg) > 1)
+      .select(col("doc_id"), col("pos"), col("dup"))
     // gaps-and-islands: consecutive duplicated positions share
     // (pos - rank-within-duplicated), one window per document
     val wd = Window.partitionBy("doc_id").orderBy("pos")

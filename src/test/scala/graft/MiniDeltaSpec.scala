@@ -723,6 +723,29 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(log.where(col("commitInfo").isNotNull).count() == 1)
   }
 
+  test("TIMESTAMP AS OF resolves the latest commit at or before the time") {
+    val t = freshTable()
+    val clock0 = MiniDelta.commitClock
+    try {
+      MiniDelta.commitClock = () => 1000L
+      MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))   // v0 @1000
+      MiniDelta.commitClock = () => 2000L
+      MiniDelta.append(spark, sample("2024", 3), t, Seq("year"))   // v1 @2000
+      MiniDelta.commitClock = () => 3000L
+      MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v2 @3000
+      assert(MiniDelta.versionAtTimestamp(spark, t, 1000L) == 0L)
+      assert(MiniDelta.versionAtTimestamp(spark, t, 1500L) == 0L)
+      assert(MiniDelta.versionAtTimestamp(spark, t, 2999L) == 1L)
+      assert(MiniDelta.versionAtTimestamp(spark, t, 9999L) == 2L)
+      assert(MiniDelta.readAtTimestamp(spark, t, 2500L).count() == 5)
+      assert(MiniDelta.readAtTimestamp(spark, t, 9999L).count() == 3)
+      val e = intercept[IllegalArgumentException] {
+        MiniDelta.versionAtTimestamp(spark, t, 999L)
+      }
+      assert(e.getMessage.contains("no commit"))
+    } finally MiniDelta.commitClock = clock0
+  }
+
   test("history lists commits newest first with add/remove counts") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
