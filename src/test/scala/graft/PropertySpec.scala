@@ -292,4 +292,22 @@ class PropertySpec extends AnyFunSuite {
         16, col("a"), col("b")).as("z")).collect().map(_.getLong(0))
     assert(diag.sameElements(diag.sorted))
   }
+
+  test("bloom filter: NO false negatives on generated sets; FPs bounded") {
+    import org.apache.spark.sql.graft.BloomFns
+    val strs = Gen.listOfN(300,
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12)))
+    val words = strs.sample.get.distinct
+    val (members, others) = words.splitAt(words.length / 2)
+    val bloom = members.toDF("gram").agg(
+      BloomFns.bloomAgg(xxhash64(col("gram")), 1024L, 16384L).as("bf"))
+    def probe(xs: Seq[String]) = xs.toDF("gram")
+      .where(BloomFns.mightContain(bloom, xxhash64(col("gram"))))
+      .count()
+    // the bloom contract: every member hits (no false negatives ever)
+    assert(probe(members) == members.length)
+    // non-members may false-positive, but at 16 bits/item the rate is
+    // well under 1% — allow a loose 10% bound to keep the test stable
+    assert(probe(others) <= math.max(2L, others.length / 10))
+  }
 }
