@@ -1167,6 +1167,14 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s24_optimize_where" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 2 END AS BIGINT) AS n_files
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s21_restore" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

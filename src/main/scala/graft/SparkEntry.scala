@@ -311,6 +311,39 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s24_optimize_where" -> ((s, d) => {
+      // OPTIMIZE ... WHERE end to end: two single-file-per-partition
+      // appends (2 files per flag), then a compaction scoped to
+      // l_returnflag=R only. R must collapse to ONE file; every other
+      // partition keeps its exact 2 files untouched; data identical.
+      val dir = "/tmp/graft_s24_optimize_where"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0).coalesce(1),
+        table, Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1).coalesce(1),
+        table, Seq("l_returnflag"))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"),
+        where = Seq(Map("l_returnflag" -> "R")))
+      val files = graft.io.MiniDelta.snapshotFiles(s, table)
+        .select(element_at(col("partitionValues"), "l_returnflag")
+          .as("l_returnflag"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_files"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .join(files, "l_returnflag")
+        .select("l_returnflag", "n_rows", "sum_price", "sum_qty", "n_files")
+        .orderBy("l_returnflag")
+    }),
     "s23_history" -> ((s, d) => {
       // DESCRIBE HISTORY end to end: a scripted lifecycle (two appends,
       // a delete, an optimize, a restore) must read back as exactly

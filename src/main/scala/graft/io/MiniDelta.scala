@@ -789,14 +789,21 @@ object MiniDelta {
               maxRecordsPerFile: Long = 0L,
               statsCols: Seq[String] = Nil,
               clusterBy: Seq[String] = Nil,
-              zOrderBy: Seq[String] = Nil): Long = {
+              zOrderBy: Seq[String] = Nil,
+              where: PartitionAcl.Filters = Seq.empty): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
     // read-set version pin, captured BEFORE the snapshot replay: the
     // commit below lands at exactly readVersion + 1 or conflicts
     val readVersion = latestVersion(spark, table)
-    val current = snapshotFiles(spark, table).collect()
+    // OPTIMIZE ... WHERE: `where` scopes the rewrite to the matching
+    // partition directories (metadata-only file selection, same filter
+    // algebra as reads) — at 100 TB you compact yesterday's partition,
+    // not the table; unselected partitions are never read or removed
+    val current = filesForFilters(snapshotFiles(spark, table), where)
+      .collect()
+    if (current.isEmpty) return readVersion // nothing in scope: no commit
     val oldPaths = current.map(_.getString(0)).toSet
     // declared-schema read: the rewrite materializes columns appended
     // after a file was written (as nulls), so post-compaction files all

@@ -663,6 +663,24 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(3L, 5L)) // ranked: target-like first, fruit last
   }
 
+  test("new-op edge cases: empty inputs and missing sides stay sane") {
+    val empty = docsDF()
+    // chunkScrub/dupSpans on an empty corpus: empty result, not a crash
+    assert(TextAnalysis.chunkScrub(empty).count() == 0)
+    assert(TextAnalysis.dupSpans(empty).count() == 0)
+    // dsir with NO target docs: every token gets tf_t = 0, weights are
+    // finite (add-1 smoothing), result still deterministic
+    val d = docsDF(1L -> "alpha beta", 2L -> "alpha gamma")
+    val noTarget = TextAnalysis.dsirSample(d, lit(false), 5).collect()
+    assert(noTarget.length == 2 && noTarget.forall(!_.isNullAt(2)))
+    // semDedup on an empty embedding frame: empty, not a crash
+    import spark.implicits._
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(noEmb, k = 4, threshold = 0.5).count() == 0)
+    // bloom decontaminate with an empty eval side: nothing flagged
+    assert(Dedup.bloomDecontaminate(d, lit(false), n = 2).count() == 0)
+  }
+
   test("dupSpans finds the longest corpus-shared word run per doc") {
     // docs 1 and 2 share a 7-word span (= a run of three 5-grams);
     // doc 3 shares nothing

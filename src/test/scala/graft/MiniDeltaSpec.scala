@@ -723,6 +723,29 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(log.where(col("commitInfo").isNotNull).count() == 1)
   }
 
+  test("OPTIMIZE WHERE compacts only the selected partitions") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    def paths(year: String) = MiniDelta.snapshotFiles(spark, t)
+      .where(element_at(col("partitionValues"), "year") === year)
+      .select("path").as[String].collect().toSet
+    val before2024 = paths("2024")
+    assert(paths("2023").size >= 2)
+    MiniDelta.compact(spark, t, Seq("year"),
+      where = Seq(Map("year" -> "2023")))
+    // 2023 collapsed; 2024's live files are EXACTLY the ones from before
+    assert(paths("2023").size == 1)
+    assert(paths("2024") == before2024)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 7)
+    // a scope that matches nothing commits nothing
+    val v = MiniDelta.compact(spark, t, Seq("year"),
+      where = Seq(Map("year" -> "1999")))
+    assert(MiniDelta.history(spark, t).collect()
+      .head.getLong(0) == v)
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at or before the time") {
     val t = freshTable()
     val clock0 = MiniDelta.commitClock
