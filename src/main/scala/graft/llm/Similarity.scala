@@ -139,11 +139,19 @@ object Similarity {
     * k ~ sqrt(N) cells that is ~N total pair work, never a global cross
     * join, and a skewed cell can be capped exactly like the LSH buckets
     * (Dedup.lshPairs' maxBucket discipline). */
-  def semDedup(emb: DataFrame, k: Int, threshold: Double): DataFrame = {
+  def semDedup(emb: DataFrame, k: Int, threshold: Double,
+               maxCell: Long = 100000L): DataFrame = {
     val cells = ivfAssign(emb, k)
+    // skew guard, the lshCandidates maxBucket discipline: a degenerate
+    // cell (mis-sized k, collapsed embedding space) would make the pair
+    // scan quadratic in ITS size — cap it, keep its members (nothing is
+    // deduped inside an over-cap cell), and surface the cap through
+    // [[semDedupOversizedCells]] so capping is never silent
+    val sized = cells.join(
+      cells.groupBy("cell").agg(count(lit(1)).as("__csz")), "cell")
     val vecs = emb.select(col("vec_id"), col("embedding"),
         norm2(col("embedding")).as("nrm"))
-      .join(cells, "vec_id")
+      .join(sized.where(col("__csz") <= maxCell).drop("__csz"), "vec_id")
     val a = vecs.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = vecs.select(col("cell").as("cell_b"),
@@ -162,6 +170,15 @@ object Similarity {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("cell")
   }
+
+  /** The cells [[semDedup]] skipped under `maxCell`, with sizes — the
+    * audit trail for capping (alert, re-cluster with a larger k, or
+    * route members to exact dedup). Empty when nothing was capped. */
+  def semDedupOversizedCells(emb: DataFrame, k: Int,
+                             maxCell: Long = 100000L): DataFrame =
+    ivfAssign(emb, k).groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCell)
+      .orderBy("cell")
 
   /** IVF coarse quantizer: the first `k` vectors by vec_id are the
     * centroids (a fixed-seed coarse quantizer — FAISS-style IVF admits

@@ -648,6 +648,31 @@ class LlmSpec extends AnyFunSuite {
     assert(exact.map(_._1) == Seq(3L)) // only doc 3 shares a 4-gram
   }
 
+  test("semDedup maxCell cap skips only oversized cells, audibly") {
+    // all five vectors collapse into centroid 0's cell (centroid 1 is
+    // orthogonal and attracts nothing)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(2f, 0f, 0f, 0f)),
+      (3L, Array(3f, 0f, 0f, 0f)),
+      (4L, Array(4f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // uncapped: duplicates of 0 are dropped
+    val open = Similarity.semDedup(emb, k = 2, threshold = 0.95)
+      .where(col("cell") === 0).select("n_kept").as[Long].head()
+    assert(open == 1L)
+    // cap below the big cell's size: nothing deduped inside it, every
+    // member kept, and the audit surfaces exactly that cell
+    val capped = Similarity.semDedup(emb, k = 2, threshold = 0.95,
+        maxCell = 3L)
+      .where(col("cell") === 0).select("n_total", "n_kept").head()
+    assert(capped.getLong(0) == 4L && capped.getLong(1) == 4L)
+    val audit = Similarity.semDedupOversizedCells(emb, k = 2, maxCell = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((0L, 4L)))
+  }
+
   test("dsirSample ranks raw docs by similarity to the target domain") {
     val docs = Seq(
       (1L, "spark delta table spark delta", "t"),
