@@ -747,6 +747,61 @@ WHERE NOT is_target
 GROUP BY doc_id, tt, tr, v
 ORDER BY logratio DESC, doc_id LIMIT 50""",
 
+    "pipe9_scrub_select_pack" ->
+      """WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, i AS pos, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS i
+        FROM toks WHERE len(tk) >= 5)
+), flagged AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) > 1 AS dup FROM grams
+), spans AS (
+  SELECT f.doc_id,
+    coalesce(max(r.run) + 4, 0) AS max_span
+  FROM flagged f LEFT JOIN (
+    SELECT doc_id, isl, count(*) AS run FROM (
+      SELECT doc_id, pos,
+        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM flagged WHERE dup)
+    GROUP BY doc_id, isl) r ON f.doc_id = r.doc_id
+  GROUP BY f.doc_id
+), clean AS (
+  SELECT t.doc_id, t.source, t.tk
+  FROM toks t JOIN spans s ON t.doc_id = s.doc_id
+  WHERE s.max_span < 12
+), ctoks AS (
+  SELECT doc_id, source = 'src0' AS is_target, unnest(tk) AS token FROM clean
+), tft AS (
+  SELECT token, count(*) AS tf_t FROM ctoks WHERE is_target GROUP BY token
+), tfr AS (
+  SELECT token, count(*) AS tf_r FROM ctoks WHERE NOT is_target GROUP BY token
+), vocab AS (
+  SELECT token, coalesce(tf_t, 0) AS tf_t, coalesce(tf_r, 0) AS tf_r
+  FROM tft FULL JOIN tfr USING (token)
+), tot AS (
+  SELECT sum(tf_t) AS tt, sum(tf_r) AS tr, count(*) AS v FROM vocab
+), scored AS (
+  SELECT doc_id,
+    round(avg(ln(CAST(tf_t AS DOUBLE) + 1) - ln(CAST(tf_r AS DOUBLE) + 1)) +
+      ln(CAST(tr + v AS DOUBLE)) - ln(CAST(tt + v AS DOUBLE)), 4) AS logratio
+  FROM ctoks JOIN vocab USING (token), tot
+  WHERE NOT is_target
+  GROUP BY doc_id, tt, tr, v
+), selected AS (
+  SELECT doc_id FROM scored ORDER BY logratio DESC, doc_id LIMIT 100
+), packed AS (
+  SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+    coalesce(sum(CAST(len(t.tk) AS BIGINT)) OVER (ORDER BY t.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM toks t JOIN selected USING (doc_id)
+)
+SELECT CAST(floor(cumb / 2000) AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed GROUP BY 1 ORDER BY 1""",
+
     "t13_dup_spans" ->
       """WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk

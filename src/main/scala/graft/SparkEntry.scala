@@ -1004,6 +1004,24 @@ object SparkEntry {
       // exact-substring-dedup signal: per doc, the longest run of
       // consecutive 5-grams that occur elsewhere in the corpus
       TextAnalysis.dupSpans(docs(s, d), n = 5)),
+    "pipe9_scrub_select_pack" -> ((s, d) => {
+      // this round's operators composed end to end: boilerplate gate
+      // (duplicated-span filter) -> DSIR domain selection -> token-
+      // budget shard packing; per-shard stats are the gate
+      val all = docs(s, d)
+      val clean = all.join(
+        TextAnalysis.dupSpans(all, n = 5)
+          .where(col("max_dup_span_words") < 12).select("doc_id"),
+        "doc_id")
+      val selected = TextAnalysis
+        .dsirSample(clean, col("source") === "src0", 100)
+        .select("doc_id")
+      TextAnalysis.packShards(all.join(selected, "doc_id"), 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("shard")
+    }),
     "t10_edit_distance" -> ((s, d) =>
       // fuzzy near-dup pairs by levenshtein over normalized 30-char
       // prefixes; the length-blocked join must equal the oracle's
