@@ -1222,6 +1222,21 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s25_deletion_vectors" ->
+      """WITH f AS (
+  SELECT l_returnflag,
+    CAST(CASE WHEN sum(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) > 0
+         THEN 1 ELSE 0 END AS BIGINT) AS n_dv
+  FROM lineitem WHERE l_quantity <= 2 GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l.l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  any_value(f.n_dv) AS n_dv
+FROM lineitem l JOIN f USING (l_returnflag)
+WHERE l.l_quantity = 2
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+
     "s24_optimize_where" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -311,6 +311,39 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s25_deletion_vectors" -> ((s, d) => {
+      // deletion-vector DELETE end to end: enable DVs, delete qty=1 —
+      // rows are MASKED by a sidecar, no data file rewritten. The read
+      // back must equal the copy-on-write result exactly, and every
+      // partition that had a qty=1 row must carry exactly one DV'd file
+      // (single-file-per-partition appends make that deterministic).
+      val dir = "/tmp/graft_s25_deletion_vectors"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src.coalesce(1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.setTableProperties(s, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      graft.io.MiniDelta.delete(s, table, col("l_quantity") === 1,
+        Seq("l_returnflag"))
+      val dvFiles = graft.io.MiniDelta.snapshotFiles(s, table)
+        .select(element_at(col("partitionValues"), "l_returnflag")
+          .as("l_returnflag"), col("dv_path"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("dv_path").isNotNull, 1L).otherwise(0L)).as("n_dv"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .join(dvFiles, "l_returnflag")
+        .select("l_returnflag", "n_rows", "sum_price", "sum_qty", "n_dv")
+        .orderBy("l_returnflag")
+    }),
     "s24_optimize_where" -> ((s, d) => {
       // OPTIMIZE ... WHERE end to end: two single-file-per-partition
       // appends (2 files per flag), then a compaction scoped to

@@ -329,7 +329,13 @@ object MiniDelta {
         StructField("size", LongType),
         StructField("dataChange", BooleanType),
         // Delta protocol: per-file stats ride as a JSON-escaped STRING
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        // deletion vector attached to this file (Delta DV shape,
+        // restated): path of the row-index sidecar + how many rows it
+        // masks; null = no DV
+        StructField("dv", StructType(Seq(
+          StructField("path", StringType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("dataChange", BooleanType),
@@ -557,6 +563,24 @@ object MiniDelta {
         cfg + (constraintKeyPrefix + name -> sql))), "ADD CONSTRAINT")
   }
 
+  /** ALTER TABLE ... SET TBLPROPERTIES: merge `props` into the table
+    * configuration (one pinned metaData commit). Deletion vectors are
+    * enabled this way: `delta.enableDeletionVectors -> "true"` routes
+    * [[delete]] through the DV path. */
+  def setTableProperties(spark: SparkSession, table: String,
+                         props: Map[String, String],
+                         readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    val schema = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
+      .select("path").collect().map(_.getString(0)))
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(schema, parts, cfg ++ props)), "SET TBLPROPERTIES")
+  }
+
   /** ALTER TABLE ... DROP CONSTRAINT. */
   def dropConstraint(spark: SparkSession, table: String, name: String,
                      readOnly: Boolean = false): Long = {
@@ -749,7 +773,8 @@ object MiniDelta {
     * skip them — exactly the Delta protocol's dataChange bit. */
   private def addLine(rel: String, size: Long,
                       stats: Option[String] = None,
-                      dataChange: Boolean = true): String = {
+                      dataChange: Boolean = true,
+                      dv: Option[(String, Long)] = None): String = {
     val parts = rel.split("/").dropRight(1)
       .filter(_.contains("="))
       .map { seg =>
@@ -760,7 +785,10 @@ object MiniDelta {
       // protocol shape: the stats JSON is carried as an escaped string
       s""","stats":${jstr(s)}"""
     }
-    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField}}"""
+    val dvField = dv.fold("") { case (p, card) =>
+      s""","dv":{"path":${jstr(p)},"cardinality":$card}"""
+    }
+    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField$dvField}}"""
   }
 
   /** Remove action with the Delta protocol's `deletionTimestamp` — the
@@ -807,9 +835,11 @@ object MiniDelta {
     val oldPaths = current.map(_.getString(0)).toSet
     // declared-schema read: the rewrite materializes columns appended
     // after a file was written (as nulls), so post-compaction files all
-    // carry the full current schema — Delta's OPTIMIZE does the same
-    val read = readFiles(spark, table,
-      current.map(r => resolvePath(table, r.getString(0))).toIndexedSeq)
+    // carry the full current schema — Delta's OPTIMIZE does the same.
+    // DV-aware: masked rows never enter the rewrite, and the rewritten
+    // adds carry no DV — OPTIMIZE is how deletion vectors MATERIALIZE
+    val read = readFilesWithDv(spark, table,
+      dvPairsOf(current.toIndexedSeq), latestSchema(spark, table))
     // OPTIMIZE ZORDER: sort within each rewrite task by the Morton code
     // of the z-order columns so maxRecordsPerFile splits yield files
     // covering small hyper-rectangles — min/max stats discriminate on
@@ -987,14 +1017,140 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to delete from
     val readVersion = latestVersion(spark, table)
+    // delta.enableDeletionVectors routes DELETE through the DV path:
+    // deleted rows are MASKED by a row-index sidecar instead of
+    // rewriting every touched file — the Delta DV trade (tiny writes
+    // now, a mask probe per read until OPTIMIZE materializes)
+    if (tableConfig(spark, table, readVersion)
+        .get("delta.enableDeletionVectors").contains("true"))
+      return deleteWithDv(spark, table, predicate, readVersion)
     val declared = latestSchema(spark, table)
-    val paths = snapshotFilesAt(spark, table, readVersion)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val snap = snapshotFilesAt(spark, table, readVersion)
+      .select("path", "dv_path").collect().toIndexedSeq
+    requireNoDv(dvPairsOf(snap), "copy-on-write DELETE")
+    val paths = snap.map(_.getString(0))
     val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
     if (touched.isEmpty) return readVersion
     copyOnWrite(spark, table, readVersion, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
       partitionBy, "DELETE", statsCols)
+  }
+
+  /** Copy-on-write DML does not yet APPLY deletion vectors when
+    * rewriting files — running it over a DV-bearing snapshot would
+    * resurrect masked rows. Refuse loudly; OPTIMIZE (compact)
+    * materializes the DVs first. */
+  private def requireNoDv(files: Seq[(String, Option[String])],
+                          op: String): Unit = {
+    val dvd = files.count(_._2.isDefined)
+    if (dvd > 0) throw new UnsupportedOperationException(
+      s"$op over $dvd deletion-vector-bearing file(s): run compact() " +
+        "to materialize the DVs first")
+  }
+
+  /** DELETE via deletion vectors: one narrow predicate scan over the
+    * live rows collects (file, row index) masks, which are written as a
+    * parquet sidecar under `_delta_log/_dv/` and attached to the
+    * touched files' RE-ADDED actions (path/size/stats unchanged —
+    * min/max stay valid bounds, numRecords becomes an upper bound, the
+    * Delta DV contract). Files whose every live row matched are plainly
+    * removed. No data file is rewritten: the commit is the sidecar plus
+    * metadata, so a selective delete on a 100 TB table writes KBs.
+    * Read-set pinned at `readVersion + 1` like all DML. */
+  private def deleteWithDv(spark: SparkSession, table: String,
+                           predicate: org.apache.spark.sql.Column,
+                           readVersion: Long): Long = {
+    val declared = latestSchema(spark, table, readVersion)
+    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+    if (snap.isEmpty) return readVersion
+    val pairs = dvPairsOf(snap)
+    val byFname = snap.map(r => dvKeyOf(r.getString(0)) -> r).toMap
+    // matched live rows, keyed by (filename, row index) — existing DV
+    // masks applied so an already-deleted row can't re-match
+    val matched = withRowIdentity(spark, table, pairs, declared)
+      .where(coalesce(predicate, lit(false)))
+      .select(col("__fname").as("fname"), col("__ri").as("row_index"))
+      .persist() // consumed twice: per-file counts + the sidecar write
+    try {
+    val matchedCounts = matched.groupBy("fname").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matchedCounts.isEmpty) return readVersion
+    // live-row totals for the touched files decide full-file removal
+    val touchedPairs = pairs.filter(p =>
+      matchedCounts.contains(dvKeyOf(p._1)))
+    val totals = withRowIdentity(spark, table, touchedPairs, declared)
+      .groupBy(col("__fname")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullyGone = matchedCounts.filter { case (f, n) => totals(f) == n }.keySet
+    val surviving = touchedPairs.filterNot(p =>
+      fullyGone.contains(dvKeyOf(p._1)))
+    // the new mask per surviving file = old mask ∪ newly matched rows
+    val dvRel = f"_delta_log/_dv/v${readVersion + 1}%020d"
+    val oldMasks = surviving.flatMap(_._2).distinct
+    val oldRows =
+      if (oldMasks.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("fname",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("row_index",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(oldMasks.map(resolvePath(table, _)).toIndexedSeq: _*)
+        .select("fname", "row_index")
+    val survivingF = surviving.map(p => dvKeyOf(p._1)).toSet
+    matched.where(!col("fname").isin(fullyGone.toSeq: _*))
+      .unionByName(oldRows.where(col("fname").isin(survivingF.toSeq: _*)))
+      .distinct()
+      .write.mode("overwrite").parquet(resolvePath(table, dvRel))
+    val cards = spark.read.parquet(resolvePath(table, dvRel))
+      .groupBy("fname").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val now = System.currentTimeMillis()
+    val lines =
+      touchedPairs.map(p => removeLine(p._1, dataChange = true, now)) ++
+        surviving.map { case (rel, _) =>
+          val r = byFname(dvKeyOf(rel))
+          addLine(rel, r.getLong(r.fieldIndex("size")),
+            Option(r.getString(r.fieldIndex("stats"))),
+            dv = Some((dvRel, cards.getOrElse(dvKeyOf(rel), 0L))))
+        }
+    beforeDmlCommitHook()
+    writeCommit(spark, table, readVersion + 1, lines.toSeq, "DELETE")
+    } finally { matched.unpersist(); () }
+  }
+
+  /** DV-masked read that KEEPS each row's (filename, row index)
+    * identity — the discovery scan of [[deleteWithDv]]. */
+  private def withRowIdentity(spark: SparkSession, table: String,
+                              files: Seq[(String, Option[String])],
+                              declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        declared.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+          .add("__fname", org.apache.spark.sql.types.StringType)
+          .add("__ri", org.apache.spark.sql.types.LongType))
+    val groups = files.map(p => (resolvePath(table, p._1), p._2))
+      .groupBy(p => inferenceBase(table, p._1)).toSeq.sortBy(_._1)
+    val raw = groups.map { case (bp, fs2) =>
+      val reader = spark.read.option("basePath", bp)
+      val df = declared.fold(reader)(reader.schema)
+        .parquet(fs2.map(_._1).toIndexedSeq: _*)
+      val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
+      val depth = dvKeyDepth(fs2.head._1) // uniform per Hive layout
+      df.withColumn("__fname",
+          substring_index(col("_metadata.file_path"), "/", -depth))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .select((cols.map(col) ++ Seq(col("__fname"), col("__ri"))): _*)
+    }.reduce(_.unionByName(_))
+    val masks = files.flatMap(_._2).distinct
+    if (masks.isEmpty) raw
+    else {
+      val dv = spark.read.parquet(masks.map(resolvePath(table, _)).toIndexedSeq: _*)
+        .select(col("fname").as("__dv_fname"), col("row_index").as("__dv_ri"))
+      raw.join(dv, raw("__fname") === dv("__dv_fname") &&
+        raw("__ri") === dv("__dv_ri"), "left_anti")
+    }
   }
 
   /** UPDATE ... SET WHERE (Delta semantics): for rows where `predicate`
@@ -1018,8 +1174,10 @@ object MiniDelta {
         s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}" +
           s" (table columns: ${s.fieldNames.mkString(", ")})")
     }
-    val paths = snapshotFilesAt(spark, table, readVersion)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val snap = snapshotFilesAt(spark, table, readVersion)
+      .select("path", "dv_path").collect().toIndexedSeq
+    requireNoDv(dvPairsOf(snap), "UPDATE")
+    val paths = snap.map(_.getString(0))
     val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
     if (touched.isEmpty) return readVersion
     copyOnWrite(spark, table, readVersion, touched, declared,
@@ -1091,8 +1249,10 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val paths = snapshotFilesAt(spark, table, readVersion)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val snap = snapshotFilesAt(spark, table, readVersion)
+      .select("path", "dv_path").collect().toIndexedSeq
+    requireNoDv(dvPairsOf(snap), "MERGE")
+    val paths = snap.map(_.getString(0))
     val touched = matchingFiles(spark, table, paths, declared,
       _.join(srcKeys, keys, "left_semi"))
     copyOnWrite(spark, table, readVersion, touched, declared,
@@ -1173,10 +1333,21 @@ object MiniDelta {
         s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
           s"vacuumed (first: ${missing.head}); restore past the " +
           "retention horizon is unrecoverable")
-    val addLines = (tgt.keySet -- cur.keySet).toSeq.sorted.map { p =>
+    def dvOf(r: org.apache.spark.sql.Row): Option[(String, Long)] = {
+      val i = r.fieldIndex("dv_path")
+      if (r.isNullAt(i)) None
+      else Some((r.getString(i), r.getLong(r.fieldIndex("dv_card"))))
+    }
+    // a path present in BOTH snapshots still needs re-adding when its
+    // deletion vector differs (a DV delete changes content, not paths);
+    // re-adding with the target's dv (or none) overrides on replay
+    val addKeys = (tgt.keySet -- cur.keySet) ++
+      tgt.keySet.intersect(cur.keySet)
+        .filter(p => dvOf(tgt(p)) != dvOf(cur(p)))
+    val addLines = addKeys.toSeq.sorted.map { p =>
       val r = tgt(p)
       addLine(p, r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))))
+        Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r))
     }
     val removeLines = (cur.keySet -- tgt.keySet).toSeq.sorted
       .map(removeLine(_, dataChange = true, now))
@@ -1256,8 +1427,13 @@ object MiniDelta {
     val files = snapshotFilesAt(spark, source, v).collect()
     val addLines = files.map { r =>
       val rel = r.getString(0)
+      // deletion vectors ride along, absolutized like the data paths
+      val dvIdx = r.fieldIndex("dv_path")
+      val dv = if (r.isNullAt(dvIdx)) None
+        else Some((resolvePath(source, r.getString(dvIdx)),
+          r.getLong(r.fieldIndex("dv_card"))))
       addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))))
+        Option(r.getString(r.fieldIndex("stats"))), dv = dv)
     }.toSeq
     val metaLines = latestSchema(spark, source, v)
       .map(metaDataLine(_, partitionColsOf(files.map(_.getString(0))),
@@ -1299,14 +1475,21 @@ object MiniDelta {
     // the checkpoint IS the folded snapshot at cp: treat its manifest
     // rows as adds at version cp, then replay only the tail on top
     val base = cp.map { v =>
-      spark.read.parquet(checkpointPath(table, v))
-        .select(col("path"), col("partitionValues"), col("size"),
-          col("stats"), lit(v).as("version"))
+      val raw = spark.read.parquet(checkpointPath(table, v))
+      // pre-DV checkpoints lack the dv columns: null-fill them
+      val withDv =
+        if (raw.columns.contains("dv_path")) raw
+        else raw.withColumn("dv_path", lit(null).cast("string"))
+          .withColumn("dv_card", lit(null).cast("long"))
+      withDv.select(col("path"), col("partitionValues"), col("size"),
+        col("stats"), col("dv_path"), col("dv_card"), lit(v).as("version"))
     }
     val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"), col("add.stats").as("stats"),
+        col("add.dv.path").as("dv_path"),
+        col("add.dv.cardinality").as("dv_card"),
         col("version"))
     val adds = base.fold(jsonAdds)(_.unionByName(jsonAdds))
     val addLatest = adds.groupBy("path").agg(max("version").as("add_v"))
@@ -1316,8 +1499,14 @@ object MiniDelta {
     adds.join(addLatest, Seq("path"))
       .where(col("version") === col("add_v"))
       .join(removes, Seq("path"), "left")
-      .where(col("rm_v").isNull || col("rm_v") < col("add_v"))
-      .select("path", "partitionValues", "size", "stats")
+      // <= not <: a DV commit removes and RE-ADDS the same path in one
+      // version (old mask out, new mask in) — within a commit the add
+      // wins, Delta's own action reconciliation rule. Operations that
+      // kill a file (CoW DML, OPTIMIZE) add different paths, so a
+      // same-version remove without a same-version re-add stays dead.
+      .where(col("rm_v").isNull || col("rm_v") <= col("add_v"))
+      .select("path", "partitionValues", "size", "stats",
+        "dv_path", "dv_card")
   }
 
   /** S4: current snapshot = add actions replayed in version order, minus
@@ -1417,9 +1606,11 @@ object MiniDelta {
     * it exact). The scan touches only stats-surviving files. */
   def readRange(spark: SparkSession, table: String, statCol: String,
                 lo: Double, hi: Double): DataFrame = {
-    val files = filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
-      .select("path").collect().map(r => resolvePath(table, r.getString(0)))
-    val base = readFiles(spark, table, files.toIndexedSeq)
+    val files = dvPairsOf(
+      filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
+        .select("path", "dv_path").collect().toIndexedSeq)
+    val base = readFilesWithDv(spark, table, files,
+      latestSchema(spark, table))
     if (files.isEmpty) base // zero files: the predicate is vacuous (and
     else base.where(col(statCol) >= lo && col(statCol) <= hi) // may not resolve)
   }
@@ -1438,6 +1629,72 @@ object MiniDelta {
     if (conj.isEmpty) snapshot else snapshot.where(conj.reduce(_ || _))
   }
 
+  /** DV row identity = the PARTITION-RELATIVE tail of a file's path
+    * (its `k=v` directories + filename): unique per table — a bare
+    * filename is NOT (one task writing several partitions stamps the
+    * same part-file name into each directory) — and stable under table
+    * relocation. Depth is structural (trailing `k=v` segments + 1), so
+    * build and read sides always agree. */
+  private def dvKeyDepth(p: String): Int = {
+    val segs = p.split("/")
+    var j = segs.length - 2
+    var n = 1
+    while (j >= 0 && segs(j).contains("=")) { n += 1; j -= 1 }
+    n
+  }
+
+  private def dvKeyOf(p: String): String =
+    p.split("/").takeRight(dvKeyDepth(p)).mkString("/")
+
+  /** (path, dv path) pairs of a snapshot/file frame that carries
+    * `dv_path` — the argument shape of [[readFilesWithDv]]. */
+  private def dvPairsOf(rows: Seq[org.apache.spark.sql.Row])
+      : Seq[(String, Option[String])] =
+    rows.map { r =>
+      val dvIdx = r.fieldIndex("dv_path")
+      (r.getString(r.fieldIndex("path")),
+        if (r.isNullAt(dvIdx)) None else Some(r.getString(dvIdx)))
+    }
+
+  /** [[readFilesAs]] with deletion vectors applied: each file pairs
+    * with the optional DV sidecar masking its deleted rows. DV'd files
+    * are read with their identity and row index (`_metadata.file_path`
+    * filename + `_metadata.row_index` — filenames carry write UUIDs, so
+    * they are unique per table and survive table relocation) and
+    * anti-joined against the union of their sidecars. Plain files take
+    * the ordinary scan; a table with no DVs pays nothing. */
+  private def readFilesWithDv(spark: SparkSession, table: String,
+                              files: Seq[(String, Option[String])],
+                              declared: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val plain = files.collect { case (p, None) => resolvePath(table, p) }
+    val dvd = files.collect { case (p, Some(d)) =>
+      (resolvePath(table, p), resolvePath(table, d)) }
+    val base = readFilesAs(spark, table, plain, declared)
+    if (dvd.isEmpty) return base
+    val dv = spark.read.parquet(dvd.map(_._2).distinct.toIndexedSeq: _*)
+      .select(col("fname").as("__dv_fname"), col("row_index").as("__dv_ri"))
+    val groups = dvd.map(_._1).groupBy(inferenceBase(table, _))
+      .toSeq.sortBy(_._1)
+    val masked = groups.map { case (bp, fs2) =>
+      val reader = spark.read.option("basePath", bp)
+      val df = declared.fold(reader)(reader.schema)
+        .parquet(fs2.toIndexedSeq: _*)
+      val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
+      val depth = dvKeyDepth(fs2.head) // uniform per Hive layout
+      df.withColumn("__fname",
+          substring_index(col("_metadata.file_path"), "/", -depth))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .select((cols.map(col) ++ Seq(col("__fname"), col("__ri"))): _*)
+    }.reduce(_.unionByName(_))
+    val visible = masked.join(dv,
+        masked("__fname") === dv("__dv_fname") &&
+          masked("__ri") === dv("__dv_ri"), "left_anti")
+      .drop("__fname", "__ri")
+    if (plain.isEmpty && declared.isEmpty) visible
+    else base.unionByName(visible)
+  }
+
   /** Read the table THROUGH the pruned file set: scan only the files the
     * filters resolve to (the reference's authorize-then-fetch, J2+S6).
     * `versionAsOf` time-travels the snapshot (None = current). */
@@ -1446,12 +1703,12 @@ object MiniDelta {
                    versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshotFilesAt(spark, table,
       versionAsOf.getOrElse(Long.MaxValue))
-    val files = filesForFilters(snap, filters)
-      .select("path").collect().map(r => resolvePath(table, r.getString(0)))
+    val files = dvPairsOf(filesForFilters(snap, filters)
+      .select("path", "dv_path").collect().toIndexedSeq)
     // time travel reads under the schema AS OF that version (a column
     // appended later must not appear), current reads under the latest
-    readFiles(spark, table, files.toIndexedSeq,
-      versionAsOf.getOrElse(Long.MaxValue))
+    readFilesWithDv(spark, table, files, latestSchema(spark, table,
+      versionAsOf.getOrElse(Long.MaxValue)))
   }
 
   /** Exactly-once micro-batch consumption of the change feed: invokes
@@ -1572,6 +1829,13 @@ object MiniDelta {
       .select(col("version"), col(s"$action.path"))
       .collect().groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getString(1)).toSeq).toMap
+    // adds carry their own DV; a removed path's prior content is read
+    // under the DV in effect BEFORE the commit (resolved lazily from
+    // the v-1 snapshot, metadata-scale)
+    val addDv = log.where(col("add").isNotNull && col("add.dataChange"))
+      .select(col("version"), col("add.path"), col("add.dv.path"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
     val adds = filesOf("add")
     val removes = filesOf("remove")
     if (adds.isEmpty && removes.isEmpty) return emptyFeed
@@ -1586,20 +1850,27 @@ object MiniDelta {
     val parts = (adds.keySet ++ removes.keySet).toSeq.sorted.map { v =>
       val a = adds.getOrElse(v, Seq.empty)
       val r = removes.getOrElse(v, Seq.empty)
-      def read(paths: Seq[String]) =
-        readFilesAs(spark, table, paths.map(resolvePath(table, _)), declared)
+      lazy val priorDv: Map[String, Option[String]] =
+        snapshotFilesAt(spark, table, v - 1)
+          .select("path", "dv_path").collect()
+          .map(row => row.getString(0) ->
+            (if (row.isNullAt(1)) None else Some(row.getString(1)))).toMap
+      def readAdds(paths: Seq[String]) = readFilesWithDv(spark, table,
+        paths.map(p => (p, addDv.getOrElse((v, p), None))), declared)
+      def readRems(paths: Seq[String]) = readFilesWithDv(spark, table,
+        paths.map(p => (p, priorDv.getOrElse(p, None))), declared)
       val (preLabel, postLabel) = ops.getOrElse(v, "WRITE") match {
         case "DELETE" => ("delete", "insert")
         case "UPDATE" | "MERGE" => ("update_preimage", "update_postimage")
         case _ => ("delete", "insert")
       }
       val changed =
-        if (r.isEmpty) read(a).withColumn("_change_type", lit("insert"))
+        if (r.isEmpty) readAdds(a).withColumn("_change_type", lit("insert"))
         else {
           val cols = fields.map(col)
-          val pre = read(r).groupBy(cols: _*)
+          val pre = readRems(r).groupBy(cols: _*)
             .agg((-count(lit(1))).as("__cdf_d"))
-          val post = read(a).groupBy(cols: _*)
+          val post = readAdds(a).groupBy(cols: _*)
             .agg(count(lit(1)).as("__cdf_d"))
           pre.unionByName(post)
             .groupBy(cols: _*).agg(sum(col("__cdf_d")).as("__cdf_delta"))
@@ -1646,7 +1917,8 @@ object MiniDelta {
     if (tail.isEmpty) return empty
     val changed = logDFIn(spark, tail)
       .where(col("add").isNotNull && col("add.dataChange"))
-      .select(col("add.path").as("path"), col("version"))
+      .select(col("add.path").as("path"), col("version"),
+        col("add.dv.path").as("dv_path"))
       .collect()
     if (changed.isEmpty) return empty
     // a consumer resuming from before a VACUUM horizon would read files
@@ -1661,9 +1933,13 @@ object MiniDelta {
         s"change feed at versions (${fromVersion}, $toVersion] references " +
           s"${gone.length} vacuumed file(s) (first: ${gone.head}); the " +
           "consumer checkpoint predates the table's retention — reset it")
+    // DV-bearing adds deliver their SURVIVING rows — the same
+    // "rewrites re-deliver survivors" contract documented for CoW DML
     changed.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>
-      readFilesAs(spark, table,
-        rows.map(r => resolvePath(table, r.getString(0))).toIndexedSeq, declared)
+      readFilesWithDv(spark, table,
+        rows.map(r => (r.getString(0),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))).toIndexedSeq,
+        declared)
         .withColumn("_commit_version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }

@@ -723,6 +723,60 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(log.where(col("commitInfo").isNotNull).count() == 1)
   }
 
+  test("deletion vectors: mask instead of rewrite; reads, travel, CDF, " +
+      "compact, restore all agree") {
+    val t = freshTable()
+    // coalesce(1): multi-row files, so a partial delete MASKS instead
+    // of degrading to a full-file removal
+    MiniDelta.append(spark, sample("2023", 4).coalesce(1), t, Seq("year")) // v0
+    MiniDelta.append(spark, sample("2024", 3).coalesce(1), t, Seq("year")) // v1
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))                 // v2
+    val pathsBefore = MiniDelta.snapshotFiles(spark, t)
+      .select("path").as[String].collect().toSet
+    MiniDelta.delete(spark, t,
+      col("id") === 2 && col("year") === "2023", Seq("year"))       // v3, DV
+    // no data file was added or removed — the row is MASKED
+    val snap = MiniDelta.snapshotFiles(spark, t).collect()
+    assert(snap.map(_.getString(0)).toSet == pathsBefore)
+    assert(snap.exists(r => !r.isNullAt(r.fieldIndex("dv_path"))))
+    val read1 = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(read1.count() == 6)
+    assert(read1.where(col("id") === 2 && col("year") === "2023")
+      .count() == 0)
+    // a second DV delete UNIONS into the mask
+    MiniDelta.delete(spark, t,
+      col("id") === 1 && col("year") === "2023", Seq("year"))       // v4
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
+    // time travel BEFORE the deletes sees everything
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty,
+      versionAsOf = Some(2L)).count() == 7)
+    // CDF: v4 delivers exactly the one newly-masked row as a delete
+    val cdf = MiniDelta.readCdf(spark, t, 3, 4)
+    assert(cdf.count() == 1)
+    assert(cdf.select("_change_type").as[String].head() == "delete")
+    assert(cdf.select("id").as[Long].head() == 1L)
+    // copy-on-write DML refuses while masks are outstanding
+    intercept[UnsupportedOperationException] {
+      MiniDelta.update(spark, t, col("id") === 5,
+        Map("payload" -> lit("x")), Seq("year"))
+    }
+    // deleting every remaining 2023 row drops its files entirely
+    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v5
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .where(element_at(col("partitionValues"), "year") === "2023")
+      .count() == 0)
+    // OPTIMIZE materializes: masks purged, data identical
+    MiniDelta.compact(spark, t, Seq("year"))
+    val snap2 = MiniDelta.snapshotFiles(spark, t).collect()
+    assert(snap2.forall(r => r.isNullAt(r.fieldIndex("dv_path"))))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // RESTORE to the one-mask state brings the DV back into force
+    MiniDelta.restore(spark, t, toVersion = 3)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
+  }
+
   test("OPTIMIZE WHERE compacts only the selected partitions") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
