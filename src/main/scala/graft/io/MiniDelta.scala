@@ -1064,17 +1064,80 @@ object MiniDelta {
     val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
     if (snap.isEmpty) return readVersion
     val pairs = dvPairsOf(snap)
-    val byFname = snap.map(r => dvKeyOf(r.getString(0)) -> r).toMap
-    // matched live rows, keyed by (filename, row index) — existing DV
-    // masks applied so an already-deleted row can't re-match
     val matched = withRowIdentity(spark, table, pairs, declared)
       .where(coalesce(predicate, lit(false)))
-      .select(col("__fname").as("fname"), col("__ri").as("row_index"))
       .persist() // consumed twice: per-file counts + the sidecar write
     try {
+      dvMaskActions(spark, table, readVersion, declared, snap, matched)
+        .fold(readVersion) { lines =>
+          beforeDmlCommitHook()
+          writeCommit(spark, table, readVersion + 1, lines, "DELETE")
+        }
+    } finally { matched.unpersist(); () }
+  }
+
+  /** UPDATE via deletion vectors: matched rows are MASKED exactly like
+    * [[deleteWithDv]] and their updated images are APPENDED as new
+    * files in the same commit — Delta's DV UPDATE. Untouched files'
+    * bytes are never rewritten; [[readCdf]] diffs the commit to
+    * update_preimage/update_postimage pairs naturally (masked rows are
+    * the pre side, the appended files the post side). */
+  private def updateWithDv(spark: SparkSession, table: String,
+                           predicate: org.apache.spark.sql.Column,
+                           set: Map[String, org.apache.spark.sql.Column],
+                           partitionBy: Seq[String], statsCols: Seq[String],
+                           readVersion: Long): Long = {
+    val declared = latestSchema(spark, table, readVersion)
+    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+    if (snap.isEmpty) return readVersion
+    val pairs = dvPairsOf(snap)
+    val matched = withRowIdentity(spark, table, pairs, declared)
+      .where(coalesce(predicate, lit(false)))
+      .persist() // counts + sidecar + the updated-image write
+    try {
+      dvMaskActions(spark, table, readVersion, declared, snap, matched)
+        .fold(readVersion) { maskLines =>
+          // updated images: every matched row with SET applied (RHS
+          // sees the PRE-update row, SQL UPDATE semantics)
+          val dataCols = matched.columns.filterNot(
+            c => c == "__fname" || c == "__ri")
+          val updated = matched.select(dataCols.map(c =>
+            set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*)
+          enforceConstraints(updated,
+            tableConfig(spark, table, readVersion))
+          val before = listDataFiles(spark, table).map(_._1).toSet
+          val writer = updated.write.mode("append")
+          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+           else writer).parquet(table)
+          val added = listDataFiles(spark, table)
+            .filterNot { case (pp, _, _) => before.contains(pp) }
+          val stats = fileStats(spark, table, added.map(_._1), statsCols)
+          beforeDmlCommitHook()
+          writeCommit(spark, table, readVersion + 1,
+            maskLines ++
+              added.map { case (pp, sz, _) => addLine(pp, sz, stats.get(pp)) },
+            "UPDATE")
+        }
+    } finally { matched.unpersist(); () }
+  }
+
+  /** The mask step shared by DV DELETE and DV UPDATE: given the matched
+    * LIVE rows (with `__fname`/`__ri` identity), write the new sidecar
+    * (old masks ∪ matched) and return the remove + re-add action lines;
+    * files whose every live row matched are plainly removed. None when
+    * nothing matched. */
+  private def dvMaskActions(spark: SparkSession, table: String,
+                            readVersion: Long,
+                            declared: Option[org.apache.spark.sql.types.StructType],
+                            snap: Seq[org.apache.spark.sql.Row],
+                            matchedRows: DataFrame): Option[Seq[String]] = {
+    val pairs = dvPairsOf(snap)
+    val byFname = snap.map(r => dvKeyOf(r.getString(0)) -> r).toMap
+    val matched = matchedRows
+      .select(col("__fname").as("fname"), col("__ri").as("row_index"))
     val matchedCounts = matched.groupBy("fname").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (matchedCounts.isEmpty) return readVersion
+    if (matchedCounts.isEmpty) return None
     // live-row totals for the touched files decide full-file removal
     val touchedPairs = pairs.filter(p =>
       matchedCounts.contains(dvKeyOf(p._1)))
@@ -1106,17 +1169,13 @@ object MiniDelta {
       .groupBy("fname").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val now = System.currentTimeMillis()
-    val lines =
-      touchedPairs.map(p => removeLine(p._1, dataChange = true, now)) ++
-        surviving.map { case (rel, _) =>
-          val r = byFname(dvKeyOf(rel))
-          addLine(rel, r.getLong(r.fieldIndex("size")),
-            Option(r.getString(r.fieldIndex("stats"))),
-            dv = Some((dvRel, cards.getOrElse(dvKeyOf(rel), 0L))))
-        }
-    beforeDmlCommitHook()
-    writeCommit(spark, table, readVersion + 1, lines.toSeq, "DELETE")
-    } finally { matched.unpersist(); () }
+    Some((touchedPairs.map(p => removeLine(p._1, dataChange = true, now)) ++
+      surviving.map { case (rel, _) =>
+        val r = byFname(dvKeyOf(rel))
+        addLine(rel, r.getLong(r.fieldIndex("size")),
+          Option(r.getString(r.fieldIndex("stats"))),
+          dv = Some((dvRel, cards.getOrElse(dvKeyOf(rel), 0L))))
+      }).toSeq)
   }
 
   /** DV-masked read that KEEPS each row's (filename, row index)
@@ -1174,6 +1233,11 @@ object MiniDelta {
         s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}" +
           s" (table columns: ${s.fieldNames.mkString(", ")})")
     }
+    // DV tables: mask the old rows, append the updated images
+    if (tableConfig(spark, table, readVersion)
+        .get("delta.enableDeletionVectors").contains("true"))
+      return updateWithDv(spark, table, predicate, set, partitionBy,
+        statsCols, readVersion)
     val snap = snapshotFilesAt(spark, table, readVersion)
       .select("path", "dv_path").collect().toIndexedSeq
     requireNoDv(dvPairsOf(snap), "UPDATE")

@@ -756,13 +756,26 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(cdf.count() == 1)
     assert(cdf.select("_change_type").as[String].head() == "delete")
     assert(cdf.select("id").as[Long].head() == 1L)
-    // copy-on-write DML refuses while masks are outstanding
+    // DV UPDATE: mask the old row, APPEND the updated image — no file
+    // rewritten; CDF diffs the commit to a pre/post image pair
+    MiniDelta.update(spark, t, col("id") === 3 && col("year") === "2024",
+      Map("payload" -> lit("updated")), Seq("year"))                 // v5
+    val afterU = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(afterU.count() == 5)
+    assert(afterU.where(col("payload") === "updated").count() == 1)
+    val ucdf = MiniDelta.readCdf(spark, t, 4, 5)
+    assert(ucdf.where(col("_change_type") === "update_preimage")
+      .select("payload").as[String].head() == "v3")
+    assert(ucdf.where(col("_change_type") === "update_postimage")
+      .select("payload").as[String].head() == "updated")
+    assert(ucdf.count() == 2)
+    // MERGE (copy-on-write) still refuses while masks are outstanding
     intercept[UnsupportedOperationException] {
-      MiniDelta.update(spark, t, col("id") === 5,
-        Map("payload" -> lit("x")), Seq("year"))
+      MiniDelta.merge(spark, t, sample("2024", 1), Seq("id", "year"),
+        Seq("year"))
     }
     // deleting every remaining 2023 row drops its files entirely
-    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v5
+    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v6
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
     assert(MiniDelta.snapshotFiles(spark, t)
       .where(element_at(col("partitionValues"), "year") === "2023")
