@@ -1362,7 +1362,24 @@ object MiniDelta {
     // THIS table's directory, so vacuum can never touch an external
     // (shallow-cloned) file living under the source table's root
     dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
-    dead
+    // orphaned deletion-vector sidecars: a DV dir no live add references
+    // (OPTIMIZE materialized it, or its masked files were removed) is
+    // dead weight; age it on its mtime under the same horizon. Live
+    // masks and the external sidecars of clones are never candidates
+    // (only THIS table's _dv dir is listed).
+    val liveDv = snapshotFiles(spark, table)
+      .where(col("dv_path").isNotNull)
+      .select("dv_path").collect().map(_.getString(0)).toSet
+    val dvRoot = new Path(s"${logDir(table)}/_dv")
+    val deadDv =
+      if (!f.exists(dvRoot)) Seq.empty[String]
+      else f.listStatus(dvRoot).toSeq.collect {
+        case st if !liveDv.contains(s"_delta_log/_dv/${st.getPath.getName}") &&
+          st.getModificationTime <= cutoff =>
+          s"_delta_log/_dv/${st.getPath.getName}"
+      }
+    deadDv.foreach(p => f.delete(new Path(s"$table/$p"), true))
+    dead ++ deadDv
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF: one metadata-only commit that
@@ -1390,13 +1407,6 @@ object MiniDelta {
     val tgt = snapshotFilesAt(spark, table, toVersion).collect()
       .map(r => r.getString(0) -> r).toMap
     val f = fs(spark, table)
-    val missing = (tgt.keySet -- cur.keySet)
-      .filterNot(p => f.exists(new Path(resolvePath(table, p))))
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
-          s"vacuumed (first: ${missing.head}); restore past the " +
-          "retention horizon is unrecoverable")
     def dvOf(r: org.apache.spark.sql.Row): Option[(String, Long)] = {
       val i = r.fieldIndex("dv_path")
       if (r.isNullAt(i)) None
@@ -1408,6 +1418,17 @@ object MiniDelta {
     val addKeys = (tgt.keySet -- cur.keySet) ++
       tgt.keySet.intersect(cur.keySet)
         .filter(p => dvOf(tgt(p)) != dvOf(cur(p)))
+    // vacuumed data files AND vacuumed DV sidecars both make the target
+    // state unreconstructable — fail before committing anything
+    val missing = (tgt.keySet -- cur.keySet)
+      .filterNot(p => f.exists(new Path(resolvePath(table, p)))) ++
+      addKeys.flatMap(p => dvOf(tgt(p)).map(_._1))
+        .filterNot(d => f.exists(new Path(resolvePath(table, d))))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
+          s"vacuumed (first: ${missing.head}); restore past the " +
+          "retention horizon is unrecoverable")
     val addLines = addKeys.toSeq.sorted.map { p =>
       val r = tgt(p)
       addLine(p, r.getLong(r.fieldIndex("size")),
