@@ -38,7 +38,9 @@ object PlanAudit {
     "d10_semdedup",       // literal-centroid fold: zero-shuffle assignment
     "pipe8_dsir_sample",  // broadcast vocab, TakeOrderedAndProject top-n
     "t12_chunk_scrub",    // chunk-hash-partitioned window, 3 shuffles
-    "d11_bloom_decontaminate") // bloom subquery probe in the narrow pass
+    "d11_bloom_decontaminate", // bloom subquery probe in the narrow pass
+    "t13_dup_spans",      // ONE gram-hash shuffle (count-over-window)
+    "pipe9_scrub_select_pack") // composed scrub -> DSIR -> shard pack
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

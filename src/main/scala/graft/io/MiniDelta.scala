@@ -571,6 +571,11 @@ object MiniDelta {
                          props: Map[String, String],
                          readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    // constraints have their own API: addConstraint validates the
+    // EXISTING rows and rejects duplicates — letting them in here would
+    // arm an invariant the current data may already violate
+    require(!props.keySet.exists(_.startsWith(constraintKeyPrefix)),
+      s"use addConstraint/dropConstraint for $constraintKeyPrefix* keys")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     val schema = latestSchema(spark, table, readVersion).getOrElse(
@@ -1147,8 +1152,12 @@ object MiniDelta {
     val fullyGone = matchedCounts.filter { case (f, n) => totals(f) == n }.keySet
     val surviving = touchedPairs.filterNot(p =>
       fullyGone.contains(dvKeyOf(p._1)))
-    // the new mask per surviving file = old mask ∪ newly matched rows
-    val dvRel = f"_delta_log/_dv/v${readVersion + 1}%020d"
+    // the new mask per surviving file = old mask ∪ newly matched rows.
+    // UUID suffix: two writers racing on the same readVersion must not
+    // overwrite each other's sidecar — the loser's commit conflicts,
+    // and its uniquely-named sidecar is just an orphan for vacuum
+    val dvRel = f"_delta_log/_dv/v${readVersion + 1}%020d-" +
+      java.util.UUID.randomUUID().toString
     val oldMasks = surviving.flatMap(_._2).distinct
     val oldRows =
       if (oldMasks.isEmpty)
@@ -1189,14 +1198,14 @@ object MiniDelta {
         declared.getOrElse(org.apache.spark.sql.types.StructType(Nil))
           .add("__fname", org.apache.spark.sql.types.StringType)
           .add("__ri", org.apache.spark.sql.types.LongType))
-    val groups = files.map(p => (resolvePath(table, p._1), p._2))
-      .groupBy(p => inferenceBase(table, p._1)).toSeq.sortBy(_._1)
+    val groups = files.map(p => (p._1, resolvePath(table, p._1), p._2))
+      .groupBy(p => inferenceBase(table, p._2)).toSeq.sortBy(_._1)
     val raw = groups.map { case (bp, fs2) =>
       val reader = spark.read.option("basePath", bp)
       val df = declared.fold(reader)(reader.schema)
-        .parquet(fs2.map(_._1).toIndexedSeq: _*)
+        .parquet(fs2.map(_._2).toIndexedSeq: _*)
       val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
-      val depth = dvKeyDepth(fs2.head._1) // uniform per Hive layout
+      val depth = dvKeyDepth(fs2.head._1) // log-recorded path, as above
       df.withColumn("__fname",
           substring_index(col("_metadata.file_path"), "/", -depth))
         .withColumn("__ri", col("_metadata.row_index"))
@@ -1342,8 +1351,9 @@ object MiniDelta {
              readOnly: Boolean = false,
              nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    val live = snapshotFiles(spark, table).select("path")
-      .collect().map(_.getString(0)).toSet
+    val snapRows = snapshotFiles(spark, table)
+      .select("path", "dv_path").collect().toIndexedSeq
+    val live = snapRows.map(_.getString(0)).toSet
     // newest tombstone per path: a file removed, re-added, and removed
     // again is aged from its LATEST de-reference
     val tombstones: Map[String, Long] = logDF(spark, table)
@@ -1367,16 +1377,32 @@ object MiniDelta {
     // dead weight; age it on its mtime under the same horizon. Live
     // masks and the external sidecars of clones are never candidates
     // (only THIS table's _dv dir is listed).
-    val liveDv = snapshotFiles(spark, table)
-      .where(col("dv_path").isNotNull)
-      .select("dv_path").collect().map(_.getString(0)).toSet
+    val liveDv = snapRows.collect {
+      case r if !r.isNullAt(1) => r.getString(1) }.toSet
+    // a sidecar's de-reference moment: when a DV'd add is superseded
+    // (OPTIMIZE, DV swap, delete), the path's remove tombstone is
+    // written — the NEWEST tombstone across the files that ever
+    // referenced the sidecar is when the mask stopped mattering. Aging
+    // on sidecar mtime (creation) would kill masks still inside the
+    // retention window (a mask created on day 0 and materialized on
+    // day 10 must survive until day 10 + horizon). Fallback: mtime,
+    // for sidecars whose referencing adds never got a tombstone.
+    val dvDeref: Map[String, Long] = logDF(spark, table)
+      .where(col("add").isNotNull && col("add.dv.path").isNotNull)
+      .select(col("add.dv.path").as("d"), col("add.path").as("p"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
+      .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
     val dvRoot = new Path(s"${logDir(table)}/_dv")
     val deadDv =
       if (!f.exists(dvRoot)) Seq.empty[String]
       else f.listStatus(dvRoot).toSeq.collect {
-        case st if !liveDv.contains(s"_delta_log/_dv/${st.getPath.getName}") &&
-          st.getModificationTime <= cutoff =>
-          s"_delta_log/_dv/${st.getPath.getName}"
+        case st if {
+          val rel = s"_delta_log/_dv/${st.getPath.getName}"
+          !liveDv.contains(rel) &&
+            dvDeref.getOrElse(rel, st.getModificationTime) <= cutoff
+        } => s"_delta_log/_dv/${st.getPath.getName}"
       }
     deadDv.foreach(p => f.delete(new Path(s"$table/$p"), true))
     dead ++ deadDv
@@ -1434,8 +1460,13 @@ object MiniDelta {
       addLine(p, r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r))
     }
-    val removeLines = (cur.keySet -- tgt.keySet).toSeq.sorted
-      .map(removeLine(_, dataChange = true, now))
+    // dv-differing paths get a remove+re-add PAIR (within-commit add
+    // wins on replay): readCdf then diffs old-mask vs new-mask contents
+    // to exactly the changed rows instead of mislabeling every visible
+    // row of a bare re-add as an insert
+    val removeLines =
+      ((cur.keySet -- tgt.keySet) ++ addKeys.intersect(cur.keySet))
+        .toSeq.sorted.map(removeLine(_, dataChange = true, now))
     val curSchema = latestSchema(spark, table, readVersion)
     val tgtSchema = latestSchema(spark, table, toVersion)
     // RESTORE rolls back table properties (constraints) with the schema
@@ -1754,19 +1785,22 @@ object MiniDelta {
       : DataFrame = {
     val plain = files.collect { case (p, None) => resolvePath(table, p) }
     val dvd = files.collect { case (p, Some(d)) =>
-      (resolvePath(table, p), resolvePath(table, d)) }
+      (p, resolvePath(table, p), resolvePath(table, d)) }
     val base = readFilesAs(spark, table, plain, declared)
     if (dvd.isEmpty) return base
-    val dv = spark.read.parquet(dvd.map(_._2).distinct.toIndexedSeq: _*)
+    val dv = spark.read.parquet(dvd.map(_._3).distinct.toIndexedSeq: _*)
       .select(col("fname").as("__dv_fname"), col("row_index").as("__dv_ri"))
-    val groups = dvd.map(_._1).groupBy(inferenceBase(table, _))
+    val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)
     val masked = groups.map { case (bp, fs2) =>
       val reader = spark.read.option("basePath", bp)
       val df = declared.fold(reader)(reader.schema)
-        .parquet(fs2.toIndexedSeq: _*)
+        .parquet(fs2.map(_._2).toIndexedSeq: _*)
       val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
-      val depth = dvKeyDepth(fs2.head) // uniform per Hive layout
+      // depth from the LOG-RECORDED path, not the resolved one — a
+      // table root containing '=' must not inflate the key depth (the
+      // build side keys on log-relative paths)
+      val depth = dvKeyDepth(fs2.head._1)
       df.withColumn("__fname",
           substring_index(col("_metadata.file_path"), "/", -depth))
         .withColumn("__ri", col("_metadata.row_index"))
@@ -1925,13 +1959,18 @@ object MiniDelta {
     val removes = filesOf("remove")
     if (adds.isEmpty && removes.isEmpty) return emptyFeed
     val f = fs(spark, table)
-    val gone = (adds.values.flatten ++ removes.values.flatten)
-      .toSeq.distinct.filterNot(p => f.exists(new Path(resolvePath(table, p))))
-    if (gone.nonEmpty)
-      throw new IllegalStateException(
-        s"change feed at versions ($fromVersion, $toVersion] references " +
-          s"${gone.length} vacuumed file(s) (first: ${gone.head}); the " +
-          "consumer checkpoint predates the table's retention — reset it")
+    def requireFeedPaths(ps: Iterable[String], what: String): Unit = {
+      val gone = ps.toSeq.distinct
+        .filterNot(p => f.exists(new Path(resolvePath(table, p))))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"change feed at versions ($fromVersion, $toVersion] references " +
+            s"${gone.length} vacuumed $what (first: ${gone.head}); the " +
+            "consumer checkpoint predates the table's retention — reset it")
+    }
+    requireFeedPaths(adds.values.flatten ++ removes.values.flatten, "file(s)")
+    // the masks the window's adds name must also still exist
+    requireFeedPaths(addDv.values.flatten, "deletion-vector sidecar(s)")
     val parts = (adds.keySet ++ removes.keySet).toSeq.sorted.map { v =>
       val a = adds.getOrElse(v, Seq.empty)
       val r = removes.getOrElse(v, Seq.empty)
@@ -1942,8 +1981,11 @@ object MiniDelta {
             (if (row.isNullAt(1)) None else Some(row.getString(1)))).toMap
       def readAdds(paths: Seq[String]) = readFilesWithDv(spark, table,
         paths.map(p => (p, addDv.getOrElse((v, p), None))), declared)
-      def readRems(paths: Seq[String]) = readFilesWithDv(spark, table,
-        paths.map(p => (p, priorDv.getOrElse(p, None))), declared)
+      def readRems(paths: Seq[String]) = {
+        val pairs = paths.map(p => (p, priorDv.getOrElse(p, None)))
+        requireFeedPaths(pairs.flatMap(_._2), "deletion-vector sidecar(s)")
+        readFilesWithDv(spark, table, pairs, declared)
+      }
       val (preLabel, postLabel) = ops.getOrElse(v, "WRITE") match {
         case "DELETE" => ("delete", "insert")
         case "UPDATE" | "MERGE" => ("update_preimage", "update_postimage")
@@ -2011,13 +2053,15 @@ object MiniDelta {
     // FileNotFound, so the operator resets the checkpoint deliberately
     // (Delta guards the same case with a retention window)
     val f = fs(spark, table)
-    val gone = changed.map(_.getString(0))
-      .filterNot(p => f.exists(new Path(resolvePath(table, p))))
+    val gone = (changed.map(_.getString(0)) ++
+      changed.collect { case r if !r.isNullAt(2) => r.getString(2) })
+      .distinct.filterNot(p => f.exists(new Path(resolvePath(table, p))))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"change feed at versions (${fromVersion}, $toVersion] references " +
-          s"${gone.length} vacuumed file(s) (first: ${gone.head}); the " +
-          "consumer checkpoint predates the table's retention — reset it")
+          s"${gone.length} vacuumed file/sidecar path(s) (first: " +
+          s"${gone.head}); the consumer checkpoint predates the table's " +
+          "retention — reset it")
     // DV-bearing adds deliver their SURVIVING rows — the same
     // "rewrites re-deliver survivors" contract documented for CoW DML
     changed.groupBy(_.getLong(1)).toSeq.sortBy(_._1).map { case (v, rows) =>

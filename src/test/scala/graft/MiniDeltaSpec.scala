@@ -800,6 +800,19 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("DV keys survive a table root containing '='") {
+    // the mask key is the partition-relative path tail — a '=' in the
+    // table's OWN root must not inflate the build- or read-side depth
+    val root = Files.createTempDirectory("dvroot").toString + "/run=5/t"
+    MiniDelta.append(spark, sample("2023", 3).coalesce(1), root, Seq("year"))
+    MiniDelta.setTableProperties(spark, root,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, root, col("id") === 2, Seq("year"))
+    val got = MiniDelta.readFiltered(spark, root, Seq.empty)
+    assert(got.count() == 2)
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("OPTIMIZE WHERE compacts only the selected partitions") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
