@@ -1322,6 +1322,13 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
+    // DV tables: MASK the matched target rows and append ALL source
+    // rows (matched rows' replacements and unmatched inserts are both
+    // just source rows) — upsert without rewriting a single target file
+    if (tableConfig(spark, table, readVersion)
+        .get("delta.enableDeletionVectors").contains("true"))
+      return mergeWithDv(spark, table, source, keys, partitionBy,
+        statsCols, readVersion, declared, align, metaLines, srcKeys)
     val snap = snapshotFilesAt(spark, table, readVersion)
       .select("path", "dv_path").collect().toIndexedSeq
     requireNoDv(dvPairsOf(snap), "MERGE")
@@ -1333,6 +1340,44 @@ object MiniDelta {
             else align(df.join(srcKeys, keys, "left_anti"))
               .unionByName(align(source)),
       partitionBy, "MERGE", statsCols, extraLines = metaLines)
+  }
+
+  /** [[merge]]'s deletion-vector form: matched target rows are masked
+    * (shared [[dvMaskActions]]) and the whole aligned source appends as
+    * new files in the same pinned commit. [[readCdf]] labels the masked
+    * rows update_preimage and the appended rows update_postimage —
+    * inserts surface as unpaired postimages, the same documented
+    * approximation as the copy-on-write form. */
+  private def mergeWithDv(spark: SparkSession, table: String,
+                          source: DataFrame, keys: Seq[String],
+                          partitionBy: Seq[String], statsCols: Seq[String],
+                          readVersion: Long,
+                          declared: Option[org.apache.spark.sql.types.StructType],
+                          align: DataFrame => DataFrame,
+                          metaLines: Seq[String],
+                          srcKeys: DataFrame): Long = {
+    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+    val matched = withRowIdentity(spark, table, dvPairsOf(snap), declared)
+      .join(srcKeys, keys, "left_semi")
+      .persist() // mask counts + sidecar write
+    try {
+      val maskLines = dvMaskActions(spark, table, readVersion, declared,
+        snap, matched).getOrElse(Seq.empty)
+      val incoming = align(source)
+      enforceConstraints(incoming, tableConfig(spark, table, readVersion))
+      val before = listDataFiles(spark, table).map(_._1).toSet
+      val writer = incoming.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(table)
+      val added = listDataFiles(spark, table)
+        .filterNot { case (p, _, _) => before.contains(p) }
+      val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      beforeDmlCommitHook()
+      writeCommit(spark, table, readVersion + 1,
+        metaLines ++ maskLines ++
+          added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
+        "MERGE")
+    } finally { matched.unpersist(); () }
   }
 
   /** VACUUM: physically delete data files no longer referenced by the

@@ -769,14 +769,20 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(ucdf.where(col("_change_type") === "update_postimage")
       .select("payload").as[String].head() == "updated")
     assert(ucdf.count() == 2)
-    // MERGE (copy-on-write) still refuses while masks are outstanding
-    intercept[UnsupportedOperationException] {
-      MiniDelta.merge(spark, t, sample("2024", 1), Seq("id", "year"),
-        Seq("year"))
-    }
+    // DV MERGE: matched target rows masked, the whole source appended —
+    // an upsert that rewrites no target file
+    MiniDelta.merge(spark, t,
+      Seq((1L, "2024", "merged"), (9L, "2024", "new"))
+        .toDF("id", "year", "payload"),
+      Seq("id", "year"), Seq("year"))                               // v6
+    val afterM = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(afterM.count() == 6)
+    assert(afterM.where(col("id") === 1 && col("year") === "2024")
+      .select("payload").as[String].head() == "merged")
+    assert(afterM.where(col("id") === 9).count() == 1)
     // deleting every remaining 2023 row drops its files entirely
-    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v6
-    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year")) // v7
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
     assert(MiniDelta.snapshotFiles(spark, t)
       .where(element_at(col("partitionValues"), "year") === "2023")
       .count() == 0)
@@ -784,7 +790,7 @@ class MiniDeltaSpec extends AnyFunSuite {
     MiniDelta.compact(spark, t, Seq("year"))
     val snap2 = MiniDelta.snapshotFiles(spark, t).collect()
     assert(snap2.forall(r => r.isNullAt(r.fieldIndex("dv_path"))))
-    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
     // RESTORE to the one-mask state brings the DV back into force
     MiniDelta.restore(spark, t, toVersion = 3)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
