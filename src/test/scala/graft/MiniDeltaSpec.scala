@@ -806,6 +806,29 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("CoW DML refuses when masks exist but DVs are disabled") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3).coalesce(1), t, Seq("year"))
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2, Seq("year")) // masked
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "false"))
+    // rewriting a masked file copy-on-write would resurrect the row
+    intercept[UnsupportedOperationException] {
+      MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
+    }
+    intercept[UnsupportedOperationException] {
+      MiniDelta.update(spark, t, col("id") === 1,
+        Map("payload" -> lit("x")), Seq("year"))
+    }
+    // OPTIMIZE materializes the mask; CoW then proceeds
+    MiniDelta.compact(spark, t, Seq("year"))
+    MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("DV keys survive a table root containing '='") {
     // the mask key is the partition-relative path tail — a '=' in the
     // table's OWN root must not inflate the build- or read-side depth
