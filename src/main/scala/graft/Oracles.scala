@@ -1222,6 +1222,14 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s26_overwrite_where" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 2 AND (l_returnflag <> 'R' OR l_quantity = 2)
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s25_deletion_vectors" ->
       """WITH f AS (
   SELECT l_returnflag,

@@ -311,6 +311,29 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s26_overwrite_where" -> ((s, d) => {
+      // INSERT OVERWRITE ... replaceWhere end to end: reload ONLY the
+      // l_returnflag=R partition with its qty=2 subset; every other
+      // partition must read back untouched.
+      val dir = "/tmp/graft_s26_overwrite_where"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.overwrite(s,
+        src.where(col("l_returnflag") === "R" && col("l_quantity") === 2),
+        table, Seq("l_returnflag"),
+        replaceWhere = Seq(Map("l_returnflag" -> "R")))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s25_deletion_vectors" -> ((s, d) => {
       // deletion-vector DELETE end to end: enable DVs, delete qty=1 —
       // rows are MASKED by a sidecar, no data file rewritten. The read

@@ -1453,6 +1453,70 @@ object MiniDelta {
     dead ++ deadDv
   }
 
+  /** INSERT OVERWRITE: replace the table's contents (or, with
+    * `replaceWhere`, exactly the matching partitions — Delta's
+    * idempotent partition-reload pattern) with `df` in one pinned
+    * commit. With `replaceWhere` set, every incoming row must fall
+    * inside the replaced scope (Delta's replaceWhere constraint —
+    * silently writing rows outside the scope would corrupt partitions
+    * the caller believes untouched). `overwriteSchema` swaps the
+    * declared schema outright (full overwrites only); otherwise the
+    * incoming frame must merge-fit the declared schema like an append.
+    *
+    * Scale: the commit is removes (metadata) + the new files; with
+    * `replaceWhere` the removed set is resolved metadata-only through
+    * the same filter algebra reads use — reloading one day of a 100 TB
+    * table touches that day's files and nothing else. */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String,
+                partitionBy: Seq[String],
+                replaceWhere: PartitionAcl.Filters = Seq.empty,
+                overwriteSchema: Boolean = false,
+                readOnly: Boolean = false,
+                statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(!(overwriteSchema && replaceWhere.nonEmpty),
+      "overwriteSchema applies to FULL overwrites only (partial scopes " +
+        "would leave files under two schemas)")
+    if (!tableExists(spark, table))
+      return append(spark, df, table, partitionBy, readOnly, statsCols)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+    val cfg = tableConfig(spark, table, readVersion)
+    // replaceWhere guard: every incoming row must sit inside the scope
+    if (replaceWhere.nonEmpty) {
+      val conj = replaceWhere.filter(_.nonEmpty).map(_.map { case (k, v) =>
+        col(k) === lit(v) }.reduce(_ && _))
+      val inScope = if (conj.isEmpty) lit(true) else conj.reduce(_ || _)
+      val outside = df.where(!coalesce(inScope, lit(false))).limit(1).collect()
+      require(outside.isEmpty,
+        s"replaceWhere: incoming rows fall outside the replaced scope " +
+          s"(first: ${outside.headOption.getOrElse("")})")
+    }
+    val newSchema =
+      if (overwriteSchema) df.schema
+      else mergedSchema(declared, df.schema)
+    enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
+    val metaLines =
+      if (declared.exists(_.json == newSchema.json)) Nil
+      else Seq(metaDataLine(newSchema, partitionBy, cfg))
+    val removed = filesForFilters(
+      snapshotFilesAt(spark, table, readVersion), replaceWhere)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val before = listDataFiles(spark, table).map(_._1).toSet
+    val writer = df.write.mode("append")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(table)
+    val added = listDataFiles(spark, table)
+      .filterNot { case (p, _, _) => before.contains(p) }
+    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    val now = System.currentTimeMillis()
+    writeCommit(spark, table, readVersion + 1,
+      metaLines ++
+        removed.sorted.map(removeLine(_, dataChange = true, now)) ++
+        added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
+      "OVERWRITE")
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF: one metadata-only commit that
     * flips the live file set (and, if it changed since, the declared
     * schema) back to the snapshot at `toVersion` — Delta's RESTORE

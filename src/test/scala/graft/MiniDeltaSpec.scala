@@ -806,6 +806,41 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("overwrite: full replace, replaceWhere scope, schema swap") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    // replaceWhere: reload ONLY 2023 with one row; 2024 untouched
+    val before2024 = MiniDelta.snapshotFiles(spark, t)
+      .where(element_at(col("partitionValues"), "year") === "2024")
+      .select("path").as[String].collect().toSet
+    MiniDelta.overwrite(spark,
+      Seq((10L, "2023", "reloaded")).toDF("id", "year", "payload"),
+      t, Seq("year"), replaceWhere = Seq(Map("year" -> "2023")))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    assert(MiniDelta.readFiltered(spark, t, Seq(Map("year" -> "2023")))
+      .select("id").as[Long].collect().toSeq == Seq(10L))
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .where(element_at(col("partitionValues"), "year") === "2024")
+      .select("path").as[String].collect().toSet == before2024)
+    // rows OUTSIDE the replaced scope are rejected before any commit
+    intercept[IllegalArgumentException] {
+      MiniDelta.overwrite(spark,
+        Seq((11L, "2025", "stray")).toDF("id", "year", "payload"),
+        t, Seq("year"), replaceWhere = Seq(Map("year" -> "2023")))
+    }
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // full overwrite with a SWAPPED schema (column dropped)
+    MiniDelta.overwrite(spark,
+      Seq((1L, "2024")).toDF("id", "year"), t, Seq("year"),
+      overwriteSchema = true)
+    val now = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(now.columns.toSeq == Seq("id", "year") && now.count() == 1)
+    // history records the operation
+    assert(MiniDelta.history(spark, t)
+      .select("operation").as[String].collect().count(_ == "OVERWRITE") == 2)
+  }
+
   test("CoW DML refuses when masks exist but DVs are disabled") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3).coalesce(1), t, Seq("year"))
