@@ -300,8 +300,13 @@ object Dedup {
     *
     * Shape: explode chunks (narrow), one groupBy(chunk_hash) for global
     * doc-frequency (map-side combine), join back, integer-exact ratio.
-    * At 100 TB the chunk-hash aggregation is the classic skewed-key
-    * case (empty/boilerplate chunks) — cap or salt hot hashes. */
+    * At 100 TB a boilerplate chunk is a hot key, but BOTH halves
+    * degrade gracefully: the groupBy collapses the hot hash map-side
+    * (one row per input partition reaches the shuffle), and the join
+    * back is a shuffle join AQE skew-handling splits — unlike a
+    * window, which would pin the key's whole occurrence set to one
+    * task. Operating envelope: fine as-is under AQE; with AQE off,
+    * salt the join key. */
   def chunkDedup(docs: DataFrame, k: Int = 10): DataFrame = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val nChunks = ceil(size(toks).cast("double") / k).cast("int")

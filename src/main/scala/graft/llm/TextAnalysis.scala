@@ -508,9 +508,10 @@ object TextAnalysis {
     * elsewhere in the corpus (another document or another position) — a
     * run of g duplicated grams == a duplicated substring of g + n - 1
     * words. A true suffix array is a single-machine structure; gram
-    * frequency + gaps-and-islands is its distributed restatement: one
-    * shuffle for the gram counts, one window PARTITIONED BY doc_id for
-    * the run detection (per-document partitions, never global).
+    * frequency + gaps-and-islands is its distributed restatement: a
+    * map-side-combinable groupBy for the gram counts, a join back for
+    * the flag, one window PARTITIONED BY doc_id for the run detection
+    * (per-document partitions, never global).
     * Returns (doc_id, n_grams, n_dup_grams, max_dup_span_words). */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -524,12 +525,18 @@ object TextAnalysis {
           transform(sequence(lit(1), size(toks) - (n - 1)),
             i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
           .otherwise(array().cast("array<long>"))).as(Seq("pos", "gram")))
-    // one shuffle on the gram hash (count-over-window) instead of the
-    // groupBy + self-join form, which shuffles the gram set three times
-    val wg = Window.partitionBy("gram")
-    val flagged = grams
-      .withColumn("dup", count(lit(1)).over(wg) > 1)
-      .select(col("doc_id"), col("pos"), col("dup"))
+    // the corpus-wide dup flag must NOT be a count-over-window on the
+    // gram: on real web corpora the top boilerplate gram appears in a
+    // large share of documents, and a window puts that key's entire
+    // occurrence set in ONE task (AQE cannot split windows). The
+    // groupBy collapses to one row per gram BEFORE the shuffle
+    // (map-side combine), the filter keeps only duplicated grams, and
+    // the join back is a shuffle join AQE skew-handling CAN split.
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1).select(col("gram"), lit(true).as("__dup"))
+    val flagged = grams.join(dupGrams, Seq("gram"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("__dup"), lit(false)).as("dup"))
     // gaps-and-islands: consecutive duplicated positions share
     // (pos - rank-within-duplicated), one window per document
     val wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -599,13 +606,17 @@ object TextAnalysis {
     * the surviving-chunk count, the scrubbed length, and the md5 of
     * the scrubbed text (value-exact, compact to compare).
     *
-    * Scale: chunking is narrow; the first-occurrence rule is one
-    * row_number window PARTITIONED BY the chunk hash (millions of
-    * balanced partitions, no global ordering); reassembly is one
-    * groupBy(doc_id). Three shuffles total, all on high-cardinality
-    * keys. */
+    * Scale: chunking is narrow; the first-occurrence rule is a pure
+    * `min(struct(doc_id, pos))` aggregate per chunk — the aggregate
+    * OUTPUT is exactly the kept set (each chunk survives once, at its
+    * lexicographically-smallest occurrence), so there is no window and
+    * no join back. min over a struct is map-side combinable, so a
+    * boilerplate chunk that appears in every document collapses to one
+    * row per input partition before the shuffle — the hot key costs
+    * O(#partitions), not O(#occurrences), where a row_number window
+    * would put every occurrence in one task. Reassembly is one
+    * groupBy(doc_id). Two shuffles total. */
   def chunkScrub(docs: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
     val nChunks = ceil(size(toks).cast("double") / k).cast("int")
     val chunks = docs.select(col("doc_id"),
@@ -614,10 +625,11 @@ object TextAnalysis {
           concat_ws(" ", slice(toks, i * k + 1, lit(k))).as("chunk"))))
         .as("c"))
       .select(col("doc_id"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
-    val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
-    chunks.withColumn("occ", row_number().over(w))
-      .where(col("occ") === 1)
-      .groupBy("doc_id")
+    val kept = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"),
+        col("chunk"))
+    kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(array_sort(collect_list(
           struct(col("pos"), col("chunk")))), s => s("chunk"))).as("__scrub"))

@@ -737,4 +737,31 @@ class LlmSpec extends AnyFunSuite {
       .select(md5(col("text"))).as[String].head()
     assert(full == expect)
   }
+
+  test("dupSpans/chunkScrub survive a boilerplate key hot across every doc") {
+    // every document carries the same boilerplate span ("all rights
+    // reserved"-style); on a window-partitioned-by-gram/chunk plan that
+    // one key's whole occurrence set lands in ONE task — the de-skewed
+    // plans must carry NO window keyed on the corpus-wide gram/chunk
+    // (only dupSpans' per-document gaps-and-islands window remains)
+    val boiler = "all rights reserved by the site owner"
+    val d = docsDF((1L to 200L).map(i =>
+      i -> (boiler + s" unique$i tail$i")): _*)
+    val spans = TextAnalysis.dupSpans(d, n = 5)
+    val spanPlan = spans.queryExecution.executedPlan.toString
+    val windows = spanPlan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), spanPlan)
+    assert(!windows.exists(_.contains("gram")), spanPlan)
+    // boilerplate = 7 words -> 3 shared 5-grams in every doc; the
+    // unique tails keep the doc-level grams distinct
+    val got = spans.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.size == 200 && got.values.forall(_ == 7L))
+    val scrub = TextAnalysis.chunkScrub(d, k = 2)
+    val scrubPlan = scrub.queryExecution.executedPlan.toString
+    assert(!scrubPlan.contains("Window"), scrubPlan)
+    // chunks of 2: [all rights][reserved by][the site][owner uniqueN]
+    // [tailN] — the first three survive only in doc 1 (smallest id)
+    val kept = scrub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(1L) == 5L && (2L to 200L).forall(kept(_) == 2L))
+  }
 }
