@@ -479,14 +479,20 @@ object MiniDelta {
     val base = cp.flatMap(readConfigSidecar(spark, table, _))
     val from = if (base.isDefined) cp.get else -1L
     val tail = logJsonVersions(spark, table, from + 1, atMost)
+    // a legacy-format metaData with NULL configuration is "not stated",
+    // not "explicitly empty" — treating it as empty would silently
+    // disarm CHECK constraints carried by the sidecar/older metaData.
+    // Scan back to the newest metaData that CARRIES a configuration
+    // (an explicit {} still overrides; it deserializes as an empty map,
+    // not null).
     val fromTail =
       if (tail.isEmpty) None
       else logDFIn(spark, tail.map(_._2))
-        .where(col("metaData").isNotNull)
+        .where(col("metaData").isNotNull &&
+          col("metaData.configuration").isNotNull)
         .orderBy(col("version").desc).limit(1)
         .select("metaData.configuration").collect().headOption
-        .map(r => if (r.isNullAt(0)) Map.empty[String, String]
-                  else r.getMap[String, String](0).toMap)
+        .map(_.getMap[String, String](0).toMap)
     fromTail.orElse(base).getOrElse(Map.empty)
   }
 
@@ -776,12 +782,21 @@ object MiniDelta {
   /** `dataChange = false` marks a pure rewrite (OPTIMIZE): the rows are
     * not logically new, and incremental readers ([[readChanges]]) must
     * skip them — exactly the Delta protocol's dataChange bit. */
+  /** The contiguous `k=v` SUFFIX of a path's directory segments — the
+    * only segments that are partition structure. An absolute
+    * clone-source path under a root containing '=' (e.g.
+    * /data/run=5/src/part.parquet) must not leak spurious partition
+    * values — the same root-shape hardening as the dvKeyDepth walk. */
+  private def partitionSegments(rel: String): Array[String] = {
+    val dirs = rel.split("/").dropRight(1)
+    dirs.takeRight(dirs.reverseIterator.takeWhile(_.contains("=")).length)
+  }
+
   private def addLine(rel: String, size: Long,
                       stats: Option[String] = None,
                       dataChange: Boolean = true,
                       dv: Option[(String, Long)] = None): String = {
-    val parts = rel.split("/").dropRight(1)
-      .filter(_.contains("="))
+    val parts = partitionSegments(rel)
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
         s"${jstr(k)}:${jstr(v)}"
@@ -1360,11 +1375,19 @@ object MiniDelta {
     val matched = withRowIdentity(spark, table, dvPairsOf(snap), declared)
       .join(srcKeys, keys, "left_semi")
       .persist() // mask counts + sidecar write
+    val cfg = tableConfig(spark, table, readVersion)
+    val incoming = align(source)
+    // constraint check + parquet write = two evaluations of the
+    // user-supplied source; persist across the pair so a
+    // nondeterministic source validates the SAME rows it commits
+    // (mirrors append/copyOnWrite)
+    val mustCache = constraintsOf(cfg).nonEmpty &&
+      incoming.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) incoming.persist()
     try {
       val maskLines = dvMaskActions(spark, table, readVersion, declared,
         snap, matched).getOrElse(Seq.empty)
-      val incoming = align(source)
-      enforceConstraints(incoming, tableConfig(spark, table, readVersion))
+      enforceConstraints(incoming, cfg)
       val before = listDataFiles(spark, table).map(_._1).toSet
       val writer = incoming.write.mode("append")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
@@ -1377,7 +1400,11 @@ object MiniDelta {
         metaLines ++ maskLines ++
           added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
         "MERGE")
-    } finally { matched.unpersist(); () }
+    } finally {
+      matched.unpersist()
+      if (mustCache) incoming.unpersist()
+      ()
+    }
   }
 
   /** VACUUM: physically delete data files no longer referenced by the
@@ -1477,44 +1504,59 @@ object MiniDelta {
     require(!(overwriteSchema && replaceWhere.nonEmpty),
       "overwriteSchema applies to FULL overwrites only (partial scopes " +
         "would leave files under two schemas)")
-    if (!tableExists(spark, table))
-      return append(spark, df, table, partitionBy, readOnly, statsCols)
-    val readVersion = latestVersion(spark, table)
-    val declared = latestSchema(spark, table, readVersion)
-    val cfg = tableConfig(spark, table, readVersion)
-    // replaceWhere guard: every incoming row must sit inside the scope
-    if (replaceWhere.nonEmpty) {
-      val conj = replaceWhere.filter(_.nonEmpty).map(_.map { case (k, v) =>
-        col(k) === lit(v) }.reduce(_ && _))
-      val inScope = if (conj.isEmpty) lit(true) else conj.reduce(_ || _)
-      val outside = df.where(!coalesce(inScope, lit(false))).limit(1).collect()
-      require(outside.isEmpty,
-        s"replaceWhere: incoming rows fall outside the replaced scope " +
-          s"(first: ${outside.headOption.getOrElse("")})")
-    }
-    val newSchema =
-      if (overwriteSchema) df.schema
-      else mergedSchema(declared, df.schema)
-    enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
-    val metaLines =
-      if (declared.exists(_.json == newSchema.json)) Nil
-      else Seq(metaDataLine(newSchema, partitionBy, cfg))
-    val removed = filesForFilters(
-      snapshotFilesAt(spark, table, readVersion), replaceWhere)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val before = listDataFiles(spark, table).map(_._1).toSet
-    val writer = df.write.mode("append")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(table)
-    val added = listDataFiles(spark, table)
-      .filterNot { case (p, _, _) => before.contains(p) }
-    val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val now = System.currentTimeMillis()
-    writeCommit(spark, table, readVersion + 1,
-      metaLines ++
-        removed.sorted.map(removeLine(_, dataChange = true, now)) ++
-        added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
-      "OVERWRITE")
+    val exists = tableExists(spark, table)
+    val readVersion = if (exists) latestVersion(spark, table) else -1L
+    val cfg =
+      if (exists) tableConfig(spark, table, readVersion)
+      else Map.empty[String, String]
+    // the scope guard, constraint check, and parquet write each
+    // evaluate df — persist across the whole sequence so a
+    // nondeterministic source validates the SAME rows it commits
+    // (mirrors append/copyOnWrite)
+    val mustCache = (replaceWhere.nonEmpty || constraintsOf(cfg).nonEmpty) &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) df.persist()
+    try {
+      // replaceWhere guard: every incoming row must sit inside the
+      // scope — on the FIRST write too (Delta rejects out-of-scope rows
+      // even when the overwrite creates the table), so this runs BEFORE
+      // the not-yet-created early return
+      if (replaceWhere.nonEmpty) {
+        val conj = replaceWhere.filter(_.nonEmpty).map(_.map { case (k, v) =>
+          col(k) === lit(v) }.reduce(_ && _))
+        val inScope = if (conj.isEmpty) lit(true) else conj.reduce(_ || _)
+        val outside = df.where(!coalesce(inScope, lit(false))).limit(1).collect()
+        require(outside.isEmpty,
+          s"replaceWhere: incoming rows fall outside the replaced scope " +
+            s"(first: ${outside.headOption.getOrElse("")})")
+      }
+      if (!exists)
+        return append(spark, df, table, partitionBy, readOnly, statsCols)
+      val declared = latestSchema(spark, table, readVersion)
+      val newSchema =
+        if (overwriteSchema) df.schema
+        else mergedSchema(declared, df.schema)
+      enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
+      val metaLines =
+        if (declared.exists(_.json == newSchema.json)) Nil
+        else Seq(metaDataLine(newSchema, partitionBy, cfg))
+      val removed = filesForFilters(
+        snapshotFilesAt(spark, table, readVersion), replaceWhere)
+        .select("path").collect().map(_.getString(0)).toIndexedSeq
+      val before = listDataFiles(spark, table).map(_._1).toSet
+      val writer = df.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(table)
+      val added = listDataFiles(spark, table)
+        .filterNot { case (p, _, _) => before.contains(p) }
+      val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      val now = System.currentTimeMillis()
+      writeCommit(spark, table, readVersion + 1,
+        metaLines ++
+          removed.sorted.map(removeLine(_, dataChange = true, now)) ++
+          added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
+        "OVERWRITE")
+    } finally if (mustCache) { df.unpersist(); () }
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF: one metadata-only commit that
@@ -1623,11 +1665,11 @@ object MiniDelta {
   }
 
   /** Partition columns implied by a file set's `k=v` path segments, in
-    * directory order (all files of a table share one layout). */
+    * directory order (all files of a table share one layout). Only the
+    * contiguous k=v suffix counts — see [[partitionSegments]]. */
   private def partitionColsOf(paths: Iterable[String]): Seq[String] =
     paths.headOption.fold(Seq.empty[String]) {
-      _.split("/").dropRight(1).filter(_.contains("="))
-        .map(_.split("=", 2)(0)).toSeq
+      partitionSegments(_).map(_.split("=", 2)(0)).toSeq
     }
 
   /** Shallow clone (Delta `CLONE ... SHALLOW`): a brand-new table whose

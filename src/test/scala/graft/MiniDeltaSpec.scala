@@ -841,6 +841,70 @@ class MiniDeltaSpec extends AnyFunSuite {
       .select("operation").as[String].collect().count(_ == "OVERWRITE") == 2)
   }
 
+  test("overwrite replaceWhere guards the FIRST write too") {
+    // Delta rejects out-of-scope rows even when the overwrite creates
+    // the table — the not-yet-created early return must not skip the
+    // scope guard
+    val t = freshTable()
+    intercept[IllegalArgumentException] {
+      MiniDelta.overwrite(spark,
+        Seq((1L, "2023", "in"), (2L, "2025", "stray"))
+          .toDF("id", "year", "payload"),
+        t, Seq("year"), replaceWhere = Seq(Map("year" -> "2023")))
+    }
+    assert(!MiniDelta.tableExists(spark, t)) // nothing landed
+    // fully in-scope first write creates the table
+    MiniDelta.overwrite(spark,
+      Seq((1L, "2023", "in")).toDF("id", "year", "payload"),
+      t, Seq("year"), replaceWhere = Seq(Map("year" -> "2023")))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 1)
+  }
+
+  test("legacy metaData without configuration does not disarm constraints") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.addConstraint(spark, t, "id_pos", "id > 0")
+    // a legacy-format commit whose metaData carries NO configuration
+    // key (deserializes as null) — "not stated", not "explicitly empty"
+    val schemaJson = sample("2023", 1).schema.json
+    val legacy = """{"metaData":{"schemaString":""" +
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schemaJson) +
+      ""","partitionColumns":["year"]}}"""
+    MiniDelta.writeCommit(spark, t, 3L, Seq(legacy), "LEGACY")
+    assert(MiniDelta.tableConfig(spark, t)
+      .contains("delta.constraints.id_pos"))
+    intercept[MiniDelta.ConstraintViolationException] {
+      MiniDelta.append(spark,
+        Seq((-1L, "2023", "bad")).toDF("id", "year", "payload"),
+        t, Seq("year"))
+    }
+    // an EXPLICIT empty configuration still overrides (drops the
+    // constraint): {} deserializes as an empty map, not null
+    val reset = """{"metaData":{"schemaString":""" +
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schemaJson) +
+      ""","partitionColumns":["year"],"configuration":{}}}"""
+    MiniDelta.writeCommit(spark, t, 4L, Seq(reset), "RESET")
+    assert(MiniDelta.tableConfig(spark, t).isEmpty)
+  }
+
+  test("clone add paths under an '='-bearing root leak no partition values") {
+    val root = Files.createTempDirectory("cloneroot").toString + "/run=5/src"
+    MiniDelta.append(spark, sample("2023", 2), root, Seq("year"))
+    val target = freshTable()
+    MiniDelta.cloneShallow(spark, root, target)
+    // only the contiguous k=v SUFFIX is partition structure: the
+    // absolute source paths carry .../run=5/src/year=.../file — run=5
+    // must not surface as a partition value on the cloned adds
+    val pvKeys = MiniDelta.snapshotFiles(spark, target)
+      .select(explode(map_keys(col("partitionValues"))))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(pvKeys == Set("year"))
+    assert(MiniDelta.readFiltered(spark, target,
+      Seq(Map("year" -> "2023"))).count() == 2)
+  }
+
   test("CoW DML refuses when masks exist but DVs are disabled") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3).coalesce(1), t, Seq("year"))

@@ -295,9 +295,14 @@ class PropertySpec extends AnyFunSuite {
 
   test("bloom filter: NO false negatives on generated sets; FPs bounded") {
     import org.apache.spark.sql.graft.BloomFns
-    val strs = Gen.listOfN(300,
-      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(12)))
-    val words = strs.sample.get.distinct
+    // the word generator must be total: suchThat(_.nonEmpty) can exhaust
+    // its retry budget and make .sample.get throw NoSuchElementException
+    // (a flake, not a property violation) — build non-empty strings by
+    // construction and retry the (practically infallible) sample
+    val strs = Gen.listOfN(300, Gen.chooseNum(1, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    val words = Iterator.continually(strs.sample)
+      .flatten.next().distinct
     val (members, others) = words.splitAt(words.length / 2)
     val bloom = members.toDF("gram").agg(
       BloomFns.bloomAgg(xxhash64(col("gram")), 1024L, 16384L).as("bf"))
