@@ -1222,6 +1222,10 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s27_real_format" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey >= 2 ORDER BY n_nationkey""",
+
     "s26_overwrite_where" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

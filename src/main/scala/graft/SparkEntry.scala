@@ -311,6 +311,69 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s27_real_format" -> ((s, d) => {
+      // Interop read of a REAL-format Delta log — the shape delta-rs /
+      // Delta-Spark writers produce and the reference consumes
+      // (/root/reference/src/main.rs:357-363): a protocol action with
+      // v3 reader features, metaData/schema as log actions (zero graft
+      // sidecars), a single-FILE checkpoint carrying protocol/metaData/
+      // add as nullable action COLUMNS, and a JSON tail after it. The
+      // snapshot must fold checkpoint adds + tail adds with the remove
+      // honored.
+      val dir = "/tmp/graft_s27_real"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/nation_real"
+      val src = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      def land(pred: org.apache.spark.sql.Column): String = {
+        val before = Option(new java.io.File(table).listFiles()).toSeq
+          .flatten.map(_.getName).toSet
+        src.where(pred).coalesce(1).write.mode("append").parquet(table)
+        new java.io.File(table).listFiles().map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !before(n)).head
+      }
+      def jstr(x: String) = com.fasterxml.jackson.databind.json.JsonMapper
+        .builder().build().writeValueAsString(x)
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$table%s/_delta_log/$v%020d.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val schemaJson = jstr(src.schema.json)
+      val meta = s"""{"metaData":{"schemaString":$schemaJson,""" +
+        """"partitionColumns":[],"configuration":{}}}"""
+      val proto = """{"protocol":{"minReaderVersion":3,""" +
+        """"minWriterVersion":7,"readerFeatures":["deletionVectors",""" +
+        """"timestampNtz"],"writerFeatures":["deletionVectors"]}}"""
+      def add(p: String) = s"""{"add":{"path":${jstr(p)},""" +
+        """"partitionValues":{},"size":10,"dataChange":true}}"""
+      val f1 = land(col("n_regionkey") <= 1)
+      new java.io.File(s"$table/_delta_log").mkdirs()
+      commit(0L, Seq(proto, meta, add(f1)))
+      val f2 = land(col("n_regionkey") === 2 || col("n_regionkey") === 3)
+      commit(1L, Seq(add(f2),
+        s"""{"remove":{"path":${jstr(f1)},"dataChange":true,""" +
+          """"deletionTimestamp":1}}"""))
+      // single-file real checkpoint at v1: live adds + protocol + meta
+      val tmp = s"$dir/cp_build"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/cp.json"),
+        Seq(proto, meta, add(f2)).mkString("\n").getBytes("UTF-8"))
+      s.read.schema(graft.io.MiniDelta.logSchema).json(s"$tmp/cp.json")
+        .drop("commitInfo").coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$tmp/out/$part"),
+        java.nio.file.Paths.get(
+          f"$table%s/_delta_log/${1L}%020d.checkpoint.parquet"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$table/_delta_log/_last_checkpoint"),
+        """{"version":1}""".getBytes("UTF-8"))
+      val f3 = land(col("n_regionkey") === 4)
+      commit(2L, Seq(add(f3)))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .orderBy("n_nationkey")
+    }),
     "s26_overwrite_where" -> ((s, d) => {
       // INSERT OVERWRITE ... replaceWhere end to end: reload ONLY the
       // l_returnflag=R partition with its qty=2 subset; every other

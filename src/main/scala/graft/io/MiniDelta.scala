@@ -45,6 +45,31 @@ object MiniDelta {
     extends RuntimeException(
       s"409: commit $version at $path lost a concurrent-writer race")
 
+  /** A real-Delta table demands a capability this engine lacks (reader
+    * version, table feature, multi-part checkpoint, roaring deletion
+    * vectors). Failing loudly here is the protocol's own rule — a
+    * reader that ignores the gate returns silently wrong rows. */
+  final class UnsupportedTableFeatureException(msg: String)
+    extends RuntimeException(msg)
+
+  /** `delta.columnMapping.mode` renames columns through metadata ids —
+    * reading such a table by physical parquet names returns wrongly-
+    * labeled (or missing) columns, the exact client hazard the
+    * reference documents (/root/reference/README.md:249-270). */
+  final class ColumnMappingUnsupportedException(table: String, mode: String)
+    extends RuntimeException(
+      s"$table sets delta.columnMapping.mode=$mode; this engine reads " +
+        "physical parquet column names only — convert the table or read " +
+        "it with a column-mapping-aware client")
+
+  /** Reader features (protocol minReaderVersion 3) this engine honors.
+    * deletionVectors may be DECLARED — files that actually carry a real
+    * DV descriptor are still refused at read until the roaring format
+    * is implemented. timestampNtz reads natively on Spark 4.
+    * vacuumProtocolCheck constrains vacuum, not reads. */
+  private val supportedReaderFeatures =
+    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+
   /** Write a parquet checkpoint automatically after every N commits. */
   val checkpointInterval = 10
 
@@ -126,22 +151,35 @@ object MiniDelta {
     s"${logDir(table)}/_last_checkpoint"
 
   private val lastCheckpointVersion = "\"version\"\\s*:\\s*([0-9]+)".r
+  private val lastCheckpointParts = "\"parts\"\\s*:\\s*([0-9]+)".r
 
   private def readLastCheckpoint(spark: SparkSession,
                                  table: String): Option[Long] = {
     val p = new Path(lastCheckpointPath(table))
     val f = fs(spark, table)
     if (!f.exists(p)) return None
-    try {
-      val in = f.open(p)
+    val txt =
       try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        lastCheckpointVersion
-          .findFirstMatchIn(new String(bytes, "UTF-8"))
-          .map(_.group(1).toLong)
-      } finally in.close()
-    } catch { case _: Exception => None } // corrupt pointer: fall back
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Some(new String(bytes, "UTF-8"))
+        } finally in.close()
+      } catch { case _: Exception => None } // corrupt pointer: fall back
+    txt.flatMap { t =>
+      // a multi-part checkpoint (real Delta splits huge manifests into
+      // N parquet parts) cannot be replayed by this engine yet —
+      // ignoring it and replaying raw JSON would silently produce a
+      // WRONG snapshot when pre-checkpoint history was cleaned, so
+      // refuse loudly instead
+      lastCheckpointParts.findFirstMatchIn(t).map(_.group(1).toLong)
+        .filter(_ > 1).foreach { n =>
+          throw new UnsupportedTableFeatureException(
+            s"$table: multi-part checkpoint ($n parts) is not supported")
+        }
+      lastCheckpointVersion.findFirstMatchIn(t).map(_.group(1).toLong)
+    }
   }
 
   /** Diagnostic: number of full `_delta_log` directory listings taken
@@ -335,7 +373,25 @@ object MiniDelta {
         // masks; null = no DV
         StructField("dv", StructType(Seq(
           StructField("path", StringType),
+          StructField("cardinality", LongType)))),
+        // the REAL Delta protocol's DV descriptor (roaring bitmap,
+        // inline or file storage) — parsed so tables written by real
+        // Delta clients are DETECTED and refused loudly instead of
+        // silently resurrecting deleted rows (see requireReadable)
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType))))))),
+      // Delta protocol action: reader/writer version gates + (v3) the
+      // table-feature lists — the contract a client checks BEFORE
+      // trusting its own replay of the log
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("dataChange", BooleanType),
@@ -404,7 +460,11 @@ object MiniDelta {
       : Option[org.apache.spark.sql.types.StructType] = {
     if (!tableExists(spark, table)) return None
     val cp = latestCheckpoint(spark, table, atMost)
-    val base = cp.flatMap(v => readSchemaSidecar(spark, table, v))
+    // own checkpoints carry the schema in a sidecar; REAL Delta
+    // checkpoints carry it in their metaData action row
+    val base = cp.flatMap(v => readSchemaSidecar(spark, table, v)
+      .orElse(readCheckpointMetaData(spark, table, v)
+        .map(m => parseSchema(m._1))))
     val from = if (base.isDefined) cp.get else -1L
     val tail = logJsonVersions(spark, table, from + 1, atMost)
     val fromTail =
@@ -436,6 +496,22 @@ object MiniDelta {
       in.readFully(bytes)
       Some(parseSchema(new String(bytes, "UTF-8")))
     } finally in.close()
+  }
+
+  /** metaData row of a REAL-format Delta checkpoint (one row per
+    * action, schema/config as checkpoint COLUMNS — no sidecars):
+    * (schemaString, configuration). None when the checkpoint is this
+    * engine's own manifest shape or carries no metaData row. */
+  private def readCheckpointMetaData(spark: SparkSession, table: String,
+                                     version: Long)
+      : Option[(String, Option[Map[String, String]])] = {
+    val raw = spark.read.parquet(checkpointPath(table, version))
+    if (!raw.columns.contains("metaData")) return None
+    raw.where(col("metaData.schemaString").isNotNull)
+      .select(col("metaData.schemaString"), col("metaData.configuration"))
+      .collect().headOption
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getMap[String, String](1).toMap)))
   }
 
   private def configSidecarPath(table: String, version: Long): String =
@@ -476,7 +552,8 @@ object MiniDelta {
                   atMost: Long = Long.MaxValue): Map[String, String] = {
     if (!tableExists(spark, table)) return Map.empty
     val cp = latestCheckpoint(spark, table, atMost)
-    val base = cp.flatMap(readConfigSidecar(spark, table, _))
+    val base = cp.flatMap(v => readConfigSidecar(spark, table, v)
+      .orElse(readCheckpointMetaData(spark, table, v).flatMap(_._2)))
     val from = if (base.isDefined) cp.get else -1L
     val tail = logJsonVersions(spark, table, from + 1, atMost)
     // a legacy-format metaData with NULL configuration is "not stated",
@@ -713,9 +790,15 @@ object MiniDelta {
     val f = fs(spark, table)
     // only COMPLETE checkpoints: a crashed checkpoint job leaves a
     // directory without the _SUCCESS marker; replaying it would
-    // silently drop live files from every subsequent snapshot
-    def complete(v: Long) =
-      f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS"))
+    // silently drop live files from every subsequent snapshot. A real
+    // Delta checkpoint is a single atomically-renamed FILE — complete
+    // by construction.
+    def complete(v: Long) = {
+      val p = new Path(checkpointPath(table, v))
+      f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
+        (try f.getFileStatus(p).isFile
+         catch { case _: java.io.FileNotFoundException => false })
+    }
     readLastCheckpoint(spark, table) match {
       case Some(p) if p <= atMost && complete(p) =>
         var best = p
@@ -1720,6 +1803,135 @@ object MiniDelta {
     replaySnapshot(spark, table, version,
       if (useCheckpoint) version else -1L)
 
+  // memo: table -> highest version whose log has passed the protocol /
+  // column-mapping / real-DV gate (capabilities only ratchet up, so a
+  // pass at v covers every earlier version)
+  private val readableThrough =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The Delta protocol's client contract, enforced before any replay:
+    * a reader must check the table's `protocol` action (reader version
+    * + v3 reader features), refuse column-mapped tables it cannot
+    * relabel, and refuse files whose rows are masked by a deletion-
+    * vector format it cannot decode — silently ignoring any of these
+    * returns WRONG data, not degraded data. Tables this engine writes
+    * itself never trip the gate.
+    *
+    * Scale/cost: pure driver metadata. The checkpoint side runs only
+    * when the checkpoint is a real-Delta single FILE (ours are
+    * directory manifests — screened by one getFileStatus). The tail
+    * side driver-reads the O(since-last-checkpoint) commit JSONs once
+    * per NEW version (memoized in [[readableThrough]]) with substring
+    * screens, so self-written tables pay zero JSON parses and zero
+    * Spark jobs. */
+  private def requireReadable(spark: SparkSession, table: String,
+                              atMost: Long): Unit = {
+    val hi = math.min(latestVersion(spark, table), atMost)
+    if (hi < 0) return
+    val seen = readableThrough.get(table)
+    if (seen != null && seen.longValue() >= hi) return
+    val f = fs(spark, table)
+    val cp = latestCheckpoint(spark, table, hi)
+    var minReader = -1
+    var readerFeats: Seq[String] = Nil
+    var cmMode: Option[String] = None
+    var realDv = false
+    cp.foreach { v =>
+      val p = new Path(checkpointPath(table, v))
+      val isFile =
+        try f.getFileStatus(p).isFile
+        catch { case _: java.io.FileNotFoundException => false }
+      if (isFile) {
+        // real Delta checkpoint: protocol/metaData/add ride as columns
+        val raw = spark.read.parquet(checkpointPath(table, v))
+        if (raw.columns.contains("protocol"))
+          raw.where(col("protocol.minReaderVersion").isNotNull)
+            .select(col("protocol.minReaderVersion").cast("int"),
+              col("protocol.readerFeatures").cast("array<string>"))
+            .collect().headOption.foreach { r =>
+              minReader = r.getInt(0)
+              readerFeats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+            }
+        if (raw.columns.contains("metaData"))
+          readCheckpointMetaData(spark, table, v).flatMap(_._2).foreach {
+            cfg => cmMode = cfg.get("delta.columnMapping.mode")
+          }
+        val addReal = raw.columns.contains("add") &&
+          raw.schema("add").dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains("deletionVector")
+        if (addReal)
+          realDv = raw
+            .where(col("add.deletionVector.storageType").isNotNull)
+            .limit(1).count() > 0
+      } else
+        // own checkpoint shape: the config sidecar can still carry a
+        // mapped mode (e.g. set through a cloned table's properties)
+        readConfigSidecar(spark, table, v).foreach { cfg =>
+          cmMode = cfg.get("delta.columnMapping.mode")
+        }
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    logJsonVersions(spark, table, cp.getOrElse(-1L) + 1, hi)
+      .foreach { case (_, path) =>
+        val pp = new Path(path)
+        val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+        val in = f.open(pp)
+        try in.readFully(bytes) finally in.close()
+        val txt = new String(bytes, "UTF-8")
+        if (txt.contains("\"protocol\"") || txt.contains("deletionVector") ||
+            txt.contains("columnMapping"))
+          txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+            val node =
+              try om.readTree(line) catch { case _: Exception => null }
+            if (node != null) {
+              val proto = node.get("protocol")
+              if (proto != null && !proto.isNull) {
+                minReader = Option(proto.get("minReaderVersion"))
+                  .map(_.asInt()).getOrElse(minReader)
+                val rf = proto.get("readerFeatures")
+                readerFeats =
+                  if (rf == null || rf.isNull) Nil
+                  else (0 until rf.size()).map(rf.get(_).asText())
+              }
+              val add = node.get("add")
+              if (add != null && !add.isNull) {
+                val dv = add.get("deletionVector")
+                if (dv != null && !dv.isNull) realDv = true
+              }
+              val md = node.get("metaData")
+              if (md != null && !md.isNull) {
+                val cfg = md.get("configuration")
+                // null configuration = legacy "not stated" (keep the
+                // prior resolution); an explicit map replaces it
+                if (cfg != null && !cfg.isNull)
+                  cmMode = Option(cfg.get("delta.columnMapping.mode"))
+                    .map(_.asText())
+              }
+            }
+          }
+      }
+    if (minReader > 3)
+      throw new UnsupportedTableFeatureException(
+        s"$table requires minReaderVersion=$minReader; " +
+          "this engine reads protocol versions <= 3")
+    if (minReader == 3) {
+      val bad = readerFeats.filterNot(supportedReaderFeatures)
+      if (bad.nonEmpty)
+        throw new UnsupportedTableFeatureException(
+          s"$table requires unsupported reader feature(s): " +
+            bad.sorted.mkString(", "))
+    }
+    cmMode.filter(_ != "none").foreach(m =>
+      throw new ColumnMappingUnsupportedException(table, m))
+    if (realDv)
+      throw new UnsupportedTableFeatureException(
+        s"$table carries real Delta deletion-vector descriptors " +
+          "(roaring bitmaps); reading them as full files would silently " +
+          "resurrect deleted rows — compact with a DV-aware client first")
+    readableThrough.put(table, hi)
+  }
+
   /** Replay with the checkpoint base capped at `cpAtMost` (< 0 = pure
     * JSON replay). [[writeCheckpoint]] caps at `version - 1` so
     * re-checkpointing a version that already has a checkpoint folds from
@@ -1727,6 +1939,7 @@ object MiniDelta {
     * overwrite (Spark rejects overwrite-while-reading). */
   private def replaySnapshot(spark: SparkSession, table: String,
                              version: Long, cpAtMost: Long): DataFrame = {
+    requireReadable(spark, table, version)
     val cp = if (cpAtMost < 0) None
              else latestCheckpoint(spark, table, cpAtMost)
     // read ONLY the tail commits: replay after a checkpoint touches
@@ -1743,13 +1956,33 @@ object MiniDelta {
     // rows as adds at version cp, then replay only the tail on top
     val base = cp.map { v =>
       val raw = spark.read.parquet(checkpointPath(table, v))
-      // pre-DV checkpoints lack the dv columns: null-fill them
-      val withDv =
-        if (raw.columns.contains("dv_path")) raw
-        else raw.withColumn("dv_path", lit(null).cast("string"))
-          .withColumn("dv_card", lit(null).cast("long"))
-      withDv.select(col("path"), col("partitionValues"), col("size"),
-        col("stats"), col("dv_path"), col("dv_card"), lit(v).as("version"))
+      if (raw.columns.contains("add")) {
+        // REAL Delta checkpoint: one row per action, live adds ride as
+        // a nullable struct column. Real-DV descriptors were already
+        // refused by requireReadable, so null dv columns are safe.
+        val addT = raw.schema("add").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val stats =
+          if (addT.fieldNames.contains("stats")) col("add.stats")
+          else lit(null).cast("string")
+        raw.where(col("add").isNotNull).select(
+          col("add.path").as("path"),
+          col("add.partitionValues").as("partitionValues"),
+          col("add.size").cast("long").as("size"),
+          stats.as("stats"),
+          lit(null).cast("string").as("dv_path"),
+          lit(null).cast("long").as("dv_card"),
+          lit(v).as("version"))
+      } else {
+        // this engine's own manifest shape; pre-DV checkpoints lack the
+        // dv columns: null-fill them
+        val withDv =
+          if (raw.columns.contains("dv_path")) raw
+          else raw.withColumn("dv_path", lit(null).cast("string"))
+            .withColumn("dv_card", lit(null).cast("long"))
+        withDv.select(col("path"), col("partitionValues"), col("size"),
+          col("stats"), col("dv_path"), col("dv_card"), lit(v).as("version"))
+      }
     }
     val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),

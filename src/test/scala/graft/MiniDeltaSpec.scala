@@ -841,6 +841,140 @@ class MiniDeltaSpec extends AnyFunSuite {
       .select("operation").as[String].collect().count(_ == "OVERWRITE") == 2)
   }
 
+  private def jsonStr(s: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(s)
+
+  /** Write `lines` as a raw real-format commit (no commitInfo shim). */
+  private def rawCommit(t: String, v: Long, lines: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$t/_delta_log")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/$v%020d.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("reads a hand-built REAL-format Delta log end to end") {
+    val t = freshTable()
+    // data files the way a real writer lands them: plain parquet parts
+    def landParquet(rows: Seq[(Long, String)]): String = {
+      val before = Option(new java.io.File(t).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(t)
+      new java.io.File(t).listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !before(n))
+        .head
+    }
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    val f1 = landParquet(Seq((1L, "a"), (2L, "b")))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":100,"dataChange":true}}"""))
+    val f2 = landParquet(Seq((3L, "c"), (4L, "d"), (5L, "e")))
+    rawCommit(t, 1L, Seq(
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":100,"dataChange":true}}""",
+      s"""{"remove":{"path":${jsonStr(f1)},"dataChange":true,"deletionTimestamp":1}}"""))
+    // REAL-shape checkpoint at v1: protocol/metaData/add as COLUMNS of a
+    // SINGLE parquet file (no sidecars, no directory manifest)
+    val cpTmp = Files.createTempDirectory("realcp").toString
+    val cpLines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"k":"v"}}}""",
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":100,"dataChange":true}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$cpTmp/cp.json"),
+      cpLines.mkString("\n").getBytes("UTF-8"))
+    spark.read.schema(MiniDelta.logSchema).json(s"$cpTmp/cp.json")
+      .drop("commitInfo").coalesce(1)
+      .write.parquet(s"$cpTmp/out")
+    val part = new java.io.File(s"$cpTmp/out").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$cpTmp/out/$part"),
+      java.nio.file.Paths.get(f"$t%s/_delta_log/${1L}%020d.checkpoint.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    // a JSON tail commit AFTER the checkpoint
+    val f3 = landParquet(Seq((6L, "f")))
+    rawCommit(t, 2L, Seq(
+      s"""{"add":{"path":${jsonStr(f3)},"partitionValues":{},"size":100,"dataChange":true}}"""))
+    // snapshot = checkpoint adds + tail adds; f1 stays dead
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(got.columns.toSeq == Seq("id", "v"))
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L, 6L))
+    // schema + config resolve from the checkpoint's metaData ROW
+    assert(MiniDelta.latestSchema(spark, t).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "v")))
+    assert(MiniDelta.tableConfig(spark, t) == Map("k" -> "v"))
+    // time travel below the checkpoint replays raw JSON
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty, versionAsOf = Some(0L))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("protocol gate: unsupported reader demands throw named errors") {
+    def mk(lines: Seq[String]): String = {
+      val t = freshTable()
+      Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+      val f1 = new java.io.File(t).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+      rawCommit(t, 0L, lines ++ Seq(
+        s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+      t
+    }
+    // supported: v3 with features this engine honors
+    val ok = mk(Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors"]}}"""))
+    assert(MiniDelta.readFiltered(spark, ok, Seq.empty).count() == 1)
+    // v3 with a feature this engine lacks
+    val e1 = intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.readFiltered(spark, mk(Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""")),
+        Seq.empty).count()
+    }
+    assert(e1.getMessage.contains("v2Checkpoint"))
+    // reader version beyond the protocol this engine speaks
+    intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.readFiltered(spark, mk(Seq(
+        """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")),
+        Seq.empty).count()
+    }
+    // column mapping flagged from metaData configuration
+    val cm = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(cm)
+    val cmF = new java.io.File(cm).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val cmSchema = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    rawCommit(cm, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":$cmSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      s"""{"add":{"path":${jsonStr(cmF)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.readFiltered(spark, cm, Seq.empty).count()
+    }
+    // real roaring DV descriptor on an add: refuse, never resurrect
+    val dvT = mk(Seq.empty)
+    val dvF = new java.io.File(dvT).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    rawCommit(dvT, 1L, Seq(
+      s"""{"add":{"path":${jsonStr(dvF)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
+    val e2 = intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.readFiltered(spark, dvT, Seq.empty).count()
+    }
+    assert(e2.getMessage.contains("deletion-vector"))
+    // multi-part _last_checkpoint pointer
+    val mp = mk(Seq.empty)
+    assert(MiniDelta.readFiltered(spark, mp, Seq.empty).count() == 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$mp/_delta_log/_last_checkpoint"),
+      """{"version":0,"parts":3}""".getBytes("UTF-8"))
+    intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.snapshotFiles(spark, mp).count()
+    }
+  }
+
   test("overwrite replaceWhere guards the FIRST write too") {
     // Delta rejects out-of-scope rows even when the overwrite creates
     // the table — the not-yet-created early return must not skip the
