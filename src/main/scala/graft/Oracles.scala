@@ -1335,6 +1335,51 @@ GROUP BY 1 ORDER BY 1""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "d12_kmeans_cells" ->
+      """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+e AS (
+  SELECT vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings, g
+),
+c0 AS (SELECT vec_id AS cent_id, dim, x AS c FROM e WHERE vec_id < 8),
+d0 AS (
+  SELECT a.vec_id, b.cent_id,
+    round(SUM(a.x*a.x) - 2*SUM(a.x*b.c) + SUM(b.c*b.c), 4) AS d2
+  FROM e a JOIN c0 b USING (dim)
+  GROUP BY a.vec_id, b.cent_id
+),
+a0 AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+    FROM d0) WHERE rk = 1
+),
+m AS (
+  SELECT a0.cell, e.dim,
+    CAST(CAST(round(avg(e.x), 4) AS REAL) AS DOUBLE) AS c
+  FROM a0 JOIN e USING (vec_id)
+  GROUP BY a0.cell, e.dim
+),
+c1 AS (
+  SELECT c0.cent_id, c0.dim, coalesce(m.c, c0.c) AS c
+  FROM c0 LEFT JOIN m ON m.cell = c0.cent_id AND m.dim = c0.dim
+),
+d1 AS (
+  SELECT a.vec_id, b.cent_id,
+    round(SUM(a.x*a.x) - 2*SUM(a.x*b.c) + SUM(b.c*b.c), 4) AS d2
+  FROM e a JOIN c1 b USING (dim)
+  GROUP BY a.vec_id, b.cent_id
+),
+a1 AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rk
+    FROM d1) WHERE rk = 1
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+FROM a1 GROUP BY cell ORDER BY cell""",
+
     "sim_ivf_topk" ->
       """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
 c AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8),

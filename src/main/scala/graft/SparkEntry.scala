@@ -1299,7 +1299,7 @@ object SparkEntry {
       Dedup.connectedComponents(Dedup.minhashLsh(docs(s, d)))),
     "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(docs(s, d))),
     "d3_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
-    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(docs(s, d))),
+    "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAuto(docs(s, d))),
     "d5_embedding_neardup" -> ((s, d) =>
       Similarity.cellNearDup(emb(s, d), 0.35)),
     "sim_lsh_buckets" -> ((s, d) =>
@@ -1322,6 +1322,23 @@ object SparkEntry {
       // the bandwidth-bound first funnel stage at 100 TB.
       Similarity.quantizedTopK(emb(s, d),
         pmod(col("vec_id"), lit(100)) === 0, 10)),
+    "d12_kmeans_cells" -> ((s, d) => {
+      // TRAINED coarse quantizer end to end: one Lloyd iteration from
+      // the fixed init (vec_id < 8), means and distances rounded to 4
+      // decimals (the repo's cross-engine-exact rule), then a full
+      // nearest-centroid assignment under the trained centroids.
+      // Gate output: cell census (count + id-sum), which pins every
+      // single assignment.
+      import s.implicits._
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      val trained = Similarity.kmeansCentroids(e, k = 8, iters = 1,
+        roundDecimals = 4)
+      Similarity.assignCells(e, trained.toDF("cent_id", "cv"),
+        roundDecimals = 4)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy("cell")
+    }),
     "sim_ivf_topk" -> ((s, d) =>
       // IVF ANN: fixed-seed coarse quantizer (8 cells), probe the 3
       // nearest cells per query, exact top-5 within probed cells only.

@@ -497,4 +497,32 @@ object Dedup {
         (col("inter").cast("double") / col("un")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** [[ngramJaccard]] with per-block dispatch: blocks of at most
+    * `maxBlockDocs` documents run the blocked all-pairs sorted-merge
+    * (cheapest when (block size)^2 is small), larger blocks run the
+    * prefix-filter variant ([[ngramJaccardPrefix]]), whose cost follows
+    * shared-rare-prefix frequency instead of (block size)^2. Both are
+    * EXACT and pairs never cross blocks, so the dispatch is
+    * output-invariant — it only picks the cheaper plan per block. This
+    * is the 100 TB operating mode: a (en, web) block with 10^6+
+    * documents would make the all-pairs join a straggler and a
+    * (block size)^2 pair space, exactly the degenerate-block discipline
+    * of LSH `maxBucket` / SemDeDup `maxCell`.
+    *
+    * The block census is one map-side-combinable groupBy over
+    * (lang, source) — block cardinality rows, broadcast back. */
+  def ngramJaccardAuto(docs: DataFrame, n: Int = 3,
+                       maxBlockDocs: Long = 100000L): DataFrame = {
+    require(n <= 3, "prefix variant uses packed codes (n <= 3)")
+    val sizes = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("__block_docs"))
+    val tagged = docs.join(broadcast(sizes), Seq("lang", "source"))
+    val small = tagged.where(col("__block_docs") <= maxBlockDocs)
+      .drop("__block_docs")
+    val big = tagged.where(col("__block_docs") > maxBlockDocs)
+      .drop("__block_docs")
+    ngramJaccard(small, n).unionByName(ngramJaccardPrefix(big, n))
+      .orderBy("doc_a", "doc_b")
+  }
 }

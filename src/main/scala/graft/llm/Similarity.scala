@@ -288,7 +288,8 @@ object Similarity {
     * consumers (cell blocking, IVF) are robust to that by construction.
     */
   def kmeansCentroids(emb: DataFrame, k: Int,
-                      iters: Int): Seq[(Long, Array[Float])] = {
+                      iters: Int,
+                      roundDecimals: Int = -1): Seq[(Long, Array[Float])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     var cents: Seq[(Long, Array[Float])] = emb.where(col("vec_id") < k)
@@ -297,13 +298,22 @@ object Similarity {
     require(cents.nonEmpty, s"need at least one vector with vec_id < $k")
     for (_ <- 1 to iters) {
       val centsDF = cents.toDF("cent_id", "cv")
-      val assigned = assignCells(emb, centsDF)
+      val assigned = assignCells(emb, centsDF, roundDecimals)
+      // roundDecimals >= 0 is the cross-engine-exact mode (the repo's
+      // oracle rounding rule): the FP-sum-order-dependent mean is
+      // rounded before it becomes the next iteration's centroid, so
+      // distances and assignments are reproducible bit for bit on any
+      // engine that applies the same rounding
+      val mcol =
+        if (roundDecimals >= 0) round(col("m"), roundDecimals)
+        else col("m")
       val means = assigned
         .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x").cast("double")).as("m"))
         .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), mcol.as("m")))),
           s => s("m").cast("float")).as("cv"))
         .as[(Long, Array[Float])].collect().toMap
       cents = cents.map { case (id, old) => (id, means.getOrElse(id, old)) }
@@ -318,7 +328,8 @@ object Similarity {
     * [[assignByCosineLiteral]]: one narrow pass, zero shuffle.
     * |v-c|^2 = v.v - 2 v.c + c.c — three native dot folds, no per-pair
     * array materialization. */
-  def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(emb: DataFrame, centroids: DataFrame,
+                  roundDecimals: Int = -1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = centroids.select(col("cent_id"), col("cv"))
@@ -327,12 +338,18 @@ object Similarity {
       return emb.select(col("vec_id"), lit(0L).as("cell")).limit(0)
     val lit2 = typedLit(cents)
     val vv = dot(col("embedding"), col("embedding"))
+    // roundDecimals >= 0: compare ROUNDED distances (the oracle
+    // rounding rule) so the argmin is engine-exact — FP sum-order noise
+    // (~1e-12) cannot flip near-equidistant centroids, and rounded ties
+    // break to the lowest cent_id identically everywhere
+    def d2(c: Column): Column = {
+      val raw = vv - lit(2.0) * dot(col("embedding"), c("_2")) +
+        dot(c("_2"), c("_2"))
+      if (roundDecimals >= 0) round(raw, roundDecimals) else raw
+    }
     val best = aggregate(lit2,
       struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("id")),
-      (acc, c) => least(acc, struct(
-        (vv - lit(2.0) * dot(col("embedding"), c("_2"))
-          + dot(c("_2"), c("_2"))).as("d2"),
-        c("_1").as("id"))))
+      (acc, c) => least(acc, struct(d2(c).as("d2"), c("_1").as("id"))))
     emb.select(col("vec_id"), best("id").as("cell"))
   }
 

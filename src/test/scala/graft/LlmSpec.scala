@@ -297,6 +297,18 @@ class LlmSpec extends AnyFunSuite {
     val synth = docsDF(1L -> "abcdefgh", 2L -> "abcdefgh", 3L -> "zzzzzzzz",
       4L -> "über die brücke", 5L -> "über die brücke")
     assert(key(Dedup.ngramJaccardPrefix(synth)) == key(Dedup.ngramJaccard(synth)))
+    // auto-dispatch on a corpus whose blocks STRADDLE the threshold:
+    // the (en, s) block (5 docs) routes to the prefix variant, the
+    // (en, t) block (2 docs) stays on blocked all-pairs — the union
+    // must equal the single-strategy result pair for pair
+    val straddle = synth.unionByName(
+      docsDF(6L -> "qrstuvwx", 7L -> "qrstuvwx")
+        .withColumn("source", lit("t")))
+    assert(key(Dedup.ngramJaccardAuto(straddle, maxBlockDocs = 3)) ==
+      key(Dedup.ngramJaccard(straddle)))
+    // boundary inclusivity: == threshold stays all-pairs, never drops
+    assert(key(Dedup.ngramJaccardAuto(straddle, maxBlockDocs = 5)) ==
+      key(Dedup.ngramJaccard(straddle)))
   }
 
   test("ngram jaccard n=4 (hashed codes) matches string-shingle reference") {
