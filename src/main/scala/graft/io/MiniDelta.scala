@@ -2230,7 +2230,31 @@ object MiniDelta {
     * OPTIMIZE rewrites never re-deliver. */
   def processChanges(spark: SparkSession, table: String,
                      checkpointDir: String)
-                    (handle: (DataFrame, Long) => Unit): Long = {
+                    (handle: (DataFrame, Long) => Unit): Long =
+    processFeed(spark, table, checkpointDir, deliverRemoves = false,
+      feed = v => readChanges(spark, table, v - 1, v))(handle)
+
+  /** [[processChanges]] for the ROW-LEVEL change feed: exactly-once
+    * micro-batch consumption of [[readCdf]], one batch per commit, with
+    * the same marker/resume contract. Unlike the file-level feed, a
+    * commit whose only dataChange actions are REMOVES (a pure DELETE)
+    * still delivers — its deleted rows are the batch. This is the
+    * table-as-CDF-stream path (Delta's `readChangeFeed` streaming
+    * source restated): offsets are commit versions, batches are the
+    * commit's pre/post images, and a downstream materializer can apply
+    * deletes/updates incrementally instead of reprocessing appends
+    * only. */
+  def processCdf(spark: SparkSession, table: String,
+                 checkpointDir: String)
+                (handle: (DataFrame, Long) => Unit): Long =
+    processFeed(spark, table, checkpointDir, deliverRemoves = true,
+      feed = v => readCdf(spark, table, v - 1, v))(handle)
+
+  private def processFeed(spark: SparkSession, table: String,
+                          checkpointDir: String,
+                          deliverRemoves: Boolean,
+                          feed: Long => DataFrame)
+                         (handle: (DataFrame, Long) => Unit): Long = {
     val f = fs(spark, checkpointDir)
     val marker = new Path(s"$checkpointDir/last_version")
     def readMarker(): Long =
@@ -2259,16 +2283,21 @@ object MiniDelta {
     var last = readMarker()
     while (last < latest) {
       val v = last + 1
-      // a commit with no dataChange adds (OPTIMIZE) delivers nothing:
-      // advance the marker without waking the handler — an empty batch
-      // would crash typical aggregate-and-index handlers
+      // a commit with no dataChange actions (OPTIMIZE) delivers
+      // nothing: advance the marker without waking the handler — an
+      // empty batch would crash typical aggregate-and-index handlers.
+      // The CDF feed also wakes on dataChange REMOVES (pure deletes);
+      // the file-level feed only on adds.
+      val delivers = col("add").isNotNull && col("add.dataChange") ||
+        (if (deliverRemoves)
+          col("remove").isNotNull && col("remove.dataChange")
+         else lit(false))
       val hasChanges = logJsonVersions(spark, table, v, v).map(_._2) match {
         case Seq() => false
         case files => logDFIn(spark, files)
-          .where(col("add").isNotNull && col("add.dataChange"))
-          .limit(1).collect().nonEmpty
+          .where(delivers).limit(1).collect().nonEmpty
       }
-      if (hasChanges) handle(readChanges(spark, table, v - 1, v), v)
+      if (hasChanges) handle(feed(v), v)
       writeMarker(v)
       last = v
     }

@@ -158,4 +158,43 @@ class FileStreamSpec extends AnyFunSuite {
     assert(MiniDelta.logDF(spark, batched)
       .where(col("commitInfo").isNotNull).count() == 1)
   }
+
+  test("processCdf streams row-level changes: drained feed == batch readCdf") {
+    // the streaming CDF source: an append + UPDATE + DELETE lifecycle
+    // drained one commit per micro-batch must reproduce the batch
+    // readCdf feed exactly — including the pure-DELETE commit, which
+    // carries only dataChange REMOVES and must still wake the handler
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("cdfstream").toString + "/t"
+    val cp = Files.createTempDirectory("cdfcp").toString
+    MiniDelta.append(spark,
+      (1L to 9L).map(i => (i, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    MiniDelta.update(spark, t, col("id") <= 3,
+      Map("payload" -> lit("edited")), Seq.empty)
+    MiniDelta.delete(spark, t, col("id") >= 8, Seq.empty)
+    MiniDelta.compact(spark, t, Seq.empty) // dataChange=false: no batch
+    val drained = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(Long, String, String, Long)])]
+    val last = MiniDelta.processCdf(spark, t, cp) { (batch, v) =>
+      drained += v -> batch
+        .select("id", "payload", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSet
+    }
+    assert(last == 3L)
+    // one batch per DATA commit, in version order; OPTIMIZE delivers none
+    assert(drained.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(drained(0)._2.forall(_._3 == "insert"))
+    assert(drained(1)._2.map(_._3) == Set("update_preimage", "update_postimage"))
+    assert(drained(2)._2 == Set((8L, "v8", "delete", 2L), (9L, "v9", "delete", 2L)))
+    // the union of the drained micro-batches IS the batch feed
+    val batchFeed = MiniDelta.readCdf(spark, t, fromVersion = -1)
+      .select("id", "payload", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(drained.flatMap(_._2).toSet == batchFeed)
+    // resume contract: nothing re-delivers
+    MiniDelta.processCdf(spark, t, cp) { (_, _) => fail("redelivery") }
+  }
 }
