@@ -46,9 +46,10 @@ object MiniDelta {
       s"409: commit $version at $path lost a concurrent-writer race")
 
   /** A real-Delta table demands a capability this engine lacks (reader
-    * version, table feature, multi-part checkpoint, roaring deletion
-    * vectors). Failing loudly here is the protocol's own rule — a
-    * reader that ignores the gate returns silently wrong rows. */
+    * version, table feature, multi-part checkpoint, an unknown
+    * deletion-vector storage form). Failing loudly here is the
+    * protocol's own rule — a reader that ignores the gate returns
+    * silently wrong rows. */
   final class UnsupportedTableFeatureException(msg: String)
     extends RuntimeException(msg)
 
@@ -69,6 +70,11 @@ object MiniDelta {
     * vacuumProtocolCheck constrains vacuum, not reads. */
   private val supportedReaderFeatures =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+
+  /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
+    * under the table root, Z85 UUID name), `i` (inline Z85 payload),
+    * `p` (absolute file path). */
+  private val supportedDvStorage = Set("u", "i", "p")
 
   /** Write a parquet checkpoint automatically after every N commits. */
   val checkpointInterval = 10
@@ -1309,11 +1315,10 @@ object MiniDelta {
         .withColumn("__ri", col("_metadata.row_index"))
         .select((cols.map(col) ++ Seq(col("__fname"), col("__ri"))): _*)
     }.reduce(_.unionByName(_))
-    val masks = files.flatMap(_._2).distinct
-    if (masks.isEmpty) raw
+    val masked = files.collect { case (p, Some(d)) => (p, d) }
+    if (masked.isEmpty) raw
     else {
-      val dv = spark.read.parquet(masks.map(resolvePath(table, _)).toIndexedSeq: _*)
-        .select(col("fname").as("__dv_fname"), col("row_index").as("__dv_ri"))
+      val dv = maskDF(spark, table, masked)
       raw.join(dv, raw("__fname") === dv("__dv_fname") &&
         raw("__ri") === dv("__dv_ri"), "left_anti")
     }
@@ -1835,7 +1840,7 @@ object MiniDelta {
     var minReader = -1
     var readerFeats: Seq[String] = Nil
     var cmMode: Option[String] = None
-    var realDv = false
+    val badDvTypes = scala.collection.mutable.Set.empty[String]
     cp.foreach { v =>
       val p = new Path(checkpointPath(table, v))
       val isFile =
@@ -1861,9 +1866,11 @@ object MiniDelta {
             .asInstanceOf[org.apache.spark.sql.types.StructType]
             .fieldNames.contains("deletionVector")
         if (addReal)
-          realDv = raw
+          badDvTypes ++= raw
             .where(col("add.deletionVector.storageType").isNotNull)
-            .limit(1).count() > 0
+            .select("add.deletionVector.storageType").distinct()
+            .collect().map(_.getString(0))
+            .filterNot(supportedDvStorage)
       } else
         // own checkpoint shape: the config sidecar can still carry a
         // mapped mode (e.g. set through a cloned table's properties)
@@ -1897,7 +1904,11 @@ object MiniDelta {
               val add = node.get("add")
               if (add != null && !add.isNull) {
                 val dv = add.get("deletionVector")
-                if (dv != null && !dv.isNull) realDv = true
+                if (dv != null && !dv.isNull) {
+                  val st = Option(dv.get("storageType"))
+                    .map(_.asText()).getOrElse("<absent>")
+                  if (!supportedDvStorage(st)) badDvTypes += st
+                }
               }
               val md = node.get("metaData")
               if (md != null && !md.isNull) {
@@ -1924,11 +1935,14 @@ object MiniDelta {
     }
     cmMode.filter(_ != "none").foreach(m =>
       throw new ColumnMappingUnsupportedException(table, m))
-    if (realDv)
+    // real DV descriptors in the known storage forms (u/i/p) are READ
+    // (roaring decode, [[RoaringDv]]); an unknown storage form cannot
+    // be decoded, and ignoring it would silently resurrect deleted rows
+    if (badDvTypes.nonEmpty)
       throw new UnsupportedTableFeatureException(
-        s"$table carries real Delta deletion-vector descriptors " +
-          "(roaring bitmaps); reading them as full files would silently " +
-          "resurrect deleted rows — compact with a DV-aware client first")
+        s"$table carries deletion vectors with unsupported storageType " +
+          s"${badDvTypes.toSeq.sorted.mkString("[", ", ", "]")} — this " +
+          "engine decodes u/i/p roaring deletion vectors only")
     readableThrough.put(table, hi)
   }
 
@@ -1958,20 +1972,24 @@ object MiniDelta {
       val raw = spark.read.parquet(checkpointPath(table, v))
       if (raw.columns.contains("add")) {
         // REAL Delta checkpoint: one row per action, live adds ride as
-        // a nullable struct column. Real-DV descriptors were already
-        // refused by requireReadable, so null dv columns are safe.
+        // a nullable struct column. A real-DV descriptor becomes the
+        // same "rdv" marker the JSON tail produces.
         val addT = raw.schema("add").dataType
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val stats =
           if (addT.fieldNames.contains("stats")) col("add.stats")
           else lit(null).cast("string")
+        val (dvPath, dvCard) =
+          if (addT.fieldNames.contains("deletionVector"))
+            (realDvMarker, col("add.deletionVector.cardinality"))
+          else (lit(null).cast("string"), lit(null).cast("long"))
         raw.where(col("add").isNotNull).select(
           col("add.path").as("path"),
           col("add.partitionValues").as("partitionValues"),
           col("add.size").cast("long").as("size"),
           stats.as("stats"),
-          lit(null).cast("string").as("dv_path"),
-          lit(null).cast("long").as("dv_card"),
+          dvPath.as("dv_path"),
+          dvCard.cast("long").as("dv_card"),
           lit(v).as("version"))
       } else {
         // this engine's own manifest shape; pre-DV checkpoints lack the
@@ -1988,8 +2006,11 @@ object MiniDelta {
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
         col("add.size").as("size"), col("add.stats").as("stats"),
-        col("add.dv.path").as("dv_path"),
-        col("add.dv.cardinality").as("dv_card"),
+        // own sidecar DV first; a REAL descriptor rides as an "rdv"
+        // marker the mask loader decodes ([[maskDF]])
+        coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
+        coalesce(col("add.dv.cardinality"),
+          col("add.deletionVector.cardinality")).as("dv_card"),
         col("version"))
     val adds = base.fold(jsonAdds)(_.unionByName(jsonAdds))
     val addLatest = adds.groupBy("path").agg(max("version").as("add_v"))
@@ -2156,6 +2177,68 @@ object MiniDelta {
         if (r.isNullAt(dvIdx)) None else Some(r.getString(dvIdx)))
     }
 
+  // a REAL Delta DV descriptor carried through the snapshot's dv_path
+  // column: "rdv\0storageType\0pathOrInlineDv\0offset\0sizeInBytes".
+  // NUL never appears in our sidecar paths ("_delta_log/_dv/...") or in
+  // descriptor fields, so the marker cannot collide or mis-split.
+  private val RealDvPrefix = "rdv\u0000"
+
+  private def realDvMarker: org.apache.spark.sql.Column =
+    when(col("add.deletionVector.storageType").isNotNull,
+      concat_ws("\u0000", lit("rdv"),
+        col("add.deletionVector.storageType"),
+        col("add.deletionVector.pathOrInlineDv"),
+        coalesce(col("add.deletionVector.offset"), lit(-1)).cast("string"),
+        col("add.deletionVector.sizeInBytes").cast("string")))
+      .otherwise(lit(null).cast("string"))
+
+  private lazy val decodeDvUdf =
+    udf((b: Array[Byte]) => RoaringDv.decode(b))
+
+  /** The mask relation (`__dv_fname`, `__dv_ri`) for (data path, dv
+    * ref) pairs: sidecar refs load as a distributed parquet scan; real
+    * Delta descriptors ("rdv" markers) have their compressed bitmap
+    * BYTES fetched driver-side (KBs — a million masked rows is ~100 KB
+    * roaring) and exploded to row indexes in executors, so the mask
+    * join itself stays distributed either way. */
+  private def maskDF(spark: SparkSession, table: String,
+                     pairs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val (real, side) = pairs.partition(_._2.startsWith(RealDvPrefix))
+    val sideDf =
+      if (side.isEmpty) None
+      else Some(spark.read
+        .parquet(side.map(p => resolvePath(table, p._2))
+          .distinct.toIndexedSeq: _*)
+        .select(col("fname").as("__dv_fname"),
+          col("row_index").as("__dv_ri")))
+    val realDf =
+      if (real.isEmpty) None
+      else Some {
+        val f = fs(spark, table)
+        val rows = real.distinct.map { case (p, marker) =>
+          marker.split("\u0000", -1) match {
+            case Array(_, st, pod, off, size) =>
+              (dvKeyOf(p),
+                RoaringDv.fetch(f, table, st, pod, off.toInt, size.toInt))
+            case _ => throw new RoaringDv.DvFormatException(
+              s"malformed DV marker on $p")
+          }
+        }
+        rows.toDF("__dv_fname", "__b")
+          .select(col("__dv_fname"),
+            explode(decodeDvUdf(col("__b"))).as("__dv_ri"))
+      }
+    (sideDf, realDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => spark.emptyDataFrame
+        .withColumn("__dv_fname", lit(null).cast("string"))
+        .withColumn("__dv_ri", lit(null).cast("long"))
+    }
+  }
+
   /** [[readFilesAs]] with deletion vectors applied: each file pairs
     * with the optional DV sidecar masking its deleted rows. DV'd files
     * are read with their identity and row index (`_metadata.file_path`
@@ -2169,11 +2252,10 @@ object MiniDelta {
       : DataFrame = {
     val plain = files.collect { case (p, None) => resolvePath(table, p) }
     val dvd = files.collect { case (p, Some(d)) =>
-      (p, resolvePath(table, p), resolvePath(table, d)) }
+      (p, resolvePath(table, p), d) }
     val base = readFilesAs(spark, table, plain, declared)
     if (dvd.isEmpty) return base
-    val dv = spark.read.parquet(dvd.map(_._3).distinct.toIndexedSeq: _*)
-      .select(col("fname").as("__dv_fname"), col("row_index").as("__dv_ri"))
+    val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)
     val masked = groups.map { case (bp, fs2) =>

@@ -954,16 +954,17 @@ class MiniDeltaSpec extends AnyFunSuite {
     intercept[MiniDelta.ColumnMappingUnsupportedException] {
       MiniDelta.readFiltered(spark, cm, Seq.empty).count()
     }
-    // real roaring DV descriptor on an add: refuse, never resurrect
+    // a DV whose storage form this engine cannot DECODE: refuse loudly,
+    // never resurrect (supported u/i/p forms are read — RoaringDvSpec)
     val dvT = mk(Seq.empty)
     val dvF = new java.io.File(dvT).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head
     rawCommit(dvT, 1L, Seq(
-      s"""{"add":{"path":${jsonStr(dvF)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
+      s"""{"add":{"path":${jsonStr(dvF)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"x","pathOrInlineDv":"whoknows","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
     val e2 = intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.readFiltered(spark, dvT, Seq.empty).count()
     }
-    assert(e2.getMessage.contains("deletion-vector"))
+    assert(e2.getMessage.contains("storageType"))
     // multi-part _last_checkpoint pointer
     val mp = mk(Seq.empty)
     assert(MiniDelta.readFiltered(spark, mp, Seq.empty).count() == 1)

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{MiniDelta, RoaringDv}
+
+/** Real Delta deletion vectors: the roaring codec itself, and masked
+  * reads of real-format tables carrying inline ('i') and file-backed
+  * ('u') descriptors. */
+class RoaringDvSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("portable RoaringBitmapArray round-trips across container types") {
+    // array container (sparse), bitmap container (>4096 per 16-bit
+    // block), and a second 32-bit key (row index >= 2^32)
+    val sparse = Seq(0L, 1L, 5L, 65534L, 65536L, 1000000L)
+    val dense = (0L until 5000L).map(_ * 2) // 5000 entries, one block
+    val highKey = Seq((1L << 32) | 7L, (1L << 32) | 65540L)
+    for (vs <- Seq(sparse, dense, highKey, sparse ++ dense ++ highKey)) {
+      val got = RoaringDv.decode(RoaringDv.encode(vs)).toSeq
+      assert(got == vs.distinct.sorted, s"round-trip failed for $vs")
+    }
+    // empty bitmap array
+    assert(RoaringDv.decode(RoaringDv.encode(Seq.empty)).isEmpty)
+  }
+
+  test("run containers and the run-cookie header decode per spec") {
+    // hand-build a single bitmap with ONE run container holding
+    // values 10..14 and 20..21 (cookie 12347, n=1, run bitset 0x01,
+    // no offset header because n < 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit = (0 to 3).foreach(i => bos.write((v >>> (8 * i)) & 0xff))
+    def i16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    i32(RoaringDv.Magic)
+    i32(1); i32(0) // one bitmap (i64 LE)
+    i32(0)         // key 0
+    i32(12347)     // run cookie, containers = (0 << 16) + 1
+    bos.write(0x01) // run bitset: container 0 is a run
+    i16(0); i16(7 - 1) // descriptive header: key 0, cardinality 7
+    i16(2)             // two runs
+    i16(10); i16(4)    // 10 + 0..4
+    i16(20); i16(1)    // 20..21
+    val got = RoaringDv.decode(bos.toByteArray).toSeq
+    assert(got == Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L))
+  }
+
+  test("Z85 round-trips and rejects bad input") {
+    val bytes = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    assert(RoaringDv.z85ToBytes(RoaringDv.bytesToZ85(bytes)).toSeq ==
+      bytes.toSeq)
+    intercept[RoaringDv.DvFormatException] { RoaringDv.z85ToBytes("abc") }
+    intercept[RoaringDv.DvFormatException] { RoaringDv.z85ToBytes("~~~~~") }
+  }
+
+  private def jsonStr(s: String): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(s)
+
+  /** A real-format table: one 10-row parquet file + raw JSON commits. */
+  private def realTable(): (String, String, String) = {
+    val t = Files.createTempDirectory("realdv").toString + "/t"
+    val df = (0L until 10L).map(i => (i, s"p$i")).toDF("id", "payload")
+    df.coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    (t, f1, jsonStr(df.schema.json))
+  }
+
+  test("inline ('i') deletion vector masks rows on read") {
+    val (t, f1, schemaJson) = realTable()
+    // rows are written by ONE task in id order, so row_index == id
+    val payload = RoaringDv.encode(Seq(1L, 3L, 7L))
+    // Z85 needs 4-byte alignment; Delta pads inline payloads the same
+    // way via its codec — decode() reads only the declared structure,
+    // so trailing pad bytes are inert
+    val padded = payload ++ Array.fill((4 - payload.length % 4) % 4)(0.toByte)
+    val inline = RoaringDv.bytesToZ85(padded)
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/${0L}%020d.json"),
+      (s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":${jsonStr(inline)},"sizeInBytes":${padded.length},"cardinality":3}}}""")
+        .getBytes("UTF-8"))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 4L, 5L, 6L, 8L, 9L))
+    // the snapshot carries the descriptor's cardinality
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .select("dv_card").as[Long].head() == 3L)
+  }
+
+  test("file-backed ('u') deletion vector masks rows; corruption throws") {
+    val (t, f1, schemaJson) = realTable()
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val payload = RoaringDv.encode(Seq(0L, 9L))
+    val (id, offset, size) = RoaringDv.writeDvFile(f, t, payload)
+    new java.io.File(s"$t/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/${0L}%020d.json"),
+      (s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(id)},"offset":$offset,"sizeInBytes":$size,"cardinality":2}}}""")
+        .getBytes("UTF-8"))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1L to 8L))
+    // a size mismatch between frame and descriptor is a torn DV: throw,
+    // never unmask
+    val bad = Files.createTempDirectory("realdvbad").toString + "/t"
+    val df2 = (0L until 4L).map(i => (i, s"p$i")).toDF("id", "payload")
+    df2.coalesce(1).write.parquet(bad)
+    val f2 = new java.io.File(bad).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val (id2, off2, size2) = RoaringDv.writeDvFile(f, bad, payload)
+    new java.io.File(s"$bad/_delta_log").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"$bad%s/_delta_log/${0L}%020d.json"),
+      (s"""{"metaData":{"schemaString":${jsonStr(df2.schema.json)},"partitionColumns":[],"configuration":{}}}""" + "\n" +
+        s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":10,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${jsonStr(id2)},"offset":$off2,"sizeInBytes":${size2 + 1},"cardinality":2}}}""")
+        .getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      MiniDelta.readFiltered(spark, bad, Seq.empty).collect()
+    }
+    assert(e.getMessage.contains("sizeInBytes"), e.getMessage)
+  }
+}
