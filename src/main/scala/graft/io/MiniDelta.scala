@@ -895,7 +895,16 @@ object MiniDelta {
       s""","stats":${jstr(s)}"""
     }
     val dvField = dv.fold("") { case (p, card) =>
-      s""","dv":{"path":${jstr(p)},"cardinality":$card}"""
+      // an "rdv" marker renders as the REAL protocol descriptor (what
+      // this engine's own DV writes produce — consumable by real Delta
+      // readers); legacy parquet-sidecar masks keep the custom field
+      if (p.startsWith(RealDvPrefix)) {
+        val Array(_, st, pod, off, size) = p.split("\u0000", -1)
+        val offField = if (off == "-1") "" else s""""offset":$off,"""
+        s""","deletionVector":{"storageType":${jstr(st)},""" +
+          s""""pathOrInlineDv":${jstr(pod)},$offField""" +
+          s""""sizeInBytes":$size,"cardinality":$card}"""
+      } else s""","dv":{"path":${jstr(p)},"cardinality":$card}"""
     }
     s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField$dvField}}"""
   }
@@ -1231,10 +1240,21 @@ object MiniDelta {
   }
 
   /** The mask step shared by DV DELETE and DV UPDATE: given the matched
-    * LIVE rows (with `__fname`/`__ri` identity), write the new sidecar
-    * (old masks ∪ matched) and return the remove + re-add action lines;
-    * files whose every live row matched are plainly removed. None when
-    * nothing matched. */
+    * LIVE rows (with `__fname`/`__ri` identity), write the new masks
+    * (old ∪ matched, per file) and return the remove + re-add action
+    * lines; files whose every live row matched are plainly removed.
+    * None when nothing matched.
+    *
+    * Masks are written in the REAL Delta DV format: per-file roaring
+    * bitmaps packed into one `deletion_vector_<uuid>.bin` under the
+    * table root (fresh UUID — two writers racing on the same
+    * readVersion cannot clobber each other; the loser's bin is an
+    * orphan for vacuum), referenced from each re-add as an add-action
+    * `deletionVector` descriptor — tables this engine masks are
+    * consumable by real Delta readers. Bitmaps are built per file in
+    * executors (`collect_list` bounded by one file's mask — the same
+    * per-file memory a real writer holds) and only the compressed
+    * bytes reach the driver. */
   private def dvMaskActions(spark: SparkSession, table: String,
                             readVersion: Long,
                             declared: Option[org.apache.spark.sql.types.StructType],
@@ -1256,40 +1276,47 @@ object MiniDelta {
     val fullyGone = matchedCounts.filter { case (f, n) => totals(f) == n }.keySet
     val surviving = touchedPairs.filterNot(p =>
       fullyGone.contains(dvKeyOf(p._1)))
-    // the new mask per surviving file = old mask ∪ newly matched rows.
-    // UUID suffix: two writers racing on the same readVersion must not
-    // overwrite each other's sidecar — the loser's commit conflicts,
-    // and its uniquely-named sidecar is just an orphan for vacuum
-    val dvRel = f"_delta_log/_dv/v${readVersion + 1}%020d-" +
-      java.util.UUID.randomUUID().toString
-    val oldMasks = surviving.flatMap(_._2).distinct
+    // the new mask per surviving file = old mask ∪ newly matched rows
+    // (old masks load through maskDF: legacy parquet sidecars and real
+    // descriptors both resolve)
+    val oldPairs = surviving.collect { case (rel, Some(d)) => (rel, d) }
     val oldRows =
-      if (oldMasks.isEmpty)
+      if (oldPairs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("fname",
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("row_index",
               org.apache.spark.sql.types.LongType))))
-      else spark.read.parquet(oldMasks.map(resolvePath(table, _)).toIndexedSeq: _*)
-        .select("fname", "row_index")
+      else maskDF(spark, table, oldPairs)
+        .select(col("__dv_fname").as("fname"), col("__dv_ri").as("row_index"))
     val survivingF = surviving.map(p => dvKeyOf(p._1)).toSet
-    matched.where(!col("fname").isin(fullyGone.toSeq: _*))
+    val perFile = matched.where(!col("fname").isin(fullyGone.toSeq: _*))
       .unionByName(oldRows.where(col("fname").isin(survivingF.toSeq: _*)))
       .distinct()
-      .write.mode("overwrite").parquet(resolvePath(table, dvRel))
-    val cards = spark.read.parquet(resolvePath(table, dvRel))
-      .groupBy("fname").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .groupBy("fname").agg(collect_list(col("row_index")).as("ris"))
+      .select(col("fname"), encodeDvUdf(col("ris")).as("bytes"),
+        size(col("ris")).cast("long").as("card"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+      .sortBy(_._1)
+    val (dvId, frames) = RoaringDv.writePackedDvFile(fs(spark, table),
+      table, perFile.map(p => p._1 -> p._2).toIndexedSeq)
     val now = System.currentTimeMillis()
     Some((touchedPairs.map(p => removeLine(p._1, dataChange = true, now)) ++
       surviving.map { case (rel, _) =>
         val r = byFname(dvKeyOf(rel))
+        val (off, sz) = frames(dvKeyOf(rel))
+        val marker = RealDvPrefix + s"u\u0000$dvId\u0000$off\u0000$sz"
         addLine(rel, r.getLong(r.fieldIndex("size")),
           Option(r.getString(r.fieldIndex("stats"))),
-          dv = Some((dvRel, cards.getOrElse(dvKeyOf(rel), 0L))))
+          dv = Some((marker,
+            perFile.find(_._1 == dvKeyOf(rel)).map(_._3).getOrElse(0L))))
       }).toSeq)
   }
+
+  private lazy val encodeDvUdf =
+    udf((ris: Seq[Long]) => RoaringDv.encode(ris))
 
   /** DV-masked read that KEEPS each row's (filename, row index)
     * identity — the discovery scan of [[deleteWithDv]]. */
@@ -1565,7 +1592,41 @@ object MiniDelta {
         } => s"_delta_log/_dv/${st.getPath.getName}"
       }
     deadDv.foreach(p => f.delete(new Path(s"$table/$p"), true))
-    dead ++ deadDv
+    // real-format DV bins (this engine's own DV writes pack per-file
+    // roaring bitmaps into deletion_vector_<uuid>.bin at the root):
+    // same life rule as sidecars, keyed by the bin name the 'u'
+    // descriptor resolves to. Clone-produced 'p' markers point at the
+    // SOURCE's root and are never candidates (only THIS root is listed).
+    def binOf(marker: String): Option[String] =
+      marker.split("\u0000", -1) match {
+        case Array(_, "u", pod, _, _) => Some(RoaringDv
+          .dvFileOf(table, "u", pod).stripPrefix(s"$table/"))
+        case _ => None
+      }
+    val liveBins = snapRows.collect {
+      case r if !r.isNullAt(1) &&
+        r.getString(1).startsWith(RealDvPrefix) => binOf(r.getString(1))
+    }.flatten.toSet
+    val binDeref: Map[String, Long] = logDF(spark, table)
+      .where(col("add").isNotNull &&
+        col("add.deletionVector.storageType") === "u")
+      .select(col("add.deletionVector.pathOrInlineDv").as("d"),
+        col("add.path").as("p"))
+      .collect()
+      .groupBy(r => RoaringDv.dvFileOf(table, "u", r.getString(0))
+        .stripPrefix(s"$table/"))
+      .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
+      .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
+    val deadBins = f.listStatus(new Path(table)).toSeq.collect {
+      case st if {
+        val n = st.getPath.getName
+        n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+          !liveBins.contains(n) &&
+          binDeref.getOrElse(n, st.getModificationTime) <= cutoff
+      } => st.getPath.getName
+    }
+    deadBins.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    dead ++ deadDv ++ deadBins
   }
 
   /** INSERT OVERWRITE: replace the table's contents (or, with
@@ -1688,7 +1749,7 @@ object MiniDelta {
     val missing = (tgt.keySet -- cur.keySet)
       .filterNot(p => f.exists(new Path(resolvePath(table, p)))) ++
       addKeys.flatMap(p => dvOf(tgt(p)).map(_._1))
-        .filterNot(d => f.exists(new Path(resolvePath(table, d))))
+        .filterNot(d => dvRefExists(f, table, d))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
@@ -1785,7 +1846,7 @@ object MiniDelta {
       // deletion vectors ride along, absolutized like the data paths
       val dvIdx = r.fieldIndex("dv_path")
       val dv = if (r.isNullAt(dvIdx)) None
-        else Some((resolvePath(source, r.getString(dvIdx)),
+        else Some((dvRefForClone(source, r.getString(dvIdx)),
           r.getLong(r.fieldIndex("dv_card"))))
       addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dv)
@@ -2195,6 +2256,34 @@ object MiniDelta {
   private lazy val decodeDvUdf =
     udf((b: Array[Byte]) => RoaringDv.decode(b))
 
+  /** Does a dv ref (legacy sidecar path or "rdv" marker) still
+    * resolve? The vacuum-horizon guards of the change feeds use this —
+    * an inline ('i') mask rides in the log itself and never vacuums. */
+  private def dvRefExists(f: org.apache.hadoop.fs.FileSystem,
+                          table: String, ref: String): Boolean =
+    if (ref.startsWith(RealDvPrefix))
+      ref.split("\u0000", -1) match {
+        case Array(_, "i", _, _, _) => true
+        case Array(_, st, pod, _, _) =>
+          f.exists(new Path(RoaringDv.dvFileOf(table, st, pod)))
+        case _ => false
+      }
+    else f.exists(new Path(resolvePath(table, ref)))
+
+  /** A dv ref rebased for a shallow CLONE whose data stays under the
+    * SOURCE root: 'u' markers become absolute 'p' markers, sidecar
+    * paths become absolute; 'p' and inline 'i' are location-free. */
+  private def dvRefForClone(source: String, ref: String): String =
+    if (ref.startsWith(RealDvPrefix))
+      ref.split("\u0000", -1) match {
+        case Array(_, "u", pod, off, sz) =>
+          RealDvPrefix +
+            Seq("p", RoaringDv.dvFileOf(source, "u", pod), off, sz)
+              .mkString("\u0000")
+        case _ => ref
+      }
+    else resolvePath(source, ref)
+
   /** The mask relation (`__dv_fname`, `__dv_ri`) for (data path, dv
     * ref) pairs: sidecar refs load as a distributed parquet scan; real
     * Delta descriptors ("rdv" markers) have their compressed bitmap
@@ -2447,7 +2536,8 @@ object MiniDelta {
     // under the DV in effect BEFORE the commit (resolved lazily from
     // the v-1 snapshot, metadata-scale)
     val addDv = log.where(col("add").isNotNull && col("add.dataChange"))
-      .select(col("version"), col("add.path"), col("add.dv.path"))
+      .select(col("version"), col("add.path"),
+        coalesce(col("add.dv.path"), realDvMarker))
       .collect().map(r => (r.getLong(0), r.getString(1)) ->
         (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
     val adds = filesOf("add")
@@ -2463,9 +2553,17 @@ object MiniDelta {
             s"${gone.length} vacuumed $what (first: ${gone.head}); the " +
             "consumer checkpoint predates the table's retention — reset it")
     }
+    def requireDvRefs(rs: Iterable[String]): Unit = {
+      val gone = rs.toSeq.distinct.filterNot(dvRefExists(f, table, _))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"change feed at versions ($fromVersion, $toVersion] references " +
+            s"${gone.length} vacuumed deletion vector(s); the consumer " +
+            "checkpoint predates the table's retention — reset it")
+    }
     requireFeedPaths(adds.values.flatten ++ removes.values.flatten, "file(s)")
     // the masks the window's adds name must also still exist
-    requireFeedPaths(addDv.values.flatten, "deletion-vector sidecar(s)")
+    requireDvRefs(addDv.values.flatten)
     val parts = (adds.keySet ++ removes.keySet).toSeq.sorted.map { v =>
       val a = adds.getOrElse(v, Seq.empty)
       val r = removes.getOrElse(v, Seq.empty)
@@ -2478,7 +2576,7 @@ object MiniDelta {
         paths.map(p => (p, addDv.getOrElse((v, p), None))), declared)
       def readRems(paths: Seq[String]) = {
         val pairs = paths.map(p => (p, priorDv.getOrElse(p, None)))
-        requireFeedPaths(pairs.flatMap(_._2), "deletion-vector sidecar(s)")
+        requireDvRefs(pairs.flatMap(_._2))
         readFilesWithDv(spark, table, pairs, declared)
       }
       val (preLabel, postLabel) = ops.getOrElse(v, "WRITE") match {
@@ -2540,7 +2638,7 @@ object MiniDelta {
     val changed = logDFIn(spark, tail)
       .where(col("add").isNotNull && col("add.dataChange"))
       .select(col("add.path").as("path"), col("version"),
-        col("add.dv.path").as("dv_path"))
+        coalesce(col("add.dv.path"), realDvMarker).as("dv_path"))
       .collect()
     if (changed.isEmpty) return empty
     // a consumer resuming from before a VACUUM horizon would read files
@@ -2548,9 +2646,11 @@ object MiniDelta {
     // FileNotFound, so the operator resets the checkpoint deliberately
     // (Delta guards the same case with a retention window)
     val f = fs(spark, table)
-    val gone = (changed.map(_.getString(0)) ++
-      changed.collect { case r if !r.isNullAt(2) => r.getString(2) })
-      .distinct.filterNot(p => f.exists(new Path(resolvePath(table, p))))
+    val gone = (changed.map(_.getString(0))
+        .filterNot(p => f.exists(new Path(resolvePath(table, p)))) ++
+      changed.collect { case r if !r.isNullAt(2) => r.getString(2) }
+        .filterNot(d => dvRefExists(f, table, d)))
+      .distinct
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"change feed at versions (${fromVersion}, $toVersion] references " +

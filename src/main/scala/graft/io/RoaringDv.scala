@@ -268,6 +268,19 @@ object RoaringDv {
     * writer side of [[fetch]]. */
   def writeDvFile(fs: org.apache.hadoop.fs.FileSystem, tableRoot: String,
                   payload: Array[Byte]): (String, Int, Int) = {
+    val (id, frames) = writePackedDvFile(fs, tableRoot, Seq("_" -> payload))
+    val (off, size) = frames("_")
+    (id, off, size)
+  }
+
+  /** Write ONE `u`-storage DV file holding each keyed payload at its
+    * own offset — how real Delta writers pack a commit's deletion
+    * vectors. Returns the shared `pathOrInlineDv` and each key's
+    * (offset, sizeInBytes). */
+  def writePackedDvFile(fs: org.apache.hadoop.fs.FileSystem,
+                        tableRoot: String,
+                        payloads: Seq[(String, Array[Byte])])
+      : (String, Map[String, (Int, Int)]) = {
     val uuid = java.util.UUID.randomUUID()
     val raw = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits)
@@ -276,17 +289,22 @@ object RoaringDv {
     val p = new org.apache.hadoop.fs.Path(
       s"$tableRoot/deletion_vector_$uuid.bin")
     val out = fs.create(p, true)
+    val frames = Map.newBuilder[String, (Int, Int)]
     try {
       out.write(1) // format version
-      val bb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
-        .putInt(payload.length)
-      out.write(bb.array())
-      out.write(payload)
-      val crc = new java.util.zip.CRC32
-      crc.update(payload)
-      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
-        .putInt(crc.getValue.toInt).array())
+      var pos = 1
+      payloads.foreach { case (key, payload) =>
+        frames += key -> ((pos, payload.length))
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(payload.length).array())
+        out.write(payload)
+        val crc = new java.util.zip.CRC32
+        crc.update(payload)
+        out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+          .putInt(crc.getValue.toInt).array())
+        pos += 4 + payload.length + 4
+      }
     } finally out.close()
-    (id, 1, payload.length)
+    (id, frames.result())
   }
 }

@@ -794,10 +794,11 @@ class MiniDeltaSpec extends AnyFunSuite {
     // RESTORE to the one-mask state brings the DV back into force
     MiniDelta.restore(spark, t, toVersion = 3)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
-    // vacuum cleans ORPHANED sidecars only: the restored v3 mask is
+    // vacuum cleans ORPHANED masks only: the restored v3 mask is
     // live and survives; later versions' masks are orphaned and go
+    // (masks are real-format deletion_vector_*.bin files since r6)
     val deleted = MiniDelta.vacuum(spark, t)
-    assert(deleted.exists(_.contains("_dv/")))
+    assert(deleted.exists(_.startsWith("deletion_vector_")), deleted)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
     // a restore needing a vacuumed sidecar fails loudly (v4's mask died)
     val e = intercept[IllegalStateException] {

@@ -70,6 +70,51 @@ class RoaringDvSpec extends AnyFunSuite {
     (t, f1, jsonStr(df.schema.json))
   }
 
+  test("MiniDelta DV writes emit REAL descriptors a foreign reader can consume") {
+    val t = Files.createTempDirectory("dvinterop").toString + "/t"
+    MiniDelta.append(spark,
+      (0L until 10L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .coalesce(1), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2 || col("id") === 5, Seq.empty)
+    // the commit carries the PROTOCOL's deletionVector descriptor, not
+    // a custom field
+    val commit = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/${2L}%020d.json")), "UTF-8")
+    assert(commit.contains("\"deletionVector\""), commit)
+    assert(commit.contains("\"storageType\":\"u\""), commit)
+    assert(!commit.contains("\"dv\":{"), commit)
+    // a FOREIGN reader's view: parse the descriptor from the raw JSON
+    // and decode the bitmap with nothing but the codec — the masked
+    // row indexes must be exactly the deleted rows'
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dvNode = commit.linesIterator.map(om.readTree)
+      .flatMap(n => Option(n.get("add")))
+      .flatMap(a => Option(a.get("deletionVector")))
+      .filterNot(_.isNull).toSeq.head
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = RoaringDv.fetch(f, t,
+      dvNode.get("storageType").asText(),
+      dvNode.get("pathOrInlineDv").asText(),
+      dvNode.get("offset").asInt(),
+      dvNode.get("sizeInBytes").asInt())
+    assert(RoaringDv.decode(bytes).toSeq == Seq(2L, 5L))
+    assert(dvNode.get("cardinality").asLong() == 2L)
+    // engine read agrees, of course
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // a shallow clone rebases the 'u' mask to an absolute 'p' marker:
+    // the clone masks the same rows while its data stays at the source
+    val fork = Files.createTempDirectory("dvfork").toString + "/t"
+    MiniDelta.cloneShallow(spark, t, fork)
+    assert(MiniDelta.readFiltered(spark, fork, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+  }
+
   test("inline ('i') deletion vector masks rows on read") {
     val (t, f1, schemaJson) = realTable()
     // rows are written by ONE task in id order, so row_index == id
