@@ -282,7 +282,7 @@ object MiniDelta {
         if (prior.exists(_.json == merged.json)) Nil
         // schema evolution re-emits metaData: carry the CURRENT config
         // forward or the new action would silently drop constraints
-        else Seq(metaDataLine(merged, partitionBy, cfg))
+        else Seq(metaDataLine(table, merged, partitionBy, cfg))
       try
         return writeCommit(spark, table, nextVersion(spark, table),
           metaLines ++ addLines, "WRITE")
@@ -648,7 +648,7 @@ object MiniDelta {
     val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)))
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(schema, parts,
+      Seq(metaDataLine(table, schema, parts,
         cfg + (constraintKeyPrefix + name -> sql))), "ADD CONSTRAINT")
   }
 
@@ -671,8 +671,19 @@ object MiniDelta {
       sys.error(s"$table has no declared schema"))
     val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)))
+    // enabling DVs is a PROTOCOL upgrade under real Delta — emit the
+    // table-feature protocol action so a real reader of this log sees
+    // the same contract a real writer would have recorded
+    val protoUpgrade =
+      if (props.get("delta.enableDeletionVectors").contains("true") &&
+          !cfg.get("delta.enableDeletionVectors").contains("true"))
+        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""")
+      else Seq.empty
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(schema, parts, cfg ++ props)), "SET TBLPROPERTIES")
+      protoUpgrade ++ Seq(metaDataLine(table, schema, parts, cfg ++ props)),
+      "SET TBLPROPERTIES")
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT. */
@@ -688,18 +699,27 @@ object MiniDelta {
     val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
       .select("path").collect().map(_.getString(0)))
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(schema, parts,
+      Seq(metaDataLine(table, schema, parts,
         cfg - (constraintKeyPrefix + name))), "DROP CONSTRAINT")
   }
 
-  private def metaDataLine(schema: org.apache.spark.sql.types.StructType,
+  private def metaDataLine(table: String,
+                           schema: org.apache.spark.sql.types.StructType,
                            partitionBy: Seq[String],
                            config: Map[String, String] = Map.empty): String = {
-    // protocol shape: schemaString is the schema JSON, carried escaped
+    // protocol shape: schemaString is the schema JSON, carried escaped.
+    // id/format are REQUIRED by real readers; the id must be stable
+    // across one table's metaData commits, so it is the name-UUID of
+    // the table path (relocating a table changes future ids — rare,
+    // and readers treat id as informational)
+    val id = java.util.UUID
+      .nameUUIDFromBytes(s"graft:$table".getBytes("UTF-8")).toString
     val parts = partitionBy.map(jstr).mkString(",")
     val conf = config.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
-    s"""{"metaData":{"schemaString":${jstr(schema.json)},""" +
+    s"""{"metaData":{"id":${jstr(id)},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schema.json)},""" +
       s""""partitionColumns":[$parts],"configuration":{$conf}}}"""
   }
 
@@ -748,7 +768,15 @@ object MiniDelta {
       val p = new Path(f"${logDir(table)}%s/$v%020d.json")
       val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
         s""""timestamp":${commitClock()}}}"""
-      val commit = (ci +: lines).mkString("\n")
+      // the protocol action a real Delta reader REQUIRES at v0: this
+      // engine's tables read under basic protocol (1, 2) unless the
+      // commit itself carries an explicit protocol (DV enablement
+      // upgrades, [[setTableProperties]])
+      val proto =
+        if (v == 0L && !lines.exists(_.contains("\"protocol\"")))
+          Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        else Seq.empty
+      val commit = (ci +: (proto ++ lines)).mkString("\n")
       val created =
         try {
           val out = f.create(p, false)
@@ -1440,7 +1468,7 @@ object MiniDelta {
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
         // carry the config forward (same rule as append's evolution)
-        Seq(metaDataLine(merged, partitionBy, tableConfig(spark, table)))
+        Seq(metaDataLine(table, merged, partitionBy, tableConfig(spark, table)))
       case _ => Nil
     }
     // align BOTH sides to the evolved schema: survivors null-fill
@@ -1688,7 +1716,7 @@ object MiniDelta {
       enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
-        else Seq(metaDataLine(newSchema, partitionBy, cfg))
+        else Seq(metaDataLine(table, newSchema, partitionBy, cfg))
       val removed = filesForFilters(
         snapshotFilesAt(spark, table, readVersion), replaceWhere)
         .select("path").collect().map(_.getString(0)).toIndexedSeq
@@ -1775,7 +1803,7 @@ object MiniDelta {
     val metaLines =
       if (tgtSchema.isDefined &&
           (tgtSchema.map(_.json) != curSchema.map(_.json) || tgtCfg != curCfg))
-        Seq(metaDataLine(tgtSchema.get, partitionColsOf(tgt.keySet), tgtCfg))
+        Seq(metaDataLine(table, tgtSchema.get, partitionColsOf(tgt.keySet), tgtCfg))
       else Nil
     if (addLines.isEmpty && removeLines.isEmpty && metaLines.isEmpty)
       return readVersion // already at the target state
@@ -1852,7 +1880,7 @@ object MiniDelta {
         Option(r.getString(r.fieldIndex("stats"))), dv = dv)
     }.toSeq
     val metaLines = latestSchema(spark, source, v)
-      .map(metaDataLine(_, partitionColsOf(files.map(_.getString(0))),
+      .map(metaDataLine(target, _, partitionColsOf(files.map(_.getString(0))),
         tableConfig(spark, source, v)))  // clone inherits properties
       .toSeq
     writeCommit(spark, target, 0L, metaLines ++ addLines, "CLONE")

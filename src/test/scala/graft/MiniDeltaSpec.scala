@@ -637,7 +637,8 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(snap.count() > 0)
     val log = MiniDelta.logDF(spark, t)
     assert(log.where(col("add").isNull && col("remove").isNull &&
-      col("commitInfo").isNull && col("metaData").isNull).count() == 0,
+      col("commitInfo").isNull && col("metaData").isNull &&
+      col("protocol").isNull).count() == 0,
       "log contains unparseable action lines")
     // and the data itself reads back exactly
     val got = MiniDelta.readFiltered(spark, t, Seq.empty)

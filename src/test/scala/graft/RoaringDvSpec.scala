@@ -78,10 +78,21 @@ class RoaringDvSpec extends AnyFunSuite {
     MiniDelta.setTableProperties(spark, t,
       Map("delta.enableDeletionVectors" -> "true"))
     MiniDelta.delete(spark, t, col("id") === 2 || col("id") === 5, Seq.empty)
+    // the log carries what a real reader REQUIRES: a v0 protocol
+    // action, metaData with id/format, and a protocol UPGRADE on DV
+    // enablement (table features 3/7 + deletionVectors)
+    def commitTxt(v: Long) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/$v%020d.json")), "UTF-8")
+    val v0 = commitTxt(0L)
+    assert(v0.contains(""""protocol":{"minReaderVersion":1"""), v0)
+    assert(v0.contains(""""format":{"provider":"parquet""""), v0)
+    assert(v0.contains(""""id":"""), v0)
+    val v1 = commitTxt(1L)
+    assert(v1.contains(""""minReaderVersion":3""") &&
+      v1.contains(""""readerFeatures":["deletionVectors"]"""), v1)
     // the commit carries the PROTOCOL's deletionVector descriptor, not
     // a custom field
-    val commit = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(f"$t%s/_delta_log/${2L}%020d.json")), "UTF-8")
+    val commit = commitTxt(2L)
     assert(commit.contains("\"deletionVector\""), commit)
     assert(commit.contains("\"storageType\":\"u\""), commit)
     assert(!commit.contains("\"dv\":{"), commit)
