@@ -37,10 +37,11 @@ object PlanAudit {
     "t11_unigram_logprob", // broadcast vocab table, one doc-keyed agg
     "d10_semdedup",       // literal-centroid fold: zero-shuffle assignment
     "pipe8_dsir_sample",  // broadcast vocab, TakeOrderedAndProject top-n
-    "t12_chunk_scrub",    // chunk-hash-partitioned window, 3 shuffles
+    "t12_chunk_scrub",    // min-struct agg, NO window (de-skewed r6)
     "d11_bloom_decontaminate", // bloom subquery probe in the narrow pass
-    "t13_dup_spans",      // ONE gram-hash shuffle (count-over-window)
-    "pipe9_scrub_select_pack") // composed scrub -> DSIR -> shard pack
+    "t13_dup_spans",      // gram groupBy + AQE-splittable join-back (r6)
+    "pipe9_scrub_select_pack", // composed scrub -> DSIR -> shard pack
+    "d12_kmeans_cells")   // trained-centroid literal fold, zero shuffle
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
