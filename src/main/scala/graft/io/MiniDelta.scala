@@ -406,6 +406,11 @@ object MiniDelta {
         StructField("deletionTimestamp", LongType)))),
       // Delta protocol: table schema rides as a JSON-escaped STRING
       StructField("metaData", StructType(Seq(
+        // stable table id + storage format — required by real readers
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
         // Delta protocol: table properties; CHECK constraints live here
@@ -854,45 +859,73 @@ object MiniDelta {
     }
   }
 
-  /** Materialize the snapshot as of `version` as a parquet checkpoint:
-    * subsequent snapshot loads replay checkpoint + tail JSON instead of
-    * the whole history. The checkpoint is the pruned file manifest —
-    * metadata, KBs-to-MBs even for a 100 TB table — and is written
-    * distributed (no coalesce: at millions of files it is a multi-part
-    * checkpoint, like Delta's). The manifest FOLDS the previous
-    * checkpoint plus the JSON tail, so each checkpoint costs
-    * O(since-last-checkpoint), not O(history); afterwards the
-    * `_last_checkpoint` pointer is advanced (Delta protocol) so log
-    * discovery never lists the directory. */
+  /** Materialize the snapshot as of `version` as a parquet checkpoint
+    * in the REAL Delta classic shape: ONE atomically-renamed parquet
+    * FILE whose rows are actions — a protocol row, a metaData row
+    * (schema, partition columns, configuration — no sidecars), and one
+    * add row per live file (stats and deletionVector descriptors
+    * carried) — so a real Delta reader discovers and replays this
+    * engine's checkpoints via `_last_checkpoint` exactly as it would a
+    * real writer's. Subsequent snapshot loads replay checkpoint + tail
+    * JSON instead of the whole history; the manifest FOLDS the previous
+    * checkpoint plus the tail, so each checkpoint costs
+    * O(since-last-checkpoint), not O(history).
+    *
+    * Scale: the manifest is metadata (KBs-to-MBs even for a 100 TB
+    * table) and is rendered driver-side like real classic checkpoints;
+    * the 10^7-file regime belongs to multi-part checkpoints (refused
+    * loudly on read, future work on write). Sidecar files from older
+    * checkpoints remain readable; new checkpoints stop writing them. */
   def writeCheckpoint(spark: SparkSession, table: String,
                       version: Long): Unit = {
-    // schema sidecar first: replaying from this checkpoint must also
-    // resolve the declared schema without scanning pre-checkpoint JSON.
-    // Written before the manifest; consulted only alongside a manifest
-    // whose _SUCCESS marker exists, and absence falls back to full scan.
     val f = fs(spark, table)
-    latestSchema(spark, table, version).foreach { s =>
-      val out = f.create(new Path(schemaSidecarPath(table, version)), true)
-      try out.write(s.json.getBytes("UTF-8")) finally out.close()
-    }
-    // config sidecar: table properties (constraints) must also resolve
-    // from the checkpoint without scanning pre-checkpoint JSON. Written
-    // even when EMPTY — its absence means "unknown, scan the log", not
-    // "no properties"
     val cfg = tableConfig(spark, table, version)
-    val js = cfg.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    val cfgOut = f.create(new Path(configSidecarPath(table, version)), true)
-    try cfgOut.write(js.getBytes("UTF-8")) finally cfgOut.close()
-    replaySnapshot(spark, table, version, cpAtMost = version - 1)
-      .write.mode("overwrite").parquet(checkpointPath(table, version))
-    // pointer last: it only ever names a checkpoint whose manifest (and
-    // _SUCCESS) already exists, and only moves forward
+    val snapRows = replaySnapshot(spark, table, version,
+      cpAtMost = version - 1).collect()
+    val proto =
+      if (cfg.get("delta.enableDeletionVectors").contains("true"))
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val metaLines = latestSchema(spark, table, version)
+      .map(s => metaDataLine(table, s,
+        partitionColsOf(snapRows.map(_.getString(0)).toSeq), cfg)).toSeq
+    val addLines = snapRows.map { r =>
+      val dvIdx = r.fieldIndex("dv_path")
+      addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
+        Option(r.getString(r.fieldIndex("stats"))),
+        dv = if (r.isNullAt(dvIdx)) None
+          else Some((r.getString(dvIdx),
+            r.getLong(r.fieldIndex("dv_card")))))
+    }
+    // render as JSON lines, read under the action schema, land as ONE
+    // parquet part, then rename into place — a crashed job leaves only
+    // a temp that is never named by discovery
+    val tmpBase = s"${logDir(table)}/.cp-tmp-" +
+      java.util.UUID.randomUUID().toString
+    val tmpJson = new Path(s"$tmpBase/actions.json")
+    val out = f.create(tmpJson, true)
+    try out.write(((proto +: metaLines) ++ addLines).mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val cpSchema = org.apache.spark.sql.types.StructType(
+      logSchema.fields.filter(fd =>
+        Set("add", "metaData", "protocol").contains(fd.name)))
+    spark.read.schema(cpSchema).json(s"$tmpBase/actions.json")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out")
+    val part = f.listStatus(new Path(s"$tmpBase/out")).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new Path(checkpointPath(table, version))
+    if (f.exists(target)) f.delete(target, true) // idempotent re-write
+    f.rename(part, target)
+    f.delete(new Path(tmpBase), true)
+    // pointer last: it only ever names a checkpoint that already
+    // exists, and only moves forward
     if (readLastCheckpoint(spark, table).forall(_ < version)) {
-      val out = f.create(new Path(lastCheckpointPath(table)), true)
-      try out.write(s"""{"version":$version}""".getBytes("UTF-8"))
-      finally out.close()
+      val pOut = f.create(new Path(lastCheckpointPath(table)), true)
+      try pOut.write(s"""{"version":$version}""".getBytes("UTF-8"))
+      finally pOut.close()
     }
   }
 
@@ -1903,6 +1936,11 @@ object MiniDelta {
   private val readableThrough =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private case class CpGate(minReader: Int, feats: Seq[String],
+                            cmMode: Option[String], badDv: Set[String])
+  private val cpGates =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), CpGate]()
+
   /** The Delta protocol's client contract, enforced before any replay:
     * a reader must check the table's `protocol` action (reader version
     * + v3 reader features), refuse column-mapped tables it cannot
@@ -1936,30 +1974,44 @@ object MiniDelta {
         try f.getFileStatus(p).isFile
         catch { case _: java.io.FileNotFoundException => false }
       if (isFile) {
-        // real Delta checkpoint: protocol/metaData/add ride as columns
-        val raw = spark.read.parquet(checkpointPath(table, v))
-        if (raw.columns.contains("protocol"))
-          raw.where(col("protocol.minReaderVersion").isNotNull)
-            .select(col("protocol.minReaderVersion").cast("int"),
-              col("protocol.readerFeatures").cast("array<string>"))
-            .collect().headOption.foreach { r =>
-              minReader = r.getInt(0)
-              readerFeats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+        // action-shape checkpoint (real writers AND this engine's own):
+        // the file is immutable once named, so its gate parse memoizes
+        // per (table, version) — steady state pays a hashmap lookup,
+        // not Spark jobs
+        val gate = cpGates.computeIfAbsent((table, v), { _ =>
+          var mr = -1
+          var feats: Seq[String] = Nil
+          var cm: Option[String] = None
+          var bad = Set.empty[String]
+          val raw = spark.read.parquet(checkpointPath(table, v))
+          if (raw.columns.contains("protocol"))
+            raw.where(col("protocol.minReaderVersion").isNotNull)
+              .select(col("protocol.minReaderVersion").cast("int"),
+                col("protocol.readerFeatures").cast("array<string>"))
+              .collect().headOption.foreach { r =>
+                mr = r.getInt(0)
+                feats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+              }
+          if (raw.columns.contains("metaData"))
+            readCheckpointMetaData(spark, table, v).flatMap(_._2).foreach {
+              cfg => cm = cfg.get("delta.columnMapping.mode")
             }
-        if (raw.columns.contains("metaData"))
-          readCheckpointMetaData(spark, table, v).flatMap(_._2).foreach {
-            cfg => cmMode = cfg.get("delta.columnMapping.mode")
-          }
-        val addReal = raw.columns.contains("add") &&
-          raw.schema("add").dataType
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-            .fieldNames.contains("deletionVector")
-        if (addReal)
-          badDvTypes ++= raw
-            .where(col("add.deletionVector.storageType").isNotNull)
-            .select("add.deletionVector.storageType").distinct()
-            .collect().map(_.getString(0))
-            .filterNot(supportedDvStorage)
+          val addReal = raw.columns.contains("add") &&
+            raw.schema("add").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.contains("deletionVector")
+          if (addReal)
+            bad = raw
+              .where(col("add.deletionVector.storageType").isNotNull)
+              .select("add.deletionVector.storageType").distinct()
+              .collect().map(_.getString(0))
+              .filterNot(supportedDvStorage).toSet
+          CpGate(mr, feats, cm, bad)
+        })
+        minReader = gate.minReader
+        readerFeats = gate.feats
+        cmMode = gate.cmMode
+        badDvTypes ++= gate.badDv
       } else
         // own checkpoint shape: the config sidecar can still carry a
         // mapped mode (e.g. set through a cloned table's properties)
@@ -2068,10 +2120,22 @@ object MiniDelta {
         val stats =
           if (addT.fieldNames.contains("stats")) col("add.stats")
           else lit(null).cast("string")
-        val (dvPath, dvCard) =
-          if (addT.fieldNames.contains("deletionVector"))
+        // a real descriptor rides as a marker; this engine's own
+        // checkpoints may ALSO carry legacy parquet-sidecar refs in the
+        // custom dv field — coalesce both forms
+        val hasReal = addT.fieldNames.contains("deletionVector")
+        val hasCustom = addT.fieldNames.contains("dv")
+        val (dvPath, dvCard) = (hasReal, hasCustom) match {
+          case (true, true) =>
+            (coalesce(col("add.dv.path"), realDvMarker),
+              coalesce(col("add.dv.cardinality"),
+                col("add.deletionVector.cardinality")))
+          case (true, false) =>
             (realDvMarker, col("add.deletionVector.cardinality"))
-          else (lit(null).cast("string"), lit(null).cast("long"))
+          case (false, true) =>
+            (col("add.dv.path"), col("add.dv.cardinality"))
+          case _ => (lit(null).cast("string"), lit(null).cast("long"))
+        }
         raw.where(col("add").isNotNull).select(
           col("add.path").as("path"),
           col("add.partitionValues").as("partitionValues"),

@@ -515,8 +515,16 @@ object Dedup {
   def ngramJaccardAuto(docs: DataFrame, n: Int = 3,
                        maxBlockDocs: Long = 100000L): DataFrame = {
     require(n <= 3, "prefix variant uses packed codes (n <= 3)")
+    // the census is block-cardinality rows — collect it and short-
+    // circuit when every block falls on one side, so the common case
+    // (homogeneous corpus) pays one tiny count job, not a second scan
+    // of an empty branch
     val sizes = docs.groupBy("lang", "source")
       .agg(count(lit(1)).as("__block_docs"))
+    val counts = sizes.select("__block_docs").as(docs.sparkSession.implicits
+      .newLongEncoder).collect()
+    if (counts.forall(_ <= maxBlockDocs)) return ngramJaccard(docs, n)
+    if (counts.forall(_ > maxBlockDocs)) return ngramJaccardPrefix(docs, n)
     val tagged = docs.join(broadcast(sizes), Seq("lang", "source"))
     val small = tagged.where(col("__block_docs") <= maxBlockDocs)
       .drop("__block_docs")

@@ -126,6 +126,58 @@ class RoaringDvSpec extends AnyFunSuite {
       Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
   }
 
+  test("own checkpoints are real-shape single files; legacy dirs still read") {
+    import org.apache.spark.sql.functions.{col => c}
+    val t = Files.createTempDirectory("realcpown").toString + "/t"
+    MiniDelta.append(spark,
+      (0L until 6L).map(i => (i, s"p$i")).toDF("id", "payload")
+        .coalesce(1), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, c("id") === 1, Seq.empty)
+    MiniDelta.writeCheckpoint(spark, t, 2L)
+    val cpPath = new java.io.File(
+      f"$t%s/_delta_log/${2L}%020d.checkpoint.parquet")
+    // ONE parquet FILE (not a directory manifest), action columns, a
+    // protocol row with the DV feature, a metaData row carrying the
+    // config, and the DV descriptor inline on its add — everything a
+    // real reader needs, zero sidecars
+    assert(cpPath.isFile)
+    val cp = spark.read.parquet(cpPath.toString)
+    assert(Seq("add", "metaData", "protocol")
+      .forall(cp.columns.contains), cp.columns.toSeq)
+    assert(cp.where(c("protocol.minReaderVersion") === 3).count() == 1)
+    assert(cp.where(c("metaData.schemaString").isNotNull).count() == 1)
+    assert(cp.where(c("add.deletionVector.storageType") === "u")
+      .count() == 1)
+    assert(!new java.io.File(
+      f"$t%s/_delta_log/${2L}%020d.checkpoint.schema.json").exists())
+    // replay THROUGH the checkpoint: mask still applied
+    assert(MiniDelta.snapshotFilesAt(spark, t, 2L, useCheckpoint = true)
+      .count() == 1)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L))
+    // legacy DIRECTORY manifest (pre-r6 shape + sidecars) at a LATER
+    // version still replays — the pointer moves to it and the dir
+    // branch + sidecar fallback resolve schema and files
+    MiniDelta.append(spark,
+      Seq((6L, "p6")).toDF("id", "payload"), t, Seq.empty) // v3
+    val legacyDir = f"$t%s/_delta_log/${3L}%020d.checkpoint.parquet"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacyDir))
+    MiniDelta.snapshotFilesAt(spark, t, 3L, useCheckpoint = false)
+      .write.parquet(legacyDir)
+    val schemaOut = f"$t%s/_delta_log/${3L}%020d.checkpoint.schema.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(schemaOut),
+      MiniDelta.latestSchema(spark, t).get.json.getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint"),
+      """{"version":3}""".getBytes("UTF-8"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("inline ('i') deletion vector masks rows on read") {
     val (t, f1, schemaJson) = realTable()
     // rows are written by ONE task in id order, so row_index == id
