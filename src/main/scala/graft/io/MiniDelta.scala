@@ -509,21 +509,30 @@ object MiniDelta {
     } finally in.close()
   }
 
-  /** metaData row of a REAL-format Delta checkpoint (one row per
-    * action, schema/config as checkpoint COLUMNS — no sidecars):
-    * (schemaString, configuration). None when the checkpoint is this
-    * engine's own manifest shape or carries no metaData row. */
+  // a named checkpoint file is immutable, so its metaData row memoizes
+  // forever — schema/config resolution on a checkpointed table costs a
+  // hashmap lookup in steady state, like the sidecar read it replaced
+  private val cpMetaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[(String, Option[Map[String, String]])]]()
+
+  /** metaData row of an action-shape checkpoint (real writers and this
+    * engine's own since r6 — schema/config as checkpoint COLUMNS, no
+    * sidecars): (schemaString, configuration). None when the
+    * checkpoint is the legacy directory-manifest shape or carries no
+    * metaData row. */
   private def readCheckpointMetaData(spark: SparkSession, table: String,
                                      version: Long)
-      : Option[(String, Option[Map[String, String]])] = {
-    val raw = spark.read.parquet(checkpointPath(table, version))
-    if (!raw.columns.contains("metaData")) return None
-    raw.where(col("metaData.schemaString").isNotNull)
-      .select(col("metaData.schemaString"), col("metaData.configuration"))
-      .collect().headOption
-      .map(r => (r.getString(0),
-        if (r.isNullAt(1)) None else Some(r.getMap[String, String](1).toMap)))
-  }
+      : Option[(String, Option[Map[String, String]])] =
+    cpMetaCache.computeIfAbsent((table, version), { _ =>
+      val raw = spark.read.parquet(checkpointPath(table, version))
+      if (!raw.columns.contains("metaData")) None
+      else raw.where(col("metaData.schemaString").isNotNull)
+        .select(col("metaData.schemaString"), col("metaData.configuration"))
+        .collect().headOption
+        .map(r => (r.getString(0),
+          if (r.isNullAt(1)) None
+          else Some(r.getMap[String, String](1).toMap)))
+    })
 
   private def configSidecarPath(table: String, version: Long): String =
     f"${logDir(table)}%s/$version%020d.checkpoint.config.json"
