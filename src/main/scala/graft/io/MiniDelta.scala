@@ -64,10 +64,10 @@ object MiniDelta {
         "it with a column-mapping-aware client")
 
   /** Reader features (protocol minReaderVersion 3) this engine honors.
-    * deletionVectors may be DECLARED — files that actually carry a real
-    * DV descriptor are still refused at read until the roaring format
-    * is implemented. timestampNtz reads natively on Spark 4.
-    * vacuumProtocolCheck constrains vacuum, not reads. */
+    * deletionVectors masks are READ (u/i/p roaring forms decoded by
+    * [[RoaringDv]]; only unknown storage forms are refused).
+    * timestampNtz reads natively on Spark 4. vacuumProtocolCheck
+    * constrains vacuum, not reads. */
   private val supportedReaderFeatures =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
 
@@ -179,8 +179,13 @@ object MiniDelta {
       // ignoring it and replaying raw JSON would silently produce a
       // WRONG snapshot when pre-checkpoint history was cleaned, so
       // refuse loudly instead
+      // ANY parts field means the multi-part NAMING scheme
+      // (<v>.checkpoint.<i>.<n>.parquet) — even parts=1 — which this
+      // engine's discovery would miss, silently degrading to a raw
+      // JSON replay that drops files when pre-checkpoint history was
+      // cleaned. Refuse loudly instead.
       lastCheckpointParts.findFirstMatchIn(t).map(_.group(1).toLong)
-        .filter(_ > 1).foreach { n =>
+        .foreach { n =>
           throw new UnsupportedTableFeatureException(
             s"$table: multi-part checkpoint ($n parts) is not supported")
         }
@@ -891,22 +896,40 @@ object MiniDelta {
     val cfg = tableConfig(spark, table, version)
     val snapRows = replaySnapshot(spark, table, version,
       cpAtMost = version - 1).collect()
+    // the protocol row must reflect the DATA, not just the config: a
+    // table whose snapshot still carries DV descriptors after the
+    // property was turned off must keep the DV reader requirement, or
+    // a real reader trusting (1, 2) would resurrect the masked rows
+    val hasDv = snapRows.exists(r => !r.isNullAt(r.fieldIndex("dv_path")))
     val proto =
-      if (cfg.get("delta.enableDeletionVectors").contains("true"))
+      if (hasDv || cfg.get("delta.enableDeletionVectors").contains("true"))
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           """"readerFeatures":["deletionVectors"],""" +
           """"writerFeatures":["deletionVectors"]}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // partition columns: path-derived for Hive-layout tables; a real
+    // table whose paths don't encode partitions falls back to the
+    // action-carried partitionValues keys
+    val parts0 = partitionColsOf(snapRows.map(_.getString(0)).toSeq)
+    val parts =
+      if (parts0.nonEmpty) parts0
+      else snapRows.headOption.map(r =>
+        r.getMap[String, String](r.fieldIndex("partitionValues"))
+          .keys.toSeq).getOrElse(Seq.empty)
     val metaLines = latestSchema(spark, table, version)
-      .map(s => metaDataLine(table, s,
-        partitionColsOf(snapRows.map(_.getString(0)).toSeq), cfg)).toSeq
+      .map(s => metaDataLine(table, s, parts, cfg)).toSeq
     val addLines = snapRows.map { r =>
       val dvIdx = r.fieldIndex("dv_path")
+      // partitionValues carried VERBATIM from the snapshot — a real
+      // table's paths need not encode partitions, so re-deriving from
+      // the path would silently erase them
       addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))),
         dv = if (r.isNullAt(dvIdx)) None
           else Some((r.getString(dvIdx),
-            r.getLong(r.fieldIndex("dv_card")))))
+            r.getLong(r.fieldIndex("dv_card")))),
+        partitionValues = Some(
+          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap))
     }
     // render as JSON lines, read under the action schema, land as ONE
     // parquet part, then rename into place — a crashed job leaves only
@@ -927,7 +950,12 @@ object MiniDelta {
       .filter(_.getName.endsWith(".parquet")).head
     val target = new Path(checkpointPath(table, version))
     if (f.exists(target)) f.delete(target, true) // idempotent re-write
-    f.rename(part, target)
+    // a failed rename must NOT advance the pointer below — the pointer
+    // would name a checkpoint that does not exist and log discovery
+    // would fall back to full listings until the next checkpoint lands
+    if (!f.rename(part, target))
+      throw new java.io.IOException(
+        s"checkpoint rename $part -> $target failed")
     f.delete(new Path(tmpBase), true)
     // pointer last: it only ever names a checkpoint that already
     // exists, and only moves forward
@@ -945,21 +973,30 @@ object MiniDelta {
     * only segments that are partition structure. An absolute
     * clone-source path under a root containing '=' (e.g.
     * /data/run=5/src/part.parquet) must not leak spurious partition
-    * values — the same root-shape hardening as the dvKeyDepth walk. */
-  private def partitionSegments(rel: String): Array[String] = {
-    val dirs = rel.split("/").dropRight(1)
-    dirs.takeRight(dirs.reverseIterator.takeWhile(_.contains("=")).length)
-  }
+    * values. Expressed THROUGH [[dvKeyDepth]] (trailing k=v count + the
+    * file itself) so the DV row-identity walk and partition-value
+    * rendering can never diverge. */
+  private def partitionSegments(rel: String): Array[String] =
+    rel.split("/").takeRight(dvKeyDepth(rel)).dropRight(1)
 
   private def addLine(rel: String, size: Long,
                       stats: Option[String] = None,
                       dataChange: Boolean = true,
-                      dv: Option[(String, Long)] = None): String = {
-    val parts = partitionSegments(rel)
-      .map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        s"${jstr(k)}:${jstr(v)}"
-      }.mkString(",")
+                      dv: Option[(String, Long)] = None,
+                      partitionValues: Option[Map[String, String]] = None)
+      : String = {
+    // explicit partitionValues (checkpoint folding carries the
+    // action-recorded map verbatim — paths need not encode partitions)
+    // win over the Hive-layout path derivation
+    val parts = partitionValues match {
+      case Some(pv) => pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+      case None => partitionSegments(rel)
+        .map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          s"${jstr(k)}:${jstr(v)}"
+        }.mkString(",")
+    }
     val statsField = stats.fold("") { s =>
       // protocol shape: the stats JSON is carried as an escaped string
       s""","stats":${jstr(s)}"""
@@ -1370,8 +1407,13 @@ object MiniDelta {
       .collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
       .sortBy(_._1)
-    val (dvId, frames) = RoaringDv.writePackedDvFile(fs(spark, table),
-      table, perFile.map(p => p._1 -> p._2).toIndexedSeq)
+    // every-row-matched deletes leave no surviving masks: commit plain
+    // removes without creating an empty orphan bin
+    val (dvId, frames) =
+      if (perFile.isEmpty) ("", Map.empty[String, (Int, Int)])
+      else RoaringDv.writePackedDvFile(fs(spark, table),
+        table, perFile.map(p => p._1 -> p._2).toIndexedSeq)
+    val cards = perFile.map(p => p._1 -> p._3).toMap
     val now = System.currentTimeMillis()
     Some((touchedPairs.map(p => removeLine(p._1, dataChange = true, now)) ++
       surviving.map { case (rel, _) =>
@@ -1380,8 +1422,7 @@ object MiniDelta {
         val marker = RealDvPrefix + s"u\u0000$dvId\u0000$off\u0000$sz"
         addLine(rel, r.getLong(r.fieldIndex("size")),
           Option(r.getString(r.fieldIndex("stats"))),
-          dv = Some((marker,
-            perFile.find(_._1 == dvKeyOf(rel)).map(_._3).getOrElse(0L))))
+          dv = Some((marker, cards.getOrElse(dvKeyOf(rel), 0L))))
       }).toSeq)
   }
 
@@ -1913,19 +1954,36 @@ object MiniDelta {
     val files = snapshotFilesAt(spark, source, v).collect()
     val addLines = files.map { r =>
       val rel = r.getString(0)
-      // deletion vectors ride along, absolutized like the data paths
+      // deletion vectors ride along, absolutized like the data paths;
+      // partitionValues carried verbatim (the absolutized path may not
+      // encode them)
       val dvIdx = r.fieldIndex("dv_path")
       val dv = if (r.isNullAt(dvIdx)) None
         else Some((dvRefForClone(source, r.getString(dvIdx)),
           r.getLong(r.fieldIndex("dv_card"))))
       addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))), dv = dv)
+        Option(r.getString(r.fieldIndex("stats"))), dv = dv,
+        partitionValues = Some(
+          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap))
     }.toSeq
+    val srcCfg = tableConfig(spark, source, v)
+    // a clone of a DV-bearing (or DV-enabled) source must carry the DV
+    // protocol requirement at ITS v0 — writeCommit's default (1, 2)
+    // would let a real reader ignore the cloned descriptors and
+    // resurrect masked rows
+    val protoLines =
+      if (files.exists(r => !r.isNullAt(r.fieldIndex("dv_path"))) ||
+          srcCfg.get("delta.enableDeletionVectors").contains("true"))
+        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""")
+      else Seq.empty
     val metaLines = latestSchema(spark, source, v)
       .map(metaDataLine(target, _, partitionColsOf(files.map(_.getString(0))),
-        tableConfig(spark, source, v)))  // clone inherits properties
+        srcCfg))  // clone inherits properties
       .toSeq
-    writeCommit(spark, target, 0L, metaLines ++ addLines, "CLONE")
+    writeCommit(spark, target, 0L, protoLines ++ metaLines ++ addLines,
+      "CLONE")
   }
 
   /** Time travel: the snapshot as of `version` (inclusive) — replay the
@@ -2226,7 +2284,21 @@ object MiniDelta {
     df
   }
 
-  def invalidateSnapshot(table: String): Unit = snapshotCache.invalidate(table)
+  /** Drop every memo held for `table`: the TTL'd snapshot AND the
+    * permanent protocol-gate / checkpoint-metaData memos. The
+    * permanent memos are safe for append-only logs (commit files and
+    * named checkpoints are immutable), but a table REPLACED at the
+    * same path (deleted and re-created by an external process) would
+    * otherwise be served the old table's gate verdict and schema —
+    * call this after any out-of-band replacement, like the snapshot
+    * cache's documented staleness rule. */
+  def invalidateSnapshot(table: String): Unit = {
+    snapshotCache.invalidate(table)
+    readableThrough.remove(table)
+    cpGates.keySet.removeIf(_._1 == table)
+    cpMetaCache.keySet.removeIf(_._1 == table)
+    ()
+  }
 
   /** Data skipping on per-file min/max stats: keep only files whose
     * `[min, max]` range for `statCol` can intersect `[lo, hi]`. Files

@@ -110,7 +110,17 @@ object RoaringDv {
   def fetch(fs: org.apache.hadoop.fs.FileSystem, tableRoot: String,
             storageType: String, pathOrInlineDv: String,
             offset: Int, sizeInBytes: Int): Array[Byte] = {
-    if (storageType == "i") return z85ToBytes(pathOrInlineDv)
+    if (storageType == "i") {
+      val out = z85ToBytes(pathOrInlineDv)
+      // the inline form tears too: a truncated pathOrInlineDv that is
+      // still valid Z85 would decode fewer bytes than declared and
+      // silently unmask rows (Z85 pads to 4-byte groups, so decoded
+      // length may legitimately exceed sizeInBytes, never undershoot)
+      if (out.length < sizeInBytes)
+        throw new DvFormatException(
+          s"inline DV decodes to ${out.length} bytes < declared $sizeInBytes")
+      return out
+    }
     val path = new org.apache.hadoop.fs.Path(
       dvFileOf(tableRoot, storageType, pathOrInlineDv))
     val in = fs.open(path)
