@@ -124,6 +124,14 @@ class RoaringDvSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, fork, Seq.empty)
       .select("id").as[Long].collect().sorted.toSeq ==
       Seq(0L, 1L, 3L, 4L, 6L, 7L, 8L, 9L))
+    // the clone's OWN v0 must carry the DV protocol requirement — a
+    // real reader honoring a default (1,2) would ignore the cloned
+    // descriptors and resurrect the masked rows
+    val forkV0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$fork%s/_delta_log/${0L}%020d.json")),
+      "UTF-8")
+    assert(forkV0.contains(""""minReaderVersion":3""") &&
+      forkV0.contains(""""readerFeatures":["deletionVectors"]"""), forkV0)
   }
 
   test("own checkpoints are real-shape single files; legacy dirs still read") {
