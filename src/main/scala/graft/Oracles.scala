@@ -1226,6 +1226,11 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
 WHERE n_regionkey >= 2 ORDER BY n_nationkey""",
 
+    "s28_column_mapping" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+  max(n_name) AS max_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
     "s26_overwrite_where" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

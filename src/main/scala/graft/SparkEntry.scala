@@ -311,6 +311,63 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+    "s28_column_mapping" -> ((s, d) => {
+      // Interop read of a NAME-mode column-mapped table — the modern
+      // real-writer shape whose client hazard the reference documents
+      // (/root/reference/README.md:249-270): parquet columns carry
+      // GUID-style PHYSICAL names; the metaData schemaString maps them
+      // to logical names through field metadata
+      // (delta.columnMapping.physicalName). The engine scans under the
+      // physical names and relabels to logical; id mode stays refused.
+      import org.apache.spark.sql.types._
+      val dir = "/tmp/graft_s28_colmap"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/nation_mapped"
+      val src = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val phys = Map("n_nationkey" -> "col-9d6e7a3b",
+        "n_name" -> "col-52f1c88e", "n_regionkey" -> "col-e04b2c17")
+      val logical = StructType(src.schema.fields.zipWithIndex.map {
+        case (f, i) => StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys(f.name))
+            .putLong("delta.columnMapping.id", i + 1L).build())
+      })
+      def land(pred: org.apache.spark.sql.Column): String = {
+        val before = Option(new java.io.File(table).listFiles()).toSeq
+          .flatten.map(_.getName).toSet
+        src.where(pred)
+          .select(src.schema.fieldNames.map(n =>
+            col(n).as(phys(n))).toIndexedSeq: _*)
+          .coalesce(1).write.mode("append").parquet(table)
+        new java.io.File(table).listFiles().map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !before(n)).head
+      }
+      def jstr(x: String) = com.fasterxml.jackson.databind.json.JsonMapper
+        .builder().build().writeValueAsString(x)
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$table%s/_delta_log/$v%020d.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val meta = s"""{"metaData":{"schemaString":${jstr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"name",""" +
+        """"delta.columnMapping.maxColumnId":"3"}}}"""
+      val proto =
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      def add(p: String) = s"""{"add":{"path":${jstr(p)},""" +
+        """"partitionValues":{},"size":10,"dataChange":true}}"""
+      val f1 = land(col("n_regionkey") <= 1)
+      new java.io.File(s"$table/_delta_log").mkdirs()
+      commit(0L, Seq(proto, meta, add(f1)))
+      val f2 = land(col("n_regionkey") >= 2)
+      commit(1L, Seq(add(f2)))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    }),
     "s27_real_format" -> ((s, d) => {
       // Interop read of a REAL-format Delta log — the shape delta-rs /
       // Delta-Spark writers produce and the reference consumes

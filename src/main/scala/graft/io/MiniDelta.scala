@@ -46,22 +46,36 @@ object MiniDelta {
       s"409: commit $version at $path lost a concurrent-writer race")
 
   /** A real-Delta table demands a capability this engine lacks (reader
-    * version, table feature, multi-part checkpoint, an unknown
+    * version, table feature, an unknown
     * deletion-vector storage form). Failing loudly here is the
     * protocol's own rule — a reader that ignores the gate returns
     * silently wrong rows. */
   final class UnsupportedTableFeatureException(msg: String)
     extends RuntimeException(msg)
 
-  /** `delta.columnMapping.mode` renames columns through metadata ids —
-    * reading such a table by physical parquet names returns wrongly-
-    * labeled (or missing) columns, the exact client hazard the
-    * reference documents (/root/reference/README.md:249-270). */
-  final class ColumnMappingUnsupportedException(table: String, mode: String)
+  /** `delta.columnMapping.mode` renames columns through metadata —
+    * the exact client hazard the reference documents
+    * (/root/reference/README.md:249-270). `name` mode is READ by
+    * relabeling physical parquet columns to the schema's logical names
+    * ([[readFilesAs]]); `id` mode (parquet field-id resolution) is
+    * refused, and ANY mapped table refuses writes — this engine lands
+    * logical-named parquet, which a physical-name schema would then
+    * silently read as all-null. */
+  final class ColumnMappingUnsupportedException(table: String, mode: String,
+                                                op: String = "read")
     extends RuntimeException(
-      s"$table sets delta.columnMapping.mode=$mode; this engine reads " +
-        "physical parquet column names only — convert the table or read " +
-        "it with a column-mapping-aware client")
+      s"$table sets delta.columnMapping.mode=$mode; this engine cannot " +
+        s"$op it — name-mode tables are read via logical relabeling " +
+        "but never written; id-mode needs a mapping-aware client")
+
+  /** Time travel (or a plain read) asked for history that log-retention
+    * cleanup ([[cleanupLogs]]) has already deleted. Replaying a partial
+    * tail would silently return a WRONG (incomplete) snapshot — the
+    * same reason delta-rs raises VersionNotFound past the horizon. */
+  final class HistoryCleanedException(table: String, version: Long)
+    extends RuntimeException(
+      s"$table: cannot reconstruct version $version — the pre-checkpoint " +
+        "JSON history was removed by log retention cleanup")
 
   /** Reader features (protocol minReaderVersion 3) this engine honors.
     * deletionVectors masks are READ (u/i/p roaring forms decoded by
@@ -157,7 +171,6 @@ object MiniDelta {
     s"${logDir(table)}/_last_checkpoint"
 
   private val lastCheckpointVersion = "\"version\"\\s*:\\s*([0-9]+)".r
-  private val lastCheckpointParts = "\"parts\"\\s*:\\s*([0-9]+)".r
 
   private def readLastCheckpoint(spark: SparkSession,
                                  table: String): Option[Long] = {
@@ -173,24 +186,12 @@ object MiniDelta {
           Some(new String(bytes, "UTF-8"))
         } finally in.close()
       } catch { case _: Exception => None } // corrupt pointer: fall back
-    txt.flatMap { t =>
-      // a multi-part checkpoint (real Delta splits huge manifests into
-      // N parquet parts) cannot be replayed by this engine yet —
-      // ignoring it and replaying raw JSON would silently produce a
-      // WRONG snapshot when pre-checkpoint history was cleaned, so
-      // refuse loudly instead
-      // ANY parts field means the multi-part NAMING scheme
-      // (<v>.checkpoint.<i>.<n>.parquet) — even parts=1 — which this
-      // engine's discovery would miss, silently degrading to a raw
-      // JSON replay that drops files when pre-checkpoint history was
-      // cleaned. Refuse loudly instead.
-      lastCheckpointParts.findFirstMatchIn(t).map(_.group(1).toLong)
-        .foreach { n =>
-          throw new UnsupportedTableFeatureException(
-            s"$table: multi-part checkpoint ($n parts) is not supported")
-        }
-      lastCheckpointVersion.findFirstMatchIn(t).map(_.group(1).toLong)
-    }
+    // a "parts" field means the multi-part NAMING scheme
+    // (<v>.checkpoint.<i>.<n>.parquet) — discovery resolves both shapes
+    // through [[checkpointActionDF]], so the pointer only yields the
+    // version either way
+    txt.flatMap(t =>
+      lastCheckpointVersion.findFirstMatchIn(t).map(_.group(1).toLong))
   }
 
   /** Diagnostic: number of full `_delta_log` directory listings taken
@@ -209,8 +210,18 @@ object MiniDelta {
     val f = fs(spark, table)
     if (!f.exists(new Path(logDir(table)))) return -1L
     def exists(v: Long) = f.exists(new Path(commitPath(table, v)))
-    // hint must itself exist (a pointer can outlive a hand-deleted log)
-    var known = readLastCheckpoint(spark, table).filter(exists).getOrElse(-1L)
+    val hint = readLastCheckpoint(spark, table)
+    // anchor on the pointer's commit; a real cleaner may delete the
+    // JSON AT the checkpoint version too (the checkpoint supersedes
+    // it), so fall to the next commit — or, with no tail at all, to
+    // the checkpoint itself attesting its version (a pointer that
+    // outlives a fully hand-deleted log attests nothing)
+    var known = hint.filter(exists).getOrElse(-1L)
+    if (known < 0) hint match {
+      case Some(p) if exists(p + 1) => known = p + 1
+      case Some(p) if checkpointComplete(spark, table, p) => return p
+      case _ => ()
+    }
     if (known < 0 && !exists(0L)) return -1L
     if (known < 0) known = 0L
     var step = 1L
@@ -243,6 +254,7 @@ object MiniDelta {
     // omits (legal subset append, reads null-fill it) — enforce on the
     // null-aligned view, matching what a reader will see.
     val declared0 = latestSchema(spark, table)
+    requireUnmappedForWrite(declared0, table)
     mergedSchema(declared0, df.schema)
     val cfg0 = tableConfig(spark, table)
     // enforcement + write = two evaluations of df; cache across the
@@ -268,7 +280,8 @@ object MiniDelta {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val addLines = added.map { case (p, s2, _) => addLine(p, s2, stats.get(p)) }
+    val addLines = added.map { case (p, s2, m) =>
+      addLine(p, s2, stats.get(p), modTime = Some(m)) }
     // blind append: the add actions commute, so losing the version race
     // is harmless — but the metaData line does NOT commute (a stale one
     // would roll back a concurrent writer's schema evolution), so each
@@ -376,6 +389,9 @@ object MiniDelta {
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
+        // Delta protocol: file creation time (ms) — required on add
+        // actions; legacy commits read null and checkpoints omit it
+        StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         // Delta protocol: per-file stats ride as a JSON-escaped STRING
         StructField("stats", StringType),
@@ -529,14 +545,14 @@ object MiniDelta {
                                      version: Long)
       : Option[(String, Option[Map[String, String]])] =
     cpMetaCache.computeIfAbsent((table, version), { _ =>
-      val raw = spark.read.parquet(checkpointPath(table, version))
-      if (!raw.columns.contains("metaData")) None
-      else raw.where(col("metaData.schemaString").isNotNull)
-        .select(col("metaData.schemaString"), col("metaData.configuration"))
-        .collect().headOption
-        .map(r => (r.getString(0),
-          if (r.isNullAt(1)) None
-          else Some(r.getMap[String, String](1).toMap)))
+      checkpointActionDF(spark, table, version)
+        .filter(_.columns.contains("metaData"))
+        .flatMap(_.where(col("metaData.schemaString").isNotNull)
+          .select(col("metaData.schemaString"), col("metaData.configuration"))
+          .collect().headOption
+          .map(r => (r.getString(0),
+            if (r.isNullAt(1)) None
+            else Some(r.getMap[String, String](1).toMap))))
     })
 
   private def configSidecarPath(table: String, version: Long): String =
@@ -692,13 +708,14 @@ object MiniDelta {
       .select("path").collect().map(_.getString(0)))
     // enabling DVs is a PROTOCOL upgrade under real Delta — emit the
     // table-feature protocol action so a real reader of this log sees
-    // the same contract a real writer would have recorded
+    // the same contract a real writer would have recorded. UNIONED onto
+    // the resolved protocol: a table already declaring (3, timestampNtz)
+    // must keep that feature, not have the upgrade overwrite its lists.
     val protoUpgrade =
       if (props.get("delta.enableDeletionVectors").contains("true") &&
           !cfg.get("delta.enableDeletionVectors").contains("true"))
-        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],""" +
-          """"writerFeatures":["deletionVectors"]}}""")
+        Seq(resolveProtocol(spark, table, readVersion, cpAtMost = readVersion)
+          .getOrElse(basicProtocol).withDeletionVectors.render)
       else Seq.empty
     writeCommit(spark, table, readVersion + 1,
       protoUpgrade ++ Seq(metaDataLine(table, schema, parts, cfg ++ props)),
@@ -832,6 +849,78 @@ object MiniDelta {
   private def checkpointPath(table: String, version: Long): String =
     f"${logDir(table)}%s/$version%020d.checkpoint.parquet"
 
+  /** Multi-part checkpoint naming (Delta spec): the manifest of version
+    * v splits into `<v>.checkpoint.<i>.<n>.parquet`, i in 1..n, both
+    * zero-padded to 10 digits. */
+  private def checkpointPartPath(table: String, version: Long,
+                                 i: Int, n: Int): String =
+    f"${logDir(table)}%s/$version%020d.checkpoint.$i%010d.$n%010d.parquet"
+
+  private val checkpointPartName =
+    raw"[0-9]{20}\.checkpoint\.([0-9]{10})\.([0-9]{10})\.parquet".r
+
+  /** The part files of a multi-part checkpoint at `version`, sorted —
+    * ONLY when the part set is complete (all n of the n-part naming
+    * present); a crashed multi-part writer's partial set must never be
+    * replayed (it would silently drop live files). Empty when `version`
+    * has no multi-part checkpoint. One listing, only on the multi-part
+    * path — classic single files short-circuit before this. */
+  private def checkpointMultiParts(spark: SparkSession, table: String,
+                                   version: Long): Seq[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(logDir(table))
+    if (!f.exists(dir)) return Seq.empty
+    val prefix = f"$version%020d.checkpoint."
+    val parts = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .collect { case nm @ checkpointPartName(i, n) =>
+        (i.toInt, n.toInt, nm) }
+    parts.headOption match {
+      case Some((_, n, _))
+          if parts.length == n && parts.map(_._1).toSet == (1 to n).toSet &&
+            parts.forall(_._2 == n) =>
+        parts.sortBy(_._1).map(p => s"${logDir(table)}/${p._3}").toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** Action-shape checkpoint rows at `version`: the classic single FILE
+    * or the union of a complete multi-part set. None for legacy
+    * directory manifests (callers keep their sidecar fallback) and
+    * absent checkpoints. */
+  private def checkpointActionDF(spark: SparkSession, table: String,
+                                 version: Long): Option[DataFrame] = {
+    val f = fs(spark, table)
+    val single = new Path(checkpointPath(table, version))
+    val st =
+      try Some(f.getFileStatus(single))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(s) if s.isFile =>
+        Some(spark.read.parquet(checkpointPath(table, version)))
+      case Some(_) => None // legacy directory manifest
+      case None =>
+        val parts = checkpointMultiParts(spark, table, version)
+        if (parts.nonEmpty) Some(spark.read.parquet(parts: _*)) else None
+    }
+  }
+
+  /** Only COMPLETE checkpoints are ever selected: a crashed legacy
+    * checkpoint job leaves a directory without the _SUCCESS marker, a
+    * crashed multi-part writer leaves a partial part set — replaying
+    * either would silently drop live files from every subsequent
+    * snapshot. A classic single-file checkpoint is an atomically-
+    * renamed FILE, complete by construction. */
+  private def checkpointComplete(spark: SparkSession, table: String,
+                                 v: Long): Boolean = {
+    val f = fs(spark, table)
+    val p = new Path(checkpointPath(table, v))
+    f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
+      (try f.getFileStatus(p).isFile
+       catch { case _: java.io.FileNotFoundException => false }) ||
+      checkpointMultiParts(spark, table, v).nonEmpty
+  }
+
   /** Latest checkpoint at or below `atMost`, if any. Steady state reads
     * the `_last_checkpoint` pointer and probes FORWARD at the known
     * auto-checkpoint stride (the pointer can trail by one if its write
@@ -841,17 +930,7 @@ object MiniDelta {
   private def latestCheckpoint(spark: SparkSession, table: String,
                                atMost: Long): Option[Long] = {
     val f = fs(spark, table)
-    // only COMPLETE checkpoints: a crashed checkpoint job leaves a
-    // directory without the _SUCCESS marker; replaying it would
-    // silently drop live files from every subsequent snapshot. A real
-    // Delta checkpoint is a single atomically-renamed FILE — complete
-    // by construction.
-    def complete(v: Long) = {
-      val p = new Path(checkpointPath(table, v))
-      f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
-        (try f.getFileStatus(p).isFile
-         catch { case _: java.io.FileNotFoundException => false })
-    }
+    def complete(v: Long) = checkpointComplete(spark, table, v)
     readLastCheckpoint(spark, table) match {
       case Some(p) if p <= atMost && complete(p) =>
         var best = p
@@ -864,49 +943,194 @@ object MiniDelta {
         val dir = new Path(logDir(table))
         if (!f.exists(dir)) return None
         logListings.incrementAndGet()
-        val vs = f.listStatus(dir).map(_.getPath.getName)
-          .filter(_.endsWith(".checkpoint.parquet"))
-          .map(_.stripSuffix(".checkpoint.parquet").toLong)
+        val names = f.listStatus(dir).map(_.getPath.getName)
+        val vs = (names.filter(_.endsWith(".checkpoint.parquet"))
+            .map(_.stripSuffix(".checkpoint.parquet").toLong) ++
+          names.collect { // multi-part names carry the version up front
+            case nm @ checkpointPartName(_, _) => nm.take(20).toLong })
+          .distinct
           .filter(_ <= atMost)
           .filter(complete)
         if (vs.isEmpty) None else Some(vs.max)
     }
   }
 
+  /** The newest checkpoint, when it is action-shape (this engine's r6+
+    * single file, a real writer's, or a multi-part set) — None for
+    * checkpoint-less tables and legacy directory manifests. */
+  private def latestFileCheckpoint(spark: SparkSession, table: String)
+      : Option[(Long, DataFrame)] =
+    latestCheckpoint(spark, table, Long.MaxValue).flatMap(v =>
+      checkpointActionDF(spark, table, v).map((v, _)))
+
+  /** A resolved `protocol` action. Rendering follows the Delta rule
+    * that the feature lists exist only at versions that support them
+    * (readerFeatures at minReaderVersion >= 3, writerFeatures at
+    * minWriterVersion >= 7). */
+  private[graft] case class ProtocolAction(
+      minReader: Int, minWriter: Int,
+      readerFeats: Seq[String], writerFeats: Seq[String]) {
+    /** Union in the deletion-vector requirement WITHOUT discarding the
+      * table's existing contract — a real table already at (3, 7) with
+      * e.g. timestampNtz must keep that feature, not be downgraded to
+      * a DV-only protocol. */
+    def withDeletionVectors: ProtocolAction = ProtocolAction(
+      math.max(minReader, 3), math.max(minWriter, 7),
+      (readerFeats :+ "deletionVectors").distinct,
+      (writerFeats :+ "deletionVectors").distinct)
+    def render: String = {
+      val rf =
+        if (minReader >= 3)
+          s""","readerFeatures":[${readerFeats.map(jstr).mkString(",")}]"""
+        else ""
+      val wf =
+        if (minWriter >= 7)
+          s""","writerFeatures":[${writerFeats.map(jstr).mkString(",")}]"""
+        else ""
+      s"""{"protocol":{"minReaderVersion":$minReader,""" +
+        s""""minWriterVersion":$minWriter$rf$wf}}"""
+    }
+  }
+
+  private val basicProtocol = ProtocolAction(1, 2, Nil, Nil)
+
+  /** The table's protocol contract as of `version`: the LATEST protocol
+    * action, folded from the newest checkpoint at or below `cpAtMost`
+    * plus the JSON tail after it — the same replay window snapshots
+    * use. Own pre-r6 directory-shape checkpoints carry no protocol row;
+    * if neither base nor tail yields one, the full (existence-filtered)
+    * JSON history is scanned so the v0 action is never missed. Pure
+    * driver metadata, substring-screened like [[requireReadable]]. */
+  private def resolveProtocol(spark: SparkSession, table: String,
+                              version: Long, cpAtMost: Long)
+      : Option[ProtocolAction] = {
+    val f = fs(spark, table)
+    val cp = if (cpAtMost < 0) None
+             else latestCheckpoint(spark, table, cpAtMost)
+    val base: Option[ProtocolAction] = cp.flatMap { v =>
+      checkpointActionDF(spark, table, v).flatMap { raw =>
+        if (!raw.columns.contains("protocol")) None
+        else raw.where(col("protocol.minReaderVersion").isNotNull)
+          .select(col("protocol.minReaderVersion").cast("int"),
+            col("protocol.minWriterVersion").cast("int"),
+            col("protocol.readerFeatures").cast("array<string>"),
+            col("protocol.writerFeatures").cast("array<string>"))
+          .collect().headOption.map { r =>
+            ProtocolAction(r.getInt(0), r.getInt(1),
+              if (r.isNullAt(2)) Nil else r.getSeq[String](2),
+              if (r.isNullAt(3)) Nil else r.getSeq[String](3))
+          }
+      }
+    }
+    def scan(fromInclusive: Long, toInclusive: Long): Option[ProtocolAction] = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      var found: Option[ProtocolAction] = None
+      logJsonVersions(spark, table, fromInclusive, toInclusive)
+        .foreach { case (_, path) =>
+          val pp = new Path(path)
+          val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+          val in = f.open(pp)
+          try in.readFully(bytes) finally in.close()
+          val txt = new String(bytes, "UTF-8")
+          if (txt.contains("\"protocol\""))
+            txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+              val node =
+                try om.readTree(line) catch { case _: Exception => null }
+              val proto = if (node == null) null else node.get("protocol")
+              if (proto != null && !proto.isNull) {
+                def feats(k: String): Seq[String] = {
+                  val a = proto.get(k)
+                  if (a == null || a.isNull) Nil
+                  else (0 until a.size()).map(a.get(_).asText())
+                }
+                found = Some(ProtocolAction(
+                  Option(proto.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+                  Option(proto.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+                  feats("readerFeatures"), feats("writerFeatures")))
+              }
+            }
+        }
+      found
+    }
+    val tail = scan(cp.getOrElse(-1L) + 1, version)
+    tail.orElse(base)
+      .orElse(if (cp.isDefined) scan(0L, cp.get) else None)
+  }
+
+  /** Delta duration-property syntax: "interval N unit" (the prefix is
+    * optional here). None on unparseable input — callers keep their
+    * default rather than guessing. */
+  private[graft] def parseDurationMs(s: String): Option[Long] =
+    "(?i)(?:interval\\s+)?([0-9]+)\\s*(\\w+)".r
+      .findFirstMatchIn(s.trim).flatMap { g =>
+        val n = g.group(1).toLong
+        g.group(2).toLowerCase match {
+          case u if u.startsWith("milli")  => Some(n)
+          case u if u.startsWith("second") => Some(n * 1000)
+          case u if u.startsWith("minute") => Some(n * 60000)
+          case u if u.startsWith("hour")   => Some(n * 3600000)
+          case u if u.startsWith("day")    => Some(n * 86400000)
+          case u if u.startsWith("week")   => Some(n * 7 * 86400000)
+          case _ => None
+        }
+      }
+
+  /** `delta.deletedFileRetentionDuration` in ms; Delta default 1 week. */
+  private[graft] def retentionMs(cfg: Map[String, String]): Long =
+    cfg.get("delta.deletedFileRetentionDuration")
+      .flatMap(parseDurationMs).getOrElse(7L * 86400000)
+
+  /** `delta.logRetentionDuration` in ms; Delta default 30 days. */
+  private[graft] def logRetentionMs(cfg: Map[String, String]): Long =
+    cfg.get("delta.logRetentionDuration")
+      .flatMap(parseDurationMs).getOrElse(30L * 86400000)
+
   /** Materialize the snapshot as of `version` as a parquet checkpoint
-    * in the REAL Delta classic shape: ONE atomically-renamed parquet
-    * FILE whose rows are actions — a protocol row, a metaData row
-    * (schema, partition columns, configuration — no sidecars), and one
-    * add row per live file (stats and deletionVector descriptors
-    * carried) — so a real Delta reader discovers and replays this
-    * engine's checkpoints via `_last_checkpoint` exactly as it would a
-    * real writer's. Subsequent snapshot loads replay checkpoint + tail
-    * JSON instead of the whole history; the manifest FOLDS the previous
-    * checkpoint plus the tail, so each checkpoint costs
-    * O(since-last-checkpoint), not O(history).
+    * in the REAL Delta classic shape: atomically-renamed parquet whose
+    * rows are actions — the table's RESOLVED protocol row (DV
+    * requirement unioned in), a metaData row (schema, partition
+    * columns, configuration — no sidecars), one add row per live file
+    * (stats, deletionVector descriptors, modificationTime carried,
+    * dataChange=false per spec), and one remove row per UNEXPIRED
+    * tombstone (so vacuum's retention horizon and a real reader's
+    * replay survive [[cleanupLogs]]) — a real Delta reader discovers
+    * and replays this engine's checkpoints via `_last_checkpoint`
+    * exactly as it would a real writer's. Subsequent snapshot loads
+    * replay checkpoint + tail JSON instead of the whole history; the
+    * manifest FOLDS the previous checkpoint plus the tail, so each
+    * checkpoint costs O(since-last-checkpoint), not O(history).
     *
     * Scale: the manifest is metadata (KBs-to-MBs even for a 100 TB
     * table) and is rendered driver-side like real classic checkpoints;
-    * the 10^7-file regime belongs to multi-part checkpoints (refused
-    * loudly on read, future work on write). Sidecar files from older
-    * checkpoints remain readable; new checkpoints stop writing them. */
+    * past `maxActionsPerPart` actions it splits into the Delta
+    * multi-part naming (`<v>.checkpoint.<i>.<n>.parquet`) — the
+    * 10^7-file regime — which [[checkpointActionDF]] reads back as a
+    * union. Sidecar files from older checkpoints remain readable; new
+    * checkpoints stop writing them. */
   def writeCheckpoint(spark: SparkSession, table: String,
-                      version: Long): Unit = {
+                      version: Long,
+                      nowMs: () => Long = () => System.currentTimeMillis(),
+                      maxActionsPerPart: Int = 1000000)
+      : Unit = {
     val f = fs(spark, table)
     val cfg = tableConfig(spark, table, version)
     val snapRows = replaySnapshot(spark, table, version,
       cpAtMost = version - 1).collect()
-    // the protocol row must reflect the DATA, not just the config: a
-    // table whose snapshot still carries DV descriptors after the
-    // property was turned off must keep the DV reader requirement, or
-    // a real reader trusting (1, 2) would resurrect the masked rows
+    // the protocol row is the table's ACTUAL resolved contract (latest
+    // protocol action, checkpoint + tail) — synthesizing one from DV
+    // state alone would let 10 engine commits downgrade a real table's
+    // (3, timestampNtz) declaration to (1, 2). The DV requirement is
+    // UNIONED in, not substituted: a snapshot still carrying DV
+    // descriptors after the property was turned off must keep the DV
+    // reader gate, or a reader trusting (1, 2) would resurrect the
+    // masked rows.
     val hasDv = snapRows.exists(r => !r.isNullAt(r.fieldIndex("dv_path")))
+    val resolved = resolveProtocol(spark, table, version,
+      cpAtMost = version - 1).getOrElse(basicProtocol)
     val proto =
-      if (hasDv || cfg.get("delta.enableDeletionVectors").contains("true"))
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],""" +
-          """"writerFeatures":["deletionVectors"]}}"""
-      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      (if (hasDv || cfg.get("delta.enableDeletionVectors").contains("true"))
+         resolved.withDeletionVectors
+       else resolved).render
     // partition columns: path-derived for Hive-layout tables; a real
     // table whose paths don't encode partitions falls back to the
     // action-carried partitionValues keys
@@ -920,48 +1144,115 @@ object MiniDelta {
       .map(s => metaDataLine(table, s, parts, cfg)).toSeq
     val addLines = snapRows.map { r =>
       val dvIdx = r.fieldIndex("dv_path")
+      val mtIdx = r.fieldIndex("modificationTime")
       // partitionValues carried VERBATIM from the snapshot — a real
       // table's paths need not encode partitions, so re-deriving from
-      // the path would silently erase them
+      // the path would silently erase them. dataChange=false: the Delta
+      // spec marks every checkpoint action as not-logically-new.
       addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))),
+        dataChange = false,
         dv = if (r.isNullAt(dvIdx)) None
           else Some((r.getString(dvIdx),
             r.getLong(r.fieldIndex("dv_card")))),
         partitionValues = Some(
-          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap))
+          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
+        modTime = if (r.isNullAt(mtIdx)) None else Some(r.getLong(mtIdx)))
     }
-    // render as JSON lines, read under the action schema, land as ONE
-    // parquet part, then rename into place — a crashed job leaves only
-    // a temp that is never named by discovery
+    // unexpired remove tombstones ride the checkpoint (Delta classic
+    // shape): without them, deleting pre-checkpoint JSON history
+    // ([[cleanupLogs]]) would silently erase the horizon data vacuum
+    // measures against, and a real reader replaying from this
+    // checkpoint would see a tombstone-free history. Reconciliation:
+    // newest remove per path, dropped when a later add revived the
+    // path (it rides as a live add instead) or when the tombstone aged
+    // past delta.deletedFileRetentionDuration. A null
+    // deletionTimestamp cannot be aged — carried forever (fail-safe).
+    val livePaths = snapRows.map(_.getString(0)).toSet
+    val horizon = nowMs() - retentionMs(cfg)
+    val cpPrev = latestCheckpoint(spark, table, version - 1)
+    def removesOf(df: DataFrame): Seq[(String, Option[Long])] =
+      df.where(col("remove.path").isNotNull)
+        .select(col("remove.path"),
+          col("remove.deletionTimestamp").cast("long"))
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    val prevRemoves: Seq[(String, Option[Long])] = cpPrev.toSeq.flatMap { v =>
+      checkpointActionDF(spark, table, v)
+        .filter(_.columns.contains("remove"))
+        .map(removesOf).getOrElse(Seq.empty)
+    }
+    val tailFiles = logJsonVersions(spark, table,
+      cpPrev.getOrElse(-1L) + 1, version).map(_._2)
+    val tailRemoves =
+      if (tailFiles.isEmpty) Seq.empty[(String, Option[Long])]
+      else removesOf(logDFIn(spark, tailFiles))
+    val removeLines = (prevRemoves ++ tailRemoves)
+      .groupBy(_._1).view
+      .mapValues { vs =>
+        if (vs.exists(_._2.isEmpty)) None else Some(vs.flatMap(_._2).max) }
+      .toSeq
+      .collect { case (p, ts)
+          if !livePaths.contains(p) && ts.forall(_ > horizon) =>
+        val tsField = ts.fold("")(t => s""","deletionTimestamp":$t""")
+        s"""{"remove":{"path":${jstr(p)},"dataChange":false$tsField}}"""
+      }.sorted
+    // render as JSON lines, read under the action schema, land as
+    // parquet, then rename into place — a crashed job leaves only
+    // temps (or an INCOMPLETE multi-part set) that discovery never
+    // selects. The manifest splits into the Delta multi-part naming
+    // once it exceeds `maxActionsPerPart` rows — the 10^7-file regime
+    // where one driver-rendered file stops being reasonable.
+    val allLines = (proto +: metaLines) ++ addLines ++ removeLines
+    val size = allLines.length
+    val n = math.max(1L,
+      (size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
     val tmpBase = s"${logDir(table)}/.cp-tmp-" +
       java.util.UUID.randomUUID().toString
-    val tmpJson = new Path(s"$tmpBase/actions.json")
-    val out = f.create(tmpJson, true)
-    try out.write(((proto +: metaLines) ++ addLines).mkString("\n")
-      .getBytes("UTF-8"))
-    finally out.close()
     val cpSchema = org.apache.spark.sql.types.StructType(
       logSchema.fields.filter(fd =>
-        Set("add", "metaData", "protocol").contains(fd.name)))
-    spark.read.schema(cpSchema).json(s"$tmpBase/actions.json")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out")
-    val part = f.listStatus(new Path(s"$tmpBase/out")).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).head
-    val target = new Path(checkpointPath(table, version))
-    if (f.exists(target)) f.delete(target, true) // idempotent re-write
-    // a failed rename must NOT advance the pointer below — the pointer
-    // would name a checkpoint that does not exist and log discovery
-    // would fall back to full listings until the next checkpoint lands
-    if (!f.rename(part, target))
-      throw new java.io.IOException(
-        s"checkpoint rename $part -> $target failed")
+        Set("add", "metaData", "protocol", "remove").contains(fd.name)))
+    def renderPart(lines: Seq[String], idx: Int, target: Path): Unit = {
+      val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
+      val out = f.create(tmpJson, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      spark.read.schema(cpSchema).json(s"$tmpBase/actions-$idx.json")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out-$idx")
+      val part = f.listStatus(new Path(s"$tmpBase/out-$idx")).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      if (f.exists(target)) f.delete(target, true) // idempotent re-write
+      // a failed rename must NOT advance the pointer below — the
+      // pointer would name a checkpoint that does not exist and log
+      // discovery would fall back to full listings until the next
+      // checkpoint lands
+      if (!f.rename(part, target))
+        throw new java.io.IOException(
+          s"checkpoint rename $part -> $target failed")
+    }
+    if (n == 1)
+      renderPart(allLines, 0, new Path(checkpointPath(table, version)))
+    else {
+      // clear any stale same-version part set first (a previous attempt
+      // may have used a different part count; a mixed set must never
+      // look complete)
+      checkpointMultiParts(spark, table, version)
+        .foreach(p => f.delete(new Path(p), false))
+      allLines.grouped(maxActionsPerPart).zipWithIndex.foreach {
+        case (chunk, i) => renderPart(chunk, i + 1,
+          new Path(checkpointPartPath(table, version, i + 1, n)))
+      }
+    }
     f.delete(new Path(tmpBase), true)
     // pointer last: it only ever names a checkpoint that already
-    // exists, and only moves forward
+    // exists, and only moves forward. "size" (total action count) is
+    // REQUIRED by the Delta spec's _last_checkpoint shape; "parts"
+    // marks the multi-part naming.
     if (readLastCheckpoint(spark, table).forall(_ < version)) {
+      val partsField = if (n > 1) s""","parts":$n""" else ""
       val pOut = f.create(new Path(lastCheckpointPath(table)), true)
-      try pOut.write(s"""{"version":$version}""".getBytes("UTF-8"))
+      try pOut.write(s"""{"version":$version,"size":$size$partsField}"""
+        .getBytes("UTF-8"))
       finally pOut.close()
     }
   }
@@ -979,11 +1270,23 @@ object MiniDelta {
   private def partitionSegments(rel: String): Array[String] =
     rel.split("/").takeRight(dvKeyDepth(rel)).dropRight(1)
 
+  /** A snapshot row's carried modificationTime (None on legacy adds). */
+  private def mtOf(r: org.apache.spark.sql.Row): Option[Long] = {
+    val i = r.fieldIndex("modificationTime")
+    if (r.isNullAt(i)) None else Some(r.getLong(i))
+  }
+
   private def addLine(rel: String, size: Long,
                       stats: Option[String] = None,
                       dataChange: Boolean = true,
                       dv: Option[(String, Long)] = None,
-                      partitionValues: Option[Map[String, String]] = None)
+                      partitionValues: Option[Map[String, String]] = None,
+                      // Delta protocol modificationTime: commit sites
+                      // stamp the file's just-written wall-clock moment
+                      // by default; checkpoint folding passes the
+                      // action-carried value VERBATIM (None when a
+                      // legacy add never recorded one)
+                      modTime: Option[Long] = Some(System.currentTimeMillis()))
       : String = {
     // explicit partitionValues (checkpoint folding carries the
     // action-recorded map verbatim — paths need not encode partitions)
@@ -1013,7 +1316,8 @@ object MiniDelta {
           s""""sizeInBytes":$size,"cardinality":$card}"""
       } else s""","dv":{"path":${jstr(p)},"cardinality":$card}"""
     }
-    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size,"dataChange":$dataChange$statsField$dvField}}"""
+    val mtField = modTime.fold("")(m => s""","modificationTime":$m""")
+    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size$mtField,"dataChange":$dataChange$statsField$dvField}}"""
   }
 
   /** Remove action with the Delta protocol's `deletionTimestamp` — the
@@ -1047,6 +1351,7 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
+    requireUnmappedForWrite(latestSchema(spark, table), table)
     // read-set version pin, captured BEFORE the snapshot replay: the
     // commit below lands at exactly readVersion + 1 or conflicts
     val readVersion = latestVersion(spark, table)
@@ -1121,8 +1426,8 @@ object MiniDelta {
     // that landed in between throws ConcurrentCommitException instead of
     // silently re-adding files a concurrent DELETE removed
     writeCommit(spark, table, readVersion + 1,
-      removes ++ added.map { case (p, s, _) =>
-        addLine(p, s, stats.get(p), dataChange = false) }, // pure rewrite
+      removes ++ added.map { case (p, s, m) => // pure rewrite
+        addLine(p, s, stats.get(p), dataChange = false, modTime = Some(m)) },
       "OPTIMIZE")
   }
 
@@ -1225,7 +1530,8 @@ object MiniDelta {
     writeCommit(spark, table, readVersion + 1,
       extraLines ++
         touched.sorted.map(p => removeLine(p, dataChange = true, now)) ++
-        added.map { case (p, s, _) => addLine(p, s, stats.get(p)) },
+        added.map { case (p, s, m) =>
+          addLine(p, s, stats.get(p), modTime = Some(m)) },
       operation)
   }
 
@@ -1241,6 +1547,7 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to delete from
+    requireUnmappedForWrite(latestSchema(spark, table), table)
     val readVersion = latestVersion(spark, table)
     // delta.enableDeletionVectors routes DELETE through the DV path:
     // deleted rows are MASKED by a row-index sidecar instead of
@@ -1340,7 +1647,8 @@ object MiniDelta {
           beforeDmlCommitHook()
           writeCommit(spark, table, readVersion + 1,
             maskLines ++
-              added.map { case (pp, sz, _) => addLine(pp, sz, stats.get(pp)) },
+              added.map { case (pp, sz, m) =>
+                addLine(pp, sz, stats.get(pp), modTime = Some(m)) },
             "UPDATE")
         }
     } finally { matched.unpersist(); () }
@@ -1422,7 +1730,8 @@ object MiniDelta {
         val marker = RealDvPrefix + s"u\u0000$dvId\u0000$off\u0000$sz"
         addLine(rel, r.getLong(r.fieldIndex("size")),
           Option(r.getString(r.fieldIndex("stats"))),
-          dv = Some((marker, cards.getOrElse(dvKeyOf(rel), 0L))))
+          dv = Some((marker, cards.getOrElse(dvKeyOf(rel), 0L))),
+          modTime = mtOf(r))
       }).toSeq)
   }
 
@@ -1475,6 +1784,7 @@ object MiniDelta {
     if (!tableExists(spark, table)) return -1L // nothing to update
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
+    requireUnmappedForWrite(declared, table)
     // an unknown assignment target is an ERROR (Delta raises an analysis
     // error) — silently dropping it would turn the update into a no-op
     declared.foreach { s =>
@@ -1544,6 +1854,7 @@ object MiniDelta {
           "multiple source matches per target row are ambiguous")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
+    requireUnmappedForWrite(declared, table)
     // schema evolution, same rule as append: source-only columns are
     // APPENDED to the declared schema (committed as a metaData action);
     // retyping an existing column is rejected inside mergedSchema
@@ -1624,7 +1935,8 @@ object MiniDelta {
       beforeDmlCommitHook()
       writeCommit(spark, table, readVersion + 1,
         metaLines ++ maskLines ++
-          added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
+          added.map { case (p, sz, m) =>
+            addLine(p, sz, stats.get(p), modTime = Some(m)) },
         "MERGE")
     } finally {
       matched.unpersist()
@@ -1653,12 +1965,25 @@ object MiniDelta {
       .select("path", "dv_path").collect().toIndexedSeq
     val live = snapRows.map(_.getString(0)).toSet
     // newest tombstone per path: a file removed, re-added, and removed
-    // again is aged from its LATEST de-reference
-    val tombstones: Map[String, Long] = logDF(spark, table)
-      .where(col("remove").isNotNull &&
-        col("remove.deletionTimestamp").isNotNull)
-      .groupBy(col("remove.path").as("path"))
-      .agg(max(col("remove.deletionTimestamp")).as("ts"))
+    // again is aged from its LATEST de-reference. The checkpoint's
+    // remove rows are unioned in — after log-retention cleanup
+    // ([[cleanupLogs]]) they are the ONLY record of pre-checkpoint
+    // tombstones, and without them vacuum would fall back to file
+    // mtime and delete inside the retention horizon.
+    val cpRemoves: Option[DataFrame] =
+      latestFileCheckpoint(spark, table).flatMap { case (_, raw) =>
+        if (raw.columns.contains("remove")) Some(
+          raw.select(col("remove.path").as("path"),
+            col("remove.deletionTimestamp").cast("long").as("ts")))
+        else None
+      }
+    val jsonRemoves = logDF(spark, table)
+      .select(col("remove.path").as("path"),
+        col("remove.deletionTimestamp").cast("long").as("ts"))
+    val tombstones: Map[String, Long] = cpRemoves.fold(jsonRemoves)(
+        jsonRemoves.unionByName(_))
+      .where(col("path").isNotNull && col("ts").isNotNull)
+      .groupBy("path").agg(max("ts").as("ts"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cutoff = nowMs() - retainMs
     val f = fs(spark, table)
@@ -1740,6 +2065,56 @@ object MiniDelta {
     dead ++ deadDv ++ deadBins
   }
 
+  /** Log-retention cleanup (Delta's metadata cleanup): delete JSON
+    * commits and superseded checkpoints STRICTLY BELOW the newest
+    * checkpoint once they age past `delta.logRetentionDuration`
+    * (default 30 days; mtime-aged like real Delta). Safe only because
+    * checkpoints now carry unexpired remove tombstones — vacuum's
+    * horizon survives the JSON deletion ([[writeCheckpoint]]); the one
+    * degradation is sidecar-mask aging for files tombstoned before the
+    * horizon, which falls back to mtime (fail-safe, may RETAIN longer).
+    * Time travel below the horizon throws [[HistoryCleanedException]]
+    * instead of replaying a partial tail. Returns the deleted
+    * `_delta_log`-relative names. */
+  def cleanupLogs(spark: SparkSession, table: String,
+                  retainMs: Option[Long] = None,
+                  readOnly: Boolean = false,
+                  nowMs: () => Long = () => System.currentTimeMillis())
+      : Seq[String] = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val f = fs(spark, table)
+    val cpOpt = latestCheckpoint(spark, table, Long.MaxValue)
+    if (cpOpt.isEmpty) return Seq.empty // nothing covers the JSON yet
+    val cp = cpOpt.get
+    val cutoff = nowMs() -
+      retainMs.getOrElse(logRetentionMs(tableConfig(spark, table)))
+    def aged(p: Path): Boolean =
+      try f.getFileStatus(p).getModificationTime <= cutoff
+      catch { case _: java.io.FileNotFoundException => false }
+    val deadJson = logJsonVersions(spark, table, 0L, cp - 1)
+      .collect { case (v, p) if aged(new Path(p)) =>
+        f.delete(new Path(p), false); f"$v%020d.json" }
+    // superseded checkpoints (single-file, legacy directory manifests,
+    // and complete multi-part sets — all-or-none, so a partial deletion
+    // can never masquerade as a complete set) age out under the same
+    // horizon; the NEWEST checkpoint always survives
+    val deadCp = (0L until cp).flatMap { v =>
+      val p = new Path(checkpointPath(table, v))
+      val fromSingle =
+        if (f.exists(p) && aged(p)) {
+          f.delete(p, true); Seq(f"$v%020d.checkpoint.parquet")
+        } else Seq.empty
+      val parts = checkpointMultiParts(spark, table, v)
+      val fromParts =
+        if (parts.nonEmpty && parts.forall(pp => aged(new Path(pp)))) {
+          parts.foreach(pp => f.delete(new Path(pp), false))
+          parts.map(_.split("/").last)
+        } else Seq.empty
+      fromSingle ++ fromParts
+    }
+    deadJson ++ deadCp
+  }
+
   /** INSERT OVERWRITE: replace the table's contents (or, with
     * `replaceWhere`, exactly the matching partitions — Delta's
     * idempotent partition-reload pattern) with `df` in one pinned
@@ -1769,6 +2144,8 @@ object MiniDelta {
     val cfg =
       if (exists) tableConfig(spark, table, readVersion)
       else Map.empty[String, String]
+    if (exists)
+      requireUnmappedForWrite(latestSchema(spark, table, readVersion), table)
     // the scope guard, constraint check, and parquet write each
     // evaluate df — persist across the whole sequence so a
     // nondeterministic source validates the SAME rows it commits
@@ -1814,7 +2191,8 @@ object MiniDelta {
       writeCommit(spark, table, readVersion + 1,
         metaLines ++
           removed.sorted.map(removeLine(_, dataChange = true, now)) ++
-          added.map { case (p, sz, _) => addLine(p, sz, stats.get(p)) },
+          added.map { case (p, sz, m) =>
+            addLine(p, sz, stats.get(p), modTime = Some(m)) },
         "OVERWRITE")
     } finally if (mustCache) { df.unpersist(); () }
   }
@@ -1869,7 +2247,8 @@ object MiniDelta {
     val addLines = addKeys.toSeq.sorted.map { p =>
       val r = tgt(p)
       addLine(p, r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r))
+        Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r),
+        modTime = mtOf(r))
     }
     // dv-differing paths get a remove+re-add PAIR (within-commit add
     // wins on replay): readCdf then diffs old-mask vs new-mask contents
@@ -1964,20 +2343,22 @@ object MiniDelta {
       addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dv,
         partitionValues = Some(
-          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap))
+          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
+        modTime = mtOf(r))
     }.toSeq
     val srcCfg = tableConfig(spark, source, v)
-    // a clone of a DV-bearing (or DV-enabled) source must carry the DV
-    // protocol requirement at ITS v0 — writeCommit's default (1, 2)
-    // would let a real reader ignore the cloned descriptors and
-    // resurrect masked rows
+    // the clone's v0 carries the SOURCE's resolved protocol verbatim
+    // (a real source at (3, timestampNtz) keeps its contract), with the
+    // DV requirement UNIONED in when descriptors or the property ride
+    // along — writeCommit's default (1, 2) would let a real reader
+    // ignore the cloned descriptors and resurrect masked rows
+    val needDv = files.exists(r => !r.isNullAt(r.fieldIndex("dv_path"))) ||
+      srcCfg.get("delta.enableDeletionVectors").contains("true")
+    val srcProto = resolveProtocol(spark, source, v, cpAtMost = v)
     val protoLines =
-      if (files.exists(r => !r.isNullAt(r.fieldIndex("dv_path"))) ||
-          srcCfg.get("delta.enableDeletionVectors").contains("true"))
-        Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],""" +
-          """"writerFeatures":["deletionVectors"]}}""")
-      else Seq.empty
+      (if (needDv) Some(srcProto.getOrElse(basicProtocol).withDeletionVectors)
+       else srcProto.filter(_ != basicProtocol))
+        .map(_.render).toSeq
     val metaLines = latestSchema(spark, source, v)
       .map(metaDataLine(target, _, partitionColsOf(files.map(_.getString(0))),
         srcCfg))  // clone inherits properties
@@ -2036,21 +2417,17 @@ object MiniDelta {
     var cmMode: Option[String] = None
     val badDvTypes = scala.collection.mutable.Set.empty[String]
     cp.foreach { v =>
-      val p = new Path(checkpointPath(table, v))
-      val isFile =
-        try f.getFileStatus(p).isFile
-        catch { case _: java.io.FileNotFoundException => false }
-      if (isFile) {
-        // action-shape checkpoint (real writers AND this engine's own):
-        // the file is immutable once named, so its gate parse memoizes
-        // per (table, version) — steady state pays a hashmap lookup,
-        // not Spark jobs
+      if (checkpointActionDF(spark, table, v).isDefined) {
+        // action-shape checkpoint (real writers AND this engine's own,
+        // single-file or multi-part): the files are immutable once
+        // named, so the gate parse memoizes per (table, version) —
+        // steady state pays a hashmap lookup, not Spark jobs
         val gate = cpGates.computeIfAbsent((table, v), { _ =>
           var mr = -1
           var feats: Seq[String] = Nil
           var cm: Option[String] = None
           var bad = Set.empty[String]
-          val raw = spark.read.parquet(checkpointPath(table, v))
+          val raw = checkpointActionDF(spark, table, v).get
           if (raw.columns.contains("protocol"))
             raw.where(col("protocol.minReaderVersion").isNotNull)
               .select(col("protocol.minReaderVersion").cast("int"),
@@ -2094,8 +2471,12 @@ object MiniDelta {
         val in = f.open(pp)
         try in.readFully(bytes) finally in.close()
         val txt = new String(bytes, "UTF-8")
+        // "metaData" must be screened IN: a configuration-replacing
+        // metaData commit that clears delta.columnMapping.mode contains
+        // none of the other substrings, and skipping it would pin a
+        // stale checkpoint-derived cmMode refusal forever
         if (txt.contains("\"protocol\"") || txt.contains("deletionVector") ||
-            txt.contains("columnMapping"))
+            txt.contains("columnMapping") || txt.contains("\"metaData\""))
           txt.linesIterator.filter(_.nonEmpty).foreach { line =>
             val node =
               try om.readTree(line) catch { case _: Exception => null }
@@ -2141,7 +2522,9 @@ object MiniDelta {
           s"$table requires unsupported reader feature(s): " +
             bad.sorted.mkString(", "))
     }
-    cmMode.filter(_ != "none").foreach(m =>
+    // `name` mode reads via logical relabeling ([[readFilesAs]]); `id`
+    // mode (parquet field-id resolution) stays refused
+    cmMode.filter(m => m != "none" && m != "name").foreach(m =>
       throw new ColumnMappingUnsupportedException(table, m))
     // real DV descriptors in the known storage forms (u/i/p) are READ
     // (roaring decode, [[RoaringDv]]); an unknown storage form cannot
@@ -2164,6 +2547,13 @@ object MiniDelta {
     requireReadable(spark, table, version)
     val cp = if (cpAtMost < 0) None
              else latestCheckpoint(spark, table, cpAtMost)
+    // a checkpoint-less replay whose v0 commit is GONE means log
+    // retention cleaned the history this version needs — a partial
+    // tail would silently drop files, so refuse by name
+    if (cp.isEmpty && tableExists(spark, table) &&
+        !fs(spark, table).exists(new Path(commitPath(table, 0L))) &&
+        latestVersion(spark, table) >= 0)
+      throw new HistoryCleanedException(table, version)
     // read ONLY the tail commits: replay after a checkpoint touches
     // O(since-last-checkpoint) log files, not every JSON in a
     // long-lived table's history
@@ -2177,7 +2567,10 @@ object MiniDelta {
     // the checkpoint IS the folded snapshot at cp: treat its manifest
     // rows as adds at version cp, then replay only the tail on top
     val base = cp.map { v =>
-      val raw = spark.read.parquet(checkpointPath(table, v))
+      // action-shape (single file OR multi-part union); legacy directory
+      // manifests fall through to the parquet-dir read below
+      val raw = checkpointActionDF(spark, table, v)
+        .getOrElse(spark.read.parquet(checkpointPath(table, v)))
       if (raw.columns.contains("add")) {
         // REAL Delta checkpoint: one row per action, live adds ride as
         // a nullable struct column. A real-DV descriptor becomes the
@@ -2203,10 +2596,15 @@ object MiniDelta {
             (col("add.dv.path"), col("add.dv.cardinality"))
           case _ => (lit(null).cast("string"), lit(null).cast("long"))
         }
+        val mt =
+          if (addT.fieldNames.contains("modificationTime"))
+            col("add.modificationTime").cast("long")
+          else lit(null).cast("long")
         raw.where(col("add").isNotNull).select(
           col("add.path").as("path"),
           col("add.partitionValues").as("partitionValues"),
           col("add.size").cast("long").as("size"),
+          mt.as("modificationTime"),
           stats.as("stats"),
           dvPath.as("dv_path"),
           dvCard.cast("long").as("dv_card"),
@@ -2219,13 +2617,16 @@ object MiniDelta {
           else raw.withColumn("dv_path", lit(null).cast("string"))
             .withColumn("dv_card", lit(null).cast("long"))
         withDv.select(col("path"), col("partitionValues"), col("size"),
+          lit(null).cast("long").as("modificationTime"),
           col("stats"), col("dv_path"), col("dv_card"), lit(v).as("version"))
       }
     }
     val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
-        col("add.size").as("size"), col("add.stats").as("stats"),
+        col("add.size").as("size"),
+        col("add.modificationTime").as("modificationTime"),
+        col("add.stats").as("stats"),
         // own sidecar DV first; a REAL descriptor rides as an "rdv"
         // marker the mask loader decodes ([[maskDF]])
         coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
@@ -2246,8 +2647,8 @@ object MiniDelta {
       // kill a file (CoW DML, OPTIMIZE) add different paths, so a
       // same-version remove without a same-version re-add stays dead.
       .where(col("rm_v").isNull || col("rm_v") <= col("add_v"))
-      .select("path", "partitionValues", "size", "stats",
-        "dv_path", "dv_card")
+      .select("path", "partitionValues", "size", "modificationTime",
+        "stats", "dv_path", "dv_card")
   }
 
   /** S4: current snapshot = add actions replayed in version order, minus
@@ -2332,6 +2733,65 @@ object MiniDelta {
   /** [[readFiles]] with the declared schema already resolved — DML
     * operations resolve it ONCE and thread it through their scan,
     * rewrite, and alignment steps instead of re-replaying the log. */
+  /** Writes to a column-mapped table are refused outright: this engine
+    * lands logical-named parquet, which the table's physical-name
+    * contract would then silently read back as all-null columns. Every
+    * mutator gates on the declared schema's mapping metadata. */
+  private def requireUnmappedForWrite(
+      declared: Option[org.apache.spark.sql.types.StructType],
+      table: String): Unit =
+    declared.filter(isColumnMapped).foreach { _ =>
+      throw new ColumnMappingUnsupportedException(table, "name", "write")
+    }
+
+  /** `delta.columnMapping` (name mode) field-metadata key: each logical
+    * field records the PHYSICAL parquet column name it reads from. */
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalNameOf(
+      fd: org.apache.spark.sql.types.StructField): String =
+    if (fd.metadata.contains(PhysNameKey)) fd.metadata.getString(PhysNameKey)
+    else fd.name
+
+  /** True when the declared schema carries name-mode mapping metadata —
+    * the parquet files use physical names and must be read through the
+    * relabeling projection. Pure in-memory check, so the unmapped path
+    * (every self-written table) pays nothing. */
+  private[graft] def isColumnMapped(
+      st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(_.metadata.contains(PhysNameKey))
+
+  /** The schema as the parquet files spell it: every (nested) field
+    * renamed to its physical name. Metadata is dropped — the physical
+    * schema exists only to drive the scan. */
+  private def physicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(physicalNameOf(f), physicalType(f.dataType),
+          f.nullable)))
+      case at: ArrayType => at.copy(elementType = physicalType(at.elementType))
+      case mt: MapType => mt.copy(keyType = physicalType(mt.keyType),
+        valueType = physicalType(mt.valueType))
+      case other => other
+    }
+  }
+
+  private def physicalStruct(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    physicalType(st).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Relabel a physical-named frame back to the logical schema. The
+    * top-level select renames the columns; the CAST renames nested
+    * struct fields (casts between same-shape structs are positional).
+    * Backticks guard the GUID-style physical names real writers emit. */
+  private def restoreLogical(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(logical.fields.map { lf =>
+      col(s"`${physicalNameOf(lf)}`").cast(lf.dataType).as(lf.name)
+    }.toIndexedSeq: _*)
+
   private def readFilesAs(spark: SparkSession, table: String,
                           files: Seq[String],
                           declared: Option[org.apache.spark.sql.types.StructType])
@@ -2340,19 +2800,24 @@ object MiniDelta {
       declared.fold(spark.emptyDataFrame)(s =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s))
     else {
+      // name-mode column mapping: scan under the PHYSICAL schema (the
+      // names actually present in the files), then relabel to logical
+      val mapped = declared.filter(isColumnMapped)
+      val readSchema = mapped.map(physicalStruct).orElse(declared)
       // a snapshot can mix files under the table root with ABSOLUTE
       // (shallow-cloned) paths rooted in the source table — Spark's
       // basePath must prefix every path in a scan, so group by
       // inference base and union (one scan per root, normally one)
       val groups = files.groupBy(inferenceBase(table, _)).toSeq.sortBy(_._1)
-      groups.map { case (base, fs) =>
+      val out = groups.map { case (base, fs) =>
         val reader = spark.read.option("basePath", base)
-        val df = declared.fold(reader)(reader.schema)
+        val df = readSchema.fold(reader)(reader.schema)
           .parquet(fs.toIndexedSeq: _*)
         // partitioned reads surface partition columns LAST regardless of
         // the declared schema — restore the declared column order
-        declared.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
+        readSchema.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
       }.reduce(_.unionByName(_))
+      mapped.fold(out)(restoreLogical(out, _))
     }
   }
 
@@ -2517,14 +2982,19 @@ object MiniDelta {
       (p, resolvePath(table, p), d) }
     val base = readFilesAs(spark, table, plain, declared)
     if (dvd.isEmpty) return base
+    // name-mode column mapping: the DV'd files are scanned under the
+    // physical schema and relabeled AFTER the mask anti-join (the join
+    // keys are the appended __fname/__ri, untouched by the relabel)
+    val mapped = declared.filter(isColumnMapped)
+    val readSchema = mapped.map(physicalStruct).orElse(declared)
     val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)
     val masked = groups.map { case (bp, fs2) =>
       val reader = spark.read.option("basePath", bp)
-      val df = declared.fold(reader)(reader.schema)
+      val df = readSchema.fold(reader)(reader.schema)
         .parquet(fs2.map(_._2).toIndexedSeq: _*)
-      val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
+      val cols = readSchema.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
       // depth from the LOG-RECORDED path, not the resolved one — a
       // table root containing '=' must not inflate the key depth (the
       // build side keys on log-relative paths)
@@ -2534,10 +3004,11 @@ object MiniDelta {
         .withColumn("__ri", col("_metadata.row_index"))
         .select((cols.map(col) ++ Seq(col("__fname"), col("__ri"))): _*)
     }.reduce(_.unionByName(_))
-    val visible = masked.join(dv,
+    val visible0 = masked.join(dv,
         masked("__fname") === dv("__dv_fname") &&
           masked("__ri") === dv("__dv_ri"), "left_anti")
       .drop("__fname", "__ri")
+    val visible = mapped.fold(visible0)(restoreLogical(visible0, _))
     if (plain.isEmpty && declared.isEmpty) visible
     else base.unionByName(visible)
   }
@@ -2679,6 +3150,52 @@ object MiniDelta {
     * blast radius, never the table. Requires the touched files to still
     * exist — a window behind the VACUUM horizon fails loudly, like
     * [[readChanges]]. */
+  /** Latest committed version (-1 for a missing/empty log) — the
+    * offset the streaming source ([[graft.streaming.GraftDeltaSource]])
+    * exposes. Driver metadata only. */
+  def currentVersion(spark: SparkSession, table: String): Long =
+    latestVersion(spark, table)
+
+  /** The append-only change feed for versions in `(fromVersion,
+    * toVersion]`: rows of every dataChange ADD, read with its own
+    * deletion vector. Matches the real Delta streaming-source
+    * contract: a commit that also REMOVES data (UPDATE/DELETE/MERGE)
+    * is an error — delivering just its adds would silently misstate
+    * the change — unless `skipChangeCommits`, which drops such commits
+    * WHOLE (Delta's skipChangeCommits option). dataChange=false
+    * commits (OPTIMIZE) never deliver. */
+  def readAppends(spark: SparkSession, table: String, fromVersion: Long,
+                  toVersion: Long = Long.MaxValue,
+                  skipChangeCommits: Boolean = false): DataFrame = {
+    val declared = latestSchema(spark, table,
+      if (toVersion == Long.MaxValue) Long.MaxValue else toVersion)
+    def empty = declared.fold(spark.emptyDataFrame)(s =>
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s))
+    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
+      .map(_._2)
+    if (tail.isEmpty) return empty
+    val log = logDFIn(spark, tail)
+    val changed = log.where(
+        col("remove").isNotNull && col("remove.dataChange"))
+      .select("version").distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (changed.nonEmpty && !skipChangeCommits)
+      throw new IllegalStateException(
+        s"$table is not append-only in versions ($fromVersion, " +
+          s"$toVersion] (data-changing removes at ${changed.toSeq.sorted
+            .mkString(", ")}); stream the change feed instead, or set " +
+          "skipChangeCommits to drop those commits whole")
+    val adds = log.where(col("add").isNotNull && col("add.dataChange") &&
+        !col("version").isin(changed.toSeq: _*))
+      .select(col("add.path"),
+        coalesce(col("add.dv.path"), realDvMarker).as("dv"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+    if (adds.isEmpty) empty
+    else readFilesWithDv(spark, table, adds, declared)
+  }
+
   def readCdf(spark: SparkSession, table: String, fromVersion: Long,
               toVersion: Long = Long.MaxValue): DataFrame = {
     val declared = latestSchema(spark, table,

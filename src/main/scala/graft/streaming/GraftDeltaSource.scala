@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.io.MiniDelta
+
+/** `spark.readStream.format("graft-delta")` — the MiniDelta log as a
+  * Structured Streaming source, replacing the bespoke driver loop
+  * (`MiniDelta.processChanges`/`processCdf`) with the engine-managed
+  * offset/commit lifecycle the reference's consumers expect of a Delta
+  * stream (tables written by one engine, tailed by another —
+  * /root/reference/src/main.rs:357-363).
+  *
+  * Same V1 `Source` shape as Delta Lake's own `DeltaDataSource`: each
+  * micro-batch is a DataFrame of the commits in `(start, end]`, offsets
+  * are table VERSIONS (checkpointed by the engine as JSON longs), so a
+  * restarted query resumes exactly after the last committed version —
+  * the marker-file protocol of `processFeed`, now owned by the
+  * streaming checkpoint.
+  *
+  * Options:
+  *   - `path` (or `.load(dir)`): the table directory — REQUIRED
+  *   - `readChangeFeed` (default false): emit the CDF shape
+  *     (`_change_type`, `_commit_version` appended) via
+  *     [[MiniDelta.readCdf]]; otherwise the append-only feed via
+  *     [[MiniDelta.readAppends]], which REFUSES data-changing removes
+  *   - `skipChangeCommits` (default false): append mode only — drop
+  *     UPDATE/DELETE/MERGE commits whole instead of refusing
+  *
+  * Scale: `getOffset` is one driver metadata probe (latest version);
+  * `getBatch` plans a bounded window of commits — file reads stay
+  * distributed, deletion vectors apply through the same anti-join as
+  * batch reads. Nothing is collected to the driver but paths. */
+class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta requires a table directory: .load(dir) or " +
+        ".option(\"path\", dir)"))
+
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
+  private def declaredOf(spark: SparkSession, table: String): StructType =
+    MiniDelta.latestSchema(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table is not a MiniDelta table (no committed schema) — " +
+          "create it with an append before streaming it"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val table = tableOf(parameters)
+    val base = declaredOf(sqlContext.sparkSession, table)
+    val st =
+      if (cdfOf(parameters))
+        base.add("_change_type", StringType).add("_commit_version", LongType)
+      else base
+    (shortName(), st)
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val table = tableOf(parameters)
+    new GraftDeltaStreamSource(sqlContext.sparkSession, table,
+      cdf = cdfOf(parameters),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+      declared = sourceSchema(sqlContext, schema, providerName,
+        parameters)._2)
+  }
+}
+
+private[streaming] class GraftDeltaStreamSource(
+    spark: SparkSession, table: String, cdf: Boolean,
+    skipChangeCommits: Boolean, declared: StructType) extends Source {
+
+  override def schema: StructType = declared
+
+  /** Version carried by an engine offset: a live LongOffset in-process,
+    * or any checkpoint-recovered offset through its JSON long. */
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = MiniDelta.currentVersion(spark, table)
+    if (latest < 0) None else Some(LongOffset(latest))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // (from, to]: a fresh query (start = None) replays from version 0 —
+    // the whole existing table is the first batch, then increments
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
+    val batch =
+      if (cdf) MiniDelta.readCdf(spark, table, from, to)
+      else MiniDelta.readAppends(spark, table, from, to, skipChangeCommits)
+    // MicroBatchExecution asserts isStreaming on V1 getBatch results —
+    // re-brand the (lazy) batch plan as a streaming one
+    org.apache.spark.sql.graft.StreamingBridge.asMicroBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}

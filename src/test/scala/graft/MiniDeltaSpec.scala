@@ -943,7 +943,8 @@ class MiniDeltaSpec extends AnyFunSuite {
         """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""")),
         Seq.empty).count()
     }
-    // column mapping flagged from metaData configuration
+    // id-mode column mapping flagged from metaData configuration
+    // (name mode reads via logical relabeling — its own test below)
     val cm = freshTable()
     Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(cm)
     val cmF = new java.io.File(cm).listFiles()
@@ -951,7 +952,7 @@ class MiniDeltaSpec extends AnyFunSuite {
     val cmSchema = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
     rawCommit(cm, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"schemaString":$cmSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      s"""{"metaData":{"schemaString":$cmSchema,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
       s"""{"add":{"path":${jsonStr(cmF)},"partitionValues":{},"size":10,"dataChange":true}}"""))
     intercept[MiniDelta.ColumnMappingUnsupportedException] {
       MiniDelta.readFiltered(spark, cm, Seq.empty).count()
@@ -967,15 +968,14 @@ class MiniDeltaSpec extends AnyFunSuite {
       MiniDelta.readFiltered(spark, dvT, Seq.empty).count()
     }
     assert(e2.getMessage.contains("storageType"))
-    // multi-part _last_checkpoint pointer
+    // a multi-part _last_checkpoint pointer whose part files are GONE
+    // degrades to the JSON replay instead of trusting a phantom set
     val mp = mk(Seq.empty)
     assert(MiniDelta.readFiltered(spark, mp, Seq.empty).count() == 1)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$mp/_delta_log/_last_checkpoint"),
       """{"version":0,"parts":3}""".getBytes("UTF-8"))
-    intercept[MiniDelta.UnsupportedTableFeatureException] {
-      MiniDelta.snapshotFiles(spark, mp).count()
-    }
+    assert(MiniDelta.snapshotFiles(spark, mp).count() == 1)
   }
 
   test("overwrite replaceWhere guards the FIRST write too") {
@@ -1276,5 +1276,270 @@ class MiniDeltaSpec extends AnyFunSuite {
     val forkV0 = s"$root/forkv0"
     MiniDelta.cloneShallow(spark, src, forkV0, versionAsOf = Some(0L))
     assert(MiniDelta.readFiltered(spark, forkV0, Seq.empty).count() == 3)
+  }
+
+  test("checkpoints carry unexpired tombstones; log cleanup keeps vacuum honest") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))   // v0
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))   // v1
+    MiniDelta.compact(spark, t, Seq("year"))                     // v2 removes
+    MiniDelta.append(spark, sample("2025", 1), t, Seq("year"))   // v3
+    val now = System.currentTimeMillis()
+    MiniDelta.writeCheckpoint(spark, t, 3L, nowMs = () => now)
+    val cp = spark.read.parquet(
+      f"$t%s/_delta_log/${3L}%020d.checkpoint.parquet")
+    val removed = cp.where(col("remove.path").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp",
+        "remove.dataChange").collect()
+    assert(removed.nonEmpty, "checkpoint must carry the v2 tombstones")
+    assert(removed.forall(r => !r.isNullAt(1) && !r.getBoolean(2)),
+      "tombstones carry deletionTimestamp and dataChange=false")
+    // every checkpoint action is dataChange=false (Delta spec) and adds
+    // carry modificationTime
+    assert(cp.where(col("add.path").isNotNull &&
+      col("add.dataChange")).count() == 0)
+    assert(cp.where(col("add.path").isNotNull &&
+      col("add.modificationTime").isNull).count() == 0)
+    // _last_checkpoint carries the spec-required action count
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")), "UTF-8")
+    assert(ptr.contains("\"size\":"), ptr)
+    // retention cleanup deletes the JSON history below the checkpoint —
+    // INCLUDING the remove-bearing v2 commit
+    val dead = MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L))
+    assert((0L to 2L).forall(v => dead.contains(f"$v%020d.json")), dead)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
+    // vacuum INSIDE the horizon: the compacted-away files survive,
+    // because their tombstones now live only in the checkpoint
+    assert(MiniDelta.vacuum(spark, t, retainMs = 3600000L,
+      nowMs = () => now).isEmpty)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
+    // past the horizon they go, and the snapshot stays exact
+    assert(MiniDelta.vacuum(spark, t).nonEmpty)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 6)
+    // time travel below the cleaned horizon refuses BY NAME instead of
+    // replaying a partial tail
+    intercept[MiniDelta.HistoryCleanedException] {
+      MiniDelta.readFiltered(spark, t, Seq.empty, versionAsOf = Some(0L))
+        .count()
+    }
+  }
+
+  test("tombstones age out of the next checkpoint past the retention horizon") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))   // v0
+    MiniDelta.compact(spark, t, Seq("year"))                     // v1 removes
+    // default delta.deletedFileRetentionDuration = 1 week; pretend the
+    // checkpoint runs 30 days later
+    val future = System.currentTimeMillis() + 30L * 86400000
+    MiniDelta.writeCheckpoint(spark, t, 1L, nowMs = () => future)
+    val cp = spark.read.parquet(
+      f"$t%s/_delta_log/${1L}%020d.checkpoint.parquet")
+    assert(cp.where(col("remove.path").isNotNull).count() == 0,
+      "expired tombstones must not ride the checkpoint")
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+  }
+
+  test("checkpoint, clone, and DV upgrade carry the ACTUAL protocol") {
+    val t = freshTable()
+    // a real writer's table declaring timestampNtz at (3, 7)
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t, Seq.empty) // v1
+    // ten engine commits must NOT erode the declared contract
+    MiniDelta.writeCheckpoint(spark, t, 1L)
+    val cpProto = spark.read.parquet(
+        f"$t%s/_delta_log/${1L}%020d.checkpoint.parquet")
+      .where(col("protocol.minReaderVersion").isNotNull)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures")
+      .collect()
+    assert(cpProto.length == 1)
+    assert(cpProto.head.getInt(0) == 3)
+    assert(cpProto.head.getSeq[String](1) == Seq("timestampNtz"),
+      "checkpoint must carry the resolved protocol verbatim")
+    // DV enablement UNIONS the requirement onto the existing features
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))               // v2
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$t%s/_delta_log/${2L}%020d.json")), "UTF-8")
+    assert(v2.contains("timestampNtz") && v2.contains("deletionVectors"),
+      s"upgrade must keep existing features: $v2")
+    // the clone's v0 carries the source's contract too
+    val fork = freshTable()
+    MiniDelta.cloneShallow(spark, t, fork)
+    val forkV0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$fork%s/_delta_log/${0L}%020d.json")), "UTF-8")
+    assert(forkV0.contains("timestampNtz") &&
+      forkV0.contains("deletionVectors"), forkV0)
+  }
+
+  test("multi-part checkpoints round-trip: write past the part cap, replay as a union") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))   // v0
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))   // v1
+    MiniDelta.append(spark, sample("2025", 2), t, Seq("year"))   // v2
+    val jsonOnly = MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue,
+      useCheckpoint = false).select("path").collect()
+      .map(_.getString(0)).toSet
+    // a 2-action cap forces the Delta multi-part naming
+    MiniDelta.writeCheckpoint(spark, t, 2L, maxActionsPerPart = 2)
+    val names = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName).filter(_.contains(".checkpoint."))
+      .filterNot(_.startsWith(".")) // local-FS .crc sidecars
+      .sorted.toSeq
+    assert(names.forall(_.matches(
+      raw"[0-9]{20}\.checkpoint\.[0-9]{10}\.[0-9]{10}\.parquet")), names)
+    assert(names.size >= 2, names)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint")), "UTF-8")
+    assert(ptr.contains("\"parts\":"), ptr)
+    // replay THROUGH the multi-part checkpoint must equal the pure-JSON
+    // replay — prove the checkpoint is actually used by deleting the
+    // pre-checkpoint JSON history first
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L))
+      .contains(f"${0L}%020d.json"))
+    val viaCp = MiniDelta.snapshotFiles(spark, t).select("path")
+      .collect().map(_.getString(0)).toSet
+    assert(viaCp == jsonOnly)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 7)
+    // schema + config still resolve (metaData row rides one of the parts)
+    assert(MiniDelta.latestSchema(spark, t).isDefined)
+    // appends continue on top
+    MiniDelta.append(spark, sample("2026", 1), t, Seq("year"))   // v3
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 8)
+  }
+
+  test("a hand-built foreign multi-part checkpoint replays identically") {
+    val t = freshTable()
+    // real-writer layout: plain parquet parts + a 2-part checkpoint
+    def landParquet(rows: Seq[(Long, String)]): String = {
+      val before = Option(new java.io.File(t).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(t)
+      new java.io.File(t).listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !before(n))
+        .head
+    }
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    val f1 = landParquet(Seq((1L, "a"), (2L, "b")))
+    val f2 = landParquet(Seq((3L, "c")))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":100,"dataChange":true}}""",
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":100,"dataChange":true}}"""))
+    val cpTmp = Files.createTempDirectory("mpcp").toString
+    def part(lines: Seq[String], i: Int): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$cpTmp/p$i.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      spark.read.schema(MiniDelta.logSchema).json(s"$cpTmp/p$i.json")
+        .drop("commitInfo").coalesce(1).write.parquet(s"$cpTmp/out$i")
+      val pf = new java.io.File(s"$cpTmp/out$i").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$cpTmp/out$i/$pf"),
+        java.nio.file.Paths.get(
+          f"$t%s/_delta_log/${0L}%020d.checkpoint.$i%010d.${2}%010d.parquet"))
+    }
+    part(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"k":"v"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":100,"dataChange":false}}"""), 1)
+    part(Seq(
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":100,"dataChange":false}}"""), 2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint"),
+      """{"version":0,"size":4,"parts":2}""".getBytes("UTF-8"))
+    // delete the JSON commit: the snapshot must come from the parts
+    assert(new java.io.File(f"$t%s/_delta_log/${0L}%020d.json").delete())
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    assert(MiniDelta.tableConfig(spark, t) == Map("k" -> "v"))
+    // a tail commit on top of the parts still replays
+    val f3 = landParquet(Seq((4L, "d")))
+    rawCommit(t, 1L, Seq(
+      s"""{"add":{"path":${jsonStr(f3)},"partitionValues":{},"size":100,"dataChange":true}}"""))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+  }
+
+  test("a configuration-replacing metaData commit clears a stale mapping refusal") {
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.readFiltered(spark, t, Seq.empty).count()
+    }
+    // the clearing commit contains NONE of the protocol/DV/columnMapping
+    // substrings — only the metaData screen admits it to the parse
+    rawCommit(t, 1L, Seq(
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}"""))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 1)
+  }
+
+  test("name-mode column mapping relabels (incl. nested); writes refuse") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // a real name-mode writer lands GUID-style physical columns — here
+    // a top-level scalar plus a NESTED struct whose fields are mapped
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("pk", "pn", "pv")
+      .select(col("pk").as("col-1"),
+        struct(col("pn").as("col-3"), col("pv").as("col-4")).as("col-2"))
+      .coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def m(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("col-1", 1)),
+      StructField("payload", StructType(Seq(
+        StructField("name", StringType, nullable = true, m("col-3", 3)),
+        StructField("value", LongType, nullable = true, m("col-4", 4)))),
+        nullable = true, m("col-2", 2))))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"name",""" +
+        """"delta.columnMapping.maxColumnId":"4"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(got.columns.toSeq == Seq("id", "payload"))
+    assert(got.schema("payload").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("name", "value"))
+    val rows = got.orderBy("id")
+      .select(col("id"), col("payload.name"), col("payload.value"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 20L)))
+    // logical-name filtering works post-relabel
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("payload.value") > 15L).count() == 1)
+    // every mutator refuses: this engine would land logical-named
+    // parquet that the physical-name contract reads back as all-null
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.append(spark, Seq((3L, "c", 30L)).toDF("id", "pn", "pv"),
+        t, Seq.empty)
+    }
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty)
+    }
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.compact(spark, t, Seq.empty)
+    }
   }
 }
