@@ -1185,10 +1185,16 @@ object SparkEntry {
       // (duplicated-span filter) -> DSIR domain selection -> token-
       // budget shard packing; per-shard stats are the gate
       val all = docs(s, d)
-      val clean = all.join(
-        TextAnalysis.dupSpans(all, n = 5)
-          .where(col("max_dup_span_words") < 12).select("doc_id"),
-        "doc_id")
+      // the dupSpans gram gate is the expensive stage, and the DSIR
+      // selection below traverses its output 3-4 times (target/rest
+      // vocab branches, the broadcast materialization, the scoring
+      // pass). Persist the SURVIVOR IDS — doc_id only, metadata-scale
+      // even at 100 TB (one long per surviving doc, ~1/10^6 of corpus
+      // bytes) — so the gram pass runs once, not per traversal.
+      val keepIds = TextAnalysis.dupSpans(all, n = 5)
+        .where(col("max_dup_span_words") < 12).select("doc_id")
+        .persist()
+      val clean = all.join(keepIds, "doc_id")
       val selected = TextAnalysis
         .dsirSample(clean, col("source") === "src0", 100)
         .select("doc_id")
