@@ -68,6 +68,15 @@ object MiniDelta {
         s"$op it — name-mode tables are read via logical relabeling " +
         "but never written; id-mode needs a mapping-aware client")
 
+  /** `delta.appendOnly=true` forbids any commit that removes data
+    * (DELETE/UPDATE/MERGE/OVERWRITE/RESTORE) — the Delta appendOnly
+    * writer feature. OPTIMIZE survives: its removes carry
+    * dataChange=false (a rewrite, not a change). */
+  final class AppendOnlyTableException(table: String)
+    extends RuntimeException(
+      s"$table sets delta.appendOnly=true; commits that remove data are " +
+        "forbidden on append-only tables")
+
   /** Time travel (or a plain read) asked for history that log-retention
     * cleanup ([[cleanupLogs]]) has already deleted. Replaying a partial
     * tail would silently return a WRONG (incomplete) snapshot — the
@@ -797,6 +806,27 @@ object MiniDelta {
                                  operation: String, retry: Boolean = false,
                                  maxRetries: Int = 20): Long = {
     val f = fs(spark, table)
+    // the Delta writer contract, checked at the single commit funnel:
+    // protocol writer version/features first, then the two
+    // property-gated commit rules. The remove screen is a string check
+    // (zero metadata cost on the append path); config resolves only
+    // when a data-changing remove is actually present.
+    requireWritable(spark, table, version - 1)
+    if (lines.exists(l => l.contains("\"remove\"") &&
+        l.contains("\"dataChange\":true"))) {
+      val cfg = tableConfig(spark, table)
+      if (cfg.get("delta.appendOnly").contains("true"))
+        throw new AppendOnlyTableException(table)
+      // a CDF-enabled table's UPDATE/DELETE/MERGE commits must carry
+      // cdc files (real readers serve the change feed FROM them);
+      // this engine does not write cdc, so committing would silently
+      // drop these changes from a real reader's feed
+      if (cfg.get("delta.enableChangeDataFeed").contains("true"))
+        throw new UnsupportedTableFeatureException(
+          s"$table sets delta.enableChangeDataFeed=true; this engine " +
+            "does not write the cdc files such a data-changing commit " +
+            "requires — real readers would silently miss these changes")
+    }
     f.mkdirs(new Path(logDir(table)))
     var v = version
     var attempt = 0
@@ -1022,39 +1052,102 @@ object MiniDelta {
           }
       }
     }
-    def scan(fromInclusive: Long, toInclusive: Long): Option[ProtocolAction] = {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      var found: Option[ProtocolAction] = None
-      logJsonVersions(spark, table, fromInclusive, toInclusive)
-        .foreach { case (_, path) =>
-          val pp = new Path(path)
-          val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
-          val in = f.open(pp)
-          try in.readFully(bytes) finally in.close()
-          val txt = new String(bytes, "UTF-8")
-          if (txt.contains("\"protocol\""))
-            txt.linesIterator.filter(_.nonEmpty).foreach { line =>
-              val node =
-                try om.readTree(line) catch { case _: Exception => null }
-              val proto = if (node == null) null else node.get("protocol")
-              if (proto != null && !proto.isNull) {
-                def feats(k: String): Seq[String] = {
-                  val a = proto.get(k)
-                  if (a == null || a.isNull) Nil
-                  else (0 until a.size()).map(a.get(_).asText())
-                }
-                found = Some(ProtocolAction(
-                  Option(proto.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-                  Option(proto.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
-                  feats("readerFeatures"), feats("writerFeatures")))
-              }
-            }
-        }
-      found
-    }
-    val tail = scan(cp.getOrElse(-1L) + 1, version)
+    val tail = scanProtocolRange(spark, table, cp.getOrElse(-1L) + 1, version)
     tail.orElse(base)
-      .orElse(if (cp.isDefined) scan(0L, cp.get) else None)
+      .orElse(if (cp.isDefined) scanProtocolRange(spark, table, 0L, cp.get)
+              else None)
+  }
+
+  /** The LATEST protocol action in commit JSONs `[from, to]`, if any —
+    * substring-screened driver reads, no Spark jobs. */
+  private def scanProtocolRange(spark: SparkSession, table: String,
+                                fromInclusive: Long, toInclusive: Long)
+      : Option[ProtocolAction] = {
+    val f = fs(spark, table)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var found: Option[ProtocolAction] = None
+    logJsonVersions(spark, table, fromInclusive, toInclusive)
+      .foreach { case (_, path) =>
+        val pp = new Path(path)
+        val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+        val in = f.open(pp)
+        try in.readFully(bytes) finally in.close()
+        val txt = new String(bytes, "UTF-8")
+        if (txt.contains("\"protocol\""))
+          txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+            val node =
+              try om.readTree(line) catch { case _: Exception => null }
+            val proto = if (node == null) null else node.get("protocol")
+            if (proto != null && !proto.isNull) {
+              def feats(k: String): Seq[String] = {
+                val a = proto.get(k)
+                if (a == null || a.isNull) Nil
+                else (0 until a.size()).map(a.get(_).asText())
+              }
+              found = Some(ProtocolAction(
+                Option(proto.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+                Option(proto.get("minWriterVersion")).map(_.asInt()).getOrElse(2),
+                feats("readerFeatures"), feats("writerFeatures")))
+            }
+          }
+      }
+    found
+  }
+
+  /** Writer features (protocol minWriterVersion 7) this engine's
+    * commits honor: append-only + CDF gating happens in
+    * [[writeCommit]], invariants/constraints are enforced on every
+    * write, DVs are written natively, columnMapping is capability-only
+    * here (ENABLED mapping refuses at the mutators through the schema
+    * gate). Anything else — generated/identity columns, row tracking,
+    * v2 checkpoints, in-commit timestamps — would make this engine's
+    * commits silently violate the table's contract, so writes refuse
+    * by name (the Delta writer-version rule). */
+  private val supportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "deletionVectors",
+    "changeDataFeed", "columnMapping", "timestampNtz")
+
+  // memo: table -> (version checked through, protocol resolved there);
+  // protocol actions are rare, so each new commit pays ONE incremental
+  // tail scan, not a full-history resolve
+  private val writerProto = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.Long, Option[ProtocolAction])]()
+
+  /** The Delta writer contract, enforced before any commit: a writer
+    * must check minWriterVersion and (at v7) the writerFeatures list,
+    * and refuse tables whose features it cannot uphold — committing
+    * anyway silently corrupts the contract for every OTHER client of
+    * the table (the write-side mirror of [[requireReadable]]). */
+  private def requireWritable(spark: SparkSession, table: String,
+                              atMost: Long): Unit = {
+    if (atMost < 0) return // v0: creating the table, no protocol yet
+    val hi = math.min(latestVersion(spark, table), atMost)
+    if (hi < 0) return // no commits on disk yet
+    val cached = writerProto.get(table)
+    val proto: Option[ProtocolAction] =
+      if (cached != null && cached._1.longValue() >= hi) cached._2
+      else {
+        val p =
+          if (cached == null) resolveProtocol(spark, table, hi, cpAtMost = hi)
+          else scanProtocolRange(spark, table, cached._1.longValue() + 1, hi)
+            .orElse(cached._2)
+        writerProto.put(table, (java.lang.Long.valueOf(hi), p))
+        p
+      }
+    proto.foreach { p =>
+      if (p.minWriter > 7)
+        throw new UnsupportedTableFeatureException(
+          s"$table requires minWriterVersion=${p.minWriter}; this engine " +
+            "writes protocol versions <= 7")
+      if (p.minWriter == 7) {
+        val bad = p.writerFeats.filterNot(supportedWriterFeatures)
+        if (bad.nonEmpty)
+          throw new UnsupportedTableFeatureException(
+            s"$table requires unsupported writer feature(s): " +
+              s"${bad.sorted.mkString(", ")} — committing anyway would " +
+              "silently break the table's contract for other clients")
+      }
+    }
   }
 
   /** Delta duration-property syntax: "interval N unit" (the prefix is
@@ -2696,6 +2789,7 @@ object MiniDelta {
   def invalidateSnapshot(table: String): Unit = {
     snapshotCache.invalidate(table)
     readableThrough.remove(table)
+    writerProto.remove(table)
     cpGates.keySet.removeIf(_._1 == table)
     cpMetaCache.keySet.removeIf(_._1 == table)
     ()
@@ -2735,13 +2829,30 @@ object MiniDelta {
     * rewrite, and alignment steps instead of re-replaying the log. */
   /** Writes to a column-mapped table are refused outright: this engine
     * lands logical-named parquet, which the table's physical-name
-    * contract would then silently read back as all-null columns. Every
-    * mutator gates on the declared schema's mapping metadata. */
+    * contract would then silently read back as all-null columns. The
+    * same gate refuses schemas whose field metadata demands write-time
+    * behavior this engine lacks — generated columns (the writer must
+    * COMPUTE the expression), identity columns (the writer must
+    * allocate the sequence), field invariants (the writer must enforce
+    * the predicate) — because committing without upholding them
+    * silently corrupts the table for every compliant client. Every
+    * mutator gates on the declared schema. */
   private def requireUnmappedForWrite(
       declared: Option[org.apache.spark.sql.types.StructType],
       table: String): Unit =
-    declared.filter(isColumnMapped).foreach { _ =>
-      throw new ColumnMappingUnsupportedException(table, "name", "write")
+    declared.foreach { st =>
+      if (isColumnMapped(st))
+        throw new ColumnMappingUnsupportedException(table, "name", "write")
+      val demands = Seq(
+        "delta.generationExpression" -> "a generated column",
+        "delta.identity.start" -> "an identity column",
+        "delta.invariants" -> "a field invariant")
+      for (f <- st.fields; (key, what) <- demands)
+        if (f.metadata.contains(key))
+          throw new UnsupportedTableFeatureException(
+            s"$table: field '${f.name}' declares $what ($key); this " +
+              "engine cannot uphold it on write — writing anyway would " +
+              "silently corrupt the table for compliant clients")
     }
 
   /** `delta.columnMapping` (name mode) field-metadata key: each logical

@@ -1542,4 +1542,67 @@ class MiniDeltaSpec extends AnyFunSuite {
       MiniDelta.compact(spark, t, Seq.empty)
     }
   }
+
+  test("writer contract: appendOnly, CDF commits, writer features, generated columns") {
+    // delta.appendOnly: data-changing removes refuse, appends and
+    // OPTIMIZE (dataChange=false removes) stay legal
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.setTableProperties(spark, t, Map("delta.appendOnly" -> "true"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year")) // still fine
+    intercept[MiniDelta.AppendOnlyTableException] {
+      MiniDelta.delete(spark, t, col("id") === 1L, Seq("year"))
+    }
+    MiniDelta.compact(spark, t, Seq("year")) // rewrite, not a change
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
+    // CDF-enabled tables refuse data-CHANGING commits (this engine
+    // writes no cdc files, so a real reader's feed would silently skip
+    // the change); pure appends remain legal
+    val t2 = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t2, Seq("year"))
+    MiniDelta.setTableProperties(spark, t2,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark, sample("2024", 2), t2, Seq("year"))
+    intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.update(spark, t2, col("id") === 1L,
+        Map("payload" -> lit("x")), Seq("year"))
+    }
+    // a foreign table demanding a writer feature this engine lacks
+    // refuses EVERY commit by name; reads stay fine
+    val t3 = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t3)
+    val f3 = new java.io.File(t3).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val schema3 = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    rawCommit(t3, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      s"""{"metaData":{"schemaString":$schema3,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f3)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    assert(MiniDelta.readFiltered(spark, t3, Seq.empty).count() == 1)
+    val e3 = intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t3, Seq.empty)
+    }
+    assert(e3.getMessage.contains("rowTracking"))
+    // a schema demanding write-time behavior (generated column) refuses
+    import org.apache.spark.sql.types._
+    val t4 = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t4)
+    val f4 = new java.io.File(t4).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val gen = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(id AS STRING)")
+          .build())))
+    rawCommit(t4, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(gen.json)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f4)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    assert(MiniDelta.readFiltered(spark, t4, Seq.empty).count() == 1)
+    val e4 = intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t4, Seq.empty)
+    }
+    assert(e4.getMessage.contains("generated column"))
+  }
 }
