@@ -41,6 +41,7 @@ object PlanAudit {
     "d11_bloom_decontaminate", // bloom subquery probe in the narrow pass
     "t13_dup_spans",      // gram groupBy + AQE-splittable join-back (r6)
     "pipe9_scrub_select_pack", // composed scrub -> DSIR -> shard pack
+    "s28_column_mapping", // physical->logical relabel is a pure Project
     "d12_kmeans_cells")   // trained-centroid literal fold, zero shuffle
 
   def main(args: Array[String]): Unit = {
