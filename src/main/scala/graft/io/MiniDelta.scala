@@ -90,9 +90,11 @@ object MiniDelta {
     * deletionVectors masks are READ (u/i/p roaring forms decoded by
     * [[RoaringDv]]; only unknown storage forms are refused).
     * timestampNtz reads natively on Spark 4. vacuumProtocolCheck
-    * constrains vacuum, not reads. */
+    * constrains vacuum, not reads. v2Checkpoint manifests (UUID-named,
+    * sidecar action files) are assembled by [[checkpointActionDF]]. */
   private val supportedReaderFeatures =
-    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
+      "v2Checkpoint")
 
   /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
     * under the table root, Z85 UUID name), `i` (inline Z85 payload),
@@ -420,6 +422,15 @@ object MiniDelta {
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType))))))),
+      // Delta protocol cdc action: change-data files a CDF writer
+      // lands under _change_data/ — for commits that carry them, the
+      // change feed is served FROM these (the add/remove
+      // reconstruction is only the fallback; the spec's rule)
+      StructField("cdc", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
       // Delta protocol action: reader/writer version gates + (v3) the
       // table-feature lists — the contract a client checks BEFORE
       // trusting its own replay of the log
@@ -889,6 +900,68 @@ object MiniDelta {
   private val checkpointPartName =
     raw"[0-9]{20}\.checkpoint\.([0-9]{10})\.([0-9]{10})\.parquet".r
 
+  /** V2 checkpoint manifest naming (Delta spec): `<v>.checkpoint.
+    * <uniqueStr>.{json|parquet}` — one UUID-suffixed MANIFEST whose
+    * rows are protocol/metaData/checkpointMetadata/sidecar actions;
+    * the add/remove bulk lives in parquet files under
+    * `_delta_log/_sidecars/` that the sidecar actions name. The
+    * unique suffix makes the
+    * write atomic-by-naming (never a partial multi-part set). */
+  private val checkpointV2Name =
+    raw"[0-9]{20}\.checkpoint\.([^.]+)\.(json|parquet)".r
+
+  /** The v2 manifest file for `version`, if one exists. One listing,
+    * only reached when the classic single file is absent. */
+  private def checkpointV2Manifest(spark: SparkSession, table: String,
+                                   version: Long): Option[String] = {
+    val f = fs(spark, table)
+    val dir = new Path(logDir(table))
+    if (!f.exists(dir)) return None
+    val prefix = f"$version%020d.checkpoint."
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .collect { case nm @ checkpointV2Name(u, _)
+          if !u.forall(_.isDigit) => nm } // digits = multi-part naming
+      .sorted.headOption // deterministic if several writers raced
+      .map(nm => s"${logDir(table)}/$nm")
+  }
+
+  /** Assemble a v2 checkpoint into one action DataFrame: the manifest's
+    * own action rows (protocol, metaData, and any inlined add/remove)
+    * unioned with the add/remove rows of every sidecar file it names.
+    * Sidecar paths are `_delta_log/_sidecars/`-relative per the spec. */
+  private def v2CheckpointActionDF(spark: SparkSession, table: String,
+                                   manifest: String): DataFrame = {
+    val manifestDF =
+      if (manifest.endsWith(".json"))
+        spark.read.schema(v2ManifestSchema).json(manifest)
+      else spark.read.parquet(manifest)
+    val sidecars: Seq[String] =
+      if (!manifestDF.columns.contains("sidecar")) Seq.empty
+      else manifestDF.where(col("sidecar.path").isNotNull)
+        .select("sidecar.path").collect().map(_.getString(0))
+        .map(p => if (p.contains("/")) resolvePath(table, p)
+                  else s"${logDir(table)}/_sidecars/$p").toSeq
+    val actions = manifestDF.drop("sidecar", "checkpointMetadata")
+    if (sidecars.isEmpty) actions
+    else actions.unionByName(
+      spark.read.parquet(sidecars: _*), allowMissingColumns = true)
+  }
+
+  /** [[logSchema]] plus the v2-checkpoint-manifest-only actions, for
+    * reading JSON manifests under an explicit schema. */
+  private[graft] lazy val v2ManifestSchema
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    logSchema
+      .add(StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))))
+      .add(StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))))
+  }
+
   /** The part files of a multi-part checkpoint at `version`, sorted —
     * ONLY when the part set is complete (all n of the n-part naming
     * present); a crashed multi-part writer's partial set must never be
@@ -931,7 +1004,9 @@ object MiniDelta {
       case Some(_) => None // legacy directory manifest
       case None =>
         val parts = checkpointMultiParts(spark, table, version)
-        if (parts.nonEmpty) Some(spark.read.parquet(parts: _*)) else None
+        if (parts.nonEmpty) Some(spark.read.parquet(parts: _*))
+        else checkpointV2Manifest(spark, table, version)
+          .map(v2CheckpointActionDF(spark, table, _))
     }
   }
 
@@ -948,7 +1023,9 @@ object MiniDelta {
     f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
       (try f.getFileStatus(p).isFile
        catch { case _: java.io.FileNotFoundException => false }) ||
-      checkpointMultiParts(spark, table, v).nonEmpty
+      checkpointMultiParts(spark, table, v).nonEmpty ||
+      // a v2 manifest is one UUID-named file: complete by construction
+      checkpointV2Manifest(spark, table, v).isDefined
   }
 
   /** Latest checkpoint at or below `atMost`, if any. Steady state reads
@@ -977,7 +1054,10 @@ object MiniDelta {
         val vs = (names.filter(_.endsWith(".checkpoint.parquet"))
             .map(_.stripSuffix(".checkpoint.parquet").toLong) ++
           names.collect { // multi-part names carry the version up front
-            case nm @ checkpointPartName(_, _) => nm.take(20).toLong })
+            case nm @ checkpointPartName(_, _) => nm.take(20).toLong } ++
+          names.collect { // v2 manifests: UUID-suffixed single files
+            case nm @ checkpointV2Name(u, _)
+                if !u.forall(_.isDigit) => nm.take(20).toLong })
           .distinct
           .filter(_ <= atMost)
           .filter(complete)
@@ -3343,7 +3423,18 @@ object MiniDelta {
         (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
     val adds = filesOf("add")
     val removes = filesOf("remove")
-    if (adds.isEmpty && removes.isEmpty) return emptyFeed
+    // Delta CDF rule: a commit that carries cdc actions serves its
+    // change feed FROM those files (they hold the authoritative
+    // _change_type rows a real writer computed — e.g. MERGE pre/post
+    // pairs); the add/remove multiset reconstruction is only the
+    // fallback for commits without them
+    val cdcFiles: Map[Long, Seq[String]] = log
+      .where(col("cdc").isNotNull)
+      .select(col("version"), col("cdc.path"))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSeq).toMap
+    if (adds.isEmpty && removes.isEmpty && cdcFiles.isEmpty)
+      return emptyFeed
     val f = fs(spark, table)
     def requireFeedPaths(ps: Iterable[String], what: String): Unit = {
       val gone = ps.toSeq.distinct
@@ -3362,10 +3453,20 @@ object MiniDelta {
             s"${gone.length} vacuumed deletion vector(s); the consumer " +
             "checkpoint predates the table's retention — reset it")
     }
-    requireFeedPaths(adds.values.flatten ++ removes.values.flatten, "file(s)")
+    // cdc-served versions read ONLY their cdc files; the add/remove
+    // paths of other versions (and the cdc paths themselves) must
+    // still exist on disk
+    val cdcServed = cdcFiles.keySet
+    requireFeedPaths(
+      cdcFiles.values.flatten ++
+        (adds.toSeq ++ removes.toSeq).collect {
+          case (v, ps) if !cdcServed(v) => ps }.flatten,
+      "file(s)")
     // the masks the window's adds name must also still exist
-    requireDvRefs(addDv.values.flatten)
-    val parts = (adds.keySet ++ removes.keySet).toSeq.sorted.map { v =>
+    requireDvRefs(addDv.collect {
+      case ((v, _), dv) if !cdcServed(v) => dv }.flatten)
+    val parts = (adds.keySet ++ removes.keySet ++ cdcServed)
+        .toSeq.sorted.map { v =>
       val a = adds.getOrElse(v, Seq.empty)
       val r = removes.getOrElse(v, Seq.empty)
       lazy val priorDv: Map[String, Option[String]] =
@@ -3386,7 +3487,14 @@ object MiniDelta {
         case _ => ("delete", "insert")
       }
       val changed =
-        if (r.isEmpty) readAdds(a).withColumn("_change_type", lit("insert"))
+        if (cdcServed(v))
+          // the change-data files carry the data columns plus the
+          // writer-computed _change_type — serve them verbatim
+          spark.read.parquet(
+              cdcFiles(v).map(resolvePath(table, _)): _*)
+            .select((fields.map(col) :+ col("_change_type")): _*)
+        else if (r.isEmpty)
+          readAdds(a).withColumn("_change_type", lit("insert"))
         else {
           val cols = fields.map(col)
           val pre = readRems(r).groupBy(cols: _*)

@@ -930,13 +930,14 @@ class MiniDeltaSpec extends AnyFunSuite {
     // supported: v3 with features this engine honors
     val ok = mk(Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors"]}}"""))
     assert(MiniDelta.readFiltered(spark, ok, Seq.empty).count() == 1)
-    // v3 with a feature this engine lacks
+    // v3 with a feature this engine lacks (v2Checkpoint IS read now —
+    // its own fixture test; typeWidening would silently mis-read)
     val e1 = intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.readFiltered(spark, mk(Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":[]}}""")),
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":[]}}""")),
         Seq.empty).count()
     }
-    assert(e1.getMessage.contains("v2Checkpoint"))
+    assert(e1.getMessage.contains("typeWidening"))
     // reader version beyond the protocol this engine speaks
     intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.readFiltered(spark, mk(Seq(
@@ -1604,5 +1605,126 @@ class MiniDeltaSpec extends AnyFunSuite {
       MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t4, Seq.empty)
     }
     assert(e4.getMessage.contains("generated column"))
+  }
+
+  test("readCdf serves commits with cdc actions FROM their change-data files") {
+    // a real CDF writer's update commit: add + remove + cdc actions,
+    // where the cdc file carries the writer-computed pre/post images —
+    // the feed must come from the cdc file, not the add/remove
+    // reconstruction (which cannot know e.g. which rewritten rows
+    // actually changed)
+    val t = freshTable()
+    def land(rows: Seq[(Long, String)]): String = {
+      val before = Option(new java.io.File(t).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(t)
+      new java.io.File(t).listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !before(n))
+        .head
+    }
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    val f1 = land(Seq((1L, "a"), (2L, "b")))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":100,"dataChange":true}}"""))
+    // v1: rewrite f1 -> f2 changing ONLY id=1; the cdc file records
+    // exactly that one pre/post pair (id=2 rode along unchanged — the
+    // reconstruction would misreport nothing here, but only the cdc
+    // file is authoritative about it)
+    val f2 = land(Seq((1L, "EDITED"), (2L, "b")))
+    val cdcDir = new java.io.File(s"$t/_change_data")
+    cdcDir.mkdirs()
+    Seq((1L, "a", "update_preimage"), (1L, "EDITED", "update_postimage"))
+      .toDF("id", "v", "_change_type")
+      .coalesce(1).write.mode("append").parquet(cdcDir.getPath)
+    val cdcName = cdcDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).head
+    rawCommit(t, 1L, Seq(
+      s"""{"commitInfo":{"operation":"UPDATE","version":1,"timestamp":2}}""",
+      s"""{"cdc":{"path":${jsonStr(s"_change_data/$cdcName")},"partitionValues":{},"size":10,"dataChange":false}}""",
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{},"size":100,"dataChange":true}}""",
+      s"""{"remove":{"path":${jsonStr(f1)},"dataChange":true,"deletionTimestamp":2}}"""))
+    val feed = MiniDelta.readCdf(spark, t, fromVersion = -1)
+      .select("id", "v", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(feed == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (1L, "a", "update_preimage", 1L),
+      (1L, "EDITED", "update_postimage", 1L)))
+    // the snapshot itself is unaffected by cdc actions
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").select("v").collect().map(_.getString(0)).toSeq ==
+      Seq("EDITED", "b"))
+  }
+
+  test("a hand-built v2 checkpoint (manifest + sidecars) replays identically") {
+    // the modern real-writer checkpoint form: a UUID-named MANIFEST
+    // whose rows are protocol/metaData/checkpointMetadata/sidecar
+    // actions, with the add bulk in _delta_log/_sidecars parquet files
+    val t = freshTable()
+    def landParquet(rows: Seq[(Long, String)]): String = {
+      val before = Option(new java.io.File(t).listFiles()).toSeq.flatten
+        .map(_.getName).toSet
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(t)
+      new java.io.File(t).listFiles()
+        .map(_.getName).filter(n => n.endsWith(".parquet") && !before(n))
+        .head
+    }
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    val f1 = landParquet(Seq((1L, "a"), (2L, "b")))
+    val f2 = landParquet(Seq((3L, "c")))
+    val proto = """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+    val meta = s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{"k2":"v2"}}}"""
+    def add(p: String) =
+      s"""{"add":{"path":${jsonStr(p)},"partitionValues":{},"size":100,"dataChange":true}}"""
+    rawCommit(t, 0L, Seq(proto, meta, add(f1)))
+    rawCommit(t, 1L, Seq(add(f2)))
+    // sidecar: the two live adds as parquet action rows
+    val tmp = Files.createTempDirectory("v2cp").toString
+    def actionsParquet(lines: Seq[String], schema: org.apache.spark.sql.types.StructType,
+                       out: String): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/in-${out.hashCode.abs}.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+      spark.read.schema(schema).json(s"$tmp/in-${out.hashCode.abs}.json")
+        .coalesce(1).write.parquet(s"$tmp/out-${out.hashCode.abs}")
+      val pf = new java.io.File(s"$tmp/out-${out.hashCode.abs}").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+      new java.io.File(out).getParentFile.mkdirs()
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$tmp/out-${out.hashCode.abs}/$pf"),
+        java.nio.file.Paths.get(out))
+    }
+    val sidecarName = "3a20c62b-8f8e-4d81-a3a4-ed1e78f3a9b0.parquet"
+    actionsParquet(Seq(add(f1), add(f2)).map(_.replace(
+        """"dataChange":true""", """"dataChange":false""")),
+      MiniDelta.logSchema, s"$t/_delta_log/_sidecars/$sidecarName")
+    actionsParquet(Seq(proto, meta,
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecar":{"path":${jsonStr(sidecarName)},"sizeInBytes":100,"modificationTime":1}}"""),
+      MiniDelta.v2ManifestSchema,
+      f"$t%s/_delta_log/${1L}%020d.checkpoint.80a083e8-7026-4c5f-9e0a-5f2b9c3d4e5f.parquet")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_delta_log/_last_checkpoint"),
+      """{"version":1}""".getBytes("UTF-8"))
+    // delete BOTH commits: the snapshot must come through the v2
+    // manifest + sidecar assembly alone
+    assert(new java.io.File(f"$t%s/_delta_log/${0L}%020d.json").delete())
+    assert(new java.io.File(f"$t%s/_delta_log/${1L}%020d.json").delete())
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(MiniDelta.tableConfig(spark, t) == Map("k2" -> "v2"))
+    // a JSON tail on top of the v2 base still replays
+    val f3 = landParquet(Seq((4L, "d")))
+    rawCommit(t, 2L, Seq(add(f3)))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+    // the engine refuses to WRITE such a table (it cannot maintain v2
+    // checkpoints), per the writer-feature contract
+    intercept[MiniDelta.UnsupportedTableFeatureException] {
+      MiniDelta.append(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq.empty)
+    }
   }
 }
