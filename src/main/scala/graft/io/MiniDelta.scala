@@ -395,7 +395,12 @@ object MiniDelta {
         StructField("version", LongType),
         // wall-clock commit time (Delta protocol timestamp) — the basis
         // for TIMESTAMP AS OF time travel; null on legacy commits
-        StructField("timestamp", LongType)))),
+        StructField("timestamp", LongType),
+        // Delta inCommitTimestamp feature: when a writer enables it,
+        // THIS is the commit's authoritative clock (monotonic, stored
+        // in the log, immune to file-mtime drift) and readers must
+        // prefer it for time travel
+        StructField("inCommitTimestamp", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -1642,10 +1647,12 @@ object MiniDelta {
                          tsMs: Long): Long = {
     val files = logJsonVersions(spark, table).map(_._2)
     require(files.nonEmpty, s"$table has no commits")
+    // inCommitTimestamp (when a real writer recorded one) is the
+    // commit's authoritative clock; the plain timestamp is the fallback
+    val ts = coalesce(col("commitInfo.inCommitTimestamp"),
+      col("commitInfo.timestamp"))
     val rows = logDFIn(spark, files)
-      .where(col("commitInfo").isNotNull &&
-        col("commitInfo.timestamp").isNotNull &&
-        col("commitInfo.timestamp") <= tsMs)
+      .where(col("commitInfo").isNotNull && ts.isNotNull && ts <= tsMs)
       .agg(max(col("version"))).collect()
     if (rows.isEmpty || rows(0).isNullAt(0))
       throw new IllegalArgumentException(

@@ -77,6 +77,10 @@ class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
       cdf = cdfOf(parameters),
       skipChangeCommits =
         parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .map(_.trim.toInt).map { n =>
+          require(n > 0, "maxVersionsPerTrigger must be positive"); n
+        },
       declared = sourceSchema(sqlContext, schema, providerName,
         parameters)._2)
   }
@@ -84,7 +88,8 @@ class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
 
 private[streaming] class GraftDeltaStreamSource(
     spark: SparkSession, table: String, cdf: Boolean,
-    skipChangeCommits: Boolean, declared: StructType) extends Source {
+    skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int],
+    declared: StructType) extends Source {
 
   override def schema: StructType = declared
 
@@ -95,9 +100,21 @@ private[streaming] class GraftDeltaStreamSource(
     case other => other.json.trim.toLong
   }
 
+  // highest version already handed to the engine — the base the rate
+  // limit advances from. Restart recovery sets it through getBatch
+  // (the engine replays the restored batch before the next getOffset),
+  // so a capped offset can never fall behind the checkpoint.
+  @volatile private var lastPlanned: Long = -1L
+
   override def getOffset: Option[Offset] = {
     val latest = MiniDelta.currentVersion(spark, table)
-    if (latest < 0) None else Some(LongOffset(latest))
+    if (latest < 0) return None
+    // rate limit (Delta's maxFilesPerTrigger analog, in commit units):
+    // each trigger ingests at most n versions past the last batch
+    val capped = maxVersionsPerTrigger
+      .fold(latest)(n => math.min(latest, lastPlanned + n))
+      .max(lastPlanned) // never step backward
+    if (capped < 0) None else Some(LongOffset(capped))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -105,6 +122,7 @@ private[streaming] class GraftDeltaStreamSource(
     // the whole existing table is the first batch, then increments
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
+    if (to > lastPlanned) lastPlanned = to
     val batch =
       if (cdf) MiniDelta.readCdf(spark, table, from, to)
       else MiniDelta.readAppends(spark, table, from, to, skipChangeCommits)

@@ -293,4 +293,32 @@ class FileStreamSpec extends AnyFunSuite {
       assert(got == ((1L to 5L).map(i => (i, s"v$i")).toSet + ((6L, "v6"))))
     } finally q2.stop()
   }
+
+  test("graft-delta maxVersionsPerTrigger paces ingestion one commit at a time") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("gdrate").toString + "/t"
+    (0 until 3).foreach { i =>
+      MiniDelta.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    }
+    val versionsPerBatch =
+      scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdratecp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        versionsPerBatch += b.select("_commit_version")
+          .collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // three commits, paced one per micro-batch, in order
+      assert(versionsPerBatch.toSeq == Seq(Set(0L), Set(1L), Set(2L)))
+    } finally q.stop()
+  }
 }

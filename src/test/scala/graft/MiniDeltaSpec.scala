@@ -1727,4 +1727,26 @@ class MiniDeltaSpec extends AnyFunSuite {
       MiniDelta.append(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq.empty)
     }
   }
+
+  test("time travel prefers inCommitTimestamp over the wall-clock field") {
+    // the Delta inCommitTimestamp feature: the in-log clock is
+    // authoritative; a drifted wall-clock timestamp must not win
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val schemaJson = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
+    rawCommit(t, 0L, Seq(
+      // wall clock says 999999 (drifted); the in-commit clock says 1000
+      """{"commitInfo":{"operation":"WRITE","version":0,"timestamp":999999,"inCommitTimestamp":1000}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"schemaString":$schemaJson,"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    assert(MiniDelta.versionAtTimestamp(spark, t, 1000L) == 0L)
+    intercept[IllegalArgumentException] {
+      // the drifted wall clock (999999) must NOT make 5000 miss v0...
+      // and must not make 500 resolve either
+      MiniDelta.versionAtTimestamp(spark, t, 500L)
+    }
+  }
 }
