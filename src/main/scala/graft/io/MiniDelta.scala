@@ -496,6 +496,22 @@ object MiniDelta {
       .filter { case (_, p) => f.exists(new Path(p)) }
   }
 
+  /** Change-feed windows must be CONTIGUOUS: a commit JSON missing
+    * inside `(fromVersion, toVersion]` means log-retention cleanup
+    * ([[cleanupLogs]]) removed history the feed needs — silently
+    * skipping it would lose the consumer's data without a trace, the
+    * exact failure replaySnapshot refuses by name. */
+  private def requireFeedWindow(spark: SparkSession, table: String,
+                                fromVersion: Long, toVersion: Long,
+                                got: Seq[Long]): Unit = {
+    val lo = math.max(0L, fromVersion + 1)
+    val hi = math.min(latestVersion(spark, table), toVersion)
+    if (hi < lo) return
+    if (got.size.toLong != hi - lo + 1)
+      throw new HistoryCleanedException(table,
+        ((lo to hi).toSet -- got.toSet).min)
+  }
+
   /** The listed log files as action rows, with their commit version. */
   private def logDFIn(spark: SparkSession,
                       files: Seq[String]): DataFrame =
@@ -1021,16 +1037,27 @@ object MiniDelta {
     * either would silently drop live files from every subsequent
     * snapshot. A classic single-file checkpoint is an atomically-
     * renamed FILE, complete by construction. */
+  // memo: ONLY completeness=true is recorded (a complete checkpoint
+  // is immutable until log cleanup deletes it — cleanupLogs and
+  // invalidateSnapshot both clear the table's entries). The absent
+  // case is never cached: a checkpoint can appear at any moment.
+  private val cpCompleteMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.lang.Boolean]()
+
   private def checkpointComplete(spark: SparkSession, table: String,
                                  v: Long): Boolean = {
+    if (cpCompleteMemo.containsKey((table, v))) return true
     val f = fs(spark, table)
     val p = new Path(checkpointPath(table, v))
-    f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
+    val ok =
+      f.exists(new Path(s"${checkpointPath(table, v)}/_SUCCESS")) ||
       (try f.getFileStatus(p).isFile
        catch { case _: java.io.FileNotFoundException => false }) ||
       checkpointMultiParts(spark, table, v).nonEmpty ||
       // a v2 manifest is one UUID-named file: complete by construction
       checkpointV2Manifest(spark, table, v).isDefined
+    if (ok) cpCompleteMemo.put((table, v), java.lang.Boolean.TRUE)
+    ok
   }
 
   /** Latest checkpoint at or below `atMost`, if any. Steady state reads
@@ -1043,11 +1070,21 @@ object MiniDelta {
                                atMost: Long): Option[Long] = {
     val f = fs(spark, table)
     def complete(v: Long) = checkpointComplete(spark, table, v)
+    // the forward probe only needs ONE cheap getFileStatus per step:
+    // auto-checkpoints (the only thing the probe chases past a stale
+    // pointer) are classic single files. Probing the multi-part/v2
+    // shapes here would cost two full _delta_log listings per ABSENT
+    // version on every snapshot load — and missing a foreign
+    // checkpoint ahead of the pointer only lengthens the JSON tail,
+    // never wrongs the replay.
+    def singleFileAt(v: Long) =
+      try f.getFileStatus(new Path(checkpointPath(table, v))).isFile
+      catch { case _: java.io.FileNotFoundException => false }
     readLastCheckpoint(spark, table) match {
       case Some(p) if p <= atMost && complete(p) =>
         var best = p
         var probe = p + checkpointInterval
-        while (probe <= atMost && complete(probe)) {
+        while (probe <= atMost && singleFileAt(probe)) {
           best = probe; probe += checkpointInterval
         }
         Some(best)
@@ -1088,11 +1125,30 @@ object MiniDelta {
     /** Union in the deletion-vector requirement WITHOUT discarding the
       * table's existing contract — a real table already at (3, 7) with
       * e.g. timestampNtz must keep that feature, not be downgraded to
-      * a DV-only protocol. */
-    def withDeletionVectors: ProtocolAction = ProtocolAction(
-      math.max(minReader, 3), math.max(minWriter, 7),
-      (readerFeats :+ "deletionVectors").distinct,
-      (writerFeats :+ "deletionVectors").distinct)
+      * a DV-only protocol. Crossing FROM a legacy version, the Delta
+      * spec requires enumerating every feature that version implied —
+      * a (2, 5) table's columnMapping requirement must survive as an
+      * explicit feature, or a real reader consulting the new lists
+      * would skip the relabeling and mis-read the table. */
+    def withDeletionVectors: ProtocolAction = {
+      val impliedReader =
+        if (minReader >= 3) Nil // already feature-enumerated
+        else if (minReader >= 2) Seq("columnMapping")
+        else Nil
+      val impliedWriter =
+        if (minWriter >= 7) Nil // already feature-enumerated
+        else Seq(
+          2 -> Seq("appendOnly", "invariants"),
+          3 -> Seq("checkConstraints"),
+          4 -> Seq("changeDataFeed", "generatedColumns"),
+          5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns")
+        ).collect { case (v, fs) if minWriter >= v => fs }.flatten
+      ProtocolAction(
+        math.max(minReader, 3), math.max(minWriter, 7),
+        (readerFeats ++ impliedReader :+ "deletionVectors").distinct,
+        (writerFeats ++ impliedWriter :+ "deletionVectors").distinct)
+    }
     def render: String = {
       val rf =
         if (minReader >= 3)
@@ -1411,11 +1467,21 @@ object MiniDelta {
     if (n == 1)
       renderPart(allLines, 0, new Path(checkpointPath(table, version)))
     else {
-      // clear any stale same-version part set first (a previous attempt
-      // may have used a different part count; a mixed set must never
-      // look complete)
-      checkpointMultiParts(spark, table, version)
-        .foreach(p => f.delete(new Path(p), false))
+      // clear EVERY stale same-version part first, by NAME pattern —
+      // a crashed prior attempt may have left a PARTIAL set with a
+      // different part count (checkpointMultiParts would return empty
+      // for it), and mixing counts would make the new complete set
+      // undiscoverable forever
+      val stalePrefix = f"$version%020d.checkpoint."
+      val dir0 = new Path(logDir(table))
+      if (f.exists(dir0))
+        f.listStatus(dir0).map(_.getPath).foreach { pp =>
+          pp.getName match {
+            case nm @ checkpointPartName(_, _)
+                if nm.startsWith(stalePrefix) => f.delete(pp, false); ()
+            case _ => ()
+          }
+        }
       allLines.grouped(maxActionsPerPart).zipWithIndex.foreach {
         case (chunk, i) => renderPart(chunk, i + 1,
           new Path(checkpointPartPath(table, version, i + 1, n)))
@@ -2290,8 +2356,19 @@ object MiniDelta {
           parts.foreach(pp => f.delete(new Path(pp), false))
           parts.map(_.split("/").last)
         } else Seq.empty
-      fromSingle ++ fromParts
+      // aged v2 MANIFESTS age out like any superseded checkpoint; the
+      // action files under _delta_log/_sidecars stay — the spec lets
+      // manifests SHARE sidecar files, so deleting them safely needs
+      // reference counting across every surviving manifest
+      val fromV2 = checkpointV2Manifest(spark, table, v) match {
+        case Some(m) if aged(new Path(m)) =>
+          f.delete(new Path(m), false); Seq(m.split("/").last)
+        case _ => Seq.empty
+      }
+      fromSingle ++ fromParts ++ fromV2
     }
+    // deleted checkpoints must not linger as memoized-complete
+    cpCompleteMemo.keySet.removeIf(_._1 == table)
     deadJson ++ deadCp
   }
 
@@ -2879,6 +2956,7 @@ object MiniDelta {
     writerProto.remove(table)
     cpGates.keySet.removeIf(_._1 == table)
     cpMetaCache.keySet.removeIf(_._1 == table)
+    cpCompleteMemo.keySet.removeIf(_._1 == table)
     ()
   }
 
@@ -3219,12 +3297,20 @@ object MiniDelta {
                    versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshotFilesAt(spark, table,
       versionAsOf.getOrElse(Long.MaxValue))
-    val files = dvPairsOf(filesForFilters(snap, filters)
-      .select("path", "dv_path").collect().toIndexedSeq)
     // time travel reads under the schema AS OF that version (a column
     // appended later must not appear), current reads under the latest
-    readFilesWithDv(spark, table, files, latestSchema(spark, table,
-      versionAsOf.getOrElse(Long.MaxValue)))
+    val declared = latestSchema(spark, table,
+      versionAsOf.getOrElse(Long.MaxValue))
+    // name-mode column mapping keys partitionValues by PHYSICAL names
+    // — filters arrive in logical names, so probe under the mapping or
+    // every file would silently fail the element_at and vanish
+    val physFilters = declared.filter(isColumnMapped).fold(filters) { st =>
+      val m = st.fields.map(f => f.name -> physicalNameOf(f)).toMap
+      filters.map(_.map { case (k, v) => (m.getOrElse(k, k), v) })
+    }
+    val files = dvPairsOf(filesForFilters(snap, physFilters)
+      .select("path", "dv_path").collect().toIndexedSeq)
+    readFilesWithDv(spark, table, files, declared)
   }
 
   /** Exactly-once micro-batch consumption of the change feed: invokes
@@ -3370,8 +3456,9 @@ object MiniDelta {
     def empty = declared.fold(spark.emptyDataFrame)(s =>
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), s))
-    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
-      .map(_._2)
+    val tailV = logJsonVersions(spark, table, fromVersion + 1, toVersion)
+    requireFeedWindow(spark, table, fromVersion, toVersion, tailV.map(_._1))
+    val tail = tailV.map(_._2)
     if (tail.isEmpty) return empty
     val log = logDFIn(spark, tail)
     val changed = log.where(
@@ -3408,8 +3495,9 @@ object MiniDelta {
       base.withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long"))
     }
-    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
-      .map(_._2)
+    val tailV = logJsonVersions(spark, table, fromVersion + 1, toVersion)
+    requireFeedWindow(spark, table, fromVersion, toVersion, tailV.map(_._1))
+    val tail = tailV.map(_._2)
     if (tail.isEmpty) return emptyFeed
     val log = logDFIn(spark, tail)
     val ops = log.where(col("commitInfo").isNotNull)
@@ -3435,11 +3523,13 @@ object MiniDelta {
     // _change_type rows a real writer computed — e.g. MERGE pre/post
     // pairs); the add/remove multiset reconstruction is only the
     // fallback for commits without them
-    val cdcFiles: Map[Long, Seq[String]] = log
+    val cdcFiles: Map[Long, Seq[(String, Map[String, String])]] = log
       .where(col("cdc").isNotNull)
-      .select(col("version"), col("cdc.path"))
+      .select(col("version"), col("cdc.path"), col("cdc.partitionValues"))
       .collect().groupBy(_.getLong(0)).view
-      .mapValues(_.map(_.getString(1)).toSeq).toMap
+      .mapValues(_.map(r => (r.getString(1),
+        if (r.isNullAt(2)) Map.empty[String, String]
+        else r.getMap[String, String](2).toMap)).toSeq).toMap
     if (adds.isEmpty && removes.isEmpty && cdcFiles.isEmpty)
       return emptyFeed
     val f = fs(spark, table)
@@ -3465,7 +3555,7 @@ object MiniDelta {
     // still exist on disk
     val cdcServed = cdcFiles.keySet
     requireFeedPaths(
-      cdcFiles.values.flatten ++
+      cdcFiles.values.flatten.map(_._1) ++
         (adds.toSeq ++ removes.toSeq).collect {
           case (v, ps) if !cdcServed(v) => ps }.flatten,
       "file(s)")
@@ -3496,10 +3586,26 @@ object MiniDelta {
       val changed =
         if (cdcServed(v))
           // the change-data files carry the data columns plus the
-          // writer-computed _change_type — serve them verbatim
-          spark.read.parquet(
-              cdcFiles(v).map(resolvePath(table, _)): _*)
-            .select((fields.map(col) :+ col("_change_type")): _*)
+          // writer-computed _change_type; PARTITION columns live in
+          // the cdc action's partitionValues, not in the files — fill
+          // them per partition group or a partitioned CDF table would
+          // fail to resolve its partition columns
+          cdcFiles(v).groupBy(_._2).toSeq
+            .sortBy(_._1.toSeq.sorted.mkString("\u0001"))
+            .map { case (pv, fs2) =>
+              val df = spark.read.parquet(
+                fs2.map(t2 => resolvePath(table, t2._1)): _*)
+              val present = df.columns.toSet
+              val sel = fields.map { n =>
+                if (present(n)) col(n)
+                else {
+                  val dt = declared.map(_(n).dataType)
+                    .getOrElse(org.apache.spark.sql.types.StringType)
+                  lit(pv.get(n).orNull).cast(dt).as(n)
+                }
+              }
+              df.select((sel :+ col("_change_type")): _*)
+            }.reduce(_.unionByName(_))
         else if (r.isEmpty)
           readAdds(a).withColumn("_change_type", lit("insert"))
         else {
@@ -3540,8 +3646,9 @@ object MiniDelta {
     * O(history)); only the window's files are read. */
   def readChanges(spark: SparkSession, table: String, fromVersion: Long,
                   toVersion: Long = Long.MaxValue): DataFrame = {
-    val tail = logJsonVersions(spark, table, fromVersion + 1, toVersion)
-      .map(_._2)
+    val tailV = logJsonVersions(spark, table, fromVersion + 1, toVersion)
+    requireFeedWindow(spark, table, fromVersion, toVersion, tailV.map(_._1))
+    val tail = tailV.map(_._2)
     val declared = latestSchema(spark, table,
       if (toVersion == Long.MaxValue) Long.MaxValue else toVersion)
     def empty = {

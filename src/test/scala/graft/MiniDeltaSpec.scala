@@ -1728,6 +1728,144 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc files on a PARTITIONED table fill partition columns from the action") {
+    // real CDF writers land _change_data files WITHOUT the partition
+    // columns (they live in the cdc action's partitionValues) — the
+    // feed must fill them, not fail resolution
+    val t = freshTable()
+    val schema3 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.StringType)))
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$t/year=2023")
+    val f1 = "year=2023/" + new java.io.File(s"$t/year=2023").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(schema3.json)},"partitionColumns":["year"],"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{"year":"2023"},"size":10,"dataChange":true}}"""))
+    // v1: a cdc-carrying commit whose change-data file LACKS 'year'
+    new java.io.File(s"$t/_change_data").mkdirs()
+    Seq((1L, "EDITED", "update_postimage"), (1L, "a", "update_preimage"))
+      .toDF("id", "v", "_change_type").coalesce(1)
+      .write.mode("append").parquet(s"$t/_change_data")
+    val cdcName = new java.io.File(s"$t/_change_data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    Seq((1L, "EDITED")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$t/year=2023")
+    val f2 = "year=2023/" + new java.io.File(s"$t/year=2023").listFiles()
+      .map(_.getName).filter(n => n.endsWith(".parquet") &&
+        s"year=2023/$n" != f1).head
+    rawCommit(t, 1L, Seq(
+      s"""{"cdc":{"path":${jsonStr(s"_change_data/$cdcName")},"partitionValues":{"year":"2023"},"size":10,"dataChange":false}}""",
+      s"""{"add":{"path":${jsonStr(f2)},"partitionValues":{"year":"2023"},"size":10,"dataChange":true}}""",
+      s"""{"remove":{"path":${jsonStr(f1)},"dataChange":true,"deletionTimestamp":2}}"""))
+    val v1 = MiniDelta.readCdf(spark, t, fromVersion = 0L)
+      .select("id", "v", "year", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSet
+    assert(v1 == Set(
+      (1L, "a", "2023", "update_preimage"),
+      (1L, "EDITED", "2023", "update_postimage")))
+  }
+
+  test("change feeds refuse CLEANED history instead of silently skipping it") {
+    // log cleanup deletes pre-checkpoint JSON; a consumer whose window
+    // spans the cleaned range must get HistoryCleanedException, never a
+    // silently partial feed (the replaySnapshot rule, applied to feeds)
+    val t = freshTable()
+    (0 until 3).foreach(i =>
+      MiniDelta.append(spark, sample(s"202$i", 2), t, Seq("year")))
+    MiniDelta.writeCheckpoint(spark, t, 2L)
+    val dead = MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L))
+    assert(dead.contains(f"${0L}%020d.json") &&
+      dead.contains(f"${1L}%020d.json"))
+    MiniDelta.invalidateSnapshot(t)
+    intercept[MiniDelta.HistoryCleanedException] {
+      MiniDelta.readCdf(spark, t, fromVersion = -1).count()
+    }
+    intercept[MiniDelta.HistoryCleanedException] {
+      MiniDelta.readAppends(spark, t, fromVersion = 0L).count()
+    }
+    // a consumer INSIDE the retained window proceeds normally
+    assert(MiniDelta.readCdf(spark, t, fromVersion = 1L).count() == 2)
+    assert(MiniDelta.readAppends(spark, t, fromVersion = 1L).count() == 2)
+  }
+
+  test("partition filters on a name-mapped table probe physical keys") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // physical layout: partition dir col-p=<year>, data column col-1
+    Seq(1L, 2L).toDF("col-1").coalesce(1)
+      .write.parquet(s"$t/col-p=2023")
+    Seq(3L).toDF("col-1").coalesce(1)
+      .write.parquet(s"$t/col-p=2024")
+    def fileIn(year: String) =
+      s"col-p=$year/" + new java.io.File(s"$t/col-p=$year").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).head
+    def m(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("col-1", 1)),
+      StructField("year", StringType, nullable = true, m("col-p", 2))))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(logical.json)},""" +
+        """"partitionColumns":["col-p"],"configuration":{""" +
+        """"delta.columnMapping.mode":"name"}}}""",
+      s"""{"add":{"path":${jsonStr(fileIn("2023"))},"partitionValues":{"col-p":"2023"},"size":10,"dataChange":true}}""",
+      s"""{"add":{"path":${jsonStr(fileIn("2024"))},"partitionValues":{"col-p":"2024"},"size":10,"dataChange":true}}"""))
+    // LOGICAL filter key must prune on the PHYSICAL partitionValues
+    val got = MiniDelta.readFiltered(spark, t, Seq(Map("year" -> "2023")))
+    assert(got.columns.toSeq == Seq("id", "year"))
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(MiniDelta.readFiltered(spark, t, Seq(Map("year" -> "2024")))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("DV upgrade from a legacy protocol enumerates the implied features") {
+    // Delta rule: crossing (2, 5) -> (3, 7) must carry every feature
+    // the legacy versions implied — dropping columnMapping would make
+    // a real reader skip the relabeling and mis-read the table
+    val up = MiniDelta.ProtocolAction(2, 5, Nil, Nil).withDeletionVectors
+    assert(up.minReader == 3 && up.minWriter == 7)
+    assert(up.readerFeats.toSet == Set("columnMapping", "deletionVectors"))
+    assert(up.writerFeats.toSet == Set("appendOnly", "invariants",
+      "checkConstraints", "changeDataFeed", "generatedColumns",
+      "columnMapping", "deletionVectors"))
+    // an already-feature-enumerated protocol keeps its lists untouched
+    val keep = MiniDelta.ProtocolAction(3, 7,
+      Seq("timestampNtz"), Seq("timestampNtz")).withDeletionVectors
+    assert(keep.readerFeats.toSet == Set("timestampNtz", "deletionVectors"))
+    assert(keep.writerFeats.toSet == Set("timestampNtz", "deletionVectors"))
+  }
+
+  test("a crashed partial multi-part set cannot poison the next attempt") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))   // v0
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))   // v1
+    // simulate a crashed 4-part attempt that left ONE orphan part
+    val anyParquet = new java.io.File(t).listFiles().flatMap(d =>
+      Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(anyParquet.toPath,
+      java.nio.file.Paths.get(
+        f"$t%s/_delta_log/${1L}%020d.checkpoint.0000000001.0000000004.parquet"))
+    // the retry with a different part count must CLEAR the orphan
+    MiniDelta.writeCheckpoint(spark, t, 1L, maxActionsPerPart = 3)
+    val names = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName).filter(_.contains(f"${1L}%020d.checkpoint."))
+      .filterNot(_.startsWith("."))
+    assert(!names.exists(_.contains(".0000000004.")), names.toSeq)
+    // and the new set replays
+    assert(MiniDelta.snapshotFilesAt(spark, t, 1L).count() > 0)
+  }
+
   test("time travel prefers inCommitTimestamp over the wall-clock field") {
     // the Delta inCommitTimestamp feature: the in-log clock is
     // authoritative; a drifted wall-clock timestamp must not win
