@@ -257,7 +257,8 @@ object MiniDelta {
     * data-skipping index for [[filesForRange]]. */
   def append(spark: SparkSession, df: DataFrame, table: String,
              partitionBy: Seq[String], readOnly: Boolean = false,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     // validate schema compatibility AND check constraints BEFORE any
     // data lands on disk (Delta invariant enforcement on write). A
@@ -280,18 +281,23 @@ object MiniDelta {
       val writer = df.write.mode("append")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(table)
-      appendCommit(spark, df, table, partitionBy, statsCols, beforePaths0, cfg0)
+      appendCommit(spark, df, table, partitionBy, statsCols, beforePaths0,
+        cfg0, txn)
     } finally if (mustCache) { df.unpersist(); () }
   }
 
   private def appendCommit(spark: SparkSession, df: DataFrame, table: String,
                            partitionBy: Seq[String], statsCols: Seq[String],
                            beforePaths: Set[String],
-                           cfg0: Map[String, String]): Long = {
+                           cfg0: Map[String, String],
+                           txn: Option[(String, Long)] = None): Long = {
     val after = listDataFiles(spark, table)
     val added = after.filterNot { case (p, _, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
-    val addLines = added.map { case (p, s2, m) =>
+    val txnLines = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+        s""""lastUpdated":${System.currentTimeMillis()}}}""" }
+    val addLines = txnLines ++ added.map { case (p, s2, m) =>
       addLine(p, s2, stats.get(p), modTime = Some(m)) }
     // blind append: the add actions commute, so losing the version race
     // is harmless — but the metaData line does NOT commute (a stale one
@@ -427,6 +433,14 @@ object MiniDelta {
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
           StructField("cardinality", LongType))))))),
+      // Delta protocol txn action: per-application transaction
+      // watermark — the streaming sink's exactly-once contract (a
+      // retried micro-batch with version <= the recorded watermark is
+      // a no-op)
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
       // Delta protocol cdc action: change-data files a CDF writer
       // lands under _change_data/ — for commits that carry them, the
       // change feed is served FROM these (the add/remove
@@ -1431,13 +1445,31 @@ object MiniDelta {
         val tsField = ts.fold("")(t => s""","deletionTimestamp":$t""")
         s"""{"remove":{"path":${jstr(p)},"dataChange":false$tsField}}"""
       }.sorted
+    // per-app transaction watermarks ride the checkpoint too (Delta
+    // classic shape) — without them a streaming sink would lose its
+    // exactly-once position once log cleanup removes the JSON tail
+    def txnsOf(df: DataFrame): Seq[(String, Long)] =
+      if (!df.columns.contains("txn")) Seq.empty
+      else df.where(col("txn.appId").isNotNull)
+        .select(col("txn.appId"), col("txn.version").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val prevTxns = cpPrev.toSeq.flatMap { v =>
+      checkpointActionDF(spark, table, v).map(txnsOf).getOrElse(Seq.empty) }
+    val tailTxns =
+      if (tailFiles.isEmpty) Seq.empty[(String, Long)]
+      else txnsOf(logDFIn(spark, tailFiles))
+    val txnLines = (prevTxns ++ tailTxns)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+      .map { case (a, v) =>
+        s"""{"txn":{"appId":${jstr(a)},"version":$v}}""" }
     // render as JSON lines, read under the action schema, land as
     // parquet, then rename into place — a crashed job leaves only
     // temps (or an INCOMPLETE multi-part set) that discovery never
     // selects. The manifest splits into the Delta multi-part naming
     // once it exceeds `maxActionsPerPart` rows — the 10^7-file regime
     // where one driver-rendered file stops being reasonable.
-    val allLines = (proto +: metaLines) ++ addLines ++ removeLines
+    val allLines = (proto +: metaLines) ++ addLines ++ removeLines ++
+      txnLines
     val size = allLines.length
     val n = math.max(1L,
       (size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
@@ -1445,7 +1477,8 @@ object MiniDelta {
       java.util.UUID.randomUUID().toString
     val cpSchema = org.apache.spark.sql.types.StructType(
       logSchema.fields.filter(fd =>
-        Set("add", "metaData", "protocol", "remove").contains(fd.name)))
+        Set("add", "metaData", "protocol", "remove", "txn")
+          .contains(fd.name)))
     def renderPart(lines: Seq[String], idx: Int, target: Path): Unit = {
       val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
       val out = f.create(tmpJson, true)
@@ -3439,6 +3472,34 @@ object MiniDelta {
     * exposes. Driver metadata only. */
   def currentVersion(spark: SparkSession, table: String): Long =
     latestVersion(spark, table)
+
+  /** The recorded transaction watermark for `appId` (-1 when none):
+    * the LATEST txn action, folded newest checkpoint + JSON tail — the
+    * streaming sink's exactly-once check ([[graft.streaming]]). A
+    * retried micro-batch whose version is at or below this watermark
+    * already committed and must be a no-op. */
+  def lastTxnVersion(spark: SparkSession, table: String,
+                     appId: String): Long = {
+    if (!tableExists(spark, table)) return -1L
+    val cp = latestCheckpoint(spark, table, Long.MaxValue)
+    val base: Long = cp.flatMap(v => checkpointActionDF(spark, table, v))
+      .filter(_.columns.contains("txn"))
+      .map(df => df.where(col("txn.appId") === appId)
+        .agg(max(col("txn.version").cast("long"))).collect()(0))
+      .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+      .getOrElse(-1L)
+    val tailFiles = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
+      Long.MaxValue).map(_._2)
+    val tail: Long =
+      if (tailFiles.isEmpty) -1L
+      else {
+        val r = logDFIn(spark, tailFiles)
+          .where(col("txn.appId") === appId)
+          .agg(max(col("txn.version").cast("long"))).collect()(0)
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    math.max(base, tail)
+  }
 
   /** The append-only change feed for versions in `(fromVersion,
     * toVersion]`: rows of every dataChange ADD, read with its own

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.io.MiniDelta
@@ -35,9 +36,32 @@ import graft.io.MiniDelta
   * `getBatch` plans a bounded window of commits — file reads stay
   * distributed, deletion vectors apply through the same anti-join as
   * batch reads. Nothing is collected to the driver but paths. */
-class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
+class GraftDeltaSource extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  /** `writeStream.format("graft-delta")` — each micro-batch appends as
+    * one versioned commit carrying a Delta `txn` action (appId = the
+    * `txnAppId` option, defaulting to the query's checkpoint location):
+    * a RETRIED batch whose id is at or below the recorded watermark is
+    * a no-op, the real Delta streaming sink's exactly-once contract. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-delta sink supports Append output only, got $outputMode " +
+        "(aggregations should flow through foreachBatch)")
+    val table = tableOf(parameters)
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-delta sink needs a stable transaction id: set " +
+          ".option(\"txnAppId\", ...) or a checkpointLocation"))
+    new GraftDeltaStreamSink(sqlContext.sparkSession, table,
+      partitionColumns, appId)
+  }
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -84,6 +108,26 @@ class GraftDeltaSource extends StreamSourceProvider with DataSourceRegister {
       declared = sourceSchema(sqlContext, schema, providerName,
         parameters)._2)
   }
+}
+
+private[graft] class GraftDeltaStreamSink(
+    spark: SparkSession, table: String, partitionColumns: Seq[String],
+    appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // exactly-once: the engine retries addBatch after crashes; the txn
+    // watermark in the LOG (not the streaming checkpoint) decides —
+    // one driver metadata read per micro-batch
+    if (batchId <= MiniDelta.lastTxnVersion(spark, table, appId)) return
+    // the incoming frame carries a streaming incremental plan that
+    // batch writers refuse — re-brand it (same lazy plan)
+    val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(data)
+    MiniDelta.append(spark, batch, table, partitionColumns,
+      txn = Some((appId, batchId)))
+    ()
+  }
+
+  override def toString: String = s"GraftDeltaSink[$table]"
 }
 
 private[streaming] class GraftDeltaStreamSource(

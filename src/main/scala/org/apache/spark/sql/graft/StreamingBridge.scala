@@ -16,4 +16,13 @@ object StreamingBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The mirror: a `Sink.addBatch` frame arrives with a streaming
+    * incremental plan that batch writers refuse — re-brand it batch
+    * (same lazy plan) so the sink can hand it to a normal write path. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

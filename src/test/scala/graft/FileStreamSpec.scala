@@ -294,6 +294,52 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("writeStream.format(graft-delta) sinks micro-batches as txn-stamped commits") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val src = Files.createTempDirectory("gdsinksrc").toString
+    val t = Files.createTempDirectory("gdsinktbl").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(s"$src/b1")
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$src/b1").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .writeStream.format("graft-delta")
+      .option("path", t)
+      .option("txnAppId", "sink-spec")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdsinkcp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+      Seq((3L, "c")).toDF("id", "v").coalesce(1).write.parquet(s"$src/b2")
+      q.processAllAvailable()
+      assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+        .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // the commits carry the Delta txn watermark
+    assert(MiniDelta.lastTxnVersion(spark, t, "sink-spec") == 1L)
+  }
+
+  test("graft-delta sink: a retried micro-batch is a no-op (txn exactly-once)") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("gdsinkretry").toString + "/t"
+    val sink = new graft.streaming.GraftDeltaStreamSink(
+      spark, t, Seq.empty, "app-1")
+    sink.addBatch(0L, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+    // the engine re-delivers batch 0 after a crash-before-commit:
+    // the log's txn watermark, not the streaming checkpoint, says no
+    sink.addBatch(0L, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+    sink.addBatch(1L, Seq((3L, "c")).toDF("id", "v"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    assert(MiniDelta.lastTxnVersion(spark, t, "app-1") == 1L)
+    assert(MiniDelta.lastTxnVersion(spark, t, "other-app") == -1L)
+  }
+
   test("graft-delta maxVersionsPerTrigger paces ingestion one commit at a time") {
     import spark.implicits._
     import graft.io.MiniDelta

@@ -1866,6 +1866,21 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.snapshotFilesAt(spark, t, 1L).count() > 0)
   }
 
+  test("txn watermarks ride checkpoints and survive log cleanup") {
+    val t = freshTable()
+    (0 until 3).foreach(i =>
+      MiniDelta.append(spark, sample(s"202$i", 1), t, Seq("year"),
+        txn = Some(("app-cp", i.toLong))))
+    assert(MiniDelta.lastTxnVersion(spark, t, "app-cp") == 2L)
+    MiniDelta.writeCheckpoint(spark, t, 2L)
+    // cleanup deletes the JSON tail that carried the txn actions —
+    // the checkpoint's carried watermark must keep exactly-once intact
+    MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.lastTxnVersion(spark, t, "app-cp") == 2L)
+    assert(MiniDelta.lastTxnVersion(spark, t, "never-seen") == -1L)
+  }
+
   test("time travel prefers inCommitTimestamp over the wall-clock field") {
     // the Delta inCommitTimestamp feature: the in-log clock is
     // authoritative; a drifted wall-clock timestamp must not win
