@@ -519,11 +519,15 @@ object MiniDelta {
                                 fromVersion: Long, toVersion: Long,
                                 got: Seq[Long]): Unit = {
     val lo = math.max(0L, fromVersion + 1)
-    val hi = math.min(latestVersion(spark, table), toVersion)
-    if (hi < lo) return
-    if (got.size.toLong != hi - lo + 1)
+    // judge the returned window by ITS OWN shape — re-probing the
+    // latest version here would race a concurrent committer (a commit
+    // landing between the listing and this check is not a gap)
+    if (got.isEmpty) return
+    if (got.head != lo)
+      throw new HistoryCleanedException(table, lo)
+    if (got.last - got.head + 1 != got.size.toLong)
       throw new HistoryCleanedException(table,
-        ((lo to hi).toSet -- got.toSet).min)
+        ((got.head to got.last).toSet -- got.toSet).min)
   }
 
   /** The listed log files as action rows, with their commit version. */
@@ -1455,11 +1459,21 @@ object MiniDelta {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val prevTxns = cpPrev.toSeq.flatMap { v =>
       checkpointActionDF(spark, table, v).map(txnsOf).getOrElse(Seq.empty) }
-    val tailTxns =
-      if (tailFiles.isEmpty) Seq.empty[(String, Long)]
-      else txnsOf(logDFIn(spark, tailFiles))
-    val txnLines = (prevTxns ++ tailTxns)
-      .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq.sortBy(_._1)
+    // Delta replay rule: the txn action from the LATEST commit wins
+    // per appId (its version may legitimately be LOWER — a writer can
+    // reset its sequence), so the tail folds by commit order and any
+    // tail entry overrides the previous checkpoint's
+    val tailTxns: Map[String, Long] =
+      if (tailFiles.isEmpty) Map.empty
+      else logDFIn(spark, tailFiles)
+        .where(col("txn.appId").isNotNull)
+        .select(col("txn.appId"), col("txn.version").cast("long"),
+          col("version"))
+        .collect().groupBy(_.getString(0)).view
+        .mapValues(rs => rs.maxBy(_.getLong(2)).getLong(1)).toMap
+    val prevLatest: Map[String, Long] =
+      prevTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val txnLines = (prevLatest ++ tailTxns).toSeq.sortBy(_._1)
       .map { case (a, v) =>
         s"""{"txn":{"appId":${jstr(a)},"version":$v}}""" }
     // render as JSON lines, read under the action schema, land as
@@ -1497,29 +1511,33 @@ object MiniDelta {
         throw new java.io.IOException(
           s"checkpoint rename $part -> $target failed")
     }
+    // clear EVERY stale same-version part first, by NAME pattern — a
+    // crashed prior attempt may have left a PARTIAL set with a
+    // different part count (checkpointMultiParts would return empty
+    // for it), and mixing counts would make the new complete set
+    // undiscoverable forever; runs for the single-file retry too, or
+    // the orphans would linger as permanent _delta_log garbage. The
+    // completeness memo clears FIRST: a crash between the deletes and
+    // the new renames must not leave a memoized claim for a
+    // checkpoint that no longer exists on disk.
+    cpCompleteMemo.remove((table, version))
+    val stalePrefix = f"$version%020d.checkpoint."
+    val dir0 = new Path(logDir(table))
+    if (f.exists(dir0))
+      f.listStatus(dir0).map(_.getPath).foreach { pp =>
+        pp.getName match {
+          case nm @ checkpointPartName(_, _)
+              if nm.startsWith(stalePrefix) => f.delete(pp, false); ()
+          case _ => ()
+        }
+      }
     if (n == 1)
       renderPart(allLines, 0, new Path(checkpointPath(table, version)))
-    else {
-      // clear EVERY stale same-version part first, by NAME pattern —
-      // a crashed prior attempt may have left a PARTIAL set with a
-      // different part count (checkpointMultiParts would return empty
-      // for it), and mixing counts would make the new complete set
-      // undiscoverable forever
-      val stalePrefix = f"$version%020d.checkpoint."
-      val dir0 = new Path(logDir(table))
-      if (f.exists(dir0))
-        f.listStatus(dir0).map(_.getPath).foreach { pp =>
-          pp.getName match {
-            case nm @ checkpointPartName(_, _)
-                if nm.startsWith(stalePrefix) => f.delete(pp, false); ()
-            case _ => ()
-          }
-        }
+    else
       allLines.grouped(maxActionsPerPart).zipWithIndex.foreach {
         case (chunk, i) => renderPart(chunk, i + 1,
           new Path(checkpointPartPath(table, version, i + 1, n)))
       }
-    }
     f.delete(new Path(tmpBase), true)
     // pointer last: it only ever names a checkpoint that already
     // exists, and only moves forward. "size" (total action count) is
@@ -2377,28 +2395,30 @@ object MiniDelta {
     // and complete multi-part sets — all-or-none, so a partial deletion
     // can never masquerade as a complete set) age out under the same
     // horizon; the NEWEST checkpoint always survives
-    val deadCp = (0L until cp).flatMap { v =>
-      val p = new Path(checkpointPath(table, v))
-      val fromSingle =
-        if (f.exists(p) && aged(p)) {
-          f.delete(p, true); Seq(f"$v%020d.checkpoint.parquet")
-        } else Seq.empty
-      val parts = checkpointMultiParts(spark, table, v)
-      val fromParts =
-        if (parts.nonEmpty && parts.forall(pp => aged(new Path(pp)))) {
-          parts.foreach(pp => f.delete(new Path(pp), false))
-          parts.map(_.split("/").last)
-        } else Seq.empty
-      // aged v2 MANIFESTS age out like any superseded checkpoint; the
-      // action files under _delta_log/_sidecars stay — the spec lets
-      // manifests SHARE sidecar files, so deleting them safely needs
-      // reference counting across every surviving manifest
-      val fromV2 = checkpointV2Manifest(spark, table, v) match {
-        case Some(m) if aged(new Path(m)) =>
-          f.delete(new Path(m), false); Seq(m.split("/").last)
+    // ONE listing serves every checkpoint-shape lookup — the
+    // per-version helpers would re-list _delta_log O(cp) times.
+    // Iteration runs over checkpoint names actually present, so the
+    // loop is O(#checkpoints), not O(history). Multi-part sets delete
+    // per-file when aged (a superseded set, partial or complete, is
+    // garbage either way — only the NEWEST checkpoint is load-bearing
+    // and it is excluded by v < cp). Aged v2 MANIFESTS age out too;
+    // the action files under _delta_log/_sidecars stay — the spec
+    // lets manifests SHARE sidecar files, so deleting them safely
+    // needs reference counting across every surviving manifest.
+    val cpNames = f.listStatus(new Path(logDir(table)))
+      .map(_.getPath.getName)
+      .filter(_.contains(".checkpoint."))
+    def versionOfName(nm: String): Option[Long] =
+      if (nm.length >= 20 && nm.take(20).forall(_.isDigit))
+        Some(nm.take(20).toLong)
+      else None
+    val deadCp = cpNames.toSeq.flatMap { nm =>
+      versionOfName(nm) match {
+        case Some(v) if v < cp =>
+          val p = new Path(s"${logDir(table)}/$nm")
+          if (aged(p)) { f.delete(p, true); Seq(nm) } else Seq.empty
         case _ => Seq.empty
       }
-      fromSingle ++ fromParts ++ fromV2
     }
     // deleted checkpoints must not linger as memoized-complete
     cpCompleteMemo.keySet.removeIf(_._1 == table)
@@ -3490,15 +3510,16 @@ object MiniDelta {
       .getOrElse(-1L)
     val tailFiles = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
       Long.MaxValue).map(_._2)
-    val tail: Long =
-      if (tailFiles.isEmpty) -1L
-      else {
-        val r = logDFIn(spark, tailFiles)
-          .where(col("txn.appId") === appId)
-          .agg(max(col("txn.version").cast("long"))).collect()(0)
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
-    math.max(base, tail)
+    // latest-commit-wins (a writer may legitimately LOWER its
+    // sequence): the newest tail entry overrides the checkpoint's
+    val tail: Option[Long] =
+      if (tailFiles.isEmpty) None
+      else logDFIn(spark, tailFiles)
+        .where(col("txn.appId") === appId)
+        .orderBy(col("version").desc).limit(1)
+        .select(col("txn.version").cast("long"))
+        .collect().headOption.map(_.getLong(0))
+    tail.getOrElse(base)
   }
 
   /** The append-only change feed for versions in `(fromVersion,
@@ -3659,11 +3680,16 @@ object MiniDelta {
               val present = df.columns.toSet
               val sel = fields.map { n =>
                 if (present(n)) col(n)
-                else {
+                else if (pv.contains(n)) {
+                  // genuinely a partition column: the action carries it
                   val dt = declared.map(_(n).dataType)
                     .getOrElse(org.apache.spark.sql.types.StringType)
-                  lit(pv.get(n).orNull).cast(dt).as(n)
+                  lit(pv(n)).cast(dt).as(n)
                 }
+                // NOT in the files and NOT a partition value (e.g. a
+                // name-mapped table's physical columns): resolve
+                // loudly — null-filling here would be silent data loss
+                else col(n)
               }
               df.select((sel :+ col("_change_type")): _*)
             }.reduce(_.unionByName(_))

@@ -114,16 +114,28 @@ private[graft] class GraftDeltaStreamSink(
     spark: SparkSession, table: String, partitionColumns: Seq[String],
     appId: String) extends Sink {
 
+  // watermark cache: the log is read ONCE (first batch after start);
+  // afterwards the sink itself is the only writer advancing this
+  // appId, so the in-memory value stays authoritative — per-trigger
+  // cost stops scaling with checkpoint size
+  @volatile private var watermark: Long = Long.MinValue
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // exactly-once: the engine retries addBatch after crashes; the txn
-    // watermark in the LOG (not the streaming checkpoint) decides —
-    // one driver metadata read per micro-batch
-    if (batchId <= MiniDelta.lastTxnVersion(spark, table, appId)) return
+    // watermark in the LOG (not the streaming checkpoint) decides.
+    // CAVEAT (same as real Delta idempotent writes): a user-supplied
+    // txnAppId outlives a deleted/reset streaming checkpoint, whose
+    // batchIds restart at 0 — reuse an appId only with its original
+    // checkpoint, or the watermark will no-op the restarted batches.
+    if (watermark == Long.MinValue)
+      watermark = MiniDelta.lastTxnVersion(spark, table, appId)
+    if (batchId <= watermark) return
     // the incoming frame carries a streaming incremental plan that
     // batch writers refuse — re-brand it (same lazy plan)
     val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(data)
     MiniDelta.append(spark, batch, table, partitionColumns,
       txn = Some((appId, batchId)))
+    watermark = batchId
     ()
   }
 

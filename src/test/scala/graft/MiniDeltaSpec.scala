@@ -1866,6 +1866,22 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.snapshotFilesAt(spark, t, 1L).count() > 0)
   }
 
+  test("a txn reset to a LOWER version wins (latest-commit rule)") {
+    // Delta replay rule: the txn action from the newest COMMIT wins per
+    // appId — a writer may legitimately reset its sequence downward
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 1), t, Seq("year"),
+      txn = Some(("app-r", 5L)))
+    MiniDelta.append(spark, sample("2024", 1), t, Seq("year"),
+      txn = Some(("app-r", 0L)))
+    assert(MiniDelta.lastTxnVersion(spark, t, "app-r") == 0L)
+    // the checkpoint fold honors the same rule
+    MiniDelta.writeCheckpoint(spark, t, 1L)
+    MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.lastTxnVersion(spark, t, "app-r") == 0L)
+  }
+
   test("txn watermarks ride checkpoints and survive log cleanup") {
     val t = freshTable()
     (0 until 3).foreach(i =>
