@@ -2621,6 +2621,15 @@ object MiniDelta {
       partitionSegments(_).map(_.split("=", 2)(0)).toSeq
     }
 
+  /** Declared partition layout of the current snapshot, path-derived
+    * like every other layout probe ([[partitionColsOf]]): one file path
+    * suffices because all files of a table share one layout. Empty
+    * table (or no snapshot yet) -> unpartitioned. */
+  def partitionColumns(spark: SparkSession, table: String): Seq[String] =
+    if (!tableExists(spark, table)) Seq.empty
+    else partitionColsOf(snapshotFilesCached(spark, table)
+      .select("path").limit(1).collect().map(_.getString(0)))
+
   /** Shallow clone (Delta `CLONE ... SHALLOW`): a brand-new table whose
     * v0 commit references the SOURCE table's data files by absolute
     * path — zero data copied, stats carried over so skipping works on

@@ -212,6 +212,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => AclEnforcementRule)
+    // graft.<alias> SQL identifiers (SELECT / time travel / INSERT);
+    // registered per-session state lives in GraftSqlTables
+    ext.injectResolutionRule(s => GraftSqlRule(s))
     functions.foreach { case (name, _, builder) =>
       // usage strings ride in `functions` for the Scaladoc reader; the
       // 2-arg ExpressionInfo is (className, functionName)

@@ -1,0 +1,202 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.TimestampType
+
+import graft.io.MiniDelta
+
+/** SQL front door: `graft.<alias>` (or `graft.datalake.<alias>`) table
+  * identifiers resolve to the engine's governed read path, so the whole
+  * API surface is reachable from plain `spark.sql`:
+  *
+  *   SELECT ... FROM graft.datalake.trades WHERE ...
+  *   SELECT ... FROM graft.trades VERSION AS OF 3
+  *   SELECT ... FROM graft.trades TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   INSERT INTO graft.trades SELECT ...
+  *   INSERT OVERWRITE graft.trades SELECT ...
+  *
+  * This is the reference's client-facing contract — callers address
+  * tables by catalog alias, never by physical path, and the proxy
+  * resolves alias -> storage under the covers
+  * (/root/reference/src/config.rs:7, src/main.rs:503-512) — re-expressed
+  * as the idiomatic Spark extension point: an injected resolution rule
+  * (the same mechanism Delta Lake uses for `delta.{path}` identifiers),
+  * NOT a parallel query API. Everything downstream is unchanged: the
+  * resolved plan IS the MiniDelta/parquet scan, so Catalyst pushdown,
+  * AQE, partition-ACL enforcement ([[AclEnforcementRule]] rewrites the
+  * governed scans this rule inlines), deletion-vector anti-joins and
+  * column-mapping relabels all apply to SQL exactly as to DataFrame
+  * calls.
+  *
+  * Scale: resolution is a driver-side map probe plus the normal snapshot
+  * replay (cached, metadata-scale). Time travel binds the snapshot at
+  * resolution time — same cost as the DataFrame path.
+  */
+object GraftSqlTables {
+  private val reg = TrieMap.empty[String, String]
+
+  /** Register one alias -> physical path (a MiniDelta table root or a
+    * plain parquet directory; which one is sniffed per-query from the
+    * presence of a `_delta_log`, so a path may legitimately start life
+    * as raw parquet and later become a governed table). */
+  def register(alias: String, path: String): Unit = {
+    reg.put(alias.toLowerCase, path); ()
+  }
+
+  /** Register every alias of a [[graft.catalog.Catalog]]. */
+  def register(catalog: graft.catalog.Catalog): Unit =
+    catalog.entries.foreach { case (a, p) => register(a, p) }
+
+  def clear(): Unit = reg.clear()
+
+  /** `graft.t` and `graft.datalake.t` both resolve (the reference
+    * exposes one virtual bucket, src/main.rs:115-141); unknown aliases
+    * return None and fall through to Spark's own resolution — whose
+    * TABLE_OR_VIEW_NOT_FOUND is the reference's 404. */
+  def resolve(parts: Seq[String]): Option[String] =
+    parts.map(_.toLowerCase) match {
+      case Seq("graft", t) => reg.get(t)
+      case Seq("graft", "datalake", t) => reg.get(t)
+      case _ => None
+    }
+}
+
+/** The resolution rule. Injected by [[GraftExtensions]]; matches only
+  * graft-namespace identifiers, so co-resident catalogs are untouched. */
+case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
+    case u: UnresolvedRelation => GraftSqlTables.resolve(u.multipartIdentifier)
+    case _ => None
+  }
+
+  /** The governed read, inlined as an analyzed subtree. */
+  private def readPlan(path: String, versionAsOf: Option[Long],
+                       tsMs: Option[Long]): LogicalPlan = {
+    val df: DataFrame =
+      if (MiniDelta.tableExists(spark, path))
+        tsMs match {
+          case Some(t) => MiniDelta.readAtTimestamp(spark, path, t)
+          case None =>
+            MiniDelta.readFiltered(spark, path, Seq.empty, versionAsOf)
+        }
+      else {
+        require(versionAsOf.isEmpty && tsMs.isEmpty,
+          s"time travel requires a MiniDelta table; $path has no _delta_log")
+        spark.read.parquet(path)
+      }
+    df.queryExecution.analyzed
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // top-down: INSERT INTO graft.x must capture the statement BEFORE
+    // the bare-relation case rewrites its target child into a scan
+    plan.transformDown {
+      case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
+          ifPartitionNotExists, byName) if pathOf(rel).isDefined =>
+        require(partSpec.isEmpty,
+          "INSERT ... PARTITION is not supported on graft tables: the " +
+            "table's declared layout governs partitioning (write the " +
+            "partition column as data instead)")
+        require(!ifPartitionNotExists,
+          "IF NOT EXISTS partitions are not supported on graft tables")
+        GraftInsertCommand(pathOf(rel).get, query, userCols, overwrite,
+          byName)
+
+      case tt: RelationTimeTravel if pathOf(tt.relation).isDefined =>
+        val path = pathOf(tt.relation).get
+        tt.version match {
+          case Some(v) =>
+            val ver =
+              try java.lang.Long.parseLong(v)
+              catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"VERSION AS OF must be a commit number, got '$v'")
+              }
+            readPlan(path, Some(ver), None)
+          case None =>
+            val e = tt.timestamp.getOrElse(throw new IllegalArgumentException(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+            require(e.resolved && e.foldable,
+              s"TIMESTAMP AS OF must be a literal, got ${e.sql}")
+            val micros = Cast(e, TimestampType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+            require(micros != null, s"TIMESTAMP AS OF ${e.sql} is null")
+            readPlan(path, None, Some(micros.asInstanceOf[Long] / 1000L))
+        }
+
+      case u: UnresolvedRelation if pathOf(u).isDefined =>
+        readPlan(pathOf(u).get, None, None)
+    }
+}
+
+/** `INSERT INTO | OVERWRITE graft.<alias>` as an eagerly-executed
+  * command routing through [[MiniDelta.append]]/[[MiniDelta.overwrite]]
+  * — SQL writes get the full write contract (schema merge validation,
+  * CHECK constraints, protocol gate, commit retry) for free.
+  *
+  * The source `query` is kept UNRESOLVED here and analyzed inside
+  * [[run]]: it may itself reference graft tables (INSERT INTO a SELECT
+  * FROM graft.b), and analyzing it in the target session applies this
+  * same extension. Column alignment follows SQL semantics: positional
+  * for `INSERT INTO t SELECT ...` (names are rebound to the target
+  * schema), by-name for `INSERT INTO t BY NAME` / an explicit column
+  * list — which must cover the target schema exactly, since MiniDelta
+  * tables have no column defaults.
+  */
+case class GraftInsertCommand(table: String, query: LogicalPlan,
+    userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+
+  // the source query renders under the command in EXPLAIN output
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val src = org.apache.spark.sql.classic.Dataset.ofRows(classic, query)
+    val declared = MiniDelta.latestSchema(spark, table)
+    val parts = MiniDelta.partitionColumns(spark, table)
+
+    val aligned: DataFrame = declared match {
+      case None => // first write creates the table: columns pass as-is
+        require(userCols.isEmpty,
+          s"column list on a not-yet-created table $table")
+        src
+      case Some(st) =>
+        val target = st.fieldNames.toSeq
+        if (byName || userCols.nonEmpty) {
+          val names = if (userCols.nonEmpty) userCols else src.columns.toSeq
+          require(names.map(_.toLowerCase).sorted ==
+              target.map(_.toLowerCase).sorted,
+            s"BY NAME/column-list insert must cover the target schema " +
+              s"exactly: table has ${target.mkString(",")}, " +
+              s"insert names ${names.mkString(",")}")
+          require(names.length == src.columns.length,
+            s"column list names ${names.length} columns, query produces " +
+              s"${src.columns.length}")
+          // bind query output to the named target columns positionally,
+          // then reorder to the declared layout
+          src.toDF(names: _*).select(target.map(org.apache.spark.sql
+            .functions.col): _*)
+        } else {
+          require(src.columns.length == target.length,
+            s"positional insert needs ${target.length} columns " +
+              s"(${target.mkString(",")}), query produces " +
+              s"${src.columns.length}")
+          src.toDF(target: _*)
+        }
+    }
+    if (overwrite) MiniDelta.overwrite(spark, aligned, table, parts)
+    else MiniDelta.append(spark, aligned, table, parts)
+    Seq.empty
+  }
+}
