@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // same extension posture as Verify: sql_* gates need GraftSqlRule
+      // and the named graft catalog
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Benchmark cache policy, set through the SAME config surface a

@@ -204,6 +204,29 @@ SELECT * FROM (
          0.0, CAST(sum(l_quantity) AS BIGINT) FROM upd
 ) ORDER BY change_type""",
 
+    "s29_stream_cdf" ->
+      """WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+  FROM lineitem WHERE l_quantity <= 2),
+upd AS (SELECT * FROM src WHERE l_quantity = 1 AND l_extendedprice <> 0),
+del AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 0)
+SELECT * FROM (
+  SELECT 'delete' AS change_type, CAST(count(*) AS BIGINT) AS n_rows,
+         sum(round(l_extendedprice*100))/100.0 AS sum_price,
+         CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM del
+  UNION ALL
+  SELECT 'insert', CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(sum(l_quantity) AS BIGINT) FROM src
+  UNION ALL
+  SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(sum(l_quantity) AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+         0.0, CAST(sum(l_quantity) AS BIGINT) FROM upd
+) ORDER BY change_type""",
+
     "j5_db_permissions" ->
       s"""SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
 FROM lineitem WHERE $ALLOWED
@@ -1220,6 +1243,36 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
   CAST(count(CASE WHEN l_linenumber % 2 = 1 THEN 1 END) AS BIGINT) AS n_disc,
   sum(CASE WHEN l_linenumber % 2 = 1 THEN round(l_discount * 100) END) / 100.0 AS sum_disc
 FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_select" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 2 AND l_returnflag IN ('N', 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_time_travel" ->
+      """SELECT 'current' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+UNION ALL
+SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2 AND l_linenumber % 2 = 0
+ORDER BY snap""",
+
+    "sql_insert" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_insert_overwrite" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2 AND l_returnflag = 'R'
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "s27_real_format" ->

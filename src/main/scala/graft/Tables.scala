@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Fixture-table loading (see /root/repo/TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark rejects
-  * (PARQUET_TYPE_ILLEGAL). We read it as nanos-since-epoch via
-  * `spark.sql.legacy.parquet.nanosAsLong` and floor-convert to microseconds
-  * — the same truncation DuckDB applies when casting TIMESTAMP_NS to
-  * TIMESTAMP, so oracle comparisons stay exact.
+  * `events.ts` has shipped in two layouts across driver testdata
+  * generations: parquet TIMESTAMP(NANOS) — which Spark rejects
+  * (PARQUET_TYPE_ILLEGAL) unless read as nanos-since-epoch via
+  * `spark.sql.legacy.parquet.nanosAsLong`, then floor-converted to
+  * microseconds — and plain TIMESTAMP(MICROS), which Spark reads as
+  * TIMESTAMP_NTZ. Both normalize to session-TZ TimestampType here so every
+  * downstream query and oracle comparison sees one schema.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -21,10 +23,15 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(path(sfDir, name))
 
-  /** events with ts converted nanos -> microsecond TimestampType (floor). */
+  /** events with ts normalized to microsecond TimestampType. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(path(sfDir, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) layout
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS) layout (read as NTZ or LTZ)
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // the deployment posture: graft rules + functions injected and the
+      // graft catalog named, so sql_* gates resolve graft.<alias> /
+      // graft.datalake.<alias> identifiers
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

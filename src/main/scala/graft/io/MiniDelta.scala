@@ -1423,22 +1423,47 @@ object MiniDelta {
     val livePaths = snapRows.map(_.getString(0)).toSet
     val horizon = nowMs() - retentionMs(cfg)
     val cpPrev = latestCheckpoint(spark, table, version - 1)
-    def removesOf(df: DataFrame): Seq[(String, Option[Long])] =
-      df.where(col("remove.path").isNotNull)
-        .select(col("remove.path"),
-          col("remove.deletionTimestamp").cast("long"))
-        .collect().map(r => (r.getString(0),
-          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
-    val prevRemoves: Seq[(String, Option[Long])] = cpPrev.toSeq.flatMap { v =>
-      checkpointActionDF(spark, table, v)
-        .filter(_.columns.contains("remove"))
-        .map(removesOf).getOrElse(Seq.empty)
+    // ONE pass each over the previous checkpoint and the JSON tail,
+    // projecting removes AND txn watermarks together — these were
+    // separate Spark jobs per source (r7 priced that as the s10/s19-s25
+    // write-lifecycle creep), and at metadata scale the job launch, not
+    // the rows, is the cost.
+    // (path, deletionTimestamp, txnAppId, txnVersion, commitVersion)
+    def actionsOf(df: DataFrame, withCommitVersion: Boolean)
+        : Seq[(Option[(String, Option[Long])], Option[(String, Long, Long)])] = {
+      val cols = df.columns.toSet
+      val rm = cols.contains("remove")
+      val tx = cols.contains("txn")
+      if (!rm && !tx) return Seq.empty
+      val rmPath = if (rm) col("remove.path") else lit(null).cast("string")
+      val rmTs = if (rm) col("remove.deletionTimestamp").cast("long")
+        else lit(null).cast("long")
+      val txApp = if (tx) col("txn.appId") else lit(null).cast("string")
+      val txVer = if (tx) col("txn.version").cast("long")
+        else lit(null).cast("long")
+      val cv = if (withCommitVersion) col("version") else lit(0L)
+      df.where(rmPath.isNotNull || txApp.isNotNull)
+        .select(rmPath, rmTs, txApp, txVer, cv)
+        .collect().map { r =>
+          val rem = if (r.isNullAt(0)) None
+            else Some((r.getString(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          val txn = if (r.isNullAt(2)) None
+            else Some((r.getString(2), r.getLong(3), r.getLong(4)))
+          (rem, txn)
+        }.toSeq
     }
+    val prevActions = cpPrev.toSeq.flatMap { v =>
+      checkpointActionDF(spark, table, v)
+        .map(actionsOf(_, withCommitVersion = false)).getOrElse(Seq.empty)
+    }
+    val prevRemoves: Seq[(String, Option[Long])] = prevActions.flatMap(_._1)
     val tailFiles = logJsonVersions(spark, table,
       cpPrev.getOrElse(-1L) + 1, version).map(_._2)
-    val tailRemoves =
-      if (tailFiles.isEmpty) Seq.empty[(String, Option[Long])]
-      else removesOf(logDFIn(spark, tailFiles))
+    val tailActions =
+      if (tailFiles.isEmpty) Seq.empty
+      else actionsOf(logDFIn(spark, tailFiles), withCommitVersion = true)
+    val tailRemoves: Seq[(String, Option[Long])] = tailActions.flatMap(_._1)
     val removeLines = (prevRemoves ++ tailRemoves)
       .groupBy(_._1).view
       .mapValues { vs =>
@@ -1451,26 +1476,16 @@ object MiniDelta {
       }.sorted
     // per-app transaction watermarks ride the checkpoint too (Delta
     // classic shape) — without them a streaming sink would lose its
-    // exactly-once position once log cleanup removes the JSON tail
-    def txnsOf(df: DataFrame): Seq[(String, Long)] =
-      if (!df.columns.contains("txn")) Seq.empty
-      else df.where(col("txn.appId").isNotNull)
-        .select(col("txn.appId"), col("txn.version").cast("long"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val prevTxns = cpPrev.toSeq.flatMap { v =>
-      checkpointActionDF(spark, table, v).map(txnsOf).getOrElse(Seq.empty) }
+    // exactly-once position once log cleanup removes the JSON tail.
     // Delta replay rule: the txn action from the LATEST commit wins
     // per appId (its version may legitimately be LOWER — a writer can
     // reset its sequence), so the tail folds by commit order and any
-    // tail entry overrides the previous checkpoint's
-    val tailTxns: Map[String, Long] =
-      if (tailFiles.isEmpty) Map.empty
-      else logDFIn(spark, tailFiles)
-        .where(col("txn.appId").isNotNull)
-        .select(col("txn.appId"), col("txn.version").cast("long"),
-          col("version"))
-        .collect().groupBy(_.getString(0)).view
-        .mapValues(rs => rs.maxBy(_.getLong(2)).getLong(1)).toMap
+    // tail entry overrides the previous checkpoint's.
+    val prevTxns: Seq[(String, Long)] =
+      prevActions.flatMap(_._2).map { case (a, v, _) => (a, v) }
+    val tailTxns: Map[String, Long] = tailActions.flatMap(_._2)
+      .groupBy(_._1).view
+      .mapValues(rs => rs.maxBy(_._3)._2).toMap
     val prevLatest: Map[String, Long] =
       prevTxns.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     val txnLines = (prevLatest ++ tailTxns).toSeq.sortBy(_._1)
@@ -2621,14 +2636,75 @@ object MiniDelta {
       partitionSegments(_).map(_.split("=", 2)(0)).toSeq
     }
 
-  /** Declared partition layout of the current snapshot, path-derived
-    * like every other layout probe ([[partitionColsOf]]): one file path
-    * suffices because all files of a table share one layout. Empty
-    * table (or no snapshot yet) -> unpartitioned. */
+  /** Declared partition layout, path-derived like every other layout
+    * probe ([[partitionColsOf]]): one file path of the current snapshot
+    * suffices because all files of a table share one layout. When the
+    * snapshot is momentarily EMPTY (all rows deleted) the layout still
+    * governs future writes, so fall back to the log's latest
+    * `metaData.partitionColumns` — otherwise the next write would
+    * silently flip the table to unpartitioned and degrade pruning for
+    * all later data. No table yet -> unpartitioned. */
   def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     if (!tableExists(spark, table)) Seq.empty
-    else partitionColsOf(snapshotFilesCached(spark, table)
-      .select("path").limit(1).collect().map(_.getString(0)))
+    else {
+      val fromFiles = partitionColsOf(snapshotFilesCached(spark, table)
+        .select("path").limit(1).collect().map(_.getString(0)))
+      if (fromFiles.nonEmpty) fromFiles
+      else metaPartitionColumns(spark, table).getOrElse(Seq.empty)
+    }
+
+  /** Latest metaData action's `partitionColumns`: the JSON tail since
+    * the last checkpoint first (newest wins), then the checkpoint's own
+    * metaData row. O(since-last-checkpoint), like [[latestSchema]]. */
+  private def metaPartitionColumns(spark: SparkSession, table: String)
+      : Option[Seq[String]] = {
+    val cp = latestCheckpoint(spark, table, Long.MaxValue)
+    val from = cp.getOrElse(-1L)
+    val tail = logJsonVersions(spark, table, from + 1)
+    val fromTail =
+      if (tail.isEmpty) None
+      else logDFIn(spark, tail.map(_._2))
+        .where(col("metaData").isNotNull &&
+          col("metaData.partitionColumns").isNotNull)
+        .orderBy(col("version").desc).limit(1)
+        .select("metaData.partitionColumns").collect().headOption
+        .map(_.getSeq[String](0))
+    fromTail.orElse(cp.flatMap { v =>
+      checkpointActionDF(spark, table, v)
+        .filter(_.columns.contains("metaData"))
+        .flatMap(_.where(col("metaData.partitionColumns").isNotNull)
+          .select("metaData.partitionColumns").collect().headOption
+          .map(_.getSeq[String](0)))
+    })
+  }
+
+  /** Delta's `CONVERT TO DELTA`: promote a directory of raw parquet to a
+    * governed table by committing a v0 whose add actions reference the
+    * EXISTING files in place — zero data copied. Partition layout (and
+    * per-file partitionValues) derive from the Hive `k=v` path segments;
+    * the declared schema is Spark's parquet + partition-discovery read
+    * of the directory. This is the sanctioned path from "alias backed by
+    * a raw parquet dir" (passthrough reads) to "governed table" (SQL
+    * INSERT, time travel, ACLs) without orphaning existing rows.
+    *
+    * Scale: one recursive listing + one footer-schema read — O(files)
+    * metadata, no data pass unless `statsCols` opts into the stats
+    * aggregate (one scan of the named columns, same as [[append]]). */
+  def convertToDelta(spark: SparkSession, table: String,
+                     statsCols: Seq[String] = Nil): Long = {
+    require(!tableExists(spark, table),
+      s"convertToDelta: $table already has a _delta_log")
+    val files = listDataFiles(spark, table)
+    require(files.nonEmpty,
+      s"convertToDelta: no parquet files under $table")
+    val parts = partitionColsOf(files.map(_._1))
+    val schema = spark.read.parquet(table).schema
+    val stats = fileStats(spark, table, files.map(_._1), statsCols)
+    val lines = metaDataLine(table, schema, parts, Map.empty) +:
+      files.map { case (p, s, m) =>
+        addLine(p, s, stats.get(p), modTime = Some(m)) }
+    writeCommit(spark, table, 0L, lines, "CONVERT")
+  }
 
   /** Shallow clone (Delta `CLONE ... SHALLOW`): a brand-new table whose
     * v0 commit references the SOURCE table's data files by absolute

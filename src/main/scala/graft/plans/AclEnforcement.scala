@@ -213,7 +213,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => AclEnforcementRule)
     // graft.<alias> SQL identifiers (SELECT / time travel / INSERT);
-    // registered per-session state lives in GraftSqlTables
+    // the alias registry (GraftSqlTables) is JVM-global like a shared
+    // catalog — registrations resolve in every co-resident session
     ext.injectResolutionRule(s => GraftSqlRule(s))
     functions.foreach { case (name, _, builder) =>
       // usage strings ride in `functions` for the Scaladoc reader; the

@@ -41,27 +41,46 @@ import graft.io.MiniDelta
   * resolution time — same cost as the DataFrame path.
   */
 object GraftSqlTables {
-  private val reg = TrieMap.empty[String, String]
+  /** One registered alias: physical path + whether SQL writes are
+    * allowed. The reference's config defaults to read_only=true
+    * (/root/reference/src/main.rs:941) and rejects every mutating
+    * request under it, so the flag rides with the registration and
+    * [[GraftInsertCommand]] enforces it before any work. */
+  final case class Entry(path: String, readOnly: Boolean)
+
+  // JVM-global, like a Spark catalog: aliases registered anywhere in
+  // the JVM resolve in every co-resident session (register per-alias
+  // readOnly if sessions need different write postures)
+  private val reg = TrieMap.empty[String, Entry]
 
   /** Register one alias -> physical path (a MiniDelta table root or a
     * plain parquet directory; which one is sniffed per-query from the
     * presence of a `_delta_log`, so a path may legitimately start life
-    * as raw parquet and later become a governed table). */
-  def register(alias: String, path: String): Unit = {
-    reg.put(alias.toLowerCase, path); ()
+    * as raw parquet and later become a governed table).
+    * `readOnly` defaults to the reference's default posture: writable
+    * only when explicitly opted in (src/main.rs:941). */
+  def register(alias: String, path: String,
+               readOnly: Boolean = true): Unit = {
+    reg.put(alias.toLowerCase, Entry(path, readOnly)); ()
   }
 
   /** Register every alias of a [[graft.catalog.Catalog]]. */
   def register(catalog: graft.catalog.Catalog): Unit =
-    catalog.entries.foreach { case (a, p) => register(a, p) }
+    register(catalog, readOnly = true)
+
+  def register(catalog: graft.catalog.Catalog, readOnly: Boolean): Unit =
+    catalog.entries.foreach { case (a, p) => register(a, p, readOnly) }
 
   def clear(): Unit = reg.clear()
+
+  /** Registered alias names (for [[GraftCatalog.listTables]]). */
+  def aliases: Seq[String] = reg.keySet.toSeq.sorted
 
   /** `graft.t` and `graft.datalake.t` both resolve (the reference
     * exposes one virtual bucket, src/main.rs:115-141); unknown aliases
     * return None and fall through to Spark's own resolution — whose
     * TABLE_OR_VIEW_NOT_FOUND is the reference's 404. */
-  def resolve(parts: Seq[String]): Option[String] =
+  def resolve(parts: Seq[String]): Option[Entry] =
     parts.map(_.toLowerCase) match {
       case Seq("graft", t) => reg.get(t)
       case Seq("graft", "datalake", t) => reg.get(t)
@@ -73,10 +92,12 @@ object GraftSqlTables {
   * graft-namespace identifiers, so co-resident catalogs are untouched. */
 case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def pathOf(plan: LogicalPlan): Option[String] = plan match {
-    case u: UnresolvedRelation => GraftSqlTables.resolve(u.multipartIdentifier)
-    case _ => None
-  }
+  private def entryOf(plan: LogicalPlan): Option[GraftSqlTables.Entry] =
+    plan match {
+      case u: UnresolvedRelation =>
+        GraftSqlTables.resolve(u.multipartIdentifier)
+      case _ => None
+    }
 
   /** The governed read, inlined as an analyzed subtree. */
   private def readPlan(path: String, versionAsOf: Option[Long],
@@ -101,18 +122,19 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the bare-relation case rewrites its target child into a scan
     plan.transformDown {
       case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
-          ifPartitionNotExists, byName) if pathOf(rel).isDefined =>
+          ifPartitionNotExists, byName) if entryOf(rel).isDefined =>
         require(partSpec.isEmpty,
           "INSERT ... PARTITION is not supported on graft tables: the " +
             "table's declared layout governs partitioning (write the " +
             "partition column as data instead)")
         require(!ifPartitionNotExists,
           "IF NOT EXISTS partitions are not supported on graft tables")
-        GraftInsertCommand(pathOf(rel).get, query, userCols, overwrite,
-          byName)
+        val e = entryOf(rel).get
+        GraftInsertCommand(e.path, query, userCols, overwrite,
+          byName, e.readOnly)
 
-      case tt: RelationTimeTravel if pathOf(tt.relation).isDefined =>
-        val path = pathOf(tt.relation).get
+      case tt: RelationTimeTravel if entryOf(tt.relation).isDefined =>
+        val path = entryOf(tt.relation).get.path
         tt.version match {
           case Some(v) =>
             val ver =
@@ -134,8 +156,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             readPlan(path, None, Some(micros.asInstanceOf[Long] / 1000L))
         }
 
-      case u: UnresolvedRelation if pathOf(u).isDefined =>
-        readPlan(pathOf(u).get, None, None)
+      case u: UnresolvedRelation if entryOf(u).isDefined =>
+        readPlan(entryOf(u).get.path, None, None)
     }
 }
 
@@ -154,20 +176,48 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * tables have no column defaults.
   */
 case class GraftInsertCommand(table: String, query: LogicalPlan,
-    userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+    userCols: Seq[String], overwrite: Boolean, byName: Boolean,
+    readOnly: Boolean = true)
     extends LeafRunnableCommand {
 
   // the source query renders under the command in EXPLAIN output
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
 
+  /** True when `table` is a plain directory already holding parquet but
+    * no `_delta_log`. An INSERT there would commit a v0 referencing ONLY
+    * the newly written files, and every later SELECT (which now sniffs
+    * the log) would silently drop the pre-existing rows — so it is
+    * refused, matching the reference's posture of never mutating
+    * passthrough objects (src/main.rs:941). Listing is lazy: stops at
+    * the first parquet hit; the common first-write target is empty or
+    * absent. */
+  private def rawParquetDir(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
-    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val src = org.apache.spark.sql.classic.Dataset.ofRows(classic, query)
+    // the reference rejects all mutating requests under its default
+    // read_only=true config (src/main.rs:941) — same gate, same place:
+    // before any planning or IO
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
     val declared = MiniDelta.latestSchema(spark, table)
     val parts = MiniDelta.partitionColumns(spark, table)
 
     val aligned: DataFrame = declared match {
       case None => // first write creates the table: columns pass as-is
+        require(!rawParquetDir(spark),
+          s"INSERT into $table refused: the path holds raw parquet with " +
+            "no _delta_log, and a first commit would orphan the existing " +
+            "rows. Convert it to a governed table first " +
+            "(MiniDelta.convertToDelta) or register a fresh path.")
         require(userCols.isEmpty,
           s"column list on a not-yet-created table $table")
         src

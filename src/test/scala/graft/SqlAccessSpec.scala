@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+import graft.plans.GraftSqlTables
+
+/** The SQL front door: `graft.<alias>` identifiers resolve through
+  * GraftSqlRule (injected by GraftExtensions in TestSpark) to the
+  * governed read/write path — SELECT, time travel, INSERT alignment,
+  * the read-only contract, and the raw-parquet-dir guard. */
+class SqlAccessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark // built withExtensions(GraftExtensions)
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("sqlaccess").toString
+
+  private def seed(table: String): Unit =
+    MiniDelta.append(spark,
+      Seq((1L, "XLON", 10.0), (2L, "XPAR", 20.0), (3L, "XLON", 30.0))
+        .toDF("id", "mic", "price"),
+      table, Seq("mic"))
+
+  test("SELECT resolves graft.<alias> and graft.datalake.<alias>") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_sel", t)
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM graft.spec_sel")
+        .head().getLong(0)
+      assert(n == 3)
+      val xlon = spark.sql(
+        "SELECT sum(price) AS p FROM graft.datalake.spec_sel " +
+          "WHERE mic = 'XLON'").head().getDouble(0)
+      assert(xlon == 40.0)
+    } finally GraftSqlTables.clear()
+  }
+
+  test("unknown alias falls through to Spark's TABLE_OR_VIEW_NOT_FOUND") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM graft.no_such_alias").collect()
+    }
+    assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
+  }
+
+  test("VERSION AS OF pins the snapshot; TIMESTAMP AS OF binds too") {
+    val t = freshDir() + "/trades"
+    seed(t) // v0
+    MiniDelta.append(spark,
+      Seq((4L, "XMIL", 40.0)).toDF("id", "mic", "price"), t, Seq("mic"))
+    GraftSqlTables.register("spec_tt", t)
+    try {
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft.spec_tt VERSION AS OF 0")
+        .head().getLong(0) == 3)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_tt")
+        .head().getLong(0) == 4)
+      // a far-future literal timestamp sees the latest snapshot
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_tt " +
+          "TIMESTAMP AS OF '2100-01-01 00:00:00'")
+        .head().getLong(0) == 4)
+      val bad = intercept[IllegalArgumentException] {
+        spark.sql(
+          "SELECT * FROM graft.spec_tt VERSION AS OF 'not_a_number'")
+      }
+      assert(bad.getMessage.contains("commit number"))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("INSERT INTO: positional create, BY NAME append, column list") {
+    val t = freshDir() + "/trades"
+    GraftSqlTables.register("spec_ins", t, readOnly = false)
+    try {
+      spark.sql("INSERT INTO graft.spec_ins " +
+        "SELECT 1L AS id, 'XLON' AS mic, 10.0D AS price")
+      // BY NAME with shuffled column order
+      spark.sql("INSERT INTO graft.spec_ins BY NAME " +
+        "SELECT 20.0D AS price, 2L AS id, 'XPAR' AS mic")
+      // explicit column list, also shuffled
+      spark.sql("INSERT INTO graft.spec_ins (price, id, mic) " +
+        "SELECT 30.0D, 3L, 'XMIL'")
+      val rows = spark.sql(
+        "SELECT id, mic, price FROM graft.spec_ins ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "XLON", 10.0), (2L, "XPAR", 20.0),
+        (3L, "XMIL", 30.0)))
+      // a column list that misses part of the target schema is refused
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO graft.spec_ins (id, mic) SELECT 4L, 'XN'")
+      }
+      assert(e.getMessage.contains("cover the target schema"))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("INSERT OVERWRITE replaces the snapshot") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_ovr", t, readOnly = false)
+    try {
+      spark.sql("INSERT OVERWRITE graft.spec_ovr " +
+        "SELECT 9L AS id, 'XAMS' AS mic, 90.0D AS price")
+      val rows = spark.sql(
+        "SELECT id, mic, price FROM graft.spec_ovr").collect()
+      assert(rows.length == 1 && rows(0).getLong(0) == 9L)
+    } finally GraftSqlTables.clear()
+  }
+
+  test("read-only registration (the default) rejects INSERT, allows SELECT") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_ro", t) // readOnly defaults true
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_ro")
+        .head().getLong(0) == 3)
+      intercept[MiniDelta.ReadOnlyTableException] {
+        spark.sql("INSERT INTO graft.spec_ro " +
+          "SELECT 4L AS id, 'XN' AS mic, 1.0D AS price")
+      }
+      // nothing landed
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_ro")
+        .head().getLong(0) == 3)
+    } finally GraftSqlTables.clear()
+  }
+
+  test("INSERT into a raw parquet dir is refused; convertToDelta unblocks") {
+    val dir = freshDir() + "/raw"
+    Seq((1L, "XLON", 10.0), (2L, "XPAR", 20.0)).toDF("id", "mic", "price")
+      .write.partitionBy("mic").parquet(dir)
+    GraftSqlTables.register("spec_raw", dir, readOnly = false)
+    try {
+      // SELECT passes through to the raw files
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_raw")
+        .head().getLong(0) == 2)
+      // INSERT would orphan the existing rows -> refused by name
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("INSERT INTO graft.spec_raw " +
+          "SELECT 3L AS id, 'XMIL' AS mic, 30.0D AS price")
+      }
+      assert(e.getMessage.contains("_delta_log"))
+      // CONVERT TO DELTA folds the existing files into v0; the insert
+      // then lands as v1 and the old rows survive. BY NAME because the
+      // converted table's declared order puts the partition column last
+      // (partition discovery appends it): (id, price, mic).
+      MiniDelta.convertToDelta(spark, dir)
+      spark.sql("INSERT INTO graft.spec_raw BY NAME " +
+        "SELECT 3L AS id, 'XMIL' AS mic, 30.0D AS price")
+      val ids = spark.sql("SELECT id FROM graft.spec_raw ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+      // the promoted table keeps its partition layout: the new file
+      // lands under mic=XMIL
+      assert(MiniDelta.partitionColumns(spark, dir) == Seq("mic"))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("partition layout survives an all-rows delete (metaData fallback)") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    assert(MiniDelta.partitionColumns(spark, t) == Seq("mic"))
+    MiniDelta.delete(spark, t, col("id") >= 0L, Seq("mic"))
+    // snapshot momentarily empty: the layout must come from the log's
+    // metaData, not flip to unpartitioned
+    assert(MiniDelta.partitionColumns(spark, t) == Seq("mic"))
+    GraftSqlTables.register("spec_empty", t, readOnly = false)
+    try {
+      spark.sql("INSERT INTO graft.spec_empty " +
+        "SELECT 5L AS id, 'XLON' AS mic, 50.0D AS price")
+      assert(MiniDelta.partitionColumns(spark, t) == Seq("mic"))
+    } finally GraftSqlTables.clear()
+  }
+}

@@ -14,6 +14,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // names the `graft` catalog so graft.datalake.t identifiers
+      // survive eager catalog resolution (GraftCatalog Scaladoc)
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
