@@ -1279,6 +1279,12 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
 WHERE n_regionkey >= 2 ORDER BY n_nationkey""",
 
+    "s30_colmap_id" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+  CAST(count(*) AS BIGINT) AS n_nations,
+  max(n_name) AS max_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
     "s28_column_mapping" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
   max(n_name) AS max_name

@@ -377,6 +377,70 @@ object SparkEntry {
           max(col("n_name")).as("max_name"))
         .orderBy("n_regionkey")
     }),
+    "s30_colmap_id" -> ((s, d) => {
+      // Interop read of an ID-mode column-mapped table: the parquet
+      // files spell columns under names matching NEITHER the logical
+      // nor the physical names — only the footer field_ids line up
+      // (the resilience id mode promises; resolved through Spark's
+      // native parquet field-id matching, a zero-shuffle relabel).
+      import org.apache.spark.sql.types._
+      val dir = "/tmp/graft_s30_colmap_id"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/nation_idmapped"
+      val src = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      def fid(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      // file columns under "legacy" names, ids 1..3
+      val fileSchema = StructType(Seq(
+        StructField("legacy_key", LongType, nullable = true, fid(1)),
+        StructField("legacy_label", StringType, nullable = true, fid(2)),
+        StructField("legacy_region", LongType, nullable = true, fid(3))))
+      def land(pred: org.apache.spark.sql.Column): String = {
+        val before = Option(new java.io.File(table).listFiles()).toSeq
+          .flatten.map(_.getName).toSet
+        val rows = src.where(pred)
+          .select(col("n_nationkey").cast("long"), col("n_name"),
+            col("n_regionkey").cast("long"))
+        s.createDataFrame(rows.rdd, fileSchema)
+          .coalesce(1).write.mode("append").parquet(table)
+        new java.io.File(table).listFiles().map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !before(n)).head
+      }
+      def m(phys: String, id: Long) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build()
+      val logical = StructType(Seq(
+        StructField("n_nationkey", LongType, nullable = true,
+          m("col-a1", 1)),
+        StructField("n_name", StringType, nullable = true, m("col-b2", 2)),
+        StructField("n_regionkey", LongType, nullable = true,
+          m("col-c3", 3))))
+      def jstr(x: String) = com.fasterxml.jackson.databind.json.JsonMapper
+        .builder().build().writeValueAsString(x)
+      def commit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(f"$table%s/_delta_log/$v%020d.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+      val meta = s"""{"metaData":{"schemaString":${jstr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"id",""" +
+        """"delta.columnMapping.maxColumnId":"3"}}}"""
+      val proto =
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      def add(p: String) = s"""{"add":{"path":${jstr(p)},""" +
+        """"partitionValues":{},"size":10,"dataChange":true}}"""
+      val f1 = land(col("n_regionkey") <= 1)
+      new java.io.File(s"$table/_delta_log").mkdirs()
+      commit(0L, Seq(proto, meta, add(f1)))
+      val f2 = land(col("n_regionkey") >= 2)
+      commit(1L, Seq(add(f2)))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_name")).as("max_name"))
+        .orderBy("n_regionkey")
+    }),
     "s27_real_format" -> ((s, d) => {
       // Interop read of a REAL-format Delta log — the shape delta-rs /
       // Delta-Spark writers produce and the reference consumes

@@ -57,16 +57,17 @@ object MiniDelta {
     * the exact client hazard the reference documents
     * (/root/reference/README.md:249-270). `name` mode is READ by
     * relabeling physical parquet columns to the schema's logical names
-    * ([[readFilesAs]]); `id` mode (parquet field-id resolution) is
-    * refused, and ANY mapped table refuses writes — this engine lands
-    * logical-named parquet, which a physical-name schema would then
-    * silently read as all-null. */
+    * ([[readFilesAs]]); `id` mode is READ via Spark's parquet field-id
+    * resolution; a malformed mapping (mode without ids, an unknown
+    * mode) is refused, and ANY mapped table refuses writes — this
+    * engine lands logical-named parquet, which a physical-name schema
+    * would then silently read as all-null. */
   final class ColumnMappingUnsupportedException(table: String, mode: String,
                                                 op: String = "read")
     extends RuntimeException(
       s"$table sets delta.columnMapping.mode=$mode; this engine cannot " +
-        s"$op it — name-mode tables are read via logical relabeling " +
-        "but never written; id-mode needs a mapping-aware client")
+        s"$op it — name/id-mode tables are read via relabeling / " +
+        "field-id resolution but never written")
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/OVERWRITE/RESTORE) — the Delta appendOnly
@@ -2918,9 +2919,12 @@ object MiniDelta {
             bad.sorted.mkString(", "))
     }
     // `name` mode reads via logical relabeling ([[readFilesAs]]); `id`
-    // mode (parquet field-id resolution) stays refused
-    cmMode.filter(m => m != "none" && m != "name").foreach(m =>
+    // mode via Spark's native parquet field-id resolution (the resolved
+    // mode rides to readFilesAs through [[cmModes]]); anything else is
+    // refused by name
+    cmMode.filter(m => m != "none" && m != "name" && m != "id").foreach(m =>
       throw new ColumnMappingUnsupportedException(table, m))
+    cmModes.put(table, cmMode.getOrElse("none"))
     // real DV descriptors in the known storage forms (u/i/p) are READ
     // (roaring decode, [[RoaringDv]]); an unknown storage form cannot
     // be decoded, and ignoring it would silently resurrect deleted rows
@@ -3162,6 +3166,23 @@ object MiniDelta {
     * field records the PHYSICAL parquet column name it reads from. */
   private val PhysNameKey = "delta.columnMapping.physicalName"
 
+  /** `delta.columnMapping` field-id key: in `id` mode the parquet
+    * files' footer field_ids, not the column names, resolve columns. */
+  private val MapIdKey = "delta.columnMapping.id"
+
+  /** Spark's parquet field-id resolution metadata key
+    * (ParquetUtils.FIELD_ID_METADATA_KEY): a read-schema field carrying
+    * it matches the file column BY ID once
+    * `spark.sql.parquet.fieldId.read.enabled` is set — exactly the
+    * id-mode contract, served by the built-in vectorized reader. */
+  private val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Resolved `delta.columnMapping.mode` per table root, recorded by the
+    * read gate ([[requireReadable]]) so [[readFilesAs]] picks name- vs
+    * id-resolution without re-reading config. Absent = unmapped. */
+  private val cmModes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def physicalNameOf(
       fd: org.apache.spark.sql.types.StructField): String =
     if (fd.metadata.contains(PhysNameKey)) fd.metadata.getString(PhysNameKey)
@@ -3176,25 +3197,38 @@ object MiniDelta {
     st.fields.exists(_.metadata.contains(PhysNameKey))
 
   /** The schema as the parquet files spell it: every (nested) field
-    * renamed to its physical name. Metadata is dropped — the physical
-    * schema exists only to drive the scan. */
-  private def physicalType(dt: org.apache.spark.sql.types.DataType)
+    * renamed to its physical name. Mapping metadata is dropped — the
+    * physical schema exists only to drive the scan — except in `id`
+    * mode (`withIds`), where each field instead carries the Spark
+    * parquet field-id key so the scan matches file columns by footer
+    * field_id rather than by name. */
+  private def physicalType(dt: org.apache.spark.sql.types.DataType,
+                           withIds: Boolean)
       : org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
+    def meta(f: StructField): Metadata =
+      if (withIds && f.metadata.contains(MapIdKey))
+        new MetadataBuilder()
+          .putLong(ParquetFieldIdKey, f.metadata.getLong(MapIdKey)).build()
+      else Metadata.empty
     dt match {
       case st: StructType => StructType(st.fields.map(f =>
-        StructField(physicalNameOf(f), physicalType(f.dataType),
-          f.nullable)))
-      case at: ArrayType => at.copy(elementType = physicalType(at.elementType))
-      case mt: MapType => mt.copy(keyType = physicalType(mt.keyType),
-        valueType = physicalType(mt.valueType))
+        StructField(physicalNameOf(f), physicalType(f.dataType, withIds),
+          f.nullable, meta(f))))
+      case at: ArrayType =>
+        at.copy(elementType = physicalType(at.elementType, withIds))
+      case mt: MapType => mt.copy(
+        keyType = physicalType(mt.keyType, withIds),
+        valueType = physicalType(mt.valueType, withIds))
       case other => other
     }
   }
 
-  private def physicalStruct(st: org.apache.spark.sql.types.StructType)
+  private def physicalStruct(st: org.apache.spark.sql.types.StructType,
+                             withIds: Boolean = false)
       : org.apache.spark.sql.types.StructType =
-    physicalType(st).asInstanceOf[org.apache.spark.sql.types.StructType]
+    physicalType(st, withIds)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Relabel a physical-named frame back to the logical schema. The
     * top-level select renames the columns; the CAST renames nested
@@ -3214,10 +3248,22 @@ object MiniDelta {
       declared.fold(spark.emptyDataFrame)(s =>
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s))
     else {
-      // name-mode column mapping: scan under the PHYSICAL schema (the
-      // names actually present in the files), then relabel to logical
+      // column mapping: scan under the PHYSICAL schema, then relabel to
+      // logical. `name` mode matches file columns by physical name; `id`
+      // mode by parquet footer field_id (the read schema carries the ids
+      // and Spark's field-id resolution does the matching — file column
+      // NAMES are free to differ, which is the whole point of id mode).
+      val idMode = cmModes.getOrDefault(table, "none") == "id"
       val mapped = declared.filter(isColumnMapped)
-      val readSchema = mapped.map(physicalStruct).orElse(declared)
+      if (idMode) {
+        // a mode=id table whose schema carries no ids is malformed: name
+        // matching could silently mis-resolve, so refuse by name
+        if (!declared.exists(_.fields.forall(_.metadata.contains(MapIdKey))))
+          throw new ColumnMappingUnsupportedException(table,
+            "id (metaData schema carries no delta.columnMapping.id)")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      }
+      val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
       // a snapshot can mix files under the table root with ABSOLUTE
       // (shallow-cloned) paths rooted in the source table — Spark's
       // basePath must prefix every path in a scan, so group by
@@ -3396,11 +3442,15 @@ object MiniDelta {
       (p, resolvePath(table, p), d) }
     val base = readFilesAs(spark, table, plain, declared)
     if (dvd.isEmpty) return base
-    // name-mode column mapping: the DV'd files are scanned under the
-    // physical schema and relabeled AFTER the mask anti-join (the join
-    // keys are the appended __fname/__ri, untouched by the relabel)
+    // column mapping: the DV'd files are scanned under the physical
+    // schema (name- or field-id-resolved, as in [[readFilesAs]]) and
+    // relabeled AFTER the mask anti-join (the join keys are the
+    // appended __fname/__ri, untouched by the relabel)
     val mapped = declared.filter(isColumnMapped)
-    val readSchema = mapped.map(physicalStruct).orElse(declared)
+    val idMode = cmModes.getOrDefault(table, "none") == "id"
+    if (idMode && mapped.isDefined)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
     val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)

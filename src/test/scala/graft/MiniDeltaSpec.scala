@@ -1544,6 +1544,52 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("id-mode column mapping reads via parquet field ids; writes refuse") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // the FILE spells its columns under names that match NEITHER the
+    // logical nor the mapping's physicalName — only the parquet footer
+    // field_ids line up, which is precisely the resilience id mode
+    // promises (a renamed column keeps its id). Spark embeds the ids on
+    // write from the parquet.field.id field metadata.
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("legacy_key", LongType, nullable = true, fid(1)),
+      StructField("legacy_name", StringType, nullable = true, fid(2))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")),
+      fileSchema).coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def m(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("col-1", 1)),
+      StructField("name", StringType, nullable = true, m("col-2", 2))))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"id",""" +
+        """"delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(got.columns.toSeq == Seq("id", "name"))
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // logical-name filtering works post-relabel
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("name") === "b").count() == 1)
+    // mapped tables refuse writes, id mode included
+    intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "name"),
+        t, Seq.empty)
+    }
+  }
+
   test("writer contract: appendOnly, CDF commits, writer features, generated columns") {
     // delta.appendOnly: data-changing removes refuse, appends and
     // OPTIMIZE (dataChange=false removes) stay legal
