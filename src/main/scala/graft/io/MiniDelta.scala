@@ -95,7 +95,7 @@ object MiniDelta {
     * sidecar action files) are assembled by [[checkpointActionDF]]. */
   private val supportedReaderFeatures =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint")
+      "v2Checkpoint", "columnMapping")
 
   /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
     * under the table root, Z85 UUID name), `i` (inline Z85 payload),
@@ -1259,13 +1259,15 @@ object MiniDelta {
     * [[writeCommit]], invariants/constraints are enforced on every
     * write, DVs are written natively, columnMapping is capability-only
     * here (ENABLED mapping refuses at the mutators through the schema
-    * gate). Anything else — generated/identity columns, row tracking,
-    * v2 checkpoints, in-commit timestamps — would make this engine's
-    * commits silently violate the table's contract, so writes refuse
-    * by name (the Delta writer-version rule). */
+    * gate), and v2 checkpoints are written whenever
+    * delta.checkpointPolicy=v2 ([[writeCheckpoint]]). Anything else —
+    * generated/identity columns, row tracking, in-commit timestamps —
+    * would make this engine's commits silently violate the table's
+    * contract, so writes refuse by name (the Delta writer-version
+    * rule). */
   private val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "deletionVectors",
-    "changeDataFeed", "columnMapping", "timestampNtz")
+    "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   // memo: table -> (version checked through, protocol resolved there);
   // protocol actions are rare, so each new commit pays ONE incremental
@@ -1509,6 +1511,77 @@ object MiniDelta {
       logSchema.fields.filter(fd =>
         Set("add", "metaData", "protocol", "remove", "txn")
           .contains(fd.name)))
+    def renderFile(lines: Seq[String], idx: Int, target: Path,
+                   schema: org.apache.spark.sql.types.StructType): Unit = {
+      val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
+      val out = f.create(tmpJson, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      spark.read.schema(schema).json(s"$tmpBase/actions-$idx.json")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out-$idx")
+      val part = f.listStatus(new Path(s"$tmpBase/out-$idx")).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+      if (f.exists(target)) f.delete(target, true) // idempotent re-write
+      if (!f.rename(part, target))
+        throw new java.io.IOException(
+          s"checkpoint rename $part -> $target failed")
+    }
+    // v2 policy (delta.checkpointPolicy=v2): one UUID-named MANIFEST
+    // (protocol, metaData, txn, checkpointMetadata, sidecar rows) plus
+    // the add/remove bulk in a parquet sidecar under
+    // `_delta_log/_sidecars/` — the shape [[v2CheckpointActionDF]]
+    // already consumes. The UUID naming is atomic by construction
+    // (never a partial multi-part set); the parent dir of the sidecar
+    // is created by rename's implicit mkdirs.
+    if (cfg.get("delta.checkpointPolicy").contains("v2")) {
+      cpCompleteMemo.remove((table, version))
+      // a crashed prior attempt may have left a same-version manifest
+      // under a DIFFERENT uuid; discovery picks the lexicographic head,
+      // so stale ones must go first
+      val stalePrefix = f"$version%020d.checkpoint."
+      val dir0 = new Path(logDir(table))
+      if (f.exists(dir0))
+        f.listStatus(dir0).map(_.getPath).foreach { pp =>
+          pp.getName match {
+            case nm @ checkpointV2Name(u, _)
+                if nm.startsWith(stalePrefix) && !u.forall(_.isDigit) =>
+              f.delete(pp, false); ()
+            case _ => ()
+          }
+        }
+      val fileLines = addLines ++ removeLines
+      val sidecarRows =
+        if (fileLines.isEmpty) Seq.empty[String]
+        else {
+          val sidecarName = java.util.UUID.randomUUID().toString + ".parquet"
+          val target = new Path(s"${logDir(table)}/_sidecars/$sidecarName")
+          f.mkdirs(target.getParent)
+          renderFile(fileLines, 0, target,
+            org.apache.spark.sql.types.StructType(
+              logSchema.fields.filter(fd =>
+                fd.name == "add" || fd.name == "remove")))
+          val stSc = f.getFileStatus(target)
+          Seq(s"""{"sidecar":{"path":${jstr(sidecarName)},""" +
+            s""""sizeInBytes":${stSc.getLen},""" +
+            s""""modificationTime":${stSc.getModificationTime}}}""")
+        }
+      val manifestLines = (proto +: metaLines) ++ txnLines ++
+        Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
+        sidecarRows
+      val uuid = java.util.UUID.randomUUID().toString
+      renderFile(manifestLines, 1,
+        new Path(s"${logDir(table)}/" +
+          f"$version%020d.checkpoint.$uuid.parquet"),
+        v2ManifestSchema)
+      f.delete(new Path(tmpBase), true)
+      if (readLastCheckpoint(spark, table).forall(_ < version)) {
+        val pOut = f.create(new Path(lastCheckpointPath(table)), true)
+        try pOut.write(s"""{"version":$version,"size":$size}"""
+          .getBytes("UTF-8"))
+        finally pOut.close()
+      }
+      return
+    }
     def renderPart(lines: Seq[String], idx: Int, target: Path): Unit = {
       val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
       val out = f.create(tmpJson, true)

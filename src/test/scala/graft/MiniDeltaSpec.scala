@@ -1279,6 +1279,41 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, forkV0, Seq.empty).count() == 3)
   }
 
+  test("v2 checkpoint write: UUID manifest + sidecar round-trips") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.checkpointPolicy" -> "v2"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    MiniDelta.delete(spark, t, col("id") === 1L && col("year") === "2023",
+      Seq("year"))
+    val v = 3L // 0 append, 1 props, 2 append, 3 delete
+    MiniDelta.writeCheckpoint(spark, t, v)
+    // on-disk shape: ONE uuid-named manifest, no classic single file or
+    // multi-part set, the add/remove bulk in _delta_log/_sidecars/
+    val names = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName)
+    assert(!names.exists(_.matches(raw"[0-9]{20}\.checkpoint\.parquet")))
+    assert(!names.exists(
+      _.matches(raw"[0-9]{20}\.checkpoint\.[0-9]{10}\.[0-9]{10}\.parquet")))
+    assert(names.count(
+      _.matches(raw"[0-9]{20}\.checkpoint\.[^.]+\.parquet")) == 1)
+    assert(new java.io.File(s"$t/_delta_log/_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // replay must come FROM the v2 checkpoint: drop the covered JSON
+    // history and the snapshot (4 live rows) plus the schema must
+    // still resolve; a later commit appends on top
+    MiniDelta.invalidateSnapshot(t)
+    for (j <- 0L to v)
+      new java.io.File(f"$t%s/_delta_log/$j%020d.json").delete()
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+    MiniDelta.append(spark, sample("2025", 1), t, Seq("year"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
+    // the tombstone survived the fold: vacuum still sees the horizon
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("year") === "2023").count() == 2)
+  }
+
   test("checkpoints carry unexpired tombstones; log cleanup keeps vacuum honest") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))   // v0
@@ -1767,11 +1802,11 @@ class MiniDeltaSpec extends AnyFunSuite {
     val f3 = landParquet(Seq((4L, "d")))
     rawCommit(t, 2L, Seq(add(f3)))
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
-    // the engine refuses to WRITE such a table (it cannot maintain v2
-    // checkpoints), per the writer-feature contract
-    intercept[MiniDelta.UnsupportedTableFeatureException] {
-      MiniDelta.append(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq.empty)
-    }
+    // the engine WRITES such a table too: v2Checkpoint is a supported
+    // writer feature since writeCheckpoint emits the uuid-manifest +
+    // sidecar shape itself (its own round-trip test above)
+    MiniDelta.append(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq.empty)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
   }
 
   test("cdc files on a PARTITIONED table fill partition columns from the action") {
