@@ -42,7 +42,9 @@ object PlanAudit {
     "t13_dup_spans",      // gram groupBy + AQE-splittable join-back (r6)
     "pipe9_scrub_select_pack", // composed scrub -> DSIR -> shard pack
     "s28_column_mapping", // physical->logical relabel is a pure Project
-    "d12_kmeans_cells")   // trained-centroid literal fold, zero shuffle
+    "d12_kmeans_cells",   // trained-centroid literal fold, zero shuffle
+    "sql_select",         // SQL alias resolves to the SAME pruned scan
+    "s30_colmap_id")      // field-id resolution is a pure Project too
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -51,6 +53,8 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sb = new StringBuilder
