@@ -1511,21 +1511,29 @@ object MiniDelta {
       logSchema.fields.filter(fd =>
         Set("add", "metaData", "protocol", "remove", "txn")
           .contains(fd.name)))
-    def renderFile(lines: Seq[String], idx: Int, target: Path,
-                   schema: org.apache.spark.sql.types.StructType): Unit = {
+    // render split from placement so callers control how long the
+    // delete-old/rename-new window stays open (the v2 branch must not
+    // destroy a good manifest before its replacement is fully rendered)
+    def renderTmp(lines: Seq[String], idx: Int,
+                  schema: org.apache.spark.sql.types.StructType): Path = {
       val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
       val out = f.create(tmpJson, true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       spark.read.schema(schema).json(s"$tmpBase/actions-$idx.json")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out-$idx")
-      val part = f.listStatus(new Path(s"$tmpBase/out-$idx")).map(_.getPath)
+      f.listStatus(new Path(s"$tmpBase/out-$idx")).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).head
+    }
+    def place(part: Path, target: Path): Unit = {
       if (f.exists(target)) f.delete(target, true) // idempotent re-write
       if (!f.rename(part, target))
         throw new java.io.IOException(
           s"checkpoint rename $part -> $target failed")
     }
+    def renderFile(lines: Seq[String], idx: Int, target: Path,
+                   schema: org.apache.spark.sql.types.StructType): Unit =
+      place(renderTmp(lines, idx, schema), target)
     // v2 policy (delta.checkpointPolicy=v2): one UUID-named MANIFEST
     // (protocol, metaData, txn, checkpointMetadata, sidecar rows) plus
     // the add/remove bulk in a parquet sidecar under
@@ -1534,21 +1542,9 @@ object MiniDelta {
     // (never a partial multi-part set); the parent dir of the sidecar
     // is created by rename's implicit mkdirs.
     if (cfg.get("delta.checkpointPolicy").contains("v2")) {
-      cpCompleteMemo.remove((table, version))
-      // a crashed prior attempt may have left a same-version manifest
-      // under a DIFFERENT uuid; discovery picks the lexicographic head,
-      // so stale ones must go first
-      val stalePrefix = f"$version%020d.checkpoint."
-      val dir0 = new Path(logDir(table))
-      if (f.exists(dir0))
-        f.listStatus(dir0).map(_.getPath).foreach { pp =>
-          pp.getName match {
-            case nm @ checkpointV2Name(u, _)
-                if nm.startsWith(stalePrefix) && !u.forall(_.isDigit) =>
-              f.delete(pp, false); ()
-            case _ => ()
-          }
-        }
+      // the sidecar lands first (a UUID name under _sidecars never
+      // collides; a crash here leaves only an orphan the retention
+      // cleanup ages out)
       val fileLines = addLines ++ removeLines
       val sidecarRows =
         if (fileLines.isEmpty) Seq.empty[String]
@@ -1568,11 +1564,32 @@ object MiniDelta {
       val manifestLines = (proto +: metaLines) ++ txnLines ++
         Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
         sidecarRows
+      // render the manifest FULLY before touching any existing one: a
+      // re-run over an already-good checkpoint (idempotent retry after
+      // a crash) must never leave the version checkpoint-less — after
+      // log cleanup that would make the table unreplayable
+      val manifestPart = renderTmp(manifestLines, 1, v2ManifestSchema)
+      cpCompleteMemo.remove((table, version))
+      // a crashed prior attempt may have left a same-version manifest
+      // under a DIFFERENT uuid; discovery picks the lexicographic head,
+      // so stale ones go right before the new one lands (the only
+      // remaining crash window is the same delete+rename the classic
+      // single-file path has)
+      val stalePrefix = f"$version%020d.checkpoint."
+      val dir0 = new Path(logDir(table))
+      if (f.exists(dir0))
+        f.listStatus(dir0).map(_.getPath).foreach { pp =>
+          pp.getName match {
+            case nm @ checkpointV2Name(u, _)
+                if nm.startsWith(stalePrefix) && !u.forall(_.isDigit) =>
+              f.delete(pp, false); ()
+            case _ => ()
+          }
+        }
       val uuid = java.util.UUID.randomUUID().toString
-      renderFile(manifestLines, 1,
+      place(manifestPart,
         new Path(s"${logDir(table)}/" +
-          f"$version%020d.checkpoint.$uuid.parquet"),
-        v2ManifestSchema)
+          f"$version%020d.checkpoint.$uuid.parquet"))
       f.delete(new Path(tmpBase), true)
       if (readLastCheckpoint(spark, table).forall(_ < version)) {
         val pOut = f.create(new Path(lastCheckpointPath(table)), true)
@@ -1582,24 +1599,11 @@ object MiniDelta {
       }
       return
     }
-    def renderPart(lines: Seq[String], idx: Int, target: Path): Unit = {
-      val tmpJson = new Path(s"$tmpBase/actions-$idx.json")
-      val out = f.create(tmpJson, true)
-      try out.write(lines.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      spark.read.schema(cpSchema).json(s"$tmpBase/actions-$idx.json")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmpBase/out-$idx")
-      val part = f.listStatus(new Path(s"$tmpBase/out-$idx")).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).head
-      if (f.exists(target)) f.delete(target, true) // idempotent re-write
-      // a failed rename must NOT advance the pointer below — the
-      // pointer would name a checkpoint that does not exist and log
-      // discovery would fall back to full listings until the next
-      // checkpoint lands
-      if (!f.rename(part, target))
-        throw new java.io.IOException(
-          s"checkpoint rename $part -> $target failed")
-    }
+    // a failed rename must NOT advance the pointer below — the pointer
+    // would name a checkpoint that does not exist and log discovery
+    // would fall back to full listings until the next checkpoint lands
+    def renderPart(lines: Seq[String], idx: Int, target: Path): Unit =
+      renderFile(lines, idx, target, cpSchema)
     // clear EVERY stale same-version part first, by NAME pattern — a
     // crashed prior attempt may have left a PARTIAL set with a
     // different part count (checkpointMultiParts would return empty
@@ -3256,6 +3260,29 @@ object MiniDelta {
   private val cmModes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** id-mode read posture for `table`: true when the read gate resolved
+    * `delta.columnMapping.mode=id`. Throws on a malformed id mapping
+    * (ids missing from the declared schema — name matching could
+    * silently mis-resolve, so refuse by name). The mode is resolved at
+    * the gate's latest-checked version; sound for compliant tables
+    * because id mode can only be set at table CREATION (delta-spark
+    * enforces this), so every historical schema of an id table carries
+    * ids too. Enabling Spark's field-id resolution is session-wide by
+    * necessity (SQLConf, not a per-scan option) — the conf only changes
+    * behavior for read schemas carrying `parquet.field.id`, which
+    * unmapped reads never construct. */
+  private def idReadMode(spark: SparkSession, table: String,
+      declared: Option[org.apache.spark.sql.types.StructType]): Boolean = {
+    val im = cmModes.getOrDefault(table, "none") == "id"
+    if (im) {
+      if (!declared.exists(_.fields.forall(_.metadata.contains(MapIdKey))))
+        throw new ColumnMappingUnsupportedException(table,
+          "id (metaData schema carries no delta.columnMapping.id)")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    }
+    im
+  }
+
   private def physicalNameOf(
       fd: org.apache.spark.sql.types.StructField): String =
     if (fd.metadata.contains(PhysNameKey)) fd.metadata.getString(PhysNameKey)
@@ -3326,16 +3353,12 @@ object MiniDelta {
       // mode by parquet footer field_id (the read schema carries the ids
       // and Spark's field-id resolution does the matching — file column
       // NAMES are free to differ, which is the whole point of id mode).
-      val idMode = cmModes.getOrDefault(table, "none") == "id"
-      val mapped = declared.filter(isColumnMapped)
-      if (idMode) {
-        // a mode=id table whose schema carries no ids is malformed: name
-        // matching could silently mis-resolve, so refuse by name
-        if (!declared.exists(_.fields.forall(_.metadata.contains(MapIdKey))))
-          throw new ColumnMappingUnsupportedException(table,
-            "id (metaData schema carries no delta.columnMapping.id)")
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      }
+      val idMode = idReadMode(spark, table, declared)
+      // in id mode the physical schema is ALWAYS applied, physicalName
+      // metadata or not (ids alone identify the columns; logical names
+      // are a legal physical fallback) — filtering on physicalName only
+      // would silently degrade an id-bearing schema to name matching
+      val mapped = declared.filter(st => isColumnMapped(st) || idMode)
       val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
       // a snapshot can mix files under the table root with ABSOLUTE
       // (shallow-cloned) paths rooted in the source table — Spark's
@@ -3516,13 +3539,12 @@ object MiniDelta {
     val base = readFilesAs(spark, table, plain, declared)
     if (dvd.isEmpty) return base
     // column mapping: the DV'd files are scanned under the physical
-    // schema (name- or field-id-resolved, as in [[readFilesAs]]) and
-    // relabeled AFTER the mask anti-join (the join keys are the
-    // appended __fname/__ri, untouched by the relabel)
-    val mapped = declared.filter(isColumnMapped)
-    val idMode = cmModes.getOrDefault(table, "none") == "id"
-    if (idMode && mapped.isDefined)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // schema (name- or field-id-resolved, same rules as
+    // [[readFilesAs]], malformed-mapping guard included) and relabeled
+    // AFTER the mask anti-join (the join keys are the appended
+    // __fname/__ri, untouched by the relabel)
+    val idMode = idReadMode(spark, table, declared)
+    val mapped = declared.filter(st => isColumnMapped(st) || idMode)
     val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
     val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
