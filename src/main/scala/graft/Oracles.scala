@@ -1269,6 +1269,30 @@ ORDER BY snap""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "sql_delete_update" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(CASE WHEN l_quantity = 1 THEN 0 ELSE l_extendedprice END
+            * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 2 AND NOT (l_quantity = 2 AND l_orderkey % 3 = 0)
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_merge" ->
+      """WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_returnflag
+  FROM lineitem WHERE l_quantity <= 2
+  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+    ORDER BY l_quantity, l_extendedprice, l_returnflag) = 1
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(CASE WHEN l_linenumber % 2 = 0 THEN 0 ELSE l_extendedprice END
+            * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM base
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "sql_insert_overwrite" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -1686,6 +1686,81 @@ object SparkEntry {
         FROM graft.sql_ins_trades
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
+    "sql_delete_update" -> ((s, d) => {
+      // SQL DML end to end: UPDATE zeroes prices where qty=1 (the RHS
+      // and predicate see the pre-update row), DELETE removes a keyed
+      // slice — both routed through the engine's copy-on-write DML
+      // with the same write contract as the DataFrame path
+      val dir = "/tmp/graft_sql_du"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_du_trades", table,
+        readOnly = false)
+      s.sql("""UPDATE graft.sql_du_trades SET l_extendedprice = 0.0D
+        WHERE l_quantity = 1""")
+      s.sql("""DELETE FROM graft.sql_du_trades
+        WHERE l_quantity = 2 AND l_orderkey % 3 = 0""")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM graft.sql_du_trades
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+    "sql_merge" -> ((s, d) => {
+      // SQL MERGE upsert: target = even line numbers; the source offers
+      // EVERY row with even-line prices zeroed, so matched rows update
+      // (prices drop to 0) and odd lines insert as-is. The source reads
+      // a graft alias itself (nested resolution inside the command).
+      // The synthetic lineitem is NOT key-unique on (orderkey,
+      // linenumber), so both sides dedupe to one row per key first
+      // (value-deterministic: ties order by every column).
+      val dir = "/tmp/graft_sql_merge"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey", "l_linenumber")
+        .orderBy("l_quantity", "l_extendedprice", "l_returnflag")
+      val base = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      graft.io.MiniDelta.append(s,
+        base.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_m_trades", table,
+        readOnly = false)
+      graft.plans.GraftSqlTables.register("sql_m_src",
+        Tables.path(d, "lineitem"))
+      s.sql("""
+        MERGE INTO graft.sql_m_trades t USING (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 CASE WHEN l_linenumber % 2 = 0 THEN 0.0D
+                      ELSE l_extendedprice END AS l_extendedprice,
+                 l_returnflag
+          FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY l_quantity, l_extendedprice, l_returnflag) AS rn
+            FROM graft.sql_m_src WHERE l_quantity <= 2)
+          WHERE rn = 1) s
+        ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n_rows,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM graft.sql_m_trades
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
     "sql_insert_overwrite" -> ((s, d) => {
       // the full SQL write lifecycle: create (positional), append with
       // an explicit column list, then INSERT OVERWRITE replaces the

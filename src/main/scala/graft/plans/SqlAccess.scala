@@ -3,10 +3,10 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.TimestampType
@@ -96,6 +96,11 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan match {
       case u: UnresolvedRelation =>
         GraftSqlTables.resolve(u.multipartIdentifier)
+      // DML targets may carry an alias (MERGE INTO graft.x t, DELETE
+      // FROM graft.x AS t) — the alias only scopes name resolution in
+      // the condition, which binds by column name inside the engine
+      case org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias(_, child) => entryOf(child)
       case _ => None
     }
 
@@ -117,6 +122,24 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     df.queryExecution.analyzed
   }
 
+  /** Equi-join keys from `ON t.k1 = s.k1 AND ...`: each conjunct must
+    * equate the SAME column name on both sides (the engine's merge is
+    * keyed, not arbitrary-predicate). Anything else refuses by name. */
+  private def mergeKeysOf(cond: Expression): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "graft MERGE needs an ON clause of same-name equality conjuncts " +
+          s"(t.k = s.k AND ...); got ${other.sql}")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     // top-down: INSERT INTO graft.x must capture the statement BEFORE
     // the bare-relation case rewrites its target child into a scan
@@ -132,6 +155,33 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val e = entryOf(rel).get
         GraftInsertCommand(e.path, query, userCols, overwrite,
           byName, e.readOnly)
+
+      case DeleteFromTable(rel, condition) if entryOf(rel).isDefined =>
+        val e = entryOf(rel).get
+        GraftDeleteCommand(e.path, new Unbound(condition), e.readOnly)
+
+      case UpdateTable(rel, assignments, condition)
+          if entryOf(rel).isDefined =>
+        val e = entryOf(rel).get
+        GraftUpdateCommand(e.path, new Unbound(assignments),
+          new Unbound(condition), e.readOnly)
+
+      case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>
+        val e = entryOf(m.targetTable).get
+        // the engine's merge is the canonical upsert; every other clause
+        // combination is refused BY NAME rather than half-applied
+        require(m.notMatchedBySourceActions.isEmpty,
+          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on " +
+            "graft tables")
+        (m.matchedActions, m.notMatchedActions) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+            GraftMergeCommand(e.path, m.sourceTable,
+              mergeKeysOf(m.mergeCondition), e.readOnly)
+          case _ => throw new IllegalArgumentException(
+            "graft MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
+              "WHEN NOT MATCHED THEN INSERT * (unconditional); got " +
+              s"matched=${m.matchedActions}, notMatched=${m.notMatchedActions}")
+        }
 
       case tt: RelationTimeTravel if entryOf(tt.relation).isDefined =>
         val path = entryOf(tt.relation).get.path
@@ -247,6 +297,80 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
     }
     if (overwrite) MiniDelta.overwrite(spark, aligned, table, parts)
     else MiniDelta.append(spark, aligned, table, parts)
+    Seq.empty
+  }
+}
+
+/** Opaque holder keeping not-yet-bound expressions OUT of a command's
+  * expression tree: CheckAnalysis walks every Expression-typed field of
+  * a command (Seq/Option included) and would reject the unresolved
+  * column references BEFORE run() can bind them to the table's frame —
+  * the same reason [[GraftInsertCommand]] keeps its source query in
+  * innerChildren rather than children. */
+final class Unbound[T](val value: T) extends Serializable
+
+/** `DELETE FROM graft.<alias> WHERE ...` routed through
+  * [[MiniDelta.delete]] — pushed-predicate blast-radius discovery,
+  * copy-on-write or deletion-vector masking per the table's config, the
+  * same write contract as the DataFrame path. The condition stays
+  * UNRESOLVED here and binds to the table's frame inside the engine
+  * (unqualified column references). */
+case class GraftDeleteCommand(table: String,
+    condition: Unbound[Expression],
+    readOnly: Boolean = true) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    MiniDelta.delete(spark, table,
+      org.apache.spark.sql.graft.ColumnBridge.column(condition.value),
+      MiniDelta.partitionColumns(spark, table))
+    Seq.empty
+  }
+}
+
+/** `UPDATE graft.<alias> SET c = expr, ... [WHERE ...]` routed through
+  * [[MiniDelta.update]] (single-projection SET: every right-hand side
+  * and the predicate see the pre-update row — standard SQL UPDATE
+  * semantics). */
+case class GraftUpdateCommand(table: String,
+    assignments: Unbound[Seq[Assignment]],
+    condition: Unbound[Option[Expression]], readOnly: Boolean = true)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val set = assignments.value.map { a =>
+      val name = a.key match {
+        case u: UnresolvedAttribute => u.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"UPDATE SET target must be a column, got ${other.sql}")
+      }
+      name -> bridge.column(a.value)
+    }.toMap
+    require(set.size == assignments.value.size,
+      "UPDATE SET assigns the same column twice")
+    val pred = condition.value.map(bridge.column)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    MiniDelta.update(spark, table, pred, set,
+      MiniDelta.partitionColumns(spark, table))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.<alias> t USING src s ON t.k = s.k WHEN MATCHED
+  * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
+  * keyed upsert, routed through [[MiniDelta.merge]] (source
+  * key-uniqueness enforced, two-way schema alignment, create on first
+  * merge). The source plan analyzes inside [[run]] so it may itself
+  * read graft aliases. */
+case class GraftMergeCommand(table: String, source: LogicalPlan,
+    keys: Seq[String], readOnly: Boolean = true)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, source)
+    MiniDelta.merge(spark, table, src, keys,
+      MiniDelta.partitionColumns(spark, table))
     Seq.empty
   }
 }

@@ -158,6 +158,48 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("DELETE, UPDATE and MERGE through SQL") {
+    val t = freshDir() + "/trades"
+    seed(t) // (1,XLON,10),(2,XPAR,20),(3,XLON,30)
+    GraftSqlTables.register("spec_dml", t, readOnly = false)
+    try {
+      // UPDATE: RHS sees the pre-update row
+      spark.sql("UPDATE graft.spec_dml SET price = price + 1.0D " +
+        "WHERE mic = 'XLON'")
+      assert(spark.sql("SELECT sum(price) AS p FROM graft.spec_dml")
+        .head().getDouble(0) == 62.0) // 11 + 20 + 31
+      spark.sql("DELETE FROM graft.spec_dml WHERE id = 2L")
+      assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // MERGE upsert: id=1 updated, id=9 inserted
+      spark.sql("""MERGE INTO graft.spec_dml t USING (
+          SELECT 1L AS id, 'XLON' AS mic, 100.0D AS price
+          UNION ALL SELECT 9L, 'XAMS', 90.0D) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val rows = spark.sql(
+        "SELECT id, mic, price FROM graft.spec_dml ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "XLON", 100.0), (3L, "XLON", 31.0),
+        (9L, "XAMS", 90.0)))
+      // a non-canonical MERGE clause set refuses by name
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO graft.spec_dml t USING " +
+          "(SELECT 1L AS id) s ON t.id = s.id WHEN MATCHED THEN DELETE")
+      }
+      assert(e.getMessage.contains("UPDATE SET *"))
+      // DML on a read-only alias refuses before any work
+      GraftSqlTables.register("spec_dml_ro", t)
+      intercept[MiniDelta.ReadOnlyTableException] {
+        spark.sql("DELETE FROM graft.spec_dml_ro WHERE id = 1L")
+      }
+      intercept[MiniDelta.ReadOnlyTableException] {
+        spark.sql("UPDATE graft.spec_dml_ro SET price = 0.0D")
+      }
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
