@@ -204,6 +204,13 @@ SELECT * FROM (
          0.0, CAST(sum(l_quantity) AS BIGINT) FROM upd
 ) ORDER BY change_type""",
 
+    "s31_stream_sink" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s29_stream_cdf" ->
       """WITH src AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag

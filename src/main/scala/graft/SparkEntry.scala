@@ -829,6 +829,45 @@ object SparkEntry {
           sum("qty").as("sum_qty"))
         .orderBy("change_type")
     }),
+    "s31_stream_sink" -> ((s, d) => {
+      // The engine-managed streaming SINK driven at gate level: a
+      // graft-delta source table streams INTO a second graft-delta
+      // table (one versioned commit per micro-batch, Delta txn action
+      // carrying the exactly-once watermark). The sink table read back
+      // batch-side must equal the source subset — and a second drain
+      // from the same checkpoint must append nothing.
+      val dir = "/tmp/graft_s31_stream_sink"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val srcT = s"$dir/src"
+      val dstT = s"$dir/dst"
+      val cp = s"$dir/_checkpoint"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      for (m <- 0 to 2)
+        graft.io.MiniDelta.append(s,
+          src.where(pmod(col("l_linenumber"), lit(3)) === m), srcT,
+          Seq("l_returnflag"))
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft-delta").load(srcT)
+          .writeStream.format("graft-delta")
+          .option("path", dstT)
+          .option("checkpointLocation", cp)
+          .option("txnAppId", "s31_sink")
+          .partitionBy("l_returnflag")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drainOnce()
+      drainOnce() // restart: watermark makes redelivery a no-op
+      graft.io.MiniDelta.readFiltered(s, dstT, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s11_vacuum" -> ((s, d) => {
       // VACUUM gate via a RAW directory scan: after append+append+
       // OPTIMIZE+vacuum, a plain parquet read of the table directory
