@@ -90,7 +90,8 @@ object GraftSqlTables {
 
 /** The resolution rule. Injected by [[GraftExtensions]]; matches only
   * graft-namespace identifiers, so co-resident catalogs are untouched. */
-case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def entryOf(plan: LogicalPlan): Option[GraftSqlTables.Entry] =
     plan match {
@@ -102,6 +103,30 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.plans.logical
           .SubqueryAlias(_, child) => entryOf(child)
       case _ => None
+    }
+
+  /** The qualifier names a DML condition may legally prefix columns
+    * with: the target's alias when one is declared (SQL scoping — the
+    * alias REPLACES the table name), else the table identifier's last
+    * part. Lowercased; resolution is case-insensitive. */
+  private def qualifiersOf(plan: LogicalPlan): Set[String] = plan match {
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(ident, _) => Set(ident.name.toLowerCase)
+    case u: UnresolvedRelation =>
+      Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  /** Strip a leading target qualifier from column references so the
+    * condition binds against the engine's plain table frame (`t.id` ->
+    * `id`). Multi-part names whose head is NOT a known qualifier pass
+    * through untouched — they are struct-field paths. */
+  private def stripQualifiers(e: Expression,
+                              quals: Set[String]): Expression =
+    e.transform {
+      case u: UnresolvedAttribute if u.nameParts.length > 1 &&
+          quals.contains(u.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(u.nameParts.tail)
     }
 
   /** The governed read, inlined as an analyzed subtree. */
@@ -123,22 +148,21 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Equi-join keys from `ON t.k1 = s.k1 AND ...`: each conjunct must
-    * equate the SAME column name on both sides (the engine's merge is
-    * keyed, not arbitrary-predicate). Anything else refuses by name. */
-  private def mergeKeysOf(cond: Expression): Seq[String] = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    conjuncts(cond).map {
+    * equate the SAME column name on two DIFFERENT sides (the engine's
+    * merge is keyed, not arbitrary-predicate; `t.id = t.id` is a
+    * cross-join in disguise, not a key). Anything else refuses by
+    * name. */
+  private def mergeKeysOf(cond: Expression): Seq[String] =
+    splitConjunctivePredicates(cond).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) &&
+            a.nameParts.map(_.toLowerCase) != b.nameParts.map(_.toLowerCase) =>
         a.nameParts.last
       case other => throw new IllegalArgumentException(
         "graft MERGE needs an ON clause of same-name equality conjuncts " +
-          s"(t.k = s.k AND ...); got ${other.sql}")
+          s"relating target to source (t.k = s.k AND ...); got " +
+          s"${other.sql}")
     }
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     // top-down: INSERT INTO graft.x must capture the statement BEFORE
@@ -158,13 +182,19 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
       case DeleteFromTable(rel, condition) if entryOf(rel).isDefined =>
         val e = entryOf(rel).get
-        GraftDeleteCommand(e.path, new Unbound(condition), e.readOnly)
+        GraftDeleteCommand(e.path,
+          new Unbound(stripQualifiers(condition, qualifiersOf(rel))),
+          e.readOnly)
 
       case UpdateTable(rel, assignments, condition)
           if entryOf(rel).isDefined =>
         val e = entryOf(rel).get
-        GraftUpdateCommand(e.path, new Unbound(assignments),
-          new Unbound(condition), e.readOnly)
+        val quals = qualifiersOf(rel)
+        val stripped = assignments.map(a => Assignment(a.key,
+          stripQualifiers(a.value, quals)))
+        GraftUpdateCommand(e.path, new Unbound(stripped),
+          new Unbound(condition.map(stripQualifiers(_, quals))),
+          e.readOnly)
 
       case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>
         val e = entryOf(m.targetTable).get
@@ -176,7 +206,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         (m.matchedActions, m.notMatchedActions) match {
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
             GraftMergeCommand(e.path, m.sourceTable,
-              mergeKeysOf(m.mergeCondition), e.readOnly)
+              mergeKeysOf(m.mergeCondition), m.withSchemaEvolution,
+              e.readOnly)
           case _ => throw new IllegalArgumentException(
             "graft MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
               "WHEN NOT MATCHED THEN INSERT * (unconditional); got " +
@@ -233,25 +264,6 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
   // the source query renders under the command in EXPLAIN output
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
 
-  /** True when `table` is a plain directory already holding parquet but
-    * no `_delta_log`. An INSERT there would commit a v0 referencing ONLY
-    * the newly written files, and every later SELECT (which now sniffs
-    * the log) would silently drop the pre-existing rows — so it is
-    * refused, matching the reference's posture of never mutating
-    * passthrough objects (src/main.rs:941). Listing is lazy: stops at
-    * the first parquet hit; the common first-write target is empty or
-    * absent. */
-  private def rawParquetDir(spark: SparkSession): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(table)
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) return false
-    val it = f.listFiles(p, true)
-    var found = false
-    while (!found && it.hasNext)
-      found = it.next().getPath.getName.endsWith(".parquet")
-    found
-  }
-
   override def run(spark: SparkSession): Seq[Row] = {
     // the reference rejects all mutating requests under its default
     // read_only=true config (src/main.rs:941) — same gate, same place:
@@ -263,7 +275,7 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
 
     val aligned: DataFrame = declared match {
       case None => // first write creates the table: columns pass as-is
-        require(!rawParquetDir(spark),
+        require(!GraftDml.rawParquetDir(spark, table),
           s"INSERT into $table refused: the path holds raw parquet with " +
             "no _delta_log, and a first commit would orphan the existing " +
             "rows. Convert it to a governed table first " +
@@ -309,17 +321,57 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
   * innerChildren rather than children. */
 final class Unbound[T](val value: T) extends Serializable
 
+/** Guards shared by the SQL write commands. */
+private[plans] object GraftDml {
+  /** True when `table` is a plain directory already holding parquet but
+    * no `_delta_log`. A first commit there would reference ONLY the
+    * newly written files, and every later SELECT (which now sniffs the
+    * log) would silently drop the pre-existing rows — so INSERT and
+    * MERGE-as-create refuse it, matching the reference's posture of
+    * never mutating passthrough objects (src/main.rs:941). Listing is
+    * lazy: stops at the first parquet hit; the common first-write
+    * target is empty or absent. */
+  def rawParquetDir(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
+  def refuseRawDir(spark: SparkSession, table: String, op: String): Unit =
+    require(!rawParquetDir(spark, table),
+      s"$op into $table refused: the path holds raw parquet with no " +
+        "_delta_log, and a first commit would orphan the existing rows. " +
+        "Convert it to a governed table first (MiniDelta.convertToDelta) " +
+        "or register a fresh path.")
+
+  /** DELETE/UPDATE need an existing governed table: the engine's DML
+    * returns a silent no-op sentinel for a missing log, which SQL must
+    * surface as an error, not success (a raw-parquet alias visibly HAS
+    * rows — "deleted nothing, said ok" would be a silent wrong
+    * outcome). */
+  def requireTable(spark: SparkSession, table: String, op: String): Unit =
+    require(MiniDelta.tableExists(spark, table),
+      s"$op needs a governed table; $table has no _delta_log " +
+        "(MiniDelta.convertToDelta promotes a raw parquet directory)")
+}
+
 /** `DELETE FROM graft.<alias> WHERE ...` routed through
   * [[MiniDelta.delete]] — pushed-predicate blast-radius discovery,
   * copy-on-write or deletion-vector masking per the table's config, the
   * same write contract as the DataFrame path. The condition stays
   * UNRESOLVED here and binds to the table's frame inside the engine
-  * (unqualified column references). */
+  * (target qualifiers pre-stripped by the rule). */
 case class GraftDeleteCommand(table: String,
     condition: Unbound[Expression],
     readOnly: Boolean = true) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    GraftDml.requireTable(spark, table, "DELETE")
     MiniDelta.delete(spark, table,
       org.apache.spark.sql.graft.ColumnBridge.column(condition.value),
       MiniDelta.partitionColumns(spark, table))
@@ -330,20 +382,31 @@ case class GraftDeleteCommand(table: String,
 /** `UPDATE graft.<alias> SET c = expr, ... [WHERE ...]` routed through
   * [[MiniDelta.update]] (single-projection SET: every right-hand side
   * and the predicate see the pre-update row — standard SQL UPDATE
-  * semantics). */
+  * semantics). SET targets resolve against the declared schema
+  * case-insensitively, like every other Spark identifier. */
 case class GraftUpdateCommand(table: String,
     assignments: Unbound[Seq[Assignment]],
     condition: Unbound[Option[Expression]], readOnly: Boolean = true)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    GraftDml.requireTable(spark, table, "UPDATE")
     val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val declared = MiniDelta.latestSchema(spark, table)
+      .getOrElse(throw new IllegalStateException(
+        s"$table has a _delta_log but no declared schema"))
+    val canonical: Map[String, String] =
+      declared.fieldNames.map(n => n.toLowerCase -> n).toMap
     val set = assignments.value.map { a =>
-      val name = a.key match {
+      val written = a.key match {
         case u: UnresolvedAttribute => u.nameParts.last
         case other => throw new IllegalArgumentException(
           s"UPDATE SET target must be a column, got ${other.sql}")
       }
+      val name = canonical.getOrElse(written.toLowerCase,
+        throw new IllegalArgumentException(
+          s"UPDATE SET references unknown column $written " +
+            s"(table has ${declared.fieldNames.mkString(", ")})"))
       name -> bridge.column(a.value)
     }.toMap
     require(set.size == assignments.value.size,
@@ -359,16 +422,33 @@ case class GraftUpdateCommand(table: String,
 /** `MERGE INTO graft.<alias> t USING src s ON t.k = s.k WHEN MATCHED
   * THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the canonical
   * keyed upsert, routed through [[MiniDelta.merge]] (source
-  * key-uniqueness enforced, two-way schema alignment, create on first
-  * merge). The source plan analyzes inside [[run]] so it may itself
-  * read graft aliases. */
+  * key-uniqueness enforced, create on first merge). The source plan
+  * analyzes inside [[run]] so it may itself read graft aliases.
+  * Schema evolution (source-only columns appended to the target)
+  * requires the explicit `WITH SCHEMA EVOLUTION` clause, as in real
+  * Delta — without it, extra source columns refuse by name. */
 case class GraftMergeCommand(table: String, source: LogicalPlan,
-    keys: Seq[String], readOnly: Boolean = true)
+    keys: Seq[String], withSchemaEvolution: Boolean,
+    readOnly: Boolean = true)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    // only a CREATE-by-merge can orphan rows; an existing governed
+    // table legitimately holds parquet under its root
+    if (!MiniDelta.tableExists(spark, table))
+      GraftDml.refuseRawDir(spark, table, "MERGE")
     val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, source)
+    MiniDelta.latestSchema(spark, table).foreach { declared =>
+      if (!withSchemaEvolution) {
+        val known = declared.fieldNames.map(_.toLowerCase).toSet
+        val extra = src.columns.filterNot(c => known(c.toLowerCase))
+        require(extra.isEmpty,
+          s"MERGE source carries column(s) not in the target schema: " +
+            s"${extra.mkString(", ")} — add WITH SCHEMA EVOLUTION to " +
+            "append them, or drop them from the source")
+      }
+    }
     MiniDelta.merge(spark, table, src, keys,
       MiniDelta.partitionColumns(spark, table))
     Seq.empty

@@ -200,6 +200,77 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("DML edge cases: qualifiers, case, raw dirs, schema evolution") {
+    val t = freshDir() + "/trades"
+    seed(t) // (1,XLON,10),(2,XPAR,20),(3,XLON,30)
+    GraftSqlTables.register("spec_edge", t, readOnly = false)
+    try {
+      // alias- and table-name-qualified condition columns resolve
+      spark.sql("UPDATE graft.spec_edge AS t SET price = t.price + 1.0D " +
+        "WHERE t.id = 1L")
+      spark.sql("DELETE FROM graft.spec_edge WHERE spec_edge.id = 2L")
+      assert(spark.sql("SELECT sum(price) AS p FROM graft.spec_edge")
+        .head().getDouble(0) == 41.0) // 11 + 30
+      // SET targets resolve case-insensitively, like Spark identifiers
+      spark.sql("UPDATE graft.spec_edge SET PRICE = 0.0D WHERE id = 3L")
+      assert(spark.sql("SELECT sum(price) AS p FROM graft.spec_edge")
+        .head().getDouble(0) == 11.0)
+      // ... and a case-variant duplicate assignment is still refused
+      val dup = intercept[IllegalArgumentException] {
+        spark.sql(
+          "UPDATE graft.spec_edge SET price = 1.0D, PRICE = 2.0D")
+      }
+      assert(dup.getMessage.contains("twice"))
+      // an ON conjunct that does not relate target to source refuses
+      val selfEq = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO graft.spec_edge t USING " +
+          "(SELECT 1L AS id) s ON t.id = t.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(selfEq.getMessage.contains("relating target to source"))
+      // extra source columns refuse without WITH SCHEMA EVOLUTION...
+      val extra = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO graft.spec_edge t USING " +
+          "(SELECT 9L AS id, 'XAMS' AS mic, 9.0D AS price, " +
+          "'oops' AS surprise) s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(extra.getMessage.contains("SCHEMA EVOLUTION"))
+      // ...and append to the target schema with it
+      spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.spec_edge t " +
+        "USING (SELECT 9L AS id, 'XAMS' AS mic, 9.0D AS price, " +
+        "'new' AS note) s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val cols = spark.sql("SELECT * FROM graft.spec_edge").columns.toSeq
+      assert(cols.contains("note"))
+      // DELETE/UPDATE on a raw parquet dir (no log) error loudly
+      // instead of silently no-opping
+      val raw = freshDir() + "/raw"
+      Seq((1L, 1.0)).toDF("id", "v").write.parquet(raw)
+      GraftSqlTables.register("spec_edge_raw", raw, readOnly = false)
+      val e1 = intercept[IllegalArgumentException] {
+        spark.sql("DELETE FROM graft.spec_edge_raw WHERE id = 1L")
+      }
+      assert(e1.getMessage.contains("_delta_log"))
+      val e2 = intercept[IllegalArgumentException] {
+        spark.sql("UPDATE graft.spec_edge_raw SET v = 0.0D")
+      }
+      assert(e2.getMessage.contains("_delta_log"))
+      // MERGE into a raw dir refuses too (a first commit would orphan
+      // the existing rows)
+      val e3 = intercept[IllegalArgumentException] {
+        spark.sql("MERGE INTO graft.spec_edge_raw t USING " +
+          "(SELECT 1L AS id, 2.0D AS v) s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e3.getMessage.contains("orphan"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
