@@ -1800,6 +1800,37 @@ object SparkEntry {
         FROM graft.sql_m_trades
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
+    "sql_call_lifecycle" -> ((s, d) => {
+      // Lifecycle maintenance through SQL CALL procedures (Spark 4
+      // ProcedureCatalog): append+append, then CALL graft.optimize and
+      // CALL graft.vacuum. The readback is a RAW directory scan (no
+      // log), which equals the source only if the compaction rewrote
+      // the snapshot AND the vacuum physically deleted the superseded
+      // files — the s11 proof shape, driven via SQL end to end.
+      val dir = "/tmp/graft_sql_call"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_call_trades", table,
+        readOnly = false)
+      s.sql("CALL graft.optimize('sql_call_trades')")
+      s.sql("CALL graft.vacuum('sql_call_trades', 0)")
+      s.read.parquet(table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "sql_insert_overwrite" -> ((s, d) => {
       // the full SQL write lifecycle: create (positional), append with
       // an explicit column list, then INSERT OVERWRITE replaces the

@@ -28,8 +28,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (/root/reference/src/config.rs:7 — alias -> storage mapping;
   * src/main.rs:115-141 — the one virtual bucket).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = "graft"
+
+  /** Lifecycle maintenance via SQL `CALL graft.<proc>(...)` — see
+    * [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -95,4 +106,175 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME in the graft catalog is not supported")
+}
+
+/** Table-lifecycle maintenance as SQL stored procedures (Spark 4's
+  * `CALL` + ProcedureCatalog API — the same surface Iceberg exposes its
+  * maintenance through):
+  *
+  *   CALL graft.history('trades')
+  *   CALL graft.vacuum('trades', 3600000)
+  *   CALL graft.optimize('trades')        -- bin-packing compaction
+  *   CALL graft.zorder('trades', 'a,b')   -- multi-dimensional cluster
+  *   CALL graft.restore('trades', 3)
+  *   CALL graft.clone('trades', '/path/to/fork')
+  *   CALL graft.convert_to_delta('raw_dir_alias')
+  *   CALL graft.checkpoint('trades')
+  *   CALL graft.cleanup_logs('trades')
+  *
+  * Tables are addressed by ALIAS (the reference's client contract, like
+  * the rest of the SQL front door); mutating procedures enforce the
+  * alias's read-only posture. Results come back as rows (LocalScan —
+  * driver-side metadata, never data-scale).
+  */
+object GraftProcedures {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  import graft.io.MiniDelta
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** Alias -> physical path; `write=true` also enforces the alias's
+    * read-only posture BEFORE any work. */
+  private def pathOf(alias: String, write: Boolean): String = {
+    val e = GraftSqlTables.resolve(Seq("graft", alias)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown graft alias '$alias' — register it first " +
+          "(GraftSqlTables.register)"))
+    if (write && e.readOnly)
+      throw new MiniDelta.ReadOnlyTableException(e.path)
+    e.path
+  }
+
+  private def latestVersionOf(spark: SparkSession, path: String): Long =
+    MiniDelta.history(spark, path)
+      .agg(org.apache.spark.sql.functions.max("version"))
+      .head().getLong(0)
+
+  /** One procedure: unbound == bound (no overloads; Spark aligns and
+    * casts the CALL's arguments to `params` by position or name). */
+  private abstract class P(
+      override val name: String,
+      params: Seq[(String, DataType)],
+      out: StructType) extends UnboundProcedure with BoundProcedure {
+    override def description: String = s"graft $name"
+    override def bind(input: StructType): BoundProcedure = this
+    override def parameters: Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }
+        .toArray
+    override def isDeterministic: Boolean = false
+    protected def execute(spark: SparkSession,
+                          args: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rs = execute(SparkSession.active, input).toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema: StructType = out
+        override def rows: Array[InternalRow] = rs
+      }).iterator()
+    }
+  }
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private val versionOut =
+    StructType(Seq(StructField("version", LongType)))
+
+  private val procedures: Map[String, UnboundProcedure] = Seq(
+    new P("history", Seq("table" -> StringType), StructType(Seq(
+      StructField("version", LongType),
+      StructField("operation", StringType),
+      StructField("n_added", LongType),
+      StructField("n_removed", LongType)))) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] =
+        MiniDelta.history(spark,
+            pathOf(args.getUTF8String(0).toString, write = false))
+          .collect().toSeq.map(r => row(r.getLong(0), str(r.getString(1)),
+            r.getLong(2), r.getLong(3)))
+    },
+    new P("vacuum", Seq("table" -> StringType, "retain_ms" -> LongType),
+      StructType(Seq(StructField("n_deleted", LongType)))) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] = {
+        val deleted = MiniDelta.vacuum(spark,
+          pathOf(args.getUTF8String(0).toString, write = true),
+          retainMs = args.getLong(1))
+        Seq(row(deleted.size.toLong))
+      }
+    },
+    new P("optimize", Seq("table" -> StringType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] = {
+        val p = pathOf(args.getUTF8String(0).toString, write = true)
+        Seq(row(MiniDelta.compact(spark, p,
+          MiniDelta.partitionColumns(spark, p))))
+      }
+    },
+    new P("zorder",
+      Seq("table" -> StringType, "by" -> StringType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] = {
+        val p = pathOf(args.getUTF8String(0).toString, write = true)
+        val cols = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "zorder needs a comma-separated column list")
+        Seq(row(MiniDelta.compact(spark, p,
+          MiniDelta.partitionColumns(spark, p), zOrderBy = cols)))
+      }
+    },
+    new P("restore",
+      Seq("table" -> StringType, "version" -> LongType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] =
+        Seq(row(MiniDelta.restore(spark,
+          pathOf(args.getUTF8String(0).toString, write = true),
+          args.getLong(1))))
+    },
+    new P("clone",
+      Seq("source" -> StringType, "target" -> StringType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] =
+        Seq(row(MiniDelta.cloneShallow(spark,
+          pathOf(args.getUTF8String(0).toString, write = false),
+          args.getUTF8String(1).toString)))
+    },
+    new P("convert_to_delta", Seq("table" -> StringType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] =
+        Seq(row(MiniDelta.convertToDelta(spark,
+          pathOf(args.getUTF8String(0).toString, write = true))))
+    },
+    new P("checkpoint", Seq("table" -> StringType), versionOut) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] = {
+        val p = pathOf(args.getUTF8String(0).toString, write = true)
+        val v = latestVersionOf(spark, p)
+        MiniDelta.writeCheckpoint(spark, p, v)
+        Seq(row(v))
+      }
+    },
+    new P("cleanup_logs", Seq("table" -> StringType),
+      StructType(Seq(StructField("n_deleted", LongType)))) {
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] =
+        Seq(row(MiniDelta.cleanupLogs(spark,
+          pathOf(args.getUTF8String(0).toString, write = true))
+          .size.toLong))
+    }
+  ).map(p => p.name -> (p: UnboundProcedure)).toMap
+
+  def names: Seq[String] = procedures.keySet.toSeq.sorted
+
+  def load(name: String): UnboundProcedure =
+    procedures.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown graft procedure '$name' — available: " +
+          names.mkString(", ")))
 }

@@ -271,6 +271,54 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("CALL procedures: lifecycle maintenance through SQL") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    MiniDelta.append(spark,
+      Seq((4L, "XMIL", 40.0)).toDF("id", "mic", "price"), t, Seq("mic"))
+    GraftSqlTables.register("spec_proc", t, readOnly = false)
+    try {
+      // history: newest first, operations named
+      val hist = spark.sql("CALL graft.history('spec_proc')")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(hist.length == 2 && hist.head == ((1L, "WRITE")))
+      // optimize compacts to one file per partition; data unchanged
+      val v2 = spark.sql("CALL graft.optimize('spec_proc')")
+        .head().getLong(0)
+      assert(v2 == 2L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_proc")
+        .head().getLong(0) == 4)
+      // restore pins back to v0 (3 rows) while its files still exist
+      spark.sql("CALL graft.restore('spec_proc', 0)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_proc")
+        .head().getLong(0) == 3)
+      // vacuum drops the files the restore de-referenced
+      val deleted = spark.sql("CALL graft.vacuum('spec_proc', 0)")
+        .head().getLong(0)
+      assert(deleted > 0)
+      // clone forks to a fresh path, zero copy; checkpoint rolls one up
+      val fork = freshDir() + "/fork"
+      spark.sql(s"CALL graft.clone('spec_proc', '$fork')")
+      GraftSqlTables.register("spec_proc_fork", fork)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_proc_fork")
+        .head().getLong(0) == 3)
+      spark.sql("CALL graft.checkpoint('spec_proc')")
+      // read-only aliases refuse mutating procedures, allow history
+      GraftSqlTables.register("spec_proc_ro", t)
+      assert(spark.sql("CALL graft.history('spec_proc_ro')")
+        .count() >= 2)
+      intercept[MiniDelta.ReadOnlyTableException] {
+        spark.sql("CALL graft.optimize('spec_proc_ro')")
+      }
+      // unknown procedure names the available set
+      val e = intercept[Exception] {
+        spark.sql("CALL graft.no_such_proc('x')")
+      }
+      assert(e.getMessage.contains("unknown graft procedure") ||
+        e.getMessage.contains("no_such_proc"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
