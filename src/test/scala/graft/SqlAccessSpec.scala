@@ -319,6 +319,20 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SHOW TABLES lists registered aliases; SHOW PROCEDURES lists CALLs") {
+    GraftSqlTables.register("alpha", "/tmp/graft_show_a")
+    GraftSqlTables.register("beta", "/tmp/graft_show_b")
+    try {
+      val tables = spark.sql("SHOW TABLES IN graft.datalake")
+        .select("tableName").collect().map(_.getString(0)).toSet
+      assert(Set("alpha", "beta").subsetOf(tables))
+      val procs = spark.sql("SHOW PROCEDURES IN graft")
+        .collect().map(_.toSeq.mkString(",")).mkString(";")
+      assert(procs.contains("vacuum") && procs.contains("restore") &&
+        procs.contains("convert_to_delta"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
