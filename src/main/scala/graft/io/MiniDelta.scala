@@ -218,7 +218,7 @@ object MiniDelta {
     * instead of an O(history) directory listing (the fix for 10⁶-commit
     * tables, where per-commit listings dominate). Returns -1 before the
     * first commit. */
-  private def latestVersion(spark: SparkSession, table: String): Long = {
+  private[graft] def latestVersion(spark: SparkSession, table: String): Long = {
     val f = fs(spark, table)
     if (!f.exists(new Path(logDir(table)))) return -1L
     def exists(v: Long) = f.exists(new Path(commitPath(table, v)))

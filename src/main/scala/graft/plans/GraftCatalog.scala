@@ -33,14 +33,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = "graft"
 
   /** Lifecycle maintenance via SQL `CALL graft.<proc>(...)` — see
-    * [[GraftProcedures]]. */
+    * [[GraftProcedures]]. Procedures live at the catalog's top level
+    * only; a namespaced lookup (CALL graft.bogus.optimize) refuses like
+    * the table side does, instead of silently resolving. */
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.nonEmpty)
+      throw new NoSuchNamespaceException(ident.namespace)
     GraftProcedures.load(ident.name)
+  }
 
-  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
     GraftProcedures.names
       .map(n => Identifier.of(namespace, n)).toArray
+  }
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -117,7 +124,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   *   CALL graft.optimize('trades')        -- bin-packing compaction
   *   CALL graft.zorder('trades', 'a,b')   -- multi-dimensional cluster
   *   CALL graft.restore('trades', 3)
-  *   CALL graft.clone('trades', '/path/to/fork')
+  *   CALL graft.clone('trades', 'fork_alias')  -- both sides aliases
   *   CALL graft.convert_to_delta('raw_dir_alias')
   *   CALL graft.checkpoint('trades')
   *   CALL graft.cleanup_logs('trades')
@@ -152,10 +159,13 @@ object GraftProcedures {
     e.path
   }
 
-  private def latestVersionOf(spark: SparkSession, path: String): Long =
-    MiniDelta.history(spark, path)
-      .agg(org.apache.spark.sql.functions.max("version"))
-      .head().getLong(0)
+  private def latestVersionOf(spark: SparkSession, path: String): Long = {
+    val v = MiniDelta.latestVersion(spark, path)
+    require(v >= 0,
+      s"$path has no _delta_log — nothing to checkpoint " +
+        "(convert_to_delta promotes a raw parquet directory)")
+    v
+  }
 
   /** One procedure: unbound == bound (no overloads; Spark aligns and
     * casts the CALL's arguments to `params` by position or name). */
@@ -239,11 +249,14 @@ object GraftProcedures {
     },
     new P("clone",
       Seq("source" -> StringType, "target" -> StringType), versionOut) {
+      // the TARGET is an alias too — writing to an arbitrary raw path
+      // from SQL would bypass the per-alias write governance the front
+      // door exists to enforce; register the fork's path first
       override protected def execute(spark: SparkSession,
           args: InternalRow): Seq[InternalRow] =
         Seq(row(MiniDelta.cloneShallow(spark,
           pathOf(args.getUTF8String(0).toString, write = false),
-          args.getUTF8String(1).toString)))
+          pathOf(args.getUTF8String(1).toString, write = true))))
     },
     new P("convert_to_delta", Seq("table" -> StringType), versionOut) {
       override protected def execute(spark: SparkSession,

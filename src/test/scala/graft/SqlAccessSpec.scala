@@ -296,12 +296,19 @@ class SqlAccessSpec extends AnyFunSuite {
       val deleted = spark.sql("CALL graft.vacuum('spec_proc', 0)")
         .head().getLong(0)
       assert(deleted > 0)
-      // clone forks to a fresh path, zero copy; checkpoint rolls one up
+      // clone forks to a WRITABLE registered alias (an arbitrary raw
+      // path would bypass the per-alias write governance), zero copy;
+      // checkpoint rolls one up
       val fork = freshDir() + "/fork"
-      spark.sql(s"CALL graft.clone('spec_proc', '$fork')")
-      GraftSqlTables.register("spec_proc_fork", fork)
+      GraftSqlTables.register("spec_proc_fork", fork, readOnly = false)
+      spark.sql("CALL graft.clone('spec_proc', 'spec_proc_fork')")
       assert(spark.sql("SELECT count(*) AS n FROM graft.spec_proc_fork")
         .head().getLong(0) == 3)
+      // ...and a read-only target refuses the clone
+      GraftSqlTables.register("spec_proc_fork_ro", freshDir() + "/ro")
+      intercept[MiniDelta.ReadOnlyTableException] {
+        spark.sql("CALL graft.clone('spec_proc', 'spec_proc_fork_ro')")
+      }
       spark.sql("CALL graft.checkpoint('spec_proc')")
       // read-only aliases refuse mutating procedures, allow history
       GraftSqlTables.register("spec_proc_ro", t)
