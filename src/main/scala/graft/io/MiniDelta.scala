@@ -278,22 +278,17 @@ object MiniDelta {
     if (mustCache) df.persist()
     try {
       enforceConstraints(alignForCheck(df, declared0), cfg0)
-      val beforePaths0 = listDataFiles(spark, table).map(_._1).toSet
-      val writer = df.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(table)
-      appendCommit(spark, df, table, partitionBy, statsCols, beforePaths0,
+      val added = writeAndCapture(spark, df, table, partitionBy)
+      appendCommit(spark, df, table, partitionBy, statsCols, added,
         cfg0, txn)
     } finally if (mustCache) { df.unpersist(); () }
   }
 
   private def appendCommit(spark: SparkSession, df: DataFrame, table: String,
                            partitionBy: Seq[String], statsCols: Seq[String],
-                           beforePaths: Set[String],
+                           added: Seq[(String, Long, Long)],
                            cfg0: Map[String, String],
                            txn: Option[(String, Long)] = None): Long = {
-    val after = listDataFiles(spark, table)
-    val added = after.filterNot { case (p, _, _) => beforePaths.contains(p) }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val txnLines = txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
@@ -369,12 +364,22 @@ object MiniDelta {
     }.toMap
   }
 
+  /** Diagnostic: number of full recursive DATA-directory listings taken.
+    * Only [[vacuum]] (dead-file discovery is inherently a listing) and
+    * [[convertToDelta]] (promoting a raw directory IS a listing) may
+    * bump this; every commit path captures its written files from a
+    * per-commit staging directory instead ([[writeAndCapture]]) — specs
+    * assert appends/DML keep this counter flat, the O(new files)
+    * guarantee that matters at 10⁷-file tables. */
+  private[graft] val dataListings = new java.util.concurrent.atomic.AtomicLong
+
   /** (relative path, size, modification time) of every data file on
     * disk. Listing the DATA directory is proportional to the table's
-    * file count — used only by writers to discover what they just wrote
-    * and by vacuum; never on the per-query read path. */
+    * file count — used only by [[vacuum]] and [[convertToDelta]]; never
+    * by commits (see [[writeAndCapture]]) or the per-query read path. */
   private def listDataFiles(spark: SparkSession,
                             table: String): Seq[(String, Long, Long)] = {
+    dataListings.incrementAndGet()
     val root = new Path(table)
     val f = fs(spark, table)
     if (!f.exists(root)) return Seq.empty
@@ -389,6 +394,54 @@ object MiniDelta {
           s.getModificationTime))
     }
     buf.toSeq
+  }
+
+  /** Write `df` as Hive-partitioned parquet under `table` and return
+    * (relative path, size, modification time) of EXACTLY the files this
+    * write produced — without ever listing the table root. The write
+    * lands in a per-commit staging directory (`_staging_<uuid>/`, the
+    * task-commit pattern of FileCommitProtocol), only THAT directory is
+    * listed (O(new files)), and each file renames into its final
+    * partition location — a metadata move on every Hadoop FileSystem.
+    * The previous design diffed two full recursive listings of the
+    * table root per commit: free at sf0.1, two O(10⁷)-entry
+    * object-store listings per append at scale — the exact cost the
+    * Delta log exists to avoid. Part-file names carry the writer's
+    * job UUID, so renames into a live table cannot collide; a crashed
+    * commit leaves an orphaned staging dir that [[vacuum]] ages out
+    * like any unreferenced debris. */
+  private def writeAndCapture(spark: SparkSession, df: DataFrame,
+                              table: String, partitionBy: Seq[String],
+                              maxRecordsPerFile: Long = 0L)
+      : Seq[(String, Long, Long)] = {
+    val staging =
+      s"$table/_staging_${java.util.UUID.randomUUID().toString.take(12)}"
+    val f = fs(spark, table)
+    try {
+      val writer = df.write.mode("append")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(staging)
+      val stRoot = new Path(staging).toUri.getPath.stripSuffix("/")
+      val it = f.listFiles(new Path(staging), true)
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        val p = s.getPath.toUri.getPath
+        if (p.endsWith(".parquet"))
+          buf += ((p.stripPrefix(stRoot).stripPrefix("/"), s.getLen,
+            s.getModificationTime))
+      }
+      buf.toSeq.sortBy(_._1).map { case (rel, size, m) =>
+        val dst = new Path(s"$table/$rel")
+        f.mkdirs(dst.getParent)
+        if (!f.rename(new Path(s"$staging/$rel"), dst))
+          sys.error(s"commit staging: rename of $rel into $table failed " +
+            "(destination exists or filesystem refused the move)")
+        (rel, size, m)
+      }
+    } finally { f.delete(new Path(staging), true); () }
   }
 
   /** Delta-log action schema (the subset this engine writes/reads).
@@ -1765,7 +1818,6 @@ object MiniDelta {
     val (data, sortCols) =
       if (zOrderBy.isEmpty) (read, clusterBy)
       else (graft.operators.ZOrder.withZValue(read, zOrderBy), Seq("__z"))
-    val before = listDataFiles(spark, table).map(_._1).toSet
     // explicit partition count: a column-only repartition is eligible for
     // AQE partition coalescing, which at low volume re-creates the exact
     // single-task funnel this rewrite removes; with the count pinned each
@@ -1799,12 +1851,8 @@ object MiniDelta {
     // AFTER the sort (a projection preserves ordering)
     val toWrite =
       if (zOrderBy.isEmpty) clustered else clustered.drop("__z")
-    val writer = toWrite.write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(table)
-    val added = listDataFiles(spark, table)
-      .filterNot { case (p, _, _) => before.contains(p) }
+    val added = writeAndCapture(spark, toWrite, table, partitionBy,
+      maxRecordsPerFile)
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val now = System.currentTimeMillis()
     val removes = oldPaths.toSeq.sorted.map(p => removeLine(p,
@@ -1895,7 +1943,6 @@ object MiniDelta {
                           partitionBy: Seq[String], operation: String,
                           statsCols: Seq[String],
                           extraLines: Seq[String] = Nil): Long = {
-    val before = listDataFiles(spark, table).map(_._1).toSet
     val newData0 = rewrite(
       readFilesAs(spark, table, touched.map(resolvePath(table, _)), declared))
     // Delta enforces invariants on EVERY write: an UPDATE/MERGE whose
@@ -1906,14 +1953,11 @@ object MiniDelta {
     val cfg = tableConfig(spark, table, readVersion)
     val constrained = constraintsOf(cfg).nonEmpty
     val newData = if (constrained) newData0.persist() else newData0
-    try {
-      if (constrained) enforceConstraints(newData, cfg)
-      val writer = newData.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(table)
-    } finally if (constrained) { newData.unpersist(); () }
-    val added = listDataFiles(spark, table)
-      .filterNot { case (p, _, _) => before.contains(p) }
+    val added =
+      try {
+        if (constrained) enforceConstraints(newData, cfg)
+        writeAndCapture(spark, newData, table, partitionBy)
+      } finally if (constrained) { newData.unpersist(); () }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val now = System.currentTimeMillis()
     beforeDmlCommitHook()
@@ -2027,12 +2071,7 @@ object MiniDelta {
             set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*)
           enforceConstraints(updated,
             tableConfig(spark, table, readVersion))
-          val before = listDataFiles(spark, table).map(_._1).toSet
-          val writer = updated.write.mode("append")
-          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-           else writer).parquet(table)
-          val added = listDataFiles(spark, table)
-            .filterNot { case (pp, _, _) => before.contains(pp) }
+          val added = writeAndCapture(spark, updated, table, partitionBy)
           val stats = fileStats(spark, table, added.map(_._1), statsCols)
           beforeDmlCommitHook()
           writeCommit(spark, table, readVersion + 1,
@@ -2315,12 +2354,7 @@ object MiniDelta {
       val maskLines = dvMaskActions(spark, table, readVersion, declared,
         snap, matched).getOrElse(Seq.empty)
       enforceConstraints(incoming, cfg)
-      val before = listDataFiles(spark, table).map(_._1).toSet
-      val writer = incoming.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(table)
-      val added = listDataFiles(spark, table)
-        .filterNot { case (p, _, _) => before.contains(p) }
+      val added = writeAndCapture(spark, incoming, table, partitionBy)
       val stats = fileStats(spark, table, added.map(_._1), statsCols)
       beforeDmlCommitHook()
       writeCommit(spark, table, readVersion + 1,
@@ -2583,12 +2617,7 @@ object MiniDelta {
       val removed = filesForFilters(
         snapshotFilesAt(spark, table, readVersion), replaceWhere)
         .select("path").collect().map(_.getString(0)).toIndexedSeq
-      val before = listDataFiles(spark, table).map(_._1).toSet
-      val writer = df.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(table)
-      val added = listDataFiles(spark, table)
-        .filterNot { case (p, _, _) => before.contains(p) }
+      val added = writeAndCapture(spark, df, table, partitionBy)
       val stats = fileStats(spark, table, added.map(_._1), statsCols)
       val now = System.currentTimeMillis()
       writeCommit(spark, table, readVersion + 1,

@@ -574,6 +574,40 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.snapshotFilesAt(spark, t, 5).count() == 6)
   }
 
+  test("commits never list the table root: O(new files) write capture") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    val before = MiniDelta.dataListings.get()
+    // every write-lifecycle commit captures its files from the staging
+    // dir — at a 10⁷-file table a single root listing per commit would
+    // dominate the job, so the counter must stay FLAT across all of them
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"))
+    MiniDelta.compact(spark, t, Seq("year"))
+    MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
+    MiniDelta.update(spark, t, col("id") === 2,
+      Map("payload" -> lit("patched")), Seq("year"))
+    MiniDelta.merge(spark, t,
+      Seq((99L, "2024", "new")).toDF("id", "year", "payload"),
+      Seq("id"), Seq("year"))
+    MiniDelta.overwrite(spark, sample("2023", 1), t, Seq("year"),
+      replaceWhere = Seq(Map("year" -> "2023")))
+    assert(MiniDelta.dataListings.get() == before,
+      "a commit path listed the table's data directory")
+    // the staged-rename capture committed the right files: contents and
+    // the staging debris both check out
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "year", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "2023", "v1"),
+      (2L, "2024", "patched"), (99L, "2024", "new")), rows)
+    val debris = java.nio.file.Files.list(java.nio.file.Paths.get(t))
+      .toArray.map(_.toString).filter(_.contains("_staging_"))
+    assert(debris.isEmpty, s"staging dirs left behind: ${debris.toSeq}")
+    // vacuum's dead-file discovery is the sanctioned listing
+    MiniDelta.vacuum(spark, t)
+    assert(MiniDelta.dataListings.get() > before)
+  }
+
   test("vacuum honors the retention horizon") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
