@@ -1351,6 +1351,15 @@ FROM lineitem l JOIN f USING (l_returnflag)
 WHERE l.l_quantity = 2
 GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
 
+    "s32_cow_over_dv" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(0 AS BIGINT) AS n_dv_total
+FROM lineitem
+WHERE l_quantity = 2 AND l_orderkey % 2 = 1
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s24_optimize_where" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -560,6 +560,43 @@ object SparkEntry {
         .select("l_returnflag", "n_rows", "sum_price", "sum_qty", "n_dv")
         .orderBy("l_returnflag")
     }),
+    "s32_cow_over_dv" -> ((s, d) => {
+      // copy-on-write DML over a deletion-vector-bearing snapshot: DV
+      // DELETE masks qty=1, DVs are then disabled, and a second DELETE
+      // rewrites the masked files copy-on-write — the rewrite must read
+      // UNDER the masks (qty=1 never resurrects) and materialize them
+      // (no DV references survive; n_dv_total = 0). The old behavior
+      // refused this lifecycle until a manual OPTIMIZE.
+      val dir = "/tmp/graft_s32_cow_over_dv"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src.coalesce(1), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.setTableProperties(s, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      graft.io.MiniDelta.delete(s, table, col("l_quantity") === 1,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.setTableProperties(s, table,
+        Map("delta.enableDeletionVectors" -> "false"))
+      graft.io.MiniDelta.delete(s, table,
+        pmod(col("l_orderkey"), lit(2)) === 0, Seq("l_returnflag"))
+      val dvTotal = graft.io.MiniDelta.snapshotFiles(s, table)
+        .agg(sum(when(col("dv_path").isNotNull, 1L).otherwise(0L))
+          .as("n_dv_total"))
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .crossJoin(dvTotal)
+        .select("l_returnflag", "n_rows", "sum_price", "sum_qty",
+          "n_dv_total")
+        .orderBy("l_returnflag")
+    }),
     "s24_optimize_where" -> ((s, d) => {
       // OPTIMIZE ... WHERE end to end: two single-file-per-partition
       // appends (2 files per flag), then a compaction scoped to

@@ -1873,18 +1873,31 @@ object MiniDelta {
     * exclude the predicate never decompress), projecting only the file
     * name; the collect is metadata-scale (file paths, not rows). */
   private def matchingFiles(spark: SparkSession, table: String,
-                            paths: Seq[String],
+                            pairs: Seq[(String, Option[String])],
                             declared: Option[org.apache.spark.sql.types.StructType],
-                            hit: DataFrame => DataFrame): Seq[String] = {
-    if (paths.isEmpty) return Nil
-    val base = readFilesAs(spark, table, paths.map(resolvePath(table, _)), declared)
-    require(!base.columns.contains("__file"),
-      "table has a '__file' column, which collides with the " +
-        "copy-on-write file-discovery temp column")
-    val abs = hit(base.withColumn("__file", input_file_name()))
-      .select("__file").distinct().collect()
-      .map(r => decodeFileUri(r.getString(0)))
-    paths.filter(p => abs.exists(_.endsWith(p)))
+                            hit: DataFrame => DataFrame)
+      : Seq[(String, Option[String])] = {
+    if (pairs.isEmpty) return Nil
+    if (pairs.exists(_._2.isDefined)) {
+      // DV-bearing snapshot: discover over the MASKED view — a masked
+      // row must neither mark its file touched nor survive the rewrite
+      // (the old refuse-and-compact-first behavior is gone; the rewrite
+      // read applies the mask, Delta's own CoW-over-DV rule)
+      val fnames = hit(withRowIdentity(spark, table, pairs, declared))
+        .select("__fname").distinct().collect().map(_.getString(0)).toSet
+      pairs.filter(p => fnames.contains(dvKeyOf(p._1)))
+    } else {
+      val paths = pairs.map(_._1)
+      val base = readFilesAs(spark, table,
+        paths.map(resolvePath(table, _)), declared)
+      require(!base.columns.contains("__file"),
+        "table has a '__file' column, which collides with the " +
+          "copy-on-write file-discovery temp column")
+      val abs = hit(base.withColumn("__file", input_file_name()))
+        .select("__file").distinct().collect()
+        .map(r => decodeFileUri(r.getString(0)))
+      pairs.filter(p => abs.exists(_.endsWith(p._1)))
+    }
   }
 
   /** Test seam: runs just before a DML commit lands — specs inject a
@@ -1937,14 +1950,16 @@ object MiniDelta {
     * The caller re-runs against the fresh snapshot. */
   private def copyOnWrite(spark: SparkSession, table: String,
                           readVersion: Long,
-                          touched: Seq[String],
+                          touched: Seq[(String, Option[String])],
                           declared: Option[org.apache.spark.sql.types.StructType],
                           rewrite: DataFrame => DataFrame,
                           partitionBy: Seq[String], operation: String,
                           statsCols: Seq[String],
                           extraLines: Seq[String] = Nil): Long = {
-    val newData0 = rewrite(
-      readFilesAs(spark, table, touched.map(resolvePath(table, _)), declared))
+    // the rewrite reads UNDER the files' deletion vectors: masked rows
+    // are already deleted and must not be resurrected into the
+    // rewritten files (the new adds carry no DV — CoW materializes it)
+    val newData0 = rewrite(readFilesWithDv(spark, table, touched, declared))
     // Delta enforces invariants on EVERY write: an UPDATE/MERGE whose
     // new values violate a CHECK constraint must fail before commit.
     // The enforcement aggregate + the write would otherwise evaluate
@@ -1963,10 +1978,194 @@ object MiniDelta {
     beforeDmlCommitHook()
     writeCommit(spark, table, readVersion + 1,
       extraLines ++
-        touched.sorted.map(p => removeLine(p, dataChange = true, now)) ++
+        touched.map(_._1).sorted.map(p =>
+          removeLine(p, dataChange = true, now)) ++
         added.map { case (p, s, m) =>
           addLine(p, s, stats.get(p), modTime = Some(m)) },
       operation)
+  }
+
+  /** Diagnostic: manifest rows collected onto the driver by DML
+    * blast-radius discovery. Specs assert a partition-scoped DELETE
+    * collects the matching partition's files, not the table's — the
+    * difference between KBs and GBs of driver heap at 10⁷ files. */
+  private[graft] val dmlManifestRows = new java.util.concurrent.atomic.AtomicLong
+
+  private def collected(rows: Seq[org.apache.spark.sql.Row])
+      : Seq[org.apache.spark.sql.Row] = {
+    dmlManifestRows.addAndGet(rows.size)
+    rows
+  }
+
+  /** A file-level may-contain-a-match condition over the snapshot
+    * metadata for one column reference: partition columns evaluate their
+    * Hive path value EXACTLY (every row of the file shares it); data
+    * columns check the per-file min/max stats range conservatively
+    * (missing or uncastable stats keep the file). `lo`/`hi` bound the
+    * sought values; for equality both are the same literal. */
+  private def fileRangeCond(name: String, partitionCols: Seq[String],
+                            t: org.apache.spark.sql.types.DataType,
+                            lo: Any, hi: Any): org.apache.spark.sql.Column = {
+    val pk = partitionCols.find(_.equalsIgnoreCase(name))
+    pk match {
+      case Some(k) =>
+        val raw = element_at(col("partitionValues"), k)
+        val v = when(raw === "__HIVE_DEFAULT_PARTITION__",
+          lit(null).cast("string")).otherwise(raw).cast(t)
+        v >= lit(lo) && v <= lit(hi)
+      case None =>
+        val mn = get_json_object(col("stats"), s"$$.minValues.$name").cast(t)
+        val mx = get_json_object(col("stats"), s"$$.maxValues.$name").cast(t)
+        col("stats").isNull || mn.isNull || mx.isNull ||
+          (mx >= lit(lo) && mn <= lit(hi))
+    }
+  }
+
+  /** Scope a DML operation's manifest to the files that MAY contain a
+    * row where `predicate` is TRUE, from log metadata alone — the
+    * distributed blast-radius pruning that runs BEFORE any driver
+    * collect. Partition-column comparisons resolve exactly against the
+    * file's Hive partition value; data-column comparisons resolve
+    * conservatively against per-file min/max stats; anything the
+    * translator cannot prove (UDFs, string functions, OR with an
+    * opaque side) keeps the file. Sound by construction: a pruned file
+    * provably contains no TRUE row, so `DELETE WHERE year='2023'` on a
+    * 10⁷-file table collects one partition's manifest rows, never the
+    * table's. */
+  private[graft] def dmlCandidates(snap: DataFrame,
+                                   predicate: org.apache.spark.sql.Column,
+                                   partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val simpleName = "[A-Za-z0-9_]+".r
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    } // only plain JSON-path-safe names translate; others stay opaque
+    def ok(n: String) = simpleName.pattern.matcher(n).matches()
+    def pvCol(k: String): org.apache.spark.sql.Column = {
+      val raw = element_at(col("partitionValues"), k)
+      when(raw === "__HIVE_DEFAULT_PARTITION__",
+        lit(null).cast("string")).otherwise(raw)
+    }
+    // returns (file-level condition, exact): exact means the condition
+    // decides the row predicate for EVERY row of the file (pure
+    // partition-column expression) — the only form Not() may negate
+    def leaf(a: Expression, v: Literal, cmp: String)
+        : Option[(org.apache.spark.sql.Column, Boolean)] =
+      nameOf(a).filter(ok).map { n =>
+        partitionCols.find(_.equalsIgnoreCase(n)) match {
+          case Some(k) =>
+            val pv = pvCol(k).cast(v.dataType)
+            val l = lit(v.value match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case x => x
+            }).cast(v.dataType)
+            (cmp match {
+              case "=" => pv === l
+              case ">" => pv > l
+              case ">=" => pv >= l
+              case "<" => pv < l
+              case "<=" => pv <= l
+            }, true)
+          case None =>
+            val lo = if (cmp == "=" || cmp == ">" || cmp == ">=") Some(v) else None
+            val hi = if (cmp == "=" || cmp == "<" || cmp == "<=") Some(v) else None
+            val mn = get_json_object(col("stats"), s"$$.minValues.$n")
+              .cast(v.dataType)
+            val mx = get_json_object(col("stats"), s"$$.maxValues.$n")
+              .cast(v.dataType)
+            def l(x: Literal) = lit(x.value match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case other => other
+            }).cast(x.dataType)
+            val range = (lo.map(x => mx >= l(x) || mx.isNull) ++
+              hi.map(x => mn <= l(x) || mn.isNull))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            (col("stats").isNull || range, false)
+        }
+      }
+    type T = Option[(org.apache.spark.sql.Column, Boolean)]
+    def tAnd(x: Expression, y: Expression)(implicit
+        trans: Expression => T): T = (trans(x), trans(y)) match {
+      case (Some((a, ea)), Some((b, eb))) => Some((a && b, ea && eb))
+      case (Some((a, _)), None) => Some((a, false))
+      case (None, Some((b, _))) => Some((b, false))
+      case _ => None
+    }
+    def tOr(x: Expression, y: Expression)(implicit
+        trans: Expression => T): T =
+      for ((a, ea) <- trans(x); (b, eb) <- trans(y))
+        yield (a || b, ea && eb)
+    // a conservative upper bound cannot be negated soundly — only an
+    // exact (pure-partition) subtree may pass through Not
+    def tNot(x: Expression)(implicit trans: Expression => T): T =
+      trans(x).collect { case (c, true) => (!c, true) }
+    def tIn(a: Expression, vs: Seq[Expression]): T =
+      if (vs.isEmpty || !vs.forall(_.isInstanceOf[Literal])) None
+      else vs.map(v => leaf(a, v.asInstanceOf[Literal], "="))
+        .reduce((x, y) => for ((a1, e1) <- x; (b1, e2) <- y)
+          yield (a1 || b1, e1 && e2))
+    def tNull(a: Expression, positive: Boolean): T =
+      nameOf(a).flatMap(n =>
+        partitionCols.find(_.equalsIgnoreCase(n)).map(k =>
+          (if (positive) pvCol(k).isNull else pvCol(k).isNotNull,
+            true))) // data-col nulls: stats can't see them
+    // predicates arrive in TWO shapes: resolved/parsed catalyst nodes
+    // (SQL DML via the parser: And/EqualTo/...) and the DataFrame API's
+    // ColumnNode conversion, where every operator is an
+    // UnresolvedFunction named "=", "and", "!", ... — translate both
+    implicit def trans(e: Expression): T = e match {
+      case And(x, y) => tAnd(x, y)
+      case Or(x, y) => tOr(x, y)
+      case Not(x) => tNot(x)
+      case EqualTo(a, v: Literal) => leaf(a, v, "=")
+      case EqualTo(v: Literal, a) => leaf(a, v, "=")
+      case EqualNullSafe(a, v: Literal) if v.value != null => leaf(a, v, "=")
+      case EqualNullSafe(v: Literal, a) if v.value != null => leaf(a, v, "=")
+      case GreaterThan(a, v: Literal) => leaf(a, v, ">")
+      case GreaterThan(v: Literal, a) => leaf(a, v, "<")
+      case GreaterThanOrEqual(a, v: Literal) => leaf(a, v, ">=")
+      case GreaterThanOrEqual(v: Literal, a) => leaf(a, v, "<=")
+      case LessThan(a, v: Literal) => leaf(a, v, "<")
+      case LessThan(v: Literal, a) => leaf(a, v, ">")
+      case LessThanOrEqual(a, v: Literal) => leaf(a, v, "<=")
+      case LessThanOrEqual(v: Literal, a) => leaf(a, v, ">=")
+      case In(a, vs) => tIn(a, vs)
+      case IsNull(a) => tNull(a, positive = true)
+      case IsNotNull(a) => tNull(a, positive = false)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("and", Seq(x, y)) => tAnd(x, y)
+          case ("or", Seq(x, y)) => tOr(x, y)
+          case ("!" | "not", Seq(x)) => tNot(x)
+          case ("=" | "==", Seq(a, v: Literal)) => leaf(a, v, "=")
+          case ("=" | "==", Seq(v: Literal, a)) => leaf(a, v, "=")
+          case ("<=>", Seq(a, v: Literal)) if v.value != null =>
+            leaf(a, v, "=")
+          case ("<=>", Seq(v: Literal, a)) if v.value != null =>
+            leaf(a, v, "=")
+          case (">", Seq(a, v: Literal)) => leaf(a, v, ">")
+          case (">", Seq(v: Literal, a)) => leaf(a, v, "<")
+          case (">=", Seq(a, v: Literal)) => leaf(a, v, ">=")
+          case (">=", Seq(v: Literal, a)) => leaf(a, v, "<=")
+          case ("<", Seq(a, v: Literal)) => leaf(a, v, "<")
+          case ("<", Seq(v: Literal, a)) => leaf(a, v, ">")
+          case ("<=", Seq(a, v: Literal)) => leaf(a, v, "<=")
+          case ("<=", Seq(v: Literal, a)) => leaf(a, v, ">=")
+          case ("in", a +: vs) => tIn(a, vs)
+          case ("isnull", Seq(a)) => tNull(a, positive = true)
+          case ("isnotnull", Seq(a)) => tNull(a, positive = false)
+          case _ => None
+        }
+      case _ => None
+    }
+    trans(org.apache.spark.sql.graft.ColumnBridge.catalyst(predicate))
+      // null-valued conditions only arise from exact partition
+      // subtrees, where null means "no row's predicate is TRUE" —
+      // excluding the file is sound (see Not/And soundness above)
+      .fold(snap) { case (c, _) => snap.where(coalesce(c, lit(false))) }
   }
 
   /** DELETE WHERE (Delta semantics): remove rows where `predicate` is
@@ -1989,29 +2188,17 @@ object MiniDelta {
     // now, a mask probe per read until OPTIMIZE materializes)
     if (tableConfig(spark, table, readVersion)
         .get("delta.enableDeletionVectors").contains("true"))
-      return deleteWithDv(spark, table, predicate, readVersion)
+      return deleteWithDv(spark, table, predicate, readVersion, partitionBy)
     val declared = latestSchema(spark, table)
-    val snap = snapshotFilesAt(spark, table, readVersion)
-      .select("path", "dv_path").collect().toIndexedSeq
-    requireNoDv(dvPairsOf(snap), "copy-on-write DELETE")
-    val paths = snap.map(_.getString(0))
-    val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
+    val snap = collected(dmlCandidates(
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+      .select("path", "dv_path").collect().toIndexedSeq)
+    val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
+      _.where(predicate))
     if (touched.isEmpty) return readVersion
     copyOnWrite(spark, table, readVersion, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
       partitionBy, "DELETE", statsCols)
-  }
-
-  /** Copy-on-write DML does not yet APPLY deletion vectors when
-    * rewriting files — running it over a DV-bearing snapshot would
-    * resurrect masked rows. Refuse loudly; OPTIMIZE (compact)
-    * materializes the DVs first. */
-  private def requireNoDv(files: Seq[(String, Option[String])],
-                          op: String): Unit = {
-    val dvd = files.count(_._2.isDefined)
-    if (dvd > 0) throw new UnsupportedOperationException(
-      s"$op over $dvd deletion-vector-bearing file(s): run compact() " +
-        "to materialize the DVs first")
   }
 
   /** DELETE via deletion vectors: one narrow predicate scan over the
@@ -2025,9 +2212,12 @@ object MiniDelta {
     * Read-set pinned at `readVersion + 1` like all DML. */
   private def deleteWithDv(spark: SparkSession, table: String,
                            predicate: org.apache.spark.sql.Column,
-                           readVersion: Long): Long = {
+                           readVersion: Long,
+                           partitionBy: Seq[String]): Long = {
     val declared = latestSchema(spark, table, readVersion)
-    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+    val snap = collected(dmlCandidates(
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+      .collect().toIndexedSeq)
     if (snap.isEmpty) return readVersion
     val pairs = dvPairsOf(snap)
     val matched = withRowIdentity(spark, table, pairs, declared)
@@ -2054,7 +2244,9 @@ object MiniDelta {
                            partitionBy: Seq[String], statsCols: Seq[String],
                            readVersion: Long): Long = {
     val declared = latestSchema(spark, table, readVersion)
-    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+    val snap = collected(dmlCandidates(
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+      .collect().toIndexedSeq)
     if (snap.isEmpty) return readVersion
     val pairs = dvPairsOf(snap)
     val matched = withRowIdentity(spark, table, pairs, declared)
@@ -2227,11 +2419,11 @@ object MiniDelta {
         .get("delta.enableDeletionVectors").contains("true"))
       return updateWithDv(spark, table, predicate, set, partitionBy,
         statsCols, readVersion)
-    val snap = snapshotFilesAt(spark, table, readVersion)
-      .select("path", "dv_path").collect().toIndexedSeq
-    requireNoDv(dvPairsOf(snap), "UPDATE")
-    val paths = snap.map(_.getString(0))
-    val touched = matchingFiles(spark, table, paths, declared, _.where(predicate))
+    val snap = collected(dmlCandidates(
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+      .select("path", "dv_path").collect().toIndexedSeq)
+    val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
+      _.where(predicate))
     if (touched.isEmpty) return readVersion
     copyOnWrite(spark, table, readVersion, touched, declared,
       // ONE projection: every SET expression and the predicate resolve
@@ -2303,18 +2495,47 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
+    // distributed blast-radius pruning for the upsert: a target file
+    // can hold a matched key only if, for every orderable key column,
+    // its partition value / per-file stats range intersects the
+    // source's [min, max] — one tiny agg over the (usually small)
+    // source scopes the manifest BEFORE anything reaches the driver,
+    // so merging one day's keys into a 10⁷-file table collects that
+    // day's manifest rows, not the table's
+    val prunableKeys = keys.filter { k =>
+      import org.apache.spark.sql.types._
+      srcKeys.schema(k).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             BooleanType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val snapDF0 = snapshotFilesAt(spark, table, readVersion)
+    val snapDF =
+      if (prunableKeys.isEmpty) snapDF0
+      else {
+        val aggs = prunableKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+        val b = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val cond = prunableKeys.zipWithIndex.map { case (k, i) =>
+          // null bound = zero non-null source keys for k: no target row
+          // can match, every file prunes (the merge is pure insert)
+          coalesce(fileRangeCond(k, partitionBy, srcKeys.schema(k).dataType,
+            b.get(2 * i), b.get(2 * i + 1)), lit(false))
+        }.reduce(_ && _)
+        snapDF0.where(cond)
+      }
     // DV tables: MASK the matched target rows and append ALL source
     // rows (matched rows' replacements and unmatched inserts are both
     // just source rows) — upsert without rewriting a single target file
     if (tableConfig(spark, table, readVersion)
         .get("delta.enableDeletionVectors").contains("true"))
       return mergeWithDv(spark, table, source, keys, partitionBy,
-        statsCols, readVersion, declared, align, metaLines, srcKeys)
-    val snap = snapshotFilesAt(spark, table, readVersion)
-      .select("path", "dv_path").collect().toIndexedSeq
-    requireNoDv(dvPairsOf(snap), "MERGE")
-    val paths = snap.map(_.getString(0))
-    val touched = matchingFiles(spark, table, paths, declared,
+        statsCols, readVersion, declared, align, metaLines, srcKeys,
+        collected(snapDF.collect().toIndexedSeq))
+    val snap = collected(snapDF
+      .select("path", "dv_path").collect().toIndexedSeq)
+    val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.join(srcKeys, keys, "left_semi"))
     copyOnWrite(spark, table, readVersion, touched, declared,
       df => if (df.columns.isEmpty) align(source) // schema-less empty table
@@ -2336,8 +2557,8 @@ object MiniDelta {
                           declared: Option[org.apache.spark.sql.types.StructType],
                           align: DataFrame => DataFrame,
                           metaLines: Seq[String],
-                          srcKeys: DataFrame): Long = {
-    val snap = snapshotFilesAt(spark, table, readVersion).collect().toIndexedSeq
+                          srcKeys: DataFrame,
+                          snap: Seq[org.apache.spark.sql.Row]): Long = {
     val matched = withRowIdentity(spark, table, dvPairsOf(snap), declared)
       .join(srcKeys, keys, "left_semi")
       .persist() // mask counts + sidecar write
@@ -2649,36 +2870,47 @@ object MiniDelta {
     require(toVersion >= 0 && toVersion <= readVersion,
       s"RESTORE target version $toVersion outside [0, $readVersion]")
     val now = System.currentTimeMillis()
-    val cur = snapshotFilesAt(spark, table, readVersion).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val tgt = snapshotFilesAt(spark, table, toVersion).collect()
-      .map(r => r.getString(0) -> r).toMap
+    // distributed snapshot diff: only paths whose LIVENESS or deletion
+    // vector differs between the two snapshots reach the driver — the
+    // commit is O(diff) action lines anyway, so the driver never holds
+    // more rows than it is about to write (the full-manifest collect
+    // this replaces held the entire 10⁷-file table twice)
+    val tgtDF = snapshotFilesAt(spark, table, toVersion)
+      .withColumn("__in_tgt", lit(true))
+    val curDF = snapshotFilesAt(spark, table, readVersion)
+      .select(col("path"), lit(true).as("__in_cur"),
+        col("dv_path").as("__c_dv"), col("dv_card").as("__c_card"))
+    val dvDiff = !(col("dv_path") <=> col("__c_dv") &&
+      col("dv_card") <=> col("__c_card"))
+    val diff = collected(tgtDF.join(curDF, Seq("path"), "full_outer")
+      .where(col("__in_tgt").isNull || col("__in_cur").isNull || dvDiff)
+      .collect().toIndexedSeq)
     val f = fs(spark, table)
     def dvOf(r: org.apache.spark.sql.Row): Option[(String, Long)] = {
       val i = r.fieldIndex("dv_path")
       if (r.isNullAt(i)) None
       else Some((r.getString(i), r.getLong(r.fieldIndex("dv_card"))))
     }
+    def in(r: org.apache.spark.sql.Row, side: String) =
+      !r.isNullAt(r.fieldIndex(side))
     // a path present in BOTH snapshots still needs re-adding when its
     // deletion vector differs (a DV delete changes content, not paths);
     // re-adding with the target's dv (or none) overrides on replay
-    val addKeys = (tgt.keySet -- cur.keySet) ++
-      tgt.keySet.intersect(cur.keySet)
-        .filter(p => dvOf(tgt(p)) != dvOf(cur(p)))
+    val addRows = diff.filter(in(_, "__in_tgt"))
+      .sortBy(_.getString(0))
     // vacuumed data files AND vacuumed DV sidecars both make the target
     // state unreconstructable — fail before committing anything
-    val missing = (tgt.keySet -- cur.keySet)
+    val missing = addRows.filterNot(in(_, "__in_cur")).map(_.getString(0))
       .filterNot(p => f.exists(new Path(resolvePath(table, p)))) ++
-      addKeys.flatMap(p => dvOf(tgt(p)).map(_._1))
+      addRows.flatMap(dvOf(_).map(_._1))
         .filterNot(d => dvRefExists(f, table, d))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"RESTORE to $toVersion needs ${missing.size} file(s) that were " +
           s"vacuumed (first: ${missing.head}); restore past the " +
           "retention horizon is unrecoverable")
-    val addLines = addKeys.toSeq.sorted.map { p =>
-      val r = tgt(p)
-      addLine(p, r.getLong(r.fieldIndex("size")),
+    val addLines = addRows.map { r =>
+      addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r),
         modTime = mtOf(r))
     }
@@ -2686,9 +2918,8 @@ object MiniDelta {
     // wins on replay): readCdf then diffs old-mask vs new-mask contents
     // to exactly the changed rows instead of mislabeling every visible
     // row of a bare re-add as an insert
-    val removeLines =
-      ((cur.keySet -- tgt.keySet) ++ addKeys.intersect(cur.keySet))
-        .toSeq.sorted.map(removeLine(_, dataChange = true, now))
+    val removeLines = diff.filter(in(_, "__in_cur")).map(_.getString(0))
+      .sorted.map(removeLine(_, dataChange = true, now))
     val curSchema = latestSchema(spark, table, readVersion)
     val tgtSchema = latestSchema(spark, table, toVersion)
     // RESTORE rolls back table properties (constraints) with the schema
@@ -2697,7 +2928,9 @@ object MiniDelta {
     val metaLines =
       if (tgtSchema.isDefined &&
           (tgtSchema.map(_.json) != curSchema.map(_.json) || tgtCfg != curCfg))
-        Seq(metaDataLine(table, tgtSchema.get, partitionColsOf(tgt.keySet), tgtCfg))
+        Seq(metaDataLine(table, tgtSchema.get,
+          partitionColsOf(tgtDF.select("path").limit(1).collect()
+            .map(_.getString(0))), tgtCfg))
       else Nil
     if (addLines.isEmpty && removeLines.isEmpty && metaLines.isEmpty)
       return readVersion // already at the target state

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to catalyst Expressions.
+    * [[expression]] returns a lazy ColumnNodeExpression wrapper whose
+    * children are ColumnNodes, useless for structural inspection; this
+    * runs the classic converter so And/EqualTo/Literal etc. are real
+    * catalyst nodes (still analysis-unresolved: attributes surface as
+    * UnresolvedAttribute, function calls as UnresolvedFunction). */
+  def catalyst(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

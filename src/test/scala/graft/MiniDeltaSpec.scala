@@ -1077,27 +1077,68 @@ class MiniDeltaSpec extends AnyFunSuite {
       Seq(Map("year" -> "2023"))).count() == 2)
   }
 
-  test("CoW DML refuses when masks exist but DVs are disabled") {
+  test("CoW DML applies deletion vectors in the rewrite (no compact needed)") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3).coalesce(1), t, Seq("year"))
     MiniDelta.setTableProperties(spark, t,
       Map("delta.enableDeletionVectors" -> "true"))
     MiniDelta.delete(spark, t, col("id") === 2, Seq("year")) // masked
+    MiniDelta.update(spark, t, col("id") === 1,
+      Map("payload" -> lit("x")), Seq("year")) // mask + appended image
     MiniDelta.setTableProperties(spark, t,
       Map("delta.enableDeletionVectors" -> "false"))
-    // rewriting a masked file copy-on-write would resurrect the row
-    intercept[UnsupportedOperationException] {
-      MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
-    }
-    intercept[UnsupportedOperationException] {
-      MiniDelta.update(spark, t, col("id") === 1,
-        Map("payload" -> lit("x")), Seq("year"))
-    }
-    // OPTIMIZE materializes the mask; CoW then proceeds
-    MiniDelta.compact(spark, t, Seq("year"))
-    MiniDelta.delete(spark, t, col("id") === 1, Seq("year"))
-    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
-      .select("id").as[Long].collect().toSeq == Seq(3L))
+    // copy-on-write over the DV-bearing snapshot: the rewrite reads
+    // UNDER the masks — the masked ids 1 and 2 must not resurrect, and
+    // no OPTIMIZE is required first (the old behavior refused here)
+    MiniDelta.update(spark, t, col("id") === 3,
+      Map("payload" -> lit("y")), Seq("year"))
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "x"), (3L, "y")), rows)
+    // the rewritten adds materialized their masks: no DV references
+    // survive on the touched files
+    val stillMasked = MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count()
+    assert(stillMasked == 0, s"$stillMasked files still carry masks")
+    // CoW DELETE over a (new) masked file behaves the same way
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 1, Seq("year")) // mask image
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "false"))
+    MiniDelta.delete(spark, t, col("id") === 3, Seq("year"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 0)
+  }
+
+  test("DML manifest discovery prunes by partition values and stats") {
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"),
+      statsCols = Seq("id"))
+    MiniDelta.append(spark, sample("2023", 2), t, Seq("year"),
+      statsCols = Seq("id"))
+    MiniDelta.append(spark, sample("2024", 2), t, Seq("year"),
+      statsCols = Seq("id"))
+    val snap = MiniDelta.snapshotFiles(spark, t)
+    val total = snap.count()
+    val in2023 = MiniDelta.filesForFilters(snap,
+      Seq(Map("year" -> "2023"))).count()
+    assert(in2023 < total)
+    // partition-scoped DELETE: only 2023's manifest rows may reach the
+    // driver — the k-files-not-N guarantee that matters at 10⁷ files
+    val before = MiniDelta.dmlManifestRows.get()
+    MiniDelta.delete(spark, t, col("year") === "2023", Seq("year"))
+    assert(MiniDelta.dmlManifestRows.get() - before == in2023,
+      s"collected ${MiniDelta.dmlManifestRows.get() - before} manifest " +
+        s"rows, expected the $in2023 files of the scoped partition")
+    // stats-scoped UPDATE: id=999 is outside every file's [min,max] —
+    // nothing may be collected OR rewritten
+    val before2 = MiniDelta.dmlManifestRows.get()
+    val v = MiniDelta.latestVersion(spark, t)
+    MiniDelta.update(spark, t, col("id") === 999L,
+      Map("payload" -> lit("never")), Seq("year"))
+    assert(MiniDelta.dmlManifestRows.get() == before2)
+    assert(MiniDelta.latestVersion(spark, t) == v) // no-op, no commit
   }
 
   test("DV keys survive a table root containing '='") {
