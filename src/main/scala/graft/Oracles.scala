@@ -1270,6 +1270,22 @@ SELECT 'v0' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
 FROM lineitem WHERE l_quantity <= 2 AND l_linenumber % 2 = 0
 ORDER BY snap""",
 
+    "sql_create" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_quantity <= 2 AND l_returnflag = 'R') AS n_r
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sql_alter" ->
+      """SELECT l_returnflag,
+  CASE WHEN l_quantity = 1 THEN 'legacy' ELSE 'evolved' END AS src,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "sql_insert" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

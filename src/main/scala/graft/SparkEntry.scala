@@ -1732,6 +1732,69 @@ object SparkEntry {
         FROM graft.sql_tt_trades VERSION AS OF 0
         ORDER BY snap""")
     }),
+    "sql_create" -> ((s, d) => {
+      // SQL DDL round trip: CREATE TABLE (empty v0 with declared schema
+      // + partition layout, alias registered writable) -> INSERT ->
+      // CTAS off the new table -> SELECT. The reference has no DDL
+      // (tables are config-registered, config.rs:7); this is the
+      // minute-one extension surface for a SQL-first user.
+      val dir = "/tmp/graft_sql_create"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.plans.GraftSqlTables.unregister("sql_cr_trades")
+      graft.plans.GraftSqlTables.unregister("sql_cr_r")
+      graft.plans.GraftSqlTables.register("sql_cr_src",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""CREATE TABLE graft.sql_cr_trades
+        (l_orderkey BIGINT, l_linenumber BIGINT, qty BIGINT,
+         l_returnflag STRING)
+        PARTITIONED BY (l_returnflag) LOCATION '$dir/trades'""")
+      s.sql("""
+        INSERT INTO graft.sql_cr_trades
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty, l_returnflag
+        FROM graft.datalake.sql_cr_src
+        WHERE l_quantity <= 2""")
+      s.sql(s"""CREATE TABLE graft.sql_cr_r
+        PARTITIONED BY (l_returnflag) LOCATION '$dir/r'
+        AS SELECT l_orderkey, qty, l_returnflag FROM graft.sql_cr_trades
+        WHERE l_returnflag = 'R'""")
+      s.sql("""
+        SELECT t.l_returnflag, count(*) AS n_rows, sum(t.qty) AS sum_qty,
+               max(r.n_r) AS n_r
+        FROM graft.sql_cr_trades t
+        CROSS JOIN (SELECT count(*) AS n_r FROM graft.sql_cr_r) r
+        GROUP BY t.l_returnflag ORDER BY t.l_returnflag""")
+    }),
+    "sql_alter" -> ((s, d) => {
+      // ALTER TABLE ADD COLUMNS: one metadata commit; pre-evolution
+      // rows read the new column as null, post-evolution inserts carry
+      // it — the null/filled split is the oracle's discriminator.
+      val dir = "/tmp/graft_sql_alter"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.plans.GraftSqlTables.unregister("sql_alt_trades")
+      graft.plans.GraftSqlTables.register("sql_alt_src",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""CREATE TABLE graft.sql_alt_trades
+        (l_orderkey BIGINT, qty BIGINT, l_returnflag STRING)
+        PARTITIONED BY (l_returnflag) LOCATION '$dir/trades'""")
+      s.sql("""
+        INSERT INTO graft.sql_alt_trades
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag
+        FROM graft.datalake.sql_alt_src
+        WHERE l_quantity = 1""")
+      s.sql("ALTER TABLE graft.sql_alt_trades ADD COLUMNS (src STRING)")
+      s.sql("""
+        INSERT INTO graft.sql_alt_trades
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag,
+               'evolved'
+        FROM graft.datalake.sql_alt_src
+        WHERE l_quantity = 2""")
+      s.sql("""
+        SELECT l_returnflag, coalesce(src, 'legacy') AS src,
+               count(*) AS n_rows, sum(qty) AS sum_qty
+        FROM graft.sql_alt_trades
+        GROUP BY l_returnflag, src ORDER BY l_returnflag, src""")
+    }),
     "sql_insert" -> ((s, d) => {
       // INSERT INTO through SQL: first write creates the table
       // (positional), second appends BY NAME with shuffled column order;

@@ -818,7 +818,7 @@ object MiniDelta {
     val schema = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
     val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
-      .select("path").collect().map(_.getString(0)))
+      .select("path").limit(1).collect().map(_.getString(0)))
     // enabling DVs is a PROTOCOL upgrade under real Delta — emit the
     // table-feature protocol action so a real reader of this log sees
     // the same contract a real writer would have recorded. UNIONED onto
@@ -833,6 +833,68 @@ object MiniDelta {
     writeCommit(spark, table, readVersion + 1,
       protoUpgrade ++ Seq(metaDataLine(table, schema, parts, cfg ++ props)),
       "SET TBLPROPERTIES")
+  }
+
+  /** CREATE TABLE: an empty v0 commit declaring the schema, partition
+    * layout, and table properties — the Delta create-then-insert
+    * lifecycle. Refuses a path already holding a log (the table exists)
+    * or raw parquet (a v0 referencing nothing would orphan those rows
+    * for every later log-driven read — the same guard as SQL INSERT). */
+  def createTable(spark: SparkSession, table: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Nil,
+                  properties: Map[String, String] = Map.empty,
+                  readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(!tableExists(spark, table),
+      s"CREATE TABLE: $table already has a _delta_log")
+    val missing = partitionBy.filterNot(p =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val f = fs(spark, table)
+    val it = if (f.exists(new Path(table)))
+      Some(f.listFiles(new Path(table), true)) else None
+    it.foreach { files =>
+      while (files.hasNext)
+        require(!files.next().getPath.getName.endsWith(".parquet"),
+          s"CREATE TABLE at $table refused: the path already holds raw " +
+            "parquet; convertToDelta promotes it without orphaning rows")
+    }
+    writeCommit(spark, table, 0L,
+      Seq(metaDataLine(table, schema, partitionBy, properties)),
+      "CREATE TABLE")
+  }
+
+  /** ALTER TABLE ... ADD COLUMNS: appends nullable columns to the
+    * declared schema in one metadata commit — existing files read the
+    * new columns as null (the engine's standard evolution-read rule),
+    * zero data rewritten. Name collisions (case-insensitive, Spark's
+    * resolution rule) are refused. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: Seq[org.apache.spark.sql.types.StructField],
+                 readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema — nothing to evolve"))
+    requireUnmappedForWrite(Some(declared), table)
+    val clash = cols.map(_.name).filter(n =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"column(s) already exist: ${clash.mkString(", ")}")
+    val dup = cols.groupBy(_.name.toLowerCase).collect {
+      case (_, vs) if vs.size > 1 => vs.head.name }
+    require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
+    val merged = org.apache.spark.sql.types.StructType(
+      declared.fields.toIndexedSeq ++ cols)
+    val parts = partitionColumns(spark, table)
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, merged, parts,
+        tableConfig(spark, table, readVersion))),
+      "ADD COLUMNS")
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT. */

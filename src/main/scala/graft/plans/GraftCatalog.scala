@@ -98,21 +98,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     throw new NoSuchTableException(ident)
 
+  /** The registry truth, NOT the default loadTable probe (loadTable
+    * throws by design, which would make every table "absent" — DROP
+    * would 404 registered aliases and CREATE IF NOT EXISTS would
+    * re-create them). */
+  override def tableExists(ident: Identifier): Boolean =
+    namespaceExists(ident.namespace) &&
+      GraftSqlTables.resolve(Seq("graft", ident.name)).isDefined
+
+  /** Plain `CREATE TABLE graft.<alias> (...) [PARTITIONED BY ...]
+    * [LOCATION '...'] [TBLPROPERTIES (...)]` — the DSv2 exec routes
+    * here. Registers the alias (writable) and commits an empty v0 with
+    * the declared schema via [[GraftDdl.create]]; CTAS takes the
+    * rule-intercepted command path instead (the exec's write half needs
+    * a SupportsWrite table, while the engine's one write path is
+    * MiniDelta.append). LOCATION is the physical root; without it the
+    * catalog's `warehouse` option provides `<warehouse>/<alias>`. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "CREATE TABLE in the graft catalog is not supported: register an " +
-        "alias (GraftSqlTables.register) and INSERT INTO it instead")
+                           properties: util.Map[String, String]): Table = {
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    import scala.jdk.CollectionConverters._
+    val spark = org.apache.spark.sql.SparkSession.active
+    val alias = ident.name.toLowerCase
+    GraftDdl.create(spark, alias, schema,
+      GraftDdl.identityCols(partitions.toIndexedSeq),
+      Option(properties.get(TableCatalog.PROP_LOCATION)),
+      properties.asScala.toMap)
+    GraftStaticTable(alias, schema, partitions)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new NoSuchTableException(ident)
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** Metadata-only drop (external-table posture): unregister the alias
+    * and invalidate its cached snapshots; the physical directory
+    * survives — the reference never deletes a config-registered
+    * table's storage either. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val entry = GraftSqlTables.resolve(Seq("graft", ident.name))
+    entry.foreach(e => graft.io.MiniDelta.invalidateSnapshot(e.path))
+    GraftSqlTables.unregister(ident.name)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME in the graft catalog is not supported")
+}
+
+/** The static Table handed back by [[GraftCatalog.createTable]] —
+  * bookkeeping only. Reads and writes never touch it: resolution routes
+  * through [[GraftSqlRule]] (loadTable throws by design), so no
+  * ScanBuilder/WriteBuilder is ever requested. */
+case class GraftStaticTable(tableName: String, tableSchema: StructType,
+    partitions: Array[Transform]) extends Table {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = partitions
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
 }
 
 /** Table-lifecycle maintenance as SQL stored procedures (Spark 4's

@@ -73,6 +73,13 @@ object GraftSqlTables {
 
   def clear(): Unit = reg.clear()
 
+  /** Remove one alias (SQL DROP TABLE). Metadata-only, external-table
+    * posture: the physical directory is untouched — the reference's
+    * config-registered tables are never deleted by the proxy either.
+    * Returns whether the alias existed. */
+  def unregister(alias: String): Boolean =
+    reg.remove(alias.toLowerCase).isDefined
+
   /** Registered alias names (for [[GraftCatalog.listTables]]). */
   def aliases: Seq[String] = reg.keySet.toSeq.sorted
 
@@ -168,6 +175,41 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
     // top-down: INSERT INTO graft.x must capture the statement BEFORE
     // the bare-relation case rewrites its target child into a scan
     plan.transformDown {
+      // CTAS is intercepted here rather than left to the DSv2 exec:
+      // the exec would demand a SupportsWrite table from the catalog,
+      // while the engine's one write path is MiniDelta.append — the
+      // command creates the table (same helper as the catalog's plain
+      // CREATE TABLE) and appends the query result in run()
+      case ctas: org.apache.spark.sql.catalyst.plans.logical
+          .CreateTableAsSelect if GraftDdl.identOf(ctas.name).isDefined =>
+        val ts = ctas.tableSpec
+        GraftCreateTableCommand(GraftDdl.identOf(ctas.name).get, ctas.query,
+          partCols = GraftDdl.identityCols(ctas.partitioning),
+          location = ts.location, properties = ts.properties,
+          ignoreIfExists = ctas.ignoreIfExists)
+
+      case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        val fields = cols.map { c =>
+          require(c.path.isEmpty,
+            "graft ADD COLUMNS supports top-level columns only " +
+              s"(got nested ${c.name.mkString(".")})")
+          require(c.position.isEmpty,
+            "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
+              "supported")
+          require(c.default.isEmpty,
+            "graft tables have no column defaults")
+          val meta = c.comment.fold(
+            org.apache.spark.sql.types.Metadata.empty)(cm =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", cm).build())
+          org.apache.spark.sql.types.StructField(
+            c.colName, c.dataType, c.nullable, meta)
+        }
+        GraftAddColumnsCommand(e.path, fields, e.readOnly)
+
       case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
           ifPartitionNotExists, byName) if entryOf(rel).isDefined =>
         require(partSpec.isEmpty,
@@ -285,6 +327,13 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
         src
       case Some(st) =>
         val target = st.fieldNames.toSeq
+        // SQL store assignment: the query's output casts to the
+        // declared column types (INSERT ... VALUES types literals as
+        // int/decimal; without the cast the schema-merge gate would
+        // refuse the "retype")
+        def assign(df: DataFrame): DataFrame =
+          df.select(target.map(n => org.apache.spark.sql.functions
+            .col(n).cast(st(n).dataType).as(n)): _*)
         if (byName || userCols.nonEmpty) {
           val names = if (userCols.nonEmpty) userCols else src.columns.toSeq
           require(names.map(_.toLowerCase).sorted ==
@@ -297,14 +346,13 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
               s"${src.columns.length}")
           // bind query output to the named target columns positionally,
           // then reorder to the declared layout
-          src.toDF(names: _*).select(target.map(org.apache.spark.sql
-            .functions.col): _*)
+          assign(src.toDF(names: _*))
         } else {
           require(src.columns.length == target.length,
             s"positional insert needs ${target.length} columns " +
               s"(${target.mkString(",")}), query produces " +
               s"${src.columns.length}")
-          src.toDF(target: _*)
+          assign(src.toDF(target: _*))
         }
     }
     if (overwrite) MiniDelta.overwrite(spark, aligned, table, parts)
@@ -415,6 +463,112 @@ case class GraftUpdateCommand(table: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     MiniDelta.update(spark, table, pred, set,
       MiniDelta.partitionColumns(spark, table))
+    Seq.empty
+  }
+}
+
+/** Shared DDL plumbing for SQL CREATE TABLE (catalog path), CTAS (rule
+  * path), ADD COLUMNS and DROP TABLE. The reference has no DDL at all —
+  * tables are config-registered (/root/reference/src/config.rs:7) — so
+  * this is extension surface, scoped to what a SQL-first user hits in
+  * minute one: create an alias from SQL, evolve its schema, drop it. */
+object GraftDdl {
+  import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, UnresolvedIdentifier}
+  import org.apache.spark.sql.connector.expressions.Transform
+
+  /** CREATE TABLE's name plan → (graft?, alias); None for non-graft
+    * names. Matched both before catalog resolution (UnresolvedIdentifier
+    * with the raw parts) and after (ResolvedIdentifier bound to the
+    * graft catalog), since the rule shares the resolution fixpoint. */
+  def identOf(name: LogicalPlan): Option[String] = name match {
+    case u: UnresolvedIdentifier => aliasOf(u.nameParts)
+    case r: ResolvedIdentifier if r.catalog.name.equalsIgnoreCase("graft") =>
+      aliasOf("graft" +: (r.identifier.namespace.toSeq :+ r.identifier.name))
+    case _ => None
+  }
+
+  private def aliasOf(parts: Seq[String]): Option[String] =
+    parts.map(_.toLowerCase) match {
+      case Seq("graft", t) => Some(t)
+      case Seq("graft", "datalake", t) => Some(t)
+      case _ => None
+    }
+
+  /** Partition transforms → column names; only identity (plain
+    * `PARTITIONED BY (col)`) is expressible in a Hive layout. */
+  def identityCols(transforms: Seq[Transform]): Seq[String] =
+    transforms.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+
+  /** Default location root for SQL-created tables:
+    * `spark.sql.catalog.graft.warehouse` (the catalog's option key). */
+  def warehouse(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.sql.catalog.graft.warehouse")
+
+  /** Create the physical table + register the alias. SQL-created
+    * aliases register WRITABLE — the user who just created a table
+    * expects to insert into it; config-registered aliases keep the
+    * reference's read-only default. */
+  def create(spark: SparkSession, alias: String,
+             schema: org.apache.spark.sql.types.StructType,
+             partCols: Seq[String], location: Option[String],
+             properties: Map[String, String]): String = {
+    val a = alias.toLowerCase
+    if (GraftSqlTables.resolve(Seq("graft", a)).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("graft", a))
+    val path = location
+      .orElse(warehouse(spark).map(w => s"${w.stripSuffix("/")}/$a"))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE TABLE on the graft catalog needs LOCATION '<path>' or " +
+          "the catalog warehouse conf " +
+          "(spark.sql.catalog.graft.warehouse=<root>)"))
+    // only delta.* TBLPROPERTIES are table config; Spark's bookkeeping
+    // properties (provider, owner, ...) stay out of the log
+    MiniDelta.createTable(spark, path, schema, partCols,
+      properties.filter(_._1.startsWith("delta.")))
+    GraftSqlTables.register(a, path, readOnly = false)
+    path
+  }
+}
+
+/** `CREATE TABLE graft.<alias> ... AS SELECT ...` (rule-intercepted):
+  * creates the table from the query's schema, then appends the rows —
+  * one command, the engine's own create + write contract. */
+case class GraftCreateTableCommand(alias: String, query: LogicalPlan,
+    partCols: Seq[String], location: Option[String],
+    properties: Map[String, String], ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (GraftSqlTables.resolve(Seq("graft", alias)).isDefined) {
+      if (ignoreIfExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("graft", alias))
+    }
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
+    val path = GraftDdl.create(spark, alias, src.schema, partCols,
+      location, properties)
+    MiniDelta.append(spark, src, path, partCols)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> ADD COLUMNS (...)` routed through
+  * [[MiniDelta.addColumns]] — one metadata commit, existing files read
+  * the new columns as null. */
+case class GraftAddColumnsCommand(table: String,
+    cols: Seq[org.apache.spark.sql.types.StructField],
+    readOnly: Boolean = true) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    GraftDml.requireTable(spark, table, "ALTER TABLE ADD COLUMNS")
+    MiniDelta.addColumns(spark, table, cols)
     Seq.empty
   }
 }

@@ -41,6 +41,88 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SQL DDL: CREATE TABLE, CTAS, ADD COLUMNS, DROP TABLE") {
+    val root = freshDir()
+    try {
+      // plain CREATE TABLE through the DSv2 catalog path
+      spark.sql(s"""CREATE TABLE graft.spec_ddl
+        (id BIGINT, mic STRING, price DOUBLE)
+        PARTITIONED BY (mic) LOCATION '$root/ddl'
+        TBLPROPERTIES ('delta.appendOnly' = 'false')""")
+      assert(MiniDelta.tableExists(spark, s"$root/ddl"))
+      // SQL-created aliases are writable: create -> insert -> select
+      spark.sql("INSERT INTO graft.spec_ddl VALUES " +
+        "(1, 'XLON', 10.0), (2, 'XPAR', 20.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_ddl")
+        .head().getLong(0) == 2)
+      // the empty v0 declared the partition layout: inserts land Hive-
+      // partitioned and partition pruning applies
+      assert(MiniDelta.partitionColumns(spark, s"$root/ddl") == Seq("mic"))
+      // IF NOT EXISTS over an existing alias is a no-op, bare refuses
+      spark.sql(s"""CREATE TABLE IF NOT EXISTS graft.spec_ddl
+        (x INT) LOCATION '$root/other'""")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.spec_ddl (x INT) " +
+          s"LOCATION '$root/other2'")
+      }
+      // ALTER TABLE ADD COLUMNS: metadata commit, old rows null-fill
+      spark.sql("ALTER TABLE graft.spec_ddl ADD COLUMNS (qty BIGINT)")
+      val got = spark.sql("SELECT id, qty FROM graft.spec_ddl " +
+        "ORDER BY id").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(got.forall(_.isNullAt(1)))
+      spark.sql("INSERT INTO graft.spec_ddl VALUES " +
+        "(3, 'XLON', 30.0, 7)")
+      assert(spark.sql("SELECT qty FROM graft.spec_ddl WHERE id = 3")
+        .head().getLong(0) == 7L)
+      intercept[Exception] { // case-insensitive collision refused
+        spark.sql("ALTER TABLE graft.spec_ddl ADD COLUMNS (MIC STRING)")
+      }
+      // CTAS: schema + rows from the query (reading a graft alias)
+      spark.sql(s"""CREATE TABLE graft.spec_ddl2
+        PARTITIONED BY (mic) LOCATION '$root/ddl2'
+        AS SELECT id, mic FROM graft.spec_ddl WHERE mic = 'XLON'""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_ddl2")
+        .head().getLong(0) == 2)
+      // DROP TABLE: alias gone (404 on next use), storage intact
+      spark.sql("DROP TABLE graft.spec_ddl2")
+      val e = intercept[AnalysisException] {
+        spark.sql("SELECT * FROM graft.spec_ddl2").collect()
+      }
+      assert(e.getCondition == "TABLE_OR_VIEW_NOT_FOUND")
+      assert(MiniDelta.tableExists(spark, s"$root/ddl2")) // storage kept
+      spark.sql("DROP TABLE IF EXISTS graft.never_existed") // no-op
+    } finally GraftSqlTables.clear()
+  }
+
+  test("CREATE TABLE refusal matrix: raw dir, bad partition, no location") {
+    val root = freshDir()
+    try {
+      // a path already holding raw parquet would orphan those rows
+      Seq((1, "a")).toDF("i", "s").write.parquet(s"$root/raw")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.spec_rawc (i INT, s STRING) " +
+          s"LOCATION '$root/raw'")
+      }
+      assert(GraftSqlTables.resolve(Seq("graft", "spec_rawc")).isEmpty)
+      // partition column missing from the schema
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.spec_badp (i INT) " +
+          s"PARTITIONED BY (nope) LOCATION '$root/badp'")
+      }
+      // no LOCATION and no warehouse conf
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.spec_noloc (i INT)")
+      }
+      // with the warehouse conf, the location defaults to <wh>/<alias>
+      spark.conf.set("spark.sql.catalog.graft.warehouse", s"$root/wh")
+      try {
+        spark.sql("CREATE TABLE graft.spec_wh (i INT)")
+        assert(MiniDelta.tableExists(spark, s"$root/wh/spec_wh"))
+      } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    } finally GraftSqlTables.clear()
+  }
+
   test("unknown alias falls through to Spark's TABLE_OR_VIEW_NOT_FOUND") {
     val e = intercept[AnalysisException] {
       spark.sql("SELECT * FROM graft.no_such_alias").collect()
