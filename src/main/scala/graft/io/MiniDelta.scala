@@ -2047,6 +2047,31 @@ object MiniDelta {
       operation)
   }
 
+  private val addSizeRe = "\"size\"\\s*:\\s*([0-9]+)".r
+
+  /** Sum of add-action data bytes in ONE commit's JSON — the budget
+    * unit for the streaming source's `maxBytesPerTrigger`. Driver-side
+    * line scan (commit files are KBs, one action per line; the stats
+    * string is escaped so `"size":` can only be the add's own field,
+    * and `"sizeInBytes"` of a DV descriptor never matches). Commit
+    * files are immutable once named — callers memoize per version. */
+  private[graft] def commitAddBytes(spark: SparkSession, table: String,
+                                    v: Long): Long = {
+    val p = new Path(commitPath(table, v))
+    val f = fs(spark, table)
+    if (!f.exists(p)) return 0L
+    val in = f.open(p)
+    val txt =
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    txt.linesIterator.filter(_.contains("\"add\""))
+      .flatMap(l => addSizeRe.findFirstMatchIn(l).map(_.group(1).toLong))
+      .sum
+  }
+
   /** Diagnostic: manifest rows collected onto the driver by DML
     * blast-radius discovery. Specs assert a partition-scoped DELETE
     * collects the matching partition's files, not the table's — the

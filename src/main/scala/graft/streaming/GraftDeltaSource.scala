@@ -31,6 +31,12 @@ import graft.io.MiniDelta
   *     [[MiniDelta.readAppends]], which REFUSES data-changing removes
   *   - `skipChangeCommits` (default false): append mode only — drop
   *     UPDATE/DELETE/MERGE commits whole instead of refusing
+  *   - `maxVersionsPerTrigger` / `maxBytesPerTrigger`: per-trigger rate
+  *     limits in commit / add-byte units (Delta's maxFilesPerTrigger /
+  *     maxBytesPerTrigger analogs); both are soft maxima that always
+  *     admit at least one commit. `Trigger.AvailableNow` composes: Spark
+  *     wraps V1 sources (AvailableNowSourceWrapper), so a drain runs
+  *     rate-limited batches up to the trigger-time snapshot, then stops
   *
   * Scale: `getOffset` is one driver metadata probe (latest version);
   * `getBatch` plans a bounded window of commits — file reads stay
@@ -105,6 +111,10 @@ class GraftDeltaSource extends StreamSourceProvider with StreamSinkProvider
         .map(_.trim.toInt).map { n =>
           require(n > 0, "maxVersionsPerTrigger must be positive"); n
         },
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+        .map(_.trim.toLong).map { n =>
+          require(n > 0, "maxBytesPerTrigger must be positive (bytes)"); n
+        },
       declared = sourceSchema(sqlContext, schema, providerName,
         parameters)._2)
   }
@@ -145,9 +155,32 @@ private[graft] class GraftDeltaStreamSink(
 private[streaming] class GraftDeltaStreamSource(
     spark: SparkSession, table: String, cdf: Boolean,
     skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int],
-    declared: StructType) extends Source {
+    maxBytesPerTrigger: Option[Long],
+    declared: StructType) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   override def schema: StructType = declared
+
+  // Trigger.AvailableNow: Spark's V1 fallback wrapper snapshots ONE
+  // getOffset as the drain target — which is rate-limited here, so a
+  // paced source would stop after a single batch. Implementing the
+  // interface directly pins the drain target at the TRUE latest
+  // version; getOffset then keeps pacing toward it and the query
+  // self-terminates once offsets stop advancing.
+  @volatile private var availableNowCap: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap =
+      math.max(MiniDelta.currentVersion(spark, table), lastPlanned)
+    ()
+  }
+
+  // per-commit add-byte totals for the byte rate limit; commit files
+  // are immutable once named, so the memo never invalidates
+  private val commitBytes =
+    scala.collection.concurrent.TrieMap.empty[Long, Long]
+  private def bytesOf(v: Long): Long =
+    commitBytes.getOrElseUpdate(v, MiniDelta.commitAddBytes(spark, table, v))
 
   /** Version carried by an engine offset: a live LongOffset in-process,
     * or any checkpoint-recovered offset through its JSON long. */
@@ -163,15 +196,46 @@ private[streaming] class GraftDeltaStreamSource(
   @volatile private var lastPlanned: Long = -1L
 
   override def getOffset: Option[Offset] = {
-    val latest = MiniDelta.currentVersion(spark, table)
-    if (latest < 0) return None
+    val latest0 =
+      math.min(MiniDelta.currentVersion(spark, table), availableNowCap)
+    if (latest0 < 0) return None
     // rate limit (Delta's maxFilesPerTrigger analog, in commit units):
     // each trigger ingests at most n versions past the last batch
-    val capped = maxVersionsPerTrigger
-      .fold(latest)(n => math.min(latest, lastPlanned + n))
-      .max(lastPlanned) // never step backward
-    if (capped < 0) None else Some(LongOffset(capped))
+    val latest = maxVersionsPerTrigger
+      .fold(latest0)(n => math.min(latest0, lastPlanned + n))
+    // byte rate limit (Delta's maxBytesPerTrigger, soft-max semantics):
+    // admit whole commits while their summed add bytes fit the budget,
+    // but ALWAYS at least one — a single commit larger than the budget
+    // must still make progress. Per-commit sums are driver-side KB
+    // scans of the immutable commit JSONs, memoized for the query's
+    // lifetime.
+    val capped = maxBytesPerTrigger match {
+      case None => latest
+      case Some(budget) =>
+        var v = lastPlanned
+        var bytes = 0L
+        var stop = false
+        while (!stop && v < latest) {
+          val next = bytesOf(v + 1)
+          if (v == lastPlanned || bytes + next <= budget) {
+            v += 1; bytes += next
+          } else stop = true
+        }
+        v
+    }
+    val fin = capped.max(lastPlanned) // never step backward
+    if (fin < 0) None else Some(LongOffset(fin))
   }
+
+  /** SupportsAdmissionControl form of [[getOffset]] (the engine prefers
+    * this once the trait is present — same pacing state, same result;
+    * the ReadLimit param is ignored because the limits ride as source
+    * options, like FileStreamSource's own maxFilesPerTrigger). */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // (from, to]: a fresh query (start = None) replays from version 0 —

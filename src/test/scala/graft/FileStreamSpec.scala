@@ -367,4 +367,69 @@ class FileStreamSpec extends AnyFunSuite {
       assert(versionsPerBatch.toSeq == Seq(Set(0L), Set(1L), Set(2L)))
     } finally q.stop()
   }
+
+  test("graft-delta maxBytesPerTrigger paces by commit add-bytes") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("gdbytes").toString + "/t"
+    (0 until 4).foreach { i =>
+      MiniDelta.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    }
+    // budget = one commit's bytes + 1: each trigger admits exactly one
+    // commit (admitting a second would exceed), proving the soft-max
+    // walks commit byte sums, not commit counts
+    val oneCommit = MiniDelta.commitAddBytes(spark, t, 1L)
+    assert(oneCommit > 0)
+    val versionsPerBatch =
+      scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("maxBytesPerTrigger", (oneCommit + 1).toString).load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdbytescp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        versionsPerBatch += b.select("_commit_version")
+          .collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(versionsPerBatch.toSeq ==
+        Seq(Set(0L), Set(1L), Set(2L), Set(3L)), versionsPerBatch.toSeq)
+    } finally q.stop()
+  }
+
+  test("graft-delta drains rate-limited under Trigger.AvailableNow then stops") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("gdavail").toString + "/t"
+    (0 until 3).foreach { i =>
+      MiniDelta.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    }
+    val versionsPerBatch =
+      scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(t)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdavailcp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        versionsPerBatch += b.select("_commit_version")
+          .collect().map(_.getLong(0)).toSet
+        ()
+      }.start()
+    try {
+      // AvailableNow terminates on its own once the snapshot drains —
+      // three paced batches, then the query ends without stop()
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+      assert(versionsPerBatch.toSeq == Seq(Set(0L), Set(1L), Set(2L)),
+        versionsPerBatch.toSeq)
+    } finally if (q.isActive) q.stop()
+  }
 }
