@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{MiniDelta, RoaringDv}
+
+/** Golden-file pins on the WRITE-side wire formats: the exact bytes the
+  * engine lands for commit JSON (v0 protocol+metaData+adds with stats,
+  * property/protocol upgrades, DV remove+re-add descriptors), the
+  * `_last_checkpoint` pointer, the packed roaring deletion-vector
+  * binary, and the raw roaring serialization. Text artifacts compare
+  * byte-for-byte after substituting the DECLARED nondeterminism
+  * (UUIDs, file sizes, wall-clock fields) with placeholders; binary
+  * artifacts compare as exact hex. Any format drift — field order, a
+  * dropped field, escaping, bitmap container layout — fails here
+  * before a foreign reader would ever see it.
+  *
+  * This is the offline substitute for a foreign-engine round trip
+  * (no delta jars/wheels ship in this environment): the goldens were
+  * captured from output the foreign-SHAPED read specs (s27/s28/s30,
+  * RoaringDvSpec's from-spec decode) validate, so they pin the
+  * validated format, and the classic/v2 checkpoint PARQUET artifacts —
+  * not byte-pinnable across writer versions — stay covered by those
+  * read-back specs. Regenerate deliberately with REGEN_GOLDEN=1 after
+  * an intentional format change.
+  */
+class GoldenFormatSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goldenDir = "src/test/resources/golden"
+  private val regen = sys.env.get("REGEN_GOLDEN").contains("1")
+
+  private def normalize(txt: String): String = txt
+    .replaceAll(
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{12}", "<uuid>")
+    .replaceAll("\"pathOrInlineDv\":\"[^\"]+\"",
+      "\"pathOrInlineDv\":\"<z85>\"")
+    .replaceAll("\"(size|sizeInBytes|offset|modificationTime|timestamp|" +
+      "inCommitTimestamp|deletionTimestamp|lastUpdated|createdTime)\"" +
+      ":-?[0-9]+", "\"$1\":<n>")
+
+  private def check(name: String, actual: String): Unit = {
+    val p = Paths.get(goldenDir, name)
+    if (regen) {
+      Files.createDirectories(p.getParent)
+      Files.write(p, actual.getBytes("UTF-8"))
+      info(s"regenerated golden $name")
+    } else {
+      assert(Files.exists(p), s"missing golden $name — run with " +
+        "REGEN_GOLDEN=1 once to capture it")
+      val expected = new String(Files.readAllBytes(p), "UTF-8")
+      assert(actual == expected,
+        s"wire-format drift in $name\n--- actual ---\n$actual")
+    }
+  }
+
+  private def readText(path: String): String =
+    new String(Files.readAllBytes(Paths.get(path)), "UTF-8")
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  test("log artifacts match the golden wire format") {
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden").toString + "/t"
+    try {
+      MiniDelta.append(spark,
+        Seq((1L, "2023", "a"), (2L, "2023", "b"), (3L, "2024", "c"))
+          .toDF("id", "year", "payload").coalesce(1),
+        t, Seq("year"), statsCols = Seq("id"))
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      MiniDelta.delete(spark, t, col("id") === 2L, Seq("year"))
+      MiniDelta.writeCheckpoint(spark, t, 2L)
+
+      check("v0_commit.json",
+        normalize(readText(f"$t/_delta_log/${0L}%020d.json")))
+      check("properties_commit.json",
+        normalize(readText(f"$t/_delta_log/${1L}%020d.json")))
+      check("dv_delete_commit.json",
+        normalize(readText(f"$t/_delta_log/${2L}%020d.json")))
+      check("last_checkpoint.json",
+        normalize(readText(s"$t/_delta_log/_last_checkpoint")))
+
+      // the packed DV binary: fixed masked row set -> exact bytes
+      val bins = Files.list(Paths.get(t)).toArray.map(_.toString)
+        .filter(p => p.contains("deletion_vector_") && p.endsWith(".bin"))
+      assert(bins.length == 1, bins.toSeq)
+      check("dv_packed.bin.hex", hex(Files.readAllBytes(Paths.get(bins.head))))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
+  test("roaring serialization matches the golden bytes") {
+    // spans array-container territory plus a second 64K key bucket —
+    // pins magic, key count, container headers, and value layout
+    check("roaring_encode.hex",
+      hex(RoaringDv.encode(Seq(1L, 5L, 7L, 65536L, 1000000L))))
+  }
+}
