@@ -1660,22 +1660,25 @@ object MiniDelta {
       // the sidecar lands first (a UUID name under _sidecars never
       // collides; a crash here leaves only an orphan the retention
       // cleanup ages out)
+      // one sidecar per maxActionsPerPart chunk — the same multi-part
+      // splitting the classic path has (the spec allows any number of
+      // sidecar files); a 10⁷-action table renders bounded files
+      // instead of one driver-built giant
       val fileLines = addLines ++ removeLines
-      val sidecarRows =
-        if (fileLines.isEmpty) Seq.empty[String]
-        else {
+      val sidecarSchema = org.apache.spark.sql.types.StructType(
+        logSchema.fields.filter(fd =>
+          fd.name == "add" || fd.name == "remove"))
+      val sidecarRows = fileLines.grouped(maxActionsPerPart).zipWithIndex
+        .map { case (chunk, idx) =>
           val sidecarName = java.util.UUID.randomUUID().toString + ".parquet"
           val target = new Path(s"${logDir(table)}/_sidecars/$sidecarName")
           f.mkdirs(target.getParent)
-          renderFile(fileLines, 0, target,
-            org.apache.spark.sql.types.StructType(
-              logSchema.fields.filter(fd =>
-                fd.name == "add" || fd.name == "remove")))
+          renderFile(chunk, idx, target, sidecarSchema)
           val stSc = f.getFileStatus(target)
-          Seq(s"""{"sidecar":{"path":${jstr(sidecarName)},""" +
+          s"""{"sidecar":{"path":${jstr(sidecarName)},""" +
             s""""sizeInBytes":${stSc.getLen},""" +
-            s""""modificationTime":${stSc.getModificationTime}}}""")
-        }
+            s""""modificationTime":${stSc.getModificationTime}}}"""
+        }.toSeq
       val manifestLines = (proto +: metaLines) ++ txnLines ++
         Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
         sidecarRows
@@ -2126,7 +2129,11 @@ object MiniDelta {
     import org.apache.spark.sql.catalyst.expressions._
     val simpleName = "[A-Za-z0-9_]+".r
     def nameOf(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      // single-part only: `t.f` is a NESTED field whose stats/partition
+      // metadata do not exist under "f" — treating it as top-level
+      // would prune on the wrong column's stats
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
       case a: AttributeReference => Some(a.name)
       case _ => None
     } // only plain JSON-path-safe names translate; others stay opaque
@@ -2457,11 +2464,12 @@ object MiniDelta {
         declared.getOrElse(org.apache.spark.sql.types.StructType(Nil))
           .add("__fname", org.apache.spark.sql.types.StringType)
           .add("__ri", org.apache.spark.sql.types.LongType))
+    val cleanDeclared = declared.map(dropFieldIds) // as in readFilesAs
     val groups = files.map(p => (p._1, resolvePath(table, p._1), p._2))
       .groupBy(p => inferenceBase(table, p._2)).toSeq.sortBy(_._1)
     val raw = groups.map { case (bp, fs2) =>
       val reader = spark.read.option("basePath", bp)
-      val df = declared.fold(reader)(reader.schema)
+      val df = cleanDeclared.fold(reader)(reader.schema)
         .parquet(fs2.map(_._2).toIndexedSeq: _*)
       val cols = declared.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)
       val depth = dvKeyDepth(fs2.head._1) // log-recorded path, as above
@@ -3609,27 +3617,82 @@ object MiniDelta {
   private val cmModes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** First (dotted) field path at ANY nesting depth that lacks a
+    * `delta.columnMapping.id` — id mode must refuse it by name: a
+    * nested struct field without an id would silently fall back to
+    * name-vs-physical-name matching and read nulls. */
+  private def missingIdField(
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.view.flatMap { f =>
+        if (!f.metadata.contains(MapIdKey)) Some(f.name)
+        else missingIdField(f.dataType).map(n => s"${f.name}.$n")
+      }.headOption
+      case at: ArrayType => missingIdField(at.elementType)
+        .map(n => s"element.$n")
+      case mt: MapType => missingIdField(mt.keyType).map(n => s"key.$n")
+        .orElse(missingIdField(mt.valueType).map(n => s"value.$n"))
+      case _ => None
+    }
+  }
+
   /** id-mode read posture for `table`: true when the read gate resolved
     * `delta.columnMapping.mode=id`. Throws on a malformed id mapping
-    * (ids missing from the declared schema — name matching could
-    * silently mis-resolve, so refuse by name). The mode is resolved at
-    * the gate's latest-checked version; sound for compliant tables
-    * because id mode can only be set at table CREATION (delta-spark
-    * enforces this), so every historical schema of an id table carries
-    * ids too. Enabling Spark's field-id resolution is session-wide by
-    * necessity (SQLConf, not a per-scan option) — the conf only changes
-    * behavior for read schemas carrying `parquet.field.id`, which
-    * unmapped reads never construct. */
+    * (any TOP-LEVEL OR NESTED field lacking its id — name matching
+    * could silently mis-resolve, so refuse by name). The mode is
+    * resolved at the gate's latest-checked version; sound for compliant
+    * tables because id mode can only be set at table CREATION
+    * (delta-spark enforces this), so every historical schema of an id
+    * table carries ids too. Enabling Spark's field-id resolution is
+    * session-wide by necessity — the SQLConf is re-read by the parquet
+    * format at every execution of the (lazy) scan, so there is no
+    * moment to restore it, and no per-read option exists (the format
+    * overwrites the hadoop conf from SQLConf). The engine's own
+    * unmapped reads are immune regardless: [[dropFieldIds]] strips any
+    * stray `parquet.field.id` metadata from their read schemas. */
   private def idReadMode(spark: SparkSession, table: String,
       declared: Option[org.apache.spark.sql.types.StructType]): Boolean = {
     val im = cmModes.getOrDefault(table, "none") == "id"
     if (im) {
-      if (!declared.exists(_.fields.forall(_.metadata.contains(MapIdKey))))
-        throw new ColumnMappingUnsupportedException(table,
-          "id (metaData schema carries no delta.columnMapping.id)")
+      declared match {
+        case None => throw new ColumnMappingUnsupportedException(table,
+          "id (no declared schema to carry delta.columnMapping.id)")
+        case Some(st) => missingIdField(st).foreach(fieldPath =>
+          throw new ColumnMappingUnsupportedException(table,
+            s"id (field '$fieldPath' carries no delta.columnMapping.id)"))
+      }
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     }
     im
+  }
+
+  /** Strip `parquet.field.id` metadata from every (nested) field: the
+    * engine's unmapped reads must match file columns BY NAME even after
+    * some id-mode read enabled the session-wide field-id resolution —
+    * engine-written parquet carries no footer ids, and a stray id in a
+    * user-declared schema would otherwise fail those scans
+    * (fieldId.read.ignoreMissing defaults to false). */
+  private def dropFieldIds(
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def clean(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val meta =
+          if (!f.metadata.contains(ParquetFieldIdKey)) f.metadata
+          else {
+            val b = new MetadataBuilder().withMetadata(f.metadata)
+            b.remove(ParquetFieldIdKey).build()
+          }
+        StructField(f.name, clean(f.dataType), f.nullable, meta)
+      })
+      case a: ArrayType => a.copy(elementType = clean(a.elementType))
+      case m: MapType => m.copy(keyType = clean(m.keyType),
+        valueType = clean(m.valueType))
+      case other => other
+    }
+    clean(st).asInstanceOf[StructType]
   }
 
   private def physicalNameOf(
@@ -3708,7 +3771,12 @@ object MiniDelta {
       // are a legal physical fallback) — filtering on physicalName only
       // would silently degrade an id-bearing schema to name matching
       val mapped = declared.filter(st => isColumnMapped(st) || idMode)
-      val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
+      // unmapped reads sanitize stray parquet.field.id metadata: with
+      // the session-wide field-id resolution enabled by some id-mode
+      // read, those ids would otherwise be MATCHED against engine-
+      // written files that carry no footer ids — and fail the scan
+      val readSchema = mapped.map(physicalStruct(_, idMode))
+        .orElse(declared.map(dropFieldIds))
       // a snapshot can mix files under the table root with ABSOLUTE
       // (shallow-cloned) paths rooted in the source table — Spark's
       // basePath must prefix every path in a scan, so group by
@@ -3894,7 +3962,8 @@ object MiniDelta {
     // __fname/__ri, untouched by the relabel)
     val idMode = idReadMode(spark, table, declared)
     val mapped = declared.filter(st => isColumnMapped(st) || idMode)
-    val readSchema = mapped.map(physicalStruct(_, idMode)).orElse(declared)
+    val readSchema = mapped.map(physicalStruct(_, idMode))
+      .orElse(declared.map(dropFieldIds)) // same sanitation as readFilesAs
     val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)

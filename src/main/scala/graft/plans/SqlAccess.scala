@@ -61,7 +61,29 @@ object GraftSqlTables {
     * only when explicitly opted in (src/main.rs:941). */
   def register(alias: String, path: String,
                readOnly: Boolean = true): Unit = {
-    reg.put(alias.toLowerCase, Entry(path, readOnly)); ()
+    val key = alias.toLowerCase
+    reg.putIfAbsent(key, Entry(path, readOnly)) match {
+      case None => ()
+      case Some(prev) =>
+        // governance: the registry is JVM-global (any co-resident
+        // session sees it), so a silent overwrite could repoint an
+        // alias or flip a read-only table writable for everyone —
+        // unlike the reference, where read_only is fixed server config
+        // (src/main.rs:941). Repointing and relaxing require an
+        // explicit unregister first; idempotent re-registration and
+        // TIGHTENING to read-only stay frictionless.
+        if (prev.path != path)
+          throw new IllegalStateException(
+            s"alias '$key' is already registered at ${prev.path}; " +
+              s"refusing to repoint it to $path — unregister first")
+        if (!readOnly && prev.readOnly)
+          throw new IllegalStateException(
+            s"alias '$key' is registered read-only; refusing the " +
+              "write-enabling re-registration — unregister first")
+        if (readOnly && !prev.readOnly) {
+          reg.put(key, Entry(path, readOnly)); ()
+        }
+    }
   }
 
   /** Register every alias of a [[graft.catalog.Catalog]]. */
@@ -127,14 +149,31 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** Strip a leading target qualifier from column references so the
     * condition binds against the engine's plain table frame (`t.id` ->
     * `id`). Multi-part names whose head is NOT a known qualifier pass
-    * through untouched — they are struct-field paths. */
-  private def stripQualifiers(e: Expression,
-                              quals: Set[String]): Expression =
+    * through untouched — they are struct-field paths. A head that is
+    * BOTH the qualifier and a declared top-level column (DELETE FROM
+    * graft.t WHERE t.f = 1 where the table also has a struct column
+    * `t`) is ambiguous — stripping would mis-bind relative to Spark's
+    * own precedence, so refuse by name. */
+  private def stripQualifiers(e: Expression, quals: Set[String],
+                              declaredCols: Set[String]): Expression =
     e.transform {
       case u: UnresolvedAttribute if u.nameParts.length > 1 &&
           quals.contains(u.nameParts.head.toLowerCase) =>
+        if (declaredCols.contains(u.nameParts.head.toLowerCase))
+          throw new IllegalArgumentException(
+            s"ambiguous reference ${u.nameParts.mkString(".")}: " +
+              s"'${u.nameParts.head}' names both the DML target and a " +
+              "table column — alias the target differently (DELETE FROM " +
+              "graft.x AS tgt ...)")
         UnresolvedAttribute(u.nameParts.tail)
     }
+
+  /** Declared top-level column names of the target (lowercased) — the
+    * ambiguity set for [[stripQualifiers]]. One metadata-scale schema
+    * resolution per DML statement. */
+  private def declaredColsOf(e: GraftSqlTables.Entry): Set[String] =
+    MiniDelta.latestSchema(spark, e.path)
+      .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
 
   /** The governed read, inlined as an analyzed subtree. */
   private def readPlan(path: String, versionAsOf: Option[Long],
@@ -225,17 +264,19 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
       case DeleteFromTable(rel, condition) if entryOf(rel).isDefined =>
         val e = entryOf(rel).get
         GraftDeleteCommand(e.path,
-          new Unbound(stripQualifiers(condition, qualifiersOf(rel))),
+          new Unbound(stripQualifiers(condition, qualifiersOf(rel),
+            declaredColsOf(e))),
           e.readOnly)
 
       case UpdateTable(rel, assignments, condition)
           if entryOf(rel).isDefined =>
         val e = entryOf(rel).get
         val quals = qualifiersOf(rel)
+        val cols = declaredColsOf(e)
         val stripped = assignments.map(a => Assignment(a.key,
-          stripQualifiers(a.value, quals)))
+          stripQualifiers(a.value, quals, cols)))
         GraftUpdateCommand(e.path, new Unbound(stripped),
-          new Unbound(condition.map(stripQualifiers(_, quals))),
+          new Unbound(condition.map(stripQualifiers(_, quals, cols))),
           e.readOnly)
 
       case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>

@@ -1700,6 +1700,90 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("id mode refuses a NESTED field lacking its column-mapping id") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def m(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    // top-level fields both carry ids; the NESTED payload.name does not
+    // — name matching against physical names could silently read nulls,
+    // so the gate must refuse by the nested field's dotted path
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("col-1", 1)),
+      StructField("payload", StructType(Seq(
+        StructField("name", StringType))),
+        nullable = true, m("col-2", 2))))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"id",""" +
+        """"delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    val ex = intercept[MiniDelta.ColumnMappingUnsupportedException] {
+      MiniDelta.readFiltered(spark, t, Seq.empty).count()
+    }
+    assert(ex.getMessage.contains("payload.name"), ex.getMessage)
+  }
+
+  test("unmapped reads survive stray parquet.field.id metadata") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // files WITHOUT footer ids + an UNMAPPED declared schema that
+    // happens to carry parquet.field.id metadata: once some id-mode
+    // read enabled the session-wide field-id resolution, this scan
+    // would fail (ignoreMissing=false) unless the engine sanitizes its
+    // read schemas
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)
+      .write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = true, fid(7)),
+      StructField("name", StringType, nullable = true, fid(8))))
+    rawCommit(t, 0L, Seq(
+      s"""{"metaData":{"schemaString":${jsonStr(declared.json)},""" +
+        """"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+    val prior = spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+        .orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b")))
+    } finally prior match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.parquet.fieldId.read.enabled", v)
+      case None => spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    }
+  }
+
+  test("v2 checkpoint splits sidecars by maxActionsPerPart") {
+    val t = freshTable()
+    (0 until 3).foreach(i =>
+      MiniDelta.append(spark, sample((2020 + i).toString, 2), t,
+        Seq("year")))
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.checkpointPolicy" -> "v2"))
+    val v = MiniDelta.latestVersion(spark, t)
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty).count()
+    MiniDelta.writeCheckpoint(spark, t, v, maxActionsPerPart = 2)
+    val sidecars = new java.io.File(s"$t/_delta_log/_sidecars")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(sidecars.length >= 2,
+      s"expected chunked sidecars, got ${sidecars.toSeq}")
+    // replay THROUGH the chunked checkpoint stays exact
+    assert(MiniDelta.snapshotFilesAt(spark, t, v).count() ==
+      MiniDelta.snapshotFilesAt(spark, t, v, useCheckpoint = false).count())
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == rows)
+  }
+
   test("writer contract: appendOnly, CDF commits, writer features, generated columns") {
     // delta.appendOnly: data-changing removes refuse, appends and
     // OPTIMIZE (dataChange=false removes) stay legal

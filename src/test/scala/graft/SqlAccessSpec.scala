@@ -123,6 +123,51 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("registry governance: no silent repoint or write-enabling overwrite") {
+    val a = freshDir() + "/a"
+    val b = freshDir() + "/b"
+    try {
+      GraftSqlTables.register("spec_gov", a) // read-only default
+      GraftSqlTables.register("spec_gov", a) // idempotent: fine
+      intercept[IllegalStateException] { // repoint refused
+        GraftSqlTables.register("spec_gov", b)
+      }
+      intercept[IllegalStateException] { // write-enabling refused
+        GraftSqlTables.register("spec_gov", a, readOnly = false)
+      }
+      // explicit unregister re-opens both
+      GraftSqlTables.unregister("spec_gov")
+      GraftSqlTables.register("spec_gov", b, readOnly = false)
+      // tightening to read-only is always allowed
+      GraftSqlTables.register("spec_gov", b)
+      assert(GraftSqlTables.resolve(Seq("graft", "spec_gov"))
+        .exists(_.readOnly))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("DML target qualifier clashing with a struct column refuses by name") {
+    val t = freshDir() + "/trades"
+    // table whose top-level column `t` is a struct: DELETE ... AS t
+    // WHERE t.f would be ambiguous between qualifier-strip and the
+    // struct-field path — must refuse, not guess
+    MiniDelta.append(spark,
+      Seq((1L, (5L, "x")), (2L, (6L, "y")))
+        .toDF("id", "t")
+        .select(col("id"), col("t").cast("struct<f:bigint,s:string>")),
+      t, Seq.empty)
+    GraftSqlTables.register("spec_amb", t, readOnly = false)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        spark.sql("DELETE FROM graft.spec_amb AS t WHERE t.f = 5")
+      }
+      assert(e.getMessage.contains("ambiguous"), e.getMessage)
+      // an unambiguous alias binds the struct path fine
+      spark.sql("DELETE FROM graft.spec_amb AS tgt WHERE tgt.t.f = 5")
+      assert(spark.sql("SELECT id FROM graft.spec_amb").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+    } finally GraftSqlTables.clear()
+  }
+
   test("unknown alias falls through to Spark's TABLE_OR_VIEW_NOT_FOUND") {
     val e = intercept[AnalysisException] {
       spark.sql("SELECT * FROM graft.no_such_alias").collect()
