@@ -1329,6 +1329,41 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2 AND l_returnflag = 'R'
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // SHOW PARTITIONS returns Spark's k=v/k=v wire shape; the oracle
+    // derives the same strings from the source rows the gate appended
+    "sql_show_partitions" ->
+      """SELECT 'l_returnflag=' || l_returnflag ||
+    '/l_linestatus=' || l_linestatus AS "partition"
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1 ORDER BY 1""",
+
+    "sql_tblproperties" ->
+      """SELECT * FROM (VALUES
+  ('delta.appendOnly', 'false', 'all'),
+  ('delta.checkpointInterval', '5', 'all'),
+  ('delta.checkpointInterval', '5', 'keyed'))
+  t("key", "value", via)
+ORDER BY via, "key" """,
+
+    "sql_describe" ->
+      """SELECT * FROM (VALUES
+  ('l_orderkey', 'bigint', CAST(NULL AS VARCHAR)),
+  ('l_linenumber', 'int', NULL),
+  ('l_quantity', 'double', NULL),
+  ('l_extendedprice', 'double', NULL),
+  ('l_returnflag', 'string', NULL),
+  ('# Partition Information', '', ''),
+  ('# col_name', 'data_type', 'comment'),
+  ('l_returnflag', 'string', NULL))
+  t(col_name, data_type, comment)""",
+
+    "s33_detail" ->
+      """SELECT 'graft-delta' AS format, 'l_returnflag' AS part_cols,
+  CAST(2 * count(DISTINCT l_returnflag) AS BIGINT) AS num_files,
+  CAST(count(*) AS BIGINT) AS num_rows,
+  CAST(1 AS INTEGER) AS min_reader, CAST(2 AS INTEGER) AS min_writer
+FROM lineitem WHERE l_quantity <= 2""",
+
     "s27_real_format" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
 WHERE n_regionkey >= 2 ORDER BY n_nationkey""",

@@ -1965,6 +1965,91 @@ object SparkEntry {
         SELECT l_returnflag, count(*) AS n_rows, sum(qty) AS sum_qty
         FROM graft.sql_ovr_trades
         GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+    "sql_show_partitions" -> ((s, d) => {
+      // SHOW PARTITIONS through SQL: the distinct partition tuples of
+      // the snapshot in Spark's `k=v` wire shape, sourced from log
+      // metadata (never a directory walk — at 10^7 files this is a
+      // metadata aggregate)
+      val dir = "/tmp/graft_sql_showpart"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_linestatus"))
+      graft.io.MiniDelta.append(s, src, table,
+        Seq("l_returnflag", "l_linestatus"))
+      graft.plans.GraftSqlTables.register("sql_sp_trades", table)
+      s.sql("SHOW PARTITIONS graft.sql_sp_trades")
+    }),
+    "sql_tblproperties" -> ((s, d) => {
+      // the DDL/introspection property round trip: CREATE TABLE with
+      // TBLPROPERTIES (only delta.* keys are table config; Spark's
+      // bookkeeping keys stay out of the log), read them back via
+      // SHOW TBLPROPERTIES — full listing UNION the single-key lookup
+      val dir = "/tmp/graft_sql_tblprops"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      graft.plans.GraftSqlTables.unregister("sql_tp_trades")
+      s.sql(s"""
+        CREATE TABLE graft.sql_tp_trades (id BIGINT, flag STRING)
+        PARTITIONED BY (flag) LOCATION '$dir/trades'
+        TBLPROPERTIES ('delta.appendOnly' = 'false',
+                       'delta.checkpointInterval' = '5')""")
+      s.sql("""SHOW TBLPROPERTIES graft.sql_tp_trades""")
+        .withColumn("via", lit("all"))
+        .unionAll(
+          s.sql("SHOW TBLPROPERTIES graft.sql_tp_trades " +
+              "('delta.checkpointInterval')")
+            .withColumn("via", lit("keyed")))
+        .orderBy("via", "key")
+    }),
+    "sql_describe" -> ((s, d) => {
+      // DESCRIBE TABLE through SQL on a partitioned governed table:
+      // declared schema (latest metaData action) in Spark's
+      // three-column shape plus the partition-information section
+      val dir = "/tmp/graft_sql_describe"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_desc_trades", table)
+      s.sql("DESCRIBE TABLE graft.datalake.sql_desc_trades")
+    }),
+    "s33_detail" -> ((s, d) => {
+      // DESCRIBE DETAIL (CALL graft.detail): snapshot-level facts from
+      // log metadata only — format, layout, file count (pinned: each
+      // coalesce(1) append lands one file per partition value), LIVE
+      // row count folded from per-file numRecords stats, protocol
+      // floor. sizeInBytes is real but encoding-dependent, so the gate
+      // projects it away.
+      val dir = "/tmp/graft_s33_detail"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0).coalesce(1),
+        table, Seq("l_returnflag"), statsCols = Seq("l_orderkey"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1).coalesce(1),
+        table, Seq("l_returnflag"), statsCols = Seq("l_orderkey"))
+      graft.plans.GraftSqlTables.register("s33_trades", table)
+      s.sql("CALL graft.detail('s33_trades')")
+        .select(col("format"),
+          array_join(col("partitionColumns"), ",").as("part_cols"),
+          col("numFiles").as("num_files"), col("numRows").as("num_rows"),
+          col("minReaderVersion").as("min_reader"),
+          col("minWriterVersion").as("min_writer"))
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

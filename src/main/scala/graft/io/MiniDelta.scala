@@ -3063,6 +3063,87 @@ object MiniDelta {
       .orderBy(col("version").desc)
   }
 
+  /** DESCRIBE DETAIL (Delta's table-introspection verb): one row
+    * describing the current snapshot — format, location, partition
+    * layout, file count and total bytes, row count folded from per-file
+    * `numRecords` stats (null when any live file lacks stats — a
+    * partial sum would read as exact), the table properties, and the
+    * protocol floor with its feature list. Pure log metadata for a
+    * governed table: one cached snapshot replay plus the metadata
+    * sidecars, no data IO — O(snapshot), never O(data), exactly the
+    * introspection cost profile Delta documents. A raw parquet
+    * directory (an alias serving passthrough reads before
+    * convertToDelta) reports format `parquet` with listing-derived
+    * counts and no properties/protocol — an explicit, user-invoked
+    * O(files) listing, not a hot-path one. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("location", StringType, nullable = false),
+      StructField("partitionColumns", ArrayType(StringType), nullable = false),
+      StructField("numFiles", LongType, nullable = false),
+      StructField("sizeInBytes", LongType, nullable = false),
+      StructField("numRows", LongType, nullable = true),
+      StructField("properties", MapType(StringType, StringType),
+        nullable = false),
+      StructField("minReaderVersion", IntegerType, nullable = true),
+      StructField("minWriterVersion", IntegerType, nullable = true),
+      StructField("tableFeatures", ArrayType(StringType), nullable = true)))
+    val row: Row =
+      if (!tableExists(spark, table)) {
+        val files = listDataFiles(spark, table)
+        Row("parquet", table, Seq.empty[String], files.size.toLong,
+          files.map(_._2).sum, null, Map.empty[String, String], null, null,
+          null)
+      } else {
+        val snap = snapshotFilesCached(spark, table)
+        val recs = get_json_object(col("stats"), "$.numRecords")
+          .cast("long")
+        val agg = snap.agg(
+          count(lit(1)).as("nf"),
+          coalesce(sum(col("size")), lit(0L)).as("bytes"),
+          sum(recs).as("rows"),
+          sum(when(recs.isNull, 1L).otherwise(0L)).as("noStats"),
+          coalesce(sum(col("dv_card")), lit(0L)).as("dvDeleted"))
+          .collect().head
+        // numRows is LIVE rows: stats count physical rows per file, DV
+        // cardinality subtracts the soft-deleted ones
+        val rows: Any =
+          if (agg.getLong(3) > 0 && agg.getLong(0) > 0) null
+          else agg.getLong(2) - agg.getLong(4)
+        val proto = resolveProtocol(spark, table, Long.MaxValue,
+          Long.MaxValue).getOrElse(basicProtocol)
+        Row("graft-delta", table, partitionColumns(spark, table),
+          agg.getLong(0), agg.getLong(1), rows,
+          tableConfig(spark, table), proto.minReader, proto.minWriter,
+          (proto.readerFeats ++ proto.writerFeats).distinct.sorted)
+      }
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
+  /** SHOW PARTITIONS: the distinct partition tuples present in the
+    * current snapshot, rendered in Spark's own wire shape — one string
+    * row `k1=v1/k2=v2` in layout order, sorted. Refuses an
+    * unpartitioned table by name (Spark's contract). Pure log metadata:
+    * a distinct over the cached snapshot's `partitionValues`, never a
+    * directory listing — at 10⁷ files this is a metadata-frame
+    * aggregate, not an object-store walk. */
+  def showPartitions(spark: SparkSession, table: String): DataFrame = {
+    require(tableExists(spark, table),
+      s"SHOW PARTITIONS needs a governed table; $table has no _delta_log")
+    val parts = partitionColumns(spark, table)
+    require(parts.nonEmpty,
+      s"SHOW PARTITIONS is not allowed on a table that is not " +
+        s"partitioned: $table")
+    val rendered = concat_ws("/", parts.map(p =>
+      concat(lit(s"$p="), element_at(col("partitionValues"), p))): _*)
+    snapshotFilesCached(spark, table)
+      .select(rendered.as("partition")).distinct().orderBy("partition")
+  }
+
   /** Partition columns implied by a file set's `k=v` path segments, in
     * directory order (all files of a table share one layout). Only the
     * contiguous k=v suffix counts — see [[partitionSegments]]. */

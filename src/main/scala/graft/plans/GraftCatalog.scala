@@ -254,6 +254,29 @@ object GraftProcedures {
           .collect().toSeq.map(r => row(r.getLong(0), str(r.getString(1)),
             r.getLong(2), r.getLong(3)))
     },
+    new P("detail", Seq("table" -> StringType), StructType(Seq(
+      StructField("format", StringType),
+      StructField("location", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("numFiles", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("numRows", LongType),
+      StructField("properties", MapType(StringType, StringType)),
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("tableFeatures", ArrayType(StringType))))) {
+      // DESCRIBE DETAIL as a procedure (Spark's parser has no DESCRIBE
+      // DETAIL verb; Delta adds one via its parser extension — the CALL
+      // surface is the engine's equivalent, like Iceberg's)
+      override protected def execute(spark: SparkSession,
+          args: InternalRow): Seq[InternalRow] = {
+        val df = MiniDelta.detail(spark,
+          pathOf(args.getUTF8String(0).toString, write = false))
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(df.schema)
+        df.collect().toSeq.map(conv(_).asInstanceOf[InternalRow])
+      }
+    },
     new P("vacuum", Seq("table" -> StringType, "retain_ms" -> LongType),
       StructType(Seq(StructField("n_deleted", LongType)))) {
       override protected def execute(spark: SparkSession,

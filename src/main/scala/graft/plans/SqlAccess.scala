@@ -320,9 +320,52 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             readPlan(path, None, Some(micros.asInstanceOf[Long] / 1000L))
         }
 
+      // --- introspection: SHOW PARTITIONS / SHOW TBLPROPERTIES /
+      // DESCRIBE TABLE on graft aliases route to the engine's
+      // metadata-only readers (the catalog's loadTable throws by
+      // design, so Spark's own execs can never serve these)
+      case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+        graftTableIdent(sp.table) match {
+          case Some(e) =>
+            require(sp.pattern.isEmpty,
+              "SHOW PARTITIONS ... PARTITION(spec) is not supported on " +
+                "graft tables — filter the full listing instead")
+            GraftShowPartitionsCommand(e.path)
+          case None => sp
+        }
+
+      case stp: org.apache.spark.sql.catalyst.plans.logical
+          .ShowTableProperties =>
+        graftTableIdent(stp.table) match {
+          case Some(e) =>
+            GraftShowTablePropertiesCommand(e.path, stp.propertyKey)
+          case None => stp
+        }
+
+      case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
+        graftTableIdent(d.relation) match {
+          case Some(e) =>
+            require(d.partitionSpec.isEmpty,
+              "DESCRIBE ... PARTITION is not supported on graft tables")
+            GraftDescribeTableCommand(e.path, e.readOnly, d.isExtended)
+          case None => d
+        }
+
       case u: UnresolvedRelation if entryOf(u).isDefined =>
         readPlan(entryOf(u).get.path, None, None)
     }
+
+  /** The graft alias under an introspection command's target plan —
+    * `UnresolvedTable` (SHOW verbs) or `UnresolvedTableOrView`
+    * (DESCRIBE) carrying a graft-namespace identifier. */
+  private def graftTableIdent(plan: LogicalPlan)
+      : Option[GraftSqlTables.Entry] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      GraftSqlTables.resolve(t.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      GraftSqlTables.resolve(t.multipartIdentifier)
+    case _ => None
+  }
 }
 
 /** `INSERT INTO | OVERWRITE graft.<alias>` as an eagerly-executed
@@ -647,5 +690,84 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
     MiniDelta.merge(spark, table, src, keys,
       MiniDelta.partitionColumns(spark, table))
     Seq.empty
+  }
+}
+
+/** `SHOW PARTITIONS graft.<alias>` routed through
+  * [[MiniDelta.showPartitions]] — Spark's wire shape (one `k=v/k=v`
+  * string row, sorted), sourced from log metadata, never a directory
+  * walk. The driver collect is partition-tuple-scale (thousands), not
+  * file-scale. */
+case class GraftShowPartitionsCommand(table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    MiniDelta.showPartitions(spark, table).collect().toSeq
+}
+
+/** `SHOW TBLPROPERTIES graft.<alias> [('key')]` — the table's
+  * configuration (the `delta.*` properties the log carries), sorted;
+  * with an explicit key, just that row (absent key -> zero rows, the
+  * DSv2 exec's contract). Raw parquet aliases report no properties. */
+case class GraftShowTablePropertiesCommand(table: String,
+    propertyKey: Option[String]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = MiniDelta.tableConfig(spark, table)
+    propertyKey match {
+      case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** `DESCRIBE [EXTENDED] graft.<alias>` — the declared schema (latest
+  * metaData action; parquet footer schema for a raw-parquet alias) in
+  * Spark's three-column DESCRIBE shape, a `# Partition Information`
+  * section when partitioned, and under EXTENDED the engine's detail
+  * block (location, format, posture). Metadata only. */
+case class GraftDescribeTableCommand(table: String, readOnly: Boolean,
+    isExtended: Boolean) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val governed = MiniDelta.tableExists(spark, table)
+    val schema = MiniDelta.latestSchema(spark, table)
+      .getOrElse(spark.read.parquet(table).schema)
+    def commentOf(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("comment")) f.metadata.getString("comment")
+      else null
+    val cols = schema.map(f =>
+      Row(f.name, f.dataType.simpleString, commentOf(f)))
+    val parts = MiniDelta.partitionColumns(spark, table)
+    val partSection =
+      if (parts.isEmpty) Seq.empty
+      else Row("# Partition Information", "", "") +:
+        Row("# col_name", "data_type", "comment") +:
+        parts.map { p =>
+          val f = schema.find(_.name.equalsIgnoreCase(p))
+          Row(p, f.map(_.dataType.simpleString).getOrElse("string"),
+            f.map(commentOf).orNull)
+        }
+    val extSection =
+      if (!isExtended) Seq.empty
+      else Seq(
+        Row("", "", ""),
+        Row("# Detailed Table Information", "", ""),
+        Row("Location", table, ""),
+        Row("Provider", if (governed) "graft-delta" else "parquet", ""),
+        Row("Read Only", readOnly.toString, ""))
+    cols ++ partSection ++ extSection
   }
 }

@@ -467,6 +467,111 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SHOW PARTITIONS: k=v wire shape from log metadata; refusals") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_showpart", t)
+    try {
+      val parts = spark.sql("SHOW PARTITIONS graft.spec_showpart")
+        .collect().map(_.getString(0)).toSeq
+      assert(parts == Seq("mic=XLON", "mic=XPAR"))
+      // unpartitioned table refuses by name, like Spark's own exec
+      val u = freshDir() + "/flat"
+      MiniDelta.append(spark, Seq((1L, 2.0)).toDF("id", "v"), u, Seq.empty)
+      GraftSqlTables.register("spec_showpart_flat", u)
+      val e = intercept[Exception](
+        spark.sql("SHOW PARTITIONS graft.spec_showpart_flat").collect())
+      assert(e.getMessage.contains("not partitioned"))
+      // PARTITION(spec) filter refuses by name (full listing + WHERE
+      // is the supported shape)
+      val e2 = intercept[Exception](
+        spark.sql(
+          "SHOW PARTITIONS graft.spec_showpart PARTITION (mic='XLON')")
+          .collect())
+      assert(e2.getMessage.contains("not supported"))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("SHOW TBLPROPERTIES: full listing, keyed lookup, absent key") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.appendOnly" -> "false", "delta.checkpointInterval" -> "7"))
+    GraftSqlTables.register("spec_props", t)
+    try {
+      val all = spark.sql("SHOW TBLPROPERTIES graft.spec_props")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(all("delta.appendOnly") == "false")
+      assert(all("delta.checkpointInterval") == "7")
+      val keyed = spark.sql(
+        "SHOW TBLPROPERTIES graft.spec_props ('delta.checkpointInterval')")
+        .collect()
+      assert(keyed.length == 1 && keyed.head.getString(1) == "7")
+      assert(spark.sql(
+        "SHOW TBLPROPERTIES graft.spec_props ('delta.nope')").isEmpty)
+    } finally GraftSqlTables.clear()
+  }
+
+  test("DESCRIBE TABLE: declared schema + partition section + EXTENDED") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_desc", t)
+    try {
+      val rows = spark.sql("DESCRIBE TABLE graft.spec_desc")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.take(3).toSeq ==
+        Seq(("id", "bigint"), ("mic", "string"), ("price", "double")))
+      assert(rows.contains(("# Partition Information", "")))
+      assert(rows.count(_._1 == "mic") == 2) // schema row + partition row
+      val ext = spark.sql("DESCRIBE EXTENDED graft.datalake.spec_desc")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(ext("Provider") == "graft-delta")
+      assert(ext("Location") == t)
+      assert(ext("Read Only") == "true")
+    } finally GraftSqlTables.clear()
+  }
+
+  test("CALL graft.detail: snapshot facts from log metadata") {
+    val t = freshDir() + "/trades"
+    MiniDelta.append(spark,
+      Seq((1L, "XLON", 10.0), (2L, "XPAR", 20.0), (3L, "XLON", 30.0))
+        .toDF("id", "mic", "price").coalesce(1),
+      t, Seq("mic"), statsCols = Seq("id"))
+    GraftSqlTables.register("spec_detail", t)
+    try {
+      val r = spark.sql("CALL graft.detail('spec_detail')").head()
+      assert(r.getAs[String]("format") == "graft-delta")
+      assert(r.getAs[scala.collection.Seq[String]]("partitionColumns")
+        .toSeq == Seq("mic"))
+      assert(r.getAs[Long]("numFiles") == 2)
+      assert(r.getAs[Long]("numRows") == 3)
+      assert(r.getAs[Long]("sizeInBytes") > 0)
+      assert(r.getAs[Int]("minReaderVersion") == 1)
+      // numRows is LIVE rows: a DV delete subtracts its cardinality
+      // without rewriting files; a stats-less append nulls it (a
+      // partial sum would read as exact)
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      MiniDelta.delete(spark, t, col("id") === 1L, Seq("mic"))
+      MiniDelta.invalidateSnapshot(t)
+      val r2 = spark.sql("CALL graft.detail('spec_detail')").head()
+      assert(r2.getAs[Long]("numRows") == 2)
+      MiniDelta.append(spark, Seq((9L, "XAMS", 1.0)).toDF("id", "mic",
+        "price"), t, Seq("mic")) // no statsCols
+      MiniDelta.invalidateSnapshot(t)
+      val r3 = spark.sql("CALL graft.detail('spec_detail')").head()
+      assert(r3.isNullAt(r3.fieldIndex("numRows")))
+      // raw parquet alias: format parquet, listing-derived counts
+      val raw = freshDir() + "/raw"
+      Seq((1, 2)).toDF("a", "b").write.parquet(raw)
+      GraftSqlTables.register("spec_detail_raw", raw)
+      val rr = spark.sql("CALL graft.detail('spec_detail_raw')").head()
+      assert(rr.getAs[String]("format") == "parquet")
+      assert(rr.getAs[Long]("numFiles") > 0)
+      assert(rr.isNullAt(rr.fieldIndex("minReaderVersion")))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
