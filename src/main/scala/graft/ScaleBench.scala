@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve harness: measure how the expensive analytical gates
+  * scale from the driver's sf0.1 fixtures to a synthetic ~sf1
+  * (10× documents/embeddings) — the cheapest way to catch a
+  * super-linear operator before a 100× cluster run does.
+  *
+  * The driver ships no sf1 fixtures, so `gen` derives one from sf0.1 by
+  * deterministic replication-with-decorrelation:
+  *  - `documents`: 10 copies, doc_id offset by a fixed stride; copies
+  *    i>0 rotate the vowels of every word (translate), which destroys
+  *    shingle/minhash/simhash overlap across copies. That keeps the
+  *    corpus's DUPLICATE-CLUSTER structure scale-invariant (10× more
+  *    clusters of the same size) — the same shape a real 10× crawl
+  *    would have — instead of manufacturing artificial 10-cliques that
+  *    would quadratically inflate every near-dup gate.
+  *  - `embeddings`: 10 copies, vec_id offset; copies i>0 sign-flip a
+  *    copy-dependent third of the coordinates — norms (and int8
+  *    quantization grids) are preserved, cosine neighborhoods across
+  *    copies are decorrelated.
+  *  - the remaining tables copy through unchanged (the scale set reads
+  *    only documents/embeddings; the others exist so Tables.load binds).
+  *
+  * `run` times the scale set at any fixture dir with Bench's estimator
+  * (best-of-N wall time, warm caches) and prints one JSON line per dir;
+  * the sf0.1 vs sf1 ratio lands in BASELINE.md as the scaling factor.
+  * Anything scaling clearly worse than ~linear-with-log factors gets a
+  * named plan fix (VERDICT r8 #7).
+  *
+  * Usage:
+  *   runMain graft.ScaleBench gen /root/testdata/sf0.1 /tmp/graft_sf1 10
+  *   runMain graft.ScaleBench run /tmp/graft_sf1 [runs] [q1,q2,...]
+  */
+object ScaleBench {
+
+  /** The gates worth a curve: every one the r8 VERDICT named plus the
+    * rest of the sim_* family that claims a sub-quadratic scale path.
+    * sim_topk_cosine (documented brute-force small-scale baseline) is
+    * deliberately NOT here — it is quadratic by contract. */
+  val scaleSet: Seq[String] = Seq(
+    "d2_minhash_lsh", "d4_ngram_jaccard", "d7_neardup_clusters",
+    "d9_decontaminate", "d10_semdedup", "d11_bloom_decontaminate",
+    "t10_edit_distance", "t13_dup_spans", "pipe9_scrub_select_pack",
+    "sim_funnel_topk", "sim_quantized_topk", "sim_ivf_topk")
+
+  private val stride = 10L * 1000 * 1000
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toSeq match {
+      case Seq("gen", src, out) => gen(spark, src, out, 10)
+      case Seq("gen", src, out, f) => gen(spark, src, out, f.toInt)
+      case Seq("run", dir) => run(spark, dir, 3, scaleSet)
+      case Seq("run", dir, runs) => run(spark, dir, runs.toInt, scaleSet)
+      case Seq("run", dir, runs, qs) =>
+        run(spark, dir, runs.toInt, qs.split(",").map(_.trim).toSeq)
+      case other => sys.error(
+        s"usage: gen <srcSfDir> <outDir> [factor] | run <sfDir> [runs] " +
+          s"[q1,q2,...]; got $other")
+    }
+    spark.stop()
+  }
+
+  /** Per-copy letter substitution: vowels rotated by i%5 composed with
+    * ten frequent consonants rotated by i/5 — 50 DISTINCT transforms.
+    * Distinctness matters: an earlier vowel-only rotation had 5 images,
+    * so copies i and i+5 were exact duplicates of each other — the
+    * synthetic corpus grew dup-cliques with the factor and every
+    * near-dup gate read quadratic when the operator was linear. Length
+    * is preserved (translate is 1:1), so per-doc cost stays comparable
+    * to the source corpus. */
+  private def rot(s: String, k: Int): String = {
+    val j = k % s.length
+    s.substring(j) + s.substring(0, j)
+  }
+  private val vowels = "aeiou"
+  private val consonants = "tnsrhldcmf"
+
+  def gen(spark: SparkSession, src: String, out: String,
+          factor: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docCopies = (0 until factor).map { i =>
+      require(factor <= 50, "only 50 distinct text transforms available")
+      val text =
+        if (i == 0) col("text")
+        else translate(translate(col("text"), vowels, rot(vowels, i % 5)),
+          consonants, rot(consonants, i / 5))
+      docs.select((col("doc_id") + lit(i * stride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$src/embeddings.parquet")
+    // per-copy coordinate ROTATION: rot_i(v) preserves the norm (and
+    // the int8 quantization grid) while decorrelating cosine
+    // neighborhoods, and rotations by distinct i<dim are distinct —
+    // a sign-flip mask with a short period would make copies i and
+    // i+period exact duplicates and inflate every near-dup cell
+    val embCopies = (0 until factor).map { i =>
+      val vec =
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, 64 - i),
+          slice(col("embedding"), 1, i))
+      embs.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+        vec.cast("array<float>").as("embedding"), col("label"))
+    }
+    embCopies.reduce(_.unionAll(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // pass the small tables through so Tables.load resolves every name
+    Tables.names.filterNot(n => n == "documents" || n == "embeddings")
+      .foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$src/$n.parquet"), fs,
+          new org.apache.hadoop.fs.Path(s"$out/$n.parquet"),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    println(s"SCALEGEN done: $out factor=$factor docs=" +
+      spark.read.parquet(s"$out/documents.parquet").count() +
+      " embs=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+  }
+
+  def run(spark: SparkSession, sfDir: String, runs: Int,
+          queries: Seq[String]): Unit = {
+    // same warm-cache posture as Bench
+    graft.catalog.GraftConfig(
+      snapshotCache = graft.catalog.CacheConfig(20, 3600000L),
+      fileListCache = graft.catalog.CacheConfig(100, 3600000L),
+      authCache = graft.catalog.CacheConfig(100, 3600000L)).applyCaches()
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    val results = queries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val best = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[scalebench] $name failed: $e"); -1L }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
+      }
+    }
+    def fmt(v: Double) = f"$v%.3f"
+    println("SCALEBENCH " + results
+      .map { case (k, v) => s"\"$k\":${fmt(v)}" }
+      .mkString("{", ",", s"""},"sf":"$sfDir","runs":$runs"""))
+  }
+}

@@ -228,7 +228,7 @@ object Dedup {
     lshCandidates(minhashSignaturesNarrow(docs, k, stride, numHashes),
       numHashes, bands, maxBucket).orderBy("doc_a", "doc_b")
 
-  /** Prefix-filtered exact n-gram Jaccard (AllPairs-style candidate
+  /** Prefix-filtered exact n-gram Jaccard (PPJoin-style candidate
     * generation) — identical output to [[ngramJaccard]], different
     * candidate structure for the huge-block regime.
     *
@@ -237,20 +237,33 @@ object Dedup {
     * universe the smallest common element of a qualifying pair must lie
     * within the first |x| - ceil(t*|x|) + 1 elements of EACH side.
     * Candidates are therefore generated by joining only those prefixes
-    * on (block, code) instead of pairing whole blocks: cost follows
-    * shared-rare-prefix frequency, not (block size)^2, which is what
-    * survives when a block holds 10^6+ documents at 100 TB. (The code
-    * arrays are value-sorted already, so the value order IS the global
-    * order and the prefix is a `slice` — a document-frequency order
-    * would sharpen selectivity further at the price of a frequency
-    * join; verification makes either choice exact.)
+    * on (block, code) instead of pairing whole blocks.
     *
-    * Verification re-joins the full sorted arrays and applies the same
-    * sorted-merge intersect count as [[ngramJaccard]], so results match
-    * bit for bit. On this fixture corpus (word-salad text, blocks of
-    * ~100 docs sharing most common trigrams) the blocked all-pairs form
-    * is the faster one — the crossover favors prefixes as blocks grow
-    * and docs diversify. */
+    * Two refinements make the prefix join follow rare-code frequency
+    * instead of (block size)^2 — both from the AllPairs/PPJoin line
+    * (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    *
+    *  - DOCUMENT-FREQUENCY order. The total order is ascending
+    *    per-block (df, code), so prefixes hold each doc's RAREST codes
+    *    and the boilerplate shingles every doc shares sit in suffixes,
+    *    never generating candidates. Under the value order this same
+    *    corpus measured the prefix path SLOWER than blocked all-pairs
+    *    at 3k-doc blocks (197 s vs 129 s at 30x scale); the df order is
+    *    what makes the huge-block regime actually sub-quadratic. The
+    *    price is one map-side-combinable df groupBy and a per-doc
+    *    window rank (partitioned by doc_id — distributed, no hot key).
+    *
+    *  - POSITIONAL filter. For a match at 1-based ranks (px, py) of the
+    *    df order, overlap <= matched-so-far + min(|x|-px, |y|-py); for
+    *    the FIRST common element matched-so-far = 1, and a qualifying
+    *    pair (3*inter >= |x|+|y| at t = 0.5) always passes
+    *    3*(1 + min(|x|-px, |y|-py)) >= |x|+|y| there — so keeping pairs
+    *    where ANY match passes is a superset of qualifiers (integer
+    *    arithmetic, no FP in the cut).
+    *
+    * Verification re-joins the full value-sorted arrays and applies the
+    * same sorted-merge intersect count as [[ngramJaccard]], so results
+    * match bit for bit regardless of candidate order or filter. */
   def ngramJaccardPrefix(docs: DataFrame, n: Int = 3): DataFrame = {
     require(n <= 3, "prefix variant uses packed codes (n <= 3)")
     val perDoc = docs
@@ -258,18 +271,26 @@ object Dedup {
         org.apache.spark.sql.graft.NgramCodes(col("text"), n).as("sharr"))
       .withColumn("n_sh", size(col("sharr")).cast("long"))
       .repartition(col("lang"), col("source"))
+    val ex = perDoc.select(col("doc_id"), col("lang"), col("source"),
+      col("n_sh"), explode(col("sharr")).as("code"))
+    val dfreq = ex.groupBy("lang", "source", "code")
+      .agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "code")
     // t = 0.5: prefix length |x| - ceil(|x|/2) + 1 = floor(|x|/2) + 1
-    val pre = perDoc.select(col("doc_id"), col("lang"), col("source"),
-      col("n_sh"),
-      explode(slice(col("sharr"), lit(1),
-        (col("n_sh") / lit(2) + lit(1)).cast("int"))).as("code"))
+    val pre = ex.join(dfreq, Seq("lang", "source", "code"))
+      .withColumn("pos", row_number().over(byRarity))
+      .where(col("pos") <= (col("n_sh") / lit(2) + lit(1)).cast("int"))
     val cand = pre.as("x").join(pre.as("y"),
         col("x.lang") === col("y.lang") &&
         col("x.source") === col("y.source") &&
         col("x.code") === col("y.code") &&
         col("x.doc_id") < col("y.doc_id") &&
         col("x.n_sh") <= col("y.n_sh") * 2 &&
-        col("y.n_sh") <= col("x.n_sh") * 2)
+        col("y.n_sh") <= col("x.n_sh") * 2 &&
+        (lit(1L) + least(col("x.n_sh") - col("x.pos"),
+          col("y.n_sh") - col("y.pos"))) * lit(3L) >=
+          col("x.n_sh") + col("y.n_sh"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val arrays = perDoc.select(col("doc_id"), col("sharr"), col("n_sh"))
@@ -510,10 +531,18 @@ object Dedup {
     * (block size)^2 pair space, exactly the degenerate-block discipline
     * of LSH `maxBucket` / SemDeDup `maxCell`.
     *
+    * The default crossover is MEASURED (r9 scale curve, 32 cores): on
+    * the 10x/30x synthetic corpora the df-ordered prefix path breaks
+    * even at ~1k-doc blocks (11.1 s vs 13.7 s for a corpus of 240–1120-
+    * doc blocks) and dominates from there (23.0 s vs 107.9 s at
+    * 720–3360-doc blocks — all-pairs grew 7.9x for 3x data, prefix
+    * 2.1x); at ~100-doc blocks all-pairs wins on candidate-generation
+    * overhead alone. 500 sits inside the flat part of the crossover.
+    *
     * The block census is one map-side-combinable groupBy over
     * (lang, source) — block cardinality rows, broadcast back. */
   def ngramJaccardAuto(docs: DataFrame, n: Int = 3,
-                       maxBlockDocs: Long = 100000L): DataFrame = {
+                       maxBlockDocs: Long = 500L): DataFrame = {
     require(n <= 3, "prefix variant uses packed codes (n <= 3)")
     // the census is block-cardinality rows — collect it and short-
     // circuit when every block falls on one side, so the common case
