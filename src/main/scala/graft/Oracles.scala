@@ -1357,6 +1357,30 @@ ORDER BY via, "key" """,
   ('l_returnflag', 'string', NULL))
   t(col_name, data_type, comment)""",
 
+    // mirrors s20's reconstruction rule: only rows the UPDATE changed
+    // appear as pre/postimages (price already 0 cancels in the diff);
+    // commit_version is deterministic (v1 update, v2 delete) and every
+    // change row carries a commit timestamp (n_ts == n_rows)
+    "sql_table_changes" ->
+      """WITH src AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity <= 2),
+upd AS (SELECT * FROM src WHERE l_quantity = 1 AND l_extendedprice <> 0),
+del AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 0)
+SELECT * FROM (
+  SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         sum(round(l_extendedprice*100))/100.0 AS sum_price,
+         CAST(count(*) AS BIGINT) AS n_ts FROM del
+  UNION ALL
+  SELECT 'update_postimage', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         0.0, CAST(count(*) AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'update_preimage', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(count(*) AS BIGINT) FROM upd
+) ORDER BY change_type, commit_version""",
+
     "s33_detail" ->
       """SELECT 'graft-delta' AS format, 'l_returnflag' AS part_cols,
   CAST(2 * count(DISTINCT l_returnflag) AS BIGINT) AS num_files,

@@ -2050,6 +2050,38 @@ object SparkEntry {
           col("numFiles").as("num_files"), col("numRows").as("num_rows"),
           col("minReaderVersion").as("min_reader"),
           col("minWriterVersion").as("min_writer"))
+    }),
+    "sql_table_changes" -> ((s, d) => {
+      // table_changes through SQL (Delta's CDF TVF): append (v0),
+      // UPDATE (v1), DELETE (v2), then read the feed since v0 from
+      // plain spark.sql. The engine reconstructs row-level changes from
+      // the commits' file actions, so only rows the UPDATE actually
+      // changed appear as pre/postimages; _commit_version pins each
+      // change to its commit and _commit_timestamp (wall-clock,
+      // non-oracle-stable) is checked by count only.
+      val dir = "/tmp/graft_sql_tc"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.update(s, table, col("l_quantity") === 1,
+        Map("l_extendedprice" -> lit(0.0)), Seq("l_returnflag"))
+      graft.io.MiniDelta.delete(s, table,
+        col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 0,
+        Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_tc_trades", table)
+      s.sql("""
+        SELECT _change_type AS change_type,
+               _commit_version AS commit_version,
+               count(*) AS n_rows,
+               sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               count(_commit_timestamp) AS n_ts
+        FROM table_changes('sql_tc_trades', 1)
+        GROUP BY 1, 2 ORDER BY 1, 2""")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2002,6 +2002,24 @@ object MiniDelta {
     readFiltered(spark, table, filters,
       versionAsOf = Some(versionAtTimestamp(spark, table, tsMs)))
 
+  /** Commit timestamps (ms) of the versions in `[fromV, toV]`, from
+    * commitInfo — inCommitTimestamp preferred, like
+    * [[versionAtTimestamp]]. Versions without a timestamped commitInfo
+    * are absent from the map. O(window) driver-side log reads,
+    * metadata-scale (the `table_changes` SQL surface joins this against
+    * the change feed). */
+  def commitTimestamps(spark: SparkSession, table: String, fromV: Long,
+                       toV: Long): Map[Long, Long] = {
+    val files = logJsonVersions(spark, table, fromV, toV).map(_._2)
+    if (files.isEmpty) return Map.empty
+    val ts = coalesce(col("commitInfo.inCommitTimestamp"),
+      col("commitInfo.timestamp"))
+    logDFIn(spark, files)
+      .where(col("commitInfo").isNotNull && ts.isNotNull)
+      .select(col("version"), ts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
   /** Rewrite `touched` files as `rewrite(their contents)` and commit
     * removes for the old files + adds for the new ones — the shared
     * copy-on-write tail of DELETE/UPDATE/MERGE. Files outside `touched`

@@ -222,5 +222,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("org.apache.spark.sql.graft", name), builder))
     }
+    // table_changes as a real TVF (delta-spark's mechanism): Spark's
+    // own ResolveTableValuedFunctions serves it, so there is no
+    // rule-ordering race and unknown-function errors stay loud
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.plans.GraftTableChanges", "table_changes"),
+      args => GraftTableChanges.build(
+        org.apache.spark.sql.SparkSession.active, args)))
   }
 }

@@ -771,3 +771,84 @@ case class GraftDescribeTableCommand(table: String, readOnly: Boolean,
     cols ++ partSection ++ extSection
   }
 }
+
+/** `table_changes('alias', start [, end])` — Delta's SQL surface for
+  * the change feed, registered as a real table-valued function
+  * (`injectTableFunction`, the same mechanism delta-spark uses) so
+  * Spark's own TVF resolution serves it — no resolution-rule ordering
+  * race against `ResolveTableValuedFunctions`, which throws on unknown
+  * functions before injected rules run.
+  *
+  * The first argument names a registered graft alias — bare
+  * (`'trades'`) or qualified (`'graft[.datalake].trades'`). Bounds are
+  * commit versions (integer literals) or timestamps (string/timestamp
+  * literals): the START bound resolves to the FIRST commit at or after
+  * the timestamp (Delta's starting-timestamp rule; predating the table
+  * -> version 0), the END bound to the LAST commit at or before it
+  * (the time-travel rule). Output is [[MiniDelta.readCdf]]'s row-level
+  * feed — table columns, `_change_type`, `_commit_version` — plus
+  * `_commit_timestamp` joined broadcast from the window's commitInfo
+  * timestamps (metadata-scale, O(window)). The engine reconstructs the
+  * feed from commit file actions, so the `delta.enableChangeDataFeed`
+  * property is not required — strictly more capable than real Delta's
+  * refusal, documented divergence. */
+object GraftTableChanges {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  def build(spark: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"table_changes(table, start [, end]) takes 2 or 3 arguments; " +
+        s"got ${args.length}")
+    val entry = (args.head match {
+      case Literal(s, StringType) if s != null =>
+        val parts = s.toString.split('.').toSeq
+        GraftSqlTables.resolve(parts)
+          .orElse(GraftSqlTables.resolve("graft" +: parts))
+      case other => throw new IllegalArgumentException(
+        s"table_changes: the table must be a string literal, got " +
+          s"${other.sql}")
+    }).getOrElse(throw new IllegalArgumentException(
+      s"table_changes: ${args.head.sql} is not a registered graft alias"))
+    val startV = bound(spark, entry.path, args(1), isEnd = false)
+    val endV =
+      if (args.length == 3) bound(spark, entry.path, args(2), isEnd = true)
+      else Long.MaxValue
+    val cdf = MiniDelta.readCdf(spark, entry.path, startV - 1L, endV)
+    val vts = MiniDelta.commitTimestamps(spark, entry.path, startV, endV)
+    val tsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(vts.toSeq.map { case (v, ms) =>
+        Row(v, new java.sql.Timestamp(ms)) }, 1),
+      StructType(Seq(StructField("_commit_version", LongType),
+        StructField("_commit_timestamp", TimestampType))))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    cdf.join(broadcast(tsDf), Seq("_commit_version"), "left")
+      .select(cdf.columns.map(col).toSeq :+ col("_commit_timestamp"): _*)
+      .queryExecution.analyzed
+  }
+
+  private def bound(spark: SparkSession, path: String, e: Expression,
+                    isEnd: Boolean): Long = {
+    require(e.resolved && e.foldable,
+      s"table_changes bounds must be literals, got ${e.sql}")
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | LongType =>
+        Cast(e, LongType).eval(null).asInstanceOf[Long]
+      case StringType | TimestampType =>
+        val micros = Cast(e, TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        require(micros != null,
+          s"table_changes bound ${e.sql} is not a valid timestamp")
+        val ms = micros.asInstanceOf[Long] / 1000L
+        if (isEnd) MiniDelta.versionAtTimestamp(spark, path, ms)
+        else
+          (try MiniDelta.versionAtTimestamp(spark, path, ms - 1) + 1L
+          catch { case _: IllegalArgumentException => 0L })
+      case other => throw new IllegalArgumentException(
+        s"table_changes bounds must be versions or timestamps, got " +
+          s"${e.sql}: $other")
+    }
+  }
+}

@@ -572,6 +572,40 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("table_changes: version + timestamp bounds, output shape") {
+    val t = freshDir() + "/trades"
+    seed(t) // v0: append
+    MiniDelta.delete(spark, t, col("id") === 1L, Seq("mic")) // v1
+    GraftSqlTables.register("spec_tc", t)
+    try {
+      val df = spark.sql("SELECT * FROM table_changes('spec_tc', 1)")
+      // Delta's output shape: table columns, then the three CDF columns
+      assert(df.columns.toSeq.takeRight(3) ==
+        Seq("_change_type", "_commit_version", "_commit_timestamp"))
+      val rows = df.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("_change_type") == "delete")
+      assert(rows.head.getAs[Long]("_commit_version") == 1L)
+      assert(rows.head.getAs[java.sql.Timestamp]("_commit_timestamp") != null)
+      // 3-arg window + qualified alias: just v0, all inserts
+      val v0 = spark.sql(
+        "SELECT * FROM table_changes('graft.spec_tc', 0, 0)").collect()
+      assert(v0.length == 3 &&
+        v0.forall(_.getAs[String]("_change_type") == "insert"))
+      // timestamp START bound predating the table starts at version 0
+      val all = spark.sql("SELECT count(*) AS n FROM " +
+        "table_changes('spec_tc', '1970-01-02 00:00:00')").head().getLong(0)
+      assert(all == 4) // 3 inserts + 1 delete
+      // an unregistered alias refuses by name
+      val miss = intercept[Exception](
+        spark.sql("SELECT * FROM table_changes('nope', 0)").collect())
+      assert(miss.getMessage.contains("not a registered graft alias"))
+      // non-literal bounds refuse by name
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM table_changes('spec_tc', id)").collect())
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
