@@ -1357,6 +1357,22 @@ ORDER BY via, "key" """,
   ('l_returnflag', 'string', NULL))
   t(col_name, data_type, comment)""",
 
+    // the 'ALL' row is DESCRIBE DETAIL's census: numFiles = one file
+    // per partition value after the z-ordered compaction, numRows =
+    // stats-folded live rows (stats inherited/z-order-added by OPTIMIZE)
+    "sql_verbs_lifecycle" ->
+      """SELECT * FROM (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+    sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem WHERE l_quantity <= 2
+  GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT l_returnflag) AS BIGINT), 0.0,
+    CAST(count(*) AS BIGINT)
+  FROM lineitem WHERE l_quantity <= 2
+) ORDER BY l_returnflag""",
+
     // mirrors s20's reconstruction rule: only rows the UPDATE changed
     // appear as pre/postimages (price already 0 cancels in the diff);
     // commit_version is deterministic (v1 update, v2 delete) and every

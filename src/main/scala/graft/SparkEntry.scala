@@ -2051,6 +2051,50 @@ object SparkEntry {
           col("minReaderVersion").as("min_reader"),
           col("minWriterVersion").as("min_writer"))
     }),
+    "sql_verbs_lifecycle" -> ((s, d) => {
+      // The Delta SQL maintenance VERBS (injected parser, the
+      // delta-spark mechanism) end to end: append+append, then
+      // OPTIMIZE ... ZORDER BY and VACUUM ... RETAIN 0 HOURS as plain
+      // SQL statements. The readback is a RAW directory scan (no log)
+      // UNIONed with DESCRIBE DETAIL's file/row census — equal to the
+      // source only if the z-ordered compaction rewrote the snapshot
+      // to one file per partition AND the vacuum physically deleted
+      // the superseded files.
+      val dir = "/tmp/graft_sql_verbs"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"))
+      graft.plans.GraftSqlTables.register("sql_verbs_trades", table,
+        readOnly = false)
+      s.sql("OPTIMIZE graft.sql_verbs_trades " +
+        "ZORDER BY (l_orderkey, l_linenumber)")
+      s.sql("VACUUM graft.sql_verbs_trades RETAIN 0 HOURS")
+      // the snapshot cache mirrors the reference's 120 s staleness
+      // quirk (writes do NOT invalidate) — drop it so DESCRIBE DETAIL
+      // censuses the post-OPTIMIZE snapshot
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val detail = s.sql("DESCRIBE DETAIL graft.sql_verbs_trades")
+        .select(lit("ALL").as("l_returnflag"),
+          col("numFiles").as("n_rows"),
+          lit(0.0).as("sum_price"), col("numRows").as("sum_qty"))
+      s.read.parquet(table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .unionByName(detail)
+        .orderBy("l_returnflag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

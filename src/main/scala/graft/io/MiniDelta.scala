@@ -1918,7 +1918,31 @@ object MiniDelta {
       if (zOrderBy.isEmpty) clustered else clustered.drop("__z")
     val added = writeAndCapture(spark, toWrite, table, partitionBy,
       maxRecordsPerFile)
-    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    // OPTIMIZE inherits the table's stats discipline: with no explicit
+    // statsCols the rewrite keeps the stat columns the replaced files
+    // already carried (minValues keys of the first stats-bearing add) —
+    // a compaction must never silently degrade data skipping, and
+    // Delta's own OPTIMIZE recomputes stats on its rewrites the same
+    // way. Z-order adds its clustering columns: tight per-file
+    // hyper-rectangles are the entire point of the rewrite.
+    val inheritedStatsCols =
+      if (statsCols.nonEmpty) statsCols
+      else {
+        val fromFiles = current.iterator
+          .map(_.getAs[String]("stats")).find(_ != null).map { s =>
+            val mv = new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(s).get("minValues")
+            if (mv == null) Seq.empty[String]
+            else {
+              val it = mv.fieldNames()
+              val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next()
+              b.result()
+            }
+          }.getOrElse(Seq.empty)
+        (fromFiles ++ (zOrderBy ++ clusterBy).filterNot(fromFiles.contains))
+      }
+    val stats = fileStats(spark, table, added.map(_._1), inheritedStatsCols)
     val now = System.currentTimeMillis()
     val removes = oldPaths.toSeq.sorted.map(p => removeLine(p,
       dataChange = false, now))
@@ -3094,10 +3118,11 @@ object MiniDelta {
     * convertToDelta) reports format `parquet` with listing-derived
     * counts and no properties/protocol — an explicit, user-invoked
     * O(files) listing, not a hot-path one. */
-  def detail(spark: SparkSession, table: String): DataFrame = {
-    import org.apache.spark.sql.Row
+  /** [[detail]]'s output shape, shared with the DESCRIBE DETAIL SQL
+    * verb. */
+  val detailSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("format", StringType, nullable = false),
       StructField("location", StringType, nullable = false),
       StructField("partitionColumns", ArrayType(StringType), nullable = false),
@@ -3109,6 +3134,11 @@ object MiniDelta {
       StructField("minReaderVersion", IntegerType, nullable = true),
       StructField("minWriterVersion", IntegerType, nullable = true),
       StructField("tableFeatures", ArrayType(StringType), nullable = true)))
+  }
+
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = detailSchema
     val row: Row =
       if (!tableExists(spark, table)) {
         val files = listDataFiles(spark, table)

@@ -229,5 +229,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.plans.GraftTableChanges", "table_changes"),
       args => GraftTableChanges.build(
         org.apache.spark.sql.SparkSession.active, args)))
+    // Delta's maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE
+    // DETAIL|HISTORY / RESTORE) — delta-spark's parser-extension
+    // mechanism; everything non-graft delegates untouched
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,239 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, Or}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+
+import graft.io.MiniDelta
+
+/** Delta's SQL maintenance verbs for graft tables, added the way
+  * delta-spark adds them: an injected parser that recognizes the verbs
+  * Spark's grammar lacks and delegates EVERYTHING else untouched —
+  *
+  *   OPTIMIZE graft.t [WHERE <partition predicate>] [ZORDER BY (c, ...)]
+  *   VACUUM graft.t [RETAIN <n> HOURS]
+  *   DESCRIBE|DESC DETAIL graft.t
+  *   DESCRIBE|DESC HISTORY graft.t [LIMIT n]
+  *   RESTORE [TABLE] graft.t TO VERSION AS OF n
+  *   RESTORE [TABLE] graft.t TO TIMESTAMP AS OF '<ts>'
+  *
+  * A statement is intercepted ONLY when its table identifier resolves
+  * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
+  * registered alias); anything else falls through to the delegate, so
+  * foreign syntax and error behavior are untouched. The verbs rewrite
+  * to the same MiniDelta entry points the `CALL graft.*` procedures
+  * use, under the same per-alias read-only posture.
+  *
+  * The reference exposes maintenance only operationally (tables are
+  * config-registered, /root/reference/src/config.rs:7) — this is
+  * extension surface matching what a Delta SQL user expects. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftMaintenanceVerbs.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType = delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftMaintenanceVerbs {
+  // identifiers: up to three dot-separated (optionally backticked) parts
+  private val ident = """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+)){0,2})"""
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + ident +
+      """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + ident +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
+  private val DetailRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + ident + """\s*;?\s*$""").r
+  private val HistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + ident +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+  private val RestoreVerRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + ident +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + ident +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+
+  private def entryOf(id: String): Option[GraftSqlTables.Entry] = {
+    val parts = id.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
+    GraftSqlTables.resolve(parts)
+      .orElse(GraftSqlTables.resolve("graft" +: parts))
+  }
+
+  def parse(sqlText: String,
+            delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeRe(id, where, zorder) => entryOf(id).map { e =>
+        val filters = Option(where)
+          .map(w => toFilters(delegate.parseExpression(w)))
+          .getOrElse(Seq.empty)
+        val zCols = Option(zorder).map(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+        GraftOptimizeCommand(e.path, e.readOnly, filters, zCols)
+      }
+      case VacuumRe(id, hours) => entryOf(id).map { e =>
+        GraftVacuumCommand(e.path, e.readOnly,
+          Option(hours).map(_.toLong * 3600000L))
+      }
+      case DetailRe(id) => entryOf(id).map(e =>
+        GraftDescribeDetailCommand(e.path))
+      case HistoryRe(id, limit) => entryOf(id).map(e =>
+        GraftDescribeHistoryCommand(e.path,
+          Option(limit).map(_.toInt)))
+      case RestoreVerRe(id, v) => entryOf(id).map(e =>
+        GraftRestoreCommand(e.path, e.readOnly, Some(v.toLong), None))
+      case RestoreTsRe(id, ts) => entryOf(id).map(e =>
+        GraftRestoreCommand(e.path, e.readOnly, None, Some(ts)))
+      case _ => None
+    }
+
+  /** `OPTIMIZE ... WHERE` predicates are PARTITION predicates (Delta's
+    * own rule): OR-of-AND-of-equality over literal values, mapped to
+    * the engine's `Filters` shape. Anything else refuses by name. */
+  private def toFilters(e: Expression): graft.acl.PartitionAcl.Filters =
+    e match {
+      case Or(l, r) => toFilters(l) ++ toFilters(r)
+      case other => Seq(toConjunct(other))
+    }
+  private def toConjunct(e: Expression): Map[String, String] = e match {
+    case And(l, r) => toConjunct(l) ++ toConjunct(r)
+    case EqualTo(a: UnresolvedAttribute, Literal(v, _)) if v != null =>
+      Map(a.nameParts.last -> v.toString)
+    case EqualTo(Literal(v, _), a: UnresolvedAttribute) if v != null =>
+      Map(a.nameParts.last -> v.toString)
+    case other => throw new IllegalArgumentException(
+      "OPTIMIZE ... WHERE supports only partition-equality predicates " +
+        s"(col = literal combined with AND/OR); got ${other.sql}")
+  }
+}
+
+/** `OPTIMIZE graft.t [WHERE ...] [ZORDER BY (...)]` →
+  * [[MiniDelta.compact]], scoped to the named partitions, z-ordered
+  * when asked — the same rewrite `CALL graft.optimize/zorder` runs.
+  * WHERE columns must be partition columns (Delta's refusal). */
+case class GraftOptimizeCommand(table: String, readOnly: Boolean,
+    where: graft.acl.PartitionAcl.Filters, zOrderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val parts = MiniDelta.partitionColumns(spark, table)
+    val bad = where.flatMap(_.keys).distinct
+      .filterNot(k => parts.exists(_.equalsIgnoreCase(k)))
+    require(bad.isEmpty,
+      s"OPTIMIZE ... WHERE references non-partition column(s) " +
+        s"${bad.mkString(", ")}; partition columns are " +
+        s"${parts.mkString(", ")}")
+    // ZORDER BY one column IS 1-D range clustering (Delta accepts the
+    // single-column form); the Morton interleave needs >= 2
+    val (cluster, zorder) =
+      if (zOrderBy.size == 1) (zOrderBy, Nil) else (Nil, zOrderBy)
+    Seq(Row(MiniDelta.compact(spark, table, parts, clusterBy = cluster,
+      zOrderBy = zorder, where = where)))
+  }
+}
+
+/** `VACUUM graft.t [RETAIN n HOURS]` → [[MiniDelta.vacuum]]. Without
+  * RETAIN the horizon is the table's
+  * `delta.deletedFileRetentionDuration` (`interval <n>
+  * <hours|days|weeks>`) or Delta's documented 7-day default. */
+case class GraftVacuumCommand(table: String, readOnly: Boolean,
+    retainMs: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_deleted", LongType, nullable = false)())
+  private val IntervalRe = """(?i)\s*interval\s+(\d+)\s+(\w+)\s*""".r
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val horizon = retainMs.getOrElse(
+      MiniDelta.tableConfig(spark, table)
+        .get("delta.deletedFileRetentionDuration") match {
+        case Some(IntervalRe(n, unit)) =>
+          val per = unit.toLowerCase.stripSuffix("s") match {
+            case "hour" => 3600000L
+            case "day" => 86400000L
+            case "week" => 7L * 86400000L
+            case other => throw new IllegalArgumentException(
+              s"unsupported delta.deletedFileRetentionDuration unit " +
+                s"'$other' (hours/days/weeks)")
+          }
+          n.toLong * per
+        case Some(other) => throw new IllegalArgumentException(
+          s"cannot parse delta.deletedFileRetentionDuration '$other' " +
+            "(expected: interval <n> <hours|days|weeks>)")
+        case None => 7L * 86400000L
+      })
+    Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon)
+      .size.toLong))
+  }
+}
+
+/** `DESCRIBE DETAIL graft.t` → [[MiniDelta.detail]]'s one-row snapshot
+  * facts (Delta's output shape), as the parser verb real Delta adds. */
+case class GraftDescribeDetailCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    MiniDelta.detailSchema.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+  override def run(spark: SparkSession): Seq[Row] =
+    MiniDelta.detail(spark, table).collect().toSeq
+}
+
+/** `DESCRIBE HISTORY graft.t [LIMIT n]` → [[MiniDelta.history]],
+  * newest first (its order), optionally truncated. */
+case class GraftDescribeHistoryCommand(table: String, limit: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = true)(),
+    AttributeReference("n_added", LongType, nullable = false)(),
+    AttributeReference("n_removed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val h = MiniDelta.history(spark, table)
+    limit.fold(h)(h.limit(_)).collect().toSeq
+  }
+}
+
+/** `RESTORE [TABLE] graft.t TO VERSION|TIMESTAMP AS OF ...` →
+  * [[MiniDelta.restore]]; a timestamp resolves through the same
+  * at-or-before rule as time travel. */
+case class GraftRestoreCommand(table: String, readOnly: Boolean,
+    version: Option[Long], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val v = version.getOrElse {
+      val micros = Cast(Literal(timestamp.get), TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      require(micros != null,
+        s"RESTORE: '${timestamp.get}' is not a valid timestamp")
+      MiniDelta.versionAtTimestamp(spark, table,
+        micros.asInstanceOf[Long] / 1000L)
+    }
+    Seq(Row(MiniDelta.restore(spark, table, v)))
+  }
+}

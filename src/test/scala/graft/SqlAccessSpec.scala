@@ -606,6 +606,59 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("maintenance verbs: OPTIMIZE / VACUUM / DESCRIBE DETAIL|HISTORY / RESTORE") {
+    val t = freshDir() + "/trades"
+    seed(t); seed(t) // two appends -> 2 files per partition
+    GraftSqlTables.register("spec_mx", t, readOnly = false)
+    try {
+      def filesPer(mic: String): Long =
+        MiniDelta.snapshotFiles(spark, t)
+          .where(element_at(col("partitionValues"), "mic") === mic).count()
+      val xparBefore = filesPer("XPAR")
+      assert(filesPer("XLON") > 1 && xparBefore > 1)
+      // WHERE scopes the compaction to the named partition only
+      val v = spark.sql("OPTIMIZE graft.spec_mx WHERE mic = 'XLON'")
+        .head().getLong(0)
+      assert(v == 2L)
+      MiniDelta.invalidateSnapshot(t)
+      assert(filesPer("XLON") == 1 && filesPer("XPAR") == xparBefore)
+      // ZORDER BY compacts the rest (bare verb form)
+      spark.sql("OPTIMIZE spec_mx ZORDER BY (id)").collect()
+      MiniDelta.invalidateSnapshot(t)
+      assert(filesPer("XPAR") == 1)
+      // non-partition WHERE column refuses by name
+      val bad = intercept[Exception](
+        spark.sql("OPTIMIZE graft.spec_mx WHERE id = 1").collect())
+      assert(bad.getMessage.contains("non-partition"))
+      // DESCRIBE DETAIL / HISTORY parser verbs
+      val det = spark.sql("DESCRIBE DETAIL graft.spec_mx").head()
+      assert(det.getAs[String]("format") == "graft-delta")
+      val hist = spark.sql("DESC HISTORY graft.spec_mx LIMIT 2").collect()
+      assert(hist.length == 2 &&
+        hist.head.getLong(0) > hist.last.getLong(0))
+      // RESTORE back to v0 (one seed batch) — BEFORE any vacuum, while
+      // v0's files still exist (restore past the horizon refuses)
+      spark.sql("RESTORE TABLE graft.spec_mx TO VERSION AS OF 0").collect()
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_mx")
+        .head().getLong(0) == 3L)
+      // VACUUM with explicit zero retention deletes the files the
+      // restore de-referenced; default retention (no RETAIN) keeps them
+      assert(spark.sql("VACUUM graft.spec_mx").head().getLong(0) == 0L)
+      assert(spark.sql("VACUUM graft.spec_mx RETAIN 0 HOURS")
+        .head().getLong(0) > 0L)
+      // read-only alias refuses mutating verbs, serves describing ones
+      GraftSqlTables.register("spec_mx_ro", t)
+      intercept[MiniDelta.ReadOnlyTableException](
+        spark.sql("OPTIMIZE graft.spec_mx_ro").collect())
+      intercept[MiniDelta.ReadOnlyTableException](
+        spark.sql("VACUUM graft.spec_mx_ro").collect())
+      assert(spark.sql("DESCRIBE DETAIL graft.spec_mx_ro").count() == 1)
+      // unregistered identifiers delegate to Spark's parser untouched
+      intercept[Exception](spark.sql("OPTIMIZE some.other.table"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
