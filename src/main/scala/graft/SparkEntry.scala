@@ -1997,7 +1997,13 @@ object SparkEntry {
         CREATE TABLE graft.sql_tp_trades (id BIGINT, flag STRING)
         PARTITIONED BY (flag) LOCATION '$dir/trades'
         TBLPROPERTIES ('delta.appendOnly' = 'false',
-                       'delta.checkpointInterval' = '5')""")
+                       'delta.dataSkippingNumIndexedCols' = '4')""")
+      // the ALTER pair shapes the final state the oracle pins: SET adds
+      // checkpointInterval, UNSET drops the create-time skipping knob
+      s.sql("ALTER TABLE graft.sql_tp_trades SET TBLPROPERTIES " +
+        "('delta.checkpointInterval' = '5')")
+      s.sql("ALTER TABLE graft.sql_tp_trades UNSET TBLPROPERTIES " +
+        "('delta.dataSkippingNumIndexedCols')")
       s.sql("""SHOW TBLPROPERTIES graft.sql_tp_trades""")
         .withColumn("via", lit("all"))
         .unionAll(

@@ -835,6 +835,33 @@ object MiniDelta {
       "SET TBLPROPERTIES")
   }
 
+  /** ALTER TABLE ... UNSET TBLPROPERTIES: a metaData commit without the
+    * named keys. Dropping a feature-enabling property (e.g.
+    * `delta.enableDeletionVectors`) turns the BEHAVIOR off but never
+    * downgrades the protocol — table features are append-only under
+    * real Delta, and existing DV-bearing files stay readable. Without
+    * `ifExists`, absent keys refuse by name (Spark's own contract). */
+  def unsetTableProperties(spark: SparkSession, table: String,
+                           keys: Seq[String], ifExists: Boolean = false,
+                           readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(!keys.exists(_.startsWith(constraintKeyPrefix)),
+      s"use dropConstraint for $constraintKeyPrefix* keys")
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    val missing = keys.filterNot(cfg.contains)
+    if (!ifExists) require(missing.isEmpty,
+      s"UNSET TBLPROPERTIES: key(s) ${missing.mkString(", ")} not set " +
+        "on the table (IF EXISTS skips them)")
+    val schema = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
+      .select("path").limit(1).collect().map(_.getString(0)))
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, schema, parts, cfg -- keys)),
+      "UNSET TBLPROPERTIES")
+  }
+
   /** CREATE TABLE: an empty v0 commit declaring the schema, partition
     * layout, and table properties — the Delta create-then-insert
     * lifecycle. Refuses a path already holding a log (the table exists)

@@ -342,6 +342,25 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           case None => stp
         }
 
+      // --- ALTER TABLE SET/UNSET TBLPROPERTIES: the write-side pair of
+      // SHOW TBLPROPERTIES, routed to the engine's metaData commits
+      case sp: org.apache.spark.sql.catalyst.plans.logical
+          .SetTableProperties =>
+        graftTableIdent(sp.table) match {
+          case Some(e) =>
+            GraftSetPropertiesCommand(e.path, e.readOnly, sp.properties)
+          case None => sp
+        }
+
+      case up: org.apache.spark.sql.catalyst.plans.logical
+          .UnsetTableProperties =>
+        graftTableIdent(up.table) match {
+          case Some(e) =>
+            GraftUnsetPropertiesCommand(e.path, e.readOnly,
+              up.propertyKeys, up.ifExists)
+          case None => up
+        }
+
       case d: org.apache.spark.sql.catalyst.plans.logical.DescribeRelation =>
         graftTableIdent(d.relation) match {
           case Some(e) =>
@@ -725,6 +744,30 @@ case class GraftShowTablePropertiesCommand(table: String,
       case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `ALTER TABLE graft.<alias> SET TBLPROPERTIES (...)` →
+  * [[MiniDelta.setTableProperties]] (one metaData commit; enabling DVs
+  * emits the table-feature protocol upgrade), under the alias's
+  * read-only posture. */
+case class GraftSetPropertiesCommand(table: String, readOnly: Boolean,
+    properties: Map[String, String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MiniDelta.setTableProperties(spark, table, properties,
+      readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> UNSET TBLPROPERTIES [IF EXISTS] (...)` →
+  * [[MiniDelta.unsetTableProperties]]. */
+case class GraftUnsetPropertiesCommand(table: String, readOnly: Boolean,
+    keys: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MiniDelta.unsetTableProperties(spark, table, keys, ifExists = ifExists,
+      readOnly = readOnly)
+    Seq.empty
   }
 }
 

@@ -37,6 +37,13 @@ import graft.io.MiniDelta
   *     admit at least one commit. `Trigger.AvailableNow` composes: Spark
   *     wraps V1 sources (AvailableNowSourceWrapper), so a drain runs
   *     rate-limited batches up to the trigger-time snapshot, then stops
+  *   - `startingVersion` / `startingTimestamp` (exclusive, Delta's):
+  *     where a FRESH query begins — a commit version (first ingested),
+  *     the literal `latest` (only commits after stream start), or a
+  *     timestamp resolving to the first commit at or after it. Absent:
+  *     version 0, the whole table as the first batch (Delta's default
+  *     initial-snapshot behavior). Restarts ignore these — the
+  *     checkpoint owns the position, like real Delta
   *
   * Scale: `getOffset` is one driver metadata probe (latest version);
   * `getBatch` plans a bounded window of commits — file reads stay
@@ -89,6 +96,11 @@ class GraftDeltaSource extends StreamSourceProvider with StreamSinkProvider
                             parameters: Map[String, String])
       : (String, StructType) = {
     val table = tableOf(parameters)
+    // surfaced here so a misconfigured reader fails at ANALYSIS, not
+    // on the first trigger
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val base = declaredOf(sqlContext.sparkSession, table)
     val st =
       if (cdfOf(parameters))
@@ -103,10 +115,40 @@ class GraftDeltaSource extends StreamSourceProvider with StreamSinkProvider
                             providerName: String,
                             parameters: Map[String, String]): Source = {
     val table = tableOf(parameters)
-    new GraftDeltaStreamSource(sqlContext.sparkSession, table,
+    val spark = sqlContext.sparkSession
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp are mutually exclusive")
+    // first version a FRESH query ingests (None = 0, the full table)
+    val startFrom: Option[Long] =
+      parameters.get("startingVersion").map(_.trim).map {
+        case s if s.equalsIgnoreCase("latest") =>
+          MiniDelta.currentVersion(spark, table) + 1L
+        case s =>
+          val v = try s.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"startingVersion must be a version or 'latest', got '$s'")
+          }
+          require(v >= 0, s"startingVersion must be >= 0, got $v"); v
+      }.orElse(parameters.get("startingTimestamp").map { ts =>
+        val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(ts),
+          org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        require(micros != null,
+          s"startingTimestamp '$ts' is not a valid timestamp")
+        // first commit at or after the timestamp (Delta's rule);
+        // predating the table -> the whole table
+        try MiniDelta.versionAtTimestamp(spark, table,
+          micros.asInstanceOf[Long] / 1000L - 1L) + 1L
+        catch { case _: IllegalArgumentException => 0L }
+      })
+    new GraftDeltaStreamSource(spark, table,
       cdf = cdfOf(parameters),
       skipChangeCommits =
         parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
+      startFrom = startFrom,
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
         .map(_.trim.toInt).map { n =>
           require(n > 0, "maxVersionsPerTrigger must be positive"); n
@@ -154,7 +196,8 @@ private[graft] class GraftDeltaStreamSink(
 
 private[streaming] class GraftDeltaStreamSource(
     spark: SparkSession, table: String, cdf: Boolean,
-    skipChangeCommits: Boolean, maxVersionsPerTrigger: Option[Int],
+    skipChangeCommits: Boolean, startFrom: Option[Long],
+    maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     declared: StructType) extends Source
     with org.apache.spark.sql.connector.read.streaming
@@ -189,11 +232,16 @@ private[streaming] class GraftDeltaStreamSource(
     case other => other.json.trim.toLong
   }
 
+  // the version BEFORE the first one a fresh query ingests: -1 (full
+  // table) unless startingVersion/startingTimestamp moved it. Restarts
+  // never consult it — the recovered offset flows through getBatch.
+  private val initialBase: Long = startFrom.map(_ - 1L).getOrElse(-1L)
+
   // highest version already handed to the engine — the base the rate
   // limit advances from. Restart recovery sets it through getBatch
   // (the engine replays the restored batch before the next getOffset),
   // so a capped offset can never fall behind the checkpoint.
-  @volatile private var lastPlanned: Long = -1L
+  @volatile private var lastPlanned: Long = initialBase
 
   override def getOffset: Option[Offset] = {
     val latest0 =
@@ -238,9 +286,10 @@ private[streaming] class GraftDeltaStreamSource(
     getOffset.orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    // (from, to]: a fresh query (start = None) replays from version 0 —
-    // the whole existing table is the first batch, then increments
-    val from = start.map(versionOf).getOrElse(-1L)
+    // (from, to]: a fresh query (start = None) replays from the
+    // configured starting point — version 0 by default, so the whole
+    // existing table is the first batch, then increments
+    val from = start.map(versionOf).getOrElse(initialBase)
     val to = versionOf(end)
     if (to > lastPlanned) lastPlanned = to
     val batch =

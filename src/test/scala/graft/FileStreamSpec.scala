@@ -401,6 +401,60 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft-delta startingVersion/startingTimestamp position a fresh query") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    val t = Files.createTempDirectory("gdstart").toString + "/t"
+    (0 until 3).foreach { i =>
+      MiniDelta.append(spark,
+        Seq((i.toLong, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    }
+    def drainIds(opts: Map[String, String]): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = spark.readStream.format("graft-delta")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(t).writeStream.outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("gdstartcp").toString)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("id").collect().map(_.getLong(0)); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      got.toSeq.sorted
+    }
+    // startingVersion=1 skips v0's rows
+    assert(drainIds(Map("startingVersion" -> "1")) == Seq(1L, 2L))
+    // a timestamp predating the table replays everything
+    assert(drainIds(Map("startingTimestamp" -> "1970-01-02 00:00:00")) ==
+      Seq(0L, 1L, 2L))
+    // 'latest' sees only commits made after the stream starts
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest").load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdlatestcp").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("id").collect().map(_.getLong(0)); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty)
+      MiniDelta.append(spark, Seq((9L, "late")).toDF("id", "payload"),
+        t, Seq.empty)
+      q.processAllAvailable()
+      assert(got.toSeq == Seq(9L))
+    } finally q.stop()
+    // the two options refuse together, at analysis (load), not on the
+    // first trigger
+    val e = intercept[Exception](
+      spark.readStream.format("graft-delta")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "1970-01-01 00:00:00")
+        .load(t))
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("graft-delta drains rate-limited under Trigger.AvailableNow then stops") {
     import spark.implicits._
     import graft.io.MiniDelta

@@ -659,6 +659,39 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES round-trips through SQL") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_props_rw", t, readOnly = false)
+    try {
+      spark.sql("ALTER TABLE graft.spec_props_rw SET TBLPROPERTIES " +
+        "('delta.appendOnly' = 'false', 'delta.checkpointInterval' = '9')")
+      def props() = spark.sql("SHOW TBLPROPERTIES graft.spec_props_rw")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props() == Map("delta.appendOnly" -> "false",
+        "delta.checkpointInterval" -> "9"))
+      spark.sql("ALTER TABLE graft.spec_props_rw UNSET TBLPROPERTIES " +
+        "('delta.appendOnly')")
+      assert(props() == Map("delta.checkpointInterval" -> "9"))
+      // absent key refuses without IF EXISTS, skips with it
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE graft.spec_props_rw UNSET TBLPROPERTIES " +
+          "('delta.nope')"))
+      assert(e.getMessage.contains("not set"))
+      spark.sql("ALTER TABLE graft.spec_props_rw UNSET TBLPROPERTIES " +
+        "IF EXISTS ('delta.nope')")
+      assert(props() == Map("delta.checkpointInterval" -> "9"))
+      // read-only alias refuses both directions
+      GraftSqlTables.register("spec_props_ro", t)
+      intercept[MiniDelta.ReadOnlyTableException](
+        spark.sql("ALTER TABLE graft.spec_props_ro SET TBLPROPERTIES " +
+          "('delta.appendOnly' = 'true')"))
+      intercept[MiniDelta.ReadOnlyTableException](
+        spark.sql("ALTER TABLE graft.spec_props_ro UNSET TBLPROPERTIES " +
+          "IF EXISTS ('delta.appendOnly')"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
