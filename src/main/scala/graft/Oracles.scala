@@ -1357,6 +1357,19 @@ ORDER BY via, "key" """,
   ('l_returnflag', 'string', NULL))
   t(col_name, data_type, comment)""",
 
+    // the mapped-lifecycle readback: every qty<=2 row except the
+    // DELETEd ones, under the renamed column, minus the dropped one
+    "s34_column_rename" ->
+      """WITH kept AS (
+  SELECT l_orderkey, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_quantity <= 2
+    AND NOT (l_quantity = 2 AND l_orderkey % 3 = 0))
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(3 AS INTEGER) AS n_cols
+FROM kept""",
+
     // the 'ALL' row is DESCRIBE DETAIL's census: numFiles = one file
     // per partition value after the z-ordered compaction, numRows =
     // stats-folded live rows (stats inherited/z-order-added by OPTIMIZE)

@@ -44,7 +44,10 @@ object PlanAudit {
     "s28_column_mapping", // physical->logical relabel is a pure Project
     "d12_kmeans_cells",   // trained-centroid literal fold, zero shuffle
     "sql_select",         // SQL alias resolves to the SAME pruned scan
-    "s30_colmap_id")      // field-id resolution is a pure Project too
+    "s30_colmap_id",      // field-id resolution is a pure Project too
+    "sql_table_changes",  // CDF reconstruction + broadcast ts join (r9)
+    "s34_column_rename")  // mapped WRITE lifecycle readback: relabel
+                          // stays a pure Project over the scan (r9)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

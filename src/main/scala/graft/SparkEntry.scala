@@ -2101,6 +2101,42 @@ object SparkEntry {
         .unionByName(detail)
         .orderBy("l_returnflag")
     }),
+    "s34_column_rename" -> ((s, d) => {
+      // column-mapping WRITE lifecycle end to end: append (v0), enable
+      // name-mode mapping (v1, metadata upgrade), RENAME
+      // l_extendedprice->price (v2, metadata-only), append under the
+      // NEW logical name (v3 — the file on disk stores the physical
+      // name), copy-on-write DELETE under mapping (v4), DROP
+      // l_linenumber (v5). The readback resolves old and new files
+      // through the mapping; the oracle restates the surviving rows
+      // from the source with zero knowledge of the mapping machinery.
+      val dir = "/tmp/graft_s34_rename"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table, Seq.empty)
+      graft.io.MiniDelta.setTableProperties(s, table,
+        Map("delta.columnMapping.mode" -> "name"))
+      graft.io.MiniDelta.renameColumn(s, table, "l_extendedprice", "price")
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1)
+          .withColumnRenamed("l_extendedprice", "price"), table, Seq.empty)
+      graft.io.MiniDelta.delete(s, table,
+        col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 0,
+        Seq.empty)
+      graft.io.MiniDelta.dropColumn(s, table, "l_linenumber")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val out = graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+      out.agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("price") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .withColumn("n_cols", lit(out.columns.length))
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -57,17 +57,17 @@ object MiniDelta {
     * the exact client hazard the reference documents
     * (/root/reference/README.md:249-270). `name` mode is READ by
     * relabeling physical parquet columns to the schema's logical names
-    * ([[readFilesAs]]); `id` mode is READ via Spark's parquet field-id
-    * resolution; a malformed mapping (mode without ids, an unknown
-    * mode) is refused, and ANY mapped table refuses writes — this
-    * engine lands logical-named parquet, which a physical-name schema
-    * would then silently read as all-null. */
+    * ([[readFilesAs]]) and WRITTEN by the inverse rename
+    * ([[toPhysical]] inside [[writeAndCapture]]); `id` mode is READ via
+    * Spark's parquet field-id resolution but refuses writes (footer-id
+    * writing unimplemented); a malformed mapping (mode without ids, an
+    * unknown mode, mapping metadata without a mode) refuses both. */
   final class ColumnMappingUnsupportedException(table: String, mode: String,
                                                 op: String = "read")
     extends RuntimeException(
       s"$table sets delta.columnMapping.mode=$mode; this engine cannot " +
-        s"$op it — name/id-mode tables are read via relabeling / " +
-        "field-id resolution but never written")
+        s"$op it — name mode is fully supported, id-mode tables are " +
+        "read via field-id resolution but never written")
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/OVERWRITE/RESTORE) — the Delta appendOnly
@@ -267,7 +267,7 @@ object MiniDelta {
     // omits (legal subset append, reads null-fill it) — enforce on the
     // null-aligned view, matching what a reader will see.
     val declared0 = latestSchema(spark, table)
-    requireUnmappedForWrite(declared0, table)
+    requireUnmappedForWrite(declared0, table, spark)
     mergedSchema(declared0, df.schema)
     val cfg0 = tableConfig(spark, table)
     // enforcement + write = two evaluations of df; cache across the
@@ -303,6 +303,15 @@ object MiniDelta {
     while (true) {
       val prior = latestSchema(spark, table)
       val merged = mergedSchema(prior, df.schema)
+      // a column-mapped schema cannot grow through a blind append: the
+      // new fields would carry no physicalName/id, poisoning the
+      // mapping. Explicit evolution assigns them — refuse by name.
+      if (prior.exists(isColumnMapped) &&
+          merged.length != prior.get.length)
+        throw new IllegalArgumentException(
+          s"append cannot evolve the schema of column-mapped table " +
+            s"$table — new columns need mapping metadata; add them " +
+            "first with ALTER TABLE ... ADD COLUMNS")
       val cfg = tableConfig(spark, table)
       // a commit race may mean a constraint was ADDED since the
       // pre-write enforcement (addConstraint validated only the rows it
@@ -330,11 +339,17 @@ object MiniDelta {
     * collect). Empty `statsCols` skips the pass entirely. */
   private def fileStats(spark: SparkSession, table: String,
                         rels: Seq[String],
-                        statsCols: Seq[String]): Map[String, String] = {
-    if (statsCols.isEmpty || rels.isEmpty) return Map.empty
+                        statsCols0: Seq[String]): Map[String, String] = {
+    if (statsCols0.isEmpty || rels.isEmpty) return Map.empty
+    // column-mapped table: the files (and therefore the stats JSON
+    // keys) use PHYSICAL names — Delta's contract, and what makes a
+    // mapped reader's data skipping resolve
+    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+    val statsCols = mapped.fold(statsCols0)(st =>
+      statsCols0.map(physicalColOf(Some(st), _)))
     val aggs = count(lit(1)).as("numRecords") +:
-      statsCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-        max(col(c)).as(s"max_$c")))
+      statsCols.flatMap(c => Seq(min(col(s"`$c`")).as(s"min_$c"),
+        max(col(s"`$c`")).as(s"max_$c")))
     val rows = spark.read.option("basePath", table)
       .parquet(rels.map(r => s"$table/$r").toIndexedSeq: _*)
       .groupBy(input_file_name().as("f"))
@@ -414,13 +429,22 @@ object MiniDelta {
                               table: String, partitionBy: Seq[String],
                               maxRecordsPerFile: Long = 0L)
       : Seq[(String, Long, Long)] = {
+    // column-mapped table: the files store PHYSICAL names — rename the
+    // logical frame through the declared mapping (and the partition
+    // directories with it) so a compliant mapped reader of these files
+    // resolves every column. Unmapped tables pay one metadata probe.
+    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+    val physDf = mapped.fold(df)(toPhysical(df, _))
+    val physPartitionBy = mapped.fold(partitionBy)(st =>
+      partitionBy.map(physicalColOf(Some(st), _)))
     val staging =
       s"$table/_staging_${java.util.UUID.randomUUID().toString.take(12)}"
     val f = fs(spark, table)
     try {
-      val writer = df.write.mode("append")
+      val writer = physDf.write.mode("append")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+      (if (physPartitionBy.nonEmpty)
+        writer.partitionBy(physPartitionBy: _*)
        else writer).parquet(staging)
       val stRoot = new Path(staging).toUri.getPath.stripSuffix("/")
       val it = f.listFiles(new Path(staging), true)
@@ -819,19 +843,60 @@ object MiniDelta {
       sys.error(s"$table has no declared schema"))
     val parts = partitionColsOf(snapshotFilesAt(spark, table, readVersion)
       .select("path").limit(1).collect().map(_.getString(0)))
-    // enabling DVs is a PROTOCOL upgrade under real Delta — emit the
-    // table-feature protocol action so a real reader of this log sees
-    // the same contract a real writer would have recorded. UNIONED onto
-    // the resolved protocol: a table already declaring (3, timestampNtz)
-    // must keep that feature, not have the upgrade overwrite its lists.
+    // delta.columnMapping.mode = name is an UPGRADE (Delta's own):
+    // every field gets physicalName = its current name (the files on
+    // disk already store those names, so nothing rewrites) plus a
+    // depth-first columnMapping.id, maxColumnId lands in the config,
+    // and the columnMapping table feature joins the protocol. `id` is
+    // refused (footer-id writing unimplemented); changing or removing
+    // an established mode is refused (it would orphan physical names).
+    val enablingMapping = props.get("delta.columnMapping.mode") match {
+      case None => false
+      case Some(m) if cfg.get("delta.columnMapping.mode").contains(m) =>
+        false // idempotent re-set
+      case Some("name") if !cfg.contains("delta.columnMapping.mode") =>
+        require(parts.isEmpty,
+          s"enabling column mapping on PARTITIONED table $table is not " +
+            "supported — partition directory names would need physical " +
+            "renames")
+        require(!isColumnMapped(schema),
+          s"$table already carries mapping metadata without a mode — " +
+            "malformed; refuse rather than reassign")
+        true
+      case Some(other) => throw new IllegalArgumentException(
+        s"cannot set delta.columnMapping.mode=$other on $table " +
+          (if (cfg.contains("delta.columnMapping.mode"))
+            "(changing an established mapping mode would orphan the " +
+              "physical names)"
+          else "(only 'name' mode can be enabled; id-mode writing is " +
+            "not implemented)"))
+    }
+    val (schema2, mapCfg) =
+      if (!enablingMapping) (schema, Map.empty[String, String])
+      else {
+        val (mapped, maxId) = assignMapping(schema, 0L)
+        (mapped, Map("delta.columnMapping.maxColumnId" -> maxId.toString))
+      }
+    // enabling DVs / column mapping is a PROTOCOL upgrade under real
+    // Delta — emit the table-feature protocol action so a real reader
+    // of this log sees the same contract a real writer would have
+    // recorded. UNIONED onto the resolved protocol: a table already
+    // declaring (3, timestampNtz) must keep that feature, not have the
+    // upgrade overwrite its lists.
+    val needDv = props.get("delta.enableDeletionVectors").contains("true") &&
+      !cfg.get("delta.enableDeletionVectors").contains("true")
     val protoUpgrade =
-      if (props.get("delta.enableDeletionVectors").contains("true") &&
-          !cfg.get("delta.enableDeletionVectors").contains("true"))
-        Seq(resolveProtocol(spark, table, readVersion, cpAtMost = readVersion)
-          .getOrElse(basicProtocol).withDeletionVectors.render)
-      else Seq.empty
+      if (!needDv && !enablingMapping) Seq.empty
+      else {
+        var p = resolveProtocol(spark, table, readVersion,
+          cpAtMost = readVersion).getOrElse(basicProtocol)
+        if (needDv) p = p.withDeletionVectors
+        if (enablingMapping) p = p.withColumnMapping
+        Seq(p.render)
+      }
     writeCommit(spark, table, readVersion + 1,
-      protoUpgrade ++ Seq(metaDataLine(table, schema, parts, cfg ++ props)),
+      protoUpgrade ++
+        Seq(metaDataLine(table, schema2, parts, cfg ++ props ++ mapCfg)),
       "SET TBLPROPERTIES")
   }
 
@@ -847,6 +912,9 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(!keys.exists(_.startsWith(constraintKeyPrefix)),
       s"use dropConstraint for $constraintKeyPrefix* keys")
+    require(!keys.exists(_.startsWith("delta.columnMapping.")),
+      "unsetting delta.columnMapping.* would orphan the physical names " +
+        "the files already store — column mapping cannot be disabled")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     val missing = keys.filterNot(cfg.contains)
@@ -907,7 +975,7 @@ object MiniDelta {
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema — nothing to evolve"))
-    requireUnmappedForWrite(Some(declared), table)
+    requireUnmappedForWrite(Some(declared), table, spark)
     val clash = cols.map(_.name).filter(n =>
       declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
@@ -915,13 +983,113 @@ object MiniDelta {
     val dup = cols.groupBy(_.name.toLowerCase).collect {
       case (_, vs) if vs.size > 1 => vs.head.name }
     require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
+    val cfg = tableConfig(spark, table, readVersion)
+    // column-mapped table: new fields get a FRESH physical name (never
+    // a reused logical one — a dropped-then-readded column must not
+    // resurrect the old column's data) and the next ids past
+    // maxColumnId, which the config ratchets. Underscore form keeps the
+    // stats-skipping JSON paths parseable.
+    val (cols2, cfg2) =
+      if (!isColumnMapped(declared)) (cols, cfg)
+      else {
+        var next = cfg.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L)
+        val mappedCols = cols.map { f =>
+          next += 1
+          val phys = s"col_${next}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysNameKey, phys)
+            .putLong(MapIdKey, next).build())
+        }
+        (mappedCols,
+          cfg + ("delta.columnMapping.maxColumnId" -> next.toString))
+      }
     val merged = org.apache.spark.sql.types.StructType(
-      declared.fields.toIndexedSeq ++ cols)
+      declared.fields.toIndexedSeq ++ cols2)
     val parts = partitionColumns(spark, table)
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(table, merged, parts,
-        tableConfig(spark, table, readVersion))),
+      Seq(metaDataLine(table, merged, parts, cfg2)),
       "ADD COLUMNS")
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
+    * exists FOR (the reference documents exactly this client hazard,
+    * README.md:249-270): one metaData commit changes the LOGICAL name,
+    * the physicalName keeps pointing at the bytes already on disk, no
+    * file is rewritten. Requires name-mode mapping (enable with SET
+    * TBLPROPERTIES delta.columnMapping.mode=name); top-level columns
+    * only; refuses names a CHECK constraint references (the constraint
+    * text would silently stop binding — Delta refuses the same). */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String, readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(!from.contains(".") && !to.contains("."),
+      "RENAME COLUMN supports top-level columns only")
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    require(cfg.get("delta.columnMapping.mode").contains("name"),
+      s"RENAME COLUMN needs column mapping: ALTER TABLE ... SET " +
+        "TBLPROPERTIES ('delta.columnMapping.mode' = 'name') first")
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(from))
+    require(idx >= 0, s"no such column: $from")
+    require(!declared.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    requireNotInConstraints(cfg, from, "RENAME")
+    val fields = declared.fields.toIndexedSeq
+      .updated(idx, declared.fields(idx).copy(name = to))
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table,
+        org.apache.spark.sql.types.StructType(fields),
+        partitionColumns(spark, table), cfg)),
+      "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE ... DROP COLUMN: a metaData commit without the field —
+    * the data stays in the files, unread (Delta's drop is metadata-only
+    * too; physical cleanup is a table rewrite). Requires column mapping
+    * for the same reason rename does: without it, a later add of the
+    * same name would resurrect the dropped bytes. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+                 readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(!name.contains("."),
+      "DROP COLUMN supports top-level columns only")
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    require(cfg.get("delta.columnMapping.mode").contains("name"),
+      s"DROP COLUMN needs column mapping: ALTER TABLE ... SET " +
+        "TBLPROPERTIES ('delta.columnMapping.mode' = 'name') first")
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(name))
+    require(idx >= 0, s"no such column: $name")
+    require(declared.fields.length > 1,
+      "cannot drop the table's only column")
+    requireNotInConstraints(cfg, name, "DROP")
+    val fields = declared.fields.toIndexedSeq.patch(idx, Nil, 1)
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table,
+        org.apache.spark.sql.types.StructType(fields),
+        partitionColumns(spark, table), cfg)),
+      "DROP COLUMNS")
+  }
+
+  /** A CHECK constraint that references the column by name would
+    * silently stop binding after a rename/drop — refuse, like Delta
+    * (word-boundary match on the constraint SQL, conservative). */
+  private def requireNotInConstraints(cfg: Map[String, String],
+                                      column: String, op: String): Unit = {
+    val hits = constraintsOf(cfg).filter { case (_, sql) =>
+      ("(?i)(^|[^a-z0-9_`])" + java.util.regex.Pattern.quote(column) +
+        "($|[^a-z0-9_`])").r.findFirstIn(sql).isDefined ||
+        sql.toLowerCase.contains(s"`${column.toLowerCase}`")
+    }
+    require(hits.isEmpty,
+      s"$op COLUMN $column refused: CHECK constraint(s) " +
+        s"${hits.keys.mkString(", ")} reference it — drop them first")
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT. */
@@ -974,9 +1142,13 @@ object MiniDelta {
       // without overwriteSchema): silently keeping the old declared type
       // while parquet files carry the new physical type would poison
       // every subsequent declared-schema read of the table
+      // structural comparison: raw DataType equality includes nested
+      // field METADATA, which would flag a mapped struct column as
+      // "retyped" by any metadata-less incoming frame
       val conflicts = incoming.fields.flatMap { f =>
         old.fields.find(_.name == f.name)
-          .filter(_.dataType != f.dataType)
+          .filterNot(o => org.apache.spark.sql.types.DataType
+            .equalsIgnoreNullability(o.dataType, f.dataType))
           .map(o => s"${f.name}: ${o.dataType.simpleString} -> ${f.dataType.simpleString}")
       }
       if (conflicts.nonEmpty)
@@ -1283,15 +1455,16 @@ object MiniDelta {
   private[graft] case class ProtocolAction(
       minReader: Int, minWriter: Int,
       readerFeats: Seq[String], writerFeats: Seq[String]) {
-    /** Union in the deletion-vector requirement WITHOUT discarding the
-      * table's existing contract — a real table already at (3, 7) with
-      * e.g. timestampNtz must keep that feature, not be downgraded to
-      * a DV-only protocol. Crossing FROM a legacy version, the Delta
-      * spec requires enumerating every feature that version implied —
-      * a (2, 5) table's columnMapping requirement must survive as an
-      * explicit feature, or a real reader consulting the new lists
-      * would skip the relabeling and mis-read the table. */
-    def withDeletionVectors: ProtocolAction = {
+    /** Union in a reader+writer table-feature requirement WITHOUT
+      * discarding the table's existing contract — a real table already
+      * at (3, 7) with e.g. timestampNtz must keep that feature, not be
+      * downgraded to a single-feature protocol. Crossing FROM a legacy
+      * version, the Delta spec requires enumerating every feature that
+      * version implied — a (2, 5) table's columnMapping requirement
+      * must survive as an explicit feature, or a real reader consulting
+      * the new lists would skip the relabeling and mis-read the
+      * table. */
+    def withFeature(feat: String): ProtocolAction = {
       val impliedReader =
         if (minReader >= 3) Nil // already feature-enumerated
         else if (minReader >= 2) Seq("columnMapping")
@@ -1307,9 +1480,11 @@ object MiniDelta {
         ).collect { case (v, fs) if minWriter >= v => fs }.flatten
       ProtocolAction(
         math.max(minReader, 3), math.max(minWriter, 7),
-        (readerFeats ++ impliedReader :+ "deletionVectors").distinct,
-        (writerFeats ++ impliedWriter :+ "deletionVectors").distinct)
+        (readerFeats ++ impliedReader :+ feat).distinct,
+        (writerFeats ++ impliedWriter :+ feat).distinct)
     }
+    def withDeletionVectors: ProtocolAction = withFeature("deletionVectors")
+    def withColumnMapping: ProtocolAction = withFeature("columnMapping")
     def render: String = {
       val rf =
         if (minReader >= 3)
@@ -1884,7 +2059,7 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
-    requireUnmappedForWrite(latestSchema(spark, table), table)
+    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
     // read-set version pin, captured BEFORE the snapshot replay: the
     // commit below lands at exactly readVersion + 1 or conflicts
     val readVersion = latestVersion(spark, table)
@@ -2343,7 +2518,7 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to delete from
-    requireUnmappedForWrite(latestSchema(spark, table), table)
+    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
     val readVersion = latestVersion(spark, table)
     // delta.enableDeletionVectors routes DELETE through the DV path:
     // deleted rows are MASKED by a row-index sidecar instead of
@@ -2569,7 +2744,7 @@ object MiniDelta {
     if (!tableExists(spark, table)) return -1L // nothing to update
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    requireUnmappedForWrite(declared, table)
+    requireUnmappedForWrite(declared, table, spark)
     // an unknown assignment target is an ERROR (Delta raises an analysis
     // error) — silently dropping it would turn the update into a no-op
     declared.foreach { s =>
@@ -2639,11 +2814,19 @@ object MiniDelta {
           "multiple source matches per target row are ambiguous")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    requireUnmappedForWrite(declared, table)
+    requireUnmappedForWrite(declared, table, spark)
     // schema evolution, same rule as append: source-only columns are
     // APPENDED to the declared schema (committed as a metaData action);
     // retyping an existing column is rejected inside mergedSchema
     val merged = mergedSchema(declared, source.schema)
+    // same mapped-evolution rule as append: an evolved field would
+    // carry no physicalName/id and poison the mapping
+    if (declared.exists(isColumnMapped) &&
+        merged.length != declared.get.length)
+      throw new IllegalArgumentException(
+        s"merge cannot evolve the schema of column-mapped table $table " +
+          "— new columns need mapping metadata; add them first with " +
+          "ALTER TABLE ... ADD COLUMNS")
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
         // carry the config forward (same rule as append's evolution)
@@ -2967,7 +3150,7 @@ object MiniDelta {
       if (exists) tableConfig(spark, table, readVersion)
       else Map.empty[String, String]
     if (exists)
-      requireUnmappedForWrite(latestSchema(spark, table, readVersion), table)
+      requireUnmappedForWrite(latestSchema(spark, table, readVersion), table, spark)
     // the scope guard, constraint check, and parquet write each
     // evaluate df — persist across the whole sequence so a
     // nondeterministic source validates the SAME rows it commits
@@ -2995,6 +3178,14 @@ object MiniDelta {
       val newSchema =
         if (overwriteSchema) df.schema
         else mergedSchema(declared, df.schema)
+      // mapped tables: an overwrite may not grow or replace the schema
+      // (the evolved/replacement fields would carry no mapping)
+      if (declared.exists(isColumnMapped) &&
+          (overwriteSchema || newSchema.length != declared.get.length))
+        throw new IllegalArgumentException(
+          s"overwrite cannot evolve the schema of column-mapped table " +
+            s"$table — new columns need mapping metadata; add them " +
+            "first with ALTER TABLE ... ADD COLUMNS")
       enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
@@ -3724,22 +3915,32 @@ object MiniDelta {
   /** [[readFiles]] with the declared schema already resolved — DML
     * operations resolve it ONCE and thread it through their scan,
     * rewrite, and alignment steps instead of re-replaying the log. */
-  /** Writes to a column-mapped table are refused outright: this engine
-    * lands logical-named parquet, which the table's physical-name
-    * contract would then silently read back as all-null columns. The
-    * same gate refuses schemas whose field metadata demands write-time
-    * behavior this engine lacks — generated columns (the writer must
-    * COMPUTE the expression), identity columns (the writer must
-    * allocate the sequence), field invariants (the writer must enforce
-    * the predicate) — because committing without upholding them
-    * silently corrupts the table for every compliant client. Every
-    * mutator gates on the declared schema. */
+  /** Write-side schema gate. NAME-mode column-mapped tables are
+    * writable: [[writeAndCapture]] lands PHYSICAL-named parquet
+    * ([[toPhysical]]) and [[fileStats]] keys stats by physical name, so
+    * a compliant reader of the resulting log sees exactly what a real
+    * mapped writer would have produced. `id` mode (or mapping metadata
+    * under an unknown/unset mode) still refuses — footer field-id
+    * WRITING is not implemented, and a name-only write of an id table
+    * would read back all-null for renamed files. The same gate refuses
+    * schemas whose field metadata demands write-time behavior this
+    * engine lacks — generated columns (the writer must COMPUTE the
+    * expression), identity columns (the writer must allocate the
+    * sequence), field invariants (the writer must enforce the
+    * predicate) — because committing without upholding them silently
+    * corrupts the table for every compliant client. Every mutator gates
+    * on the declared schema. */
   private def requireUnmappedForWrite(
       declared: Option[org.apache.spark.sql.types.StructType],
-      table: String): Unit =
+      table: String, spark: SparkSession): Unit =
     declared.foreach { st =>
-      if (isColumnMapped(st))
-        throw new ColumnMappingUnsupportedException(table, "name", "write")
+      if (isColumnMapped(st) ||
+          st.fields.exists(_.metadata.contains(MapIdKey))) {
+        val mode = tableConfig(spark, table).get("delta.columnMapping.mode")
+        if (!mode.contains("name"))
+          throw new ColumnMappingUnsupportedException(table,
+            mode.getOrElse("(unset)"), "write")
+      }
       val demands = Seq(
         "delta.generationExpression" -> "a generated column",
         "delta.identity.start" -> "an identity column",
@@ -3856,6 +4057,58 @@ object MiniDelta {
     if (fd.metadata.contains(PhysNameKey)) fd.metadata.getString(PhysNameKey)
     else fd.name
 
+  /** The physical column name behind a logical top-level name — the
+    * identity for unmapped tables/columns. */
+  private def physicalColOf(
+      declared: Option[org.apache.spark.sql.types.StructType],
+      name: String): String =
+    declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(name))
+      .map(physicalNameOf)).getOrElse(name)
+
+  /** Inverse of [[restoreLogical]]: rename a logical-named frame to the
+    * physical schema for WRITING. The top-level select renames columns,
+    * the cast renames nested struct fields (same-shape casts are
+    * positional). Fields the frame omits stay omitted — a legal subset
+    * append, reads null-fill them. */
+  private def toPhysical(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = logical.fields.filter(lf =>
+      df.columns.exists(_.equalsIgnoreCase(lf.name)))
+    df.select(present.map { lf =>
+      col(s"`${lf.name}`")
+        .cast(physicalType(lf.dataType, withIds = false))
+        .as(physicalNameOf(lf))
+    }.toIndexedSeq: _*)
+  }
+
+  /** Assign name-mode mapping metadata to a schema: every (nested)
+    * field gets `delta.columnMapping.physicalName` and a depth-first
+    * `delta.columnMapping.id` starting past `startId`. Upgrade
+    * semantics (`physicalName = the current name`) — the files already
+    * on disk store exactly these names, so they keep reading without a
+    * rewrite; that is why Delta's own upgrade works this way. Returns
+    * the mapped schema and the highest id assigned (the new
+    * `delta.columnMapping.maxColumnId`). */
+  private def assignMapping(st: org.apache.spark.sql.types.StructType,
+                            startId: Long)
+      : (org.apache.spark.sql.types.StructType, Long) = {
+    import org.apache.spark.sql.types._
+    var next = startId
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        next += 1
+        val meta = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysNameKey, f.name).putLong(MapIdKey, next).build()
+        StructField(f.name, walk(f.dataType), f.nullable, meta)
+      })
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType => m.copy(keyType = walk(m.keyType),
+        valueType = walk(m.valueType))
+      case other => other
+    }
+    (walk(st).asInstanceOf[StructType], next)
+  }
+
   /** True when the declared schema carries name-mode mapping metadata —
     * the parquet files use physical names and must be read through the
     * relabeling projection. Pure in-memory check, so the unmapped path
@@ -3955,11 +4208,14 @@ object MiniDelta {
     * it exact). The scan touches only stats-surviving files. */
   def readRange(spark: SparkSession, table: String, statCol: String,
                 lo: Double, hi: Double): DataFrame = {
+    val declared = latestSchema(spark, table)
+    // mapped table: the stats JSON keys are physical — prune under the
+    // physical name, filter under the logical one (the relabeled frame)
+    val statPhys = physicalColOf(declared.filter(isColumnMapped), statCol)
     val files = dvPairsOf(
-      filesForRange(snapshotFiles(spark, table), statCol, lo, hi)
+      filesForRange(snapshotFiles(spark, table), statPhys, lo, hi)
         .select("path", "dv_path").collect().toIndexedSeq)
-    val base = readFilesWithDv(spark, table, files,
-      latestSchema(spark, table))
+    val base = readFilesWithDv(spark, table, files, declared)
     if (files.isEmpty) base // zero files: the predicate is vacuous (and
     else base.where(col(statCol) >= lo && col(statCol) <= hi) // may not resolve)
   }

@@ -34,8 +34,9 @@ import graft.io.MiniDelta
   * extension surface matching what a Delta SQL user expects. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftMaintenanceVerbs.parse(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftMaintenanceVerbs.postParse(
+      GraftMaintenanceVerbs.parse(sqlText, delegate)
+        .getOrElse(delegate.parsePlan(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -107,6 +108,69 @@ object GraftMaintenanceVerbs {
       case RestoreTsRe(id, ts) => entryOf(id).map(e =>
         GraftRestoreCommand(e.path, e.readOnly, None, Some(ts)))
       case _ => None
+    }
+
+  /** Post-parse rewrite for statements Spark's own grammar parses but
+    * whose builtin analysis rules CRASH on foreign-catalog targets
+    * before an injected resolution rule can intercept
+    * (ResolveSessionCatalog assumes ADD/DROP CONSTRAINT targets
+    * resolved in the session catalog). Rewriting at the parser level
+    * runs before any analyzer batch; non-graft targets pass through
+    * untouched. */
+  def postParse(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      // CHECK form parses to AddCheckConstraint(Filter(NOT cond, rel),
+      // constraint) — Spark plans the existing-row validation as the
+      // child; the engine command performs the same validation itself
+      case org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint(
+          child, cc)
+          if (child.collectFirst {
+            case r: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation
+                if GraftSqlTables.resolve(r.multipartIdentifier).isDefined =>
+              r
+          }).isDefined =>
+        val e = (child.collectFirst {
+          case r: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedRelation =>
+            GraftSqlTables.resolve(r.multipartIdentifier)
+        }).flatten.get
+        require(cc.userProvidedName != null,
+          "graft ADD CONSTRAINT needs an explicit constraint name")
+        GraftAddConstraintCommand(e.path, e.readOnly,
+          cc.userProvidedName, cc.condition)
+
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AddConstraint(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        ac.tableConstraint match {
+          case cc: org.apache.spark.sql.catalyst.expressions
+              .CheckConstraint =>
+            require(cc.userProvidedName != null,
+              "graft ADD CONSTRAINT needs an explicit constraint name")
+            GraftAddConstraintCommand(e.path, e.readOnly,
+              cc.userProvidedName, cc.condition)
+          case other => throw new IllegalArgumentException(
+            "graft tables support CHECK constraints only; got " +
+              other.getClass.getSimpleName)
+        }
+
+      case dc: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
+          if (dc.table match {
+            case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+              GraftSqlTables.resolve(t.multipartIdentifier).isDefined
+            case _ => false
+          }) =>
+        val e = dc.table match {
+          case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            GraftSqlTables.resolve(t.multipartIdentifier).get
+          case _ => sys.error("unreachable")
+        }
+        require(!dc.cascade,
+          "DROP CONSTRAINT ... CASCADE is not supported on graft tables")
+        GraftDropConstraintCommand(e.path, e.readOnly, dc.name,
+          dc.ifExists)
     }
 
   /** `OPTIMIZE ... WHERE` predicates are PARTITION predicates (Delta's

@@ -249,6 +249,34 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 
+      // --- mapped-schema evolution: RENAME/DROP COLUMN route to the
+      // engine's metadata-only commits (they require name-mode column
+      // mapping, which the commands check and explain by name)
+      case rc @ org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        require(rc.column.name.length == 1,
+          "graft RENAME COLUMN supports top-level columns only " +
+            s"(got nested ${rc.column.name.mkString(".")})")
+        GraftRenameColumnCommand(e.path, e.readOnly,
+          rc.column.name.head, rc.newName)
+
+      case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        require(!dc.ifExists,
+          "graft DROP COLUMN does not support IF EXISTS — absent " +
+            "columns refuse by name")
+        val names = dc.columnsToDrop.map { c =>
+          require(c.name.length == 1,
+            "graft DROP COLUMN supports top-level columns only " +
+              s"(got nested ${c.name.mkString(".")})")
+          c.name.head
+        }
+        GraftDropColumnsCommand(e.path, e.readOnly, names)
+
       case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
           ifPartitionNotExists, byName) if entryOf(rel).isDefined =>
         require(partSpec.isEmpty,
@@ -744,6 +772,53 @@ case class GraftShowTablePropertiesCommand(table: String,
       case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `ALTER TABLE graft.<alias> ADD CONSTRAINT c CHECK (...)` →
+  * [[MiniDelta.addConstraint]]: existing rows are validated BEFORE the
+  * invariant arms (Delta's rule), duplicates refuse. */
+case class GraftAddConstraintCommand(table: String, readOnly: Boolean,
+    name: String, condition: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MiniDelta.addConstraint(spark, table, name, condition,
+      readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> DROP CONSTRAINT [IF EXISTS] c` →
+  * [[MiniDelta.dropConstraint]]. */
+case class GraftDropConstraintCommand(table: String, readOnly: Boolean,
+    name: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val known = MiniDelta.tableConfig(spark, table)
+      .contains(s"delta.constraints.$name")
+    if (!known && ifExists) return Seq.empty
+    MiniDelta.dropConstraint(spark, table, name, readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> RENAME COLUMN a TO b` →
+  * [[MiniDelta.renameColumn]] (metadata-only; needs name-mode column
+  * mapping, which the engine command explains by name). */
+case class GraftRenameColumnCommand(table: String, readOnly: Boolean,
+    from: String, to: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MiniDelta.renameColumn(spark, table, from, to, readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> DROP COLUMN a [, b ...]` →
+  * [[MiniDelta.dropColumn]] per column, in order. */
+case class GraftDropColumnsCommand(table: String, readOnly: Boolean,
+    names: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    names.foreach(MiniDelta.dropColumn(spark, table, _,
+      readOnly = readOnly))
+    Seq.empty
   }
 }
 

@@ -19,6 +19,112 @@ class MiniDeltaSpec extends AnyFunSuite {
   private def sample(year: String, n: Int) =
     (1 to n).map(i => (i.toLong, year, s"v$i")).toDF("id", "year", "payload")
 
+  test("column mapping write lifecycle: enable, rename, append, DML, drop") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("id", "tag", "price"), t, Seq.empty)
+    // enable name-mode mapping: metadata upgrade, nothing rewritten
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.columnMapping.mode" -> "name"))
+    val cfg = MiniDelta.tableConfig(spark, t)
+    assert(cfg("delta.columnMapping.mode") == "name")
+    assert(cfg("delta.columnMapping.maxColumnId") == "3")
+    MiniDelta.invalidateSnapshot(t)
+    // pre-upgrade files keep reading (physicalName == their old names)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // rename is metadata-only: logical name changes, data survives
+    MiniDelta.renameColumn(spark, t, "price", "px")
+    MiniDelta.invalidateSnapshot(t)
+    val renamed = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(renamed.columns.toSeq == Seq("id", "tag", "px"))
+    assert(renamed.agg(sum(col("px"))).head().getDouble(0) == 60.0)
+    // append AFTER the rename: the new file stores the PHYSICAL name
+    // ('price'), not the logical 'px' — a mapped reader resolves both
+    MiniDelta.append(spark,
+      Seq((4L, "d", 40.0)).toDF("id", "tag", "px"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .agg(sum(col("px"))).head().getDouble(0) == 100.0)
+    // the parquet on disk must carry physical names only
+    val raw = spark.read.parquet(t)
+    assert(raw.columns.contains("price") && !raw.columns.contains("px"))
+    // copy-on-write DML under mapping (rewrite lands physical names)
+    MiniDelta.delete(spark, t, col("px") === 20.0, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .agg(sum(col("px"))).head().getDouble(0) == 80.0)
+    // OPTIMIZE compacts mapped files and keeps them readable
+    MiniDelta.compact(spark, t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // evolution via blind append refuses; ALTER ADD assigns mapping
+    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq((9L, "z", 1.0, "x")).toDF("id", "tag", "px", "extra"),
+      t, Seq.empty))
+    assert(e.getMessage.contains("ADD COLUMNS"))
+    MiniDelta.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    assert(MiniDelta.tableConfig(spark, t)(
+      "delta.columnMapping.maxColumnId") == "4")
+    MiniDelta.append(spark,
+      Seq((9L, "z", 1.0, "x")).toDF("id", "tag", "px", "extra"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val evolved = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(evolved.where(col("extra") === "x").count() == 1)
+    // drop a column: metadata-only, later reads omit it; re-adding the
+    // name yields NULLs, never the dropped bytes (fresh physical name)
+    MiniDelta.dropColumn(spark, t, "tag")
+    MiniDelta.invalidateSnapshot(t)
+    assert(!MiniDelta.readFiltered(spark, t, Seq.empty)
+      .columns.contains("tag"))
+    MiniDelta.addColumns(spark, t, Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("tag").isNotNull).count() == 0)
+    // time travel BEFORE the rename still shows the old logical name
+    val v1 = MiniDelta.readFiltered(spark, t, Seq.empty,
+      versionAsOf = Some(1L))
+    assert(v1.columns.contains("price") && !v1.columns.contains("px"))
+    // governance refusals: partitioned tables, id mode, un-enabling
+    val p = freshTable()
+    MiniDelta.append(spark, sample("2023", 2), p, Seq("year"))
+    val pe = intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, p,
+        Map("delta.columnMapping.mode" -> "name")))
+    assert(pe.getMessage.contains("PARTITIONED"))
+    intercept[IllegalArgumentException](MiniDelta.setTableProperties(
+      spark, t, Map("delta.columnMapping.mode" -> "id")))
+    intercept[IllegalArgumentException](
+      MiniDelta.unsetTableProperties(spark, t,
+        Seq("delta.columnMapping.mode")))
+    // rename without mapping refuses with the enable hint
+    val un = freshTable()
+    MiniDelta.append(spark, Seq((1L, 1.0)).toDF("id", "v"), un, Seq.empty)
+    val re = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, un, "v", "w"))
+    assert(re.getMessage.contains("delta.columnMapping.mode"))
+    // merge/overwrite evolution refuses on mapped tables like append
+    val me = intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
+      Seq((1L, 2.0, "s")).toDF("id", "px", "surprise"), Seq("id"),
+      Seq.empty))
+    assert(me.getMessage.contains("ADD COLUMNS"))
+    val oe = intercept[IllegalArgumentException](MiniDelta.overwrite(spark,
+      Seq((1L, 2.0)).toDF("id", "other"), t, Seq.empty,
+      overwriteSchema = true))
+    assert(oe.getMessage.contains("column-mapped"))
+    // merge WITHOUT evolution works under mapping (upsert px of id=1)
+    MiniDelta.merge(spark, t, Seq((1L, 99.0)).toDF("id", "px"),
+      Seq("id"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("id") === 1L).select("px").head().getDouble(0) == 99.0)
+  }
+
   test("append writes versioned commits; snapshot sees all live files") {
     val t = freshTable()
     assert(MiniDelta.append(spark, sample("2023", 3), t, Seq("year")) == 0L)
@@ -1602,7 +1708,7 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 1)
   }
 
-  test("name-mode column mapping relabels (incl. nested); writes refuse") {
+  test("name-mode column mapping relabels (incl. nested); writes round-trip") {
     import org.apache.spark.sql.types._
     val t = freshTable()
     // a real name-mode writer lands GUID-style physical columns — here
@@ -1640,18 +1746,32 @@ class MiniDeltaSpec extends AnyFunSuite {
     // logical-name filtering works post-relabel
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("payload.value") > 15L).count() == 1)
-    // every mutator refuses: this engine would land logical-named
-    // parquet that the physical-name contract reads back as all-null
-    intercept[MiniDelta.ColumnMappingUnsupportedException] {
-      MiniDelta.append(spark, Seq((3L, "c", 30L)).toDF("id", "pn", "pv"),
-        t, Seq.empty)
-    }
-    intercept[MiniDelta.ColumnMappingUnsupportedException] {
-      MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty)
-    }
-    intercept[MiniDelta.ColumnMappingUnsupportedException] {
-      MiniDelta.compact(spark, t, Seq.empty)
-    }
+    // writes into the FOREIGN-shaped mapped table round-trip: the
+    // engine lands parquet under the GUID physical names (nested
+    // struct fields included) that this table's contract demands
+    MiniDelta.append(spark,
+      Seq((3L, "c", 30L)).toDF("id", "pn", "pv")
+        .select(col("id"), struct(col("pn").as("name"),
+          col("pv").as("value")).as("payload")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val after = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(after.count() == 3)
+    assert(after.where(col("payload.name") === "c")
+      .select("payload.value").head().getLong(0) == 30L)
+    // the new file on disk spells the PHYSICAL names
+    val newest = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.lastModified())
+    val rawCols = spark.read.parquet(newest.toString).schema
+    assert(rawCols.fieldNames.toSeq == Seq("col-1", "col-2"))
+    // copy-on-write DML + OPTIMIZE work under the mapping
+    MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+    MiniDelta.compact(spark, t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .agg(sum(col("payload.value"))).head().getLong(0) == 50L)
   }
 
   test("id-mode column mapping reads via parquet field ids; writes refuse") {

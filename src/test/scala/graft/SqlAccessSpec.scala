@@ -692,6 +692,64 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SQL column mapping: enable via SET, RENAME COLUMN, DROP COLUMN") {
+    val t = freshDir() + "/t"
+    MiniDelta.append(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "price"),
+      t, Seq.empty)
+    GraftSqlTables.register("spec_cm", t, readOnly = false)
+    try {
+      spark.sql("ALTER TABLE graft.spec_cm SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")
+      spark.sql("ALTER TABLE graft.spec_cm RENAME COLUMN price TO px")
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT sum(px) AS s FROM graft.spec_cm")
+        .head().getDouble(0) == 30.0)
+      spark.sql("ALTER TABLE graft.spec_cm DROP COLUMN tag")
+      MiniDelta.invalidateSnapshot(t)
+      val cols = spark.sql("DESCRIBE TABLE graft.spec_cm")
+        .collect().map(_.getString(0)).toSeq
+      assert(cols.contains("px") && !cols.contains("tag") &&
+        !cols.contains("price"))
+      // INSERT into the renamed schema lands physical-named parquet
+      spark.sql("INSERT INTO graft.spec_cm VALUES (3, 40.0)")
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT sum(px) AS s FROM graft.spec_cm")
+        .head().getDouble(0) == 70.0)
+      // read-only alias refuses the whole family
+      GraftSqlTables.register("spec_cm_ro", t)
+      intercept[MiniDelta.ReadOnlyTableException](spark.sql(
+        "ALTER TABLE graft.spec_cm_ro RENAME COLUMN px TO q"))
+      intercept[MiniDelta.ReadOnlyTableException](spark.sql(
+        "ALTER TABLE graft.spec_cm_ro DROP COLUMN px"))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("SQL constraints: ADD CONSTRAINT validates, arms; DROP disarms") {
+    val t = freshDir() + "/trades"
+    seed(t)
+    GraftSqlTables.register("spec_ck", t, readOnly = false)
+    try {
+      // arming against existing violations refuses
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_ck ADD CONSTRAINT pos CHECK (price > 15)"))
+      spark.sql(
+        "ALTER TABLE graft.spec_ck ADD CONSTRAINT pos CHECK (price > 0)")
+      // the armed invariant rejects violating inserts
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_ck VALUES (9, 'XAMS', -1.0)"))
+      assert(e.getMessage.toLowerCase.contains("constraint") ||
+        e.getMessage.contains("pos"))
+      // DROP disarms; IF EXISTS tolerates absence
+      spark.sql("ALTER TABLE graft.spec_ck DROP CONSTRAINT pos")
+      spark.sql("INSERT INTO graft.spec_ck VALUES (9, 'XAMS', -1.0)")
+      spark.sql(
+        "ALTER TABLE graft.spec_ck DROP CONSTRAINT IF EXISTS nope")
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_ck DROP CONSTRAINT nope"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
