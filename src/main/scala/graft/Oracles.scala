@@ -1386,6 +1386,16 @@ FROM kept""",
   FROM lineitem WHERE l_quantity <= 2
 ) ORDER BY l_returnflag""",
 
+    // the oracle recomputes the generated bucket and the update's
+    // price-zeroing directly from the source
+    "s35_generated" ->
+      """SELECT l_orderkey % 5 AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round((CASE WHEN l_quantity = 1 THEN 0.0
+             ELSE l_extendedprice END) * 100)) / 100.0 AS sum_price
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1 ORDER BY 1""",
+
     // mirrors s20's reconstruction rule: only rows the UPDATE changed
     // appear as pre/postimages (price already 0 cancels in the diff);
     // commit_version is deterministic (v1 update, v2 delete) and every

@@ -2137,6 +2137,39 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .withColumn("n_cols", lit(out.columns.length))
     }),
+    "s35_generated" -> ((s, d) => {
+      // generated-column lifecycle: CREATE TABLE with a generated
+      // bucket (l_orderkey % 5), append WITHOUT the column (the engine
+      // computes it), UPDATE a referenced-by-nothing column (price) —
+      // the recompute projection must leave bucket byte-identical. The
+      // oracle recomputes the bucket in SQL with zero knowledge of the
+      // generation machinery.
+      val dir = "/tmp/graft_s35_generated"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      import org.apache.spark.sql.types._
+      graft.io.MiniDelta.createTable(s, table, StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("bucket", LongType, nullable = true,
+          new MetadataBuilder().putString(
+            "delta.generationExpression", "l_orderkey % 5").build()))))
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      graft.io.MiniDelta.append(s, src, table, Seq.empty)
+      graft.io.MiniDelta.update(s, table, col("l_quantity") === 1,
+        Map("l_extendedprice" -> lit(0.0)), Seq.empty)
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"))
+        .orderBy("bucket")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

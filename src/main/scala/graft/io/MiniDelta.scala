@@ -270,16 +270,20 @@ object MiniDelta {
     requireUnmappedForWrite(declared0, table, spark)
     mergedSchema(declared0, df.schema)
     val cfg0 = tableConfig(spark, table)
-    // enforcement + write = two evaluations of df; cache across the
-    // pair (only when constraints exist, and without disturbing a
-    // caller's own persist)
-    val mustCache = constraintsOf(cfg0).nonEmpty &&
+    // enforcement/validation + write = multiple evaluations of df;
+    // cache across them (only when an extra pass actually exists, and
+    // without disturbing a caller's own persist)
+    val hasProvidedGen = declared0.exists(_.fields.exists(f =>
+      f.metadata.contains(GenExprKey) &&
+        df.columns.exists(_.equalsIgnoreCase(f.name))))
+    val mustCache = (constraintsOf(cfg0).nonEmpty || hasProvidedGen) &&
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (mustCache) df.persist()
     try {
-      enforceConstraints(alignForCheck(df, declared0), cfg0)
-      val added = writeAndCapture(spark, df, table, partitionBy)
-      appendCommit(spark, df, table, partitionBy, statsCols, added,
+      val df1 = applyGenerated(df, declared0, table)
+      enforceConstraints(alignForCheck(df1, declared0), cfg0)
+      val added = writeAndCapture(spark, df1, table, partitionBy)
+      appendCommit(spark, df1, table, partitionBy, statsCols, added,
         cfg0, txn)
     } finally if (mustCache) { df.unpersist(); () }
   }
@@ -758,6 +762,50 @@ object MiniDelta {
     config.collect { case (k, v) if k.startsWith(constraintKeyPrefix) =>
       k.stripPrefix(constraintKeyPrefix) -> v }
 
+  /** Delta generated columns: the `delta.generationExpression` field
+    * metadata key (writer feature `generatedColumns` / legacy writer
+    * version 4). */
+  private[graft] val GenExprKey = "delta.generationExpression"
+
+  /** The generated-column writer contract, applied at every
+    * row-producing write: a column the incoming frame OMITS is
+    * COMPUTED from its expression (one narrow projection, free); a
+    * column the frame PROVIDES is VALIDATED against it (one aggregate
+    * pass, null-safe equality) — committing unvalidated values would
+    * silently break the invariant every other client of the table
+    * relies on (Delta's own rule). Throws with the failing column and
+    * row count on mismatch. */
+  private def applyGenerated(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      table: String): DataFrame = {
+    val gens = declared.map(_.fields.filter(_.metadata.contains(GenExprKey)))
+      .getOrElse(Array.empty)
+    if (gens.isEmpty) return df
+    var out = df
+    val provided = gens.filter(f =>
+      df.columns.exists(_.equalsIgnoreCase(f.name)))
+    gens.filterNot(provided.contains).foreach { f =>
+      out = out.withColumn(f.name,
+        expr(f.metadata.getString(GenExprKey)).cast(f.dataType))
+    }
+    if (provided.nonEmpty) {
+      val checks = provided.toSeq.map { f =>
+        val g = expr(f.metadata.getString(GenExprKey)).cast(f.dataType)
+        sum(when(!(col(s"`${f.name}`") <=> g), 1L).otherwise(0L))
+          .as(f.name)
+      }
+      val row = out.agg(checks.head, checks.tail: _*).collect().head
+      provided.toSeq.zipWithIndex.foreach { case (f, i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        require(bad == 0L,
+          s"$table: ${bad} row(s) provide a value for generated column " +
+            s"${f.name} that does not match its expression " +
+            s"${f.metadata.getString(GenExprKey)}")
+      }
+    }
+    out
+  }
+
   final class ConstraintViolationException(violated: Seq[(String, String, Long)])
     extends RuntimeException(
       "CHECK constraint violated: " + violated.map { case (n, sql, c) =>
@@ -885,18 +933,34 @@ object MiniDelta {
     // upgrade overwrite its lists.
     val needDv = props.get("delta.enableDeletionVectors").contains("true") &&
       !cfg.get("delta.enableDeletionVectors").contains("true")
+    // ICT enablement (Delta's inCommitTimestamp writer feature): the
+    // feature joins the protocol and the provenance properties record
+    // WHERE the in-log clock starts being authoritative — time travel
+    // below the enablement version falls back to wall-clock timestamps
+    val needIct =
+      props.get("delta.enableInCommitTimestamps").contains("true") &&
+        !cfg.get("delta.enableInCommitTimestamps").contains("true")
+    val ictCfg =
+      if (!needIct) Map.empty[String, String]
+      else Map(
+        "delta.inCommitTimestampEnablementVersion" ->
+          (readVersion + 1).toString,
+        "delta.inCommitTimestampEnablementTimestamp" ->
+          commitClock().toString)
     val protoUpgrade =
-      if (!needDv && !enablingMapping) Seq.empty
+      if (!needDv && !enablingMapping && !needIct) Seq.empty
       else {
         var p = resolveProtocol(spark, table, readVersion,
           cpAtMost = readVersion).getOrElse(basicProtocol)
         if (needDv) p = p.withDeletionVectors
         if (enablingMapping) p = p.withColumnMapping
+        if (needIct) p = p.withWriterFeature("inCommitTimestamp")
         Seq(p.render)
       }
     writeCommit(spark, table, readVersion + 1,
       protoUpgrade ++
-        Seq(metaDataLine(table, schema2, parts, cfg ++ props ++ mapCfg)),
+        Seq(metaDataLine(table, schema2, parts,
+          cfg ++ props ++ mapCfg ++ ictCfg)),
       "SET TBLPROPERTIES")
   }
 
@@ -957,8 +1021,15 @@ object MiniDelta {
           s"CREATE TABLE at $table refused: the path already holds raw " +
             "parquet; convertToDelta promotes it without orphaning rows")
     }
+    // generated columns demand legacy writer version 4 (the
+    // generatedColumns feature) — declare it at v0 so a compliant
+    // foreign writer knows to uphold the expressions
+    val proto =
+      if (schema.fields.exists(_.metadata.contains(GenExprKey)))
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+      else Seq.empty
     writeCommit(spark, table, 0L,
-      Seq(metaDataLine(table, schema, partitionBy, properties)),
+      proto ++ Seq(metaDataLine(table, schema, partitionBy, properties)),
       "CREATE TABLE")
   }
 
@@ -1008,8 +1079,21 @@ object MiniDelta {
     val merged = org.apache.spark.sql.types.StructType(
       declared.fields.toIndexedSeq ++ cols2)
     val parts = partitionColumns(spark, table)
+    // adding a generated column upgrades the writer contract in the
+    // same commit (legacy v4, or the feature on a v7 table)
+    val genProto =
+      if (!cols2.exists(_.metadata.contains(GenExprKey))) Seq.empty
+      else {
+        val cur = resolveProtocol(spark, table, readVersion,
+          cpAtMost = readVersion).getOrElse(basicProtocol)
+        if (cur.minWriter >= 7)
+          Seq(cur.withWriterFeature("generatedColumns").render)
+        else if (cur.minWriter < 4)
+          Seq(ProtocolAction(cur.minReader, 4, Nil, Nil).render)
+        else Seq.empty
+      }
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(table, merged, parts, cfg2)),
+      genProto ++ Seq(metaDataLine(table, merged, parts, cfg2)),
       "ADD COLUMNS")
   }
 
@@ -1176,7 +1260,19 @@ object MiniDelta {
     // property-gated commit rules. The remove screen is a string check
     // (zero metadata cost on the append path); config resolves only
     // when a data-changing remove is actually present.
-    requireWritable(spark, table, version - 1)
+    val protoNow = requireWritable(spark, table, version - 1)
+    // in-commit timestamps (the ICT writer feature, which this engine's
+    // TIMESTAMP AS OF already PREFERS on read): once the table's
+    // protocol carries the feature, every commitInfo stamps a
+    // monotonic in-log clock — the feature check rides the memoized
+    // writer protocol, zero extra metadata reads per commit
+    val ictEnabled =
+      protoNow.exists(_.writerFeats.contains("inCommitTimestamp")) ||
+        // the ENABLEMENT commit itself stamps too (its own protocol
+        // line carries the feature, and the provenance property points
+        // at this very version)
+        lines.exists(l => l.contains("\"protocol\"") &&
+          l.contains("inCommitTimestamp"))
     if (lines.exists(l => l.contains("\"remove\"") &&
         l.contains("\"dataChange\":true"))) {
       val cfg = tableConfig(spark, table)
@@ -1197,8 +1293,12 @@ object MiniDelta {
     var attempt = 0
     while (true) {
       val p = new Path(f"${logDir(table)}%s/$v%020d.json")
+      val now = commitClock()
+      val ict =
+        if (!ictEnabled) ""
+        else s""","inCommitTimestamp":${nextIct(spark, table, v, now)}"""
       val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
-        s""""timestamp":${commitClock()}}}"""
+        s""""timestamp":$now$ict}}"""
       // the protocol action a real Delta reader REQUIRES at v0: this
       // engine's tables read under basic protocol (1, 2) unless the
       // commit itself carries an explicit protocol (DV enablement
@@ -1485,6 +1585,22 @@ object MiniDelta {
     }
     def withDeletionVectors: ProtocolAction = withFeature("deletionVectors")
     def withColumnMapping: ProtocolAction = withFeature("columnMapping")
+    /** WRITER-only feature union: the reader contract is untouched (a
+      * writer-only feature in readerFeatures would make compliant
+      * readers refuse the table for no reason). */
+    def withWriterFeature(feat: String): ProtocolAction = {
+      val impliedWriter =
+        if (minWriter >= 7) Nil
+        else Seq(
+          2 -> Seq("appendOnly", "invariants"),
+          3 -> Seq("checkConstraints"),
+          4 -> Seq("changeDataFeed", "generatedColumns"),
+          5 -> Seq("columnMapping"),
+          6 -> Seq("identityColumns")
+        ).collect { case (v, fs) if minWriter >= v => fs }.flatten
+      ProtocolAction(minReader, math.max(minWriter, 7), readerFeats,
+        (writerFeats ++ impliedWriter :+ feat).distinct)
+    }
     def render: String = {
       val rf =
         if (minReader >= 3)
@@ -1577,14 +1693,16 @@ object MiniDelta {
     * write, DVs are written natively, columnMapping is capability-only
     * here (ENABLED mapping refuses at the mutators through the schema
     * gate), and v2 checkpoints are written whenever
-    * delta.checkpointPolicy=v2 ([[writeCheckpoint]]). Anything else —
-    * generated/identity columns, row tracking, in-commit timestamps —
-    * would make this engine's commits silently violate the table's
-    * contract, so writes refuse by name (the Delta writer-version
-    * rule). */
+    * delta.checkpointPolicy=v2 ([[writeCheckpoint]]), and generated
+    * columns are computed-or-validated at every row-producing write
+    * ([[applyGenerated]]). Anything else — identity columns, row
+    * tracking, in-commit timestamps — would make this engine's commits
+    * silently violate the table's contract, so writes refuse by name
+    * (the Delta writer-version rule). */
   private val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "deletionVectors",
-    "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint")
+    "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint",
+    "generatedColumns", "inCommitTimestamp")
 
   // memo: table -> (version checked through, protocol resolved there);
   // protocol actions are rare, so each new commit pays ONE incremental
@@ -1598,10 +1716,10 @@ object MiniDelta {
     * anyway silently corrupts the contract for every OTHER client of
     * the table (the write-side mirror of [[requireReadable]]). */
   private def requireWritable(spark: SparkSession, table: String,
-                              atMost: Long): Unit = {
-    if (atMost < 0) return // v0: creating the table, no protocol yet
+                              atMost: Long): Option[ProtocolAction] = {
+    if (atMost < 0) return None // v0: creating the table, no protocol yet
     val hi = math.min(latestVersion(spark, table), atMost)
-    if (hi < 0) return // no commits on disk yet
+    if (hi < 0) return None // no commits on disk yet
     val cached = writerProto.get(table)
     val proto: Option[ProtocolAction] =
       if (cached != null && cached._1.longValue() >= hi) cached._2
@@ -1627,6 +1745,7 @@ object MiniDelta {
               "silently break the table's contract for other clients")
       }
     }
+    proto
   }
 
   /** Delta duration-property syntax: "interval N unit" (the prefix is
@@ -2199,6 +2318,26 @@ object MiniDelta {
     * seam so TIMESTAMP AS OF specs can script history. */
   private[graft] var commitClock: () => Long = () => System.currentTimeMillis()
 
+  // last in-commit timestamp stamped per table (this process); first
+  // use reads the previous commit's clock so monotonicity survives
+  // restarts
+  private val lastIct =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The next monotonic in-commit timestamp: strictly greater than the
+    * previous commit's (ICT-or-wall) clock, at least the current wall
+    * clock — Delta's ICT rule. */
+  private def nextIct(spark: SparkSession, table: String, v: Long,
+                      now: Long): Long = {
+    val prev = Option(lastIct.get(table)).map(_.longValue()).getOrElse(
+      if (v <= 0) 0L
+      else commitTimestamps(spark, table, v - 1, v - 1).values
+        .headOption.getOrElse(0L))
+    val t = math.max(prev + 1, now)
+    lastIct.put(table, java.lang.Long.valueOf(t))
+    t
+  }
+
   /** TIMESTAMP AS OF resolution: the latest version whose commit
     * timestamp is <= `tsMs` (Delta's rule). Reads commitInfo rows from
     * the log — O(history) but a rare user-facing operation, and commit
@@ -2597,8 +2736,10 @@ object MiniDelta {
           // sees the PRE-update row, SQL UPDATE semantics)
           val dataCols = matched.columns.filterNot(
             c => c == "__fname" || c == "__ri")
-          val updated = matched.select(dataCols.map(c =>
-            set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*)
+          val updated = recomputeGenerated(
+            matched.select(dataCols.map(c =>
+              set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*),
+            declared)
           enforceConstraints(updated,
             tableConfig(spark, table, readVersion))
           val added = writeAndCapture(spark, updated, table, partitionBy)
@@ -2752,6 +2893,14 @@ object MiniDelta {
       require(unknown.isEmpty,
         s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}" +
           s" (table columns: ${s.fieldNames.mkString(", ")})")
+      // generated columns are never assigned directly (Delta's rule) —
+      // they recompute from their expressions after the SET applies
+      val genTargets = set.keySet.filter(k => s.fields.exists(f =>
+        f.name.equalsIgnoreCase(k) && f.metadata.contains(GenExprKey)))
+      require(genTargets.isEmpty,
+        s"UPDATE cannot SET generated column(s) " +
+          s"${genTargets.mkString(", ")} — they are always computed " +
+          "from their expressions")
     }
     // DV tables: mask the old rows, append the updated images
     if (tableConfig(spark, table, readVersion)
@@ -2774,14 +2923,33 @@ object MiniDelta {
         val unknown = set.keySet.diff(df.columns.toSet)
         require(unknown.isEmpty,
           s"UPDATE SET references unknown column(s): ${unknown.mkString(", ")}")
-        df.select(df.columns.map { c =>
+        // second projection AFTER the SET: generated columns recompute
+        // from the POST-update base values (their whole contract);
+        // non-updated rows recompute to their stored values exactly
+        // (deterministic expression over unchanged inputs)
+        recomputeGenerated(df.select(df.columns.map { c =>
           set.get(c).fold(col(c))(v =>
             when(coalesce(predicate, lit(false)), v)
               .otherwise(col(c)).as(c))
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*), declared)
       },
       partitionBy, "UPDATE", statsCols)
   }
+
+  /** Re-evaluate every generated column from its expression — the
+    * post-SET projection of UPDATE (see [[applyGenerated]] for the
+    * write-side compute/validate form). */
+  private def recomputeGenerated(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    declared.filter(_.fields.exists(_.metadata.contains(GenExprKey)))
+      .fold(df) { st =>
+        df.select(df.columns.map { c =>
+          st.fields.find(f => f.name.equalsIgnoreCase(c) &&
+              f.metadata.contains(GenExprKey))
+            .fold(col(s"`$c`"))(f =>
+              expr(f.metadata.getString(GenExprKey)).cast(f.dataType).as(c))
+        }.toIndexedSeq: _*)
+      }
 
   /** MERGE (upsert, Delta's whenMatched-update-all / whenNotMatched-
     * insert-all): rows of `source` whose `keys` match an existing row
@@ -2833,6 +3001,10 @@ object MiniDelta {
         Seq(metaDataLine(table, merged, partitionBy, tableConfig(spark, table)))
       case _ => Nil
     }
+    // generated-column contract on the rows the merge will WRITE:
+    // source-omitted generated columns compute, provided ones validate
+    // (survivor rows carry their already-valid stored values)
+    val source1 = applyGenerated(source, declared, table)
     // align BOTH sides to the evolved schema: survivors null-fill
     // source-only columns, the source null-fills declared columns it
     // lacks (Delta's insertAll semantics after evolution)
@@ -2877,7 +3049,7 @@ object MiniDelta {
     // just source rows) — upsert without rewriting a single target file
     if (tableConfig(spark, table, readVersion)
         .get("delta.enableDeletionVectors").contains("true"))
-      return mergeWithDv(spark, table, source, keys, partitionBy,
+      return mergeWithDv(spark, table, source1, keys, partitionBy,
         statsCols, readVersion, declared, align, metaLines, srcKeys,
         collected(snapDF.collect().toIndexedSeq))
     val snap = collected(snapDF
@@ -2885,9 +3057,9 @@ object MiniDelta {
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.join(srcKeys, keys, "left_semi"))
     copyOnWrite(spark, table, readVersion, touched, declared,
-      df => if (df.columns.isEmpty) align(source) // schema-less empty table
+      df => if (df.columns.isEmpty) align(source1) // schema-less empty
             else align(df.join(srcKeys, keys, "left_anti"))
-              .unionByName(align(source)),
+              .unionByName(align(source1)),
       partitionBy, "MERGE", statsCols, extraLines = metaLines)
   }
 
@@ -3186,14 +3358,15 @@ object MiniDelta {
           s"overwrite cannot evolve the schema of column-mapped table " +
             s"$table — new columns need mapping metadata; add them " +
             "first with ALTER TABLE ... ADD COLUMNS")
-      enforceConstraints(alignForCheck(df, Some(newSchema)), cfg)
+      val df1 = applyGenerated(df, declared, table)
+      enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg)
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
         else Seq(metaDataLine(table, newSchema, partitionBy, cfg))
       val removed = filesForFilters(
         snapshotFilesAt(spark, table, readVersion), replaceWhere)
         .select("path").collect().map(_.getString(0)).toIndexedSeq
-      val added = writeAndCapture(spark, df, table, partitionBy)
+      val added = writeAndCapture(spark, df1, table, partitionBy)
       val stats = fileStats(spark, table, added.map(_._1), statsCols)
       val now = System.currentTimeMillis()
       writeCommit(spark, table, readVersion + 1,
@@ -3942,7 +4115,6 @@ object MiniDelta {
             mode.getOrElse("(unset)"), "write")
       }
       val demands = Seq(
-        "delta.generationExpression" -> "a generated column",
         "delta.identity.start" -> "an identity column",
         "delta.invariants" -> "a field invariant")
       for (f <- st.fields; (key, what) <- demands)

@@ -125,6 +125,85 @@ class MiniDeltaSpec extends AnyFunSuite {
       .where(col("id") === 1L).select("px").head().getDouble(0) == 99.0)
   }
 
+  test("generated columns: compute on omit, validate on provide, recompute on UPDATE") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    def genMeta(e: String) = new MetadataBuilder()
+      .putString("delta.generationExpression", e).build()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType),
+      StructField("ts", LongType),
+      StructField("day", LongType, nullable = true, genMeta("ts % 7")))))
+    // the v0 protocol declares legacy writer 4 (generatedColumns)
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$t/_delta_log/${"0" * 20}.json"))
+    assert(v0.contains("\"minWriterVersion\":4"))
+    // append OMITTING the generated column computes it
+    MiniDelta.append(spark, Seq((1L, 10L), (2L, 13L)).toDF("id", "ts"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    def dayOf(id: Long): Long = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("id") === id).select("day").head().getLong(0)
+    assert(dayOf(1L) == 3L && dayOf(2L) == 6L)
+    // providing the CORRECT value passes; a wrong one refuses
+    MiniDelta.append(spark, Seq((3L, 20L, 6L)).toDF("id", "ts", "day"),
+      t, Seq.empty)
+    val bad = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq((4L, 21L, 5L)).toDF("id", "ts", "day"), t, Seq.empty))
+    assert(bad.getMessage.contains("generated column day"))
+    // UPDATE of a referenced base column RECOMPUTES the generated one
+    MiniDelta.update(spark, t, col("id") === 1L,
+      Map("ts" -> lit(15L)), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(dayOf(1L) == 1L)
+    // direct SET of a generated column refuses
+    val setGen = intercept[IllegalArgumentException](MiniDelta.update(
+      spark, t, col("id") === 1L, Map("day" -> lit(0L)), Seq.empty))
+    assert(setGen.getMessage.contains("generated"))
+    // MERGE with a source omitting the column computes it on the upsert
+    MiniDelta.merge(spark, t, Seq((2L, 22L)).toDF("id", "ts"),
+      Seq("id"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(dayOf(2L) == 1L)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+  }
+
+  test("in-commit timestamps: enablement stamps a monotonic in-log clock") {
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "v"), t, Seq.empty)
+    def commitJson(v: Long): String =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        f"$t%s/_delta_log/$v%020d.json"))
+    // pre-enablement commits carry no ICT; v1 (enablement) onward do
+    assert(!commitJson(0L).contains("inCommitTimestamp\":"))
+    assert(commitJson(1L).contains("\"inCommitTimestamp\":"))
+    assert(commitJson(2L).contains("\"inCommitTimestamp\":"))
+    // the protocol carries the writer feature; provenance properties
+    // point at the enablement version
+    assert(commitJson(1L).contains("\"inCommitTimestamp\""))
+    val cfg = MiniDelta.tableConfig(spark, t)
+    assert(cfg("delta.inCommitTimestampEnablementVersion") == "1")
+    // strict monotonicity even under a frozen wall clock
+    val prev = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1000L // far in the past
+    try {
+      MiniDelta.append(spark, Seq((4L, "d")).toDF("id", "v"), t, Seq.empty)
+      MiniDelta.append(spark, Seq((5L, "e")).toDF("id", "v"), t, Seq.empty)
+    } finally MiniDelta.commitClock = prev
+    val icts = (1L to 4L).map(v =>
+      """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(commitJson(v))
+        .get.group(1).toLong)
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"not strictly monotonic: $icts")
+    // TIMESTAMP AS OF prefers the in-log clock (the read side landed
+    // in r7; this proves the WRITE side feeds it)
+    assert(MiniDelta.versionAtTimestamp(spark, t, icts.last) >= 4L)
+  }
+
   test("append writes versioned commits; snapshot sees all live files") {
     val t = freshTable()
     assert(MiniDelta.append(spark, sample("2023", 3), t, Seq("year")) == 0L)
@@ -1944,10 +2023,12 @@ class MiniDeltaSpec extends AnyFunSuite {
       MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t3, Seq.empty)
     }
     assert(e3.getMessage.contains("rowTracking"))
-    // a schema demanding write-time behavior (generated column) refuses
+    // a FOREIGN writer-4 table with a generated column is writable:
+    // the engine upholds the expression (compute/validate), the
+    // writer-contract this gate used to refuse wholesale
     import org.apache.spark.sql.types._
     val t4 = freshTable()
-    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(t4)
+    Seq((1L, "1")).toDF("id", "v").coalesce(1).write.parquet(t4)
     val f4 = new java.io.File(t4).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).head
     val gen = StructType(Seq(
@@ -1961,10 +2042,16 @@ class MiniDeltaSpec extends AnyFunSuite {
       s"""{"metaData":{"schemaString":${jsonStr(gen.json)},"partitionColumns":[],"configuration":{}}}""",
       s"""{"add":{"path":${jsonStr(f4)},"partitionValues":{},"size":10,"dataChange":true}}"""))
     assert(MiniDelta.readFiltered(spark, t4, Seq.empty).count() == 1)
-    val e4 = intercept[MiniDelta.UnsupportedTableFeatureException] {
+    // mismatching provided value refuses with the validation error
+    val e4 = intercept[IllegalArgumentException] {
       MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t4, Seq.empty)
     }
-    assert(e4.getMessage.contains("generated column"))
+    assert(e4.getMessage.contains("generated column v"))
+    // omitting the column computes it under the foreign expression
+    MiniDelta.append(spark, Seq(Tuple1(2L)).toDF("id"), t4, Seq.empty)
+    MiniDelta.invalidateSnapshot(t4)
+    assert(MiniDelta.readFiltered(spark, t4, Seq.empty)
+      .where(col("id") === 2L).select("v").head().getString(0) == "2")
   }
 
   test("readCdf serves commits with cdc actions FROM their change-data files") {
