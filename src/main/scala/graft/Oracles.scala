@@ -1386,6 +1386,17 @@ FROM kept""",
   FROM lineitem WHERE l_quantity <= 2
 ) ORDER BY l_returnflag""",
 
+    // the assigned identity SET is fully determined even though the
+    // row-to-value mapping is scheduler-dependent: n distinct values
+    // walking 1000, 1003, ... with no collisions across commits
+    "s36_identity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_ids,
+  CAST(1000 AS BIGINT) AS min_id,
+  CAST(1000 + 3 * (count(*) - 1) AS BIGINT) AS max_id,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2""",
+
     // the oracle recomputes the generated bucket and the update's
     // price-zeroing directly from the source
     "s35_generated" ->

@@ -2170,6 +2170,41 @@ object SparkEntry {
           (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"))
         .orderBy("bucket")
     }),
+    "s36_identity" -> ((s, d) => {
+      // identity-column lifecycle: CREATE TABLE with GENERATED ALWAYS
+      // AS IDENTITY (start 1000, step 3), two appends that OMIT the
+      // column. Which row gets which value is scheduler-dependent, but
+      // the SET of assigned values is fully determined — the chain
+      // 1000, 1003, ... walked once per row with no collisions across
+      // the two commits (the high-water mark advanced in commit one) —
+      // so the oracle pins count, distinctness, min and max.
+      val dir = "/tmp/graft_s36_identity"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      import org.apache.spark.sql.types._
+      graft.io.MiniDelta.createTable(s, table, StructType(Seq(
+        StructField("row_id", LongType, nullable = true,
+          new MetadataBuilder()
+            .putLong("delta.identity.start", 1000L)
+            .putLong("delta.identity.step", 3L).build()),
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType))))
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table, Seq.empty)
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table, Seq.empty)
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min(col("row_id")).as("min_id"), max(col("row_id")).as("max_id"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -282,10 +282,128 @@ object MiniDelta {
     try {
       val df1 = applyGenerated(df, declared0, table)
       enforceConstraints(alignForCheck(df1, declared0), cfg0)
+      val idFields = declared0.map(_.fields.filter(
+        _.metadata.contains(IdentityStartKey))).getOrElse(Array.empty)
+      if (idFields.nonEmpty)
+        return appendWithIdentity(spark, df1, table, partitionBy,
+          statsCols, cfg0, txn, declared0.get, idFields)
       val added = writeAndCapture(spark, df1, table, partitionBy)
       appendCommit(spark, df1, table, partitionBy, statsCols, added,
         cfg0, txn)
     } finally if (mustCache) { df.unpersist(); () }
+  }
+
+  /** Identity-column append (Delta writer v6 / `identityColumns`): an
+    * omitted GENERATED ALWAYS AS IDENTITY column is ASSIGNED values on
+    * the chain `start + k*step` strictly past the recorded high-water
+    * mark (uniqueness and chain membership are the contract; gaps are
+    * legal, exactly as Delta documents), and the same commit's metaData
+    * advances `delta.identity.highWaterMark`. A provided column refuses
+    * unless `delta.identity.allowExplicitInsert` (GENERATED BY
+    * DEFAULT), in which case the mark syncs over the provided values.
+    *
+    * The commit is PINNED at readVersion + 1 (the DML rule, not the
+    * blind-append rebase): two concurrent identity appends would read
+    * the same mark and assign OVERLAPPING values — any intervening
+    * commit throws [[ConcurrentCommitException]] for the caller to
+    * re-run. Assignment is one count pass + one narrow numbering pass
+    * (partition-offset arithmetic, no sort, no single-partition
+    * window). */
+  private def appendWithIdentity(spark: SparkSession, df: DataFrame,
+      table: String, partitionBy: Seq[String], statsCols: Seq[String],
+      cfg0: Map[String, String], txn: Option[(String, Long)],
+      declared: org.apache.spark.sql.types.StructType,
+      idFields: Array[org.apache.spark.sql.types.StructField]): Long = {
+    require(idFields.length == 1,
+      s"$table declares ${idFields.length} identity columns; at most " +
+        "one is supported")
+    val f = idFields.head
+    val start = f.metadata.getLong(IdentityStartKey)
+    val step =
+      if (f.metadata.contains(IdentityStepKey))
+        f.metadata.getLong(IdentityStepKey)
+      else 1L
+    require(step != 0L, s"identity step of ${f.name} must be non-zero")
+    val hwm: Option[Long] =
+      if (f.metadata.contains(IdentityHwmKey))
+        Some(f.metadata.getLong(IdentityHwmKey))
+      else None
+    val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
+      f.metadata.getBoolean(IdentityAllowExplicitKey)
+    val readVersion = latestVersion(spark, table)
+    val provided = df.columns.exists(_.equalsIgnoreCase(f.name))
+    def further(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    val (outDf, newHwm) =
+      if (provided) {
+        require(allowExplicit,
+          s"${f.name} is GENERATED ALWAYS AS IDENTITY — explicit values " +
+            "refuse (declare it GENERATED BY DEFAULT to allow them)")
+        val mx = df.agg(
+          (if (step > 0) max(col(s"`${f.name}`"))
+          else min(col(s"`${f.name}`"))).cast("long")).collect().head
+        val sync =
+          if (mx.isNullAt(0)) hwm
+          else Some(hwm.fold(mx.getLong(0))(further(_, mx.getLong(0))))
+        (df, sync)
+      } else assignIdentity(df, f.name, start, step, hwm)
+    val added = writeAndCapture(spark, outDf, table, partitionBy)
+    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    val txnLines = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+        s""""lastUpdated":${System.currentTimeMillis()}}}""" }
+    val metaLines =
+      if (newHwm == hwm) Nil
+      else {
+        val f2 = f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityHwmKey, newHwm.get).build())
+        val schema2 = org.apache.spark.sql.types.StructType(
+          declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
+        Seq(metaDataLine(table, schema2, partitionBy, cfg0))
+      }
+    beforeDmlCommitHook()
+    writeCommit(spark, table, readVersion + 1,
+      metaLines ++ txnLines ++ added.map { case (p, s2, m) =>
+        addLine(p, s2, stats.get(p), modTime = Some(m)) },
+      "WRITE")
+  }
+
+  /** Distributed identity assignment: per-partition counts → driver
+    * offsets → one narrow numbering pass (the GlobalRowNumber shape
+    * without the sort — identity values need uniqueness + chain
+    * membership, not any row order). */
+  private def assignIdentity(df: DataFrame, name: String, start: Long,
+      step: Long, hwm: Option[Long]): (DataFrame, Option[Long]) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val mustCache =
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) df.persist()
+    val counts = df.groupBy(
+        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total == 0L) {
+      if (mustCache) df.unpersist()
+      return (df.withColumn(name, lit(null).cast(LongType)), hwm)
+    }
+    val maxPid = counts.keys.max
+    val offsets = new Array[Long](maxPid + 2)
+    var acc = 0L
+    for (p <- 0 to maxPid) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val first = hwm.fold(start)(_ + step)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(name, LongType, nullable = true))
+    val out = df.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = bc.value(pid) - 1
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ (first + i * step)) }
+    }(Encoders.row(outSchema)).localCheckpoint()
+    if (mustCache) df.unpersist()
+    (out, Some(first + (total - 1) * step))
   }
 
   private def appendCommit(spark: SparkSession, df: DataFrame, table: String,
@@ -767,6 +885,15 @@ object MiniDelta {
     * version 4). */
   private[graft] val GenExprKey = "delta.generationExpression"
 
+  /** Delta identity columns (writer v6 / `identityColumns`): the four
+    * field-metadata keys of GENERATED [ALWAYS | BY DEFAULT] AS
+    * IDENTITY. */
+  private[graft] val IdentityStartKey = "delta.identity.start"
+  private[graft] val IdentityStepKey = "delta.identity.step"
+  private[graft] val IdentityHwmKey = "delta.identity.highWaterMark"
+  private[graft] val IdentityAllowExplicitKey =
+    "delta.identity.allowExplicitInsert"
+
   /** The generated-column writer contract, applied at every
     * row-producing write: a column the incoming frame OMITS is
     * COMPUTED from its expression (one narrow projection, free); a
@@ -1025,7 +1152,9 @@ object MiniDelta {
     // generatedColumns feature) — declare it at v0 so a compliant
     // foreign writer knows to uphold the expressions
     val proto =
-      if (schema.fields.exists(_.metadata.contains(GenExprKey)))
+      if (schema.fields.exists(_.metadata.contains(IdentityStartKey)))
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
+      else if (schema.fields.exists(_.metadata.contains(GenExprKey)))
         Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
       else Seq.empty
     writeCommit(spark, table, 0L,
@@ -1702,7 +1831,7 @@ object MiniDelta {
   private val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "deletionVectors",
     "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint",
-    "generatedColumns", "inCommitTimestamp")
+    "generatedColumns", "inCommitTimestamp", "identityColumns")
 
   // memo: table -> (version checked through, protocol resolved there);
   // protocol actions are rare, so each new commit pays ONE incremental
@@ -2901,6 +3030,11 @@ object MiniDelta {
         s"UPDATE cannot SET generated column(s) " +
           s"${genTargets.mkString(", ")} — they are always computed " +
           "from their expressions")
+      val idTargets = set.keySet.filter(k => s.fields.exists(f =>
+        f.name.equalsIgnoreCase(k) &&
+          f.metadata.contains(IdentityStartKey)))
+      require(idTargets.isEmpty,
+        s"UPDATE cannot SET identity column(s) ${idTargets.mkString(", ")}")
     }
     // DV tables: mask the old rows, append the updated images
     if (tableConfig(spark, table, readVersion)
@@ -2995,6 +3129,13 @@ object MiniDelta {
         s"merge cannot evolve the schema of column-mapped table $table " +
           "— new columns need mapping metadata; add them first with " +
           "ALTER TABLE ... ADD COLUMNS")
+    // identity tables refuse MERGE by name: replaced rows would need
+    // the TARGET's identity values and inserts fresh ones — the
+    // wholesale-replace structure cannot honor both (future work)
+    require(!declared.exists(_.fields.exists(
+        _.metadata.contains(IdentityStartKey))),
+      s"MERGE into identity-column table $table is not supported — " +
+        "use DELETE + append")
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
         // carry the config forward (same rule as append's evolution)
@@ -3358,6 +3499,13 @@ object MiniDelta {
           s"overwrite cannot evolve the schema of column-mapped table " +
             s"$table — new columns need mapping metadata; add them " +
             "first with ALTER TABLE ... ADD COLUMNS")
+      // identity tables refuse overwrite by name: replacing the data
+      // without resetting the high-water mark would leak the old
+      // sequence into the new rows' space (future work)
+      require(!declared.exists(_.fields.exists(
+          _.metadata.contains(IdentityStartKey))),
+        s"INSERT OVERWRITE into identity-column table $table is not " +
+          "supported")
       val df1 = applyGenerated(df, declared, table)
       enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg)
       val metaLines =
@@ -4115,7 +4263,6 @@ object MiniDelta {
             mode.getOrElse("(unset)"), "write")
       }
       val demands = Seq(
-        "delta.identity.start" -> "an identity column",
         "delta.invariants" -> "a field invariant")
       for (f <- st.fields; (key, what) <- demands)
         if (f.metadata.contains(key))

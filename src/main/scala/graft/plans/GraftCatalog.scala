@@ -32,6 +32,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog {
   private var catalogName: String = "graft"
 
+  /** CREATE TABLE may declare `GENERATED ALWAYS AS (...)` and
+    * `GENERATED ... AS IDENTITY` columns — Spark forwards their specs
+    * (validated for determinism on its side) through the v2-column
+    * metadata keys, which [[GraftDdl.translateColumnSpecs]] rewrites to
+    * the Delta field-metadata keys the engine's writers uphold. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   /** Lifecycle maintenance via SQL `CALL graft.<proc>(...)` — see
     * [[GraftProcedures]]. Procedures live at the catalog's top level
     * only; a namespaced lookup (CALL graft.bogus.optimize) refuses like
@@ -114,6 +128,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * a SupportsWrite table, while the engine's one write path is
     * MiniDelta.append). LOCATION is the physical root; without it the
     * catalog's `warehouse` option provides `<warehouse>/<alias>`. */
+  /** The Column[] overload Spark's CreateTableExec actually calls:
+    * generation expressions and identity specs ride the v2 Column
+    * OBJECTS (the StructType conversion drops them), so this is where
+    * they translate to the Delta field-metadata keys the engine's
+    * writers uphold. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    val fields = columns.map { c =>
+      val base =
+        if (c.metadataInJSON() == null) org.apache.spark.sql.types
+          .Metadata.empty
+        else org.apache.spark.sql.types.Metadata
+          .fromJson(c.metadataInJSON())
+      val b = new MetadataBuilder().withMetadata(base)
+      if (c.comment() != null) b.putString("comment", c.comment())
+      require(c.defaultValue() == null,
+        s"graft tables have no column defaults (column ${c.name()})")
+      if (c.generationExpression() != null)
+        b.putString("delta.generationExpression", c.generationExpression())
+      val id = c.identityColumnSpec()
+      if (id != null) {
+        b.putLong("delta.identity.start", id.getStart)
+        b.putLong("delta.identity.step", id.getStep)
+        if (id.isAllowExplicitInsert)
+          b.putBoolean("delta.identity.allowExplicitInsert", true)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), b.build())
+    }
+    createTable(ident, StructType(fields.toIndexedSeq), partitions,
+      properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

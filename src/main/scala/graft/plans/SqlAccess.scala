@@ -467,17 +467,37 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
             .col(n).cast(st(n).dataType).as(n)): _*)
         if (byName || userCols.nonEmpty) {
           val names = if (userCols.nonEmpty) userCols else src.columns.toSeq
-          require(names.map(_.toLowerCase).sorted ==
-              target.map(_.toLowerCase).sorted,
-            s"BY NAME/column-list insert must cover the target schema " +
-              s"exactly: table has ${target.mkString(",")}, " +
-              s"insert names ${names.mkString(",")}")
+          val extra = names.filterNot(n =>
+            target.exists(_.equalsIgnoreCase(n)))
+          require(extra.isEmpty,
+            s"insert names unknown column(s) ${extra.mkString(", ")} " +
+              s"(table has ${target.mkString(", ")})")
+          require(names.map(_.toLowerCase).distinct.length == names.length,
+            s"insert names a column twice: ${names.mkString(", ")}")
           require(names.length == src.columns.length,
             s"column list names ${names.length} columns, query produces " +
               s"${src.columns.length}")
+          // the list may omit ONLY generated/identity columns — the
+          // engine computes those; any other omission refuses (a silent
+          // null-fill would hide a mistyped column name)
+          val missing = target.filterNot(t =>
+            names.exists(_.equalsIgnoreCase(t)))
+          val badMissing = missing.filterNot { m =>
+            val f = st(m)
+            f.metadata.contains("delta.generationExpression") ||
+              f.metadata.contains("delta.identity.start")
+          }
+          require(badMissing.isEmpty,
+            s"BY NAME/column-list insert must cover the target schema " +
+              s"(except generated/identity columns): missing " +
+              s"${badMissing.mkString(", ")}")
           // bind query output to the named target columns positionally,
-          // then reorder to the declared layout
-          assign(src.toDF(names: _*))
+          // then reorder the PRESENT subset to the declared layout
+          val bound = src.toDF(names: _*)
+          val present = target.filter(t =>
+            names.exists(_.equalsIgnoreCase(t)))
+          bound.select(present.map(n => org.apache.spark.sql.functions
+            .col(n).cast(st(n).dataType).as(n)): _*)
         } else {
           require(src.columns.length == target.length,
             s"positional insert needs ${target.length} columns " +
@@ -661,10 +681,50 @@ object GraftDdl {
           "(spark.sql.catalog.graft.warehouse=<root>)"))
     // only delta.* TBLPROPERTIES are table config; Spark's bookkeeping
     // properties (provider, owner, ...) stay out of the log
-    MiniDelta.createTable(spark, path, schema, partCols,
-      properties.filter(_._1.startsWith("delta.")))
+    MiniDelta.createTable(spark, path, translateColumnSpecs(schema),
+      partCols, properties.filter(_._1.startsWith("delta.")))
     GraftSqlTables.register(a, path, readOnly = false)
     path
+  }
+
+  /** `GENERATED ALWAYS AS (...)` / `GENERATED ... AS IDENTITY` column
+    * clauses reach the catalog under SPARK's v2-conversion metadata
+    * keys (CatalogV2Util); translate them to the Delta field-metadata
+    * keys the engine's writers uphold, so a SQL-declared generated or
+    * identity column behaves exactly like an API-declared one — and
+    * like one a real Delta writer declared. */
+  def translateColumnSpecs(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val sparkKeys =
+      Seq("GENERATION_EXPRESSION", "identity.start")
+    StructType(st.fields.map { f =>
+      if (!sparkKeys.exists(f.metadata.contains)) f
+      else {
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        if (f.metadata.contains("GENERATION_EXPRESSION")) {
+          b.putString("delta.generationExpression",
+            f.metadata.getString("GENERATION_EXPRESSION"))
+          b.remove("GENERATION_EXPRESSION")
+        }
+        if (f.metadata.contains("identity.start")) {
+          b.putLong("delta.identity.start",
+            f.metadata.getLong("identity.start"))
+          b.remove("identity.start")
+          if (f.metadata.contains("identity.step")) {
+            b.putLong("delta.identity.step",
+              f.metadata.getLong("identity.step"))
+            b.remove("identity.step")
+          }
+          if (f.metadata.contains("identity.allowExplicitInsert")) {
+            if (f.metadata.getBoolean("identity.allowExplicitInsert"))
+              b.putBoolean("delta.identity.allowExplicitInsert", true)
+            b.remove("identity.allowExplicitInsert")
+          }
+        }
+        f.copy(metadata = b.build())
+      }
+    })
   }
 }
 

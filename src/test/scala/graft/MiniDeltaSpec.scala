@@ -168,6 +168,66 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
   }
 
+  test("identity columns: chain assignment past the mark, pinned commits") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    def idMeta(start: Long, step: Long, explicit: Boolean = false) = {
+      val b = new MetadataBuilder()
+        .putLong("delta.identity.start", start)
+        .putLong("delta.identity.step", step)
+      if (explicit) b.putBoolean("delta.identity.allowExplicitInsert", true)
+      b.build()
+    }
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta(10L, 2L)),
+      StructField("v", StringType))))
+    // v0 declares legacy writer 6 (identityColumns)
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$t/_delta_log/${"0" * 20}.json"))
+    assert(v0.contains("\"minWriterVersion\":6"))
+    // two omitted-column appends: values walk the chain 10, 12, 14, ...
+    MiniDelta.append(spark, Seq("a", "b", "c").toDF("v"), t, Seq.empty)
+    MiniDelta.append(spark, Seq("d", "e").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val ids = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(10L, 12L, 14L, 16L, 18L), ids)
+    // GENERATED ALWAYS: explicit values refuse; SET refuses; MERGE
+    // refuses by name
+    val ex = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq((99L, "z")).toDF("id", "v"), t, Seq.empty))
+    assert(ex.getMessage.contains("GENERATED ALWAYS"))
+    intercept[IllegalArgumentException](MiniDelta.update(spark, t,
+      col("v") === "a", Map("id" -> lit(0L)), Seq.empty))
+    intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
+      Seq((10L, "x")).toDF("id", "v"), Seq("id"), Seq.empty))
+    // a concurrent commit between the mark read and the pin conflicts
+    // (no silent overlapping assignment) — injected via the DML hook
+    val prevHook = MiniDelta.beforeDmlCommitHook
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = prevHook // fire once
+      rawCommit(t, MiniDelta.latestVersion(spark, t) + 1,
+        Seq("""{"add":{"path":"nope.parquet","partitionValues":{},""" +
+          """"size":1,"dataChange":true}}"""))
+      ()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException](MiniDelta.append(
+      spark, Seq("f").toDF("v"), t, Seq.empty))
+    finally MiniDelta.beforeDmlCommitHook = prevHook
+    // BY DEFAULT: provided values accepted, the mark syncs past them
+    val t2 = freshTable()
+    MiniDelta.createTable(spark, t2, StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        idMeta(1L, 1L, explicit = true)),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq((100L, "a")).toDF("id", "v"), t2, Seq.empty)
+    MiniDelta.append(spark, Seq("b").toDF("v"), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val ids2 = MiniDelta.readFiltered(spark, t2, Seq.empty)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(100L, 101L), ids2)
+  }
+
   test("in-commit timestamps: enablement stamps a monotonic in-log clock") {
     val t = freshTable()
     MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)

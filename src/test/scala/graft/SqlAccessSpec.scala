@@ -750,6 +750,45 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SQL GENERATED / IDENTITY column declarations reach the writers") {
+    val dir = freshDir()
+    GraftSqlTables.unregister("spec_gen_sql")
+    spark.sql(s"""
+      CREATE TABLE graft.spec_gen_sql (
+        id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5),
+        ts BIGINT,
+        bucket BIGINT GENERATED ALWAYS AS (ts % 4)
+      ) LOCATION '$dir/t'""")
+    try {
+      // the column list omits id + bucket: identity assigns, generated
+      // computes
+      spark.sql(
+        "INSERT INTO graft.spec_gen_sql (ts) VALUES (7), (9), (11)")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      val rows = spark.sql(
+        "SELECT id, ts, bucket FROM graft.spec_gen_sql ORDER BY ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._2).toSeq == Seq(7L, 9L, 11L))
+      assert(rows.map(_._3).toSeq == Seq(3L, 1L, 3L)) // ts % 4
+      assert(rows.map(_._1).sorted.toSeq == Seq(5L, 10L, 15L))
+      // explicit identity values refuse (GENERATED ALWAYS), and a
+      // mismatched generated value refuses
+      val e1 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_gen_sql VALUES (99, 1, 1)"))
+      assert(e1.getMessage.contains("GENERATED ALWAYS"))
+      val e2 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_gen_sql (ts, bucket) VALUES (8, 1)"))
+      assert(e2.getMessage.contains("generated column"))
+      // a non-generated omission still refuses by name
+      val tPlain = freshDir() + "/plain"
+      seed(tPlain)
+      GraftSqlTables.register("spec_gen_plain", tPlain, readOnly = false)
+      val e3 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_gen_plain (id) VALUES (9)"))
+      assert(e3.getMessage.contains("missing"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
