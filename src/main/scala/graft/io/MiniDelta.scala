@@ -281,7 +281,7 @@ object MiniDelta {
     if (mustCache) df.persist()
     try {
       val df1 = applyGenerated(df, declared0, table)
-      enforceConstraints(alignForCheck(df1, declared0), cfg0)
+      enforceConstraints(alignForCheck(df1, declared0), cfg0, declared0)
       val idFields = declared0.map(_.fields.filter(
         _.metadata.contains(IdentityStartKey))).getOrElse(Array.empty)
       if (idFields.nonEmpty)
@@ -439,7 +439,7 @@ object MiniDelta {
       // pre-write enforcement (addConstraint validated only the rows it
       // could see) — re-validate under the fresh config before landing
       if (constraintsOf(cfg) != constraintsOf(cfg0))
-        enforceConstraints(alignForCheck(df, prior), cfg)
+        enforceConstraints(alignForCheck(df, prior), cfg, prior)
       val metaLines =
         if (prior.exists(_.json == merged.json)) Nil
         // schema evolution re-emits metaData: carry the CURRENT config
@@ -958,9 +958,33 @@ object MiniDelta {
     * and its violation count. Costs one extra evaluation of `df` when
     * constraints exist — callers persist the frame around the
     * check+write pair when the double pass matters. */
+  /** Delta field invariants (`delta.invariants` metadata, writer v2):
+    * the per-field predicate a compliant writer must enforce on every
+    * write — JSON-wrapped (`{"expression":{"expression":"..."}}`).
+    * Enforced through the same one-aggregate pass as CHECK
+    * constraints. */
+  private val InvariantsKey = "delta.invariants"
+
+  private def invariantEntries(
+      declared: Option[org.apache.spark.sql.types.StructType])
+      : Seq[(String, String)] =
+    declared.map(_.fields.filter(_.metadata.contains(InvariantsKey))
+      .toSeq.map { f =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f.metadata.getString(InvariantsKey))
+        val e = node.path("expression").path("expression").asText(null)
+        require(e != null,
+          s"malformed delta.invariants on field ${f.name}: " +
+            f.metadata.getString(InvariantsKey))
+        (s"invariant(${f.name})", e)
+      }).getOrElse(Nil)
+
   private def enforceConstraints(df: DataFrame,
-                                 config: Map[String, String]): Unit = {
-    val cs = constraintsOf(config).toSeq.sortBy(_._1)
+      config: Map[String, String],
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
+    val cs = constraintsOf(config).toSeq.sortBy(_._1) ++
+      invariantEntries(declared)
     if (cs.isEmpty) return
     val aggs = cs.map { case (name, sql) =>
       sum(when(coalesce(expr(sql), lit(true)), 0L).otherwise(1L)).as(name)
@@ -2543,11 +2567,12 @@ object MiniDelta {
     // the rewrite twice (and a nondeterministic rewrite could validate
     // different rows than it writes) — persist across the pair.
     val cfg = tableConfig(spark, table, readVersion)
-    val constrained = constraintsOf(cfg).nonEmpty
+    val constrained = constraintsOf(cfg).nonEmpty ||
+      invariantEntries(declared).nonEmpty
     val newData = if (constrained) newData0.persist() else newData0
     val added =
       try {
-        if (constrained) enforceConstraints(newData, cfg)
+        if (constrained) enforceConstraints(newData, cfg, declared)
         writeAndCapture(spark, newData, table, partitionBy)
       } finally if (constrained) { newData.unpersist(); () }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
@@ -2870,7 +2895,7 @@ object MiniDelta {
               set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*),
             declared)
           enforceConstraints(updated,
-            tableConfig(spark, table, readVersion))
+            tableConfig(spark, table, readVersion), declared)
           val added = writeAndCapture(spark, updated, table, partitionBy)
           val stats = fileStats(spark, table, added.map(_._1), statsCols)
           beforeDmlCommitHook()
@@ -3234,7 +3259,7 @@ object MiniDelta {
     try {
       val maskLines = dvMaskActions(spark, table, readVersion, declared,
         snap, matched).getOrElse(Seq.empty)
-      enforceConstraints(incoming, cfg)
+      enforceConstraints(incoming, cfg, declared)
       val added = writeAndCapture(spark, incoming, table, partitionBy)
       val stats = fileStats(spark, table, added.map(_._1), statsCols)
       beforeDmlCommitHook()
@@ -3507,7 +3532,8 @@ object MiniDelta {
         s"INSERT OVERWRITE into identity-column table $table is not " +
           "supported")
       val df1 = applyGenerated(df, declared, table)
-      enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg)
+      enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg,
+        Some(newSchema))
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
         else Seq(metaDataLine(table, newSchema, partitionBy, cfg))
@@ -4262,14 +4288,6 @@ object MiniDelta {
           throw new ColumnMappingUnsupportedException(table,
             mode.getOrElse("(unset)"), "write")
       }
-      val demands = Seq(
-        "delta.invariants" -> "a field invariant")
-      for (f <- st.fields; (key, what) <- demands)
-        if (f.metadata.contains(key))
-          throw new UnsupportedTableFeatureException(
-            s"$table: field '${f.name}' declares $what ($key); this " +
-              "engine cannot uphold it on write — writing anyway would " +
-              "silently corrupt the table for compliant clients")
     }
 
   /** `delta.columnMapping` (name mode) field-metadata key: each logical

@@ -228,6 +228,33 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(ids2 == Seq(100L, 101L), ids2)
   }
 
+  test("field invariants enforce on append, UPDATE and merge writes") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val inv = new MetadataBuilder().putString("delta.invariants",
+      """{"expression":{"expression":"qty > 0"}}""").build()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType),
+      StructField("qty", LongType, nullable = true, inv))))
+    MiniDelta.append(spark, Seq((1L, 5L), (2L, 7L)).toDF("id", "qty"),
+      t, Seq.empty)
+    // violating append refuses with the invariant named
+    val e = intercept[MiniDelta.ConstraintViolationException](
+      MiniDelta.append(spark, Seq((3L, 0L)).toDF("id", "qty"), t, Seq.empty))
+    assert(e.getMessage.contains("invariant(qty)"))
+    // an UPDATE driving a row out of the invariant refuses too
+    intercept[MiniDelta.ConstraintViolationException](MiniDelta.update(
+      spark, t, col("id") === 1L, Map("qty" -> lit(-2L)), Seq.empty))
+    // a conforming merge upsert passes; a violating one refuses
+    MiniDelta.merge(spark, t, Seq((2L, 9L)).toDF("id", "qty"),
+      Seq("id"), Seq.empty)
+    intercept[MiniDelta.ConstraintViolationException](MiniDelta.merge(
+      spark, t, Seq((2L, -1L)).toDF("id", "qty"), Seq("id"), Seq.empty))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .agg(sum(col("qty"))).head().getLong(0) == 14L)
+  }
+
   test("in-commit timestamps: enablement stamps a monotonic in-log clock") {
     val t = freshTable()
     MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
