@@ -317,6 +317,16 @@ object MiniDelta {
     require(idFields.length == 1,
       s"$table declares ${idFields.length} identity columns; at most " +
         "one is supported")
+    // the identity commit path carries only the high-water-mark
+    // metaData — a frame with NEW columns would land them in files
+    // without ever declaring them (silently invisible to reads);
+    // explicit evolution first
+    val undeclared = df.columns.filterNot(c =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(undeclared.isEmpty,
+      s"append cannot evolve the schema of identity-column table " +
+        s"$table (new column(s) ${undeclared.mkString(", ")}); add " +
+        "them first with ALTER TABLE ... ADD COLUMNS")
     val f = idFields.head
     val start = f.metadata.getLong(IdentityStartKey)
     val step =

@@ -228,25 +228,17 @@ case class GraftVacuumCommand(table: String, readOnly: Boolean,
     retainMs: Option[Long]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_deleted", LongType, nullable = false)())
-  private val IntervalRe = """(?i)\s*interval\s+(\d+)\s+(\w+)\s*""".r
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    // the engine's one Delta duration-property parser, shared with the
+    // retention machinery
     val horizon = retainMs.getOrElse(
       MiniDelta.tableConfig(spark, table)
         .get("delta.deletedFileRetentionDuration") match {
-        case Some(IntervalRe(n, unit)) =>
-          val per = unit.toLowerCase.stripSuffix("s") match {
-            case "hour" => 3600000L
-            case "day" => 86400000L
-            case "week" => 7L * 86400000L
-            case other => throw new IllegalArgumentException(
-              s"unsupported delta.deletedFileRetentionDuration unit " +
-                s"'$other' (hours/days/weeks)")
-          }
-          n.toLong * per
-        case Some(other) => throw new IllegalArgumentException(
-          s"cannot parse delta.deletedFileRetentionDuration '$other' " +
-            "(expected: interval <n> <hours|days|weeks>)")
+        case Some(v) => MiniDelta.parseDurationMs(v).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot parse delta.deletedFileRetentionDuration '$v' " +
+              "(expected: interval <n> <unit>)"))
         case None => 7L * 86400000L
       })
     Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon)

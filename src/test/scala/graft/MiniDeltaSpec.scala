@@ -214,6 +214,11 @@ class MiniDeltaSpec extends AnyFunSuite {
     try intercept[MiniDelta.ConcurrentCommitException](MiniDelta.append(
       spark, Seq("f").toDF("v"), t, Seq.empty))
     finally MiniDelta.beforeDmlCommitHook = prevHook
+    // schema evolution through a blind append refuses (the identity
+    // commit path carries only the mark metaData)
+    val ev = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq(("g", 1.0)).toDF("v", "extra"), t, Seq.empty))
+    assert(ev.getMessage.contains("ADD COLUMNS"))
     // BY DEFAULT: provided values accepted, the mark syncs past them
     val t2 = freshTable()
     MiniDelta.createTable(spark, t2, StructType(Seq(
