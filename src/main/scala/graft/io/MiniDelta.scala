@@ -281,12 +281,16 @@ object MiniDelta {
     if (mustCache) df.persist()
     try {
       val df1 = applyGenerated(df, declared0, table)
-      enforceConstraints(alignForCheck(df1, declared0), cfg0, declared0)
       val idFields = declared0.map(_.fields.filter(
         _.metadata.contains(IdentityStartKey))).getOrElse(Array.empty)
+      // identity branch BEFORE the constraint pass: a CHECK constraint
+      // referencing the identity column must validate the ASSIGNED
+      // values, not the null-fill (appendWithIdentity enforces on the
+      // assigned frame)
       if (idFields.nonEmpty)
         return appendWithIdentity(spark, df1, table, partitionBy,
           statsCols, cfg0, txn, declared0.get, idFields)
+      enforceConstraints(alignForCheck(df1, declared0), cfg0, declared0)
       val added = writeAndCapture(spark, df1, table, partitionBy)
       appendCommit(spark, df1, table, partitionBy, statsCols, added,
         cfg0, txn)
@@ -357,6 +361,10 @@ object MiniDelta {
           else Some(hwm.fold(mx.getLong(0))(further(_, mx.getLong(0))))
         (df, sync)
       } else assignIdentity(df, f.name, start, step, hwm)
+    // constraints validate the ASSIGNED frame (a predicate referencing
+    // the identity column sees real values)
+    enforceConstraints(alignForCheck(outDf, Some(declared)), cfg0,
+      Some(declared))
     val added = writeAndCapture(spark, outDf, table, partitionBy)
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val txnLines = txn.toSeq.map { case (appId, v) =>
