@@ -2084,7 +2084,14 @@ object SparkEntry {
         readOnly = false)
       s.sql("OPTIMIZE graft.sql_verbs_trades " +
         "ZORDER BY (l_orderkey, l_linenumber)")
-      s.sql("VACUUM graft.sql_verbs_trades RETAIN 0 HOURS")
+      // RETAIN 0 sits below the 7-day default horizon — the immediate
+      // vacuum is deliberate here, so opt out of the retention check
+      // (Delta's retentionDurationCheck posture) for just this call
+      s.conf.set("spark.graft.vacuum.retentionDurationCheck.enabled",
+        "false")
+      try s.sql("VACUUM graft.sql_verbs_trades RETAIN 0 HOURS")
+      finally s.conf.unset(
+        "spark.graft.vacuum.retentionDurationCheck.enabled")
       // the snapshot cache mirrors the reference's 120 s staleness
       // quirk (writes do NOT invalidate) — drop it so DESCRIBE DETAIL
       // censuses the post-OPTIMIZE snapshot

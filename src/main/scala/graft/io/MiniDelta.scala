@@ -316,8 +316,18 @@ object MiniDelta {
   private def appendWithIdentity(spark: SparkSession, df: DataFrame,
       table: String, partitionBy: Seq[String], statsCols: Seq[String],
       cfg0: Map[String, String], txn: Option[(String, Long)],
-      declared: org.apache.spark.sql.types.StructType,
-      idFields: Array[org.apache.spark.sql.types.StructField]): Long = {
+      declared0: org.apache.spark.sql.types.StructType,
+      idFields0: Array[org.apache.spark.sql.types.StructField]): Long = {
+    // capture the read version FIRST and resolve the schema (and so
+    // the high-water mark) AT that version: resolving the mark before
+    // pinning would let a commit land in between, making the pinned
+    // write at readVersion+1 succeed against a STALE mark and assign
+    // duplicate identity values — the exact overlap the pin prevents
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+      .getOrElse(declared0)
+    val idFields = declared.fields.filter(
+      _.metadata.contains(IdentityStartKey))
     require(idFields.length == 1,
       s"$table declares ${idFields.length} identity columns; at most " +
         "one is supported")
@@ -344,7 +354,6 @@ object MiniDelta {
       else None
     val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
       f.metadata.getBoolean(IdentityAllowExplicitKey)
-    val readVersion = latestVersion(spark, table)
     val provided = df.columns.exists(_.equalsIgnoreCase(f.name))
     def further(a: Long, b: Long): Long =
       if (step > 0) math.max(a, b) else math.min(a, b)
@@ -415,10 +424,17 @@ object MiniDelta {
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val outSchema = StructType(df.schema.fields :+
       StructField(name, LongType, nullable = true))
+    // guard BEFORE indexing the offsets: the counts groupBy yields no
+    // row for empty partitions, so a frame with empty partitions past
+    // the last populated pid (a filtered/repartitioned input) would
+    // index out of bounds — an empty iterator needs no offset at all
     val out = df.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = bc.value(pid) - 1
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ (first + i * step)) }
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = bc.value(pid) - 1
+        it.map { r => i += 1; Row.fromSeq(r.toSeq :+ (first + i * step)) }
+      }
     }(Encoders.row(outSchema)).localCheckpoint()
     if (mustCache) df.unpersist()
     (out, Some(first + (total - 1) * step))
@@ -1109,13 +1125,21 @@ object MiniDelta {
     val needIct =
       props.get("delta.enableInCommitTimestamps").contains("true") &&
         !cfg.get("delta.enableInCommitTimestamps").contains("true")
+    // reserve the enablement commit's ICT NOW and stamp the SAME value
+    // into the provenance property: the Delta spec requires the
+    // enablement timestamp to equal the enablement commit's
+    // inCommitTimestamp (a mismatch skews a real reader's time-travel
+    // cutover by one version)
+    val enablementIct =
+      if (!needIct) None
+      else Some(nextIct(spark, table, readVersion + 1, commitClock()))
     val ictCfg =
       if (!needIct) Map.empty[String, String]
       else Map(
         "delta.inCommitTimestampEnablementVersion" ->
           (readVersion + 1).toString,
         "delta.inCommitTimestampEnablementTimestamp" ->
-          commitClock().toString)
+          enablementIct.get.toString)
     val protoUpgrade =
       if (!needDv && !enablingMapping && !needIct) Seq.empty
       else {
@@ -1130,7 +1154,7 @@ object MiniDelta {
       protoUpgrade ++
         Seq(metaDataLine(table, schema2, parts,
           cfg ++ props ++ mapCfg ++ ictCfg)),
-      "SET TBLPROPERTIES")
+      "SET TBLPROPERTIES", fixedIct = enablementIct)
   }
 
   /** ALTER TABLE ... UNSET TBLPROPERTIES: a metaData commit without the
@@ -1424,7 +1448,8 @@ object MiniDelta {
   private[graft] def writeCommit(spark: SparkSession, table: String,
                                  version: Long, lines: Seq[String],
                                  operation: String, retry: Boolean = false,
-                                 maxRetries: Int = 20): Long = {
+                                 maxRetries: Int = 20,
+                                 fixedIct: Option[Long] = None): Long = {
     val f = fs(spark, table)
     // the Delta writer contract, checked at the single commit funnel:
     // protocol writer version/features first, then the two
@@ -1465,9 +1490,14 @@ object MiniDelta {
     while (true) {
       val p = new Path(f"${logDir(table)}%s/$v%020d.json")
       val now = commitClock()
+      // a caller may have RESERVED the commit's ICT up front (the
+      // enablement commit stamps the same value into its provenance
+      // property — the Delta spec requires them equal); reservations
+      // ride non-retrying pinned commits, so v never drifts past them
       val ict =
         if (!ictEnabled) ""
-        else s""","inCommitTimestamp":${nextIct(spark, table, v, now)}"""
+        else s""","inCommitTimestamp":${
+          fixedIct.getOrElse(nextIct(spark, table, v, now))}"""
       val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
         s""""timestamp":$now$ict}}"""
       // the protocol action a real Delta reader REQUIRES at v0: this
@@ -3732,11 +3762,16 @@ object MiniDelta {
         val snap = snapshotFilesCached(spark, table)
         val recs = get_json_object(col("stats"), "$.numRecords")
           .cast("long")
+        // every sum coalesces to 0: on an EMPTY snapshot (a freshly
+        // created table with zero add files) sum(...) is NULL and
+        // Row.getLong would NPE — DESCRIBE DETAIL right after CREATE
+        // TABLE must report zeros, not crash
         val agg = snap.agg(
           count(lit(1)).as("nf"),
           coalesce(sum(col("size")), lit(0L)).as("bytes"),
-          sum(recs).as("rows"),
-          sum(when(recs.isNull, 1L).otherwise(0L)).as("noStats"),
+          coalesce(sum(recs), lit(0L)).as("rows"),
+          coalesce(sum(when(recs.isNull, 1L).otherwise(0L)), lit(0L))
+            .as("noStats"),
           coalesce(sum(col("dv_card")), lit(0L)).as("dvDeleted"))
           .collect().head
         // numRows is LIVE rows: stats count physical rows per file, DV

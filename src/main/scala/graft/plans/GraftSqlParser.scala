@@ -223,7 +223,13 @@ case class GraftOptimizeCommand(table: String, readOnly: Boolean,
 /** `VACUUM graft.t [RETAIN n HOURS]` → [[MiniDelta.vacuum]]. Without
   * RETAIN the horizon is the table's
   * `delta.deletedFileRetentionDuration` (`interval <n>
-  * <hours|days|weeks>`) or Delta's documented 7-day default. */
+  * <hours|days|weeks>`) or Delta's documented 7-day default.
+  *
+  * A RETAIN below that configured horizon REFUSES unless
+  * `spark.graft.vacuum.retentionDurationCheck.enabled=false` — Delta's
+  * own retention-duration check: a short horizon deletes files still
+  * needed by time travel, concurrent readers of recent snapshots, and
+  * streaming sources reading the log tail. */
 case class GraftVacuumCommand(table: String, readOnly: Boolean,
     retainMs: Option[Long]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
@@ -232,15 +238,27 @@ case class GraftVacuumCommand(table: String, readOnly: Boolean,
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
     // the engine's one Delta duration-property parser, shared with the
     // retention machinery
-    val horizon = retainMs.getOrElse(
-      MiniDelta.tableConfig(spark, table)
-        .get("delta.deletedFileRetentionDuration") match {
-        case Some(v) => MiniDelta.parseDurationMs(v).getOrElse(
-          throw new IllegalArgumentException(
-            s"cannot parse delta.deletedFileRetentionDuration '$v' " +
-              "(expected: interval <n> <unit>)"))
-        case None => 7L * 86400000L
-      })
+    val configured = MiniDelta.tableConfig(spark, table)
+      .get("delta.deletedFileRetentionDuration") match {
+      case Some(v) => MiniDelta.parseDurationMs(v).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot parse delta.deletedFileRetentionDuration '$v' " +
+            "(expected: interval <n> <unit>)"))
+      case None => 7L * 86400000L
+    }
+    retainMs.filter(_ < configured).foreach { r =>
+      val checkOn = spark.conf.getOption(
+        "spark.graft.vacuum.retentionDurationCheck.enabled")
+        .forall(_.toBoolean)
+      if (checkOn) throw new IllegalArgumentException(
+        s"VACUUM $table RETAIN ${r / 3600000} HOURS is below the " +
+          s"table's retention horizon (${configured / 3600000} hours); " +
+          "files inside it may still serve time travel, concurrent " +
+          "readers, and streaming sources — set " +
+          "spark.graft.vacuum.retentionDurationCheck.enabled=false " +
+          "to override deliberately")
+    }
+    val horizon = retainMs.getOrElse(configured)
     Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon)
       .size.toLong))
   }

@@ -233,6 +233,41 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(ids2 == Seq(100L, 101L), ids2)
   }
 
+  test("identity append survives empty trailing partitions") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val idm = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L).build()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, idm),
+      StructField("v", LongType))))
+    // a repartitioned-then-filtered frame leaves EMPTY partitions past
+    // the last populated pid — the per-partition count map has no row
+    // for them, and indexing the offsets array there used to throw
+    val df = spark.range(0, 40).select(col("id").as("v"))
+      .repartition(16, col("v")).where(col("v") < 3)
+    assert(df.rdd.getNumPartitions == 16)
+    MiniDelta.append(spark, df, t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "v").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      got.map(_.getLong(0)).toSeq)
+  }
+
+  test("DESCRIBE DETAIL reports zeros on a freshly created empty table") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val row = MiniDelta.detail(spark, t).head()
+    assert(row.getAs[Long]("numFiles") == 0L)
+    assert(row.getAs[Long]("sizeInBytes") == 0L)
+    assert(row.getAs[Long]("numRows") == 0L)
+  }
+
   test("field invariants enforce on append, UPDATE and merge writes") {
     import org.apache.spark.sql.types._
     val t = freshTable()
@@ -279,6 +314,14 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(commitJson(1L).contains("\"inCommitTimestamp\""))
     val cfg = MiniDelta.tableConfig(spark, t)
     assert(cfg("delta.inCommitTimestampEnablementVersion") == "1")
+    // the spec requires the enablement timestamp property to EQUAL the
+    // enablement commit's own inCommitTimestamp — a mismatch skews a
+    // real reader's time-travel cutover by one version
+    val enablementIct =
+      """"inCommitTimestamp":(\d+)""".r.findFirstMatchIn(commitJson(1L))
+        .get.group(1).toLong
+    assert(cfg("delta.inCommitTimestampEnablementTimestamp").toLong ==
+      enablementIct)
     // strict monotonicity even under a frozen wall clock
     val prev = MiniDelta.commitClock
     MiniDelta.commitClock = () => 1000L // far in the past

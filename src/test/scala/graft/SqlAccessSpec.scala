@@ -645,8 +645,18 @@ class SqlAccessSpec extends AnyFunSuite {
       // VACUUM with explicit zero retention deletes the files the
       // restore de-referenced; default retention (no RETAIN) keeps them
       assert(spark.sql("VACUUM graft.spec_mx").head().getLong(0) == 0L)
-      assert(spark.sql("VACUUM graft.spec_mx RETAIN 0 HOURS")
+      // a RETAIN below the configured horizon REFUSES by default
+      // (Delta's retention-duration check) and names the override
+      val short = intercept[Exception](
+        spark.sql("VACUUM graft.spec_mx RETAIN 0 HOURS").collect())
+      assert(short.getMessage.contains("retentionDurationCheck"),
+        short.getMessage)
+      spark.conf.set(
+        "spark.graft.vacuum.retentionDurationCheck.enabled", "false")
+      try assert(spark.sql("VACUUM graft.spec_mx RETAIN 0 HOURS")
         .head().getLong(0) > 0L)
+      finally spark.conf.unset(
+        "spark.graft.vacuum.retentionDurationCheck.enabled")
       // read-only alias refuses mutating verbs, serves describing ones
       GraftSqlTables.register("spec_mx_ro", t)
       intercept[MiniDelta.ReadOnlyTableException](
