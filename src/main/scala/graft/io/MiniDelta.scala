@@ -4391,28 +4391,49 @@ object MiniDelta {
     * resolved at the gate's latest-checked version; sound for compliant
     * tables because id mode can only be set at table CREATION
     * (delta-spark enforces this), so every historical schema of an id
-    * table carries ids too. Enabling Spark's field-id resolution is
-    * session-wide by necessity — the SQLConf is re-read by the parquet
-    * format at every execution of the (lazy) scan, so there is no
-    * moment to restore it, and no per-read option exists (the format
-    * overwrites the hadoop conf from SQLConf). The engine's own
-    * unmapped reads are immune regardless: [[dropFieldIds]] strips any
-    * stray `parquet.field.id` metadata from their read schemas. */
+    * table carries ids too. Field-id resolution itself is enabled
+    * PER-READ by [[readFilesAs]] (a DataFrameReader option), never
+    * session-wide — see [[FieldIdReadKey]]. */
   private def idReadMode(spark: SparkSession, table: String,
       declared: Option[org.apache.spark.sql.types.StructType]): Boolean = {
     val im = cmModes.getOrDefault(table, "none") == "id"
-    if (im) {
-      declared match {
-        case None => throw new ColumnMappingUnsupportedException(table,
-          "id (no declared schema to carry delta.columnMapping.id)")
-        case Some(st) => missingIdField(st).foreach(fieldPath =>
-          throw new ColumnMappingUnsupportedException(table,
-            s"id (field '$fieldPath' carries no delta.columnMapping.id)"))
-      }
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if (im) declared match {
+      case None => throw new ColumnMappingUnsupportedException(table,
+        "id (no declared schema to carry delta.columnMapping.id)")
+      case Some(st) => missingIdField(st).foreach(fieldPath =>
+        throw new ColumnMappingUnsupportedException(table,
+          s"id (field '$fieldPath' carries no delta.columnMapping.id)"))
     }
     im
   }
+
+  /** Spark's field-id-resolution switch. It can only be enabled through
+    * a session's SQLConf (measured on Spark 4.1: a per-read
+    * DataFrameReader option does NOT reach the parquet scan — the
+    * format re-reads this flag from the live SQLConf at execution), so
+    * id-mode scans are built through [[idReadSession]] instead of ever
+    * touching the caller's conf. Setting it session-wide would leak:
+    * after the first id-mode read, unrelated scans of id-less parquet
+    * whose read schemas carry `parquet.field.id` metadata start failing
+    * (fieldId.read.ignoreMissing defaults to false). */
+  private val FieldIdReadKey = "spark.sql.parquet.fieldId.read.enabled"
+
+  private val idReadSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** The session id-mode scans read through: a CLONE of the caller's
+    * session (same SparkContext, shared cache, a copy of the caller's
+    * conf and session state) with field-id resolution enabled. The
+    * scan's HadoopFsRelation captures this session, so the flag rides
+    * exactly the id-mode relations — frames remain freely usable
+    * (joins, unions) from the caller's session, whose own conf stays
+    * untouched. One clone per caller session, created lazily. */
+  private def idReadSession(spark: SparkSession): SparkSession =
+    idReadSessions.computeIfAbsent(spark, s => {
+      val c = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
+      c.conf.set(FieldIdReadKey, "true")
+      c
+    })
 
   /** Strip `parquet.field.id` metadata from every (nested) field: the
     * engine's unmapped reads must match file columns BY NAME even after
@@ -4581,8 +4602,13 @@ object MiniDelta {
       // basePath must prefix every path in a scan, so group by
       // inference base and union (one scan per root, normally one)
       val groups = files.groupBy(inferenceBase(table, _)).toSeq.sortBy(_._1)
+      // field-id resolution rides the id-mode relations only — they are
+      // built through the flag-enabled CLONED session, so the caller's
+      // conf never changes and unrelated co-resident reads keep
+      // matching by name
+      val session = if (idMode) idReadSession(spark) else spark
       val out = groups.map { case (base, fs) =>
-        val reader = spark.read.option("basePath", base)
+        val reader = session.read.option("basePath", base)
         val df = readSchema.fold(reader)(reader.schema)
           .parquet(fs.toIndexedSeq: _*)
         // partitioned reads surface partition columns LAST regardless of
@@ -4769,8 +4795,11 @@ object MiniDelta {
     val dv = maskDF(spark, table, dvd.map(t => (t._1, t._3)))
     val groups = dvd.groupBy(t => inferenceBase(table, t._2))
       .toSeq.sortBy(_._1)
+    // id-mode scans ride the flag-enabled cloned session, exactly as in
+    // readFilesAs
+    val session = if (idMode) idReadSession(spark) else spark
     val masked = groups.map { case (bp, fs2) =>
-      val reader = spark.read.option("basePath", bp)
+      val reader = session.read.option("basePath", bp)
       val df = readSchema.fold(reader)(reader.schema)
         .parquet(fs2.map(_._2).toIndexedSeq: _*)
       val cols = readSchema.map(_.fieldNames.toSeq).getOrElse(df.columns.toSeq)

@@ -2024,6 +2024,13 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("id", "name"))
     assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b")))
+    // field-id resolution rode the READ (a flag-enabled cloned session
+    // under the relation), not this session: the conf must stay at its
+    // default (a session-wide set would break unrelated scans of
+    // id-less parquet whose schemas carry parquet.field.id metadata)
+    assert(!spark.conf.getOption(
+      "spark.sql.parquet.fieldId.read.enabled").contains("true"),
+      "id-mode read leaked the field-id conf into the session")
     // logical-name filtering works post-relabel
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("name") === "b").count() == 1)
