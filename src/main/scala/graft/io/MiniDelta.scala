@@ -666,7 +666,13 @@ object MiniDelta {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        // Delta rowTracking writer feature: first row id of the file
+        // (rows are implicitly numbered baseRowId..baseRowId+numRecords)
+        // and the version whose commit first added the file — re-adds
+        // of the same physical file must PRESERVE both
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       // Delta protocol txn action: per-application transaction
       // watermark — the streaming sink's exactly-once contract (a
       // retried micro-batch with version <= the recorded watermark is
@@ -698,6 +704,14 @@ object MiniDelta {
         // Delta protocol: when the file was de-referenced (vacuum
         // retention is measured against this; null on legacy commits)
         StructField("deletionTimestamp", LongType)))),
+      // Delta domainMetadata action (the domainMetadata writer
+      // feature): per-domain configuration carried by the log; the
+      // rowTracking feature keeps its row-id high-water mark in domain
+      // delta.rowTracking. Latest action per domain wins on replay.
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
       // Delta protocol: table schema rides as a JSON-escaped STRING
       StructField("metaData", StructType(Seq(
         // stable table id + storage format — required by real readers
@@ -1125,6 +1139,32 @@ object MiniDelta {
     val needIct =
       props.get("delta.enableInCommitTimestamps").contains("true") &&
         !cfg.get("delta.enableInCommitTimestamps").contains("true")
+    // rowTracking enablement on an EXISTING table: the protocol gains
+    // the feature (+ its domainMetadata prerequisite) and the SAME
+    // commit backfills — re-adds every live file verbatim so the
+    // writeCommit funnel assigns each its baseRowId and advances the
+    // mark past the whole table. O(live files) metadata, an explicit
+    // user action with convertToDelta's cost shape.
+    val needRt =
+      props.get("delta.enableRowTracking").contains("true") &&
+        !cfg.get("delta.enableRowTracking").contains("true")
+    val backfillLines: Seq[String] =
+      if (!needRt) Seq.empty
+      else snapshotFilesAt(spark, table, readVersion).collect().toSeq
+        .map { r =>
+          val dvIdx = r.fieldIndex("dv_path")
+          val mtIdx = r.fieldIndex("modificationTime")
+          addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
+            Option(r.getString(r.fieldIndex("stats"))),
+            dataChange = false,
+            dv = if (r.isNullAt(dvIdx)) None
+              else Some((r.getString(dvIdx),
+                r.getLong(r.fieldIndex("dv_card")))),
+            partitionValues = Some(r.getMap[String, String](
+              r.fieldIndex("partitionValues")).toMap),
+            modTime = if (r.isNullAt(mtIdx)) None
+              else Some(r.getLong(mtIdx)))
+        }
     // reserve the enablement commit's ICT NOW and stamp the SAME value
     // into the provenance property: the Delta spec requires the
     // enablement timestamp to equal the enablement commit's
@@ -1141,19 +1181,21 @@ object MiniDelta {
         "delta.inCommitTimestampEnablementTimestamp" ->
           enablementIct.get.toString)
     val protoUpgrade =
-      if (!needDv && !enablingMapping && !needIct) Seq.empty
+      if (!needDv && !enablingMapping && !needIct && !needRt) Seq.empty
       else {
         var p = resolveProtocol(spark, table, readVersion,
           cpAtMost = readVersion).getOrElse(basicProtocol)
         if (needDv) p = p.withDeletionVectors
         if (enablingMapping) p = p.withColumnMapping
         if (needIct) p = p.withWriterFeature("inCommitTimestamp")
+        if (needRt) p = p.withWriterFeature("rowTracking")
+          .withWriterFeature("domainMetadata")
         Seq(p.render)
       }
     writeCommit(spark, table, readVersion + 1,
       protoUpgrade ++
         Seq(metaDataLine(table, schema2, parts,
-          cfg ++ props ++ mapCfg ++ ictCfg)),
+          cfg ++ props ++ mapCfg ++ ictCfg)) ++ backfillLines,
       "SET TBLPROPERTIES", fixedIct = enablementIct)
   }
 
@@ -1217,12 +1259,21 @@ object MiniDelta {
     // generated columns demand legacy writer version 4 (the
     // generatedColumns feature) — declare it at v0 so a compliant
     // foreign writer knows to uphold the expressions
-    val proto =
+    val legacy =
       if (schema.fields.exists(_.metadata.contains(IdentityStartKey)))
-        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
+        ProtocolAction(1, 6, Nil, Nil)
       else if (schema.fields.exists(_.metadata.contains(GenExprKey)))
-        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
-      else Seq.empty
+        ProtocolAction(1, 4, Nil, Nil)
+      else basicProtocol
+    // rowTracking at creation: the v0 protocol declares the feature
+    // (plus its domainMetadata prerequisite) so the writeCommit funnel
+    // assigns row ids from the very first append
+    val proto =
+      if (properties.get("delta.enableRowTracking").contains("true"))
+        Seq(legacy.withWriterFeature("rowTracking")
+          .withWriterFeature("domainMetadata").render)
+      else if (legacy == basicProtocol) Seq.empty
+      else Seq(legacy.render)
     writeCommit(spark, table, 0L,
       proto ++ Seq(metaDataLine(table, schema, partitionBy, properties)),
       "CREATE TABLE")
@@ -1469,6 +1520,14 @@ object MiniDelta {
         // at this very version)
         lines.exists(l => l.contains("\"protocol\"") &&
           l.contains("inCommitTimestamp"))
+    // rowTracking: the funnel upholds the feature on every commit
+    // (fresh/preserved baseRowId + defaultRowCommitVersion per add,
+    // high-water mark domainMetadata) — including the enablement
+    // commit itself, whose own protocol line carries the feature
+    val rtEnabled =
+      protoNow.exists(_.writerFeats.contains("rowTracking")) ||
+        lines.exists(l => l.contains("\"protocol\"") &&
+          l.contains("rowTracking"))
     if (lines.exists(l => l.contains("\"remove\"") &&
         l.contains("\"dataChange\":true"))) {
       val cfg = tableConfig(spark, table)
@@ -1500,6 +1559,12 @@ object MiniDelta {
           fixedIct.getOrElse(nextIct(spark, table, v, now))}"""
       val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
         s""""timestamp":$now$ict}}"""
+      // rowTracking rides per ATTEMPT: a rebased retry must re-read the
+      // high-water mark (a concurrent commit advanced it) and re-stamp
+      // defaultRowCommitVersion with the rebased version
+      val attemptLines =
+        if (!rtEnabled) lines
+        else injectRowTracking(spark, table, v, lines)
       // the protocol action a real Delta reader REQUIRES at v0: this
       // engine's tables read under basic protocol (1, 2) unless the
       // commit itself carries an explicit protocol (DV enablement
@@ -1508,7 +1573,7 @@ object MiniDelta {
         if (v == 0L && !lines.exists(_.contains("\"protocol\"")))
           Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         else Seq.empty
-      val commit = (ci +: (proto ++ lines)).mkString("\n")
+      val commit = (ci +: (proto ++ attemptLines)).mkString("\n")
       val created =
         try {
           val out = f.create(p, false)
@@ -1903,7 +1968,12 @@ object MiniDelta {
   private val supportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "deletionVectors",
     "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint",
-    "generatedColumns", "inCommitTimestamp", "identityColumns")
+    "generatedColumns", "inCommitTimestamp", "identityColumns",
+    // upheld by the writeCommit funnel: fresh/preserved baseRowId +
+    // defaultRowCommitVersion on every add, high-water mark maintained
+    // in the delta.rowTracking domain (rowTracking requires
+    // domainMetadata per the spec)
+    "rowTracking", "domainMetadata")
 
   // memo: table -> (version checked through, protocol resolved there);
   // protocol actions are rare, so each new commit pays ONE incremental
@@ -2041,6 +2111,7 @@ object MiniDelta {
       // table's paths need not encode partitions, so re-deriving from
       // the path would silently erase them. dataChange=false: the Delta
       // spec marks every checkpoint action as not-logically-new.
+      val bridIdx = r.fieldIndex("base_row_id")
       addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))),
         dataChange = false,
@@ -2049,7 +2120,21 @@ object MiniDelta {
             r.getLong(r.fieldIndex("dv_card")))),
         partitionValues = Some(
           r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
-        modTime = if (r.isNullAt(mtIdx)) None else Some(r.getLong(mtIdx)))
+        modTime = if (r.isNullAt(mtIdx)) None else Some(r.getLong(mtIdx)),
+        // rowTracking ids ride the checkpoint VERBATIM — replay from it
+        // must preserve every file's identity
+        rowIds = if (r.isNullAt(bridIdx)) None
+          else Some((r.getLong(bridIdx),
+            r.getLong(r.fieldIndex("default_row_commit")))))
+    }
+    // the rowTracking high-water mark must survive log cleanup: carry
+    // the latest delta.rowTracking domainMetadata into the checkpoint
+    // (spec rule — live domain metadata is snapshot state)
+    val domainLines = {
+      val hwm = rowIdHighWaterMark(spark, table, version)
+      if (hwm < 0) Seq.empty
+      else Seq(domainMetadataLine(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwm}"""))
     }
     // unexpired remove tombstones ride the checkpoint (Delta classic
     // shape): without them, deleting pre-checkpoint JSON history
@@ -2138,7 +2223,7 @@ object MiniDelta {
     // once it exceeds `maxActionsPerPart` rows — the 10^7-file regime
     // where one driver-rendered file stops being reasonable.
     val allLines = (proto +: metaLines) ++ addLines ++ removeLines ++
-      txnLines
+      txnLines ++ domainLines
     val size = allLines.length
     val n = math.max(1L,
       (size + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
@@ -2146,8 +2231,8 @@ object MiniDelta {
       java.util.UUID.randomUUID().toString
     val cpSchema = org.apache.spark.sql.types.StructType(
       logSchema.fields.filter(fd =>
-        Set("add", "metaData", "protocol", "remove", "txn")
-          .contains(fd.name)))
+        Set("add", "metaData", "protocol", "remove", "txn",
+          "domainMetadata").contains(fd.name)))
     // render split from placement so callers control how long the
     // delete-old/rename-new window stays open (the v2 branch must not
     // destroy a good manifest before its replacement is fully rendered)
@@ -2202,6 +2287,7 @@ object MiniDelta {
             s""""modificationTime":${stSc.getModificationTime}}}"""
         }.toSeq
       val manifestLines = (proto +: metaLines) ++ txnLines ++
+        domainLines ++
         Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
         sidecarRows
       // render the manifest FULLY before touching any existing one: a
@@ -2314,7 +2400,12 @@ object MiniDelta {
                       // by default; checkpoint folding passes the
                       // action-carried value VERBATIM (None when a
                       // legacy add never recorded one)
-                      modTime: Option[Long] = Some(System.currentTimeMillis()))
+                      modTime: Option[Long] = Some(System.currentTimeMillis()),
+                      // rowTracking: (baseRowId, defaultRowCommitVersion)
+                      // carried VERBATIM by checkpoint folding and
+                      // RESTORE/CLONE (preservation); None lets the
+                      // writeCommit funnel assign fresh ids
+                      rowIds: Option[(Long, Long)] = None)
       : String = {
     // explicit partitionValues (checkpoint folding carries the
     // action-recorded map verbatim — paths need not encode partitions)
@@ -2345,7 +2436,9 @@ object MiniDelta {
       } else s""","dv":{"path":${jstr(p)},"cardinality":$card}"""
     }
     val mtField = modTime.fold("")(m => s""","modificationTime":$m""")
-    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size$mtField,"dataChange":$dataChange$statsField$dvField}}"""
+    val ridField = rowIds.fold("") { case (b, d) =>
+      s""","baseRowId":$b,"defaultRowCommitVersion":$d""" }
+    s"""{"add":{"path":${jstr(rel)},"partitionValues":{$parts},"size":$size$mtField,"dataChange":$dataChange$statsField$dvField$ridField}}"""
   }
 
   /** Remove action with the Delta protocol's `deletionTimestamp` — the
@@ -2524,6 +2617,145 @@ object MiniDelta {
   // restarts
   private val lastIct =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** The Delta rowTracking feature's domainMetadata domain. */
+  private[graft] val RowTrackingDomain = "delta.rowTracking"
+
+  // matches both the bare configuration JSON ("rowIdHighWaterMark":N,
+  // as read from a checkpoint's domainMetadata column) and the
+  // escaped-inside-a-commit-line form (\"rowIdHighWaterMark\":N)
+  private val HwmRe = """\\?"rowIdHighWaterMark\\?"\s*:\s*(-?\d+)""".r
+
+  /** The row-id high-water mark as of `atMost`: the LATEST
+    * delta.rowTracking domainMetadata action, resolved from the JSON
+    * tail (newest-first, substring-screened driver reads — commit files
+    * are KBs) falling back to the newest checkpoint's domainMetadata
+    * row. -1 before any assignment (the spec's initial mark; the first
+    * fresh base row id is 0). O(since-last-checkpoint). */
+  private def rowIdHighWaterMark(spark: SparkSession, table: String,
+                                 atMost: Long): Long = {
+    val f = fs(spark, table)
+    val cp = latestCheckpoint(spark, table, atMost)
+    val tail = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1, atMost)
+    val fromTail = tail.reverseIterator.flatMap { case (_, p) =>
+      val pp = new Path(p)
+      val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+      val in = f.open(pp)
+      try in.readFully(bytes) finally in.close()
+      val txt = new String(bytes, "UTF-8")
+      if (!txt.contains(RowTrackingDomain)) None
+      else txt.linesIterator
+        .filter(l => l.contains("\"domainMetadata\"") &&
+          l.contains(RowTrackingDomain))
+        .flatMap(l => HwmRe.findFirstMatchIn(l).map(_.group(1).toLong))
+        .reduceOption((a: Long, b: Long) => math.max(a, b))
+    }.nextOption()
+    fromTail.orElse(cp.flatMap { v =>
+      checkpointActionDF(spark, table, v).flatMap { df =>
+        if (!df.columns.contains("domainMetadata")) None
+        else df.where(col("domainMetadata").isNotNull &&
+            col("domainMetadata.domain") === RowTrackingDomain)
+          .select("domainMetadata.configuration").collect().headOption
+          .flatMap(r => Option(r.getString(0)))
+          .flatMap(c => HwmRe.findFirstMatchIn(c).map(_.group(1).toLong))
+      }
+    }).getOrElse(-1L)
+  }
+
+  private def domainMetadataLine(domain: String, cfgJson: String): String =
+    s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
+      s""""configuration":${jstr(cfgJson)},"removed":false}}"""
+
+  /** Uphold the rowTracking writer feature on one commit ATTEMPT:
+    * every add action gains `baseRowId` + `defaultRowCommitVersion`,
+    * and the commit appends a domainMetadata action advancing the
+    * delta.rowTracking high-water mark. Resolved per attempt so a
+    * rebased retry re-reads the mark a concurrent commit advanced.
+    *
+    * Rules (the Delta spec's writer requirements):
+    *  - adds already carrying `baseRowId` pass verbatim (RESTORE/CLONE
+    *    render preserved ids themselves; foreign callers too);
+    *  - a re-added path (a DV swap's remove+re-add) PRESERVES the ids
+    *    the pre-commit snapshot records for it — row ids are stable
+    *    under masking;
+    *  - new files take fresh ids hwm+1.., each advancing the mark by
+    *    its numRecords (from the add's stats; stats-less files are
+    *    counted with one bounded scan of JUST those files).
+    * Driver work is O(commit blast radius); the preservation lookup
+    * runs only when the commit carries removes (the only way this
+    * engine re-adds an existing path). */
+  private def injectRowTracking(spark: SparkSession, table: String,
+                                v: Long, lines: Seq[String]): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = lines.zipWithIndex.flatMap { case (l, i) =>
+      if (!l.startsWith("{\"add\":") || l.contains("\"baseRowId\""))
+        None
+      else {
+        val node = om.readTree(l).get("add")
+        val recs = Option(node.get("stats")).filterNot(_.isNull)
+          .map(_.asText())
+          .flatMap(s => """"numRecords"\s*:\s*(\d+)""".r
+            .findFirstMatchIn(s).map(_.group(1).toLong))
+        Some((i, node.get("path").asText(), recs))
+      }
+    }
+    if (adds.isEmpty) return lines
+    val addPaths = adds.map(_._2)
+    // preserved ids for re-added paths (only possible alongside removes)
+    val preserved: Map[String, (Long, Long)] =
+      if (!lines.exists(_.startsWith("{\"remove\":"))) Map.empty
+      else {
+        val snap = snapshotFilesAt(spark, table, v - 1)
+        if (!snap.columns.contains("base_row_id")) Map.empty
+        else snap.where(col("path").isin(addPaths: _*) &&
+            col("base_row_id").isNotNull)
+          .select("path", "base_row_id", "default_row_commit")
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+    // stats-less NEW files need a count — one scan of just those files
+    val uncounted = adds.collect {
+      case (_, p, None) if !preserved.contains(p) => p }
+    val counted: Map[String, Long] =
+      if (uncounted.isEmpty) Map.empty
+      else spark.read.option("basePath", table)
+        .parquet(uncounted.map(p => resolvePath(table, p)): _*)
+        .groupBy(input_file_name().as("f")).count().collect()
+        .map { r =>
+          val abs = decodeFileUri(r.getString(0))
+          uncounted.find(abs.endsWith(_)).getOrElse(
+            sys.error(s"counted file $abs matches no added path")) ->
+            r.getLong(1)
+        }.toMap
+    // the mark: latest log-recorded, floored by any rowTracking domain
+    // line the commit itself carries (a CLONE's v0 ships the source's
+    // mark alongside id-carrying adds)
+    val carried = lines.filter(l =>
+      l.startsWith("{\"domainMetadata\"") && l.contains(RowTrackingDomain))
+    var hwm = (rowIdHighWaterMark(spark, table, v - 1) +:
+      carried.flatMap(l =>
+        HwmRe.findFirstMatchIn(l).map(_.group(1).toLong))).max
+    val patched = lines.toArray
+    adds.foreach { case (i, p, recs) =>
+      val (base, dcv) = preserved.get(p) match {
+        case Some((b, d)) => (b, d)
+        case None =>
+          val n = recs.orElse(counted.get(p)).getOrElse(sys.error(
+            s"rowTracking: no record count resolvable for $p"))
+          val b = hwm + 1
+          hwm += n
+          (b, v)
+      }
+      patched(i) = patched(i).replaceFirst(
+        """^\{"add":\{""",
+        s"""{"add":{"baseRowId":$base,"defaultRowCommitVersion":$dcv,""")
+    }
+    // one domain action per commit: the appended mark supersedes (and
+    // replaces) any carried line
+    patched.toSeq.filterNot(carried.contains) :+
+      domainMetadataLine(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwm}""")
+  }
 
   /** The next monotonic in-commit timestamp: strictly greater than the
     * previous commit's (ICT-or-wall) clock, at least the current wall
@@ -3660,9 +3892,15 @@ object MiniDelta {
           s"vacuumed (first: ${missing.head}); restore past the " +
           "retention horizon is unrecoverable")
     val addLines = addRows.map { r =>
+      val bridIdx = r.fieldIndex("base_row_id")
       addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dvOf(r),
-        modTime = mtOf(r))
+        modTime = mtOf(r),
+        // restore re-adds PRESERVE the target snapshot's row ids —
+        // the spec's re-add rule (row identity survives restore)
+        rowIds = if (r.isNullAt(bridIdx)) None
+          else Some((r.getLong(bridIdx),
+            r.getLong(r.fieldIndex("default_row_commit")))))
     }
     // dv-differing paths get a remove+re-add PAIR (within-commit add
     // wins on replay): readCdf then diffs old-mask vs new-mask contents
@@ -3917,11 +4155,18 @@ object MiniDelta {
       val dv = if (r.isNullAt(dvIdx)) None
         else Some((dvRefForClone(source, r.getString(dvIdx)),
           r.getLong(r.fieldIndex("dv_card"))))
+      val bridIdx = r.fieldIndex("base_row_id")
       addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
         Option(r.getString(r.fieldIndex("stats"))), dv = dv,
         partitionValues = Some(
           r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
-        modTime = mtOf(r))
+        modTime = mtOf(r),
+        // a clone of a rowTracking source carries the ids verbatim —
+        // the cloned protocol keeps the feature, so preserving them is
+        // the clone's contract
+        rowIds = if (r.isNullAt(bridIdx)) None
+          else Some((r.getLong(bridIdx),
+            r.getLong(r.fieldIndex("default_row_commit")))))
     }.toSeq
     val srcCfg = tableConfig(spark, source, v)
     // the clone's v0 carries the SOURCE's resolved protocol verbatim
@@ -3940,8 +4185,19 @@ object MiniDelta {
       .map(metaDataLine(target, _, partitionColsOf(files.map(_.getString(0))),
         srcCfg))  // clone inherits properties
       .toSeq
-    writeCommit(spark, target, 0L, protoLines ++ metaLines ++ addLines,
-      "CLONE")
+    // a rowTracking source's high-water mark rides into the clone's v0
+    // — without it the clone's first append would re-assign ids already
+    // carried by the cloned files
+    val domainLines =
+      if (!srcProto.exists(_.writerFeats.contains("rowTracking"))) Seq.empty
+      else {
+        val hwm = rowIdHighWaterMark(spark, source, v)
+        if (hwm < 0) Seq.empty
+        else Seq(domainMetadataLine(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$hwm}"""))
+      }
+    writeCommit(spark, target, 0L,
+      protoLines ++ metaLines ++ domainLines ++ addLines, "CLONE")
   }
 
   /** Time travel: the snapshot as of `version` (inclusive) — replay the
@@ -4180,6 +4436,13 @@ object MiniDelta {
           if (addT.fieldNames.contains("modificationTime"))
             col("add.modificationTime").cast("long")
           else lit(null).cast("long")
+        // rowTracking ids ride the snapshot so re-adds (DV swaps,
+        // RESTORE) and checkpoint folding PRESERVE them
+        val (brid, dcv) =
+          if (addT.fieldNames.contains("baseRowId"))
+            (col("add.baseRowId").cast("long"),
+              col("add.defaultRowCommitVersion").cast("long"))
+          else (lit(null).cast("long"), lit(null).cast("long"))
         raw.where(col("add").isNotNull).select(
           col("add.path").as("path"),
           col("add.partitionValues").as("partitionValues"),
@@ -4188,6 +4451,8 @@ object MiniDelta {
           stats.as("stats"),
           dvPath.as("dv_path"),
           dvCard.cast("long").as("dv_card"),
+          brid.as("base_row_id"),
+          dcv.as("default_row_commit"),
           lit(v).as("version"))
       } else {
         // this engine's own manifest shape; pre-DV checkpoints lack the
@@ -4198,7 +4463,10 @@ object MiniDelta {
             .withColumn("dv_card", lit(null).cast("long"))
         withDv.select(col("path"), col("partitionValues"), col("size"),
           lit(null).cast("long").as("modificationTime"),
-          col("stats"), col("dv_path"), col("dv_card"), lit(v).as("version"))
+          col("stats"), col("dv_path"), col("dv_card"),
+          lit(null).cast("long").as("base_row_id"),
+          lit(null).cast("long").as("default_row_commit"),
+          lit(v).as("version"))
       }
     }
     val jsonAdds = log.where(col("add").isNotNull)
@@ -4212,6 +4480,8 @@ object MiniDelta {
         coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
         coalesce(col("add.dv.cardinality"),
           col("add.deletionVector.cardinality")).as("dv_card"),
+        col("add.baseRowId").as("base_row_id"),
+        col("add.defaultRowCommitVersion").as("default_row_commit"),
         col("version"))
     val adds = base.fold(jsonAdds)(_.unionByName(jsonAdds))
     val addLatest = adds.groupBy("path").agg(max("version").as("add_v"))
@@ -4228,7 +4498,8 @@ object MiniDelta {
       // same-version remove without a same-version re-add stays dead.
       .where(col("rm_v").isNull || col("rm_v") <= col("add_v"))
       .select("path", "partitionValues", "size", "modificationTime",
-        "stats", "dv_path", "dv_card")
+        "stats", "dv_path", "dv_card", "base_row_id",
+        "default_row_commit")
   }
 
   /** S4: current snapshot = add actions replayed in version order, minus

@@ -268,6 +268,115 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(row.getAs[Long]("numRows") == 0L)
   }
 
+  test("row tracking: fresh ids, DV preservation, checkpoint, backfill, clone") {
+    import org.apache.spark.sql.types._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // (path, baseRowId, defaultRowCommitVersion, numRecords) per add of
+    // one commit, straight from the log JSON
+    def addsOf(t: String, v: Long): Seq[(String, Long, Long, Long)] =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        f"$t%s/_delta_log/$v%020d.json")).linesIterator.toSeq
+        .filter(_.startsWith("{\"add\""))
+        .map { l =>
+          val a = om.readTree(l).get("add")
+          assert(a.has("baseRowId") && a.has("defaultRowCommitVersion"),
+            s"add without row ids in $t v$v: $l")
+          val recs = Option(a.get("stats")).filterNot(_.isNull)
+            .map(_.asText)
+            .flatMap(s => """"numRecords"\s*:\s*(\d+)""".r
+              .findFirstMatchIn(s).map(_.group(1).toLong)).getOrElse(-1L)
+          (a.get("path").asText, a.get("baseRowId").asLong,
+            a.get("defaultRowCommitVersion").asLong, recs)
+        }
+    def hwmOf(t: String, v: Long): Long =
+      """"rowIdHighWaterMark\\?"\s*:\s*(-?\d+)""".r.findFirstMatchIn(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(
+          f"$t%s/_delta_log/$v%020d.json"))).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"no rowTracking mark in $t v$v"))
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableRowTracking" -> "true"))
+    // v0 protocol declares rowTracking + its domainMetadata prerequisite
+    val v0 = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$t/_delta_log/${"0" * 20}.json"))
+    assert(v0.contains("\"rowTracking\"") && v0.contains("\"domainMetadata\""))
+    // appends assign fresh, disjoint ranges; the mark walks the total
+    MiniDelta.append(spark, (1L to 5L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(2), t, Seq.empty, statsCols = Seq("id"))
+    MiniDelta.append(spark, (6L to 8L).map(i => (i, s"b$i")).toDF("id", "v"),
+      t, Seq.empty, statsCols = Seq("id"))
+    val a1 = addsOf(t, 1L)
+    val a2 = addsOf(t, 2L)
+    assert(a1.forall(_._3 == 1L) && a2.forall(_._3 == 2L))
+    val ranges = (a1 ++ a2).map(a => (a._2, a._2 + a._4 - 1)).sortBy(_._1)
+    assert(ranges.head._1 == 0L, ranges)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo2, _)) => lo2 > hi
+      case _ => true
+    }, s"overlapping row-id ranges: $ranges")
+    assert(hwmOf(t, 1L) == 4L && hwmOf(t, 2L) == 7L)
+    // a DV swap re-adds the SAME path: its ids are PRESERVED, the mark
+    // does not move
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    val v4 = MiniDelta.latestVersion(spark, t)
+    val reAdds = addsOf(t, v4)
+    assert(reAdds.nonEmpty)
+    val orig = (a1 ++ a2).map(a => a._1 -> (a._2, a._3)).toMap
+    reAdds.foreach { case (p, b, d, _) =>
+      assert(orig(p) == ((b, d)), s"DV re-add of $p changed ids") }
+    assert(hwmOf(t, v4) == 7L)
+    // checkpoint: ids and the mark survive folding; replay through the
+    // checkpoint matches the raw-JSON replay
+    MiniDelta.writeCheckpoint(spark, t, v4)
+    def idMap(useCp: Boolean) = MiniDelta.snapshotFilesAt(spark, t, v4,
+        useCheckpoint = useCp)
+      .select("path", "base_row_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idMap(useCp = true) == idMap(useCp = false))
+    // post-checkpoint append continues past the mark
+    MiniDelta.append(spark, Seq((9L, "c")).toDF("id", "v"), t, Seq.empty,
+      statsCols = Seq("id"))
+    val v5 = MiniDelta.latestVersion(spark, t)
+    assert(addsOf(t, v5).head._2 == 8L)
+    assert(hwmOf(t, v5) == 8L)
+    // OPTIMIZE rewrites take FRESH ids (no materialized stable ids) —
+    // still disjoint from every live range, mark advances
+    MiniDelta.compact(spark, t, Seq.empty)
+    val v6 = MiniDelta.latestVersion(spark, t)
+    val opt = addsOf(t, v6)
+    assert(opt.forall(_._2 > 8L), opt)
+    assert(hwmOf(t, v6) > 8L)
+    // ALTER enablement on an EXISTING table backfills every live file
+    val t2 = freshTable()
+    MiniDelta.append(spark, (1L to 4L).map(i => (i, s"x$i")).toDF("id", "v")
+      .repartition(2), t2, Seq.empty, statsCols = Seq("id"))
+    MiniDelta.setTableProperties(spark, t2,
+      Map("delta.enableRowTracking" -> "true"))
+    MiniDelta.invalidateSnapshot(t2)
+    val backfilled = MiniDelta.snapshotFiles(spark, t2)
+      .select("base_row_id").collect()
+    assert(backfilled.forall(!_.isNullAt(0)))
+    assert(hwmOf(t2, MiniDelta.latestVersion(spark, t2)) == 3L)
+    MiniDelta.append(spark, Seq((5L, "y")).toDF("id", "v"), t2, Seq.empty,
+      statsCols = Seq("id"))
+    assert(addsOf(t2, MiniDelta.latestVersion(spark, t2)).head._2 == 4L)
+    // a shallow clone carries the ids AND the mark — its first append
+    // cannot overlap the cloned files
+    val t3 = freshTable()
+    MiniDelta.cloneShallow(spark, t2, t3)
+    MiniDelta.append(spark, Seq((6L, "z")).toDF("id", "v"), t3, Seq.empty,
+      statsCols = Seq("id"))
+    val cloneAdd = addsOf(t3, MiniDelta.latestVersion(spark, t3)).head
+    assert(cloneAdd._2 == 5L, cloneAdd)
+    MiniDelta.invalidateSnapshot(t3)
+    val cloneIds = MiniDelta.snapshotFiles(spark, t3)
+      .select("base_row_id").collect().map(_.getLong(0)).sorted
+    assert(cloneIds.distinct.length == cloneIds.length)
+  }
+
   test("field invariants enforce on append, UPDATE and merge writes") {
     import org.apache.spark.sql.types._
     val t = freshTable()
@@ -2157,14 +2266,14 @@ class MiniDeltaSpec extends AnyFunSuite {
       .map(_.getName).filter(_.endsWith(".parquet")).head
     val schema3 = jsonStr(Seq((1L, "a")).toDF("id", "v").schema.json)
     rawCommit(t3, 0L, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2"]}}""",
       s"""{"metaData":{"schemaString":$schema3,"partitionColumns":[],"configuration":{}}}""",
       s"""{"add":{"path":${jsonStr(f3)},"partitionValues":{},"size":10,"dataChange":true}}"""))
     assert(MiniDelta.readFiltered(spark, t3, Seq.empty).count() == 1)
     val e3 = intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t3, Seq.empty)
     }
-    assert(e3.getMessage.contains("rowTracking"))
+    assert(e3.getMessage.contains("icebergCompatV2"))
     // a FOREIGN writer-4 table with a generated column is writable:
     // the engine upholds the expression (compute/validate), the
     // writer-contract this gate used to refuse wholesale
