@@ -1225,6 +1225,18 @@ FROM lineitem
 WHERE l_quantity <= 2 AND l_returnflag IN ('N', 'R')
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "s37_row_tracking" ->
+      """SELECT
+  CAST((SELECT count(*) FROM lineitem
+        WHERE l_quantity <= 2 AND l_orderkey % 3 <> 0) AS BIGINT) AS n_live,
+  CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 2) - 1
+    AS BIGINT) AS hwm_appends,
+  CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 2) - 1
+     + (SELECT count(*) FROM lineitem
+        WHERE l_quantity <= 2 AND l_orderkey % 3 <> 0)
+    AS BIGINT) AS hwm_final,
+  true AS ids_unique, true AS ids_stable, true AS mark_monotone""",
+
     "s10_time_travel" ->
       """SELECT 'current' AS snap, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,

@@ -2243,6 +2243,100 @@ object SparkEntry {
                count(_commit_timestamp) AS n_ts
         FROM table_changes('sql_tc_trades', 1)
         GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+    "s37_row_tracking" -> ((s, d) => {
+      // rowTracking lifecycle (Delta writer feature, reference scope =
+      // the Delta tables the proxy serves must keep their invariants
+      // under this engine's writes): CREATE with delta.enableRowTracking
+      // + DVs, two appends, a DV DELETE, then OPTIMIZE. The log must
+      // show ids assigned densely by the appends (mark = N-1), DV swaps
+      // PRESERVING each re-added path's ids, and the OPTIMIZE rewrite
+      // taking fresh disjoint ids for exactly the live rows
+      // (mark = N-1 + n_live). Which file carries which range is
+      // scheduler-dependent, so the oracle pins the layout-independent
+      // facts: counts, the two marks, and the three invariants
+      // (uniqueness, stability, monotonicity) as booleans. All collects
+      // are metadata-scale (file manifests + log tail).
+      import s.implicits._
+      val dir = "/tmp/graft_s37_rowtracking"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val table = s"$dir/trades"
+      import org.apache.spark.sql.types._
+      graft.io.MiniDelta.createTable(s, table, StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_returnflag", StringType))),
+        partitionBy = Seq("l_returnflag"),
+        properties = Map("delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 0), table,
+        Seq("l_returnflag"), statsCols = Seq("l_quantity"))
+      graft.io.MiniDelta.append(s,
+        src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
+        Seq("l_returnflag"), statsCols = Seq("l_quantity"))
+      val vApp = graft.io.MiniDelta.latestVersion(s, table)
+      // (path, baseRowId, defaultRowCommitVersion, numRecords, hasDv)
+      def idsAt(v: Long): Array[(String, Long, Long, Long, Boolean)] =
+        graft.io.MiniDelta.snapshotFilesAt(s, table, v)
+          .select(col("path"), col("base_row_id"),
+            col("default_row_commit"),
+            get_json_object(col("stats"), "$.numRecords").cast("long")
+              .as("recs"),
+            col("dv_path").isNotNull.as("has_dv"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+      val appIds = idsAt(vApp)
+      graft.io.MiniDelta.delete(s, table,
+        pmod(col("l_orderkey"), lit(3)) === 0, Seq("l_returnflag"))
+      val vDel = graft.io.MiniDelta.latestVersion(s, table)
+      val delIds = idsAt(vDel)
+      val appById = appIds.map(a => a._1 -> ((a._2, a._3))).toMap
+      val common = delIds.filter(a => appById.contains(a._1))
+      // every surviving path keeps its ids, and at least one of them is
+      // an actual DV swap (the non-vacuous half of the stability rule)
+      val idsStable = common.exists(_._5) &&
+        common.forall(a => appById(a._1) == ((a._2, a._3)))
+      graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"),
+        statsCols = Seq("l_quantity"))
+      val vOpt = graft.io.MiniDelta.latestVersion(s, table)
+      val ranges = idsAt(vOpt).map(a => (a._2, a._2 + a._4 - 1))
+        .sortBy(_._1).toSeq
+      val idsUnique = ranges.headOption.forall(_._1 >= 0) &&
+        ranges.sliding(2).forall {
+          case Seq((_, hi), (lo2, _)) => lo2 > hi
+          case _ => true
+        }
+      // the mark per version, straight from the log JSON (both the bare
+      // and the escaped-inside-a-commit-line spelling)
+      val marks = s.read.text(s"$table/_delta_log/*.json")
+        .withColumn("f", input_file_name())
+        .where(col("value").contains("rowIdHighWaterMark"))
+        .select(
+          regexp_extract(col("f"), """(\d+)\.json""", 1).cast("long")
+            .as("v"),
+          regexp_extract(col("value"),
+            """\\?"rowIdHighWaterMark\\?"\s*:\s*(-?\d+)""", 1).cast("long")
+            .as("hwm"))
+        .groupBy("v").agg(max("hwm").as("hwm")).orderBy("v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val markMonotone = marks.sliding(2).forall {
+        case Seq((_, a), (_, b)) => a <= b
+        case _ => true
+      }
+      val hwmApp = marks.filter(_._1 <= vApp).map(_._2).max
+      val hwmFinal = marks.map(_._2).max
+      val nLive = graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .count()
+      Seq((nLive, hwmApp, hwmFinal, idsUnique, idsStable, markMonotone))
+        .toDF("n_live", "hwm_appends", "hwm_final", "ids_unique",
+          "ids_stable", "mark_monotone")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

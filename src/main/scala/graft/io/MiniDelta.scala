@@ -326,6 +326,12 @@ object MiniDelta {
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion)
       .getOrElse(declared0)
+    // config resolves at the SAME pinned version as the schema: the
+    // high-water-mark metaData re-states the table configuration, so a
+    // SET TBLPROPERTIES landing between the caller's cfg0 resolution
+    // and this pin would be silently reverted by a stale cfg0 — the
+    // same race class the schema pin closes
+    val cfgPinned = tableConfig(spark, table, readVersion)
     val idFields = declared.fields.filter(
       _.metadata.contains(IdentityStartKey))
     require(idFields.length == 1,
@@ -371,8 +377,10 @@ object MiniDelta {
         (df, sync)
       } else assignIdentity(df, f.name, start, step, hwm)
     // constraints validate the ASSIGNED frame (a predicate referencing
-    // the identity column sees real values)
-    enforceConstraints(alignForCheck(outDf, Some(declared)), cfg0,
+    // the identity column sees real values), against the PINNED config
+    // — the commit lands at readVersion + 1, so readVersion's
+    // constraints are the authoritative set
+    enforceConstraints(alignForCheck(outDf, Some(declared)), cfgPinned,
       Some(declared))
     val added = writeAndCapture(spark, outDf, table, partitionBy)
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
@@ -388,7 +396,7 @@ object MiniDelta {
             .putLong(IdentityHwmKey, newHwm.get).build())
         val schema2 = org.apache.spark.sql.types.StructType(
           declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
-        Seq(metaDataLine(table, schema2, partitionBy, cfg0))
+        Seq(metaDataLine(table, schema2, partitionBy, cfgPinned))
       }
     beforeDmlCommitHook()
     writeCommit(spark, table, readVersion + 1,
@@ -1507,27 +1515,33 @@ object MiniDelta {
     // property-gated commit rules. The remove screen is a string check
     // (zero metadata cost on the append path); config resolves only
     // when a data-changing remove is actually present.
-    val protoNow = requireWritable(spark, table, version - 1)
-    // in-commit timestamps (the ICT writer feature, which this engine's
-    // TIMESTAMP AS OF already PREFERS on read): once the table's
-    // protocol carries the feature, every commitInfo stamps a
-    // monotonic in-log clock — the feature check rides the memoized
-    // writer protocol, zero extra metadata reads per commit
-    val ictEnabled =
-      protoNow.exists(_.writerFeats.contains("inCommitTimestamp")) ||
-        // the ENABLEMENT commit itself stamps too (its own protocol
-        // line carries the feature, and the provenance property points
-        // at this very version)
-        lines.exists(l => l.contains("\"protocol\"") &&
-          l.contains("inCommitTimestamp"))
-    // rowTracking: the funnel upholds the feature on every commit
-    // (fresh/preserved baseRowId + defaultRowCommitVersion per add,
-    // high-water mark domainMetadata) — including the enablement
-    // commit itself, whose own protocol line carries the feature
-    val rtEnabled =
-      protoNow.exists(_.writerFeats.contains("rowTracking")) ||
-        lines.exists(l => l.contains("\"protocol\"") &&
-          l.contains("rowTracking"))
+    // feature posture is a function of the commit's BASE version, so a
+    // rebased retry re-resolves it: a concurrent writer may have
+    // enabled ICT/rowTracking between the original base and the rebase,
+    // and the rebased commit must honor the now-live features. Cheap —
+    // requireWritable rides the incremental writer-protocol memo.
+    def featuresAt(base: Long): (Boolean, Boolean) = {
+      val protoNow = requireWritable(spark, table, base)
+      // in-commit timestamps (the ICT writer feature, which this
+      // engine's TIMESTAMP AS OF already PREFERS on read): once the
+      // table's protocol carries the feature, every commitInfo stamps
+      // a monotonic in-log clock. The ENABLEMENT commit itself stamps
+      // too (its own protocol line carries the feature).
+      val ict =
+        protoNow.exists(_.writerFeats.contains("inCommitTimestamp")) ||
+          lines.exists(l => l.contains("\"protocol\"") &&
+            l.contains("inCommitTimestamp"))
+      // rowTracking: the funnel upholds the feature on every commit
+      // (fresh/preserved baseRowId + defaultRowCommitVersion per add,
+      // high-water mark domainMetadata) — including the enablement
+      // commit itself
+      val rt =
+        protoNow.exists(_.writerFeats.contains("rowTracking")) ||
+          lines.exists(l => l.contains("\"protocol\"") &&
+            l.contains("rowTracking"))
+      (ict, rt)
+    }
+    var (ictEnabled, rtEnabled) = featuresAt(version - 1)
     if (lines.exists(l => l.contains("\"remove\"") &&
         l.contains("\"dataChange\":true"))) {
       val cfg = tableConfig(spark, table)
@@ -1586,6 +1600,11 @@ object MiniDelta {
             attempt += 1
             if (attempt > maxRetries) throw e
             v = nextVersion(spark, table)
+            // the rebase may cross a concurrent ICT/rowTracking
+            // enablement — the rebased attempt must stamp what the NEW
+            // base requires
+            val fs2 = featuresAt(v - 1)
+            ictEnabled = fs2._1; rtEnabled = fs2._2
             false
         }
       if (created) {
@@ -2129,13 +2148,18 @@ object MiniDelta {
     }
     // the rowTracking high-water mark must survive log cleanup: carry
     // the latest delta.rowTracking domainMetadata into the checkpoint
-    // (spec rule — live domain metadata is snapshot state)
-    val domainLines = {
-      val hwm = rowIdHighWaterMark(spark, table, version)
-      if (hwm < 0) Seq.empty
-      else Seq(domainMetadataLine(RowTrackingDomain,
-        s"""{"rowIdHighWaterMark":$hwm}"""))
-    }
+    // (spec rule — live domain metadata is snapshot state). Gated on
+    // the resolved protocol: a rowTracking-free table has no mark to
+    // carry, and the probe driver-reads every JSON commit in the tail —
+    // an unconditional call taxes every checkpoint on every table.
+    val domainLines =
+      if (!resolved.writerFeats.contains("rowTracking")) Seq.empty
+      else {
+        val hwm = rowIdHighWaterMark(spark, table, version)
+        if (hwm < 0) Seq.empty
+        else Seq(domainMetadataLine(RowTrackingDomain,
+          s"""{"rowIdHighWaterMark":$hwm}"""))
+      }
     // unexpired remove tombstones ride the checkpoint (Delta classic
     // shape): without them, deleting pre-checkpoint JSON history
     // ([[cleanupLogs]]) would silently erase the horizon data vacuum
@@ -2716,17 +2740,25 @@ object MiniDelta {
     // stats-less NEW files need a count — one scan of just those files
     val uncounted = adds.collect {
       case (_, p, None) if !preserved.contains(p) => p }
+    // exact resolved-path keying (suffix matching would let 'f.parquet'
+    // steal 'sub/f.parquet''s count when both ride one commit); a
+    // scanned file yielding no groupBy row is a legal EMPTY parquet
+    // file → numRecords 0, not an error
+    val byAbs: Map[String, String] =
+      uncounted.map(p => decodeFileUri(resolvePath(table, p)) -> p).toMap
     val counted: Map[String, Long] =
       if (uncounted.isEmpty) Map.empty
-      else spark.read.option("basePath", table)
-        .parquet(uncounted.map(p => resolvePath(table, p)): _*)
-        .groupBy(input_file_name().as("f")).count().collect()
-        .map { r =>
-          val abs = decodeFileUri(r.getString(0))
-          uncounted.find(abs.endsWith(_)).getOrElse(
-            sys.error(s"counted file $abs matches no added path")) ->
-            r.getLong(1)
-        }.toMap
+      else {
+        val scanned = spark.read.option("basePath", table)
+          .parquet(uncounted.map(p => resolvePath(table, p)): _*)
+          .groupBy(input_file_name().as("f")).count().collect()
+          .map { r =>
+            val abs = decodeFileUri(r.getString(0))
+            byAbs.getOrElse(abs, sys.error(
+              s"counted file $abs matches no added path")) -> r.getLong(1)
+          }.toMap
+        uncounted.map(p => p -> scanned.getOrElse(p, 0L)).toMap
+      }
     // the mark: latest log-recorded, floored by any rowTracking domain
     // line the commit itself carries (a CLONE's v0 ships the source's
     // mark alongside id-carrying adds)
@@ -4689,8 +4721,21 @@ object MiniDelta {
     * (fieldId.read.ignoreMissing defaults to false). */
   private val FieldIdReadKey = "spark.sql.parquet.fieldId.read.enabled"
 
+  // keyed by sessionUUID, NOT the session object — the map itself never
+  // pins a caller session. LRU-bounded so a multi-session server's
+  // session churn cannot grow it without bound (a clone transitively
+  // references its caller via parentSessionState, so an unbounded map
+  // would be a session leak); 64 live caller sessions per JVM is far
+  // past any realistic concurrent-session count, and an evicted entry
+  // just re-clones on next use.
+  private val idReadSessionCap = 64
   private val idReadSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, SparkSession](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, SparkSession]): Boolean =
+          size() > idReadSessionCap
+      })
 
   /** The session id-mode scans read through: a CLONE of the caller's
     * session (same SparkContext, shared cache, a copy of the caller's
@@ -4698,13 +4743,33 @@ object MiniDelta {
     * scan's HadoopFsRelation captures this session, so the flag rides
     * exactly the id-mode relations — frames remain freely usable
     * (joins, unions) from the caller's session, whose own conf stays
-    * untouched. One clone per caller session, created lazily. */
-  private def idReadSession(spark: SparkSession): SparkSession =
-    idReadSessions.computeIfAbsent(spark, s => {
-      val c = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
-      c.conf.set(FieldIdReadKey, "true")
-      c
-    })
+    * untouched. One clone per caller session, created lazily; each USE
+    * re-syncs the clone's conf and function registry from the caller,
+    * so session changes made after the clone (timeZone, ANSI mode, new
+    * UDFs) apply to id-mode frames exactly as to every other table. */
+  private def idReadSession(spark: SparkSession): SparkSession = {
+    val c = idReadSessions.synchronized {
+      idReadSessions.computeIfAbsent(
+        org.apache.spark.sql.graft.SessionBridge.sessionUUID(spark), _ => {
+        val s = org.apache.spark.sql.graft.SessionBridge.cloneSession(spark)
+        s.conf.set(FieldIdReadKey, "true")
+        s
+      })
+    }
+    org.apache.spark.sql.graft.SessionBridge.syncSessionState(
+      spark, c, except = Set(FieldIdReadKey))
+    c
+  }
+
+  /** Drop a caller session's cached id-read clone (multi-session
+    * servers call this when a session closes; otherwise the LRU bound
+    * caps retention). Safe no-op when no clone exists. */
+  def releaseIdReadSession(spark: SparkSession): Unit = {
+    idReadSessions.remove(
+      org.apache.spark.sql.graft.SessionBridge.sessionUUID(spark)); ()
+  }
+
+  private[graft] def idReadSessionCount: Int = idReadSessions.size()
 
   /** Strip `parquet.field.id` metadata from every (nested) field: the
     * engine's unmapped reads must match file columns BY NAME even after

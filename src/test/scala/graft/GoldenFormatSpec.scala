@@ -98,6 +98,49 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("rowTracking log artifacts match the golden wire format") {
+    // pins the LAST writer feature's wire shape: the enablement v0
+    // (protocol carrying rowTracking + domainMetadata, metaData with
+    // the property), an append whose single add carries
+    // baseRowId/defaultRowCommitVersion alongside the advancing
+    // delta.rowTracking domainMetadata mark, and a DV swap whose
+    // re-add PRESERVES the ids. coalesce(1) + fixed rows + fixed clock
+    // make every non-normalized byte deterministic.
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_rt").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("year", StringType))),
+        Seq("year"),
+        properties = Map("delta.enableRowTracking" -> "true",
+          "delta.enableDeletionVectors" -> "true"))
+      MiniDelta.append(spark,
+        Seq((1L, "2023"), (2L, "2023"), (3L, "2023")).toDF("id", "year")
+          .coalesce(1),
+        t, Seq("year"), statsCols = Seq("id"))
+      MiniDelta.delete(spark, t, col("id") === 2L, Seq("year"))
+
+      val v0 = readText(f"$t/_delta_log/${0L}%020d.json")
+      val v1 = readText(f"$t/_delta_log/${1L}%020d.json")
+      val v2 = readText(f"$t/_delta_log/${2L}%020d.json")
+      // sanity BEFORE the byte pin, so a drift failure names the field
+      assert(v0.contains("\"rowTracking\"") &&
+        v0.contains("\"domainMetadata\""), v0)
+      assert(v1.contains("\"baseRowId\":0") &&
+        v1.contains("\"defaultRowCommitVersion\":1") &&
+        v1.contains("\"rowIdHighWaterMark\\\":2"), v1)
+      assert(v2.contains("\"baseRowId\":0") &&
+        v2.contains("\"deletionVector\""), v2)
+      check("rt_v0_commit.json", normalize(v0))
+      check("rt_append_commit.json", normalize(v1))
+      check("rt_dv_swap_commit.json", normalize(v2))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout
