@@ -66,6 +66,9 @@ object ScaleBench {
       case Seq("run", dir, runs) => run(spark, dir, runs.toInt, scaleSet)
       case Seq("run", dir, runs, qs) =>
         run(spark, dir, runs.toInt, qs.split(",").map(_.trim).toSeq)
+      case Seq("writecurve") => writeCurve(spark, Seq(100, 1000, 3000))
+      case Seq("writecurve", ns) =>
+        writeCurve(spark, ns.split(",").map(_.trim.toInt).toSeq)
       case other => sys.error(
         s"usage: gen <srcSfDir> <outDir> [factor] | run <sfDir> [runs] " +
           s"[q1,q2,...]; got $other")
@@ -137,6 +140,76 @@ object ScaleBench {
     println(s"SCALEGEN done: $out factor=$factor docs=" +
       spark.read.parquet(s"$out/documents.parquet").count() +
       " embs=" + spark.read.parquet(s"$out/embeddings.parquet").count())
+  }
+
+  /** Write-path file-count curve (VERDICT r9 #7 / r10 #3): how commit
+    * cost moves as the TABLE grows from ~100 to ~3000 files while the
+    * DELTA stays fixed. The claim under test is "commit cost =
+    * O(delta) + O(log-tail replay)", i.e. small appends and
+    * partition-scoped DML/OPTIMIZE must NOT inherit the table's file
+    * count, while checkpoint writes and the rowTracking enablement
+    * backfill are O(live files) BY CONTRACT (manifest fold / explicit
+    * whole-table re-add) and should read linear, never worse.
+    *
+    * Layout: ~10 files per partition with the PARTITION COUNT growing
+    * with n, so the blast radius of the scoped ops (one partition) is
+    * a CONSTANT ~10 files at every n — any growth in their timings is
+    * pure table-size overhead, exactly the class the r10 unconditional
+    * checkpoint hwm probe introduced (O(tail) full driver reads per
+    * checkpoint on every table) and this curve exists to catch.
+    *
+    * Sequence per n (each op once — they mutate the table; three n
+    * points make the curve): big build append → timed 1-file append →
+    * DV-enable → timed partition-scoped DV DELETE → timed OPTIMIZE
+    * WHERE that partition → timed checkpoint → timed post-checkpoint
+    * 1-file append → timed rowTracking backfill → timed 1-file append
+    * on the now-rowTracking table (prices the per-commit hwm probe +
+    * id stamping at steady state). */
+  def writeCurve(spark: SparkSession, sizes: Seq[Int]): Unit = {
+    import graft.io.MiniDelta
+    val rowsPerFile = 20
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double) = f"$v%.3f"
+    sizes.foreach { n =>
+      val dir = s"/tmp/graft_scale_files_$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/t"
+      MiniDelta.invalidateSnapshot(table)
+      val base = spark.range(n.toLong * rowsPerFile)
+        .select(col("id").as("v"),
+          (col("id") / rowsPerFile).cast("long").as("fid"))
+        .withColumn("p", (col("fid") / 10).cast("long"))
+        .repartition(n, col("fid")).drop("fid")
+      val tBuild = timed(MiniDelta.append(spark, base, table, Seq("p"),
+        statsCols = Seq("v")))
+      val delta = spark.range(rowsPerFile.toLong)
+        .select(col("id").as("v"), lit(0L).as("p")).repartition(1)
+      val tAppend = timed(MiniDelta.append(spark, delta, table, Seq("p"),
+        statsCols = Seq("v")))
+      MiniDelta.setTableProperties(spark, table,
+        Map("delta.enableDeletionVectors" -> "true"))
+      val tDelete = timed(MiniDelta.delete(spark, table,
+        col("p") === 0L && pmod(col("v"), lit(2)) === 0, Seq("p")))
+      val tOpt = timed(MiniDelta.compact(spark, table, Seq("p"),
+        where = Seq(Map("p" -> "0"))))
+      val v = MiniDelta.latestVersion(spark, table)
+      val tCp = timed(MiniDelta.writeCheckpoint(spark, table, v))
+      val tAppendPostCp = timed(MiniDelta.append(spark, delta, table,
+        Seq("p"), statsCols = Seq("v")))
+      val tBackfill = timed(MiniDelta.setTableProperties(spark, table,
+        Map("delta.enableRowTracking" -> "true")))
+      val tAppendRt = timed(MiniDelta.append(spark, delta, table,
+        Seq("p"), statsCols = Seq("v")))
+      println("SCALEWRITE {" +
+        s""""n_files":$n,"build":${fmt(tBuild)},""" +
+        s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
+        s""""optimize_where":${fmt(tOpt)},"checkpoint":${fmt(tCp)},""" +
+        s""""append_post_cp":${fmt(tAppendPostCp)},""" +
+        s""""rt_backfill":${fmt(tBackfill)},""" +
+        s""""append_rt":${fmt(tAppendRt)}}""")
+    }
   }
 
   def run(spark: SparkSession, sfDir: String, runs: Int,
