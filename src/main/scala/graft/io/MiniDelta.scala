@@ -1149,30 +1149,16 @@ object MiniDelta {
         !cfg.get("delta.enableInCommitTimestamps").contains("true")
     // rowTracking enablement on an EXISTING table: the protocol gains
     // the feature (+ its domainMetadata prerequisite) and the SAME
-    // commit backfills — re-adds every live file verbatim so the
-    // writeCommit funnel assigns each its baseRowId and advances the
-    // mark past the whole table. O(live files) metadata, an explicit
-    // user action with convertToDelta's cost shape.
+    // commit backfills — re-adds every live file with its fresh
+    // baseRowId/defaultRowCommitVersion assigned INLINE while the
+    // manifest STREAMS through [[writeCommitStreamed]] (the driver
+    // holds one manifest partition, never the rendered whole), closing
+    // with the advanced high-water mark. O(live files) metadata IO, an
+    // explicit user action with convertToDelta's cost shape — but
+    // bounded driver memory at any file count.
     val needRt =
       props.get("delta.enableRowTracking").contains("true") &&
         !cfg.get("delta.enableRowTracking").contains("true")
-    val backfillLines: Seq[String] =
-      if (!needRt) Seq.empty
-      else snapshotFilesAt(spark, table, readVersion).collect().toSeq
-        .map { r =>
-          val dvIdx = r.fieldIndex("dv_path")
-          val mtIdx = r.fieldIndex("modificationTime")
-          addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
-            Option(r.getString(r.fieldIndex("stats"))),
-            dataChange = false,
-            dv = if (r.isNullAt(dvIdx)) None
-              else Some((r.getString(dvIdx),
-                r.getLong(r.fieldIndex("dv_card")))),
-            partitionValues = Some(r.getMap[String, String](
-              r.fieldIndex("partitionValues")).toMap),
-            modTime = if (r.isNullAt(mtIdx)) None
-              else Some(r.getLong(mtIdx)))
-        }
     // reserve the enablement commit's ICT NOW and stamp the SAME value
     // into the provenance property: the Delta spec requires the
     // enablement timestamp to equal the enablement commit's
@@ -1200,11 +1186,76 @@ object MiniDelta {
           .withWriterFeature("domainMetadata")
         Seq(p.render)
       }
-    writeCommit(spark, table, readVersion + 1,
-      protoUpgrade ++
-        Seq(metaDataLine(table, schema2, parts,
-          cfg ++ props ++ mapCfg ++ ictCfg)) ++ backfillLines,
-      "SET TBLPROPERTIES", fixedIct = enablementIct)
+    val head = protoUpgrade ++
+      Seq(metaDataLine(table, schema2, parts,
+        cfg ++ props ++ mapCfg ++ ictCfg))
+    if (!needRt)
+      writeCommit(spark, table, readVersion + 1, head,
+        "SET TBLPROPERTIES", fixedIct = enablementIct)
+    else {
+      // streamed backfill: ids assigned in arrival order (uniqueness +
+      // chain-past-the-mark is the contract; WHICH file gets which
+      // range is unspecified, as with any writer). numRecords comes
+      // from each add's stats; stats-less files get one count scan of
+      // JUST those files up front (exact-path keyed, empty files = 0).
+      val snapDF = snapshotFilesAt(spark, table, readVersion)
+      val statsLess = snapDF.where(col("stats").isNull ||
+          get_json_object(col("stats"), "$.numRecords").isNull)
+        .select("path").collect().map(_.getString(0)).toSeq
+      val counted: Map[String, Long] =
+        if (statsLess.isEmpty) Map.empty
+        else {
+          val byAbs = statsLess
+            .map(p => decodeFileUri(resolvePath(table, p)) -> p).toMap
+          val scanned = spark.read.option("basePath", table)
+            .parquet(statsLess.map(p => resolvePath(table, p)): _*)
+            .groupBy(input_file_name().as("f")).count().collect()
+            .map { r =>
+              val abs = decodeFileUri(r.getString(0))
+              byAbs.getOrElse(abs, sys.error(
+                s"counted file $abs matches no live path")) -> r.getLong(1)
+            }.toMap
+          statsLess.map(p => p -> scanned.getOrElse(p, 0L)).toMap
+        }
+      val recsRe = """"numRecords"\s*:\s*(\d+)""".r
+      var hwm = rowIdHighWaterMark(spark, table, readVersion)
+      def bodyIt: Iterator[String] = {
+        val adds = localRowIterator(snapDF).map { r =>
+          val path = r.getString(0)
+          val stats = Option(r.getString(r.fieldIndex("stats")))
+          val n = stats.flatMap(s => recsRe.findFirstMatchIn(s)
+              .map(_.group(1).toLong))
+            .orElse(counted.get(path))
+            .getOrElse(sys.error(
+              s"rowTracking backfill: no record count for $path"))
+          val base = hwm + 1
+          hwm += n
+          val dvIdx = r.fieldIndex("dv_path")
+          val mtIdx = r.fieldIndex("modificationTime")
+          addLine(path, r.getLong(r.fieldIndex("size")), stats,
+            dataChange = false,
+            dv = if (r.isNullAt(dvIdx)) None
+              else Some((r.getString(dvIdx),
+                r.getLong(r.fieldIndex("dv_card")))),
+            partitionValues = Some(r.getMap[String, String](
+              r.fieldIndex("partitionValues")).toMap),
+            modTime = if (r.isNullAt(mtIdx)) None
+              else Some(r.getLong(mtIdx)),
+            rowIds = Some((base, readVersion + 1)))
+        }
+        // the closing mark evaluates AFTER the adds drain (Iterator#++
+        // is by-name) — it records the final high-water mark. An empty
+        // (or all-empty-file) table assigned nothing: no mark, same as
+        // the pre-streaming funnel.
+        adds ++ {
+          if (hwm < 0) Iterator.empty
+          else Iterator.single(domainMetadataLine(RowTrackingDomain,
+            s"""{"rowIdHighWaterMark":$hwm}"""))
+        }
+      }
+      writeCommitStreamed(spark, table, readVersion + 1, head, bodyIt,
+        "SET TBLPROPERTIES", fixedIct = enablementIct)
+    }
   }
 
   /** ALTER TABLE ... UNSET TBLPROPERTIES: a metaData commit without the
@@ -1285,6 +1336,95 @@ object MiniDelta {
     writeCommit(spark, table, 0L,
       proto ++ Seq(metaDataLine(table, schema, partitionBy, properties)),
       "CREATE TABLE")
+  }
+
+  /** TRUNCATE TABLE: one metadata commit tombstoning every live file —
+    * schema, partition layout, and properties survive; the data is
+    * gone from the next snapshot on (and physically after VACUUM ages
+    * the tombstones out). O(live files) metadata, STREAMED through
+    * [[writeCommitStreamed]] so a 10⁷-file truncate never materializes
+    * the manifest driver-side. Same posture screens as DELETE:
+    * appendOnly refuses, CDF-enabled refuses (a data-changing commit
+    * without cdc files would silently vanish from a real reader's
+    * feed). */
+  def truncate(spark: SparkSession, table: String,
+               readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(tableExists(spark, table), s"TRUNCATE TABLE: $table has no log")
+    val readVersion = latestVersion(spark, table)
+    requireUnmappedForWrite(latestSchema(spark, table, readVersion),
+      table, spark)
+    val cfg = tableConfig(spark, table, readVersion)
+    if (cfg.get("delta.appendOnly").contains("true"))
+      throw new AppendOnlyTableException(table)
+    if (cfg.get("delta.enableChangeDataFeed").contains("true"))
+      throw new UnsupportedTableFeatureException(
+        s"$table sets delta.enableChangeDataFeed=true; this engine does " +
+          "not write the cdc files a TRUNCATE commit requires")
+    val snapDF = snapshotFilesAt(spark, table, readVersion)
+    if (snapDF.isEmpty) return readVersion // already empty: no commit
+    val now = System.currentTimeMillis()
+    def bodyIt: Iterator[String] =
+      localRowIterator(snapDF.select("path"))
+        .map(r => removeLine(r.getString(0), dataChange = true, now))
+    beforeDmlCommitHook()
+    writeCommitStreamed(spark, table, readVersion + 1, Seq.empty, bodyIt,
+      "TRUNCATE")
+  }
+
+  /** CREATE OR REPLACE TABLE: on a fresh path this is
+    * [[createTable]]; on an existing table it is ONE commit that swaps
+    * the declared schema/partitioning/properties AND tombstones every
+    * live file (Delta's REPLACE semantics: the table identity and
+    * history survive, the contents and contract are new). The manifest
+    * streams like [[truncate]]'s; the new properties REPLACE the old
+    * configuration wholesale. */
+  def replaceTable(spark: SparkSession, table: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   partitionBy: Seq[String] = Nil,
+                   properties: Map[String, String] = Map.empty,
+                   readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    if (!tableExists(spark, table))
+      return createTable(spark, table, schema, partitionBy, properties)
+    val missing = partitionBy.filterNot(p =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val readVersion = latestVersion(spark, table)
+    requireUnmappedForWrite(latestSchema(spark, table, readVersion),
+      table, spark)
+    val cfg = tableConfig(spark, table, readVersion)
+    if (cfg.get("delta.appendOnly").contains("true"))
+      throw new AppendOnlyTableException(table)
+    if (cfg.get("delta.enableChangeDataFeed").contains("true"))
+      throw new UnsupportedTableFeatureException(
+        s"$table sets delta.enableChangeDataFeed=true; this engine does " +
+          "not write the cdc files a REPLACE commit requires")
+    // feature-enabling properties upgrade the protocol exactly as a
+    // CREATE would declare them (never a downgrade — the resolved
+    // protocol is the floor)
+    val resolved = resolveProtocol(spark, table, readVersion,
+      cpAtMost = readVersion).getOrElse(basicProtocol)
+    var p = resolved
+    if (properties.get("delta.enableDeletionVectors").contains("true"))
+      p = p.withDeletionVectors
+    if (properties.get("delta.enableRowTracking").contains("true"))
+      p = p.withWriterFeature("rowTracking")
+        .withWriterFeature("domainMetadata")
+    val protoLines = if (p == resolved) Seq.empty else Seq(p.render)
+    val now = System.currentTimeMillis()
+    val snapDF = snapshotFilesAt(spark, table, readVersion)
+    def bodyIt: Iterator[String] =
+      localRowIterator(snapDF.select("path"))
+        .map(r => removeLine(r.getString(0), dataChange = true, now))
+    beforeDmlCommitHook()
+    val v = writeCommitStreamed(spark, table, readVersion + 1,
+      protoLines :+ metaDataLine(table, schema, partitionBy, properties),
+      bodyIt, "REPLACE TABLE")
+    invalidateSnapshot(table)
+    v
   }
 
   /** ALTER TABLE ... ADD COLUMNS: appends nullable columns to the
@@ -1624,6 +1764,110 @@ object MiniDelta {
       }
     }
     v // unreachable
+  }
+
+  /** Streamed commits written through [[writeCommitStreamed]] — the
+    * listing-counter-style marker specs assert the O(files) renders
+    * actually take the streaming path. */
+  private[graft] val streamedRenders =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Driver-streaming row iterator for the O(files) renders:
+    * `toLocalIterator` launches ONE JOB PER PARTITION, so a
+    * many-partition metadata DF would pay a job-scheduling storm for a
+    * handful of rows — coalesce (narrow, no shuffle) to
+    * ceil(n/rowsPerBatch) partitions first, so small manifests stream
+    * in a single job (the collect they replaced) while a 10⁷-file
+    * manifest batches ~100k rows per fetch: bounded driver memory AND
+    * bounded job count. */
+  private def localRowIterator(df: DataFrame,
+      rowsPerBatch: Long = 100000L): Iterator[org.apache.spark.sql.Row] =
+    localRowIterator(df, df.count(), rowsPerBatch)
+
+  /** The known-count overload: callers that already ran an aggregate
+    * over the manifest pass `n` and skip the extra count job. */
+  private def localRowIterator(df: DataFrame, n: Long,
+      rowsPerBatch: Long): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    val target = math.max(1L, (n + rowsPerBatch - 1) / rowsPerBatch)
+    df.coalesce(math.min(target, Int.MaxValue.toLong).toInt)
+      .toLocalIterator().asScala
+  }
+
+  /** Streamed variant of [[writeCommit]] for the O(files) metadata
+    * renders (CLONE, CONVERT TO DELTA, the rowTracking enablement
+    * backfill): `body` lines are written to the commit file AS THEY
+    * ARRIVE (a `toLocalIterator`-backed iterator hands the driver one
+    * manifest partition at a time), so the driver never holds the
+    * whole 10⁷-file manifest as rendered strings — at GB-scale
+    * manifests that is the difference between streaming IO and driver
+    * OOM. No-retry semantics, same as every caller's contract: v0
+    * creates (clone/convert, target must not pre-exist) or a
+    * DML-pinned readVersion+1 (backfill) — losing the version slot
+    * throws [[ConcurrentCommitException]]. Claim semantics match
+    * [[writeCommit]] exactly (create-if-absent on the final path, the
+    * content streaming through the same handle); a body failure
+    * mid-stream deletes the partial commit before rethrowing, so an
+    * aborted render never leaves a torn commit for replay to trip on.
+    *
+    * Caller contract: rowTracking stamping is NOT applied here — body
+    * lines must already carry any required
+    * baseRowId/defaultRowCommitVersion and the domainMetadata mark
+    * (clone preserves the source's ids verbatim; the backfill assigns
+    * inline while streaming). */
+  private[graft] def writeCommitStreamed(
+      spark: SparkSession, table: String, version: Long,
+      head: Seq[String], body: Iterator[String],
+      operation: String, fixedIct: Option[Long] = None): Long = {
+    val f = fs(spark, table)
+    val protoNow = requireWritable(spark, table, version - 1)
+    val ictEnabled =
+      protoNow.exists(_.writerFeats.contains("inCommitTimestamp")) ||
+        head.exists(l => l.contains("\"protocol\"") &&
+          l.contains("inCommitTimestamp"))
+    f.mkdirs(new Path(logDir(table)))
+    val p = new Path(f"${logDir(table)}%s/$version%020d.json")
+    val now = commitClock()
+    val ict =
+      if (!ictEnabled) ""
+      else s""","inCommitTimestamp":${
+        fixedIct.getOrElse(nextIct(spark, table, version, now))}"""
+    val ci = s"""{"commitInfo":{"operation":"$operation",""" +
+      s""""version":$version,"timestamp":$now$ict}}"""
+    val proto =
+      if (version == 0L && !head.exists(_.contains("\"protocol\"")))
+        Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else Seq.empty
+    val out =
+      try f.create(p, false)
+      catch {
+        case _: java.io.IOException if f.exists(p) =>
+          throw new ConcurrentCommitException(table, version)
+      }
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
+    var ok = false
+    try {
+      var first = true
+      (Iterator.single(ci) ++ proto.iterator ++ head.iterator ++ body)
+        .foreach { l =>
+          if (!first) w.write('\n')
+          w.write(l); first = false
+        }
+      w.close()
+      ok = true
+    } finally if (!ok) {
+      try w.close() catch { case _: Exception => () }
+      f.delete(p, false); ()
+    }
+    streamedRenders.incrementAndGet()
+    if ((version + 1) % checkpointInterval == 0)
+      try writeCheckpoint(spark, table, version) catch {
+        case e: Exception =>
+          System.err.println(
+            s"[minidelta] checkpoint at v=$version failed (non-fatal): $e")
+      }
+    version
   }
 
   private def checkpointPath(table: String, version: Long): String =
@@ -4152,10 +4396,15 @@ object MiniDelta {
     val parts = partitionColsOf(files.map(_._1))
     val schema = spark.read.parquet(table).schema
     val stats = fileStats(spark, table, files.map(_._1), statsCols)
-    val lines = metaDataLine(table, schema, parts, Map.empty) +:
-      files.map { case (p, s, m) =>
-        addLine(p, s, stats.get(p), modTime = Some(m)) }
-    writeCommit(spark, table, 0L, lines, "CONVERT")
+    // the discovery listing is a driver iterator by nature (paths +
+    // two longs — strings, not rendered actions); the RENDER streams,
+    // so the add lines (stats JSON and all) never sit in driver memory
+    // as a whole
+    writeCommitStreamed(spark, table, 0L,
+      Seq(metaDataLine(table, schema, parts, Map.empty)),
+      files.iterator.map { case (p, s, m) =>
+        addLine(p, s, stats.get(p), modTime = Some(m)) },
+      "CONVERT")
   }
 
   /** Shallow clone (Delta `CLONE ... SHALLOW`): a brand-new table whose
@@ -4177,36 +4426,53 @@ object MiniDelta {
     require(!tableExists(spark, target),
       s"clone target $target already exists")
     val v = versionAsOf.getOrElse(latestVersion(spark, source))
-    val files = snapshotFilesAt(spark, source, v).collect()
-    val addLines = files.map { r =>
-      val rel = r.getString(0)
-      // deletion vectors ride along, absolutized like the data paths;
-      // partitionValues carried verbatim (the absolutized path may not
-      // encode them)
-      val dvIdx = r.fieldIndex("dv_path")
-      val dv = if (r.isNullAt(dvIdx)) None
-        else Some((dvRefForClone(source, r.getString(dvIdx)),
-          r.getLong(r.fieldIndex("dv_card"))))
-      val bridIdx = r.fieldIndex("base_row_id")
-      addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))), dv = dv,
-        partitionValues = Some(
-          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
-        modTime = mtOf(r),
-        // a clone of a rowTracking source carries the ids verbatim —
-        // the cloned protocol keeps the feature, so preserving them is
-        // the clone's contract
-        rowIds = if (r.isNullAt(bridIdx)) None
-          else Some((r.getLong(bridIdx),
-            r.getLong(r.fieldIndex("default_row_commit")))))
-    }.toSeq
+    // streamed render: the manifest never materializes driver-side as a
+    // whole — the three facts the head lines need (any DV descriptor?
+    // one path for partition-column derivation) are metadata-scale
+    // aggregate jobs, and the add lines stream through
+    // [[writeCommitStreamed]] one manifest partition at a time
+    val filesDF = snapshotFilesAt(spark, source, v)
+    // ONE aggregate job answers every head-line question (count for
+    // the stream batching, any DV descriptor, a sample path for the
+    // partition layout) — per-question jobs would triple the metadata
+    // job count of every clone
+    val probe = filesDF.agg(count(lit(1)).as("n"),
+      max(when(col("dv_path").isNotNull, 1).otherwise(0)).as("any_dv"),
+      first(col("path")).as("p0")).collect().head
+    val nFiles = probe.getLong(0)
+    val anyDv = nFiles > 0 && probe.getInt(1) == 1
+    val firstPaths =
+      if (nFiles == 0) Array.empty[String] else Array(probe.getString(2))
+    def addLinesIt: Iterator[String] =
+      localRowIterator(filesDF, nFiles, 100000L).map { r =>
+        val rel = r.getString(0)
+        // deletion vectors ride along, absolutized like the data paths;
+        // partitionValues carried verbatim (the absolutized path may
+        // not encode them)
+        val dvIdx = r.fieldIndex("dv_path")
+        val dv = if (r.isNullAt(dvIdx)) None
+          else Some((dvRefForClone(source, r.getString(dvIdx)),
+            r.getLong(r.fieldIndex("dv_card"))))
+        val bridIdx = r.fieldIndex("base_row_id")
+        addLine(resolvePath(source, rel), r.getLong(r.fieldIndex("size")),
+          Option(r.getString(r.fieldIndex("stats"))), dv = dv,
+          partitionValues = Some(
+            r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
+          modTime = mtOf(r),
+          // a clone of a rowTracking source carries the ids verbatim —
+          // the cloned protocol keeps the feature, so preserving them
+          // is the clone's contract
+          rowIds = if (r.isNullAt(bridIdx)) None
+            else Some((r.getLong(bridIdx),
+              r.getLong(r.fieldIndex("default_row_commit")))))
+      }
     val srcCfg = tableConfig(spark, source, v)
     // the clone's v0 carries the SOURCE's resolved protocol verbatim
     // (a real source at (3, timestampNtz) keeps its contract), with the
     // DV requirement UNIONED in when descriptors or the property ride
     // along — writeCommit's default (1, 2) would let a real reader
     // ignore the cloned descriptors and resurrect masked rows
-    val needDv = files.exists(r => !r.isNullAt(r.fieldIndex("dv_path"))) ||
+    val needDv = anyDv ||
       srcCfg.get("delta.enableDeletionVectors").contains("true")
     val srcProto = resolveProtocol(spark, source, v, cpAtMost = v)
     val protoLines =
@@ -4214,7 +4480,7 @@ object MiniDelta {
        else srcProto.filter(_ != basicProtocol))
         .map(_.render).toSeq
     val metaLines = latestSchema(spark, source, v)
-      .map(metaDataLine(target, _, partitionColsOf(files.map(_.getString(0))),
+      .map(metaDataLine(target, _, partitionColsOf(firstPaths.toSeq),
         srcCfg))  // clone inherits properties
       .toSeq
     // a rowTracking source's high-water mark rides into the clone's v0
@@ -4228,8 +4494,8 @@ object MiniDelta {
         else Seq(domainMetadataLine(RowTrackingDomain,
           s"""{"rowIdHighWaterMark":$hwm}"""))
       }
-    writeCommit(spark, target, 0L,
-      protoLines ++ metaLines ++ domainLines ++ addLines, "CLONE")
+    writeCommitStreamed(spark, target, 0L,
+      protoLines ++ metaLines ++ domainLines, addLinesIt, "CLONE")
   }
 
   /** Time travel: the snapshot as of `version` (inclusive) — replay the

@@ -227,6 +227,31 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           location = ts.location, properties = ts.properties,
           ignoreIfExists = ctas.ignoreIfExists)
 
+      // CREATE OR REPLACE TABLE: the DSv2 ReplaceTableExec would drop
+      // the alias registration and re-create (losing the table's
+      // history and failing createTable's existing-log refusal) — the
+      // engine command instead swaps schema/properties and tombstones
+      // the contents in ONE commit on the SAME log (Delta's REPLACE)
+      case rt: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable
+          if GraftDdl.identOf(rt.name).isDefined =>
+        val ts = rt.tableSpec
+        GraftReplaceTableCommand(GraftDdl.identOf(rt.name).get,
+          rt.tableSchema, GraftDdl.identityCols(rt.partitioning),
+          ts.location, ts.properties, rt.orCreate)
+
+      case org.apache.spark.sql.catalyst.plans.logical.TruncateTable(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        GraftTruncateCommand(e.path, e.readOnly)
+
+      case org.apache.spark.sql.catalyst.plans.logical.ShowColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          _, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        GraftShowColumnsCommand(e.path)
+
       case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
@@ -687,6 +712,38 @@ object GraftDdl {
     path
   }
 
+  /** REPLACE TABLE semantics over the registry: a registered alias
+    * keeps its path and history (the engine commit swaps the contract
+    * and tombstones the contents); an unregistered one creates, but
+    * only under the OR CREATE form — bare REPLACE on a missing table
+    * refuses, Spark's own rule. */
+  def replace(spark: SparkSession, alias: String,
+              schema: org.apache.spark.sql.types.StructType,
+              partCols: Seq[String], location: Option[String],
+              properties: Map[String, String], orCreate: Boolean): String = {
+    val a = alias.toLowerCase
+    GraftSqlTables.resolve(Seq("graft", a)) match {
+      case Some(e) =>
+        if (e.readOnly) throw new MiniDelta.ReadOnlyTableException(e.path)
+        // identity stays put: an explicit LOCATION differing from the
+        // registered path would silently fork the table
+        location.foreach(l => require(l == e.path,
+          s"REPLACE TABLE: LOCATION '$l' differs from alias '$a''s " +
+            s"registered path '${e.path}'"))
+        GraftDml.requireTable(spark, e.path, "REPLACE TABLE")
+        MiniDelta.replaceTable(spark, e.path,
+          translateColumnSpecs(schema), partCols,
+          properties.filter(_._1.startsWith("delta.")))
+        MiniDelta.invalidateSnapshot(e.path)
+        e.path
+      case None =>
+        if (!orCreate)
+          throw new org.apache.spark.sql.catalyst.analysis
+            .NoSuchTableException(Seq("graft", a))
+        create(spark, alias, schema, partCols, location, properties)
+    }
+  }
+
   /** `GENERATED ALWAYS AS (...)` / `GENERATED ... AS IDENTITY` column
     * clauses reach the catalog under SPARK's v2-conversion metadata
     * keys (CatalogV2Util); translate them to the Delta field-metadata
@@ -832,6 +889,54 @@ case class GraftShowTablePropertiesCommand(table: String,
       case Some(k) => props.get(k).map(v => Row(k, v)).toSeq
       case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
     }
+  }
+}
+
+/** `TRUNCATE TABLE graft.<alias>` → [[MiniDelta.truncate]]: one
+  * streamed metadata commit tombstoning every live file; schema,
+  * layout and properties survive. */
+case class GraftTruncateCommand(table: String, readOnly: Boolean)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDml.requireTable(spark, table, "TRUNCATE TABLE")
+    MiniDelta.truncate(spark, table, readOnly)
+    MiniDelta.invalidateSnapshot(table)
+    Seq.empty
+  }
+}
+
+/** `SHOW COLUMNS FROM graft.<alias>` — the declared (logical) column
+  * names; raw parquet aliases fall back to the footer schema. Matches
+  * Spark's single-`col_name`-column output shape. */
+case class GraftShowColumnsCommand(table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("col_name", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = MiniDelta.latestSchema(spark, table)
+      .getOrElse(spark.read.parquet(table).schema)
+    schema.fieldNames.toSeq.map(Row(_))
+  }
+}
+
+/** `[CREATE OR] REPLACE TABLE graft.<alias> (...)` →
+  * [[GraftDdl.replace]]: swap-and-truncate on a registered alias,
+  * plain CREATE on an unregistered one (OR CREATE form only). */
+case class GraftReplaceTableCommand(alias: String,
+    tableSchema: org.apache.spark.sql.types.StructType,
+    partCols: Seq[String], location: Option[String],
+    properties: Map[String, String], orCreate: Boolean)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftDdl.replace(spark, alias, tableSchema, partCols, location,
+      properties, orCreate)
+    Seq.empty
   }
 }
 

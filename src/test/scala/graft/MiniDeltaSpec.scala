@@ -2150,6 +2150,61 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("id-read clones: per-use caller sync and release-on-demand") {
+    import org.apache.spark.sql.types._
+    // minimal id-mode table (same shape as the id-mode read spec)
+    val t = freshTable()
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(2L, "b")),
+      StructType(Seq(
+        StructField("legacy_key", LongType, nullable = true, fid(1)),
+        StructField("legacy_name", StringType, nullable = true, fid(2)))))
+      .coalesce(1).write.parquet(t)
+    val f1 = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    def m(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("col-1", 1)),
+      StructField("name", StringType, nullable = true, m("col-2", 2))))
+    rawCommit(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"schemaString":${jsonStr(logical.json)},""" +
+        """"partitionColumns":[],"configuration":{""" +
+        """"delta.columnMapping.mode":"id",""" +
+        """"delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":${jsonStr(f1)},"partitionValues":{},"size":10,"dataChange":true}}"""))
+
+    // a dedicated caller session so release can't disturb other specs
+    val caller = spark.newSession()
+    val n0 = MiniDelta.idReadSessionCount
+    assert(MiniDelta.readFiltered(caller, t, Seq.empty).count() == 2)
+    assert(MiniDelta.idReadSessionCount == n0 + 1,
+      "id-mode read did not create the caller's clone")
+    // conf set AFTER the clone was created must reach id-mode frames:
+    // each use re-syncs the clone from the caller
+    caller.conf.set("spark.sql.session.timeZone", "UTC+05:00")
+    val synced = MiniDelta.readFiltered(caller, t, Seq.empty)
+    assert(synced.sparkSession.conf
+      .get("spark.sql.session.timeZone") == "UTC+05:00",
+      "caller conf change did not propagate to the id-read clone")
+    // a UDF registered AFTER the clone resolves in id-mode frames too
+    caller.udf.register("graft_spec_double", (x: Long) => x * 2)
+    assert(MiniDelta.readFiltered(caller, t, Seq.empty)
+      .selectExpr("graft_spec_double(id) AS d")
+      .orderBy("d").head().getLong(0) == 2L)
+    // release drops the cache entry — a closing multi-session server
+    // does not retain the session pair
+    MiniDelta.releaseIdReadSession(caller)
+    assert(MiniDelta.idReadSessionCount == n0,
+      "releaseIdReadSession left the clone cached")
+  }
+
   test("id mode refuses a NESTED field lacking its column-mapping id") {
     import org.apache.spark.sql.types._
     val t = freshTable()
@@ -2615,5 +2670,67 @@ class MiniDeltaSpec extends AnyFunSuite {
       // and must not make 500 resolve either
       MiniDelta.versionAtTimestamp(spark, t, 500L)
     }
+  }
+
+  test("O(files) renders stream: clone + rowTracking backfill on a " +
+      "5000-file synthetic manifest") {
+    // the listing-counter-style pin for the streamed commit writer:
+    // CLONE and the rowTracking enablement backfill must take
+    // writeCommitStreamed (driver holds one manifest partition of
+    // rows, never the rendered whole) and still land a complete,
+    // correct commit on a manifest far bigger than any spec fixture.
+    // The manifest is SYNTHETIC — adds fabricated straight into the
+    // log (clone and the backfill never open data files when stats
+    // carry numRecords), so 5000 files cost milliseconds to set up.
+    import org.apache.spark.sql.types._
+    val src = freshTable()
+    MiniDelta.createTable(spark, src, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))))
+    val adds = (0 until 5000).map { i =>
+      f"""{"add":{"path":"f$i%05d.parquet","partitionValues":{},""" +
+        """"size":100,"modificationTime":1,"dataChange":true,""" +
+        """"stats":"{\"numRecords\":2}"}}"""
+    }
+    MiniDelta.writeCommit(spark, src, 1L, adds, "WRITE")
+    MiniDelta.invalidateSnapshot(src)
+    assert(MiniDelta.snapshotFiles(spark, src).count() == 5000)
+
+    val before = MiniDelta.streamedRenders.get()
+    val tgt = freshTable()
+    MiniDelta.cloneShallow(spark, src, tgt)
+    assert(MiniDelta.streamedRenders.get() == before + 1,
+      "clone did not take the streamed commit writer")
+    val cloneTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$tgt/_delta_log/${0L}%020d.json"))
+    val cloneAdds = cloneTxt.linesIterator.count(_.startsWith("{\"add\":"))
+    assert(cloneAdds == 5000, s"clone carried $cloneAdds adds")
+    // absolutized paths + carried stats, first and last both present
+    assert(cloneTxt.contains(s"$src/f00000.parquet") &&
+      cloneTxt.contains(s"$src/f04999.parquet"))
+    assert(cloneTxt.contains("numRecords"))
+
+    // rowTracking enablement backfill: streamed, ids disjoint, mark =
+    // 5000 files * 2 rows - 1
+    MiniDelta.setTableProperties(spark, src,
+      Map("delta.enableRowTracking" -> "true"))
+    assert(MiniDelta.streamedRenders.get() == before + 2,
+      "backfill did not take the streamed commit writer")
+    val bfTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$src/_delta_log/${2L}%020d.json"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ranges = bfTxt.linesIterator
+      .filter(_.startsWith("{\"add\":")).map { l =>
+        val a = om.readTree(l).get("add")
+        assert(a.has("baseRowId") && a.get("defaultRowCommitVersion")
+          .asLong == 2L, l.take(200))
+        a.get("baseRowId").asLong
+      }.toSeq.sorted
+    assert(ranges.size == 5000)
+    assert(ranges == (0L until 10000L by 2L), "id ranges not disjoint " +
+      "contiguous 2-row blocks")
+    assert(bfTxt.contains("\\\"rowIdHighWaterMark\\\":9999"), "final mark")
+    MiniDelta.invalidateSnapshot(src)
+    assert(MiniDelta.snapshotFiles(spark, src)
+      .where(col("base_row_id").isNull).count() == 0)
   }
 }

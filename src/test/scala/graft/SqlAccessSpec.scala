@@ -95,6 +95,57 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SQL breadth: CREATE OR REPLACE, TRUNCATE, SHOW COLUMNS") {
+    val root = freshDir()
+    try {
+      spark.sql(s"""CREATE TABLE graft.spec_rep
+        (id BIGINT, mic STRING, price DOUBLE)
+        PARTITIONED BY (mic) LOCATION '$root/rep'""")
+      spark.sql("INSERT INTO graft.spec_rep VALUES " +
+        "(1, 'XLON', 10.0), (2, 'XPAR', 20.0)")
+      // SHOW COLUMNS: the declared logical names, Spark's output shape
+      assert(spark.sql("SHOW COLUMNS FROM graft.spec_rep").collect()
+        .map(_.getString(0)).toSeq == Seq("id", "mic", "price"))
+      // TRUNCATE: contents gone in one metadata commit; schema, layout
+      // and HISTORY survive (restore brings the rows back)
+      val vBefore = MiniDelta.latestVersion(spark, s"$root/rep")
+      spark.sql("TRUNCATE TABLE graft.spec_rep")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_rep")
+        .head().getLong(0) == 0)
+      assert(spark.sql("SHOW COLUMNS FROM graft.spec_rep").count() == 3)
+      spark.sql(s"RESTORE TABLE graft.spec_rep TO VERSION AS OF $vBefore")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_rep")
+        .head().getLong(0) == 2)
+      // CREATE OR REPLACE: schema swap + truncate in ONE commit on the
+      // SAME log — no alias re-registration, history intact
+      spark.sql("CREATE OR REPLACE TABLE graft.spec_rep (k BIGINT, v STRING)")
+      assert(spark.sql("SHOW COLUMNS FROM graft.spec_rep").collect()
+        .map(_.getString(0)).toSeq == Seq("k", "v"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_rep")
+        .head().getLong(0) == 0)
+      spark.sql("INSERT INTO graft.spec_rep VALUES (5, 'x')")
+      assert(spark.sql("SELECT k FROM graft.spec_rep").head().getLong(0)
+        == 5L)
+      val ops = spark.sql("DESCRIBE HISTORY graft.spec_rep").collect()
+        .map(_.getString(1)).toSeq
+      assert(ops.contains("REPLACE TABLE") && ops.contains("TRUNCATE"),
+        ops)
+      // bare REPLACE on a missing table refuses; OR CREATE creates
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.spec_rep_new (a INT) " +
+          s"LOCATION '$root/repnew'")
+      }
+      spark.sql(s"CREATE OR REPLACE TABLE graft.spec_rep_new (a INT) " +
+        s"LOCATION '$root/repnew'")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_rep_new")
+        .head().getLong(0) == 0)
+      // unknown alias falls through to Spark's own resolution error
+      intercept[AnalysisException] {
+        spark.sql("SHOW COLUMNS FROM graft.not_there").collect()
+      }
+    } finally GraftSqlTables.clear()
+  }
+
   test("CREATE TABLE refusal matrix: raw dir, bad partition, no location") {
     val root = freshDir()
     try {
