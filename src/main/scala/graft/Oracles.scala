@@ -1225,6 +1225,12 @@ FROM lineitem
 WHERE l_quantity <= 2 AND l_returnflag IN ('N', 'R')
 GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "sql_replace_truncate" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+  CAST(0 AS BIGINT) AS post_truncate_rows, 'flag,n' AS columns
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1 ORDER BY 1""",
+
     "s37_row_tracking" ->
       """SELECT
   CAST((SELECT count(*) FROM lineitem

@@ -2244,6 +2244,45 @@ object SparkEntry {
         FROM table_changes('sql_tc_trades', 1)
         GROUP BY 1, 2 ORDER BY 1, 2""")
     }),
+    "sql_replace_truncate" -> ((s, d) => {
+      // TRUNCATE TABLE + CREATE OR REPLACE TABLE + SHOW COLUMNS end to
+      // end: fill a table from lineitem, TRUNCATE it (one streamed
+      // remove-all metadata commit — contents gone, log and layout
+      // survive), then CREATE OR REPLACE with a swapped schema on the
+      // SAME log and re-fill under the new contract. The output pins
+      // the post-truncate emptiness, the replaced column list (via
+      // SHOW COLUMNS), and the refilled aggregate — all
+      // DuckDB-predictable.
+      val dir = "/tmp/graft_sql_replace"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.register("sql_rep_trades", table,
+        readOnly = false)
+      graft.plans.GraftSqlTables.register("sql_rep_src",
+        Tables.path(d, "lineitem"))
+      s.sql("""
+        INSERT INTO graft.sql_rep_trades
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag
+        FROM graft.datalake.sql_rep_src WHERE l_quantity <= 2""")
+      s.sql("TRUNCATE TABLE graft.sql_rep_trades")
+      val nAfterTruncate = s.sql(
+        "SELECT count(*) AS n FROM graft.sql_rep_trades").head().getLong(0)
+      s.sql(
+        "CREATE OR REPLACE TABLE graft.sql_rep_trades (flag STRING, n BIGINT)")
+      s.sql("""
+        INSERT INTO graft.sql_rep_trades
+        SELECT l_returnflag AS flag, count(*) AS n
+        FROM graft.datalake.sql_rep_src WHERE l_quantity <= 2
+        GROUP BY 1""")
+      val cols = s.sql("SHOW COLUMNS FROM graft.sql_rep_trades")
+        .collect().map(_.getString(0)).mkString(",")
+      s.sql("SELECT flag, n FROM graft.sql_rep_trades")
+        .withColumn("post_truncate_rows", lit(nAfterTruncate))
+        .withColumn("columns", lit(cols))
+        .orderBy("flag")
+    }),
     "s37_row_tracking" -> ((s, d) => {
       // rowTracking lifecycle (Delta writer feature, reference scope =
       // the Delta tables the proxy serves must keep their invariants
