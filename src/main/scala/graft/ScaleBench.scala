@@ -202,13 +202,20 @@ object ScaleBench {
         Map("delta.enableRowTracking" -> "true")))
       val tAppendRt = timed(MiniDelta.append(spark, delta, table,
         Seq("p"), statsCols = Seq("v")))
+      // a checkpoint on the now-rowTracking table ALSO carries the
+      // high-water mark (the probe the round-11 protocol gate scopes to
+      // exactly these tables) — O(tail-since-checkpoint) on top of the
+      // O(live files) manifest fold
+      val tCpRt = timed(MiniDelta.writeCheckpoint(spark, table,
+        MiniDelta.latestVersion(spark, table)))
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
         s""""optimize_where":${fmt(tOpt)},"checkpoint":${fmt(tCp)},""" +
         s""""append_post_cp":${fmt(tAppendPostCp)},""" +
         s""""rt_backfill":${fmt(tBackfill)},""" +
-        s""""append_rt":${fmt(tAppendRt)}}""")
+        s""""append_rt":${fmt(tAppendRt)},""" +
+        s""""checkpoint_rt":${fmt(tCpRt)}}""")
     }
   }
 
