@@ -75,6 +75,14 @@ object GraftMaintenanceVerbs {
   private val RestoreTsRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?""" + ident +
       """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
+  // Delta's CLONE DDL (Spark's grammar lacks it, like OPTIMIZE/VACUUM):
+  //   CREATE TABLE [IF NOT EXISTS] graft.fork
+  //     SHALLOW CLONE graft.src [VERSION AS OF n] [LOCATION '...']
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + ident +
+      """\s+SHALLOW\s+CLONE\s+""" + ident +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
 
   private def entryOf(id: String): Option[GraftSqlTables.Entry] = {
     val parts = id.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -107,6 +115,27 @@ object GraftMaintenanceVerbs {
         GraftRestoreCommand(e.path, e.readOnly, Some(v.toLong), None))
       case RestoreTsRe(id, ts) => entryOf(id).map(e =>
         GraftRestoreCommand(e.path, e.readOnly, None, Some(ts)))
+      case CloneRe(ifNot, tgt, src, ver, loc) =>
+        // intercept only when the SOURCE is a registered graft entry —
+        // foreign CLONE syntax still falls through to the delegate's
+        // own parse error
+        entryOf(src).flatMap { se =>
+          targetAliasOf(tgt).map { a =>
+            GraftSqlCloneCommand(a, se.path,
+              Option(ver).map(_.toLong), Option(loc), ifNot != null)
+          }
+        }
+      case _ => None
+    }
+
+  /** The CLONE target's alias: `graft.t` / `graft.datalake.t` / bare
+    * `t` (the CALL-procedure addressing convention). */
+  private def targetAliasOf(id: String): Option[String] =
+    id.split('.').toSeq
+      .map(_.stripPrefix("`").stripSuffix("`").toLowerCase) match {
+      case Seq("graft", t) => Some(t)
+      case Seq("graft", "datalake", t) => Some(t)
+      case Seq(t) => Some(t)
       case _ => None
     }
 
@@ -287,6 +316,36 @@ case class GraftDescribeHistoryCommand(table: String, limit: Option[Int])
   override def run(spark: SparkSession): Seq[Row] = {
     val h = MiniDelta.history(spark, table)
     limit.fold(h)(h.limit(_)).collect().toSeq
+  }
+}
+
+/** `CREATE TABLE [IF NOT EXISTS] graft.fork SHALLOW CLONE graft.src
+  * [VERSION AS OF n] [LOCATION '...']` → [[MiniDelta.cloneShallow]] —
+  * Delta's CLONE DDL. The target registers as a fresh WRITABLE alias
+  * (the CREATE TABLE convention) at LOCATION or
+  * `<warehouse>/<alias>`; an existing target alias refuses unless
+  * IF NOT EXISTS (then no-op, Spark's rule). */
+case class GraftSqlCloneCommand(targetAlias: String, sourcePath: String,
+    versionAsOf: Option[Long], location: Option[String],
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val a = targetAlias.toLowerCase
+    if (GraftSqlTables.resolve(Seq("graft", a)).isDefined) {
+      if (ifNotExists) return Seq.empty
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("graft", a))
+    }
+    val path = location
+      .orElse(GraftDdl.warehouse(spark).map(w =>
+        s"${w.stripSuffix("/")}/$a"))
+      .getOrElse(throw new IllegalArgumentException(
+        "SHALLOW CLONE needs LOCATION '<path>' or the catalog " +
+          "warehouse conf (spark.sql.catalog.graft.warehouse=<root>)"))
+    val v = MiniDelta.cloneShallow(spark, sourcePath, path, versionAsOf)
+    GraftSqlTables.register(a, path, readOnly = false)
+    Seq(Row(v))
   }
 }
 

@@ -252,6 +252,14 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
         GraftShowColumnsCommand(e.path)
 
+      case org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+          _, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        GraftShowCreateTableCommand(
+          u.multipartIdentifier.last.toLowerCase, e.path)
+
       case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, cols)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
@@ -920,6 +928,40 @@ case class GraftShowColumnsCommand(table: String)
     val schema = MiniDelta.latestSchema(spark, table)
       .getOrElse(spark.read.parquet(table).schema)
     schema.fieldNames.toSeq.map(Row(_))
+  }
+}
+
+/** `SHOW CREATE TABLE graft.<alias>` — the re-runnable DDL for the
+  * declared contract: columns (logical names + NOT NULL), USING delta,
+  * partition layout, LOCATION, and the `delta.*` TBLPROPERTIES. Raw
+  * parquet aliases render from the footer schema with no properties.
+  * Spark's single-`createtab_stmt`-column output shape. */
+case class GraftShowCreateTableCommand(alias: String, table: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val schema = MiniDelta.latestSchema(spark, table)
+      .getOrElse(spark.read.parquet(table).schema)
+    val cols = schema.fields.map { f =>
+      s"  `${f.name}` ${f.dataType.sql}" +
+        (if (f.nullable) "" else " NOT NULL")
+    }.mkString(",\n")
+    val parts = MiniDelta.partitionColumns(spark, table)
+    val partClause =
+      if (parts.isEmpty) ""
+      else parts.mkString("\nPARTITIONED BY (", ", ", ")")
+    val props = MiniDelta.tableConfig(spark, table).toSeq.sortBy(_._1)
+    val propClause =
+      if (props.isEmpty) ""
+      else props.map { case (k, v) => s"  '$k' = '$v'" }
+        .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+    Seq(Row(
+      s"CREATE TABLE graft.$alias (\n$cols)\nUSING delta" +
+        s"$partClause\nLOCATION '$table'$propClause"))
   }
 }
 

@@ -2672,6 +2672,51 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed commits: version-slot conflict throws, no torn commit") {
+    // the streamed writer's create-if-absent + cleanup contract: a
+    // commit landing in the slot between the read pin and the streamed
+    // write must surface as ConcurrentCommitException (the DML rule),
+    // and neither a conflict nor a mid-stream body failure may leave a
+    // partial commit file for replay to trip on
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"),
+      statsCols = Seq("id"))
+    val prevHook = MiniDelta.beforeDmlCommitHook
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = prevHook // fire once
+      rawCommit(t, MiniDelta.latestVersion(spark, t) + 1,
+        Seq("""{"add":{"path":"nope.parquet","partitionValues":{},""" +
+          """"size":1,"dataChange":true}}"""))
+      ()
+    }
+    // TRUNCATE pins readVersion+1 and streams — the hook steals its slot
+    try intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.truncate(spark, t))
+    finally MiniDelta.beforeDmlCommitHook = prevHook
+    // the stolen slot holds the HOOK's commit intact, nothing torn
+    val stolenV = MiniDelta.latestVersion(spark, t)
+    val stolen = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      f"$t/_delta_log/$stolenV%020d.json"))
+    assert(stolen.contains("nope.parquet") && !stolen.contains("remove"))
+    // a body failure mid-stream deletes the claimed slot entirely
+    intercept[RuntimeException] {
+      MiniDelta.writeCommitStreamed(spark, t, stolenV + 1, Seq.empty,
+        Iterator("""{"add":{"path":"x.parquet","partitionValues":{},""" +
+          """"size":1,"dataChange":true}}""") ++
+          Iterator.continually[String](sys.error("body blew up")).take(1),
+        "SPEC")
+    }
+    val failedSlot = java.nio.file.Paths.get(
+      f"$t/_delta_log/${stolenV + 1}%020d.json")
+    assert(!java.nio.file.Files.exists(failedSlot),
+      "failed streamed commit left a partial file")
+    // the table still reads and writes normally afterwards
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.truncate(spark, t)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 0)
+  }
+
   test("O(files) renders stream: clone + rowTracking backfill on a " +
       "5000-file synthetic manifest") {
     // the listing-counter-style pin for the streamed commit writer:

@@ -95,6 +95,48 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SHALLOW CLONE through SQL: zero-copy fork, version pin, refusals") {
+    val root = freshDir()
+    try {
+      val src = s"$root/src"
+      seed(src) // v0: 3 rows
+      MiniDelta.append(spark,
+        Seq((9L, "XAMS", 90.0)).toDF("id", "mic", "price"), src,
+        Seq("mic")) // v1: +1 row
+      GraftSqlTables.register("sql_cl_src", src) // read-only: clone READS
+      val v = spark.sql(s"CREATE TABLE graft.sql_cl_fork SHALLOW CLONE " +
+        s"graft.sql_cl_src LOCATION '$root/fork'").head().getLong(0)
+      assert(v == 0L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_fork")
+        .head().getLong(0) == 4)
+      // VERSION AS OF pins the cloned snapshot
+      spark.sql(s"CREATE TABLE graft.sql_cl_v0 SHALLOW CLONE " +
+        s"graft.sql_cl_src VERSION AS OF 0 LOCATION '$root/v0'")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_v0")
+        .head().getLong(0) == 3)
+      // the fork registers WRITABLE and diverges without touching the
+      // source
+      spark.sql("INSERT INTO graft.sql_cl_fork VALUES (10, 'XNYS', 1.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_fork")
+        .head().getLong(0) == 5)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_src")
+        .head().getLong(0) == 4)
+      // an existing target alias refuses; IF NOT EXISTS no-ops
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.sql_cl_fork SHALLOW CLONE " +
+          s"graft.sql_cl_src LOCATION '$root/fork2'")
+      }
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graft.sql_cl_fork SHALLOW " +
+        s"CLONE graft.sql_cl_src LOCATION '$root/fork3'")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_fork")
+        .head().getLong(0) == 5)
+      // foreign syntax falls through to Spark's own parse error
+      intercept[Exception] {
+        spark.sql("CREATE TABLE other_cat.x SHALLOW CLONE other_cat.y")
+      }
+    } finally GraftSqlTables.clear()
+  }
+
   test("SQL breadth: CREATE OR REPLACE, TRUNCATE, SHOW COLUMNS") {
     val root = freshDir()
     try {
@@ -139,6 +181,13 @@ class SqlAccessSpec extends AnyFunSuite {
         s"LOCATION '$root/repnew'")
       assert(spark.sql("SELECT count(*) AS n FROM graft.spec_rep_new")
         .head().getLong(0) == 0)
+      // SHOW CREATE TABLE renders the re-runnable contract
+      val ddl = spark.sql("SHOW CREATE TABLE graft.spec_rep")
+        .head().getString(0)
+      assert(ddl.contains("CREATE TABLE graft.spec_rep") &&
+        ddl.contains("`k` BIGINT") && ddl.contains("`v` STRING") &&
+        ddl.contains("USING delta") &&
+        ddl.contains(s"$root/rep'"), ddl) // path may be URI-qualified
       // unknown alias falls through to Spark's own resolution error
       intercept[AnalysisException] {
         spark.sql("SHOW COLUMNS FROM graft.not_there").collect()
