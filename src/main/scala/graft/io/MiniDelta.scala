@@ -3112,7 +3112,8 @@ object MiniDelta {
                           rewrite: DataFrame => DataFrame,
                           partitionBy: Seq[String], operation: String,
                           statsCols: Seq[String],
-                          extraLines: Seq[String] = Nil): Long = {
+                          extraLines: Seq[String] = Nil,
+                          dataChange: Boolean = true): Long = {
     // the rewrite reads UNDER the files' deletion vectors: masked rows
     // are already deleted and must not be resurrected into the
     // rewritten files (the new adds carry no DV — CoW materializes it)
@@ -3137,10 +3138,36 @@ object MiniDelta {
     writeCommit(spark, table, readVersion + 1,
       extraLines ++
         touched.map(_._1).sorted.map(p =>
-          removeLine(p, dataChange = true, now)) ++
+          removeLine(p, dataChange = dataChange, now)) ++
         added.map { case (p, s, m) =>
-          addLine(p, s, stats.get(p), modTime = Some(m)) },
+          addLine(p, s, stats.get(p), modTime = Some(m),
+            dataChange = dataChange) },
       operation)
+  }
+
+  /** REORG TABLE ... APPLY (PURGE) — Delta's targeted deletion-vector
+    * materialization: rewrite ONLY the files carrying DV masks
+    * (survivor rows land in fresh mask-free files), leaving every
+    * mask-free file untouched. dataChange=false throughout — the
+    * rewrite is physical, not logical, so CDF and streaming readers
+    * see nothing (OPTIMIZE's rule), and it stays legal on appendOnly
+    * and CDF-enabled tables. At 100 TB this touches exactly the
+    * DV-bearing blast radius, not the table. */
+  def reorgPurge(spark: SparkSession, table: String,
+                 partitionBy: Seq[String] = Nil,
+                 readOnly: Boolean = false,
+                 statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+    val touched = snapshotFilesAt(spark, table, readVersion)
+      .where(col("dv_path").isNotNull)
+      .select("path", "dv_path").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toIndexedSeq
+    if (touched.isEmpty) return readVersion // nothing masked: no commit
+    copyOnWrite(spark, table, readVersion, touched, declared,
+      identity, partitionBy, "REORG", statsCols, dataChange = false)
   }
 
   private val addSizeRe = "\"size\"\\s*:\\s*([0-9]+)".r
@@ -3845,8 +3872,11 @@ object MiniDelta {
   def vacuum(spark: SparkSession, table: String,
              retainMs: Long = 0L,
              readOnly: Boolean = false,
-             nowMs: () => Long = () => System.currentTimeMillis()): Seq[String] = {
-    if (readOnly) throw new ReadOnlyTableException(table)
+             nowMs: () => Long = () => System.currentTimeMillis(),
+             dryRun: Boolean = false): Seq[String] = {
+    // DRY RUN (Delta's form) reports the would-be deletions without
+    // touching storage — the same candidate discovery, no delete calls
+    if (readOnly && !dryRun) throw new ReadOnlyTableException(table)
     val snapRows = snapshotFiles(spark, table)
       .select("path", "dv_path").collect().toIndexedSeq
     val live = snapRows.map(_.getString(0)).toSet
@@ -3880,7 +3910,7 @@ object MiniDelta {
     // deliberately NOT resolvePath: dead candidates come from listing
     // THIS table's directory, so vacuum can never touch an external
     // (shallow-cloned) file living under the source table's root
-    dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    if (!dryRun) dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
     // orphaned deletion-vector sidecars: a DV dir no live add references
     // (OPTIMIZE materialized it, or its masked files were removed) is
     // dead weight; age it on its mtime under the same horizon. Live
@@ -3913,7 +3943,7 @@ object MiniDelta {
             dvDeref.getOrElse(rel, st.getModificationTime) <= cutoff
         } => s"_delta_log/_dv/${st.getPath.getName}"
       }
-    deadDv.foreach(p => f.delete(new Path(s"$table/$p"), true))
+    if (!dryRun) deadDv.foreach(p => f.delete(new Path(s"$table/$p"), true))
     // real-format DV bins (this engine's own DV writes pack per-file
     // roaring bitmaps into deletion_vector_<uuid>.bin at the root):
     // same life rule as sidecars, keyed by the bin name the 'u'
@@ -3947,7 +3977,7 @@ object MiniDelta {
           binDeref.getOrElse(n, st.getModificationTime) <= cutoff
       } => st.getPath.getName
     }
-    deadBins.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    if (!dryRun) deadBins.foreach(p => f.delete(new Path(s"$table/$p"), false))
     dead ++ deadDv ++ deadBins
   }
 

@@ -16,11 +16,14 @@ import graft.io.MiniDelta
   * Spark's grammar lacks and delegates EVERYTHING else untouched —
   *
   *   OPTIMIZE graft.t [WHERE <partition predicate>] [ZORDER BY (c, ...)]
-  *   VACUUM graft.t [RETAIN <n> HOURS]
+  *   VACUUM graft.t [RETAIN <n> HOURS] [DRY RUN]
+  *   REORG TABLE graft.t APPLY (PURGE)
   *   DESCRIBE|DESC DETAIL graft.t
   *   DESCRIBE|DESC HISTORY graft.t [LIMIT n]
   *   RESTORE [TABLE] graft.t TO VERSION AS OF n
   *   RESTORE [TABLE] graft.t TO TIMESTAMP AS OF '<ts>'
+  *   CREATE TABLE [IF NOT EXISTS] graft.fork SHALLOW CLONE graft.src
+  *     [VERSION AS OF n] [LOCATION '...']
   *
   * A statement is intercepted ONLY when its table identifier resolves
   * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
@@ -63,7 +66,10 @@ object GraftMaintenanceVerbs {
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + ident +
-      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
+  private val ReorgRe =
+    ("""(?is)^\s*REORG\s+TABLE\s+""" + ident +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val DetailRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+""" + ident + """\s*;?\s*$""").r
   private val HistoryRe =
@@ -102,10 +108,15 @@ object GraftMaintenanceVerbs {
           .filter(_.nonEmpty)).getOrElse(Seq.empty)
         GraftOptimizeCommand(e.path, e.readOnly, filters, zCols)
       }
-      case VacuumRe(id, hours) => entryOf(id).map { e =>
-        GraftVacuumCommand(e.path, e.readOnly,
+      case VacuumRe(id, hours, dry) => entryOf(id).map { e =>
+        if (dry != null)
+          GraftVacuumDryRunCommand(e.path,
+            Option(hours).map(_.toLong * 3600000L))
+        else GraftVacuumCommand(e.path, e.readOnly,
           Option(hours).map(_.toLong * 3600000L))
       }
+      case ReorgRe(id) => entryOf(id).map(e =>
+        GraftReorgCommand(e.path, e.readOnly))
       case DetailRe(id) => entryOf(id).map(e =>
         GraftDescribeDetailCommand(e.path))
       case HistoryRe(id, limit) => entryOf(id).map(e =>
@@ -290,6 +301,41 @@ case class GraftVacuumCommand(table: String, readOnly: Boolean,
     val horizon = retainMs.getOrElse(configured)
     Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon)
       .size.toLong))
+  }
+}
+
+/** `VACUUM graft.t [RETAIN n HOURS] DRY RUN` — Delta's dry-run form:
+  * report the table-relative paths vacuum WOULD delete (data files,
+  * DV sidecars, roaring bins) without touching storage. Legal on
+  * read-only aliases — it reads. Same default horizon and retention
+  * rules as the real run, minus the below-horizon refusal (reporting
+  * an aggressive horizon's candidates is the point of a dry run). */
+case class GraftVacuumDryRunCommand(table: String, retainMs: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val configured = MiniDelta.tableConfig(spark, table)
+      .get("delta.deletedFileRetentionDuration")
+      .flatMap(MiniDelta.parseDurationMs)
+      .getOrElse(7L * 86400000L)
+    MiniDelta.vacuum(spark, table,
+      retainMs = retainMs.getOrElse(configured), dryRun = true)
+      .sorted.map(Row(_))
+  }
+}
+
+/** `REORG TABLE graft.t APPLY (PURGE)` → [[MiniDelta.reorgPurge]]:
+  * rewrite ONLY the DV-carrying files (dataChange=false, OPTIMIZE's
+  * rule), materializing the masks without a whole-table compaction. */
+case class GraftReorgCommand(table: String, readOnly: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    Seq(Row(MiniDelta.reorgPurge(spark, table,
+      MiniDelta.partitionColumns(spark, table))))
   }
 }
 

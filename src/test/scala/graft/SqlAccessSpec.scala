@@ -137,6 +137,61 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("REORG TABLE APPLY (PURGE) and VACUUM DRY RUN") {
+    val root = freshDir()
+    val t = s"$root/t"
+    try {
+      // one multi-row file per partition, so the DELETE masks (a
+      // single-row file would be plainly removed — no DV to purge)
+      MiniDelta.append(spark,
+        Seq((1L, "XLON", 10.0), (2L, "XLON", 20.0), (3L, "XPAR", 30.0))
+          .toDF("id", "mic", "price").coalesce(1),
+        t, Seq("mic"))
+      GraftSqlTables.register("spec_reorg", t, readOnly = false)
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.enableDeletionVectors" -> "true"))
+      spark.sql("DELETE FROM graft.spec_reorg WHERE id = 1")
+      MiniDelta.invalidateSnapshot(t)
+      val snap0 = MiniDelta.snapshotFiles(spark, t)
+        .select("path", "dv_path").collect()
+      val maskedPaths = snap0.filter(!_.isNullAt(1)).map(_.getString(0))
+      val cleanPaths = snap0.filter(_.isNullAt(1)).map(_.getString(0)).toSet
+      assert(maskedPaths.nonEmpty)
+      // REORG rewrites ONLY the masked files; mask-free files keep
+      // their exact paths, masks are gone, rows preserved
+      spark.sql("REORG TABLE graft.spec_reorg APPLY (PURGE)")
+      MiniDelta.invalidateSnapshot(t)
+      val snap1 = MiniDelta.snapshotFiles(spark, t)
+        .select("path", "dv_path").collect()
+      assert(snap1.forall(_.isNullAt(1)), "REORG left a deletion vector")
+      assert(cleanPaths.subsetOf(snap1.map(_.getString(0)).toSet),
+        "REORG touched a mask-free file")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.spec_reorg")
+        .head().getLong(0) == 2)
+      // the REORG commit is physical, not logical: every action rides
+      // dataChange=false (CDF/streaming readers see nothing)
+      val reorg = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        f"$t/_delta_log/${MiniDelta.latestVersion(spark, t)}%020d.json"))
+      assert(!reorg.contains("\"dataChange\":true"), reorg)
+      // DRY RUN reports the superseded files without deleting them
+      val dr = spark.sql("VACUUM graft.spec_reorg RETAIN 0 HOURS DRY RUN")
+        .collect().map(_.getString(0))
+      assert(maskedPaths.forall(dr.contains), s"dry run missed: $dr")
+      assert(maskedPaths.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$t/$p"))),
+        "DRY RUN deleted files")
+      // the real run (below-horizon check overridden) then deletes them
+      spark.conf.set(
+        "spark.graft.vacuum.retentionDurationCheck.enabled", "false")
+      try spark.sql("VACUUM graft.spec_reorg RETAIN 0 HOURS")
+      finally spark.conf.unset(
+        "spark.graft.vacuum.retentionDurationCheck.enabled")
+      assert(maskedPaths.forall(p =>
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$t/$p"))),
+        "VACUUM left superseded files")
+    } finally GraftSqlTables.clear()
+  }
+
   test("SQL breadth: CREATE OR REPLACE, TRUNCATE, SHOW COLUMNS") {
     val root = freshDir()
     try {
