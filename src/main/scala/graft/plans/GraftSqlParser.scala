@@ -23,7 +23,8 @@ import graft.io.MiniDelta
   *   RESTORE [TABLE] graft.t TO VERSION AS OF n
   *   RESTORE [TABLE] graft.t TO TIMESTAMP AS OF '<ts>'
   *   CREATE TABLE [IF NOT EXISTS] graft.fork SHALLOW CLONE graft.src
-  *     [VERSION AS OF n] [LOCATION '...']
+  *     [VERSION AS OF n | TIMESTAMP AS OF '<ts>'] [LOCATION '...']
+  *   CONVERT TO DELTA graft.raw_alias
   *
   * A statement is intercepted ONLY when its table identifier resolves
   * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
@@ -88,7 +89,11 @@ object GraftMaintenanceVerbs {
     ("""(?is)^\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?""" + ident +
       """\s+SHALLOW\s+CLONE\s+""" + ident +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
       """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+""" + ident +
+      """\s*;?\s*$""").r
 
   private def entryOf(id: String): Option[GraftSqlTables.Entry] = {
     val parts = id.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -126,16 +131,22 @@ object GraftMaintenanceVerbs {
         GraftRestoreCommand(e.path, e.readOnly, Some(v.toLong), None))
       case RestoreTsRe(id, ts) => entryOf(id).map(e =>
         GraftRestoreCommand(e.path, e.readOnly, None, Some(ts)))
-      case CloneRe(ifNot, tgt, src, ver, loc) =>
+      case CloneRe(ifNot, tgt, src, ver, ts, loc) =>
         // intercept only when the SOURCE is a registered graft entry —
         // foreign CLONE syntax still falls through to the delegate's
         // own parse error
         entryOf(src).flatMap { se =>
           targetAliasOf(tgt).map { a =>
+            require(ver == null || ts == null,
+              "SHALLOW CLONE takes VERSION AS OF or TIMESTAMP AS OF, " +
+                "not both")
             GraftSqlCloneCommand(a, se.path,
-              Option(ver).map(_.toLong), Option(loc), ifNot != null)
+              Option(ver).map(_.toLong), Option(ts), Option(loc),
+              ifNot != null)
           }
         }
+      case ConvertRe(id) => entryOf(id).map(e =>
+        GraftConvertCommand(e.path, e.readOnly))
       case _ => None
     }
 
@@ -372,8 +383,9 @@ case class GraftDescribeHistoryCommand(table: String, limit: Option[Int])
   * `<warehouse>/<alias>`; an existing target alias refuses unless
   * IF NOT EXISTS (then no-op, Spark's rule). */
 case class GraftSqlCloneCommand(targetAlias: String, sourcePath: String,
-    versionAsOf: Option[Long], location: Option[String],
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    versionAsOf: Option[Long], timestampAsOf: Option[String],
+    location: Option[String], ifNotExists: Boolean)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -389,9 +401,32 @@ case class GraftSqlCloneCommand(targetAlias: String, sourcePath: String,
       .getOrElse(throw new IllegalArgumentException(
         "SHALLOW CLONE needs LOCATION '<path>' or the catalog " +
           "warehouse conf (spark.sql.catalog.graft.warehouse=<root>)"))
-    val v = MiniDelta.cloneShallow(spark, sourcePath, path, versionAsOf)
+    // TIMESTAMP AS OF resolves through time travel's at-or-before rule
+    val pinned = versionAsOf.orElse(timestampAsOf.map { ts =>
+      val micros = Cast(Literal(ts), TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      require(micros != null,
+        s"SHALLOW CLONE: '$ts' is not a valid timestamp")
+      MiniDelta.versionAtTimestamp(spark, sourcePath,
+        micros.asInstanceOf[Long] / 1000L)
+    })
+    val v = MiniDelta.cloneShallow(spark, sourcePath, path, pinned)
     GraftSqlTables.register(a, path, readOnly = false)
     Seq(Row(v))
+  }
+}
+
+/** `CONVERT TO DELTA graft.<alias>` → [[MiniDelta.convertToDelta]]:
+  * promote a raw-parquet alias to a governed table in place (v0
+  * references the existing files; zero data copied) — the SQL form of
+  * `CALL graft.convert_to_delta`. */
+case class GraftConvertCommand(table: String, readOnly: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    Seq(Row(MiniDelta.convertToDelta(spark, table)))
   }
 }
 

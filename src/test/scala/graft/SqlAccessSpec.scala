@@ -130,6 +130,23 @@ class SqlAccessSpec extends AnyFunSuite {
         s"CLONE graft.sql_cl_src LOCATION '$root/fork3'")
       assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_fork")
         .head().getLong(0) == 5)
+      // TIMESTAMP AS OF resolves via time travel's at-or-before rule
+      // (a future timestamp pins the latest version)
+      spark.sql(s"CREATE TABLE graft.sql_cl_ts SHALLOW CLONE " +
+        s"graft.sql_cl_src TIMESTAMP AS OF '2099-01-01 00:00:00' " +
+        s"LOCATION '$root/ts'")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_ts")
+        .head().getLong(0) == 4)
+      // CONVERT TO DELTA promotes a raw parquet alias in place
+      val raw = s"$root/raw"
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(raw)
+      GraftSqlTables.register("sql_cl_raw", raw, readOnly = false)
+      assert(!MiniDelta.tableExists(spark, raw))
+      spark.sql("CONVERT TO DELTA graft.sql_cl_raw")
+      assert(MiniDelta.tableExists(spark, raw))
+      spark.sql("INSERT INTO graft.sql_cl_raw VALUES (3, 'c')")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sql_cl_raw")
+        .head().getLong(0) == 3)
       // foreign syntax falls through to Spark's own parse error
       intercept[Exception] {
         spark.sql("CREATE TABLE other_cat.x SHALLOW CLONE other_cat.y")
