@@ -1217,14 +1217,25 @@ object MiniDelta {
             }.toMap
           statsLess.map(p => p -> scanned.getOrElse(p, 0L)).toMap
         }
-      val recsRe = """"numRecords"\s*:\s*(\d+)""".r
+      // TOP-LEVEL $.numRecords only — the same path the stats-less
+      // filter above keys on. A substring regex would match a nested
+      // occurrence in foreign-written stats (e.g. minValues of a
+      // column literally named numRecords) and hand back a bogus
+      // count, producing overlapping baseRowId ranges and a wrong
+      // high-water mark. Driver-side iterator → one shared mapper.
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def topNumRecords(s: String): Option[Long] =
+        try {
+          val node = om.readTree(s).get("numRecords")
+          if (node == null || !node.canConvertToLong) None
+          else Some(node.asLong())
+        } catch { case _: Exception => None }
       var hwm = rowIdHighWaterMark(spark, table, readVersion)
       def bodyIt: Iterator[String] = {
         val adds = localRowIterator(snapDF).map { r =>
           val path = r.getString(0)
           val stats = Option(r.getString(r.fieldIndex("stats")))
-          val n = stats.flatMap(s => recsRe.findFirstMatchIn(s)
-              .map(_.group(1).toLong))
+          val n = stats.flatMap(topNumRecords)
             .orElse(counted.get(path))
             .getOrElse(sys.error(
               s"rowTracking backfill: no record count for $path"))
@@ -1324,15 +1335,22 @@ object MiniDelta {
       else if (schema.fields.exists(_.metadata.contains(GenExprKey)))
         ProtocolAction(1, 4, Nil, Nil)
       else basicProtocol
-    // rowTracking at creation: the v0 protocol declares the feature
-    // (plus its domainMetadata prerequisite) so the writeCommit funnel
-    // assigns row ids from the very first append
+    // feature-enabling properties declare their table feature at v0,
+    // exactly as replaceTable/setTableProperties union it in later: a
+    // v0 carrying delta.enableDeletionVectors=true WITHOUT the
+    // deletionVectors feature (reader gate included) would let a
+    // spec-compliant reader at minReaderVersion 1 ignore the DV
+    // descriptors and resurrect deleted rows. rowTracking additionally
+    // pulls in its domainMetadata prerequisite so the writeCommit
+    // funnel assigns row ids from the very first append.
+    var declared = legacy
+    if (properties.get("delta.enableDeletionVectors").contains("true"))
+      declared = declared.withDeletionVectors
+    if (properties.get("delta.enableRowTracking").contains("true"))
+      declared = declared.withWriterFeature("rowTracking")
+        .withWriterFeature("domainMetadata")
     val proto =
-      if (properties.get("delta.enableRowTracking").contains("true"))
-        Seq(legacy.withWriterFeature("rowTracking")
-          .withWriterFeature("domainMetadata").render)
-      else if (legacy == basicProtocol) Seq.empty
-      else Seq(legacy.render)
+      if (declared == basicProtocol) Seq.empty else Seq(declared.render)
     writeCommit(spark, table, 0L,
       proto ++ Seq(metaDataLine(table, schema, partitionBy, properties)),
       "CREATE TABLE")
@@ -1804,11 +1822,20 @@ object MiniDelta {
     * OOM. No-retry semantics, same as every caller's contract: v0
     * creates (clone/convert, target must not pre-exist) or a
     * DML-pinned readVersion+1 (backfill) — losing the version slot
-    * throws [[ConcurrentCommitException]]. Claim semantics match
-    * [[writeCommit]] exactly (create-if-absent on the final path, the
-    * content streaming through the same handle); a body failure
-    * mid-stream deletes the partial commit before rethrowing, so an
-    * aborted render never leaves a torn commit for replay to trip on.
+    * throws [[ConcurrentCommitException]]. Unlike [[writeCommit]]'s
+    * millisecond body, a 10⁶-file render drains for seconds to
+    * minutes — streaming straight into `<version>.json` would expose a
+    * torn commit to every concurrent log reader for that whole window
+    * (a replayer would compute a snapshot from half a TRUNCATE, and a
+    * concurrent writer would rebase on it). So the render streams into
+    * a dot-prefixed temp file in `_delta_log` (commit/checkpoint name
+    * regexes never match it) and the version slot is claimed ONLY
+    * after the last byte lands, by an exists-screened rename —
+    * create-if-absent conflict semantics, with the race window back to
+    * writeCommit's microseconds (HDFS-like stores refuse the rename
+    * natively when the destination exists; same-directory POSIX
+    * renames are atomic). A failure anywhere deletes the temp file, so
+    * an aborted render never leaves anything for replay to trip on.
     *
     * Caller contract: rowTracking stamping is NOT applied here — body
     * lines must already carry any required
@@ -1838,12 +1865,12 @@ object MiniDelta {
       if (version == 0L && !head.exists(_.contains("\"protocol\"")))
         Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       else Seq.empty
-    val out =
-      try f.create(p, false)
-      catch {
-        case _: java.io.IOException if f.exists(p) =>
-          throw new ConcurrentCommitException(table, version)
-      }
+    // lose the slot as early as possible (cheap check); the rename
+    // below re-screens after the render for writers that raced in
+    if (f.exists(p)) throw new ConcurrentCommitException(table, version)
+    val tmp = new Path(
+      s"${logDir(table)}/.${java.util.UUID.randomUUID()}.json.tmp")
+    val out = f.create(tmp, false)
     val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, "UTF-8"), 1 << 16)
     var ok = false
@@ -1855,10 +1882,17 @@ object MiniDelta {
           w.write(l); first = false
         }
       w.close()
+      // claim the version slot: an existing <version>.json (or a
+      // rename the store refuses because one appeared) means another
+      // writer won — identical to writeCommit's create-if-absent
+      if (f.exists(p) || !f.rename(tmp, p)) {
+        f.delete(tmp, false)
+        throw new ConcurrentCommitException(table, version)
+      }
       ok = true
     } finally if (!ok) {
       try w.close() catch { case _: Exception => () }
-      f.delete(p, false); ()
+      f.delete(tmp, false); ()
     }
     streamedRenders.incrementAndGet()
     if ((version + 1) % checkpointInterval == 0)
@@ -3161,9 +3195,12 @@ object MiniDelta {
     requireUnmappedForWrite(latestSchema(spark, table), table, spark)
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion)
-    val touched = snapshotFilesAt(spark, table, readVersion)
-      .where(col("dv_path").isNotNull)
-      .select("path", "dv_path").collect()
+    // DV-bearing files only (the op's blast radius by definition);
+    // counted in dmlManifestRows like every other DML discovery so the
+    // driver-memory audit stays uniform
+    val touched = collected(snapshotFilesAt(spark, table, readVersion)
+        .where(col("dv_path").isNotNull)
+        .select("path", "dv_path").collect().toIndexedSeq)
       .map(r => (r.getString(0), Option(r.getString(1)))).toIndexedSeq
     if (touched.isEmpty) return readVersion // nothing masked: no commit
     copyOnWrite(spark, table, readVersion, touched, declared,

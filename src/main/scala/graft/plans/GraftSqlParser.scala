@@ -345,8 +345,14 @@ case class GraftReorgCommand(table: String, readOnly: Boolean)
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
-    Seq(Row(MiniDelta.reorgPurge(spark, table,
-      MiniDelta.partitionColumns(spark, table))))
+    val v = MiniDelta.reorgPurge(spark, table,
+      MiniDelta.partitionColumns(spark, table))
+    // drop the cached snapshot like every other mutating verb: a
+    // cached pre-REORG manifest still names the superseded DV-masked
+    // files, and a VACUUM RETAIN 0 inside the cache TTL would delete
+    // them out from under cached reads
+    MiniDelta.invalidateSnapshot(table)
+    Seq(Row(v))
   }
 }
 

@@ -239,6 +239,18 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           rt.tableSchema, GraftDdl.identityCols(rt.partitioning),
           ts.location, ts.properties, rt.orCreate)
 
+      // RTAS takes the same detour as the column-list REPLACE above:
+      // the DSv2 ReplaceTableAsSelectExec would drop the alias
+      // registration and then fail createTable's existing-log refusal —
+      // statement dead AND registration lost. One engine commit swaps
+      // the contract, then the query rows append.
+      case rtas: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect if GraftDdl.identOf(rtas.name).isDefined =>
+        val ts = rtas.tableSpec
+        GraftReplaceTableAsSelectCommand(GraftDdl.identOf(rtas.name).get,
+          rtas.query, GraftDdl.identityCols(rtas.partitioning),
+          ts.location, ts.properties, rtas.orCreate)
+
       case org.apache.spark.sql.catalyst.plans.logical.TruncateTable(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
@@ -978,6 +990,28 @@ case class GraftReplaceTableCommand(alias: String,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftDdl.replace(spark, alias, tableSchema, partCols, location,
       properties, orCreate)
+    Seq.empty
+  }
+}
+
+/** `CREATE OR REPLACE TABLE graft.<alias> [PARTITIONED BY ...] AS
+  * SELECT ...` (rule-intercepted): [[GraftDdl.replace]] swaps the
+  * contract and tombstones the old contents in ONE commit on the SAME
+  * log, then the query rows append — table identity and history
+  * survive, exactly like the column-list REPLACE form. */
+case class GraftReplaceTableAsSelectCommand(alias: String,
+    query: LogicalPlan, partCols: Seq[String], location: Option[String],
+    properties: Map[String, String], orCreate: Boolean)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  override val output: Seq[Attribute] = Seq.empty
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
+    val path = GraftDdl.replace(spark, alias, src.schema, partCols,
+      location, properties, orCreate)
+    MiniDelta.append(spark, src, path, partCols)
+    MiniDelta.invalidateSnapshot(path)
     Seq.empty
   }
 }

@@ -2778,4 +2778,78 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(MiniDelta.snapshotFiles(spark, src)
       .where(col("base_row_id").isNull).count() == 0)
   }
+
+  test("streamed commits render invisibly: no torn window, no temp debris") {
+    // the torn-commit guard: a 10⁶-file render drains for seconds, so
+    // the version slot must stay EMPTY until the last byte lands (a
+    // concurrent log reader mid-render sees only version n-1, never a
+    // half-written TRUNCATE) — the render goes to a dot-prefixed temp
+    // file and claims the slot by rename only when complete, and every
+    // exit path sweeps its temp file out of _delta_log
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    val v = MiniDelta.latestVersion(spark, t) + 1
+    val slot = java.nio.file.Paths.get(f"$t/_delta_log/$v%020d.json")
+    def tmpFiles(): Seq[String] = new java.io.File(s"$t/_delta_log")
+      .listFiles().map(_.getName).filter(_.endsWith(".tmp")).toSeq
+    // every body element asserts mid-render invisibility of the slot
+    val body = Iterator.tabulate(50) { i =>
+      assert(!java.nio.file.Files.exists(slot),
+        s"slot visible mid-render at row $i — torn commit window")
+      s"""{"add":{"path":"s$i.parquet","partitionValues":{},""" +
+        """"size":1,"dataChange":true,"stats":"{\"numRecords\":1}"}}"""
+    }
+    MiniDelta.writeCommitStreamed(spark, t, v, Seq.empty, body, "SPEC")
+    assert(java.nio.file.Files.exists(slot), "completed commit missing")
+    assert(tmpFiles().isEmpty, s"temp debris after success: ${tmpFiles()}")
+    // a commit landing DURING the drain (after the writer's initial
+    // slot check) loses at claim time: conflict surfaces, the winner's
+    // bytes survive untouched, the loser's temp file is swept
+    val v2 = v + 1
+    val slot2 = java.nio.file.Paths.get(f"$t/_delta_log/$v2%020d.json")
+    val racing = Iterator.tabulate(10) { i =>
+      if (i == 5)
+        rawCommit(t, v2, Seq(
+          """{"add":{"path":"winner.parquet","partitionValues":{},""" +
+            """"size":1,"dataChange":true}}"""))
+      s"""{"add":{"path":"r$i.parquet","partitionValues":{},""" +
+        """"size":1,"dataChange":true}}"""
+    }
+    intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.writeCommitStreamed(spark, t, v2, Seq.empty, racing,
+        "SPEC"))
+    assert(java.nio.file.Files.readString(slot2).contains("winner.parquet"),
+      "racing writer's commit was clobbered")
+    assert(tmpFiles().isEmpty, s"temp debris after conflict: ${tmpFiles()}")
+  }
+
+  test("REORG PURGE collects only the DV-bearing blast radius") {
+    // the driver-memory audit, uniform with DELETE/UPDATE: on a table
+    // that is mostly mask-free, REORG's manifest discovery may bring
+    // only the DV-carrying files onto the driver — k files, not N
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 40).repartition(8), t,
+      Seq("year"), statsCols = Seq("id"))
+    MiniDelta.append(spark, sample("2024", 40).repartition(8), t,
+      Seq("year"), statsCols = Seq("id"))
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t,
+      col("id") === 2 && col("year") === "2023", Seq("year"))
+    val masked = MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count()
+    val total = MiniDelta.snapshotFiles(spark, t).count()
+    assert(masked > 0 && masked < total,
+      s"fixture broken: $masked masked of $total")
+    val before = MiniDelta.dmlManifestRows.get()
+    MiniDelta.reorgPurge(spark, t, Seq("year"))
+    assert(MiniDelta.dmlManifestRows.get() - before == masked,
+      s"collected ${MiniDelta.dmlManifestRows.get() - before} manifest " +
+        s"rows, expected only the $masked DV-bearing files")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count() == 0,
+      "masks survived the purge")
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 79)
+  }
 }

@@ -176,8 +176,10 @@ class SqlAccessSpec extends AnyFunSuite {
       assert(maskedPaths.nonEmpty)
       // REORG rewrites ONLY the masked files; mask-free files keep
       // their exact paths, masks are gone, rows preserved
+      // no manual invalidateSnapshot here: the command itself must
+      // drop the cached snapshot (a stale manifest naming the
+      // superseded DV-masked files + VACUUM RETAIN 0 = broken reads)
       spark.sql("REORG TABLE graft.spec_reorg APPLY (PURGE)")
-      MiniDelta.invalidateSnapshot(t)
       val snap1 = MiniDelta.snapshotFiles(spark, t)
         .select("path", "dv_path").collect()
       assert(snap1.forall(_.isNullAt(1)), "REORG left a deletion vector")
@@ -264,6 +266,47 @@ class SqlAccessSpec extends AnyFunSuite {
       intercept[AnalysisException] {
         spark.sql("SHOW COLUMNS FROM graft.not_there").collect()
       }
+    } finally GraftSqlTables.clear()
+  }
+
+  test("CREATE OR REPLACE TABLE ... AS SELECT swaps contract on one log") {
+    val root = freshDir()
+    try {
+      spark.sql(s"CREATE TABLE graft.spec_rtas (id BIGINT, mic STRING) " +
+        s"PARTITIONED BY (mic) LOCATION '$root/rtas'")
+      spark.sql(
+        "INSERT INTO graft.spec_rtas VALUES (1, 'XLON'), (2, 'XPAR')")
+      val vBefore = MiniDelta.latestVersion(spark, s"$root/rtas")
+      // RTAS = REPLACE + fill in one statement, intercepted before the
+      // DSv2 exec (which would drop the alias registration, then fail
+      // createTable's existing-log refusal — statement dead AND the
+      // registration lost)
+      spark.sql("""CREATE OR REPLACE TABLE graft.spec_rtas
+        PARTITIONED BY (tag) AS
+        SELECT * FROM VALUES (10L, 'a'), (20L, 'b'), (30L, 'a')
+        AS v(k, tag)""")
+      assert(spark.sql("SHOW COLUMNS FROM graft.spec_rtas").collect()
+        .map(_.getString(0)).toSeq == Seq("k", "tag"))
+      assert(spark.sql(
+        "SELECT sum(k) AS s FROM graft.spec_rtas WHERE tag = 'a'")
+        .head().getLong(0) == 40L)
+      // SAME log: the version advanced past the pre-replace head
+      // instead of resetting, and the history keeps both eras
+      val vAfter = MiniDelta.latestVersion(spark, s"$root/rtas")
+      assert(vAfter > vBefore, s"log reset: $vBefore -> $vAfter")
+      val ops = spark.sql("DESCRIBE HISTORY graft.spec_rtas").collect()
+        .map(_.getString(1)).toSeq
+      assert(ops.contains("REPLACE TABLE"), ops)
+      // bare RTAS on an unknown alias refuses; the OR CREATE form
+      // creates (and registers writable, like CTAS)
+      intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.spec_rtas_new " +
+          s"LOCATION '$root/rtasnew' AS SELECT CAST(1 AS BIGINT) AS a")
+      }
+      spark.sql(s"CREATE OR REPLACE TABLE graft.spec_rtas_new " +
+        s"LOCATION '$root/rtasnew' AS SELECT CAST(1 AS BIGINT) AS a")
+      assert(spark.sql("SELECT a FROM graft.spec_rtas_new")
+        .head().getLong(0) == 1L)
     } finally GraftSqlTables.clear()
   }
 
