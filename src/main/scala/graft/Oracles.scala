@@ -1231,6 +1231,20 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY 1 ORDER BY 1""",
 
+    "sql_maintenance_extras" ->
+      """SELECT
+  CAST((SELECT count(*) FROM lineitem WHERE l_quantity = 1) AS BIGINT)
+    AS src_rows,
+  CAST((SELECT sum(l_orderkey % 97) FROM lineitem WHERE l_quantity = 1)
+    AS BIGINT) AS sum_key_mod,
+  CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 2) AS BIGINT)
+    AS clone_rows,
+  CAST(0 AS BIGINT) AS post_reorg_dv_files,
+  true AS reorg_physical,
+  true AS dryrun_kept,
+  true AS vacuum_deleted,
+  true AS show_create_reruns""",
+
     "s37_row_tracking" ->
       """SELECT
   CAST((SELECT count(*) FROM lineitem

@@ -192,6 +192,11 @@ object ScaleBench {
         Map("delta.enableDeletionVectors" -> "true"))
       val tDelete = timed(MiniDelta.delete(spark, table,
         col("p") === 0L && pmod(col("v"), lit(2)) === 0, Seq("p")))
+      // REORG PURGE right after the scoped DV DELETE: its blast radius
+      // is the ~10 masked files of partition 0 at EVERY n, so the
+      // timing must stay flat as the table grows 100× — REORG cost
+      // tracks DV-file count, never table size
+      val tReorg = timed(MiniDelta.reorgPurge(spark, table, Seq("p")))
       val tOpt = timed(MiniDelta.compact(spark, table, Seq("p"),
         where = Seq(Map("p" -> "0"))))
       val v = MiniDelta.latestVersion(spark, table)
@@ -208,14 +213,21 @@ object ScaleBench {
       // O(live files) manifest fold
       val tCpRt = timed(MiniDelta.writeCheckpoint(spark, table,
         MiniDelta.latestVersion(spark, table)))
+      // SHALLOW CLONE at the table's largest: O(live files) streamed
+      // commit (rowTracking ids preserved verbatim) — the per-file
+      // cost (clone/n) must stay flat across the 100× span
+      val tClone = timed(MiniDelta.cloneShallow(spark, table,
+        s"$dir/fork"))
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
+        s""""reorg_purge":${fmt(tReorg)},""" +
         s""""optimize_where":${fmt(tOpt)},"checkpoint":${fmt(tCp)},""" +
         s""""append_post_cp":${fmt(tAppendPostCp)},""" +
         s""""rt_backfill":${fmt(tBackfill)},""" +
         s""""append_rt":${fmt(tAppendRt)},""" +
-        s""""checkpoint_rt":${fmt(tCpRt)}}""")
+        s""""checkpoint_rt":${fmt(tCpRt)},""" +
+        s""""clone":${fmt(tClone)}}""")
     }
   }
 

@@ -2283,6 +2283,91 @@ object SparkEntry {
         .withColumn("columns", lit(cols))
         .orderBy("flag")
     }),
+    "sql_maintenance_extras" -> ((s, d) => {
+      // The four round-11 maintenance verbs end to end through
+      // spark.sql, each pinned by a DuckDB-predictable fact: SHALLOW
+      // CLONE at a pinned version sees the source's rows AS OF that
+      // version; REORG APPLY (PURGE) leaves zero DV-masked files and
+      // commits dataChange=false throughout (physical, not logical);
+      // VACUUM DRY RUN lists candidates but deletes nothing; the real
+      // VACUUM then removes them without disturbing live reads; and
+      // SHOW CREATE TABLE renders DDL that re-runs into an equivalent
+      // table. NOTE the vacuum runs at horizon 0 on a CLONE SOURCE —
+      // the clone's numbers are read BEFORE it, the real-Delta
+      // discipline s22_clone documents.
+      val dir = "/tmp/graft_sql_maint"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val srcTable = s"$dir/src"
+      val forkTable = s"$dir/fork"
+      graft.io.MiniDelta.invalidateSnapshot(srcTable)
+      graft.io.MiniDelta.invalidateSnapshot(forkTable)
+      graft.plans.GraftSqlTables.unregister("sql_mx_fork")
+      graft.plans.GraftSqlTables.unregister("sql_mx_ddl2")
+      graft.plans.GraftSqlTables.register("sql_mx_src", srcTable,
+        readOnly = false)
+      graft.plans.GraftSqlTables.register("sql_mx_lineitem",
+        Tables.path(d, "lineitem"))
+      // v0 fill, v1 enable DVs, v2 DV DELETE (masks, no rewrite)
+      s.sql("""
+        INSERT INTO graft.sql_mx_src
+        SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.sql_mx_lineitem WHERE l_quantity <= 2""")
+      s.sql("ALTER TABLE graft.sql_mx_src SET TBLPROPERTIES " +
+        "('delta.enableDeletionVectors' = 'true')")
+      s.sql("DELETE FROM graft.sql_mx_src WHERE qty = 2")
+      // SHALLOW CLONE pinned to v0: pre-delete contents, zero copies
+      s.sql(s"CREATE TABLE graft.sql_mx_fork SHALLOW CLONE " +
+        s"graft.sql_mx_src VERSION AS OF 0 LOCATION '$forkTable'")
+      val cloneRows = s.sql(
+        "SELECT count(*) AS n FROM graft.sql_mx_fork").head().getLong(0)
+      // REORG: masks materialized, commit all-dataChange=false
+      s.sql("REORG TABLE graft.sql_mx_src APPLY (PURGE)")
+      val dvFiles = graft.io.MiniDelta.snapshotFiles(s, srcTable)
+        .where(col("dv_path").isNotNull).count()
+      val reorgTxt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(f"$srcTable/_delta_log/${graft.io
+          .MiniDelta.latestVersion(s, srcTable)}%020d.json"))
+      val reorgPhysical = reorgTxt.contains("\"remove\"") &&
+        !reorgTxt.contains("\"dataChange\":true")
+      // DRY RUN lists-but-keeps; the real run deletes what it listed
+      val dr = s.sql("VACUUM graft.sql_mx_src RETAIN 0 HOURS DRY RUN")
+        .collect().map(_.getString(0))
+      def allExist(ps: Seq[String]) = ps.forall(p =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$srcTable/$p")))
+      val dryrunKept = dr.nonEmpty && allExist(dr.toSeq)
+      s.conf.set("spark.graft.vacuum.retentionDurationCheck.enabled",
+        "false")
+      try s.sql("VACUUM graft.sql_mx_src RETAIN 0 HOURS")
+      finally s.conf.unset(
+        "spark.graft.vacuum.retentionDurationCheck.enabled")
+      val vacuumDeleted = dr.forall(p => !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$srcTable/$p")))
+      // SHOW CREATE TABLE re-runs: swap alias + location, execute, and
+      // the new table's column list must match the source's
+      val ddl = s.sql("SHOW CREATE TABLE graft.sql_mx_src")
+        .head().getString(0)
+      val ddl2 = ddl.replace("graft.sql_mx_src", "graft.sql_mx_ddl2")
+        .replaceAll("LOCATION '[^']*'",
+          s"LOCATION '$dir/ddl2'")
+      s.sql(ddl2)
+      val showCreateReruns =
+        s.sql("SHOW COLUMNS FROM graft.sql_mx_ddl2").collect()
+          .map(_.getString(0)).toSeq ==
+          s.sql("SHOW COLUMNS FROM graft.sql_mx_src").collect()
+            .map(_.getString(0)).toSeq
+      // post-vacuum live read: the REORG'd survivors, content-checked
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS src_rows,
+               CAST(sum(l_orderkey % 97) AS BIGINT) AS sum_key_mod
+        FROM graft.sql_mx_src""")
+        .withColumn("clone_rows", lit(cloneRows))
+        .withColumn("post_reorg_dv_files", lit(dvFiles))
+        .withColumn("reorg_physical", lit(reorgPhysical))
+        .withColumn("dryrun_kept", lit(dryrunKept))
+        .withColumn("vacuum_deleted", lit(vacuumDeleted))
+        .withColumn("show_create_reruns", lit(showCreateReruns))
+    }),
     "s37_row_tracking" -> ((s, d) => {
       // rowTracking lifecycle (Delta writer feature, reference scope =
       // the Delta tables the proxy serves must keep their invariants

@@ -1349,10 +1349,37 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       declared = declared.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
+    // delta.columnMapping.mode at CREATE: 'name' mode assigns each
+    // declared field physicalName = its logical name plus a depth-first
+    // id (nothing exists on disk yet, so footers and partition dirs
+    // will be written under exactly those physical names — no renames,
+    // unlike the SET TBLPROPERTIES upgrade's partitioned-table hazard),
+    // maxColumnId joins the config and columnMapping the protocol.
+    // 'id' mode refuses: footer-id writing is unimplemented, same as
+    // the upgrade path.
+    val (schemaOut, mapCfg) =
+      properties.get("delta.columnMapping.mode") match {
+        case None => (schema, Map.empty[String, String])
+        case Some("name") =>
+          val (mapped, maxId) = assignMapping(schema, 0L)
+          declared = declared.withColumnMapping
+          (mapped, Map("delta.columnMapping.maxColumnId" -> maxId.toString))
+        case Some(other) => throw new IllegalArgumentException(
+          s"cannot create $table with delta.columnMapping.mode=$other — " +
+            "only 'name' mode is writable (id-mode footer ids are not " +
+            "implemented)")
+      }
+    // ICT from v0: the feature joins the protocol and writeCommit's
+    // funnel stamps inCommitTimestamp into every commitInfo including
+    // this one; no enablement-provenance properties are needed when
+    // the in-log clock is authoritative from creation (Delta's rule)
+    if (properties.get("delta.enableInCommitTimestamps").contains("true"))
+      declared = declared.withWriterFeature("inCommitTimestamp")
     val proto =
       if (declared == basicProtocol) Seq.empty else Seq(declared.render)
     writeCommit(spark, table, 0L,
-      proto ++ Seq(metaDataLine(table, schema, partitionBy, properties)),
+      proto ++ Seq(metaDataLine(table, schemaOut, partitionBy,
+        properties ++ mapCfg)),
       "CREATE TABLE")
   }
 

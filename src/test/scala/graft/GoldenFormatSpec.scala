@@ -93,6 +93,22 @@ class GoldenFormatSpec extends AnyFunSuite {
         .filter(p => p.contains("deletion_vector_") && p.endsWith(".bin"))
       assert(bins.length == 1, bins.toSeq)
       check("dv_packed.bin.hex", hex(Files.readAllBytes(Paths.get(bins.head))))
+
+      // REORG wire shape: the masked file's dataChange=false
+      // remove/add pair — the physical rewrite a CDF or streaming
+      // reader must never see as a logical change
+      MiniDelta.reorgPurge(spark, t, Seq("year"))
+      val reorgTxt = readText(f"$t/_delta_log/${3L}%020d.json")
+      assert(reorgTxt.contains("\"remove\"") &&
+        reorgTxt.contains("\"add\"") &&
+        !reorgTxt.contains("\"dataChange\":true"), reorgTxt)
+      check("reorg_commit.json", normalize(reorgTxt))
+
+      // SHOW CREATE TABLE render: the re-runnable DDL contract, pinned
+      // up to the (tempdir) location
+      val ddl = graft.plans.GraftShowCreateTableCommand("golden_t", t)
+        .run(spark).head.getString(0)
+      check("show_create.sql", ddl.replace(t, "<location>"))
     } finally {
       MiniDelta.commitClock = prevClock
     }

@@ -2852,4 +2852,58 @@ class MiniDeltaSpec extends AnyFunSuite {
       "masks survived the purge")
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 79)
   }
+
+  test("CREATE TABLE declares columnMapping and ICT features from v0") {
+    import org.apache.spark.sql.types._
+    // a table BORN name-mapped: physicalName = logical name and ids
+    // assigned at v0, maxColumnId in the config, columnMapping in the
+    // protocol — then the full mapped lifecycle (append, rename,
+    // post-rename append under the PHYSICAL name) works exactly as on
+    // an upgraded table
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("tag", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$t/_delta_log/${0L}%020d.json"))
+    assert(v0.contains("\"columnMapping\"") &&
+      v0.contains("delta.columnMapping.maxColumnId") &&
+      v0.contains("physicalName"), v0)
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), t, Seq.empty)
+    MiniDelta.renameColumn(spark, t, "tag", "label")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "label"), t,
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+    assert(out.columns.toSeq == Seq("id", "label"))
+    assert(out.count() == 3)
+    // on disk, every file carries the PHYSICAL name ('tag'), pre- and
+    // post-rename alike
+    val raw = spark.read.parquet(t)
+    assert(raw.columns.contains("tag") && !raw.columns.contains("label"))
+    // id mode refuses by name, as the SET TBLPROPERTIES upgrade does
+    intercept[IllegalArgumentException] {
+      MiniDelta.createTable(spark, freshTable(),
+        StructType(Seq(StructField("x", LongType))),
+        properties = Map("delta.columnMapping.mode" -> "id"))
+    }
+    // ICT from v0: the writer feature joins the creation protocol and
+    // the v0 commitInfo ITSELF stamps the in-log clock (no enablement
+    // provenance needed when authoritative from creation)
+    val t2 = freshTable()
+    MiniDelta.createTable(spark, t2,
+      StructType(Seq(StructField("x", LongType))),
+      properties = Map("delta.enableInCommitTimestamps" -> "true"))
+    val ictV0 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$t2/_delta_log/${0L}%020d.json"))
+    assert(ictV0.contains("\"writerFeatures\"") &&
+      ictV0.contains("\"inCommitTimestamp\":"), ictV0)
+    // and every later commit keeps stamping it
+    MiniDelta.append(spark, Seq(Tuple1(1L)).toDF("x"), t2, Seq.empty)
+    val ictV1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(f"$t2/_delta_log/${1L}%020d.json"))
+    assert(ictV1.contains("\"inCommitTimestamp\":"), ictV1)
+  }
 }
