@@ -1480,6 +1480,18 @@ WHERE n_regionkey >= 2 ORDER BY n_nationkey""",
   max(n_name) AS max_name
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
+    "s38_colmap_id_write" ->
+      """SELECT l_returnflag AS flag,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN l_returnflag = 'A'
+       THEN CAST(l_quantity AS BIGINT) + 10
+       ELSE CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS footer_ids_ok
+FROM lineitem
+WHERE l_quantity <= 2
+  AND NOT (l_quantity = 2 AND l_returnflag = 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s28_column_mapping" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
   max(n_name) AS max_name

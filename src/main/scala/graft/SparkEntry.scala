@@ -28,6 +28,15 @@ object SparkEntry {
   private val pipe9Gate =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Scratch directory for a write-lifecycle gate, derived from the
+    * JVM's tmpdir (not a hardcoded /tmp) so a relocated or sandboxed
+    * tmp works and parallel harnesses can isolate runs by pointing
+    * java.io.tmpdir elsewhere. Same wipe-per-run discipline as before:
+    * each gate deletes its dir up front, so stale fixtures from a
+    * previous code version never leak into a measurement. */
+  private def scratch(name: String): String =
+    s"${sys.props("java.io.tmpdir").stripSuffix("/")}/graft_$name"
+
 
   // ---- fixture bindings -------------------------------------------------
 
@@ -45,9 +54,9 @@ object SparkEntry {
     * table so the JDBC path is exercised end to end. Returns the
     * reference-style database URI. */
   private def derbyPermsFixture(): String = {
-    val dir = "/tmp/graft_j5_db/perms"
+    val dir = scratch("j5_db") + "/perms"
     // Derby writes its engine log to derby.log in the CWD by default
-    System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+    System.setProperty("derby.stream.error.file", scratch("derby.log"))
     // wipe-and-reseed every run, like the other /tmp fixtures — stale
     // rows from a previous code version must not survive into the gate.
     // A booted Derby database must be shut down before its files go
@@ -116,7 +125,7 @@ object SparkEntry {
       // loop preserves the data exactly.
       // fixed path, wiped before each run — createTempDirectory would
       // leak one table copy per Verify/Bench invocation into /tmp
-      val dir = "/tmp/graft_s9_roundtrip"
+      val dir = scratch("s9_roundtrip")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -146,7 +155,7 @@ object SparkEntry {
       // empty tail while the v0 read replays raw JSON. v0 must see ONLY
       // the first commit's rows; current must see all — both equal the
       // same aggregates computed straight from the source.
-      val dir = "/tmp/graft_s10_timetravel"
+      val dir = scratch("s10_timetravel")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -179,7 +188,7 @@ object SparkEntry {
       // a range read that prunes commit-1's files from log METADATA
       // alone and applies the exact predicate on top. The aggregate
       // must equal the same range computed straight from the source.
-      val dir = "/tmp/graft_s12_skipping"
+      val dir = scratch("s12_skipping")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -204,7 +213,7 @@ object SparkEntry {
       // schema — commit-0 rows surface l_discount as NULL — so the
       // null-aware aggregate equals the same computed from the source
       // with discount visible only on odd line numbers.
-      val dir = "/tmp/graft_s13_schema"
+      val dir = scratch("s13_schema")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -231,7 +240,7 @@ object SparkEntry {
       // DELETE end to end: copy-on-write removal of l_quantity=1 rows —
       // only files containing a match are rewritten — then a log-driven
       // read back. Must equal the source with those rows excluded.
-      val dir = "/tmp/graft_s14_delete"
+      val dir = scratch("s14_delete")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -252,7 +261,7 @@ object SparkEntry {
       // UPDATE end to end: set l_extendedprice = 0 where l_quantity = 1,
       // copy-on-write in-place rewrite, then read back. Must equal the
       // source with the CASE applied.
-      val dir = "/tmp/graft_s15_update"
+      val dir = scratch("s15_update")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -274,7 +283,7 @@ object SparkEntry {
       // odd keys (inserts) plus keys divisible by 10 with totalprice
       // bumped (updates). The merged table must equal ALL orders with
       // the bump applied to the %10 keys.
-      val dir = "/tmp/graft_s16_merge"
+      val dir = scratch("s16_merge")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/orders"
       val orders = Tables.load(s, d, "orders")
@@ -300,7 +309,7 @@ object SparkEntry {
       // SECOND z-dimension through min/max stats skipping. The result
       // must equal the same range computed straight from the source —
       // and the clustering must leave the data bit-identical.
-      val dir = "/tmp/graft_s17_zorder"
+      val dir = scratch("s17_zorder")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -329,7 +338,7 @@ object SparkEntry {
       // (delta.columnMapping.physicalName). The engine scans under the
       // physical names and relabels to logical; id mode stays refused.
       import org.apache.spark.sql.types._
-      val dir = "/tmp/graft_s28_colmap"
+      val dir = scratch("s28_colmap")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/nation_mapped"
       val src = Tables.load(s, d, "nation")
@@ -384,7 +393,7 @@ object SparkEntry {
       // (the resilience id mode promises; resolved through Spark's
       // native parquet field-id matching, a zero-shuffle relabel).
       import org.apache.spark.sql.types._
-      val dir = "/tmp/graft_s30_colmap_id"
+      val dir = scratch("s30_colmap_id")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/nation_idmapped"
       val src = Tables.load(s, d, "nation")
@@ -450,7 +459,7 @@ object SparkEntry {
       // add as nullable action COLUMNS, and a JSON tail after it. The
       // snapshot must fold checkpoint adds + tail adds with the remove
       // honored.
-      val dir = "/tmp/graft_s27_real"
+      val dir = scratch("s27_real")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/nation_real"
       val src = Tables.load(s, d, "nation")
@@ -508,7 +517,7 @@ object SparkEntry {
       // INSERT OVERWRITE ... replaceWhere end to end: reload ONLY the
       // l_returnflag=R partition with its qty=2 subset; every other
       // partition must read back untouched.
-      val dir = "/tmp/graft_s26_overwrite_where"
+      val dir = scratch("s26_overwrite_where")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -533,7 +542,7 @@ object SparkEntry {
       // back must equal the copy-on-write result exactly, and every
       // partition that had a qty=1 row must carry exactly one DV'd file
       // (single-file-per-partition appends make that deterministic).
-      val dir = "/tmp/graft_s25_deletion_vectors"
+      val dir = scratch("s25_deletion_vectors")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -567,7 +576,7 @@ object SparkEntry {
       // UNDER the masks (qty=1 never resurrects) and materialize them
       // (no DV references survive; n_dv_total = 0). The old behavior
       // refused this lifecycle until a manual OPTIMIZE.
-      val dir = "/tmp/graft_s32_cow_over_dv"
+      val dir = scratch("s32_cow_over_dv")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -602,7 +611,7 @@ object SparkEntry {
       // appends (2 files per flag), then a compaction scoped to
       // l_returnflag=R only. R must collapse to ONE file; every other
       // partition keeps its exact 2 files untouched; data identical.
-      val dir = "/tmp/graft_s24_optimize_where"
+      val dir = scratch("s24_optimize_where")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -635,7 +644,7 @@ object SparkEntry {
       // a delete, an optimize, a restore) must read back as exactly
       // that operation sequence from the commit log. File counts are
       // parallelism-dependent, so the gate pins version+operation only.
-      val dir = "/tmp/graft_s23_history"
+      val dir = scratch("s23_history")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "nation")
@@ -654,7 +663,7 @@ object SparkEntry {
       // (v1), zero out prices (v2), then RESTORE to v0 — one metadata
       // commit re-adding v0's files and removing the rewrites. The read
       // back must equal the ORIGINAL source, bit for bit.
-      val dir = "/tmp/graft_s21_restore"
+      val dir = scratch("s21_restore")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -681,7 +690,7 @@ object SparkEntry {
       // untouched partitions still read from the source's files) and a
       // different DELETE on the source. Each side must see only its own
       // edit; vacuum on either side must not disturb the other.
-      val dir = "/tmp/graft_s22_clone"
+      val dir = scratch("s22_clone")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val srcTable = s"$dir/src"
       val cloneTable = s"$dir/fork"
@@ -720,7 +729,7 @@ object SparkEntry {
       // the ORIGINAL prices, postimages with zeros, deletes with the
       // deleted rows — reconstructed from the commits' file actions
       // (survivor rows rewritten by copy-on-write must all cancel).
-      val dir = "/tmp/graft_s20_cdf"
+      val dir = scratch("s20_cdf")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -746,7 +755,7 @@ object SparkEntry {
       // OPTIMIZE rewrite in between; the incremental read AFTER v0 must
       // see exactly commits 1 and 3's rows (the rewrite's re-added
       // files carry dataChange=false and stay invisible).
-      val dir = "/tmp/graft_s18_incremental"
+      val dir = scratch("s18_incremental")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -795,7 +804,7 @@ object SparkEntry {
       // batch from a fresh checkpoint. The per-batch (version, rows,
       // qty) records must equal the same split computed from the
       // source — and a second drain must deliver nothing.
-      val dir = "/tmp/graft_s19_stream"
+      val dir = scratch("s19_stream")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val cp = s"$dir/_checkpoint"
@@ -828,7 +837,7 @@ object SparkEntry {
       // PARTIAL aggregates cross the driver (<= 4 rows per commit);
       // the recombined totals must equal the batch change feed from
       // scratch — v0's rows as inserts plus the update/delete images.
-      val dir = "/tmp/graft_s29_stream_cdf"
+      val dir = scratch("s29_stream_cdf")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val cp = s"$dir/_checkpoint"
@@ -873,7 +882,7 @@ object SparkEntry {
       // carrying the exactly-once watermark). The sink table read back
       // batch-side must equal the source subset — and a second drain
       // from the same checkpoint must append nothing.
-      val dir = "/tmp/graft_s31_stream_sink"
+      val dir = scratch("s31_stream_sink")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val srcT = s"$dir/src"
       val dstT = s"$dir/dst"
@@ -911,7 +920,7 @@ object SparkEntry {
       // (no log, underscore dirs skipped) must equal the source — it
       // can only do so if vacuum physically deleted the superseded
       // pre-compaction files (otherwise every row double-counts).
-      val dir = "/tmp/graft_s11_vacuum"
+      val dir = scratch("s11_vacuum")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -1687,7 +1696,7 @@ object SparkEntry {
     "sql_select" -> ((s, d) => {
       // alias-addressed SELECT over a governed (MiniDelta) table with a
       // partition predicate — resolution + snapshot read + pruning
-      val dir = "/tmp/graft_sql_select"
+      val dir = scratch("sql_select")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -1708,7 +1717,7 @@ object SparkEntry {
       // VERSION AS OF through SQL: v0 = even line numbers, v1 adds odd;
       // the current read and the pinned read disagree by exactly the
       // second commit
-      val dir = "/tmp/graft_sql_tt"
+      val dir = scratch("sql_tt")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -1738,7 +1747,7 @@ object SparkEntry {
       // CTAS off the new table -> SELECT. The reference has no DDL
       // (tables are config-registered, config.rs:7); this is the
       // minute-one extension surface for a SQL-first user.
-      val dir = "/tmp/graft_sql_create"
+      val dir = scratch("sql_create")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.plans.GraftSqlTables.unregister("sql_cr_trades")
       graft.plans.GraftSqlTables.unregister("sql_cr_r")
@@ -1769,7 +1778,7 @@ object SparkEntry {
       // ALTER TABLE ADD COLUMNS: one metadata commit; pre-evolution
       // rows read the new column as null, post-evolution inserts carry
       // it — the null/filled split is the oracle's discriminator.
-      val dir = "/tmp/graft_sql_alter"
+      val dir = scratch("sql_alter")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.plans.GraftSqlTables.unregister("sql_alt_trades")
       graft.plans.GraftSqlTables.register("sql_alt_src",
@@ -1801,7 +1810,7 @@ object SparkEntry {
       // the source is itself a graft alias (nested resolution inside the
       // insert's query). Aliases registered writable — the default
       // posture is the reference's read_only=true.
-      val dir = "/tmp/graft_sql_insert"
+      val dir = scratch("sql_insert")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       graft.plans.GraftSqlTables.register("sql_ins_trades", table,
@@ -1830,7 +1839,7 @@ object SparkEntry {
       // and predicate see the pre-update row), DELETE removes a keyed
       // slice — both routed through the engine's copy-on-write DML
       // with the same write contract as the DataFrame path
-      val dir = "/tmp/graft_sql_du"
+      val dir = scratch("sql_du")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -1859,7 +1868,7 @@ object SparkEntry {
       // The synthetic lineitem is NOT key-unique on (orderkey,
       // linenumber), so both sides dedupe to one row per key first
       // (value-deterministic: ties order by every column).
-      val dir = "/tmp/graft_sql_merge"
+      val dir = scratch("sql_merge")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       import org.apache.spark.sql.expressions.Window
@@ -1907,7 +1916,7 @@ object SparkEntry {
       // log), which equals the source only if the compaction rewrote
       // the snapshot AND the vacuum physically deleted the superseded
       // files — the s11 proof shape, driven via SQL end to end.
-      val dir = "/tmp/graft_sql_call"
+      val dir = scratch("sql_call")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       val src = Tables.load(s, d, "lineitem")
@@ -1935,7 +1944,7 @@ object SparkEntry {
       // the full SQL write lifecycle: create (positional), append with
       // an explicit column list, then INSERT OVERWRITE replaces the
       // whole snapshot — the readback must see ONLY the overwrite's rows
-      val dir = "/tmp/graft_sql_overwrite"
+      val dir = scratch("sql_overwrite")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       graft.plans.GraftSqlTables.register("sql_ovr_trades", table,
@@ -1971,7 +1980,7 @@ object SparkEntry {
       // the snapshot in Spark's `k=v` wire shape, sourced from log
       // metadata (never a directory walk — at 10^7 files this is a
       // metadata aggregate)
-      val dir = "/tmp/graft_sql_showpart"
+      val dir = scratch("sql_showpart")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -1989,7 +1998,7 @@ object SparkEntry {
       // TBLPROPERTIES (only delta.* keys are table config; Spark's
       // bookkeeping keys stay out of the log), read them back via
       // SHOW TBLPROPERTIES — full listing UNION the single-key lookup
-      val dir = "/tmp/graft_sql_tblprops"
+      val dir = scratch("sql_tblprops")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       graft.plans.GraftSqlTables.unregister("sql_tp_trades")
@@ -2016,7 +2025,7 @@ object SparkEntry {
       // DESCRIBE TABLE through SQL on a partitioned governed table:
       // declared schema (latest metaData action) in Spark's
       // three-column shape plus the partition-information section
-      val dir = "/tmp/graft_sql_describe"
+      val dir = scratch("sql_describe")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2035,7 +2044,7 @@ object SparkEntry {
       // row count folded from per-file numRecords stats, protocol
       // floor. sizeInBytes is real but encoding-dependent, so the gate
       // projects it away.
-      val dir = "/tmp/graft_s33_detail"
+      val dir = scratch("s33_detail")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2066,7 +2075,7 @@ object SparkEntry {
       // source only if the z-ordered compaction rewrote the snapshot
       // to one file per partition AND the vacuum physically deleted
       // the superseded files.
-      val dir = "/tmp/graft_sql_verbs"
+      val dir = scratch("sql_verbs")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2117,7 +2126,7 @@ object SparkEntry {
       // l_linenumber (v5). The readback resolves old and new files
       // through the mapping; the oracle restates the surviving rows
       // from the source with zero knowledge of the mapping machinery.
-      val dir = "/tmp/graft_s34_rename"
+      val dir = scratch("s34_rename")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2151,7 +2160,7 @@ object SparkEntry {
       // the recompute projection must leave bucket byte-identical. The
       // oracle recomputes the bucket in SQL with zero knowledge of the
       // generation machinery.
-      val dir = "/tmp/graft_s35_generated"
+      val dir = scratch("s35_generated")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2185,7 +2194,7 @@ object SparkEntry {
       // 1000, 1003, ... walked once per row with no collisions across
       // the two commits (the high-water mark advanced in commit one) —
       // so the oracle pins count, distinctness, min and max.
-      val dir = "/tmp/graft_s36_identity"
+      val dir = scratch("s36_identity")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2212,6 +2221,69 @@ object SparkEntry {
           min(col("row_id")).as("min_id"), max(col("row_id")).as("max_id"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
+    "s38_colmap_id_write" -> ((s, d) => {
+      // id-mode column-mapping WRITE lifecycle — the reference's own
+      // documented interop limitation, closed: CREATE with
+      // delta.columnMapping.mode=id (via SQL), INSERT, RENAME COLUMN
+      // (logical diverges from physical), a post-rename append under
+      // the NEW logical name, then DELETE + UPDATE (copy-on-write
+      // rewrites that must re-land physical names + footer field_ids).
+      // Every written parquet file is footer-checked driver-side: all
+      // columns must carry field_ids, because a compliant id-mode
+      // reader resolves by those ids alone.
+      val dir = scratch("s38_colmap_id_write")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s38_trades")
+      graft.plans.GraftSqlTables.register("s38_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s38_trades (okey BIGINT, qty BIGINT,
+          flag STRING)
+        TBLPROPERTIES ('delta.columnMapping.mode' = 'id')
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s38_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s38_lineitem
+        WHERE l_quantity <= 2 AND pmod(l_orderkey, 2) = 0""")
+      s.sql("ALTER TABLE graft.s38_trades RENAME COLUMN flag TO rflag")
+      s.sql("""
+        INSERT INTO graft.s38_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS rflag
+        FROM graft.datalake.s38_lineitem
+        WHERE l_quantity <= 2 AND pmod(l_orderkey, 2) = 1""")
+      s.sql("DELETE FROM graft.s38_trades WHERE qty = 2 AND rflag = 'R'")
+      s.sql("UPDATE graft.s38_trades SET qty = qty + 10 " +
+        "WHERE rflag = 'A'")
+      // footer check: EVERY live parquet file resolves all three
+      // columns by field_id (1..3) under their PHYSICAL names
+      val conf = s.sparkContext.hadoopConfiguration
+      val live = graft.io.MiniDelta.snapshotFiles(s, table)
+        .select("path").collect().map(_.getString(0))
+      val idsOk = live.nonEmpty && live.forall { rel =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$table/$rel"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val m = r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+          m.get("okey").flatten.contains(1) &&
+            m.get("qty").flatten.contains(2) &&
+            m.get("flag").flatten.contains(3) // physical name pre-rename
+        } finally r.close()
+      }
+      s.sql("""
+        SELECT rflag AS flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s38_trades GROUP BY rflag""")
+        .withColumn("footer_ids_ok", lit(if (idsOk) 1L else 0L))
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from
@@ -2220,7 +2292,7 @@ object SparkEntry {
       // changed appear as pre/postimages; _commit_version pins each
       // change to its commit and _commit_timestamp (wall-clock,
       // non-oracle-stable) is checked by count only.
-      val dir = "/tmp/graft_sql_tc"
+      val dir = scratch("sql_tc")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"
@@ -2253,7 +2325,7 @@ object SparkEntry {
       // the post-truncate emptiness, the replaced column list (via
       // SHOW COLUMNS), and the refilled aggregate — all
       // DuckDB-predictable.
-      val dir = "/tmp/graft_sql_replace"
+      val dir = scratch("sql_replace")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val table = s"$dir/trades"
       graft.io.MiniDelta.invalidateSnapshot(table)
@@ -2295,7 +2367,7 @@ object SparkEntry {
       // table. NOTE the vacuum runs at horizon 0 on a CLONE SOURCE —
       // the clone's numbers are read BEFORE it, the real-Delta
       // discipline s22_clone documents.
-      val dir = "/tmp/graft_sql_maint"
+      val dir = scratch("sql_maint")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val srcTable = s"$dir/src"
       val forkTable = s"$dir/fork"
@@ -2382,7 +2454,7 @@ object SparkEntry {
       // (uniqueness, stability, monotonicity) as booleans. All collects
       // are metadata-scale (file manifests + log tail).
       import s.implicits._
-      val dir = "/tmp/graft_s37_rowtracking"
+      val dir = scratch("s37_rowtracking")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
       val table = s"$dir/trades"

@@ -59,15 +59,17 @@ object MiniDelta {
     * relabeling physical parquet columns to the schema's logical names
     * ([[readFilesAs]]) and WRITTEN by the inverse rename
     * ([[toPhysical]] inside [[writeAndCapture]]); `id` mode is READ via
-    * Spark's parquet field-id resolution but refuses writes (footer-id
-    * writing unimplemented); a malformed mapping (mode without ids, an
-    * unknown mode, mapping metadata without a mode) refuses both. */
+    * Spark's parquet field-id resolution and WRITTEN by the same
+    * relabeling projection plus `parquet.field.id` footer metadata on
+    * every written column (Spark's native field-id write support); a
+    * malformed mapping (mode without ids, an unknown mode, mapping
+    * metadata without a mode) refuses both directions. */
   final class ColumnMappingUnsupportedException(table: String, mode: String,
                                                 op: String = "read")
     extends RuntimeException(
       s"$table sets delta.columnMapping.mode=$mode; this engine cannot " +
-        s"$op it — name mode is fully supported, id-mode tables are " +
-        "read via field-id resolution but never written")
+        s"$op it — name and id modes are fully supported; other modes " +
+        "(or mapping metadata without a resolvable mode) refuse")
 
   /** `delta.appendOnly=true` forbids any commit that removes data
     * (DELETE/UPDATE/MERGE/OVERWRITE/RESTORE) — the Delta appendOnly
@@ -267,7 +269,7 @@ object MiniDelta {
     // omits (legal subset append, reads null-fill it) — enforce on the
     // null-aligned view, matching what a reader will see.
     val declared0 = latestSchema(spark, table)
-    requireUnmappedForWrite(declared0, table, spark)
+    requireMappingWritable(declared0, table, spark)
     mergedSchema(declared0, df.schema)
     val cfg0 = tableConfig(spark, table)
     // enforcement/validation + write = multiple evaluations of df;
@@ -596,9 +598,17 @@ object MiniDelta {
     // column-mapped table: the files store PHYSICAL names — rename the
     // logical frame through the declared mapping (and the partition
     // directories with it) so a compliant mapped reader of these files
-    // resolves every column. Unmapped tables pay one metadata probe.
+    // resolves every column. When the mapping carries ids (it always
+    // does for self-created mapped tables, both modes), the footer
+    // field_ids land too — real mapped writers write both, and an
+    // id-mode reader resolves EXCLUSIVELY by them. Unmapped tables pay
+    // one metadata probe.
     val mapped = latestSchema(spark, table).filter(isColumnMapped)
-    val physDf = mapped.fold(df)(toPhysical(df, _))
+    val withIds =
+      mapped.exists(_.fields.exists(_.metadata.contains(MapIdKey)))
+    val physDf0 = mapped.fold(df)(toPhysical(df, _, withIds))
+    val physDf =
+      if (withIds) ensureFieldIdWriteSession(physDf0) else physDf0
     val physPartitionBy = mapped.fold(partitionBy)(st =>
       partitionBy.map(physicalColOf(Some(st), _)))
     val staging =
@@ -1102,13 +1112,20 @@ object MiniDelta {
     // every field gets physicalName = its current name (the files on
     // disk already store those names, so nothing rewrites) plus a
     // depth-first columnMapping.id, maxColumnId lands in the config,
-    // and the columnMapping table feature joins the protocol. `id` is
-    // refused (footer-id writing unimplemented); changing or removing
+    // and the columnMapping table feature joins the protocol. 'none'
+    // is Delta's documented default — an explicit no-op when no mode
+    // is established (real writers accept it the same way). `id` is
+    // refused on EXISTING tables because the files already on disk
+    // carry no footer field-ids — delta-spark enforces the identical
+    // create-only rule ('Changing column mapping mode ... is not
+    // supported'); declare it at CREATE instead. Changing or removing
     // an established mode is refused (it would orphan physical names).
     val enablingMapping = props.get("delta.columnMapping.mode") match {
       case None => false
       case Some(m) if cfg.get("delta.columnMapping.mode").contains(m) =>
         false // idempotent re-set
+      case Some("none") if !cfg.contains("delta.columnMapping.mode") =>
+        false // explicit default: a no-op, recorded in the config
       case Some("name") if !cfg.contains("delta.columnMapping.mode") =>
         require(parts.isEmpty,
           s"enabling column mapping on PARTITIONED table $table is not " +
@@ -1123,8 +1140,11 @@ object MiniDelta {
           (if (cfg.contains("delta.columnMapping.mode"))
             "(changing an established mapping mode would orphan the " +
               "physical names)"
-          else "(only 'name' mode can be enabled; id-mode writing is " +
-            "not implemented)"))
+          else if (other == "id")
+            "(id mode can only be declared at CREATE — the files " +
+              "already on disk carry no parquet footer field-ids; " +
+              "delta-spark enforces the same create-only rule)"
+          else "(only 'name' mode can be enabled on an existing table)"))
     }
     val (schema2, mapCfg) =
       if (!enablingMapping) (schema, Map.empty[String, String])
@@ -1349,25 +1369,29 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       declared = declared.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
-    // delta.columnMapping.mode at CREATE: 'name' mode assigns each
+    // delta.columnMapping.mode at CREATE: both modes assign each
     // declared field physicalName = its logical name plus a depth-first
     // id (nothing exists on disk yet, so footers and partition dirs
     // will be written under exactly those physical names — no renames,
     // unlike the SET TBLPROPERTIES upgrade's partitioned-table hazard),
     // maxColumnId joins the config and columnMapping the protocol.
-    // 'id' mode refuses: footer-id writing is unimplemented, same as
-    // the upgrade path.
+    // Under 'id' mode every write additionally lands the ids as parquet
+    // footer field_ids ([[toPhysical]] attaches `parquet.field.id`), so
+    // a compliant id-mode reader resolves columns by id exactly as with
+    // a real writer's files; physicalName = logical-at-create is legal
+    // in id mode (names are the protocol's documented fallback, and a
+    // later RENAME COLUMN diverges them without touching the files).
+    // 'none' is Delta's documented default value — an explicit no-op.
     val (schemaOut, mapCfg) =
       properties.get("delta.columnMapping.mode") match {
-        case None => (schema, Map.empty[String, String])
-        case Some("name") =>
+        case None | Some("none") => (schema, Map.empty[String, String])
+        case Some("name") | Some("id") =>
           val (mapped, maxId) = assignMapping(schema, 0L)
           declared = declared.withColumnMapping
           (mapped, Map("delta.columnMapping.maxColumnId" -> maxId.toString))
         case Some(other) => throw new IllegalArgumentException(
           s"cannot create $table with delta.columnMapping.mode=$other — " +
-            "only 'name' mode is writable (id-mode footer ids are not " +
-            "implemented)")
+            "supported modes: none, name, id")
       }
     // ICT from v0: the feature joins the protocol and writeCommit's
     // funnel stamps inCommitTimestamp into every commitInfo including
@@ -1397,7 +1421,7 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(tableExists(spark, table), s"TRUNCATE TABLE: $table has no log")
     val readVersion = latestVersion(spark, table)
-    requireUnmappedForWrite(latestSchema(spark, table, readVersion),
+    requireMappingWritable(latestSchema(spark, table, readVersion),
       table, spark)
     val cfg = tableConfig(spark, table, readVersion)
     if (cfg.get("delta.appendOnly").contains("true"))
@@ -1438,7 +1462,7 @@ object MiniDelta {
       s"partition column(s) ${missing.mkString(", ")} not in the schema " +
         s"(${schema.fieldNames.mkString(", ")})")
     val readVersion = latestVersion(spark, table)
-    requireUnmappedForWrite(latestSchema(spark, table, readVersion),
+    requireMappingWritable(latestSchema(spark, table, readVersion),
       table, spark)
     val cfg = tableConfig(spark, table, readVersion)
     if (cfg.get("delta.appendOnly").contains("true"))
@@ -1458,6 +1482,27 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       p = p.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
+    // REPLACE declaring a mapping mode assigns fresh metadata exactly
+    // like CREATE (the old contents are tombstoned in this same
+    // commit, so nothing on disk constrains the assignment) — without
+    // this, the mode would land in the config over an UNMAPPED schema
+    // and every subsequent read would refuse the table as malformed.
+    // Ids ratchet past the old maxColumnId (Delta's monotonicity rule:
+    // a stale reader of the pre-replace schema must never see its ids
+    // reused for different columns).
+    val (schemaOut, mapCfg) =
+      properties.get("delta.columnMapping.mode") match {
+        case None | Some("none") => (schema, Map.empty[String, String])
+        case Some("name") | Some("id") =>
+          val startId = cfg.get("delta.columnMapping.maxColumnId")
+            .map(_.toLong).getOrElse(0L)
+          val (mapped, maxId) = assignMapping(schema, startId)
+          p = p.withColumnMapping
+          (mapped, Map("delta.columnMapping.maxColumnId" -> maxId.toString))
+        case Some(other) => throw new IllegalArgumentException(
+          s"cannot replace $table with delta.columnMapping.mode=$other " +
+            "— supported modes: none, name, id")
+      }
     val protoLines = if (p == resolved) Seq.empty else Seq(p.render)
     val now = System.currentTimeMillis()
     val snapDF = snapshotFilesAt(spark, table, readVersion)
@@ -1466,7 +1511,8 @@ object MiniDelta {
         .map(r => removeLine(r.getString(0), dataChange = true, now))
     beforeDmlCommitHook()
     val v = writeCommitStreamed(spark, table, readVersion + 1,
-      protoLines :+ metaDataLine(table, schema, partitionBy, properties),
+      protoLines :+ metaDataLine(table, schemaOut, partitionBy,
+        properties ++ mapCfg),
       bodyIt, "REPLACE TABLE")
     invalidateSnapshot(table)
     v
@@ -1485,7 +1531,7 @@ object MiniDelta {
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema — nothing to evolve"))
-    requireUnmappedForWrite(Some(declared), table, spark)
+    requireMappingWritable(Some(declared), table, spark)
     val clash = cols.map(_.name).filter(n =>
       declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
@@ -1540,10 +1586,11 @@ object MiniDelta {
     * exists FOR (the reference documents exactly this client hazard,
     * README.md:249-270): one metaData commit changes the LOGICAL name,
     * the physicalName keeps pointing at the bytes already on disk, no
-    * file is rewritten. Requires name-mode mapping (enable with SET
-    * TBLPROPERTIES delta.columnMapping.mode=name); top-level columns
-    * only; refuses names a CHECK constraint references (the constraint
-    * text would silently stop binding — Delta refuses the same). */
+    * file is rewritten. Requires column mapping, either mode (enable
+    * name mode with SET TBLPROPERTIES, or declare id mode at CREATE);
+    * top-level columns only; refuses names a CHECK constraint
+    * references (the constraint text would silently stop binding —
+    * Delta refuses the same). */
   def renameColumn(spark: SparkSession, table: String, from: String,
                    to: String, readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
@@ -1551,9 +1598,11 @@ object MiniDelta {
       "RENAME COLUMN supports top-level columns only")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
-    require(cfg.get("delta.columnMapping.mode").contains("name"),
-      s"RENAME COLUMN needs column mapping: ALTER TABLE ... SET " +
-        "TBLPROPERTIES ('delta.columnMapping.mode' = 'name') first")
+    require(cfg.get("delta.columnMapping.mode")
+        .exists(Set("name", "id")),
+      s"RENAME COLUMN needs column mapping (mode name or id): ALTER " +
+        "TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode' = " +
+        "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
     val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(from))
@@ -1582,9 +1631,11 @@ object MiniDelta {
       "DROP COLUMN supports top-level columns only")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
-    require(cfg.get("delta.columnMapping.mode").contains("name"),
-      s"DROP COLUMN needs column mapping: ALTER TABLE ... SET " +
-        "TBLPROPERTIES ('delta.columnMapping.mode' = 'name') first")
+    require(cfg.get("delta.columnMapping.mode")
+        .exists(Set("name", "id")),
+      s"DROP COLUMN needs column mapping (mode name or id): ALTER " +
+        "TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode' = " +
+        "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
     val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(name))
@@ -1773,24 +1824,39 @@ object MiniDelta {
           Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         else Seq.empty
       val commit = (ci +: (proto ++ attemptLines)).mkString("\n")
+      // render to a dot-prefixed temp file (commit/checkpoint name
+      // regexes never match it), then claim the slot atomically: the
+      // commit becomes visible only fully written, and a lost race
+      // surfaces as a conflict instead of the silent clobber a raw
+      // local rename (or the old create(p,false) check-then-create)
+      // could allow — see [[claimVersionSlot]]
+      val tmp = new Path(
+        s"${logDir(table)}/.${java.util.UUID.randomUUID()}.json.tmp")
+      val out = f.create(tmp, false)
+      try {
+        out.write(commit.getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Exception => () }
+          f.delete(tmp, false)
+          throw e
+      }
       val created =
-        try {
-          val out = f.create(p, false)
-          out.write(commit.getBytes("UTF-8"))
-          out.close()
-          true
-        } catch {
-          case e: java.io.IOException if f.exists(p) =>
-            if (!retry) throw new ConcurrentCommitException(table, v)
-            attempt += 1
-            if (attempt > maxRetries) throw e
-            v = nextVersion(spark, table)
-            // the rebase may cross a concurrent ICT/rowTracking
-            // enablement — the rebased attempt must stamp what the NEW
-            // base requires
-            val fs2 = featuresAt(v - 1)
-            ictEnabled = fs2._1; rtEnabled = fs2._2
-            false
+        if (claimVersionSlot(f, tmp, p)) true
+        else {
+          f.delete(tmp, false)
+          if (!retry) throw new ConcurrentCommitException(table, v)
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new ConcurrentCommitException(table, v)
+          v = nextVersion(spark, table)
+          // the rebase may cross a concurrent ICT/rowTracking
+          // enablement — the rebased attempt must stamp what the NEW
+          // base requires
+          val fs2 = featuresAt(v - 1)
+          ictEnabled = fs2._1; rtEnabled = fs2._2
+          false
         }
       if (created) {
         // OUTSIDE the conflict try: a failed checkpoint job must not be
@@ -1809,6 +1875,45 @@ object MiniDelta {
       }
     }
     v // unreachable
+  }
+
+  /** Claim commit slot `dst` by moving fully-rendered temp file `tmp`
+    * onto it with CREATE-IF-ABSENT semantics; false = another writer
+    * owns the slot (`tmp` is left for the caller to clean up). On
+    * local `file://` paths the claim is a HARD LINK: link(2) fails
+    * atomically with EEXIST when the destination exists, where POSIX
+    * rename(2) — what Hadoop's RawLocalFileSystem rename compiles to —
+    * silently REPLACES it, so a screen+rename claim could clobber a
+    * commit that landed inside the screen-to-rename window (a lost
+    * commit, strictly worse than the conflict exception). Elsewhere
+    * the claim is the exists screen + rename, which HDFS-like stores
+    * refuse natively onto an existing destination; see ARCHITECTURE.md
+    * for the storage-atomicity assumptions. */
+  private def claimVersionSlot(f: org.apache.hadoop.fs.FileSystem,
+                               tmp: Path, dst: Path): Boolean = {
+    val local = f.getUri == null || f.getUri.getScheme == null ||
+      f.getUri.getScheme == "file"
+    if (local) {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(d, t)
+        // carry the Hadoop checksum sidecar the way rename would have
+        // (same bytes → same checksum); best-effort — a missing crc
+        // just skips read-time verification
+        def crc(p: java.nio.file.Path) =
+          p.resolveSibling("." + p.getFileName.toString + ".crc")
+        try {
+          if (java.nio.file.Files.exists(crc(t)))
+            java.nio.file.Files.createLink(crc(d), crc(t))
+        } catch { case _: java.io.IOException => () }
+        java.nio.file.Files.deleteIfExists(crc(t))
+        java.nio.file.Files.delete(t)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !f.exists(dst) && f.rename(tmp, dst)
   }
 
   /** Streamed commits written through [[writeCommitStreamed]] — the
@@ -1857,12 +1962,12 @@ object MiniDelta {
     * concurrent writer would rebase on it). So the render streams into
     * a dot-prefixed temp file in `_delta_log` (commit/checkpoint name
     * regexes never match it) and the version slot is claimed ONLY
-    * after the last byte lands, by an exists-screened rename —
-    * create-if-absent conflict semantics, with the race window back to
-    * writeCommit's microseconds (HDFS-like stores refuse the rename
-    * natively when the destination exists; same-directory POSIX
-    * renames are atomic). A failure anywhere deletes the temp file, so
-    * an aborted render never leaves anything for replay to trip on.
+    * after the last byte lands, through [[claimVersionSlot]] —
+    * genuinely atomic create-if-absent on local paths (hard link, no
+    * clobber window at all) and an exists-screened rename on stores
+    * that refuse rename-onto-existing natively. A failure anywhere
+    * deletes the temp file, so an aborted render never leaves anything
+    * for replay to trip on.
     *
     * Caller contract: rowTracking stamping is NOT applied here — body
     * lines must already carry any required
@@ -1909,10 +2014,10 @@ object MiniDelta {
           w.write(l); first = false
         }
       w.close()
-      // claim the version slot: an existing <version>.json (or a
-      // rename the store refuses because one appeared) means another
-      // writer won — identical to writeCommit's create-if-absent
-      if (f.exists(p) || !f.rename(tmp, p)) {
+      // claim the version slot: losing the claim (another writer's
+      // <version>.json exists, or appeared mid-claim) means the race
+      // is lost — identical to writeCommit's create-if-absent
+      if (!claimVersionSlot(f, tmp, p)) {
         f.delete(tmp, false)
         throw new ConcurrentCommitException(table, version)
       }
@@ -2280,9 +2385,9 @@ object MiniDelta {
   /** Writer features (protocol minWriterVersion 7) this engine's
     * commits honor: append-only + CDF gating happens in
     * [[writeCommit]], invariants/constraints are enforced on every
-    * write, DVs are written natively, columnMapping is capability-only
-    * here (ENABLED mapping refuses at the mutators through the schema
-    * gate), and v2 checkpoints are written whenever
+    * write, DVs are written natively, columnMapping writes land
+    * physical-named parquet with footer field_ids (both modes, through
+    * [[toPhysical]]), and v2 checkpoints are written whenever
     * delta.checkpointPolicy=v2 ([[writeCheckpoint]]), and generated
     * columns are computed-or-validated at every row-producing write
     * ([[applyGenerated]]). Anything else — identity columns, row
@@ -2801,7 +2906,7 @@ object MiniDelta {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
-    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
+    requireMappingWritable(latestSchema(spark, table), table, spark)
     // read-set version pin, captured BEFORE the snapshot replay: the
     // commit below lands at exactly readVersion + 1 or conflicts
     val readVersion = latestVersion(spark, table)
@@ -3219,7 +3324,7 @@ object MiniDelta {
                  readOnly: Boolean = false,
                  statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
+    requireMappingWritable(latestSchema(spark, table), table, spark)
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion)
     // DV-bearing files only (the op's blast radius by definition);
@@ -3458,7 +3563,7 @@ object MiniDelta {
              statsCols: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     if (!tableExists(spark, table)) return -1L // nothing to delete from
-    requireUnmappedForWrite(latestSchema(spark, table), table, spark)
+    requireMappingWritable(latestSchema(spark, table), table, spark)
     val readVersion = latestVersion(spark, table)
     // delta.enableDeletionVectors routes DELETE through the DV path:
     // deleted rows are MASKED by a row-index sidecar instead of
@@ -3686,7 +3791,7 @@ object MiniDelta {
     if (!tableExists(spark, table)) return -1L // nothing to update
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    requireUnmappedForWrite(declared, table, spark)
+    requireMappingWritable(declared, table, spark)
     // an unknown assignment target is an ERROR (Delta raises an analysis
     // error) — silently dropping it would turn the update into a no-op
     declared.foreach { s =>
@@ -3788,7 +3893,7 @@ object MiniDelta {
           "multiple source matches per target row are ambiguous")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
-    requireUnmappedForWrite(declared, table, spark)
+    requireMappingWritable(declared, table, spark)
     // schema evolution, same rule as append: source-only columns are
     // APPENDED to the declared schema (committed as a metaData action);
     // retyping an existing column is rejected inside mergedSchema
@@ -4138,7 +4243,7 @@ object MiniDelta {
       if (exists) tableConfig(spark, table, readVersion)
       else Map.empty[String, String]
     if (exists)
-      requireUnmappedForWrite(latestSchema(spark, table, readVersion), table, spark)
+      requireMappingWritable(latestSchema(spark, table, readVersion), table, spark)
     // the scope guard, constraint check, and parquet write each
     // evaluate df — persist across the whole sequence so a
     // nondeterministic source validates the SAME rows it commits
@@ -4978,29 +5083,23 @@ object MiniDelta {
   /** [[readFiles]] with the declared schema already resolved — DML
     * operations resolve it ONCE and thread it through their scan,
     * rewrite, and alignment steps instead of re-replaying the log. */
-  /** Write-side schema gate. NAME-mode column-mapped tables are
-    * writable: [[writeAndCapture]] lands PHYSICAL-named parquet
-    * ([[toPhysical]]) and [[fileStats]] keys stats by physical name, so
-    * a compliant reader of the resulting log sees exactly what a real
-    * mapped writer would have produced. `id` mode (or mapping metadata
-    * under an unknown/unset mode) still refuses — footer field-id
-    * WRITING is not implemented, and a name-only write of an id table
-    * would read back all-null for renamed files. The same gate refuses
-    * schemas whose field metadata demands write-time behavior this
-    * engine lacks — generated columns (the writer must COMPUTE the
-    * expression), identity columns (the writer must allocate the
-    * sequence), field invariants (the writer must enforce the
-    * predicate) — because committing without upholding them silently
-    * corrupts the table for every compliant client. Every mutator gates
-    * on the declared schema. */
-  private def requireUnmappedForWrite(
+  /** Write-side schema gate. Column-mapped tables are writable in BOTH
+    * modes: [[writeAndCapture]] lands PHYSICAL-named parquet
+    * ([[toPhysical]]) with `parquet.field.id` footer metadata whenever
+    * the mapping carries ids (real mapped writers land both too), and
+    * [[fileStats]] keys stats by physical name — so a compliant reader
+    * of the resulting log sees exactly what a real mapped writer would
+    * have produced, resolving by name OR by footer field-id. Mapping
+    * metadata under an unknown/unset mode refuses — the writer cannot
+    * know which resolution contract the files must uphold. */
+  private def requireMappingWritable(
       declared: Option[org.apache.spark.sql.types.StructType],
       table: String, spark: SparkSession): Unit =
     declared.foreach { st =>
       if (isColumnMapped(st) ||
           st.fields.exists(_.metadata.contains(MapIdKey))) {
         val mode = tableConfig(spark, table).get("delta.columnMapping.mode")
-        if (!mode.contains("name"))
+        if (!mode.exists(Set("name", "id")))
           throw new ColumnMappingUnsupportedException(table,
             mode.getOrElse("(unset)"), "write")
       }
@@ -5121,6 +5220,31 @@ object MiniDelta {
     c
   }
 
+  /** Spark's field-id-WRITE switch: when enabled (the Spark 4 default),
+    * the parquet writer lands any `parquet.field.id` metadata in the
+    * write schema as footer field_ids. [[toPhysical]] attaches that
+    * metadata for mapped tables, so mapped writes normally need no conf
+    * work at all — this guard only matters for a caller session that
+    * explicitly DISABLED the flag, which would silently strip the ids
+    * an id-mode reader resolves by. */
+  private val FieldIdWriteKey = "spark.sql.parquet.fieldId.write.enabled"
+
+  /** Re-home `df` onto a clone with field-id writing enabled IF the
+    * caller's session turned it off; the overwhelmingly common
+    * default-on path returns `df` untouched (one conf read). Unlike
+    * [[idReadSession]] this is not cached: the disabled-flag path is an
+    * explicit misconfiguration escape hatch, not a steady state. */
+  private def ensureFieldIdWriteSession(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.get(FieldIdWriteKey, "true").toBoolean) df
+    else {
+      val c = org.apache.spark.sql.graft.SessionBridge.cloneSession(s)
+      c.conf.set(FieldIdWriteKey, "true")
+      org.apache.spark.sql.graft.DatasetShim.ofRows(
+        c, df.queryExecution.logical)
+    }
+  }
+
   /** Drop a caller session's cached id-read clone (multi-session
     * servers call this when a session closes; otherwise the LRU bound
     * caps retention). Safe no-op when no clone exists. */
@@ -5176,15 +5300,25 @@ object MiniDelta {
     * physical schema for WRITING. The top-level select renames columns,
     * the cast renames nested struct fields (same-shape casts are
     * positional). Fields the frame omits stay omitted — a legal subset
-    * append, reads null-fill them. */
+    * append, reads null-fill them. With `withIds`, each field
+    * additionally carries Spark's `parquet.field.id` metadata (nested
+    * fields through the cast's target type, top-level through the alias
+    * metadata), which the parquet writer lands as footer field_ids —
+    * the id-mode resolution contract a compliant reader matches on. */
   private def toPhysical(df: DataFrame,
-      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+      logical: org.apache.spark.sql.types.StructType,
+      withIds: Boolean = false): DataFrame = {
     val present = logical.fields.filter(lf =>
       df.columns.exists(_.equalsIgnoreCase(lf.name)))
     df.select(present.map { lf =>
-      col(s"`${lf.name}`")
-        .cast(physicalType(lf.dataType, withIds = false))
-        .as(physicalNameOf(lf))
+      val c = col(s"`${lf.name}`")
+        .cast(physicalType(lf.dataType, withIds))
+      if (withIds && lf.metadata.contains(MapIdKey))
+        c.as(physicalNameOf(lf),
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(ParquetFieldIdKey, lf.metadata.getLong(MapIdKey))
+            .build())
+      else c.as(physicalNameOf(lf))
     }.toIndexedSeq: _*)
   }
 

@@ -998,7 +998,20 @@ case class GraftReplaceTableCommand(alias: String,
   * SELECT ...` (rule-intercepted): [[GraftDdl.replace]] swaps the
   * contract and tombstones the old contents in ONE commit on the SAME
   * log, then the query rows append — table identity and history
-  * survive, exactly like the column-list REPLACE form. */
+  * survive, exactly like the column-list REPLACE form.
+  *
+  * ORDERING CONTRACT (pinned by the "self-referential RTAS" spec): a
+  * query reading the table being replaced must see the PRE-replace
+  * rows. That holds because `ofRows` ANALYZES the query before
+  * `GraftDdl.replace` runs, and analysis pins the graft relation's
+  * concrete file list eagerly (readFiltered collects the snapshot
+  * manifest at plan-build time); the replace commit only tombstones
+  * log entries — the files themselves stay on disk until VACUUM, so
+  * the pinned scan still reads them during the post-replace append.
+  * If the read path ever goes lazy (deferring the manifest to
+  * execution), this command must materialize the source file list (or
+  * the rows) BEFORE calling replace — the spec exists to catch exactly
+  * that regression. */
 case class GraftReplaceTableAsSelectCommand(alias: String,
     query: LogicalPlan, partCols: Seq[String], location: Option[String],
     properties: Map[String, String], orCreate: Boolean)
@@ -1007,6 +1020,7 @@ case class GraftReplaceTableAsSelectCommand(alias: String,
   override val output: Seq[Attribute] = Seq.empty
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
   override def run(spark: SparkSession): Seq[Row] = {
+    // analysis happens HERE — before replace — pinning source files
     val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
     val path = GraftDdl.replace(spark, alias, src.schema, partCols,
       location, properties, orCreate)

@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+
+/** Write-side column mapping (id mode) + the atomic commit-slot claim.
+  *
+  * id-mode WRITES are the reference's own documented interop
+  * limitation (/root/reference/README.md:249-270 describes the client
+  * hazard column mapping exists for): every written parquet file must
+  * carry footer field_ids matching the schema's
+  * `delta.columnMapping.id` metadata, because a compliant id-mode
+  * reader resolves columns EXCLUSIVELY by those ids — names are only a
+  * fallback. These specs create id tables, drive the full write
+  * lifecycle (append, rename, post-rename append, DELETE, UPDATE),
+  * and assert the footer ids on the actual files via the parquet
+  * footer API — not just a read-back through this engine's own path.
+  */
+class ColumnMappingWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("cmwrite").toString + "/t"
+
+  /** (name -> field id) pairs from a parquet file's footer. */
+  private def footerIds(file: String): Map[String, Option[Int]] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      import scala.jdk.CollectionConverters._
+      schema.getFields.asScala.map(f =>
+        f.getName -> Option(f.getId).map(_.intValue())).toMap
+    } finally r.close()
+  }
+
+  private def dataFiles(table: String): Seq[String] =
+    Option(new java.io.File(table).listFiles()).toSeq.flatten
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+
+  test("id-mode CREATE + append lands footer field_ids and reads back") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType),
+        StructField("qty", LongType))),
+      properties = Map("delta.columnMapping.mode" -> "id"))
+    val cfg = MiniDelta.tableConfig(spark, t)
+    assert(cfg("delta.columnMapping.mode") == "id")
+    assert(cfg("delta.columnMapping.maxColumnId") == "3")
+    MiniDelta.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "name", "qty"), t, Seq.empty)
+    // the files must carry footer field_ids matching the mapping —
+    // the id-mode resolution contract a compliant reader matches on
+    val ids = dataFiles(t).map(footerIds)
+    assert(ids.nonEmpty)
+    ids.foreach { m =>
+      assert(m.get("id").flatten.contains(1), m)
+      assert(m.get("name").flatten.contains(2), m)
+      assert(m.get("qty").flatten.contains(3), m)
+    }
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+  }
+
+  test("id-mode lifecycle: rename diverges names, ids stay load-bearing") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("name", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "id"))
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      t, Seq.empty)
+    // RENAME COLUMN is legal under id mode (delta-spark allows both
+    // modes): logical 'name' becomes 'label', physical stays 'name'
+    MiniDelta.renameColumn(spark, t, "name", "label")
+    MiniDelta.invalidateSnapshot(t)
+    // post-rename append: the frame speaks the NEW logical name, the
+    // file lands the OLD physical name + the same footer id
+    MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "label"),
+      t, Seq.empty)
+    val ids = dataFiles(t).map(footerIds)
+    ids.foreach { m =>
+      assert(m.get("name").flatten.contains(2),
+        s"physical column 'name' must keep footer id 2: $m")
+    }
+    MiniDelta.invalidateSnapshot(t)
+    // DML under id mode: copy-on-write rewrite relabels + re-ids
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    MiniDelta.update(spark, t, col("id") === 3L,
+      Map("label" -> lit("C")), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "C")))
+    // time travel BEFORE the rename reads the old logical name
+    val v1 = MiniDelta.readFiltered(spark, t, Seq.empty,
+      versionAsOf = Some(1L))
+    assert(v1.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("name-mode writes land footer ids too (real writers do the same)") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, "x")).toDF("id", "v"), t, Seq.empty)
+    val m = footerIds(dataFiles(t).head)
+    assert(m.get("id").flatten.contains(1), m)
+    assert(m.get("v").flatten.contains(2), m)
+  }
+
+  test("mode 'none' is Delta's explicit default: CREATE and SET accept it") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(StructField("id", LongType))),
+      properties = Map("delta.columnMapping.mode" -> "none"))
+    assert(MiniDelta.tableConfig(spark, t)
+      .get("delta.columnMapping.mode").contains("none"))
+    MiniDelta.append(spark, Seq(Tuple1(1L)).toDF("id"), t, Seq.empty)
+    // SET TBLPROPERTIES mode=none on an unmapped table is a no-op
+    // (real writers accept the documented default value the same way)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.columnMapping.mode" -> "none"))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 1)
+    // but a mapped table cannot be un-mapped through it
+    val n = freshTable()
+    MiniDelta.createTable(spark, n,
+      StructType(Seq(StructField("id", LongType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    val ex = intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, n,
+        Map("delta.columnMapping.mode" -> "none")))
+    assert(ex.getMessage.contains("established"), ex.getMessage)
+  }
+
+  test("upgrade to id mode refuses with the create-only rule") {
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
+    val ex = intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.columnMapping.mode" -> "id")))
+    assert(ex.getMessage.contains("CREATE"), ex.getMessage)
+  }
+
+  test("REPLACE TABLE can declare a mapping mode (fresh ids, ratcheted)") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    // start life as a NAME-mapped 2-column table (maxColumnId = 2)
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, "x")).toDF("a", "b"), t, Seq.empty)
+    // REPLACE with id mode: one commit swaps the contract, tombstones
+    // the old rows, and assigns fresh mapping metadata whose ids
+    // ratchet PAST the old maxColumnId (never reused)
+    MiniDelta.replaceTable(spark, t,
+      StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "id"))
+    MiniDelta.invalidateSnapshot(t)
+    val cfg = MiniDelta.tableConfig(spark, t)
+    assert(cfg("delta.columnMapping.mode") == "id")
+    assert(cfg("delta.columnMapping.maxColumnId") == "4")
+    val before = dataFiles(t).toSet
+    MiniDelta.append(spark, Seq((9L, "z")).toDF("id", "v"), t, Seq.empty)
+    val m = footerIds((dataFiles(t).toSet -- before).head)
+    assert(m.get("id").flatten.contains(3), m)
+    assert(m.get("v").flatten.contains(4), m)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+  }
+
+  test("a lost commit race never clobbers the winner (link claim)") {
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
+    val sentinel =
+      """{"commitInfo":{"operation":"WINNER","version":1,"timestamp":1}}"""
+    def stealNextSlot(): java.nio.file.Path = {
+      val next = MiniDelta.latestVersion(spark, t) + 1
+      val p = Paths.get(f"$t%s/_delta_log/$next%020d.json")
+      Files.write(p, sentinel.getBytes("UTF-8"))
+      p
+    }
+    // steal the slot AFTER the DML pinned its read version (the hook
+    // fires right before the commit lands). DML commits are no-retry:
+    // the lost race must surface as a conflict AND the winner's bytes
+    // must survive — Hadoop's local rename is POSIX rename(2), which
+    // silently REPLACES, so a screen+rename claim could clobber here
+    var stolen: java.nio.file.Path = null
+    val prevHook = MiniDelta.beforeDmlCommitHook
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = prevHook // fire once
+      stolen = stealNextSlot()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty))
+    finally MiniDelta.beforeDmlCommitHook = prevHook
+    assert(new String(Files.readAllBytes(stolen), "UTF-8") == sentinel,
+      "losing writer clobbered the winning commit")
+    // streamed path (TRUNCATE) loses the same way, same guarantees
+    MiniDelta.invalidateSnapshot(t)
+    val prevHook2 = MiniDelta.beforeDmlCommitHook
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = prevHook2 // fire once
+      stolen = stealNextSlot()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.truncate(spark, t))
+    finally MiniDelta.beforeDmlCommitHook = prevHook2
+    assert(new String(Files.readAllBytes(stolen), "UTF-8") == sentinel,
+      "streamed loser clobbered the winning commit")
+    // no render debris: neither temp files nor their checksum sidecars
+    val debris = Option(new java.io.File(s"$t/_delta_log").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.contains(".json.tmp"))
+    assert(debris.isEmpty, s"temp-render debris left behind: $debris")
+  }
+}

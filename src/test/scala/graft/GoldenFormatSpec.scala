@@ -157,6 +157,89 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("id-mode log artifacts match the golden wire format") {
+    // pins the round-13 writer capability: a CREATE declaring
+    // delta.columnMapping.mode=id (v0 carries the columnMapping
+    // feature protocol + a metaData whose schemaString fields all hold
+    // physicalName/id metadata and whose configuration ratchets
+    // maxColumnId) and an append whose add stats key by PHYSICAL name.
+    // The footer field_ids themselves are asserted via the parquet
+    // footer API — the parquet bytes are not byte-pinnable across
+    // writer versions, the log is.
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_cmid").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("label", StringType))),
+        properties = Map("delta.columnMapping.mode" -> "id"))
+      MiniDelta.append(spark,
+        Seq((1L, "a"), (2L, "b")).toDF("id", "label").coalesce(1),
+        t, Seq.empty, statsCols = Seq("id"))
+      val v0 = readText(f"$t/_delta_log/${0L}%020d.json")
+      val v1 = readText(f"$t/_delta_log/${1L}%020d.json")
+      // sanity BEFORE the byte pin, so a drift failure names the field
+      assert(v0.contains("\"delta.columnMapping.mode\":\"id\"") &&
+        v0.contains("columnMapping") &&
+        v0.contains("delta.columnMapping.physicalName"), v0)
+      assert(v1.contains("\"add\""), v1)
+      check("colmap_id_v0.json", normalize(v0))
+      check("colmap_id_append.json", normalize(v1))
+      // the written file carries footer field_ids matching the mapping
+      val pq = new java.io.File(t).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val ids =
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(f => f.getName -> Option(f.getId).map(_.intValue()))
+            .toMap
+        } finally r.close()
+      assert(ids == Map("id" -> Some(1), "label" -> Some(2)), ids)
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
+  test("RTAS commit artifacts match the golden wire format") {
+    // pins the CREATE OR REPLACE ... AS SELECT wire shape on the SAME
+    // log: a REPLACE TABLE commit (metaData contract swap + dataChange
+    // tombstones for every pre-replace file, streamed) followed by the
+    // fill's append commit — table identity and history survive, both
+    // eras replayable. A reader between the two commits sees the
+    // post-swap empty table (the REPLACE-then-fill contract the RTAS
+    // command documents).
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val root = Files.createTempDirectory("golden_rtas").toString
+    try {
+      spark.sql(s"CREATE TABLE graft.golden_rtas (id BIGINT, v STRING) " +
+        s"LOCATION '$root/t'")
+      spark.sql("INSERT INTO graft.golden_rtas VALUES (1, 'x')")
+      spark.sql("CREATE OR REPLACE TABLE graft.golden_rtas AS " +
+        "SELECT CAST(7 AS BIGINT) AS k, 'a' AS tag")
+      val v2 = readText(f"$root/t/_delta_log/${2L}%020d.json")
+      val v3 = readText(f"$root/t/_delta_log/${3L}%020d.json")
+      // sanity BEFORE the byte pin: the swap tombstones the old file
+      // and declares the NEW schema; the fill appends under it
+      assert(v2.contains("REPLACE TABLE") && v2.contains("\"remove\"") &&
+        v2.contains("\\\"k\\\"") && v2.contains("\"dataChange\":true"), v2)
+      assert(v3.contains("\"add\""), v3)
+      check("rtas_replace_commit.json", normalize(v2))
+      check("rtas_fill_commit.json", normalize(v3))
+      assert(spark.sql("SELECT k, tag FROM graft.golden_rtas").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "a")))
+    } finally {
+      MiniDelta.commitClock = prevClock
+      graft.plans.GraftSqlTables.unregister("golden_rtas")
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout

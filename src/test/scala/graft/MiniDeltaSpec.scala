@@ -2143,11 +2143,15 @@ class MiniDeltaSpec extends AnyFunSuite {
     // logical-name filtering works post-relabel
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("name") === "b").count() == 1)
-    // mapped tables refuse writes, id mode included
-    intercept[MiniDelta.ColumnMappingUnsupportedException] {
-      MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "name"),
-        t, Seq.empty)
-    }
+    // id-mode tables are WRITABLE: the append lands physical-named
+    // parquet with footer field_ids, and reads back through the same
+    // id-resolution path as the foreign-written files
+    MiniDelta.append(spark, Seq((3L, "c")).toDF("id", "name"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
   test("id-read clones: per-use caller sync and release-on-demand") {
@@ -2883,11 +2887,12 @@ class MiniDeltaSpec extends AnyFunSuite {
     // post-rename alike
     val raw = spark.read.parquet(t)
     assert(raw.columns.contains("tag") && !raw.columns.contains("label"))
-    // id mode refuses by name, as the SET TBLPROPERTIES upgrade does
+    // id mode is CREATE-able too (ColumnMappingWriteSpec drives its
+    // full lifecycle); an UNKNOWN mode still refuses by name
     intercept[IllegalArgumentException] {
       MiniDelta.createTable(spark, freshTable(),
         StructType(Seq(StructField("x", LongType))),
-        properties = Map("delta.columnMapping.mode" -> "id"))
+        properties = Map("delta.columnMapping.mode" -> "sideways"))
     }
     // ICT from v0: the writer feature joins the creation protocol and
     // the v0 commitInfo ITSELF stamps the in-log clock (no enablement

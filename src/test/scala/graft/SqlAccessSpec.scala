@@ -310,6 +310,33 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("self-referential RTAS reads the PRE-replace rows") {
+    // CREATE OR REPLACE TABLE t AS SELECT ... FROM t: the query's scan
+    // pins the pre-replace file list at ANALYSIS time (before the
+    // replace tombstones it), so the fill sees the old rows — the
+    // ordering contract GraftReplaceTableAsSelectCommand documents.
+    // A lazy read path would make this come back empty; this spec is
+    // the regression tripwire.
+    val root = freshDir()
+    try {
+      spark.sql(s"CREATE TABLE graft.spec_selfrtas (k BIGINT, v STRING) " +
+        s"LOCATION '$root/selfrtas'")
+      spark.sql("INSERT INTO graft.spec_selfrtas VALUES " +
+        "(1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("""CREATE OR REPLACE TABLE graft.spec_selfrtas AS
+        SELECT k * 10 AS k10, upper(v) AS vu FROM graft.spec_selfrtas
+        WHERE k >= 2""")
+      assert(spark.sql("SELECT k10, vu FROM graft.spec_selfrtas ORDER BY k10")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((20L, "B"), (30L, "C")),
+        "self-referential RTAS must transform the PRE-replace rows")
+      // history keeps both eras on the same log
+      val ops = spark.sql("DESCRIBE HISTORY graft.spec_selfrtas").collect()
+        .map(_.getString(1)).toSeq
+      assert(ops.contains("REPLACE TABLE"), ops)
+    } finally GraftSqlTables.clear()
+  }
+
   test("CREATE TABLE refusal matrix: raw dir, bad partition, no location") {
     val root = freshDir()
     try {
