@@ -46,8 +46,11 @@ object PlanAudit {
     "sql_select",         // SQL alias resolves to the SAME pruned scan
     "s30_colmap_id",      // field-id resolution is a pure Project too
     "sql_table_changes",  // CDF reconstruction + broadcast ts join (r9)
-    "s34_column_rename")  // mapped WRITE lifecycle readback: relabel
+    "s34_column_rename",  // mapped WRITE lifecycle readback: relabel
                           // stays a pure Project over the scan (r9)
+    "s38_colmap_id_write") // id-mode WRITE lifecycle readback: footer
+                          // field-id resolution stays a pure Project
+                          // over the scan (r13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
