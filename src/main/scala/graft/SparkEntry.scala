@@ -2284,6 +2284,45 @@ object SparkEntry {
         .withColumn("footer_ids_ok", lit(if (idsOk) 1L else 0L))
         .orderBy("flag")
     }),
+    "s39_cdf_write" -> ((s, d) => {
+      // CDF WRITE lifecycle through SQL — the round-13 capability that
+      // replaced the old refusal: CREATE with
+      // delta.enableChangeDataFeed=true (protocol carries the
+      // changeDataFeed writer feature), INSERT, then UPDATE + DELETE
+      // whose commits land REAL cdc files under _change_data/; the
+      // table_changes TVF serves the v2-v3 window EXCLUSIVELY from
+      // those files (the Delta CDF rule), so the pre/post/delete split
+      // below is the cdc files' content, not a reconstruction.
+      val dir = scratch("s39_cdf_write")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s39_trades")
+      graft.plans.GraftSqlTables.register("s39_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s39_trades (okey BIGINT, qty BIGINT,
+          flag STRING)
+        TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s39_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s39_lineitem WHERE l_quantity <= 2""")
+      s.sql("UPDATE graft.s39_trades SET qty = qty + 5 " +
+        "WHERE flag = 'A' AND qty = 1")
+      s.sql("DELETE FROM graft.s39_trades WHERE flag = 'R' AND qty = 2")
+      val nCdc = Option(new java.io.File(s"$table/_change_data")
+        .listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
+      s.sql("""
+        SELECT _change_type AS change_type, flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM table_changes('s39_trades', 2, 3)
+        GROUP BY _change_type, flag""")
+        .withColumn("cdc_present", lit(if (nCdc > 0) 1L else 0L))
+        .orderBy("change_type", "flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -642,6 +642,38 @@ object MiniDelta {
     } finally { f.delete(new Path(staging), true); () }
   }
 
+  /** Write a commit's row-level change feed as REAL Delta cdc files
+    * (`_change_data/…` parquet holding the data columns plus the
+    * writer-computed `_change_type`) and return the commit's `cdc`
+    * action lines. Same staging-capture discipline as
+    * [[writeAndCapture]] (the `_change_data` root has no log of its
+    * own, so no mapping relabel applies — cdc writes are gated to
+    * unmapped tables at the DML sites). Hive-partitioned like the data
+    * files; the action's partitionValues derive from the path exactly
+    * as adds do, and `dataChange=false` keeps the files feed-only —
+    * never part of any snapshot. Scale shape: cdc volume is the
+    * commit's CHANGED rows, written once, distributed — the feed a
+    * real CDF reader would otherwise have to reconstruct with a
+    * per-commit diff of full file contents. */
+  private def writeCdcFiles(spark: SparkSession, table: String,
+                            changes: DataFrame,
+                            partitionBy: Seq[String]): Seq[String] =
+    writeAndCapture(spark, changes, s"$table/_change_data", partitionBy)
+      .map { case (rel, size, _) => cdcLine(s"_change_data/$rel", size) }
+
+  /** Delta protocol cdc action: names a change-data file. A commit
+    * carrying ANY cdc action serves its change feed exclusively from
+    * them (the spec's rule, and [[readCdf]]'s) — so the DML sites must
+    * put the commit's COMPLETE change set into the cdc files. */
+  private def cdcLine(rel: String, size: Long): String = {
+    val parts = partitionSegments(rel).map { seg =>
+      val Array(k, v) = seg.split("=", 2)
+      s"${jstr(k)}:${jstr(v)}"
+    }.mkString(",")
+    s"""{"cdc":{"path":${jstr(rel)},"partitionValues":{$parts},""" +
+      s""""size":$size,"dataChange":false}}"""
+  }
+
   /** Delta-log action schema (the subset this engine writes/reads).
     * Explicit — JSON inference would type partitionValues as a struct of
     * the keys it happens to see instead of map<string,string>. */
@@ -1167,6 +1199,22 @@ object MiniDelta {
     val needIct =
       props.get("delta.enableInCommitTimestamps").contains("true") &&
         !cfg.get("delta.enableInCommitTimestamps").contains("true")
+    // CDF enablement: the changeDataFeed writer feature joins the
+    // protocol; from the NEXT data-changing commit on, the DML paths
+    // write real cdc files. Mapped+CDF refuses in both directions —
+    // cdc files for column-mapped tables are unsupported.
+    val needCdf =
+      props.get("delta.enableChangeDataFeed").contains("true") &&
+        !cfg.get("delta.enableChangeDataFeed").contains("true")
+    require(!(needCdf && (enablingMapping ||
+        cfg.get("delta.columnMapping.mode").exists(m =>
+          m == "name" || m == "id"))),
+      s"cannot enable delta.enableChangeDataFeed on column-mapped " +
+        s"table $table — cdc files for mapped tables are not supported")
+    require(!(enablingMapping &&
+        cfg.get("delta.enableChangeDataFeed").contains("true")),
+      s"cannot enable column mapping on CDF table $table — cdc files " +
+        "for mapped tables are not supported")
     // rowTracking enablement on an EXISTING table: the protocol gains
     // the feature (+ its domainMetadata prerequisite) and the SAME
     // commit backfills — re-adds every live file with its fresh
@@ -1195,7 +1243,8 @@ object MiniDelta {
         "delta.inCommitTimestampEnablementTimestamp" ->
           enablementIct.get.toString)
     val protoUpgrade =
-      if (!needDv && !enablingMapping && !needIct && !needRt) Seq.empty
+      if (!needDv && !enablingMapping && !needIct && !needRt && !needCdf)
+        Seq.empty
       else {
         var p = resolveProtocol(spark, table, readVersion,
           cpAtMost = readVersion).getOrElse(basicProtocol)
@@ -1204,6 +1253,7 @@ object MiniDelta {
         if (needIct) p = p.withWriterFeature("inCommitTimestamp")
         if (needRt) p = p.withWriterFeature("rowTracking")
           .withWriterFeature("domainMetadata")
+        if (needCdf) p = p.withWriterFeature("changeDataFeed")
         Seq(p.render)
       }
     val head = protoUpgrade ++
@@ -1369,6 +1419,19 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       declared = declared.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
+    // CDF from v0: the writer feature joins the protocol (a compliant
+    // foreign writer must know to uphold the cdc contract) and the DML
+    // paths write real cdc files from the first commit on. Mapped+CDF
+    // refuses: cdc files for column-mapped tables are unsupported
+    // (delta-spark restricts the combination too).
+    if (properties.get("delta.enableChangeDataFeed").contains("true")) {
+      require(!properties.get("delta.columnMapping.mode")
+          .exists(m => m == "name" || m == "id"),
+        s"cannot create $table with BOTH delta.enableChangeDataFeed " +
+          "and column mapping — cdc files for mapped tables are not " +
+          "supported")
+      declared = declared.withWriterFeature("changeDataFeed")
+    }
     // delta.columnMapping.mode at CREATE: both modes assign each
     // declared field physicalName = its logical name plus a depth-first
     // id (nothing exists on disk yet, so footers and partition dirs
@@ -1426,10 +1489,9 @@ object MiniDelta {
     val cfg = tableConfig(spark, table, readVersion)
     if (cfg.get("delta.appendOnly").contains("true"))
       throw new AppendOnlyTableException(table)
-    if (cfg.get("delta.enableChangeDataFeed").contains("true"))
-      throw new UnsupportedTableFeatureException(
-        s"$table sets delta.enableChangeDataFeed=true; this engine does " +
-          "not write the cdc files a TRUNCATE commit requires")
+    // CDF-enabled tables TRUNCATE fine without cdc files: a
+    // remove-only commit's add/remove derivation (every row of every
+    // removed file deleted) IS the correct feed — [[cdfDerivableOps]]
     val snapDF = snapshotFilesAt(spark, table, readVersion)
     if (snapDF.isEmpty) return readVersion // already empty: no commit
     val now = System.currentTimeMillis()
@@ -1467,10 +1529,8 @@ object MiniDelta {
     val cfg = tableConfig(spark, table, readVersion)
     if (cfg.get("delta.appendOnly").contains("true"))
       throw new AppendOnlyTableException(table)
-    if (cfg.get("delta.enableChangeDataFeed").contains("true"))
-      throw new UnsupportedTableFeatureException(
-        s"$table sets delta.enableChangeDataFeed=true; this engine does " +
-          "not write the cdc files a REPLACE commit requires")
+    // CDF survives REPLACE without cdc files: old era all-deleted, new
+    // era all-inserted — the add/remove derivation is exactly right
     // feature-enabling properties upgrade the protocol exactly as a
     // CREATE would declare them (never a downgrade — the resolved
     // protocol is the floor)
@@ -1482,6 +1542,14 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       p = p.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
+    if (properties.get("delta.enableChangeDataFeed").contains("true")) {
+      require(!properties.get("delta.columnMapping.mode")
+          .exists(m => m == "name" || m == "id"),
+        s"cannot replace $table with BOTH delta.enableChangeDataFeed " +
+          "and column mapping — cdc files for mapped tables are not " +
+          "supported")
+      p = p.withWriterFeature("changeDataFeed")
+    }
     // REPLACE declaring a mapping mode assigns fresh metadata exactly
     // like CREATE (the old contents are tombstoned in this same
     // commit, so nothing on disk constrains the assignment) — without
@@ -1783,15 +1851,26 @@ object MiniDelta {
       val cfg = tableConfig(spark, table)
       if (cfg.get("delta.appendOnly").contains("true"))
         throw new AppendOnlyTableException(table)
-      // a CDF-enabled table's UPDATE/DELETE/MERGE commits must carry
-      // cdc files (real readers serve the change feed FROM them);
-      // this engine does not write cdc, so committing would silently
-      // drop these changes from a real reader's feed
-      if (cfg.get("delta.enableChangeDataFeed").contains("true"))
+      // a CDF-enabled table's partial-file DML commits must carry cdc
+      // files (a real reader serves the change feed FROM them; without
+      // them it derives from add/remove actions, which mislabels every
+      // UNCHANGED row of a rewritten file as deleted+reinserted). The
+      // DML sites write them ([[writeCdcFiles]]); whole-file-semantics
+      // operations are exempt because the add/remove derivation IS
+      // their correct feed (TRUNCATE removes every row, REPLACE/RESTORE
+      // swap eras, OVERWRITE's contract replaces the scoped rows) —
+      // the same per-operation split delta-spark applies. Anything
+      // else (a mapped CDF table — cdc files for mapped tables are
+      // unsupported — or an internal path that forgot its feed)
+      // refuses rather than silently corrupt the feed.
+      if (cfg.get("delta.enableChangeDataFeed").contains("true") &&
+          !lines.exists(_.contains("\"cdc\":")) &&
+          !cdfDerivableOps(operation))
         throw new UnsupportedTableFeatureException(
-          s"$table sets delta.enableChangeDataFeed=true; this engine " +
-            "does not write the cdc files such a data-changing commit " +
-            "requires — real readers would silently miss these changes")
+          s"$table sets delta.enableChangeDataFeed=true; a " +
+            s"data-changing $operation commit must carry cdc files " +
+            "(written by the DML paths for unmapped tables) — " +
+            "committing without them would corrupt a real reader's feed")
     }
     f.mkdirs(new Path(logDir(table)))
     var v = version
@@ -1876,6 +1955,14 @@ object MiniDelta {
     }
     v // unreachable
   }
+
+  /** Operations whose change feed derives CORRECTLY from add/remove
+    * actions alone (whole-file semantics): every row of a removed file
+    * is genuinely deleted and every row of an added file genuinely
+    * inserted, so no cdc files are needed — the Delta CDF derivation
+    * rule, and the same exemption delta-spark applies. */
+  private val cdfDerivableOps: Set[String] =
+    Set("TRUNCATE", "REPLACE TABLE", "RESTORE", "OVERWRITE")
 
   /** Claim commit slot `dst` by moving fully-rendered temp file `tmp`
     * onto it with CREATE-IF-ABSENT semantics; false = another writer
@@ -3279,7 +3366,12 @@ object MiniDelta {
                           partitionBy: Seq[String], operation: String,
                           statsCols: Seq[String],
                           extraLines: Seq[String] = Nil,
-                          dataChange: Boolean = true): Long = {
+                          dataChange: Boolean = true,
+                          // the commit's COMPLETE row-level change set
+                          // (data columns + _change_type), present iff
+                          // the table serves a change feed — lands as
+                          // real cdc files in the same commit
+                          cdc: Option[DataFrame] = None): Long = {
     // the rewrite reads UNDER the files' deletion vectors: masked rows
     // are already deleted and must not be resurrected into the
     // rewritten files (the new adds carry no DV — CoW materializes it)
@@ -3299,10 +3391,12 @@ object MiniDelta {
         writeAndCapture(spark, newData, table, partitionBy)
       } finally if (constrained) { newData.unpersist(); () }
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    val cdcLines =
+      cdc.fold(Seq.empty[String])(writeCdcFiles(spark, table, _, partitionBy))
     val now = System.currentTimeMillis()
     beforeDmlCommitHook()
     writeCommit(spark, table, readVersion + 1,
-      extraLines ++
+      cdcLines ++ extraLines ++
         touched.map(_._1).sorted.map(p =>
           removeLine(p, dataChange = dataChange, now)) ++
         added.map { case (p, s, m) =>
@@ -3569,8 +3663,8 @@ object MiniDelta {
     // deleted rows are MASKED by a row-index sidecar instead of
     // rewriting every touched file — the Delta DV trade (tiny writes
     // now, a mask probe per read until OPTIMIZE materializes)
-    if (tableConfig(spark, table, readVersion)
-        .get("delta.enableDeletionVectors").contains("true"))
+    val cfg0 = tableConfig(spark, table, readVersion)
+    if (cfg0.get("delta.enableDeletionVectors").contains("true"))
       return deleteWithDv(spark, table, predicate, readVersion, partitionBy)
     val declared = latestSchema(spark, table)
     val snap = collected(dmlCandidates(
@@ -3579,9 +3673,16 @@ object MiniDelta {
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.where(predicate))
     if (touched.isEmpty) return readVersion
+    // CDF: the commit's feed = exactly the deleted rows (the touched
+    // files' survivors are NOT changes — the reason cdc files exist)
+    val cdc =
+      if (!cfg0.get("delta.enableChangeDataFeed").contains("true")) None
+      else Some(readFilesWithDv(spark, table, touched, declared)
+        .where(coalesce(predicate, lit(false)))
+        .withColumn("_change_type", lit("delete")))
     copyOnWrite(spark, table, readVersion, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
-      partitionBy, "DELETE", statsCols)
+      partitionBy, "DELETE", statsCols, cdc = cdc)
   }
 
   /** DELETE via deletion vectors: one narrow predicate scan over the
@@ -3609,8 +3710,21 @@ object MiniDelta {
     try {
       dvMaskActions(spark, table, readVersion, declared, snap, matched)
         .fold(readVersion) { lines =>
+          // CDF: the masked rows ARE the commit's complete change set
+          val cdcLines =
+            if (!tableConfig(spark, table, readVersion)
+                .get("delta.enableChangeDataFeed").contains("true"))
+              Seq.empty[String]
+            else {
+              val dataCols = matched.columns.filterNot(
+                c => c == "__fname" || c == "__ri")
+              writeCdcFiles(spark, table,
+                matched.select(dataCols.map(col).toIndexedSeq: _*)
+                  .withColumn("_change_type", lit("delete")), partitionBy)
+            }
           beforeDmlCommitHook()
-          writeCommit(spark, table, readVersion + 1, lines, "DELETE")
+          writeCommit(spark, table, readVersion + 1, cdcLines ++ lines,
+            "DELETE")
         }
     } finally { matched.unpersist(); () }
   }
@@ -3650,9 +3764,22 @@ object MiniDelta {
             tableConfig(spark, table, readVersion), declared)
           val added = writeAndCapture(spark, updated, table, partitionBy)
           val stats = fileStats(spark, table, added.map(_._1), statsCols)
+          // CDF: masked rows are the preimages, the appended images the
+          // postimages — the same pairing readCdf would reconstruct,
+          // now carried as real cdc files
+          val cdcLines =
+            if (!tableConfig(spark, table, readVersion)
+                .get("delta.enableChangeDataFeed").contains("true"))
+              Seq.empty[String]
+            else writeCdcFiles(spark, table,
+              matched.select(dataCols.map(col).toIndexedSeq: _*)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(updated
+                  .withColumn("_change_type", lit("update_postimage"))),
+              partitionBy)
           beforeDmlCommitHook()
           writeCommit(spark, table, readVersion + 1,
-            maskLines ++
+            cdcLines ++ maskLines ++
               added.map { case (pp, sz, m) =>
                 addLine(pp, sz, stats.get(pp), modTime = Some(m)) },
             "UPDATE")
@@ -3824,6 +3951,21 @@ object MiniDelta {
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.where(predicate))
     if (touched.isEmpty) return readVersion
+    // CDF: pre/post images of exactly the matched rows (the SET applied
+    // unconditionally — these ARE the matches), never the survivors
+    val cdc =
+      if (!tableConfig(spark, table, readVersion)
+          .get("delta.enableChangeDataFeed").contains("true")) None
+      else {
+        val matched = readFilesWithDv(spark, table, touched, declared)
+          .where(coalesce(predicate, lit(false)))
+        val post = recomputeGenerated(
+          matched.select(matched.columns.map(c =>
+            set.get(c).fold(col(c))(_.as(c))).toIndexedSeq: _*), declared)
+        Some(matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(
+            post.withColumn("_change_type", lit("update_postimage"))))
+      }
     copyOnWrite(spark, table, readVersion, touched, declared,
       // ONE projection: every SET expression and the predicate resolve
       // against the PRE-update row (SQL UPDATE semantics) — a sequential
@@ -3844,7 +3986,7 @@ object MiniDelta {
               .otherwise(col(c)).as(c))
         }.toIndexedSeq: _*), declared)
       },
-      partitionBy, "UPDATE", statsCols)
+      partitionBy, "UPDATE", statsCols, cdc = cdc)
   }
 
   /** Re-evaluate every generated column from its expression — the
@@ -3974,11 +4116,33 @@ object MiniDelta {
       .select("path", "dv_path").collect().toIndexedSeq)
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.join(srcKeys, keys, "left_semi"))
+    // CDF: the upsert's feed = matched target rows (update_preimage),
+    // their source replacements (update_postimage), and the unmatched
+    // source rows (insert). Matched pairs are complete because touched
+    // covers every file holding a source key.
+    val cdc =
+      if (!tableConfig(spark, table, readVersion)
+          .get("delta.enableChangeDataFeed").contains("true")) None
+      else {
+        val srcAligned = align(source1)
+        val tgt = readFilesWithDv(spark, table, touched, declared)
+        if (tgt.columns.isEmpty)
+          Some(srcAligned.withColumn("_change_type", lit("insert")))
+        else {
+          val tgtKeys = tgt.select(keys.map(col): _*).distinct()
+          Some(align(tgt.join(srcKeys, keys, "left_semi"))
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(srcAligned.join(tgtKeys, keys, "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(srcAligned.join(tgtKeys, keys, "left_anti")
+              .withColumn("_change_type", lit("insert"))))
+        }
+      }
     copyOnWrite(spark, table, readVersion, touched, declared,
       df => if (df.columns.isEmpty) align(source1) // schema-less empty
             else align(df.join(srcKeys, keys, "left_anti"))
               .unionByName(align(source1)),
-      partitionBy, "MERGE", statsCols, extraLines = metaLines)
+      partitionBy, "MERGE", statsCols, extraLines = metaLines, cdc = cdc)
   }
 
   /** [[merge]]'s deletion-vector form: matched target rows are masked
@@ -4014,9 +4178,28 @@ object MiniDelta {
       enforceConstraints(incoming, cfg, declared)
       val added = writeAndCapture(spark, incoming, table, partitionBy)
       val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      // CDF: masked targets = update_preimage, matching source rows =
+      // update_postimage, the rest of the source = insert — the exact
+      // split the copy-on-write form computes
+      val cdcLines =
+        if (!cfg.get("delta.enableChangeDataFeed").contains("true"))
+          Seq.empty[String]
+        else {
+          val dataCols = matched.columns.filterNot(
+            c => c == "__fname" || c == "__ri")
+          val tgtKeys = matched.select(keys.map(col): _*).distinct()
+          writeCdcFiles(spark, table,
+            align(matched.select(dataCols.map(col).toIndexedSeq: _*))
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionByName(incoming.join(tgtKeys, keys, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionByName(incoming.join(tgtKeys, keys, "left_anti")
+                .withColumn("_change_type", lit("insert"))),
+            partitionBy)
+        }
       beforeDmlCommitHook()
       writeCommit(spark, table, readVersion + 1,
-        metaLines ++ maskLines ++
+        cdcLines ++ metaLines ++ maskLines ++
           added.map { case (p, sz, m) =>
             addLine(p, sz, stats.get(p), modTime = Some(m)) },
         "MERGE")

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+
+/** CDC (change data feed) WRITE support: DML on a
+  * `delta.enableChangeDataFeed=true` table lands REAL Delta cdc files
+  * (`_change_data/…` parquet holding data columns + `_change_type`)
+  * plus `cdc` actions in the commit, and the protocol carries the
+  * `changeDataFeed` writer feature from enablement on. These specs
+  * assert the wire shape (cdc actions, file layout) AND that
+  * [[MiniDelta.readCdf]] — which serves cdc-bearing commits
+  * exclusively from their cdc files, the spec's rule — returns exactly
+  * the written change set. Before this landed, data-changing commits
+  * on CDF tables refused outright. */
+class CdcWriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("cdcwrite").toString + "/t"
+
+  private def commitText(t: String, v: Long): String =
+    new String(Files.readAllBytes(
+      Paths.get(f"$t%s/_delta_log/$v%020d.json")), "UTF-8")
+
+  private def cdcParquets(t: String): Seq[String] =
+    Option(new java.io.File(s"$t/_change_data").listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+
+  private def feed(t: String, from: Long, to: Long)
+      : Set[(Long, String, String, Long)] =
+    MiniDelta.readCdf(spark, t, from, to)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+
+  test("CoW DELETE on a CDF table writes cdc files; feed is exact") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    // the enablement commit carries the changeDataFeed writer feature
+    assert(commitText(t, 1L).contains("\"changeDataFeed\""))
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    val c2 = commitText(t, 2L)
+    assert(c2.contains("\"cdc\":") && c2.contains("_change_data/"), c2)
+    assert(cdcParquets(t).nonEmpty)
+    // the feed for the DELETE commit = exactly the deleted row — the
+    // touched file's SURVIVORS must not appear (they would, under the
+    // add/remove derivation this cdc file replaces)
+    assert(feed(t, 1, 2) == Set((2L, "b", "delete", 2L)))
+    // table reads ignore cdc files entirely
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+  }
+
+  test("CoW UPDATE and MERGE feeds carry exact pre/post/insert splits") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.update(spark, t, col("id") === 1L,
+      Map("v" -> lit("A")), Seq.empty)
+    assert(feed(t, 1, 2) == Set(
+      (1L, "a", "update_preimage", 2L),
+      (1L, "A", "update_postimage", 2L)))
+    // MERGE: id=2 replaced, id=9 inserted
+    MiniDelta.merge(spark, t,
+      Seq((2L, "B"), (9L, "z")).toDF("id", "v"), Seq("id"), Seq.empty)
+    assert(feed(t, 2, 3) == Set(
+      (2L, "b", "update_preimage", 3L),
+      (2L, "B", "update_postimage", 3L),
+      (9L, "z", "insert", 3L)))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "A"), (2L, "B"), (3L, "c"), (9L, "z")))
+  }
+
+  test("DV DELETE and DV UPDATE on a CDF table write cdc too") {
+    val t = freshTable()
+    // one multi-row file, so the DELETE masks instead of removing it
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+      t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true",
+        "delta.enableDeletionVectors" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 3L, Seq.empty)
+    val c2 = commitText(t, 2L)
+    assert(c2.contains("\"cdc\":") && c2.contains("deletionVector"), c2)
+    assert(feed(t, 1, 2) == Set((3L, "c", "delete", 2L)))
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("v" -> lit("B")), Seq.empty)
+    assert(feed(t, 2, 3) == Set(
+      (2L, "b", "update_preimage", 3L),
+      (2L, "B", "update_postimage", 3L)))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("TRUNCATE on a CDF table derives its feed from removes (no cdc)") {
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.truncate(spark, t) // refused before this round
+    val c2 = commitText(t, 2L)
+    assert(!c2.contains("\"cdc\":") && c2.contains("\"remove\""), c2)
+    // remove-only commit: every row of every removed file deleted
+    assert(feed(t, 1, 2) == Set(
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L)))
+  }
+
+  test("vacuum ages cdc files like tombstones; vacuumed feeds fail loudly") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    // within retention the cdc files survive and the feed serves
+    MiniDelta.vacuum(spark, t, retainMs = 3600000L)
+    assert(cdcParquets(t).nonEmpty)
+    assert(feed(t, 1, 2) == Set((2L, "b", "delete", 2L)))
+    // past the horizon they age out with the tombstoned data files,
+    // and a consumer whose checkpoint predates retention fails LOUDLY
+    MiniDelta.vacuum(spark, t)
+    assert(cdcParquets(t).isEmpty, cdcParquets(t))
+    intercept[IllegalStateException](feed(t, 1, 2))
+  }
+
+  test("mapped+CDF refuses in every direction") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    intercept[IllegalArgumentException](
+      MiniDelta.createTable(spark, freshTable(), schema,
+        properties = Map("delta.enableChangeDataFeed" -> "true",
+          "delta.columnMapping.mode" -> "id")))
+    val mapped = freshTable()
+    MiniDelta.createTable(spark, mapped, schema,
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, mapped,
+        Map("delta.enableChangeDataFeed" -> "true")))
+    val cdf = freshTable()
+    MiniDelta.createTable(spark, cdf, schema,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, cdf,
+        Map("delta.columnMapping.mode" -> "name")))
+  }
+}

@@ -240,6 +240,35 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc commit artifacts match the golden wire format") {
+    // pins the CDF WRITE wire shape: the enablement commit's protocol
+    // (changeDataFeed writer feature) and a DELETE commit that carries
+    // cdc actions (path under _change_data/, partitionValues,
+    // dataChange=false) ahead of its remove/add pair — the layout a
+    // real CDF reader serves the feed from.
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_cdc").toString + "/t"
+    try {
+      MiniDelta.append(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+        t, Seq.empty, statsCols = Seq("id"))
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.enableChangeDataFeed" -> "true"))
+      MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+      val v1 = readText(f"$t/_delta_log/${1L}%020d.json")
+      val v2 = readText(f"$t/_delta_log/${2L}%020d.json")
+      assert(v1.contains("\"changeDataFeed\""), v1)
+      assert(v2.contains("\"cdc\":") && v2.contains("_change_data/") &&
+        v2.contains("\"dataChange\":false") &&
+        v2.contains("\"remove\""), v2)
+      check("cdf_enable_commit.json", normalize(v1))
+      check("cdc_delete_commit.json", normalize(v2))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout

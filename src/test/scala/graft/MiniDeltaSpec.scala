@@ -2305,18 +2305,19 @@ class MiniDeltaSpec extends AnyFunSuite {
     }
     MiniDelta.compact(spark, t, Seq("year")) // rewrite, not a change
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 5)
-    // CDF-enabled tables refuse data-CHANGING commits (this engine
-    // writes no cdc files, so a real reader's feed would silently skip
-    // the change); pure appends remain legal
+    // CDF-enabled tables take data-CHANGING commits WITH real cdc
+    // files (CdcWriteSpec pins the feed); appends stay cdc-free (pure
+    // inserts derive from the add actions)
     val t2 = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t2, Seq("year"))
     MiniDelta.setTableProperties(spark, t2,
       Map("delta.enableChangeDataFeed" -> "true"))
     MiniDelta.append(spark, sample("2024", 2), t2, Seq("year"))
-    intercept[MiniDelta.UnsupportedTableFeatureException] {
-      MiniDelta.update(spark, t2, col("id") === 1L,
-        Map("payload" -> lit("x")), Seq("year"))
-    }
+    MiniDelta.update(spark, t2, col("id") === 1L,
+      Map("payload" -> lit("x")), Seq("year"))
+    val updV = MiniDelta.latestVersion(spark, t2)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      f"$t2/_delta_log/$updV%020d.json")).contains("\"cdc\":"))
     // a foreign table demanding a writer feature this engine lacks
     // refuses EVERY commit by name; reads stay fine
     val t3 = freshTable()
