@@ -218,6 +218,15 @@ object ScaleBench {
       // cost (clone/n) must stay flat across the 100× span
       val tClone = timed(MiniDelta.cloneShallow(spark, table,
         s"$dir/fork"))
+      // CDF DML at the table's largest (LAST in the op sequence, so
+      // every earlier column stays comparable to the r11/r12 curves):
+      // enabling the feed is a metadata commit, and a partition-scoped
+      // DV DELETE on the CDF table must cost O(changed rows) — the cdc
+      // files hold partition 0's masked rows, never the table
+      val tCdfEnable = timed(MiniDelta.setTableProperties(spark, table,
+        Map("delta.enableChangeDataFeed" -> "true")))
+      val tDeleteCdf = timed(MiniDelta.delete(spark, table,
+        col("p") === 0L && pmod(col("v"), lit(2)) === 1, Seq("p")))
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
@@ -227,7 +236,9 @@ object ScaleBench {
         s""""rt_backfill":${fmt(tBackfill)},""" +
         s""""append_rt":${fmt(tAppendRt)},""" +
         s""""checkpoint_rt":${fmt(tCpRt)},""" +
-        s""""clone":${fmt(tClone)}}""")
+        s""""clone":${fmt(tClone)},""" +
+        s""""cdf_enable":${fmt(tCdfEnable)},""" +
+        s""""delete_cdf":${fmt(tDeleteCdf)}}""")
     }
   }
 

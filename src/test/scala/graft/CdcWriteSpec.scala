@@ -124,6 +124,41 @@ class CdcWriteSpec extends AnyFunSuite {
       (1L, "a", "delete", 2L), (2L, "b", "delete", 2L)))
   }
 
+  test("partitioned CDF tables: cdc files land Hive-partitioned, feed exact") {
+    // partition columns live in the cdc action's partitionValues (the
+    // files are written partitionBy, so the columns are DIRECTORY
+    // segments, not file columns) — readCdf fills them back per the
+    // action, the same contract the foreign-written fixture pins
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a", "2023"), (2L, "b", "2023"), (3L, "c", "2024"))
+        .toDF("id", "v", "year"), t, Seq("year"))
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq("year"))
+    // the cdc parquet sits under a year=2023 partition directory
+    val cdcDir = new java.io.File(s"$t/_change_data")
+    val partDirs = Option(cdcDir.listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(_.getName)
+    assert(partDirs.contains("year=2023"), partDirs)
+    assert(commitText(t, 2L).contains("\"year\":\"2023\""))
+    val got = MiniDelta.readCdf(spark, t, 1, 2)
+      .select("id", "v", "year", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set((2L, "b", "2023", "delete")))
+    // partition-scoped UPDATE: images stay inside their partition
+    MiniDelta.update(spark, t, col("id") === 3L,
+      Map("v" -> lit("C")), Seq("year"))
+    val got2 = MiniDelta.readCdf(spark, t, 2, 3)
+      .select("id", "v", "year", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got2 == Set(
+      (3L, "c", "2024", "update_preimage"),
+      (3L, "C", "2024", "update_postimage")))
+  }
+
   test("vacuum ages cdc files like tombstones; vacuumed feeds fail loudly") {
     val t = freshTable()
     MiniDelta.append(spark,
@@ -140,6 +175,48 @@ class CdcWriteSpec extends AnyFunSuite {
     MiniDelta.vacuum(spark, t)
     assert(cdcParquets(t).isEmpty, cdcParquets(t))
     intercept[IllegalStateException](feed(t, 1, 2))
+  }
+
+  test("graft-delta CDF stream serves cdc-bearing commits from their files") {
+    // the streaming change feed rides readCdf, so commits that carry
+    // cdc actions deliver the writer-computed images to the stream —
+    // asserted by draining a real StreamingQuery over a CDF-enabled
+    // table whose DML commits all landed cdc files
+    val t = freshTable()
+    val cp = Files.createTempDirectory("cdcstream").toString
+    MiniDelta.append(spark,
+      (1L to 5L).map(i => (i, s"p$i")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.update(spark, t, col("id") <= 2L,
+      Map("v" -> lit("edited")), Seq.empty)
+    MiniDelta.delete(spark, t, col("id") === 5L, Seq.empty)
+    assert(commitText(t, 2L).contains("\"cdc\":") &&
+      commitText(t, 3L).contains("\"cdc\":"))
+    val buf = scala.collection.mutable.Set
+      .empty[(Long, String, String, Long)]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        buf ++= b.select("id", "v", "_change_type", "_commit_version")
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3)))
+        ()
+      }).start()
+    try {
+      q.processAllAvailable()
+      assert(buf.toSet == Set(
+        (1L, "p1", "insert", 0L), (2L, "p2", "insert", 0L),
+        (3L, "p3", "insert", 0L), (4L, "p4", "insert", 0L),
+        (5L, "p5", "insert", 0L),
+        (1L, "p1", "update_preimage", 2L),
+        (1L, "edited", "update_postimage", 2L),
+        (2L, "p2", "update_preimage", 2L),
+        (2L, "edited", "update_postimage", 2L),
+        (5L, "p5", "delete", 3L)))
+    } finally q.stop()
   }
 
   test("mapped+CDF refuses in every direction") {
