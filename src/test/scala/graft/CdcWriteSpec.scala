@@ -219,6 +219,30 @@ class CdcWriteSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("RESTORE on a CDF table derives its feed from the file swap") {
+    // RESTORE is whole-file-semantics: the rolled-back files re-add
+    // (all rows inserts) and the rolled-off files remove (all rows
+    // deletes) — the add/remove derivation is the correct feed, no cdc
+    // needed (the same exemption TRUNCATE/REPLACE ride)
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty) // v2, cdc
+    MiniDelta.restore(spark, t, 0L) // refused before this round
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    val c3 = commitText(t, 3L)
+    assert(!c3.contains("\"cdc\":"), c3)
+    // the restore version's feed: the pre-delete file's rows return as
+    // inserts, the post-delete rewrite's rows leave as deletes
+    val got = feed(t, 2, 3)
+    assert(got.contains((2L, "b", "insert", 3L)), got)
+  }
+
   test("mapped+CDF refuses in every direction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
