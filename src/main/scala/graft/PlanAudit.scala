@@ -48,9 +48,12 @@ object PlanAudit {
     "sql_table_changes",  // CDF reconstruction + broadcast ts join (r9)
     "s34_column_rename",  // mapped WRITE lifecycle readback: relabel
                           // stays a pure Project over the scan (r9)
-    "s38_colmap_id_write") // id-mode WRITE lifecycle readback: footer
+    "s38_colmap_id_write", // id-mode WRITE lifecycle readback: footer
                           // field-id resolution stays a pure Project
                           // over the scan (r13)
+    "s39_cdf_write")      // table_changes over cdc-bearing commits:
+                          // the feed is a union of cdc-file scans +
+                          // partition-value literals, one agg (r13)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -193,6 +193,42 @@ class ColumnMappingWriteSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
   }
 
+  test("DV DML works under id-mode mapping (masks are schema-blind)") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t,
+      StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "id",
+        "delta.enableDeletionVectors" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+      t, Seq.empty)
+    // DV DELETE masks by (file, row index) — no column resolution in
+    // the mask itself, but the predicate scan resolves THROUGH the
+    // id-mode relabel; the re-added file keeps its footer ids
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "c")))
+    // DV UPDATE appends the new image — footer ids must ride it
+    MiniDelta.update(spark, t, col("id") === 3L,
+      Map("v" -> lit("C")), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "C")))
+    dataFiles(t).map(footerIds).foreach { m =>
+      assert(m.get("id").flatten.contains(1) &&
+        m.get("v").flatten.contains(2), m)
+    }
+    // OPTIMIZE materializes the masks; the compacted file is id-true
+    MiniDelta.compact(spark, t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+  }
+
   test("a lost commit race never clobbers the winner (link claim)") {
     val t = freshTable()
     MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
