@@ -654,7 +654,14 @@ object MiniDelta {
     * never part of any snapshot. Scale shape: cdc volume is the
     * commit's CHANGED rows, written once, distributed — the feed a
     * real CDF reader would otherwise have to reconstruct with a
-    * per-commit diff of full file contents. */
+    * per-commit diff of full file contents.
+    *
+    * Determinism assumption: the change frame re-evaluates the DML's
+    * expressions (the data write is a separate pass), so
+    * nondeterministic SET/source expressions could land different
+    * values in the feed than in the table — the standard Delta DML
+    * determinism expectation; deterministic expressions (the SQL
+    * surface's case) are exact. */
   private def writeCdcFiles(spark: SparkSession, table: String,
                             changes: DataFrame,
                             partitionBy: Seq[String]): Seq[String] =
@@ -1985,17 +1992,20 @@ object MiniDelta {
       val d = java.nio.file.Paths.get(dst.toUri.getPath)
       try {
         java.nio.file.Files.createLink(d, t)
-        // carry the Hadoop checksum sidecar the way rename would have
-        // (same bytes → same checksum); best-effort — a missing crc
-        // just skips read-time verification
+        // the slot is WON from this point — everything below is
+        // best-effort cleanup that must never surface as a failed
+        // commit (a leftover temp/crc is debris vacuum ages out)
         def crc(p: java.nio.file.Path) =
           p.resolveSibling("." + p.getFileName.toString + ".crc")
         try {
+          // carry the Hadoop checksum sidecar the way rename would
+          // have (same bytes → same checksum); a missing crc just
+          // skips read-time verification
           if (java.nio.file.Files.exists(crc(t)))
             java.nio.file.Files.createLink(crc(d), crc(t))
+          java.nio.file.Files.deleteIfExists(crc(t))
+          java.nio.file.Files.delete(t)
         } catch { case _: java.io.IOException => () }
-        java.nio.file.Files.deleteIfExists(crc(t))
-        java.nio.file.Files.delete(t)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false

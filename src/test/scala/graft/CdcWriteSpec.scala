@@ -243,6 +243,31 @@ class CdcWriteSpec extends AnyFunSuite {
     assert(got.contains((2L, "b", "insert", 3L)), got)
   }
 
+  test("OVERWRITE and REPLACE on CDF tables derive (whole-file contract)") {
+    // the last two cdfDerivableOps: INSERT OVERWRITE's contract
+    // replaces the scoped rows (removed files all-deleted, new files
+    // all-inserted) and REPLACE TABLE swaps eras — both feeds are the
+    // add/remove derivation, no cdc files written
+    val t = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      t, Seq.empty)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.overwrite(spark, Seq((7L, "z")).toDF("id", "v"), t,
+      Seq.empty) // refused before this round
+    assert(!commitText(t, 2L).contains("\"cdc\":"))
+    assert(feed(t, 1, 2) == Set(
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L),
+      (7L, "z", "insert", 2L)))
+    import org.apache.spark.sql.types._
+    MiniDelta.replaceTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    assert(!commitText(t, 3L).contains("\"cdc\":"))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 0)
+  }
+
   test("mapped+CDF refuses in every direction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
