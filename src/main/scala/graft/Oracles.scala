@@ -1504,6 +1504,30 @@ SELECT 'update_postimage' AS change_type, flag,
 FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
 ORDER BY change_type, flag""",
 
+    "s40_mapped_cdf" ->
+      """WITH base AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity <= 2
+)
+SELECT 'delete' AS change_type, flag,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS phys_cols_ok
+FROM base WHERE flag = 'R' AND qty = 2 GROUP BY flag
+UNION ALL
+SELECT 'update_preimage' AS change_type, flag,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS phys_cols_ok
+FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
+UNION ALL
+SELECT 'update_postimage' AS change_type, flag,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty + 5) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS phys_cols_ok
+FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
+ORDER BY change_type, flag""",
+
     "s38_colmap_id_write" ->
       """SELECT l_returnflag AS flag,
   CAST(count(*) AS BIGINT) AS n_rows,

@@ -2323,6 +2323,55 @@ object SparkEntry {
         .withColumn("cdc_present", lit(if (nCdc > 0) 1L else 0L))
         .orderBy("change_type", "flag")
     }),
+    "s40_mapped_cdf" -> ((s, d) => {
+      // CDF WRITE on a COLUMN-MAPPED table — the round-13 capability
+      // that closed the last writer-matrix refusal: cdc files follow
+      // the PHYSICAL schema exactly like data files, so one change
+      // feed spans a column RENAME. Lifecycle: CREATE (mapping name +
+      // CDF, v0), INSERT (v1), RENAME COLUMN qty→quantity (v2,
+      // metadata-only), UPDATE (v3) + DELETE (v4) under the NEW
+      // logical name; table_changes over [3,4] serves the feed from
+      // the cdc files relabeled to logical. phys_cols_ok asserts the
+      // files on disk speak the stable physical name ('qty'), never
+      // the renamed logical one.
+      val dir = scratch("s40_mapped_cdf")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s40_trades")
+      graft.plans.GraftSqlTables.register("s40_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s40_trades (okey BIGINT, qty BIGINT,
+          flag STRING)
+        TBLPROPERTIES ('delta.columnMapping.mode' = 'name',
+          'delta.enableChangeDataFeed' = 'true')
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s40_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s40_lineitem WHERE l_quantity <= 2""")
+      s.sql("ALTER TABLE graft.s40_trades RENAME COLUMN qty TO quantity")
+      s.sql("UPDATE graft.s40_trades SET quantity = quantity + 5 " +
+        "WHERE flag = 'A' AND quantity = 1")
+      s.sql("DELETE FROM graft.s40_trades WHERE flag = 'R' AND quantity = 2")
+      def cdcParquets(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap(c =>
+          if (c.isDirectory) cdcParquets(c)
+          else if (c.getName.endsWith(".parquet")) Seq(c) else Nil)
+      val cdcCols = cdcParquets(new java.io.File(s"$table/_change_data"))
+        .map(f => s.read.parquet(f.getAbsolutePath).columns.toSet)
+      val physOk = cdcCols.nonEmpty && cdcCols.forall(c =>
+        c("qty") && c("_change_type") && !c("quantity"))
+      s.sql("""
+        SELECT _change_type AS change_type, flag, count(*) AS n_rows,
+               CAST(sum(quantity) AS BIGINT) AS sum_qty
+        FROM table_changes('s40_trades', 3, 4)
+        GROUP BY _change_type, flag""")
+        .withColumn("phys_cols_ok", lit(if (physOk) 1L else 0L))
+        .orderBy("change_type", "flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -646,9 +646,14 @@ object MiniDelta {
     * (`_change_data/…` parquet holding the data columns plus the
     * writer-computed `_change_type`) and return the commit's `cdc`
     * action lines. Same staging-capture discipline as
-    * [[writeAndCapture]] (the `_change_data` root has no log of its
-    * own, so no mapping relabel applies — cdc writes are gated to
-    * unmapped tables at the DML sites). Hive-partitioned like the data
+    * [[writeAndCapture]] — but the `_change_data` root has no log of
+    * its own, so the mapping relabel writeAndCapture probes for never
+    * fires there; the column-mapping contract is applied HERE instead:
+    * on mapped tables the data columns land under their physical names
+    * (+ footer field_ids whenever the mapping carries ids, exactly
+    * like the data files), the partition directories use the physical
+    * partition names, and `_change_type` — not a schema column — keeps
+    * its literal name and carries no id. Hive-partitioned like the data
     * files; the action's partitionValues derive from the path exactly
     * as adds do, and `dataChange=false` keeps the files feed-only —
     * never part of any snapshot. Scale shape: cdc volume is the
@@ -664,9 +669,18 @@ object MiniDelta {
     * surface's case) are exact. */
   private def writeCdcFiles(spark: SparkSession, table: String,
                             changes: DataFrame,
-                            partitionBy: Seq[String]): Seq[String] =
-    writeAndCapture(spark, changes, s"$table/_change_data", partitionBy)
+                            partitionBy: Seq[String]): Seq[String] = {
+    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+    val withIds =
+      mapped.exists(_.fields.exists(_.metadata.contains(MapIdKey)))
+    val phys0 = mapped.fold(changes)(
+      toPhysical(changes, _, withIds, passthrough = Seq("_change_type")))
+    val phys = if (withIds) ensureFieldIdWriteSession(phys0) else phys0
+    val physPartitionBy = mapped.fold(partitionBy)(st =>
+      partitionBy.map(physicalColOf(Some(st), _)))
+    writeAndCapture(spark, phys, s"$table/_change_data", physPartitionBy)
       .map { case (rel, size, _) => cdcLine(s"_change_data/$rel", size) }
+  }
 
   /** Delta protocol cdc action: names a change-data file. A commit
     * carrying ANY cdc action serves its change feed exclusively from
@@ -1166,10 +1180,11 @@ object MiniDelta {
       case Some("none") if !cfg.contains("delta.columnMapping.mode") =>
         false // explicit default: a no-op, recorded in the config
       case Some("name") if !cfg.contains("delta.columnMapping.mode") =>
-        require(parts.isEmpty,
-          s"enabling column mapping on PARTITIONED table $table is not " +
-            "supported — partition directory names would need physical " +
-            "renames")
+        // partitioned tables upgrade too: physicalName = the current
+        // name, so the partition directories already on disk ARE the
+        // physical names — nothing renames, and every later write
+        // partitions by the (stable) physical key exactly like a
+        // table created mapped+partitioned
         require(!isColumnMapped(schema),
           s"$table already carries mapping metadata without a mode — " +
             "malformed; refuse rather than reassign")
@@ -1208,20 +1223,14 @@ object MiniDelta {
         !cfg.get("delta.enableInCommitTimestamps").contains("true")
     // CDF enablement: the changeDataFeed writer feature joins the
     // protocol; from the NEXT data-changing commit on, the DML paths
-    // write real cdc files. Mapped+CDF refuses in both directions —
-    // cdc files for column-mapped tables are unsupported.
+    // write real cdc files. Mapped+CDF composes freely in both
+    // directions: [[writeCdcFiles]] lands change-data files under the
+    // physical schema exactly like data files, and a mapping upgrade
+    // on a CDF table keeps old (logical-named) cdc files readable
+    // because upgrade semantics set physicalName = the current name.
     val needCdf =
       props.get("delta.enableChangeDataFeed").contains("true") &&
         !cfg.get("delta.enableChangeDataFeed").contains("true")
-    require(!(needCdf && (enablingMapping ||
-        cfg.get("delta.columnMapping.mode").exists(m =>
-          m == "name" || m == "id"))),
-      s"cannot enable delta.enableChangeDataFeed on column-mapped " +
-        s"table $table — cdc files for mapped tables are not supported")
-    require(!(enablingMapping &&
-        cfg.get("delta.enableChangeDataFeed").contains("true")),
-      s"cannot enable column mapping on CDF table $table — cdc files " +
-        "for mapped tables are not supported")
     // rowTracking enablement on an EXISTING table: the protocol gains
     // the feature (+ its domainMetadata prerequisite) and the SAME
     // commit backfills — re-adds every live file with its fresh
@@ -1428,17 +1437,10 @@ object MiniDelta {
         .withWriterFeature("domainMetadata")
     // CDF from v0: the writer feature joins the protocol (a compliant
     // foreign writer must know to uphold the cdc contract) and the DML
-    // paths write real cdc files from the first commit on. Mapped+CDF
-    // refuses: cdc files for column-mapped tables are unsupported
-    // (delta-spark restricts the combination too).
-    if (properties.get("delta.enableChangeDataFeed").contains("true")) {
-      require(!properties.get("delta.columnMapping.mode")
-          .exists(m => m == "name" || m == "id"),
-        s"cannot create $table with BOTH delta.enableChangeDataFeed " +
-          "and column mapping — cdc files for mapped tables are not " +
-          "supported")
+    // paths write real cdc files from the first commit on — on mapped
+    // tables under the physical schema, like the data files.
+    if (properties.get("delta.enableChangeDataFeed").contains("true"))
       declared = declared.withWriterFeature("changeDataFeed")
-    }
     // delta.columnMapping.mode at CREATE: both modes assign each
     // declared field physicalName = its logical name plus a depth-first
     // id (nothing exists on disk yet, so footers and partition dirs
@@ -1549,14 +1551,8 @@ object MiniDelta {
     if (properties.get("delta.enableRowTracking").contains("true"))
       p = p.withWriterFeature("rowTracking")
         .withWriterFeature("domainMetadata")
-    if (properties.get("delta.enableChangeDataFeed").contains("true")) {
-      require(!properties.get("delta.columnMapping.mode")
-          .exists(m => m == "name" || m == "id"),
-        s"cannot replace $table with BOTH delta.enableChangeDataFeed " +
-          "and column mapping — cdc files for mapped tables are not " +
-          "supported")
+    if (properties.get("delta.enableChangeDataFeed").contains("true"))
       p = p.withWriterFeature("changeDataFeed")
-    }
     // REPLACE declaring a mapping mode assigns fresh metadata exactly
     // like CREATE (the old contents are tombstoned in this same
     // commit, so nothing on disk constrains the assignment) — without
@@ -1867,9 +1863,8 @@ object MiniDelta {
       // their correct feed (TRUNCATE removes every row, REPLACE/RESTORE
       // swap eras, OVERWRITE's contract replaces the scoped rows) —
       // the same per-operation split delta-spark applies. Anything
-      // else (a mapped CDF table — cdc files for mapped tables are
-      // unsupported — or an internal path that forgot its feed)
-      // refuses rather than silently corrupt the feed.
+      // else (an internal path that forgot its feed) refuses rather
+      // than silently corrupt the feed.
       if (cfg.get("delta.enableChangeDataFeed").contains("true") &&
           !lines.exists(_.contains("\"cdc\":")) &&
           !cdfDerivableOps(operation))
@@ -5497,13 +5492,16 @@ object MiniDelta {
     * additionally carries Spark's `parquet.field.id` metadata (nested
     * fields through the cast's target type, top-level through the alias
     * metadata), which the parquet writer lands as footer field_ids —
-    * the id-mode resolution contract a compliant reader matches on. */
+    * the id-mode resolution contract a compliant reader matches on.
+    * `passthrough` columns are appended verbatim (no rename, no id) —
+    * the cdc writer's non-schema `_change_type` rides through here. */
   private def toPhysical(df: DataFrame,
       logical: org.apache.spark.sql.types.StructType,
-      withIds: Boolean = false): DataFrame = {
+      withIds: Boolean = false,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val present = logical.fields.filter(lf =>
       df.columns.exists(_.equalsIgnoreCase(lf.name)))
-    df.select(present.map { lf =>
+    df.select((present.map { lf =>
       val c = col(s"`${lf.name}`")
         .cast(physicalType(lf.dataType, withIds))
       if (withIds && lf.metadata.contains(MapIdKey))
@@ -5512,7 +5510,7 @@ object MiniDelta {
             .putLong(ParquetFieldIdKey, lf.metadata.getLong(MapIdKey))
             .build())
       else c.as(physicalNameOf(lf))
-    }.toIndexedSeq: _*)
+    } ++ passthrough.map(c => col(s"`$c`"))).toIndexedSeq: _*)
   }
 
   /** Assign name-mode mapping metadata to a schema: every (nested)
@@ -6072,6 +6070,11 @@ object MiniDelta {
     val fields = declared.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
     require(!fields.exists(_.startsWith("__cdf_")),
       "table columns collide with the __cdf_ temp namespace")
+    // column-mapped table: cdc-bearing commits' change-data files use
+    // the physical schema exactly like the data files — resolve the
+    // mapping once for every cdc-served version in the window
+    val cdfIdMode = idReadMode(spark, table, declared)
+    val cdfMapped = declared.filter(st => isColumnMapped(st) || cdfIdMode)
     def emptyFeed = {
       val base = declared.fold(spark.emptyDataFrame)(s =>
         spark.createDataFrame(
@@ -6177,23 +6180,54 @@ object MiniDelta {
           cdcFiles(v).groupBy(_._2).toSeq
             .sortBy(_._1.toSeq.sorted.mkString("\u0001"))
             .map { case (pv, fs2) =>
-              val df = spark.read.parquet(
-                fs2.map(t2 => resolvePath(table, t2._1)): _*)
-              val present = df.columns.toSet
-              val sel = fields.map { n =>
-                if (present(n)) col(n)
-                else if (pv.contains(n)) {
-                  // genuinely a partition column: the action carries it
-                  val dt = declared.map(_(n).dataType)
-                    .getOrElse(org.apache.spark.sql.types.StringType)
-                  lit(pv(n)).cast(dt).as(n)
-                }
-                // NOT in the files and NOT a partition value (e.g. a
-                // name-mapped table's physical columns): resolve
-                // loudly — null-filling here would be silent data loss
-                else col(n)
+              val paths = fs2.map(t2 => resolvePath(table, t2._1))
+              cdfMapped match {
+                case Some(st) =>
+                  // mapped table: cdc files store PHYSICAL names
+                  // (+ footer field_ids in id mode) exactly like the
+                  // data files, and the action's partitionValues keys
+                  // are physical too. Scan under the explicit physical
+                  // file schema (id mode resolves by footer field_id
+                  // through the cloned session; columns a file
+                  // predates null-fill — Delta's own evolution
+                  // semantics) and relabel to logical; _change_type is
+                  // not a schema column and reads by its literal name.
+                  import org.apache.spark.sql.types._
+                  val dataFields = st.fields.filterNot(f =>
+                    pv.contains(physicalNameOf(f)))
+                  val fileSchema = StructType(
+                    physicalStruct(StructType(dataFields),
+                      cdfIdMode).fields :+
+                      StructField("_change_type", StringType))
+                  val sess =
+                    if (cdfIdMode) idReadSession(spark) else spark
+                  val df = sess.read.schema(fileSchema).parquet(paths: _*)
+                  val sel = st.fields.map { f =>
+                    val pn = physicalNameOf(f)
+                    if (pv.contains(pn))
+                      lit(pv(pn)).cast(f.dataType).as(f.name)
+                    else col(s"`$pn`").cast(f.dataType).as(f.name)
+                  }
+                  df.select((sel :+ col("_change_type")).toIndexedSeq: _*)
+                case None =>
+                  val df = spark.read.parquet(paths: _*)
+                  val present = df.columns.toSet
+                  val sel = fields.map { n =>
+                    if (present(n)) col(n)
+                    else if (pv.contains(n)) {
+                      // genuinely a partition column: the action
+                      // carries it
+                      val dt = declared.map(_(n).dataType)
+                        .getOrElse(org.apache.spark.sql.types.StringType)
+                      lit(pv(n)).cast(dt).as(n)
+                    }
+                    // NOT in the files and NOT a partition value:
+                    // resolve loudly — null-filling here would be
+                    // silent data loss
+                    else col(n)
+                  }
+                  df.select((sel :+ col("_change_type")): _*)
               }
-              df.select((sel :+ col("_change_type")): _*)
             }.reduce(_.unionByName(_))
         else if (r.isEmpty)
           readAdds(a).withColumn("_change_type", lit("insert"))

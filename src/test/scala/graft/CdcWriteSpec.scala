@@ -268,25 +268,148 @@ class CdcWriteSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 0)
   }
 
-  test("mapped+CDF refuses in every direction") {
+  // ——— column-mapped CDF tables: cdc files follow the PHYSICAL schema
+  // exactly like data files ([[MiniDelta.writeCdcFiles]] relabels,
+  // [[MiniDelta.readCdf]] relabels back). Before round 13 this
+  // combination refused in every direction.
+
+  private def cdcParquetPaths(t: String): Seq[String] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(s"$t/_change_data"))
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+  }
+
+  /** (name -> footer field id) of a parquet file's top-level columns. */
+  private def footerIds(file: String): Map[String, Option[Int]] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(f =>
+        f.getName -> Option(f.getId).map(_.intValue())).toMap
+    } finally r.close()
+  }
+
+  test("name-mapped CDF: cdc files store physical names, feed spans a rename") {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("id", LongType), StructField("v", StringType)))
-    intercept[IllegalArgumentException](
-      MiniDelta.createTable(spark, freshTable(), schema,
-        properties = Map("delta.enableChangeDataFeed" -> "true",
-          "delta.columnMapping.mode" -> "id")))
-    val mapped = freshTable()
-    MiniDelta.createTable(spark, mapped, schema,
-      properties = Map("delta.columnMapping.mode" -> "name"))
-    intercept[IllegalArgumentException](
-      MiniDelta.setTableProperties(spark, mapped,
-        Map("delta.enableChangeDataFeed" -> "true")))
-    val cdf = freshTable()
-    MiniDelta.createTable(spark, cdf, schema,
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty) // v2: cdc
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.renameColumn(spark, t, "v", "label") // v3: metadata only
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("label" -> lit("B")), Seq.empty) // v4: cdc under NEW logical
+    MiniDelta.invalidateSnapshot(t)
+    assert(commitText(t, 2L).contains("\"cdc\":"))
+    assert(commitText(t, 4L).contains("\"cdc\":"))
+    // the files on disk store the PHYSICAL name ('v' — stable across
+    // the rename, the point of mapping) and never the logical 'label'
+    val cols = cdcParquetPaths(t).map(p =>
+      spark.read.parquet(p).columns.toSet)
+    assert(cols.nonEmpty && cols.forall(c =>
+      c("v") && c("_change_type") && !c("label")), cols)
+    // one feed spans BOTH eras under the current logical name
+    val got = MiniDelta.readCdf(spark, t, 1L, 4L)
+      .select("id", "label", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", "delete", 2L),
+      (2L, "b", "update_preimage", 4L),
+      (2L, "B", "update_postimage", 4L)))
+  }
+
+  test("id-mode CDF: cdc files carry footer field_ids; feed exact") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "id",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // data columns carry the mapping's footer ids; _change_type is not
+    // a schema column — literal name, no id
+    val ids = cdcParquetPaths(t).map(footerIds)
+    assert(ids.nonEmpty)
+    ids.foreach { m =>
+      assert(m.get("id").flatten.contains(1), m)
+      assert(m.get("v").flatten.contains(2), m)
+      assert(m.get("_change_type").flatten.isEmpty, m)
+    }
+    assert(feed(t, 1L, 2L) == Set((2L, "b", "delete", 2L)))
+  }
+
+  test("mapping upgrade on a CDF table keeps the pre-upgrade feed readable") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
       properties = Map("delta.enableChangeDataFeed" -> "true"))
-    intercept[IllegalArgumentException](
-      MiniDelta.setTableProperties(spark, cdf,
-        Map("delta.columnMapping.mode" -> "name")))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty) // v2: logical-named cdc
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.columnMapping.mode" -> "name")) // v3: upgrade
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.renameColumn(spark, t, "v", "label") // v4
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("label" -> lit("B")), Seq.empty) // v5: physical-named cdc
+    MiniDelta.invalidateSnapshot(t)
+    // upgrade semantics pin physicalName = the name at upgrade ('v'),
+    // so the v2 (pre-upgrade, logical-named) cdc files read under the
+    // SAME physical schema as the v5 ones — one feed, both eras
+    val got = MiniDelta.readCdf(spark, t, 1L, 5L)
+      .select("id", "label", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", "delete", 2L),
+      (2L, "b", "update_preimage", 5L),
+      (2L, "B", "update_postimage", 5L)))
+  }
+
+  test("partitioned mapped CDF: physical partition dirs, pv-filled feed") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType))),
+      partitionBy = Seq("p"),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+        .toDF("id", "v", "p"), t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") =!= 3L, Seq("p")) // v2: cdc in both parts
+    MiniDelta.invalidateSnapshot(t)
+    // cdc files land Hive-partitioned under the PHYSICAL partition key
+    assert(cdcParquetPaths(t).nonEmpty &&
+      cdcParquetPaths(t).forall(_.contains("/p=")))
+    // partition column resolves from the action's partitionValues
+    val got = MiniDelta.readCdf(spark, t, 1L, 2L)
+      .select("id", "v", "p", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, "a", "x", "delete"), (2L, "b", "x", "delete")))
   }
 }

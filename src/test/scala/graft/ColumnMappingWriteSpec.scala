@@ -154,6 +154,41 @@ class ColumnMappingWriteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("established"), ex.getMessage)
   }
 
+  test("name-mode upgrade on a PARTITIONED table: dirs are already physical") {
+    // upgrade semantics pin physicalName = the current name, so the
+    // partition directories already on disk ARE the physical names —
+    // nothing renames, post-upgrade appends land in the same layout,
+    // and a later rename of a NON-partition column only moves the
+    // logical label (this combination refused before late r13)
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"),
+      t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq((3L, "c", "x")).toDF("id", "v", "p"),
+      t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.renameColumn(spark, t, "v", "label")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).orderBy("id")
+      .select("id", "label", "p").as[(Long, String, String)]
+      .collect().toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+    // partition pruning probes the on-disk (physical) key — both the
+    // pre-upgrade and post-upgrade files of p=x survive
+    assert(MiniDelta.filesForFilters(
+      MiniDelta.snapshotFiles(spark, t), Seq(Map("p" -> "x")))
+      .count() == 2)
+    // post-upgrade DML crosses the partition layout intact
+    MiniDelta.delete(spark, t, col("id") === 2L, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("upgrade to id mode refuses with the create-only rule") {
     val t = freshTable()
     MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)

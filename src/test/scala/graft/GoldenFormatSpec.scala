@@ -269,6 +269,48 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("mapped-cdc commit artifacts match the golden wire format") {
+    // pins the late-r13 mapped+CDF wire shape: v0 declares BOTH the
+    // changeDataFeed writer feature and the columnMapping metadata
+    // (physicalName/id per field, mode + maxColumnId in the
+    // configuration), and a post-RENAME UPDATE commit carries cdc
+    // actions whose path and partitionValues use the PHYSICAL
+    // partition key while the same commit's metaData-bearing history
+    // speaks the renamed logical name — the stable-name contract a
+    // mapped CDF reader resolves by.
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_mcdc").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType),
+        StructField("p", StringType))),
+        partitionBy = Seq("p"),
+        properties = Map("delta.columnMapping.mode" -> "name",
+          "delta.enableChangeDataFeed" -> "true"))
+      MiniDelta.append(spark,
+        Seq((1L, "a", "x"), (2L, "b", "x")).toDF("id", "v", "p")
+          .coalesce(1), t, Seq("p"))
+      MiniDelta.invalidateSnapshot(t)
+      MiniDelta.renameColumn(spark, t, "v", "label")
+      MiniDelta.invalidateSnapshot(t)
+      MiniDelta.update(spark, t, col("id") === 2L,
+        Map("label" -> lit("B")), Seq("p"))
+      val v0 = readText(f"$t/_delta_log/${0L}%020d.json")
+      val v3 = readText(f"$t/_delta_log/${3L}%020d.json")
+      assert(v0.contains("\"changeDataFeed\"") &&
+        v0.contains("delta.columnMapping.physicalName"), v0)
+      assert(v3.contains("\"cdc\":") &&
+        v3.contains("_change_data/p=x/") &&
+        v3.contains("\"partitionValues\":{\"p\":\"x\"}"), v3)
+      check("mapped_cdf_v0.json", normalize(v0))
+      check("mapped_cdc_update.json", normalize(v3))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout

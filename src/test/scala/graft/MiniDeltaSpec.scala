@@ -90,13 +90,18 @@ class MiniDeltaSpec extends AnyFunSuite {
     val v1 = MiniDelta.readFiltered(spark, t, Seq.empty,
       versionAsOf = Some(1L))
     assert(v1.columns.contains("price") && !v1.columns.contains("px"))
-    // governance refusals: partitioned tables, id mode, un-enabling
+    // governance: partitioned tables UPGRADE too (physicalName = the
+    // current name, so the partition dirs on disk are already the
+    // physical names — see ColumnMappingWriteSpec for the full
+    // lifecycle); id mode and un-enabling still refuse
     val p = freshTable()
     MiniDelta.append(spark, sample("2023", 2), p, Seq("year"))
-    val pe = intercept[IllegalArgumentException](
-      MiniDelta.setTableProperties(spark, p,
-        Map("delta.columnMapping.mode" -> "name")))
-    assert(pe.getMessage.contains("PARTITIONED"))
+    MiniDelta.setTableProperties(spark, p,
+      Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.invalidateSnapshot(p)
+    assert(MiniDelta.tableConfig(spark, p)
+      .get("delta.columnMapping.mode").contains("name"))
+    assert(MiniDelta.readFiltered(spark, p, Seq.empty).count() == 2)
     intercept[IllegalArgumentException](MiniDelta.setTableProperties(
       spark, t, Map("delta.columnMapping.mode" -> "id")))
     intercept[IllegalArgumentException](
