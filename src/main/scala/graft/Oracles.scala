@@ -1422,12 +1422,18 @@ FROM kept""",
     // row-to-value mapping is scheduler-dependent: n distinct values
     // walking 1000, 1003, ... with no collisions across commits
     "s36_identity" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      """WITH final AS (
+  SELECT CASE WHEN l_quantity = 1 THEN 11.0 ELSE l_quantity END AS q
+  FROM lineitem WHERE l_quantity <= 2
+  UNION ALL
+  SELECT l_quantity AS q FROM lineitem WHERE l_quantity = 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(count(*) AS BIGINT) AS n_ids,
   CAST(1000 AS BIGINT) AS min_id,
   CAST(1000 + 3 * (count(*) - 1) AS BIGINT) AS max_id,
-  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-FROM lineitem WHERE l_quantity <= 2""",
+  CAST(sum(CAST(q AS BIGINT)) AS BIGINT) AS sum_qty
+FROM final""",
 
     // the oracle recomputes the generated bucket and the update's
     // price-zeroing directly from the source

@@ -2206,14 +2206,32 @@ object SparkEntry {
             .putLong("delta.identity.step", 3L).build()),
         StructField("l_orderkey", LongType),
         StructField("l_linenumber", IntegerType),
+        StructField("l_partkey", LongType),
         StructField("l_quantity", DoubleType))))
       val src = Tables.load(s, d, "lineitem")
         .where(col("l_quantity") <= 2)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("l_quantity"))
       graft.io.MiniDelta.append(s,
         src.where(pmod(col("l_linenumber"), lit(2)) === 0), table, Seq.empty)
       graft.io.MiniDelta.append(s,
         src.where(pmod(col("l_linenumber"), lit(2)) === 1), table, Seq.empty)
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      // MERGE leg (identity composes since late r13): matched rows
+      // (l_quantity = 1 → 11.0) KEEP their assigned identity values,
+      // inserts (the l_quantity = 3 rows, disjoint keys) extend the
+      // chain past the high-water mark — so n_ids stays n_rows, min
+      // stays 1000, and max walks to 1000 + 3*(total-1)
+      val mergeSrc = src.where(col("l_quantity") === 1)
+        .withColumn("l_quantity", lit(11.0))
+        .unionByName(Tables.load(s, d, "lineitem")
+          .where(col("l_quantity") === 3)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").cast("long").as("l_partkey"),
+            col("l_quantity")))
+      graft.io.MiniDelta.merge(s, table, mergeSrc,
+        Seq("l_orderkey", "l_linenumber", "l_partkey"), Seq.empty)
       graft.io.MiniDelta.invalidateSnapshot(table)
       graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
         .agg(count(lit(1)).as("n_rows"),

@@ -4053,13 +4053,22 @@ object MiniDelta {
         s"merge cannot evolve the schema of column-mapped table $table " +
           "— new columns need mapping metadata; add them first with " +
           "ALTER TABLE ... ADD COLUMNS")
-    // identity tables refuse MERGE by name: replaced rows would need
-    // the TARGET's identity values and inserts fresh ones — the
-    // wholesale-replace structure cannot honor both (future work)
-    require(!declared.exists(_.fields.exists(
-        _.metadata.contains(IdentityStartKey))),
-      s"MERGE into identity-column table $table is not supported — " +
-        "use DELETE + append")
+    // identity tables (Delta identityColumns) COMPOSE with merge since
+    // late r13 (the pre-r13 refusal is gone): matched rows keep the
+    // TARGET's identity value, inserts get fresh chain values — see
+    // [[mergeIdentityResolve]]. Evolution refuses (same rule as
+    // append): the identity commit's metaData carries the advanced
+    // high-water mark, and an evolved frame would land new columns in
+    // the same line without their own declaration discipline.
+    val idFields = declared.toSeq.flatMap(_.fields.toSeq)
+      .filter(_.metadata.contains(IdentityStartKey))
+    require(idFields.length <= 1,
+      s"$table declares ${idFields.length} identity columns; at most " +
+        "one is supported")
+    if (idFields.nonEmpty)
+      require(merged.json == declared.get.json,
+        s"merge cannot evolve the schema of identity-column table " +
+          s"$table; add new columns first with ALTER TABLE ... ADD COLUMNS")
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
         // carry the config forward (same rule as append's evolution)
@@ -4109,13 +4118,25 @@ object MiniDelta {
         }.reduce(_ && _)
         snapDF0.where(cond)
       }
+    // identity resolution happens BEFORE the DV/CoW branch so both
+    // write the same resolved frame; the commit stays pinned at
+    // readVersion + 1 (the DML rule both branches already follow),
+    // which is exactly the concurrent-overlap protection
+    // appendWithIdentity relies on — two racing identity merges cannot
+    // both land against the same high-water mark.
+    val (source2, idMetaLines) = idFields.headOption match {
+      case None => (source1, Seq.empty[String])
+      case Some(f) => mergeIdentityResolve(spark, table, source1, f,
+        keys, partitionBy, readVersion, declared, snapDF, srcKeys)
+    }
     // DV tables: MASK the matched target rows and append ALL source
     // rows (matched rows' replacements and unmatched inserts are both
     // just source rows) — upsert without rewriting a single target file
     if (tableConfig(spark, table, readVersion)
         .get("delta.enableDeletionVectors").contains("true"))
-      return mergeWithDv(spark, table, source1, keys, partitionBy,
-        statsCols, readVersion, declared, align, metaLines, srcKeys,
+      return mergeWithDv(spark, table, source2, keys, partitionBy,
+        statsCols, readVersion, declared, align,
+        metaLines ++ idMetaLines, srcKeys,
         collected(snapDF.collect().toIndexedSeq))
     val snap = collected(snapDF
       .select("path", "dv_path").collect().toIndexedSeq)
@@ -4129,7 +4150,7 @@ object MiniDelta {
       if (!tableConfig(spark, table, readVersion)
           .get("delta.enableChangeDataFeed").contains("true")) None
       else {
-        val srcAligned = align(source1)
+        val srcAligned = align(source2)
         val tgt = readFilesWithDv(spark, table, touched, declared)
         if (tgt.columns.isEmpty)
           Some(srcAligned.withColumn("_change_type", lit("insert")))
@@ -4144,10 +4165,106 @@ object MiniDelta {
         }
       }
     copyOnWrite(spark, table, readVersion, touched, declared,
-      df => if (df.columns.isEmpty) align(source1) // schema-less empty
+      df => if (df.columns.isEmpty) align(source2) // schema-less empty
             else align(df.join(srcKeys, keys, "left_anti"))
-              .unionByName(align(source1)),
-      partitionBy, "MERGE", statsCols, extraLines = metaLines, cdc = cdc)
+              .unionByName(align(source2)),
+      partitionBy, "MERGE", statsCols,
+      extraLines = metaLines ++ idMetaLines, cdc = cdc)
+  }
+
+  /** [[merge]]'s identity resolution (Delta `identityColumns`): returns
+    * the replacement frame with the identity column resolved, plus the
+    * metaData line advancing `delta.identity.highWaterMark` when it
+    * moved. Matched source rows take the TARGET's identity value —
+    * identity columns never update, Delta's own rule, so any
+    * source-provided value for a matched key is discarded — resolved by
+    * an equi-join against the (key → identity) projection of the
+    * pruned manifest's rows (complete: every file holding a source key
+    * survives the range pruning). Unmatched rows are ASSIGNED fresh
+    * chain values strictly past the high-water mark (one
+    * [[assignIdentity]] pass — GENERATED ALWAYS), or keep their
+    * provided values under GENERATED BY DEFAULT with the mark syncing
+    * over them, exactly the [[appendWithIdentity]] contract. Duplicate
+    * target keys collapse to ONE replacement row (the merge's
+    * wholesale-replace semantics); min() keeps the surviving identity
+    * deterministic. Scale: the projection read is blast-radius-bounded
+    * by the same stats pruning as the rewrite itself, and the manifest
+    * collect reuses the rows [[merge]] already counts — no second
+    * dmlManifestRows increment. */
+  private def mergeIdentityResolve(spark: SparkSession, table: String,
+      source: DataFrame, f: org.apache.spark.sql.types.StructField,
+      keys: Seq[String], partitionBy: Seq[String], readVersion: Long,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      snapDF: DataFrame, srcKeys: DataFrame)
+      : (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val start = f.metadata.getLong(IdentityStartKey)
+    val step =
+      if (f.metadata.contains(IdentityStepKey))
+        f.metadata.getLong(IdentityStepKey)
+      else 1L
+    require(step != 0L, s"identity step of ${f.name} must be non-zero")
+    val hwm: Option[Long] =
+      if (f.metadata.contains(IdentityHwmKey))
+        Some(f.metadata.getLong(IdentityHwmKey))
+      else None
+    val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
+      f.metadata.getBoolean(IdentityAllowExplicitKey)
+    val provided = source.columns.exists(_.equalsIgnoreCase(f.name))
+    if (provided) require(allowExplicit,
+      s"${f.name} is GENERATED ALWAYS AS IDENTITY — explicit merge " +
+        "values refuse (declare it GENERATED BY DEFAULT to allow them)")
+    require(!source.columns.contains("__tgt_id"),
+      "merge source has a '__tgt_id' column, which collides with the " +
+        "identity-resolution temp column")
+    val pairs = dvPairsOf(
+      snapDF.select("path", "dv_path").collect().toIndexedSeq)
+    val tgt0 =
+      if (pairs.isEmpty) spark.emptyDataFrame
+      else readFilesWithDv(spark, table, pairs, declared)
+    val tgtIds =
+      if (tgt0.columns.isEmpty) // empty table: every source row inserts
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(srcKeys.schema.fields :+
+            StructField("__tgt_id", LongType)))
+      else tgt0.join(srcKeys, keys, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(min(col(s"`${f.name}`")).cast(LongType).as("__tgt_id"))
+    val srcNoId = source.drop(
+      source.columns.filter(_.equalsIgnoreCase(f.name)).toIndexedSeq: _*)
+    val matchedPart = srcNoId.join(tgtIds, keys, "inner")
+      .withColumnRenamed("__tgt_id", f.name)
+    val insertSrc = source.join(
+      tgtIds.select(keys.map(col): _*), keys, "left_anti")
+    def further(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    val (insertPart, newHwm) =
+      if (provided) {
+        // BY DEFAULT with provided values: inserts keep them verbatim,
+        // the mark syncs over THEM (matched rows' provided values were
+        // discarded above and never sync — they are not written)
+        val mx = insertSrc.agg(
+          (if (step > 0) max(col(s"`${f.name}`"))
+           else min(col(s"`${f.name}`"))).cast("long")).collect().head
+        val sync =
+          if (mx.isNullAt(0)) hwm
+          else Some(hwm.fold(mx.getLong(0))(further(_, mx.getLong(0))))
+        (insertSrc, sync)
+      } else assignIdentity(insertSrc, f.name, start, step, hwm)
+    val metaLine =
+      if (newHwm == hwm) Nil
+      else {
+        val f2 = f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityHwmKey, newHwm.get).build())
+        val schema2 = StructType(declared.get.fields.map(fd =>
+          if (fd.name == f.name) f2 else fd))
+        Seq(metaDataLine(table, schema2, partitionBy,
+          tableConfig(spark, table, readVersion)))
+      }
+    (matchedPart.unionByName(insertPart), metaLine)
   }
 
   /** [[merge]]'s deletion-vector form: matched target rows are masked

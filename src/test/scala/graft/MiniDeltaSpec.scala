@@ -197,15 +197,17 @@ class MiniDeltaSpec extends AnyFunSuite {
     val ids = MiniDelta.readFiltered(spark, t, Seq.empty)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(10L, 12L, 14L, 16L, 18L), ids)
-    // GENERATED ALWAYS: explicit values refuse; SET refuses; MERGE
-    // refuses by name
+    // GENERATED ALWAYS: explicit values refuse — at append, SET, and a
+    // MERGE whose source provides the column (merge itself composes
+    // with identity since late r13; see the dedicated merge test)
     val ex = intercept[IllegalArgumentException](MiniDelta.append(spark,
       Seq((99L, "z")).toDF("id", "v"), t, Seq.empty))
     assert(ex.getMessage.contains("GENERATED ALWAYS"))
     intercept[IllegalArgumentException](MiniDelta.update(spark, t,
       col("v") === "a", Map("id" -> lit(0L)), Seq.empty))
-    intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
+    val me0 = intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
       Seq((10L, "x")).toDF("id", "v"), Seq("id"), Seq.empty))
+    assert(me0.getMessage.contains("GENERATED ALWAYS"))
     // a concurrent commit between the mark read and the pin conflicts
     // (no silent overlapping assignment) — injected via the DML hook
     val prevHook = MiniDelta.beforeDmlCommitHook
@@ -260,6 +262,89 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
       got.map(_.getLong(0)).toSeq)
+  }
+
+  test("identity MERGE: matched keep ids, inserts extend the chain") {
+    import org.apache.spark.sql.types._
+    val idm = new MetadataBuilder()
+      .putLong("delta.identity.start", 100L)
+      .putLong("delta.identity.step", 2L).build()
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("rid", LongType, nullable = true, idm),
+      StructField("k", LongType), StructField("v", StringType))))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val before = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "rid").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap // {100,102,104} distributed over k=1..3
+    assert(before.values.toSeq.sorted == Seq(100L, 102L, 104L))
+    // upsert: k=2 matched (new v, KEEPS its id), k=4/k=5 inserted
+    // (fresh chain values past the mark: 106, 108)
+    MiniDelta.merge(spark, t,
+      Seq((2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v"),
+      Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val after = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "rid", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(after(2L) == ((before(2L), "B")), after) // target id survives
+    assert(after(1L) == ((before(1L), "a")))
+    assert(after(3L) == ((before(3L), "c")))
+    assert(Set(after(4L)._1, after(5L)._1) == Set(106L, 108L), after)
+    // the same commit advanced the mark: a later append walks past 108
+    MiniDelta.append(spark, Seq((6L, "f")).toDF("k", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val last = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 6L).select("rid").head().getLong(0)
+    assert(last == 110L, last)
+    // evolution through merge refuses (mark metaData stays single-purpose)
+    val ev = intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
+      Seq((7L, "g", 1.0)).toDF("k", "v", "extra"), Seq("k"), Seq.empty))
+    assert(ev.getMessage.contains("ADD COLUMNS"))
+  }
+
+  test("identity MERGE: BY DEFAULT inserts sync the mark; DV+CDF form") {
+    import org.apache.spark.sql.types._
+    val idm = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("rid", LongType, nullable = true, idm),
+      StructField("k", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((10L, 1L, "a"), (11L, 2L, "b")).toDF("rid", "k", "v"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // provided id for the INSERT (k=3) is kept verbatim and syncs the
+    // mark; the matched row's provided id (999) is DISCARDED — identity
+    // never updates, the target's 10 survives
+    MiniDelta.merge(spark, t,
+      Seq((999L, 1L, "A"), (500L, 3L, "c")).toDF("rid", "k", "v"),
+      Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "rid", "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rows == Map(1L -> ((10L, "A")), 2L -> ((11L, "b")),
+      3L -> ((500L, "c"))), rows)
+    // mark synced past 500: an omitted-column append assigns 501
+    MiniDelta.append(spark, Seq((4L, "d")).toDF("k", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 4L).select("rid").head().getLong(0) == 501L)
+    // the DV merge's CDF carries the RESOLVED ids (postimage keeps the
+    // target's 10, the insert shows 500)
+    val feed = MiniDelta.readCdf(spark, t, 1L, 2L)
+      .select("k", "rid", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed == Set((1L, 10L, "update_preimage"),
+      (1L, 10L, "update_postimage"), (3L, 500L, "insert")), feed)
   }
 
   test("DESCRIBE DETAIL reports zeros on a freshly created empty table") {
