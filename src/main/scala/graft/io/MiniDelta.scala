@@ -292,6 +292,14 @@ object MiniDelta {
       if (idFields.nonEmpty)
         return appendWithIdentity(spark, df1, table, partitionBy,
           statsCols, cfg0, txn, declared0.get, idFields)
+      // mapped evolution (late r13, closing the blind-append refusal):
+      // new columns joining a column-mapped schema get their mapping
+      // metadata assigned HERE, under a PINNED commit — see
+      // [[appendWithMappedEvolution]]
+      if (declared0.exists(isColumnMapped) && df1.columns.exists(c =>
+          !declared0.get.fieldNames.exists(_.equalsIgnoreCase(c))))
+        return appendWithMappedEvolution(spark, df1, table, partitionBy,
+          statsCols, txn)
       enforceConstraints(alignForCheck(df1, declared0), cfg0, declared0)
       val added = writeAndCapture(spark, df1, table, partitionBy)
       appendCommit(spark, df1, table, partitionBy, statsCols, added,
@@ -450,6 +458,55 @@ object MiniDelta {
     (out, Some(first + (total - 1) * step))
   }
 
+  /** Mapped-evolution append: an append whose frame carries columns a
+    * COLUMN-MAPPED table has not declared yet. The blind-append path
+    * refuses this (the new fields would land in files without
+    * physicalName/id, poisoning the mapping); here they are assigned
+    * fresh mapping metadata ([[assignMappingMeta]] — new physical
+    * names, ids ratcheted past `maxColumnId`) and the files are written
+    * under the EXTENDED physical schema (footer field_ids included),
+    * with the same commit's metaData declaring the evolved schema and
+    * ratcheted config.
+    *
+    * The commit is PINNED at readVersion + 1, not rebased: two
+    * concurrent evolving appends would ratchet the SAME ids for
+    * different columns — any intervening commit throws
+    * [[ConcurrentCommitException]] for the caller to re-run, the
+    * identity-append rule for the identical overlap class. */
+  private def appendWithMappedEvolution(spark: SparkSession,
+      df: DataFrame, table: String, partitionBy: Seq[String],
+      statsCols: Seq[String], txn: Option[(String, Long)]): Long = {
+    // pin FIRST, then resolve schema/config AT the pin (the
+    // appendWithIdentity discipline): ids must ratchet past the
+    // maxColumnId the commit will actually land against
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table lost its schema between probe and pin"))
+    val cfgPinned = tableConfig(spark, table, readVersion)
+    require(isColumnMapped(declared),
+      s"$table stopped being column-mapped between probe and pin")
+    val fresh = df.schema.fields.filterNot(f =>
+      declared.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq
+    val (cols2, cfg2) = assignMappingMeta(fresh, cfgPinned)
+    val merged = org.apache.spark.sql.types.StructType(
+      declared.fields.toIndexedSeq ++ cols2)
+    enforceConstraints(alignForCheck(df, Some(merged)), cfgPinned,
+      Some(merged))
+    val added = writeAndCapture(spark, df, table, partitionBy,
+      schemaOverride = Some(merged))
+    val stats = fileStats(spark, table, added.map(_._1), statsCols,
+      schemaOverride = Some(merged))
+    val txnLines = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
+        s""""lastUpdated":${System.currentTimeMillis()}}}""" }
+    beforeDmlCommitHook()
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, merged, partitionBy, cfg2)) ++ txnLines ++
+        added.map { case (p, s2, m) =>
+          addLine(p, s2, stats.get(p), modTime = Some(m)) },
+      "WRITE")
+  }
+
   private def appendCommit(spark: SparkSession, df: DataFrame, table: String,
                            partitionBy: Seq[String], statsCols: Seq[String],
                            added: Seq[(String, Long, Long)],
@@ -505,12 +562,18 @@ object MiniDelta {
     * collect). Empty `statsCols` skips the pass entirely. */
   private def fileStats(spark: SparkSession, table: String,
                         rels: Seq[String],
-                        statsCols0: Seq[String]): Map[String, String] = {
+                        statsCols0: Seq[String],
+                        schemaOverride: Option[
+                          org.apache.spark.sql.types.StructType] = None)
+      : Map[String, String] = {
     if (statsCols0.isEmpty || rels.isEmpty) return Map.empty
     // column-mapped table: the files (and therefore the stats JSON
     // keys) use PHYSICAL names — Delta's contract, and what makes a
-    // mapped reader's data skipping resolve
-    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+    // mapped reader's data skipping resolve. `schemaOverride` carries
+    // the not-yet-committed schema of an evolving write (the probe
+    // would miss the new columns' fresh mapping metadata).
+    val mapped = schemaOverride.orElse(latestSchema(spark, table))
+      .filter(isColumnMapped)
     val statsCols = mapped.fold(statsCols0)(st =>
       statsCols0.map(physicalColOf(Some(st), _)))
     val aggs = count(lit(1)).as("numRecords") +:
@@ -593,7 +656,9 @@ object MiniDelta {
     * like any unreferenced debris. */
   private def writeAndCapture(spark: SparkSession, df: DataFrame,
                               table: String, partitionBy: Seq[String],
-                              maxRecordsPerFile: Long = 0L)
+                              maxRecordsPerFile: Long = 0L,
+                              schemaOverride: Option[
+                                org.apache.spark.sql.types.StructType] = None)
       : Seq[(String, Long, Long)] = {
     // column-mapped table: the files store PHYSICAL names — rename the
     // logical frame through the declared mapping (and the partition
@@ -602,8 +667,11 @@ object MiniDelta {
     // does for self-created mapped tables, both modes), the footer
     // field_ids land too — real mapped writers write both, and an
     // id-mode reader resolves EXCLUSIVELY by them. Unmapped tables pay
-    // one metadata probe.
-    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+    // one metadata probe. `schemaOverride` carries the not-yet-committed
+    // schema of an evolving write (the probe would miss the new
+    // columns' fresh mapping metadata and silently DROP them).
+    val mapped = schemaOverride.orElse(latestSchema(spark, table))
+      .filter(isColumnMapped)
     val withIds =
       mapped.exists(_.fields.exists(_.metadata.contains(MapIdKey)))
     val physDf0 = mapped.fold(df)(toPhysical(df, _, withIds))
@@ -1594,6 +1662,31 @@ object MiniDelta {
     * new columns as null (the engine's standard evolution-read rule),
     * zero data rewritten. Name collisions (case-insensitive, Spark's
     * resolution rule) are refused. */
+  /** Assign mapping metadata to NEW fields joining a mapped table's
+    * schema ([[addColumns]] and the mapped-evolution append): each gets
+    * a FRESH physical name (never a reused logical one — a
+    * dropped-then-readded column must not resurrect the old column's
+    * data) and the next ids past `delta.columnMapping.maxColumnId`,
+    * which the returned config ratchets. Underscore form keeps the
+    * stats-skipping JSON paths parseable. */
+  private def assignMappingMeta(
+      cols: Seq[org.apache.spark.sql.types.StructField],
+      cfg: Map[String, String])
+      : (Seq[org.apache.spark.sql.types.StructField],
+         Map[String, String]) = {
+    var next = cfg.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val mappedCols = cols.map { f =>
+      next += 1
+      val phys = s"col_${next}_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysNameKey, phys)
+        .putLong(MapIdKey, next).build())
+    }
+    (mappedCols, cfg + ("delta.columnMapping.maxColumnId" -> next.toString))
+  }
+
   def addColumns(spark: SparkSession, table: String,
                  cols: Seq[org.apache.spark.sql.types.StructField],
                  readOnly: Boolean = false): Long = {
@@ -1611,27 +1704,9 @@ object MiniDelta {
       case (_, vs) if vs.size > 1 => vs.head.name }
     require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
     val cfg = tableConfig(spark, table, readVersion)
-    // column-mapped table: new fields get a FRESH physical name (never
-    // a reused logical one — a dropped-then-readded column must not
-    // resurrect the old column's data) and the next ids past
-    // maxColumnId, which the config ratchets. Underscore form keeps the
-    // stats-skipping JSON paths parseable.
     val (cols2, cfg2) =
       if (!isColumnMapped(declared)) (cols, cfg)
-      else {
-        var next = cfg.get("delta.columnMapping.maxColumnId")
-          .map(_.toLong).getOrElse(0L)
-        val mappedCols = cols.map { f =>
-          next += 1
-          val phys = s"col_${next}_" +
-            java.util.UUID.randomUUID().toString.take(8)
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putString(PhysNameKey, phys)
-            .putLong(MapIdKey, next).build())
-        }
-        (mappedCols,
-          cfg + ("delta.columnMapping.maxColumnId" -> next.toString))
-      }
+      else assignMappingMeta(cols, cfg)
     val merged = org.apache.spark.sql.types.StructType(
       declared.fields.toIndexedSeq ++ cols2)
     val parts = partitionColumns(spark, table)

@@ -189,6 +189,85 @@ class ColumnMappingWriteSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("mapped evolution through append: fresh ids, physical files, pinned") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "id"))
+    MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // evolving append (pre-r13 this refused): the new column gets a
+    // FRESH physical name + the ratcheted id 3, the files land under
+    // the extended physical schema with footer field_ids, and the SAME
+    // commit's metaData declares the evolved schema
+    MiniDelta.append(spark,
+      Seq((2L, "b", 7L)).toDF("id", "v", "extra"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val schema = MiniDelta.latestSchema(spark, t).get
+    val extra = schema("extra")
+    assert(extra.metadata.getLong("delta.columnMapping.id") == 3L)
+    val phys = extra.metadata.getString(
+      "delta.columnMapping.physicalName")
+    assert(phys.startsWith("col_3_"), phys) // fresh, never the logical
+    assert(MiniDelta.tableConfig(spark, t)(
+      "delta.columnMapping.maxColumnId") == "3")
+    // the evolving commit's files speak physical names + the new id
+    val evolved = dataFiles(t).map(footerIds)
+      .filter(_.contains(phys))
+    assert(evolved.nonEmpty)
+    evolved.foreach(m => assert(m(phys).contains(3), m))
+    // old files null-fill, new files carry the value — one logical read
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, "a", -1L), (2L, "b", 7L)), got)
+    // a rename of the evolved column stays metadata-only (the physical
+    // name is already divorced from the logical one)
+    MiniDelta.renameColumn(spark, t, "extra", "bonus")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("bonus") === 7L).count() == 1)
+    // the commit is PINNED: a commit landing between the mark read and
+    // the write conflicts instead of double-assigning id 4
+    val prevHook = MiniDelta.beforeDmlCommitHook
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = prevHook
+      MiniDelta.setTableProperties(spark, t, Map("k" -> "v"))
+      ()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.append(spark,
+        Seq((3L, "c", 1L, 2L)).toDF("id", "v", "bonus", "later"),
+        t, Seq.empty))
+    finally MiniDelta.beforeDmlCommitHook = prevHook
+  }
+
+  test("mapped evolution append on a partitioned name-mode table") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType))),
+      partitionBy = Seq("p"),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, "x")).toDF("id", "p"), t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark,
+      Seq((2L, "y", 0.5)).toDF("id", "p", "score"), t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    // partition layout intact (physical partition key), evolved column
+    // reads across both eras
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "p", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(got == Set((1L, "x", -1.0), (2L, "y", 0.5)), got)
+    assert(MiniDelta.filesForFilters(
+      MiniDelta.snapshotFiles(spark, t), Seq(Map("p" -> "y")))
+      .count() == 1)
+  }
+
   test("upgrade to id mode refuses with the create-only rule") {
     val t = freshTable()
     MiniDelta.append(spark, Seq((1L, "a")).toDF("id", "v"), t, Seq.empty)

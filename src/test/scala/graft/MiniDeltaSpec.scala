@@ -58,20 +58,16 @@ class MiniDeltaSpec extends AnyFunSuite {
     MiniDelta.compact(spark, t, Seq.empty)
     MiniDelta.invalidateSnapshot(t)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
-    // evolution via blind append refuses; ALTER ADD assigns mapping
-    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
-      Seq((9L, "z", 1.0, "x")).toDF("id", "tag", "px", "extra"),
-      t, Seq.empty))
-    assert(e.getMessage.contains("ADD COLUMNS"))
-    MiniDelta.addColumns(spark, t, Seq(
-      org.apache.spark.sql.types.StructField("extra",
-        org.apache.spark.sql.types.StringType)))
-    assert(MiniDelta.tableConfig(spark, t)(
-      "delta.columnMapping.maxColumnId") == "4")
+    // evolution via append COMPOSES since late r13 (the blind-append
+    // refusal is gone): the new column gets the same fresh-physical-
+    // name + ratcheted-id assignment ALTER ADD COLUMNS uses, under a
+    // pinned commit — see ColumnMappingWriteSpec for the full matrix
     MiniDelta.append(spark,
       Seq((9L, "z", 1.0, "x")).toDF("id", "tag", "px", "extra"),
       t, Seq.empty)
     MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.tableConfig(spark, t)(
+      "delta.columnMapping.maxColumnId") == "4")
     val evolved = MiniDelta.readFiltered(spark, t, Seq.empty)
     assert(evolved.where(col("extra") === "x").count() == 1)
     // drop a column: metadata-only, later reads omit it; re-adding the
