@@ -737,8 +737,12 @@ object MiniDelta {
     * surface's case) are exact. */
   private def writeCdcFiles(spark: SparkSession, table: String,
                             changes: DataFrame,
-                            partitionBy: Seq[String]): Seq[String] = {
-    val mapped = latestSchema(spark, table).filter(isColumnMapped)
+                            partitionBy: Seq[String],
+                            schemaOverride: Option[
+                              org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
+    val mapped = schemaOverride.orElse(latestSchema(spark, table))
+      .filter(isColumnMapped)
     val withIds =
       mapped.exists(_.fields.exists(_.metadata.contains(MapIdKey)))
     val phys0 = mapped.fold(changes)(
@@ -3451,7 +3455,13 @@ object MiniDelta {
                           // (data columns + _change_type), present iff
                           // the table serves a change feed — lands as
                           // real cdc files in the same commit
-                          cdc: Option[DataFrame] = None): Long = {
+                          cdc: Option[DataFrame] = None,
+                          // the not-yet-committed schema of an evolving
+                          // mapped write: the data/cdc writers and the
+                          // stats pass relabel under IT, not the probe
+                          schemaOverride: Option[
+                            org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     // the rewrite reads UNDER the files' deletion vectors: masked rows
     // are already deleted and must not be resurrected into the
     // rewritten files (the new adds carry no DV — CoW materializes it)
@@ -3468,11 +3478,14 @@ object MiniDelta {
     val added =
       try {
         if (constrained) enforceConstraints(newData, cfg, declared)
-        writeAndCapture(spark, newData, table, partitionBy)
+        writeAndCapture(spark, newData, table, partitionBy,
+          schemaOverride = schemaOverride)
       } finally if (constrained) { newData.unpersist(); () }
-    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+    val stats = fileStats(spark, table, added.map(_._1), statsCols,
+      schemaOverride = schemaOverride)
     val cdcLines =
-      cdc.fold(Seq.empty[String])(writeCdcFiles(spark, table, _, partitionBy))
+      cdc.fold(Seq.empty[String])(writeCdcFiles(spark, table, _,
+        partitionBy, schemaOverride))
     val now = System.currentTimeMillis()
     beforeDmlCommitHook()
     writeCommit(spark, table, readVersion + 1,
@@ -4119,15 +4132,24 @@ object MiniDelta {
     // schema evolution, same rule as append: source-only columns are
     // APPENDED to the declared schema (committed as a metaData action);
     // retyping an existing column is rejected inside mergedSchema
-    val merged = mergedSchema(declared, source.schema)
-    // same mapped-evolution rule as append: an evolved field would
-    // carry no physicalName/id and poison the mapping
-    if (declared.exists(isColumnMapped) &&
-        merged.length != declared.get.length)
-      throw new IllegalArgumentException(
-        s"merge cannot evolve the schema of column-mapped table $table " +
-          "— new columns need mapping metadata; add them first with " +
-          "ALTER TABLE ... ADD COLUMNS")
+    val merged0 = mergedSchema(declared, source.schema)
+    // mapped evolution composes (late r13, the append rule): the
+    // source-only fields get fresh mapping metadata — new physical
+    // names, ids ratcheted past maxColumnId — and every write below
+    // (rewrites, DV appends, cdc files, stats) relabels under the
+    // EXTENDED schema via schemaOverride. The copyOnWrite/mergeWithDv
+    // pin at readVersion + 1 is the same no-overlap protection the
+    // evolving append relies on.
+    val (merged, evolvedCfg) =
+      if (declared.exists(isColumnMapped) &&
+          merged0.length != declared.get.length) {
+        val (cols2, cfg2) = assignMappingMeta(
+          merged0.fields.drop(declared.get.length).toIndexedSeq,
+          tableConfig(spark, table, readVersion))
+        (org.apache.spark.sql.types.StructType(
+          declared.get.fields.toIndexedSeq ++ cols2), Some(cfg2))
+      } else (merged0, None)
+    val schemaOverride = evolvedCfg.map(_ => merged)
     // identity tables (Delta identityColumns) COMPOSE with merge since
     // late r13 (the pre-r13 refusal is gone): matched rows keep the
     // TARGET's identity value, inserts get fresh chain values — see
@@ -4146,8 +4168,10 @@ object MiniDelta {
           s"$table; add new columns first with ALTER TABLE ... ADD COLUMNS")
     val metaLines = declared match {
       case Some(d) if d.json != merged.json =>
-        // carry the config forward (same rule as append's evolution)
-        Seq(metaDataLine(table, merged, partitionBy, tableConfig(spark, table)))
+        // carry the config forward (same rule as append's evolution);
+        // an evolving mapped merge carries the RATCHETED maxColumnId
+        Seq(metaDataLine(table, merged, partitionBy,
+          evolvedCfg.getOrElse(tableConfig(spark, table))))
       case _ => Nil
     }
     // generated-column contract on the rows the merge will WRITE:
@@ -4212,7 +4236,7 @@ object MiniDelta {
       return mergeWithDv(spark, table, source2, keys, partitionBy,
         statsCols, readVersion, declared, align,
         metaLines ++ idMetaLines, srcKeys,
-        collected(snapDF.collect().toIndexedSeq))
+        collected(snapDF.collect().toIndexedSeq), schemaOverride)
     val snap = collected(snapDF
       .select("path", "dv_path").collect().toIndexedSeq)
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
@@ -4244,7 +4268,8 @@ object MiniDelta {
             else align(df.join(srcKeys, keys, "left_anti"))
               .unionByName(align(source2)),
       partitionBy, "MERGE", statsCols,
-      extraLines = metaLines ++ idMetaLines, cdc = cdc)
+      extraLines = metaLines ++ idMetaLines, cdc = cdc,
+      schemaOverride = schemaOverride)
   }
 
   /** [[merge]]'s identity resolution (Delta `identityColumns`): returns
@@ -4356,7 +4381,10 @@ object MiniDelta {
                           align: DataFrame => DataFrame,
                           metaLines: Seq[String],
                           srcKeys: DataFrame,
-                          snap: Seq[org.apache.spark.sql.Row]): Long = {
+                          snap: Seq[org.apache.spark.sql.Row],
+                          schemaOverride: Option[
+                            org.apache.spark.sql.types.StructType] = None)
+      : Long = {
     val matched = withRowIdentity(spark, table, dvPairsOf(snap), declared)
       .join(srcKeys, keys, "left_semi")
       .persist() // mask counts + sidecar write
@@ -4373,8 +4401,10 @@ object MiniDelta {
       val maskLines = dvMaskActions(spark, table, readVersion, declared,
         snap, matched).getOrElse(Seq.empty)
       enforceConstraints(incoming, cfg, declared)
-      val added = writeAndCapture(spark, incoming, table, partitionBy)
-      val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      val added = writeAndCapture(spark, incoming, table, partitionBy,
+        schemaOverride = schemaOverride)
+      val stats = fileStats(spark, table, added.map(_._1), statsCols,
+        schemaOverride = schemaOverride)
       // CDF: masked targets = update_preimage, matching source rows =
       // update_postimage, the rest of the source = insert — the exact
       // split the copy-on-write form computes
@@ -4392,7 +4422,7 @@ object MiniDelta {
                 .withColumn("_change_type", lit("update_postimage")))
               .unionByName(incoming.join(tgtKeys, keys, "left_anti")
                 .withColumn("_change_type", lit("insert"))),
-            partitionBy)
+            partitionBy, schemaOverride)
         }
       beforeDmlCommitHook()
       writeCommit(spark, table, readVersion + 1,
@@ -4648,17 +4678,41 @@ object MiniDelta {
       if (!exists)
         return append(spark, df, table, partitionBy, readOnly, statsCols)
       val declared = latestSchema(spark, table, readVersion)
-      val newSchema =
+      val newSchema0 =
         if (overwriteSchema) df.schema
         else mergedSchema(declared, df.schema)
-      // mapped tables: an overwrite may not grow or replace the schema
-      // (the evolved/replacement fields would carry no mapping)
-      if (declared.exists(isColumnMapped) &&
-          (overwriteSchema || newSchema.length != declared.get.length))
-        throw new IllegalArgumentException(
-          s"overwrite cannot evolve the schema of column-mapped table " +
-            s"$table — new columns need mapping metadata; add them " +
-            "first with ALTER TABLE ... ADD COLUMNS")
+      // mapped tables compose with BOTH overwrite forms (late r13, the
+      // append/merge rule): fields the table already declares KEEP
+      // their established physicalName/id (same-name resolution across
+      // the swap — the REPLACE TABLE carry-over would instead reassign,
+      // but overwrite's contract is data replacement, not table
+      // replacement), genuinely new fields get fresh physical names
+      // with ids ratcheted past maxColumnId, and the writes below
+      // relabel under the extended schema via schemaOverride.
+      val (newSchema, cfgOv) = declared.filter(isColumnMapped) match {
+        case None => (newSchema0, cfg)
+        case Some(d) =>
+          val fresh = newSchema0.fields.filterNot(f =>
+            d.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          val (assigned, cfg2) = assignMappingMeta(fresh.toIndexedSeq, cfg)
+          val byName = assigned.map(f => f.name.toLowerCase -> f).toMap
+          (org.apache.spark.sql.types.StructType(
+            newSchema0.fields.map { f =>
+              d.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+                case Some(old) if old.metadata.contains(PhysNameKey) =>
+                  val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                    .withMetadata(f.metadata).putString(PhysNameKey,
+                      old.metadata.getString(PhysNameKey))
+                  if (old.metadata.contains(MapIdKey))
+                    mb.putLong(MapIdKey, old.metadata.getLong(MapIdKey))
+                  f.copy(metadata = mb.build())
+                case Some(_) => f
+                case None => byName(f.name.toLowerCase)
+              }
+            }.toIndexedSeq), cfg2)
+      }
+      val schemaOverride =
+        declared.filter(isColumnMapped).map(_ => newSchema)
       // identity tables refuse overwrite by name: replacing the data
       // without resetting the high-water mark would leak the old
       // sequence into the new rows' space (future work)
@@ -4671,12 +4725,14 @@ object MiniDelta {
         Some(newSchema))
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
-        else Seq(metaDataLine(table, newSchema, partitionBy, cfg))
+        else Seq(metaDataLine(table, newSchema, partitionBy, cfgOv))
       val removed = filesForFilters(
         snapshotFilesAt(spark, table, readVersion), replaceWhere)
         .select("path").collect().map(_.getString(0)).toIndexedSeq
-      val added = writeAndCapture(spark, df1, table, partitionBy)
-      val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      val added = writeAndCapture(spark, df1, table, partitionBy,
+        schemaOverride = schemaOverride)
+      val stats = fileStats(spark, table, added.map(_._1), statsCols,
+        schemaOverride = schemaOverride)
       val now = System.currentTimeMillis()
       writeCommit(spark, table, readVersion + 1,
         metaLines ++

@@ -386,6 +386,41 @@ class CdcWriteSpec extends AnyFunSuite {
       (2L, "B", "update_postimage", 5L)))
   }
 
+  test("evolving merge on a mapped CDF table: cdc speaks the fresh physical name") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // v2: an EVOLVING merge (score is new) on the mapped CDF table —
+    // the cdc files must land the new column under its fresh PHYSICAL
+    // name, exactly like the data files
+    MiniDelta.merge(spark, t,
+      Seq((2L, "B", 1.5), (3L, "c", 2.5)).toDF("id", "v", "score"),
+      Seq("id"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val phys = MiniDelta.latestSchema(spark, t).get("score")
+      .metadata.getString("delta.columnMapping.physicalName")
+    assert(phys.startsWith("col_3_"), phys)
+    val cols = cdcParquetPaths(t).map(p =>
+      spark.read.parquet(p).columns.toSet)
+    assert(cols.nonEmpty && cols.forall(c =>
+      c(phys) && !c("score") && c("_change_type")), cols)
+    val got = MiniDelta.readCdf(spark, t, 1L, 2L)
+      .select("id", "v", "score", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      (2L, "b", -1.0, "update_preimage"),
+      (2L, "B", 1.5, "update_postimage"),
+      (3L, "c", 2.5, "insert")), got)
+  }
+
   test("partitioned mapped CDF: physical partition dirs, pv-filled feed") {
     import org.apache.spark.sql.types._
     val t = freshTable()

@@ -109,21 +109,42 @@ class MiniDeltaSpec extends AnyFunSuite {
     val re = intercept[IllegalArgumentException](
       MiniDelta.renameColumn(spark, un, "v", "w"))
     assert(re.getMessage.contains("delta.columnMapping.mode"))
-    // merge/overwrite evolution refuses on mapped tables like append
-    val me = intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
-      Seq((1L, 2.0, "s")).toDF("id", "px", "surprise"), Seq("id"),
-      Seq.empty))
-    assert(me.getMessage.contains("ADD COLUMNS"))
-    val oe = intercept[IllegalArgumentException](MiniDelta.overwrite(spark,
-      Seq((1L, 2.0)).toDF("id", "other"), t, Seq.empty,
-      overwriteSchema = true))
-    assert(oe.getMessage.contains("column-mapped"))
     // merge WITHOUT evolution works under mapping (upsert px of id=1)
     MiniDelta.merge(spark, t, Seq((1L, 99.0)).toDF("id", "px"),
       Seq("id"), Seq.empty)
     MiniDelta.invalidateSnapshot(t)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("id") === 1L).select("px").head().getDouble(0) == 99.0)
+    // merge evolution COMPOSES on mapped tables since late r13: the
+    // source-only column gets fresh mapping metadata, the ratchet moves
+    val idBefore = MiniDelta.tableConfig(spark, t)(
+      "delta.columnMapping.maxColumnId").toLong
+    MiniDelta.merge(spark, t,
+      Seq((1L, 2.0, "s")).toDF("id", "px", "surprise"), Seq("id"),
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val sf2 = MiniDelta.latestSchema(spark, t).get("surprise")
+    assert(sf2.metadata.getLong("delta.columnMapping.id") == idBefore + 1)
+    assert(sf2.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith(s"col_${idBefore + 1}_"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("surprise") === "s").count() == 1)
+    // overwriteSchema swap: same-name fields KEEP their physical name
+    // (id's mapping survives the swap), the new field ratchets again
+    val idPhys = MiniDelta.latestSchema(spark, t).get("id")
+      .metadata.getString("delta.columnMapping.physicalName")
+    MiniDelta.overwrite(spark, Seq((1L, 2.0)).toDF("id", "other"), t,
+      Seq.empty, overwriteSchema = true)
+    MiniDelta.invalidateSnapshot(t)
+    val swapped = MiniDelta.latestSchema(spark, t).get
+    assert(swapped.fieldNames.toSeq == Seq("id", "other"))
+    assert(swapped("id").metadata.getString(
+      "delta.columnMapping.physicalName") == idPhys)
+    assert(swapped("other").metadata.getLong(
+      "delta.columnMapping.id") == idBefore + 2)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "other").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 2.0)))
   }
 
   test("generated columns: compute on omit, validate on provide, recompute on UPDATE") {
