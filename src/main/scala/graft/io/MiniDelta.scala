@@ -368,24 +368,7 @@ object MiniDelta {
       if (f.metadata.contains(IdentityHwmKey))
         Some(f.metadata.getLong(IdentityHwmKey))
       else None
-    val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
-      f.metadata.getBoolean(IdentityAllowExplicitKey)
-    val provided = df.columns.exists(_.equalsIgnoreCase(f.name))
-    def further(a: Long, b: Long): Long =
-      if (step > 0) math.max(a, b) else math.min(a, b)
-    val (outDf, newHwm) =
-      if (provided) {
-        require(allowExplicit,
-          s"${f.name} is GENERATED ALWAYS AS IDENTITY — explicit values " +
-            "refuse (declare it GENERATED BY DEFAULT to allow them)")
-        val mx = df.agg(
-          (if (step > 0) max(col(s"`${f.name}`"))
-          else min(col(s"`${f.name}`"))).cast("long")).collect().head
-        val sync =
-          if (mx.isNullAt(0)) hwm
-          else Some(hwm.fold(mx.getLong(0))(further(_, mx.getLong(0))))
-        (df, sync)
-      } else assignIdentity(df, f.name, start, step, hwm)
+    val (outDf, newHwm) = resolveIdentityFrame(df, f, start, step, hwm)
     // constraints validate the ASSIGNED frame (a predicate referencing
     // the identity column sees real values), against the PINNED config
     // — the commit lands at readVersion + 1, so readVersion's
@@ -456,6 +439,35 @@ object MiniDelta {
     }(Encoders.row(outSchema)).localCheckpoint()
     if (mustCache) df.unpersist()
     (out, Some(first + (total - 1) * step))
+  }
+
+  /** Shared identity resolution for row-producing writes (append and
+    * OVERWRITE): a provided column requires GENERATED BY DEFAULT
+    * (`allowExplicitInsert`) and syncs the mark past its extremum; an
+    * omitted one is ASSIGNED fresh chain values via [[assignIdentity]].
+    * Returns the resolved frame + the new mark (== `hwm` when
+    * unchanged). */
+  private def resolveIdentityFrame(df: DataFrame,
+      f: org.apache.spark.sql.types.StructField,
+      start: Long, step: Long, hwm: Option[Long])
+      : (DataFrame, Option[Long]) = {
+    val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
+      f.metadata.getBoolean(IdentityAllowExplicitKey)
+    val provided = df.columns.exists(_.equalsIgnoreCase(f.name))
+    def further(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    if (provided) {
+      require(allowExplicit,
+        s"${f.name} is GENERATED ALWAYS AS IDENTITY — explicit values " +
+          "refuse (declare it GENERATED BY DEFAULT to allow them)")
+      val mx = df.agg(
+        (if (step > 0) max(col(s"`${f.name}`"))
+        else min(col(s"`${f.name}`"))).cast("long")).collect().head
+      val sync =
+        if (mx.isNullAt(0)) hwm
+        else Some(hwm.fold(mx.getLong(0))(further(_, mx.getLong(0))))
+      (df, sync)
+    } else assignIdentity(df, f.name, start, step, hwm)
   }
 
   /** Mapped-evolution append: an append whose frame carries columns a
@@ -4713,14 +4725,57 @@ object MiniDelta {
       }
       val schemaOverride =
         declared.filter(isColumnMapped).map(_ => newSchema)
-      // identity tables refuse overwrite by name: replacing the data
-      // without resetting the high-water mark would leak the old
-      // sequence into the new rows' space (future work)
-      require(!declared.exists(_.fields.exists(
-          _.metadata.contains(IdentityStartKey))),
-        s"INSERT OVERWRITE into identity-column table $table is not " +
-          "supported")
-      val df1 = applyGenerated(df, declared, table)
+      // identity tables compose with OVERWRITE (late r13, closing the
+      // by-name refusal): the omitted column is ASSIGNED past the
+      // high-water mark — the mark is NOT reset by the data swap
+      // (identity uniqueness spans the table's lifetime, not one era,
+      // so time-traveled/restored rows can never collide with
+      // post-overwrite ones) — and provided values need GENERATED BY
+      // DEFAULT, syncing the mark. Schema changes refuse (the append/
+      // merge rule: the mark metaData stays single-purpose, and an
+      // overwriteSchema swap would silently drop the identity
+      // metadata).
+      val idFieldsOv = declared.toSeq.flatMap(_.fields.toSeq)
+        .filter(_.metadata.contains(IdentityStartKey))
+      require(idFieldsOv.length <= 1,
+        s"$table declares ${idFieldsOv.length} identity columns; at " +
+          "most one is supported")
+      if (idFieldsOv.nonEmpty)
+        require(!overwriteSchema &&
+            newSchema.json == declared.get.json,
+          s"overwrite cannot change the schema of identity-column " +
+            s"table $table; add new columns first with ALTER TABLE " +
+            "... ADD COLUMNS")
+      val df0 = applyGenerated(df, declared, table)
+      val (df1, idMetaOv) = idFieldsOv.headOption match {
+        case None => (df0, Seq.empty[String])
+        case Some(f) =>
+          val start = f.metadata.getLong(IdentityStartKey)
+          val step =
+            if (f.metadata.contains(IdentityStepKey))
+              f.metadata.getLong(IdentityStepKey)
+            else 1L
+          require(step != 0L,
+            s"identity step of ${f.name} must be non-zero")
+          val hwm: Option[Long] =
+            if (f.metadata.contains(IdentityHwmKey))
+              Some(f.metadata.getLong(IdentityHwmKey))
+            else None
+          val (out, newHwm) = resolveIdentityFrame(df0, f, start, step, hwm)
+          val lines =
+            if (newHwm == hwm) Nil
+            else {
+              val f2 = f.copy(metadata =
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putLong(IdentityHwmKey, newHwm.get).build())
+              val schema2 = org.apache.spark.sql.types.StructType(
+                declared.get.fields.map(fd =>
+                  if (fd.name == f.name) f2 else fd))
+              Seq(metaDataLine(table, schema2, partitionBy, cfg))
+            }
+          (out, lines)
+      }
       enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg,
         Some(newSchema))
       val metaLines =
@@ -4735,7 +4790,7 @@ object MiniDelta {
         schemaOverride = schemaOverride)
       val now = System.currentTimeMillis()
       writeCommit(spark, table, readVersion + 1,
-        metaLines ++
+        metaLines ++ idMetaOv ++
           removed.sorted.map(removeLine(_, dataChange = true, now)) ++
           added.map { case (p, sz, m) =>
             addLine(p, sz, stats.get(p), modTime = Some(m)) },

@@ -364,6 +364,58 @@ class MiniDeltaSpec extends AnyFunSuite {
       (1L, 10L, "update_postimage"), (3L, 500L, "insert")), feed)
   }
 
+  test("identity OVERWRITE: fresh assignment past the mark, no reset") {
+    import org.apache.spark.sql.types._
+    val idm = new MetadataBuilder()
+      .putLong("delta.identity.start", 10L)
+      .putLong("delta.identity.step", 5L).build()
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("rid", LongType, nullable = true, idm),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq("a", "b").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t) // ids 10, 15 — mark at 15
+    // OVERWRITE with the column omitted: the swap's rows are ASSIGNED
+    // past the surviving mark (never reset — a restore of v1 must not
+    // collide with these), and the same commit advances it
+    MiniDelta.overwrite(spark, Seq("c", "d", "e").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val ids = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("rid").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(20L, 25L, 30L), ids)
+    MiniDelta.append(spark, Seq("f").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("v") === "f").select("rid").head().getLong(0) == 35L)
+    // GENERATED ALWAYS refuses provided values; schema change refuses
+    val pe = intercept[IllegalArgumentException](MiniDelta.overwrite(
+      spark, Seq((99L, "z")).toDF("rid", "v"), t, Seq.empty))
+    assert(pe.getMessage.contains("GENERATED ALWAYS"))
+    val se = intercept[IllegalArgumentException](MiniDelta.overwrite(
+      spark, Seq(("z", 1.0)).toDF("v", "extra"), t, Seq.empty))
+    assert(se.getMessage.contains("ADD COLUMNS"))
+    // BY DEFAULT: provided values are kept and the mark syncs past them
+    val t2 = freshTable()
+    val idm2 = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    MiniDelta.createTable(spark, t2, StructType(Seq(
+      StructField("rid", LongType, nullable = true, idm2),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq("a").toDF("v"), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    MiniDelta.overwrite(spark, Seq((200L, "b")).toDF("rid", "v"), t2,
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    MiniDelta.append(spark, Seq("c").toDF("v"), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val got = MiniDelta.readFiltered(spark, t2, Seq.empty)
+      .select("v", "rid").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> 200L, "c" -> 201L), got)
+  }
+
   test("DESCRIBE DETAIL reports zeros on a freshly created empty table") {
     import org.apache.spark.sql.types._
     val t = freshTable()
