@@ -227,6 +227,15 @@ object ScaleBench {
         Map("delta.enableChangeDataFeed" -> "true")))
       val tDeleteCdf = timed(MiniDelta.delete(spark, table,
         col("p") === 0L && pmod(col("v"), lit(2)) === 1, Seq("p")))
+      // keyed MERGE at the table's largest, with DV + rowTracking + CDF
+      // all enabled (mergeWithDv + real cdc writes + the late-r13
+      // schemaOverride plumbing in one op): the source's key range
+      // pins the blast radius to partition 0's files at every n, so
+      // stats pruning must keep the cost flat across the 100× span
+      val mergeSrc = spark.range(10L)
+        .select(col("id").as("v"), lit(0L).as("p")).repartition(1)
+      val tMerge = timed(MiniDelta.merge(spark, table, mergeSrc,
+        Seq("v"), Seq("p"), statsCols = Seq("v")))
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
@@ -238,7 +247,8 @@ object ScaleBench {
         s""""checkpoint_rt":${fmt(tCpRt)},""" +
         s""""clone":${fmt(tClone)},""" +
         s""""cdf_enable":${fmt(tCdfEnable)},""" +
-        s""""delete_cdf":${fmt(tDeleteCdf)}}""")
+        s""""delete_cdf":${fmt(tDeleteCdf)},""" +
+        s""""merge_scoped":${fmt(tMerge)}}""")
     }
   }
 

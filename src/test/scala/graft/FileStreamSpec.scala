@@ -254,6 +254,46 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("graft-delta CDF stream drains a MAPPED CDF table with real cdc files") {
+    // the late-r13 composition: the table is column-mapped AND CDF —
+    // DML commits carry real _change_data files under PHYSICAL names,
+    // and the streaming source's readCdf relabels them to logical.
+    import spark.implicits._
+    import graft.io.MiniDelta
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("gdmap").toString + "/t"
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "payload"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("payload" -> lit("edited")), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") === 4L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "payload", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    val got = scala.collection.mutable.Set
+      .empty[(Long, String, String, Long)]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(t)
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        got ++= shape(b); ()
+      }).start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == shape(MiniDelta.readCdf(spark, t, -1L)))
+      assert(got.exists(_._3 == "update_preimage"))
+      assert(got.exists(_._3 == "delete"))
+    } finally q.stop()
+  }
+
   test("graft-delta append mode refuses changed data; skipChangeCommits drops the commit whole") {
     import spark.implicits._
     import graft.io.MiniDelta

@@ -1038,6 +1038,37 @@ class SqlAccessSpec extends AnyFunSuite {
       val e3 = intercept[Exception](spark.sql(
         "INSERT INTO graft.spec_gen_plain (id) VALUES (9)"))
       assert(e3.getMessage.contains("missing"))
+      // SQL MERGE composes with identity + generated (late r13): the
+      // source omits both, the matched row (ts=7) KEEPS its id, the
+      // insert (ts=13) extends the chain to 20, bucket recomputes
+      val idOf7 = spark.sql(
+        "SELECT id FROM graft.spec_gen_sql WHERE ts = 7")
+        .head().getLong(0)
+      spark.sql("""
+        MERGE INTO graft.spec_gen_sql t
+        USING (SELECT 7L AS ts UNION ALL SELECT 13L) s
+        ON t.ts = s.ts
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      val afterMerge = spark.sql(
+        "SELECT ts, id, bucket FROM graft.spec_gen_sql ORDER BY ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(afterMerge.map(_._1).toSeq == Seq(7L, 9L, 11L, 13L))
+      assert(afterMerge.find(_._1 == 7L).get._2 == idOf7) // id survives
+      assert(afterMerge.find(_._1 == 13L).get._2 == 20L)  // chain walks
+      assert(afterMerge.find(_._1 == 13L).get._3 == 1L)   // 13 % 4
+      // SQL INSERT OVERWRITE composes too: the swap assigns PAST the
+      // surviving mark (25, 30 — never a reset to 5)
+      spark.sql(
+        "INSERT OVERWRITE graft.spec_gen_sql (ts) VALUES (2), (4)")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      val afterOv = spark.sql(
+        "SELECT id, ts, bucket FROM graft.spec_gen_sql ORDER BY ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(afterOv.map(_._2).toSeq == Seq(2L, 4L))
+      assert(afterOv.map(_._1).sorted.toSeq == Seq(25L, 30L), afterOv)
+      assert(afterOv.map(_._3).toSeq == Seq(2L, 0L))
     } finally GraftSqlTables.clear()
   }
 
