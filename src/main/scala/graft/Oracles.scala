@@ -1534,6 +1534,22 @@ SELECT 'update_postimage' AS change_type, flag,
 FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
 ORDER BY change_type, flag""",
 
+    "s41_defaults" ->
+      """WITH base AS (
+  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity <= 2
+)
+SELECT 'adj' AS status, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(7 * count(*) AS BIGINT) AS sum_boost
+FROM base WHERE okey % 2 = 1
+UNION ALL
+SELECT 'new' AS status, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(0 AS BIGINT) AS sum_boost
+FROM base WHERE okey % 2 = 0
+ORDER BY status""",
+
     "s38_colmap_id_write" ->
       """SELECT l_returnflag AS flag,
   CAST(count(*) AS BIGINT) AS n_rows,

@@ -2390,6 +2390,46 @@ object SparkEntry {
         .withColumn("phys_cols_ok", lit(if (physOk) 1L else 0L))
         .orderBy("change_type", "flag")
     }),
+    "s41_defaults" -> ((s, d) => {
+      // column DEFAULT values (writer feature allowColumnDefaults) via
+      // SQL: CREATE with per-column DEFAULTs, a column-list INSERT
+      // omitting them (the write MATERIALIZES the fill), ALTER COLUMN
+      // SET DEFAULT changing the obligation mid-table, and a second
+      // omitting INSERT under the new defaults. The oracle recomputes
+      // both eras' fills from the source.
+      val dir = scratch("s41_defaults")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s41_trades")
+      graft.plans.GraftSqlTables.register("s41_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s41_trades (okey BIGINT, qty BIGINT,
+          status STRING DEFAULT 'new', boost BIGINT DEFAULT 0)
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s41_trades (okey, qty)
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+        FROM graft.datalake.s41_lineitem
+        WHERE l_quantity <= 2 AND pmod(l_orderkey, 2) = 0""")
+      s.sql("ALTER TABLE graft.s41_trades " +
+        "ALTER COLUMN status SET DEFAULT 'adj'")
+      s.sql("ALTER TABLE graft.s41_trades " +
+        "ALTER COLUMN boost SET DEFAULT 7")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      s.sql("""
+        INSERT INTO graft.s41_trades (okey, qty)
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+        FROM graft.datalake.s41_lineitem
+        WHERE l_quantity <= 2 AND pmod(l_orderkey, 2) = 1""")
+      s.sql("""
+        SELECT status, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty,
+               CAST(sum(boost) AS BIGINT) AS sum_boost
+        FROM graft.s41_trades GROUP BY status""")
+        .orderBy("status")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

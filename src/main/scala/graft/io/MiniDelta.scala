@@ -282,7 +282,8 @@ object MiniDelta {
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (mustCache) df.persist()
     try {
-      val df1 = applyGenerated(df, declared0, table)
+      val df1 = applyGenerated(applyDefaults(df, declared0), declared0,
+        table)
       val idFields = declared0.map(_.fields.filter(
         _.metadata.contains(IdentityStartKey))).getOrElse(Array.empty)
       // identity branch BEFORE the constraint pass: a CHECK constraint
@@ -1097,6 +1098,33 @@ object MiniDelta {
   private[graft] val IdentityAllowExplicitKey =
     "delta.identity.allowExplicitInsert"
 
+  /** Column DEFAULT values (writer feature `allowColumnDefaults`):
+    * Spark's own StructField metadata keys — the wire shape delta-spark
+    * commits. CURRENT_DEFAULT is the SQL a writer MATERIALIZES into any
+    * row-producing write that omits the column (that obligation is why
+    * it is a writer feature); EXISTS_DEFAULT is the value rows
+    * predating the declaration read (carried for wire fidelity — this
+    * engine's writes always materialize, so its own tables never have
+    * such rows). */
+  private[graft] val CurrentDefaultKey = "CURRENT_DEFAULT"
+  private[graft] val ExistsDefaultKey = "EXISTS_DEFAULT"
+
+  /** The column-DEFAULT writer contract, applied at every row-producing
+    * write: a declared `CURRENT_DEFAULT` column the incoming frame
+    * omits is FILLED with its (constant) default expression — one
+    * narrow projection, free. Runs BEFORE [[applyGenerated]] so a
+    * generated column may reference a defaulted one. A provided column
+    * keeps its values (DEFAULT constrains omission, not content). */
+  private def applyDefaults(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val defs = declared.map(_.fields.filter(f =>
+      f.metadata.contains(CurrentDefaultKey) &&
+        !df.columns.exists(_.equalsIgnoreCase(f.name))))
+      .getOrElse(Array.empty)
+    defs.foldLeft(df)((acc, f) => acc.withColumn(f.name,
+      expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType)))
+  }
+
   /** The generated-column writer contract, applied at every
     * row-producing write: a column the incoming frame OMITS is
     * COMPUTED from its expression (one narrow projection, free); a
@@ -1555,6 +1583,11 @@ object MiniDelta {
     // the in-log clock is authoritative from creation (Delta's rule)
     if (properties.get("delta.enableInCommitTimestamps").contains("true"))
       declared = declared.withWriterFeature("inCommitTimestamp")
+    // column DEFAULTs at v0: the allowColumnDefaults writer feature
+    // joins the protocol — a compliant writer must MATERIALIZE the
+    // default into any write that omits the column ([[applyDefaults]])
+    if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
+      declared = declared.withWriterFeature("allowColumnDefaults")
     val proto =
       if (declared == basicProtocol) Seq.empty else Seq(declared.render)
     writeCommit(spark, table, 0L,
@@ -1637,6 +1670,8 @@ object MiniDelta {
         .withWriterFeature("domainMetadata")
     if (properties.get("delta.enableChangeDataFeed").contains("true"))
       p = p.withWriterFeature("changeDataFeed")
+    if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
+      p = p.withWriterFeature("allowColumnDefaults")
     // REPLACE declaring a mapping mode assigns fresh metadata exactly
     // like CREATE (the old contents are tombstoned in this same
     // commit, so nothing on disk constrains the assignment) — without
@@ -1742,6 +1777,64 @@ object MiniDelta {
     writeCommit(spark, table, readVersion + 1,
       genProto ++ Seq(metaDataLine(table, merged, parts, cfg2)),
       "ADD COLUMNS")
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c SET DEFAULT e / DROP DEFAULT — one
+    * metadata commit updating the field's `CURRENT_DEFAULT` (Spark's
+    * own key, delta-spark's wire shape). SET validates the expression
+    * is a CONSTANT (analyzed against a columnless frame — a default
+    * referencing other columns must refuse, Delta's rule) and declares
+    * the `allowColumnDefaults` writer feature in the same commit when
+    * the protocol lacks it. Applies to FUTURE writes only: existing
+    * rows keep their stored values (every write materializes, so no
+    * row on disk ever "reads through" a default). DROP removes the
+    * obligation; the feature stays declared (features never retract). */
+  def setColumnDefault(spark: SparkSession, table: String, column: String,
+                       defaultSql: Option[String],
+                       readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    val f = declared.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column $column in $table " +
+          s"(has ${declared.fieldNames.mkString(", ")})"))
+    val f2 = defaultSql match {
+      case Some(sql) =>
+        // constant-only: analyzing against a zero-column frame makes
+        // any column reference fail resolution loudly
+        try spark.range(1).select(expr(sql).cast(f.dataType)).head()
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"DEFAULT for $column must be a constant expression of " +
+              s"type ${f.dataType.simpleString}: $sql (${e.getMessage})")
+        }
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(CurrentDefaultKey, sql).build())
+      case None =>
+        require(f.metadata.contains(CurrentDefaultKey),
+          s"$column has no DEFAULT to drop")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(CurrentDefaultKey).build())
+    }
+    val schema2 = org.apache.spark.sql.types.StructType(
+      declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
+    val protoLines =
+      if (defaultSql.isEmpty) Seq.empty
+      else {
+        val cur = resolveProtocol(spark, table, readVersion,
+          cpAtMost = readVersion).getOrElse(basicProtocol)
+        val up = cur.withWriterFeature("allowColumnDefaults")
+        if (up == cur) Seq.empty else Seq(up.render)
+      }
+    writeCommit(spark, table, readVersion + 1,
+      protoLines ++ Seq(metaDataLine(table, schema2,
+        partitionColumns(spark, table),
+        tableConfig(spark, table, readVersion))),
+      "ALTER COLUMN")
   }
 
   /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
@@ -2581,6 +2674,8 @@ object MiniDelta {
     "appendOnly", "invariants", "checkConstraints", "deletionVectors",
     "changeDataFeed", "columnMapping", "timestampNtz", "v2Checkpoint",
     "generatedColumns", "inCommitTimestamp", "identityColumns",
+    // upheld by [[applyDefaults]] at every row-producing write
+    "allowColumnDefaults",
     // upheld by the writeCommit funnel: fresh/preserved baseRowId +
     // defaultRowCommitVersion on every add, high-water mark maintained
     // in the delta.rowTracking domain (rowTracking requires
@@ -4189,7 +4284,8 @@ object MiniDelta {
     // generated-column contract on the rows the merge will WRITE:
     // source-omitted generated columns compute, provided ones validate
     // (survivor rows carry their already-valid stored values)
-    val source1 = applyGenerated(source, declared, table)
+    val source1 = applyGenerated(applyDefaults(source, declared),
+      declared, table)
     // align BOTH sides to the evolved schema: survivors null-fill
     // source-only columns, the source null-fills declared columns it
     // lacks (Delta's insertAll semantics after evolution)
@@ -4746,7 +4842,8 @@ object MiniDelta {
           s"overwrite cannot change the schema of identity-column " +
             s"table $table; add new columns first with ALTER TABLE " +
             "... ADD COLUMNS")
-      val df0 = applyGenerated(df, declared, table)
+      val df0 = applyGenerated(applyDefaults(df, declared), declared,
+        table)
       val (df1, idMetaOv) = idFieldsOv.headOption match {
         case None => (df0, Seq.empty[String])
         case Some(f) =>

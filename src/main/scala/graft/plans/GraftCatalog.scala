@@ -44,7 +44,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Lifecycle maintenance via SQL `CALL graft.<proc>(...)` — see
     * [[GraftProcedures]]. Procedures live at the catalog's top level
@@ -146,8 +148,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .fromJson(c.metadataInJSON())
       val b = new MetadataBuilder().withMetadata(base)
       if (c.comment() != null) b.putString("comment", c.comment())
-      require(c.defaultValue() == null,
-        s"graft tables have no column defaults (column ${c.name()})")
+      // DEFAULT <expr> → Spark's own CURRENT_DEFAULT/EXISTS_DEFAULT
+      // field-metadata keys (delta-spark's wire shape); the engine's
+      // writers MATERIALIZE the default into omitting writes and the
+      // v0 protocol declares allowColumnDefaults
+      val dv = c.defaultValue()
+      if (dv != null) {
+        require(dv.getSql != null && dv.getSql.nonEmpty,
+          s"DEFAULT for ${c.name()} has no SQL form")
+        b.putString("CURRENT_DEFAULT", dv.getSql)
+        b.putString("EXISTS_DEFAULT", dv.getSql)
+      }
       if (c.generationExpression() != null)
         b.putString("delta.generationExpression", c.generationExpression())
       val id = c.identityColumnSpec()

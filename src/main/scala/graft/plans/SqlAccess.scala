@@ -284,7 +284,9 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
               "supported")
           require(c.default.isEmpty,
-            "graft tables have no column defaults")
+            "ADD COLUMNS with a DEFAULT is not supported (Delta's own " +
+              "rule — existing rows would need backfill semantics); " +
+              "add the column, then ALTER COLUMN ... SET DEFAULT")
           val meta = c.comment.fold(
             org.apache.spark.sql.types.Metadata.empty)(cm =>
             new org.apache.spark.sql.types.MetadataBuilder()
@@ -293,6 +295,29 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             c.colName, c.dataType, c.nullable, meta)
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
+
+      // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT → one metadata
+      // commit ([[MiniDelta.setColumnDefault]]); every other ALTER
+      // COLUMN change (type, comment, position) refuses by name
+      case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        val changes = ac.specs.map { s =>
+          require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty,
+            "graft ALTER COLUMN supports SET DEFAULT / DROP DEFAULT " +
+              "only (type/nullability/comment/position changes are " +
+              "not supported)")
+          require(s.column.name.length == 1,
+            "graft ALTER COLUMN supports top-level columns only " +
+              s"(got nested ${s.column.name.mkString(".")})")
+          require(s.newDefaultExpression.isDefined || s.dropDefault,
+            "graft ALTER COLUMN: nothing to change")
+          (s.column.name.head,
+            s.newDefaultExpression.map(_.originalSQL))
+        }
+        GraftSetDefaultCommand(e.path, e.readOnly, changes)
 
       // --- mapped-schema evolution: RENAME/DROP COLUMN route to the
       // engine's metadata-only commits (they require name-mode column
@@ -522,19 +547,21 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
           require(names.length == src.columns.length,
             s"column list names ${names.length} columns, query produces " +
               s"${src.columns.length}")
-          // the list may omit ONLY generated/identity columns — the
-          // engine computes those; any other omission refuses (a silent
-          // null-fill would hide a mistyped column name)
+          // the list may omit ONLY generated/identity/DEFAULT columns —
+          // the engine computes or fills those; any other omission
+          // refuses (a silent null-fill would hide a mistyped column
+          // name)
           val missing = target.filterNot(t =>
             names.exists(_.equalsIgnoreCase(t)))
           val badMissing = missing.filterNot { m =>
             val f = st(m)
             f.metadata.contains("delta.generationExpression") ||
-              f.metadata.contains("delta.identity.start")
+              f.metadata.contains("delta.identity.start") ||
+              f.metadata.contains("CURRENT_DEFAULT")
           }
           require(badMissing.isEmpty,
             s"BY NAME/column-list insert must cover the target schema " +
-              s"(except generated/identity columns): missing " +
+              s"(except generated/identity/DEFAULT columns): missing " +
               s"${badMissing.mkString(", ")}")
           // bind query output to the named target columns positionally,
           // then reorder the PRESENT subset to the declared layout
@@ -1062,6 +1089,20 @@ case class GraftRenameColumnCommand(table: String, readOnly: Boolean,
     from: String, to: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     MiniDelta.renameColumn(spark, table, from, to, readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> ALTER COLUMN c SET DEFAULT e` /
+  * `DROP DEFAULT` → [[MiniDelta.setColumnDefault]] per change, in
+  * order (`None` = drop). */
+case class GraftSetDefaultCommand(table: String, readOnly: Boolean,
+    changes: Seq[(String, Option[String])]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    changes.foreach { case (c, sql) =>
+      MiniDelta.setColumnDefault(spark, table, c, sql,
+        readOnly = readOnly)
+    }
     Seq.empty
   }
 }

@@ -311,6 +311,31 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("column-default v0 matches the golden wire format") {
+    // pins the late-r13 allowColumnDefaults shape: v0's protocol
+    // carries the writer feature and the schemaString carries Spark's
+    // CURRENT_DEFAULT metadata key — the exact keys delta-spark
+    // commits, so a real reader resolves the obligation
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_def").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType),
+        StructField("status", StringType, nullable = true,
+          new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", "'new'")
+            .putString("EXISTS_DEFAULT", "'new'").build()))))
+      val v0 = readText(f"$t/_delta_log/${0L}%020d.json")
+      assert(v0.contains("\"allowColumnDefaults\"") &&
+        v0.contains("CURRENT_DEFAULT"), v0)
+      check("defaults_v0.json", normalize(v0))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout

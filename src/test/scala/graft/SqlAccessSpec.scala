@@ -1072,6 +1072,53 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SQL column DEFAULTs: CREATE, omitted INSERT, SET/DROP DEFAULT") {
+    val dir = freshDir()
+    GraftSqlTables.unregister("spec_def")
+    spark.sql(s"""
+      CREATE TABLE graft.spec_def (
+        id BIGINT,
+        status STRING DEFAULT 'new',
+        score DOUBLE
+      ) LOCATION '$dir/t'""")
+    try {
+      // the column-list INSERT may omit the defaulted column — the
+      // write MATERIALIZES the fill (allowColumnDefaults' contract)
+      spark.sql("INSERT INTO graft.spec_def (id, score) VALUES (1, 0.1)")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      assert(spark.sql("SELECT status FROM graft.spec_def WHERE id = 1")
+        .head().getString(0) == "new")
+      // a non-defaulted omission still refuses by name
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_def (id) VALUES (9)"))
+      assert(e.getMessage.contains("missing"), e.getMessage)
+      // SET DEFAULT: future inserts fill; the id=1 row is untouched
+      spark.sql("ALTER TABLE graft.spec_def " +
+        "ALTER COLUMN score SET DEFAULT 9.9D")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      spark.sql("INSERT INTO graft.spec_def (id) VALUES (2)")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      val rows = spark.sql(
+        "SELECT id, status, score FROM graft.spec_def ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, "new", 0.1), (2L, "new", 9.9)), rows)
+      // DROP DEFAULT: the column-list omission refuses again (the
+      // fill obligation is gone, and a silent null-fill would hide a
+      // mistyped column name — the command's standing rule)
+      spark.sql("ALTER TABLE graft.spec_def " +
+        "ALTER COLUMN score DROP DEFAULT")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      val e3 = intercept[Exception](spark.sql(
+        "INSERT INTO graft.spec_def (id) VALUES (3)"))
+      assert(e3.getMessage.contains("missing"), e3.getMessage)
+      // other ALTER COLUMN changes refuse by name
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_def ALTER COLUMN score TYPE STRING"))
+      assert(e2.getMessage.contains("SET DEFAULT"), e2.getMessage)
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
