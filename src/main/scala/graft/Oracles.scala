@@ -1550,6 +1550,13 @@ SELECT 'new' AS status, CAST(count(*) AS BIGINT) AS n_rows,
 FROM base WHERE okey % 2 = 0
 ORDER BY status""",
 
+    "s42_clustered" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS files_skip_ok
+FROM lineitem WHERE l_quantity <= 3
+GROUP BY 1 ORDER BY 1""",
+
     "s38_colmap_id_write" ->
       """SELECT l_returnflag AS flag,
   CAST(count(*) AS BIGINT) AS n_rows,

@@ -2430,6 +2430,47 @@ object SparkEntry {
         FROM graft.s41_trades GROUP BY status""")
         .orderBy("status")
     }),
+    "s42_clustered" -> ((s, d) => {
+      // clustered table (writer feature `clustering`): SQL CREATE with
+      // CLUSTER BY (okey, qty), an UNCLUSTERED INSERT (the layout is
+      // advisory for writes), then a bare CALL graft.optimize that must
+      // honor the DECLARED columns — files_skip_ok asserts the
+      // post-OPTIMIZE per-file stats actually discriminate on the
+      // leading clustering key (a point range at min(okey) must skip
+      // at least one file), which is the layout's entire point at
+      // 100 TB. The oracle recomputes the per-flag aggregation.
+      val dir = scratch("s42_clustered")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s42_trades")
+      graft.plans.GraftSqlTables.register("s42_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s42_trades (okey BIGINT, qty BIGINT,
+          flag STRING)
+        CLUSTER BY (okey, qty) LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s42_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s42_lineitem WHERE l_quantity <= 3""")
+      s.sql("CALL graft.optimize('s42_trades')")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val snap = graft.io.MiniDelta.snapshotFiles(s, table)
+      val total = snap.count()
+      val lo = s.sql("SELECT CAST(min(okey) AS DOUBLE) " +
+        "FROM graft.s42_trades").head().getDouble(0)
+      val hit = graft.io.MiniDelta.filesForRange(snap, "okey", lo, lo)
+        .count()
+      val skipOk = total < 2 || hit < total
+      s.sql("""
+        SELECT flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s42_trades GROUP BY flag""")
+        .withColumn("files_skip_ok", lit(if (skipOk) 1L else 0L))
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

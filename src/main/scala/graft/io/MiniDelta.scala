@@ -1506,10 +1506,20 @@ object MiniDelta {
                   schema: org.apache.spark.sql.types.StructType,
                   partitionBy: Seq[String] = Nil,
                   properties: Map[String, String] = Map.empty,
-                  readOnly: Boolean = false): Long = {
+                  readOnly: Boolean = false,
+                  clusterBy: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(!tableExists(spark, table),
       s"CREATE TABLE: $table already has a _delta_log")
+    // clustered tables (Delta writer feature `clustering`, late r13):
+    // the clustering layout replaces Hive partitioning — Delta refuses
+    // the combination too — and the columns must exist
+    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      s"CREATE TABLE $table: CLUSTER BY and PARTITIONED BY are " +
+        "mutually exclusive (Delta's rule)")
+    clusterBy.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"CLUSTER BY column $c is not in the schema"))
     val missing = partitionBy.filterNot(p =>
       schema.fieldNames.exists(_.equalsIgnoreCase(p)))
     require(missing.isEmpty,
@@ -1588,11 +1598,25 @@ object MiniDelta {
     // default into any write that omits the column ([[applyDefaults]])
     if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
       declared = declared.withWriterFeature("allowColumnDefaults")
+    // CLUSTER BY at v0: the clustering writer feature (+ its
+    // domainMetadata prerequisite) joins the protocol and the layout
+    // lands in the delta.clustering domain — PHYSICAL column names on
+    // mapped tables, the same rule stats keys follow. OPTIMIZE resolves
+    // the domain and z-orders by these columns ([[compact]]).
+    val clusterLines =
+      if (clusterBy.isEmpty) Seq.empty[String]
+      else {
+        declared = declared.withWriterFeature("clustering")
+          .withWriterFeature("domainMetadata")
+        val phys = clusterBy.map(c => schemaOut.fields
+          .find(_.name.equalsIgnoreCase(c)).fold(c)(physicalNameOf))
+        Seq(domainMetadataLine(ClusteringDomain, clusteringConfig(phys)))
+      }
     val proto =
       if (declared == basicProtocol) Seq.empty else Seq(declared.render)
     writeCommit(spark, table, 0L,
       proto ++ Seq(metaDataLine(table, schemaOut, partitionBy,
-        properties ++ mapCfg)),
+        properties ++ mapCfg)) ++ clusterLines,
       "CREATE TABLE")
   }
 
@@ -2676,6 +2700,10 @@ object MiniDelta {
     "generatedColumns", "inCommitTimestamp", "identityColumns",
     // upheld by [[applyDefaults]] at every row-producing write
     "allowColumnDefaults",
+    // upheld by [[compact]] honoring the delta.clustering domain; the
+    // layout is advisory for writes (Delta's rule — appends need not
+    // cluster, OPTIMIZE restores the layout)
+    "clustering",
     // upheld by the writeCommit funnel: fresh/preserved baseRowId +
     // defaultRowCommitVersion on every add, high-water mark maintained
     // in the delta.rowTracking domain (rowTracking requires
@@ -2840,14 +2868,24 @@ object MiniDelta {
     // the resolved protocol: a rowTracking-free table has no mark to
     // carry, and the probe driver-reads every JSON commit in the tail —
     // an unconditional call taxes every checkpoint on every table.
-    val domainLines =
-      if (!resolved.writerFeats.contains("rowTracking")) Seq.empty
-      else {
-        val hwm = rowIdHighWaterMark(spark, table, version)
-        if (hwm < 0) Seq.empty
-        else Seq(domainMetadataLine(RowTrackingDomain,
-          s"""{"rowIdHighWaterMark":$hwm}"""))
-      }
+    val domainLines = {
+      val rt =
+        if (!resolved.writerFeats.contains("rowTracking")) Seq.empty
+        else {
+          val hwm = rowIdHighWaterMark(spark, table, version)
+          if (hwm < 0) Seq.empty
+          else Seq(domainMetadataLine(RowTrackingDomain,
+            s"""{"rowIdHighWaterMark":$hwm}"""))
+        }
+      // the clustering layout is snapshot state too: without the carry,
+      // log cleanup would silently turn a clustered table unclustered
+      val cl =
+        if (!resolved.writerFeats.contains("clustering")) Seq.empty
+        else clusteringPhysicalCols(spark, table, version).toSeq
+          .map(cols => domainMetadataLine(ClusteringDomain,
+            clusteringConfig(cols)))
+      rt ++ cl
+    }
     // unexpired remove tombstones ride the checkpoint (Delta classic
     // shape): without them, deleting pre-checkpoint JSON history
     // ([[cleanupLogs]]) would silently erase the horizon data vacuum
@@ -3203,13 +3241,25 @@ object MiniDelta {
     // adds carry no DV — OPTIMIZE is how deletion vectors MATERIALIZE
     val read = readFilesWithDv(spark, table,
       dvPairsOf(current.toIndexedSeq), latestSchema(spark, table))
+    // clustered table (delta.clustering domain, late r13): a bare
+    // OPTIMIZE honors the DECLARED layout — multi-column layouts
+    // z-order, single-column layouts range-cluster — so `CALL
+    // graft.optimize` on a clustered table does what Delta's OPTIMIZE
+    // does without the caller restating the columns
+    val (clusterBy1, zOrderBy1) =
+      if (clusterBy.nonEmpty || zOrderBy.nonEmpty) (clusterBy, zOrderBy)
+      else clusteringColumns(spark, table) match {
+        case Seq() => (Nil, Nil)
+        case Seq(one) => (Seq(one), Nil)
+        case many => (Nil, many)
+      }
     // OPTIMIZE ZORDER: sort within each rewrite task by the Morton code
     // of the z-order columns so maxRecordsPerFile splits yield files
     // covering small hyper-rectangles — min/max stats discriminate on
     // every z-ordered column (graft.operators.ZOrder)
     val (data, sortCols) =
-      if (zOrderBy.isEmpty) (read, clusterBy)
-      else (graft.operators.ZOrder.withZValue(read, zOrderBy), Seq("__z"))
+      if (zOrderBy1.isEmpty) (read, clusterBy1)
+      else (graft.operators.ZOrder.withZValue(read, zOrderBy1), Seq("__z"))
     // explicit partition count: a column-only repartition is eligible for
     // AQE partition coalescing, which at low volume re-creates the exact
     // single-task funnel this rewrite removes; with the count pinned each
@@ -3242,7 +3292,7 @@ object MiniDelta {
     // the z-value is a clustering key, not table data: project it away
     // AFTER the sort (a projection preserves ordering)
     val toWrite =
-      if (zOrderBy.isEmpty) clustered else clustered.drop("__z")
+      if (zOrderBy1.isEmpty) clustered else clustered.drop("__z")
     val added = writeAndCapture(spark, toWrite, table, partitionBy,
       maxRecordsPerFile)
     // OPTIMIZE inherits the table's stats discipline: with no explicit
@@ -3267,7 +3317,8 @@ object MiniDelta {
               b.result()
             }
           }.getOrElse(Seq.empty)
-        (fromFiles ++ (zOrderBy ++ clusterBy).filterNot(fromFiles.contains))
+        (fromFiles ++
+          (zOrderBy1 ++ clusterBy1).filterNot(fromFiles.contains))
       }
     val stats = fileStats(spark, table, added.map(_._1), inheritedStatsCols)
     val now = System.currentTimeMillis()
@@ -3332,6 +3383,102 @@ object MiniDelta {
 
   /** The Delta rowTracking feature's domainMetadata domain. */
   private[graft] val RowTrackingDomain = "delta.rowTracking"
+
+  /** The clustered-table feature's domainMetadata domain (Delta writer
+    * feature `clustering`): configuration carries the clustering
+    * layout as `{"clusteringColumns":[["a"],["b"]]}` — one path array
+    * per column, PHYSICAL names on mapped tables. */
+  private[graft] val ClusteringDomain = "delta.clustering"
+
+  private def clusteringConfig(cols: Seq[String]): String =
+    s"""{"clusteringColumns":[${
+      cols.map(c => s"[${jstr(c)}]").mkString(",")}]}"""
+
+  private val ClusterColsRe =
+    """"clusteringColumns"\s*:\s*\[(.*?)\]\s*}""".r
+
+  /** The table's declared clustering layout at `atMost` (PHYSICAL
+    * column names, possibly empty = CLUSTER BY NONE): the newest
+    * delta.clustering domainMetadata action, resolved from the JSON
+    * tail with the newest checkpoint's domainMetadata row as fallback
+    * (the [[rowIdHighWaterMark]] discipline). None when the table
+    * never declared clustering. */
+  private def clusteringPhysicalCols(spark: SparkSession, table: String,
+      atMost: Long): Option[Seq[String]] = {
+    if (atMost < 0) return None
+    val f = fs(spark, table)
+    val cp = latestCheckpoint(spark, table, atMost)
+    val tail = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1, atMost)
+    val fromTail = tail.reverseIterator.flatMap { case (_, p) =>
+      val pp = new Path(p)
+      val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+      val in = f.open(pp)
+      try in.readFully(bytes) finally in.close()
+      val txt = new String(bytes, "UTF-8")
+      if (!txt.contains(ClusteringDomain)) None
+      else txt.linesIterator
+        .filter(l => l.contains("\"domainMetadata\"") &&
+          l.contains(ClusteringDomain))
+        .map(l => parseClusteringCols(l.replace("\\\"", "\"")))
+        .reduceOption((_, b) => b) // newest line in the file wins
+    }.nextOption()
+    fromTail.orElse(cp.flatMap { v =>
+      checkpointActionDF(spark, table, v).flatMap { df =>
+        if (!df.columns.contains("domainMetadata")) None
+        else df.where(col("domainMetadata").isNotNull &&
+            col("domainMetadata.domain") === ClusteringDomain)
+          .select("domainMetadata.configuration").collect().headOption
+          .flatMap(r => Option(r.getString(0)))
+          .map(parseClusteringCols)
+      }
+    })
+  }
+
+  /** The clustering columns under their LOGICAL names (Nil when not
+    * clustered or CLUSTER BY NONE) — physical names relabel back
+    * through the current schema; unmapped tables are identity. */
+  def clusteringColumns(spark: SparkSession, table: String): Seq[String] = {
+    val raw = clusteringPhysicalCols(spark, table,
+      latestVersion(spark, table)).getOrElse(Nil)
+    val schema = latestSchema(spark, table)
+    raw.map(pn => schema.flatMap(_.fields.find(fld =>
+      physicalNameOf(fld) == pn)).fold(pn)(_.name))
+  }
+
+  private def parseClusteringCols(txt: String): Seq[String] =
+    ClusterColsRe.findFirstMatchIn(txt).map(_.group(1)).toSeq
+      .flatMap(inner => "\"([^\"]*)\"".r.findAllMatchIn(inner)
+        .map(_.group(1)).toSeq)
+
+  /** ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: one commit
+    * re-stating the delta.clustering domain (empty list = NONE —
+    * domains never retract, Delta's own shape) and declaring the
+    * clustering writer feature when the protocol lacks it. Metadata
+    * only: no file moves; the layout governs FUTURE OPTIMIZE runs. */
+  def setClusterBy(spark: SparkSession, table: String,
+                   cols: Seq[String], readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+    requireMappingWritable(declared, table, spark)
+    cols.foreach(c => require(declared.exists(
+      _.fieldNames.exists(_.equalsIgnoreCase(c))),
+      s"CLUSTER BY column $c is not in the schema of $table"))
+    require(partitionColumns(spark, table).isEmpty,
+      s"$table is Hive-partitioned — CLUSTER BY and PARTITIONED BY " +
+        "are mutually exclusive (Delta's rule)")
+    val phys = cols.map(c => declared.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(c))).fold(c)(physicalNameOf))
+    val cur = resolveProtocol(spark, table, readVersion,
+      cpAtMost = readVersion).getOrElse(basicProtocol)
+    val up = cur.withWriterFeature("clustering")
+      .withWriterFeature("domainMetadata")
+    val protoLines = if (up == cur) Seq.empty else Seq(up.render)
+    writeCommit(spark, table, readVersion + 1,
+      protoLines :+ domainMetadataLine(ClusteringDomain,
+        clusteringConfig(phys)),
+      "CLUSTER BY")
+  }
 
   // matches both the bare configuration JSON ("rowIdHighWaterMark":N,
   // as read from a checkpoint's domainMetadata column) and the
@@ -5273,14 +5420,26 @@ object MiniDelta {
     // a rowTracking source's high-water mark rides into the clone's v0
     // — without it the clone's first append would re-assign ids already
     // carried by the cloned files
-    val domainLines =
-      if (!srcProto.exists(_.writerFeats.contains("rowTracking"))) Seq.empty
-      else {
-        val hwm = rowIdHighWaterMark(spark, source, v)
-        if (hwm < 0) Seq.empty
-        else Seq(domainMetadataLine(RowTrackingDomain,
-          s"""{"rowIdHighWaterMark":$hwm}"""))
-      }
+    val domainLines = {
+      val rt =
+        if (!srcProto.exists(_.writerFeats.contains("rowTracking")))
+          Seq.empty
+        else {
+          val hwm = rowIdHighWaterMark(spark, source, v)
+          if (hwm < 0) Seq.empty
+          else Seq(domainMetadataLine(RowTrackingDomain,
+            s"""{"rowIdHighWaterMark":$hwm}"""))
+        }
+      // a clustered source's layout rides into the clone's v0 — the
+      // clone's OPTIMIZE must honor the same declared columns
+      val cl =
+        if (!srcProto.exists(_.writerFeats.contains("clustering")))
+          Seq.empty
+        else clusteringPhysicalCols(spark, source, v).toSeq
+          .map(cols => domainMetadataLine(ClusteringDomain,
+            clusteringConfig(cols)))
+      rt ++ cl
+    }
     writeCommitStreamed(spark, target, 0L,
       protoLines ++ metaLines ++ domainLines, addLinesIt, "CLONE")
   }

@@ -182,10 +182,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     import scala.jdk.CollectionConverters._
     val spark = org.apache.spark.sql.SparkSession.active
     val alias = ident.name.toLowerCase
-    GraftDdl.create(spark, alias, schema,
-      GraftDdl.identityCols(partitions.toIndexedSeq),
+    val (partCols, clusterCols) =
+      GraftDdl.partitionAndClusterCols(partitions.toIndexedSeq)
+    GraftDdl.create(spark, alias, schema, partCols,
       Option(properties.get(TableCatalog.PROP_LOCATION)),
-      properties.asScala.toMap)
+      properties.asScala.toMap, clusterBy = clusterCols)
     GraftStaticTable(alias, schema, partitions)
   }
 

@@ -296,6 +296,21 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 
+      // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE → one
+      // metadata commit re-stating the delta.clustering domain
+      case cb @ org.apache.spark.sql.catalyst.plans.logical
+          .AlterTableClusterBy(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        val cols = cb.clusterBySpec.toSeq.flatMap(_.columnNames.map { r =>
+          require(r.fieldNames.length == 1,
+            "graft CLUSTER BY supports top-level columns only " +
+              s"(got nested ${r.fieldNames.mkString(".")})")
+          r.fieldNames.head
+        })
+        GraftClusterByCommand(e.path, e.readOnly, cols)
+
       // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT → one metadata
       // commit ([[MiniDelta.setColumnDefault]]); every other ALTER
       // COLUMN change (type, comment, position) refuses by name
@@ -728,6 +743,31 @@ object GraftDdl {
         s"graft tables support identity partitioning only, got $other")
     }
 
+  /** CREATE TABLE's transform array split into (partition columns,
+    * clustering columns): Spark delivers `CLUSTER BY (a, b)` as a
+    * ClusterByTransform riding the same partitions array as the
+    * identity transforms of `PARTITIONED BY`. */
+  def partitionAndClusterCols(transforms: Seq[Transform])
+      : (Seq[String], Seq[String]) = {
+    val (cluster, rest) = transforms.partition {
+      case _: org.apache.spark.sql.connector.expressions
+        .ClusterByTransform => true
+      case _ => false
+    }
+    val clusterCols = cluster.flatMap {
+      case c: org.apache.spark.sql.connector.expressions
+        .ClusterByTransform =>
+        c.columnNames.map { r =>
+          require(r.fieldNames.length == 1,
+            "graft CLUSTER BY supports top-level columns only " +
+              s"(got nested ${r.fieldNames.mkString(".")})")
+          r.fieldNames.head
+        }
+      case _ => Nil
+    }
+    (identityCols(rest), clusterCols)
+  }
+
   /** Default location root for SQL-created tables:
     * `spark.sql.catalog.graft.warehouse` (the catalog's option key). */
   def warehouse(spark: SparkSession): Option[String] =
@@ -740,7 +780,8 @@ object GraftDdl {
   def create(spark: SparkSession, alias: String,
              schema: org.apache.spark.sql.types.StructType,
              partCols: Seq[String], location: Option[String],
-             properties: Map[String, String]): String = {
+             properties: Map[String, String],
+             clusterBy: Seq[String] = Nil): String = {
     val a = alias.toLowerCase
     if (GraftSqlTables.resolve(Seq("graft", a)).isDefined)
       throw new org.apache.spark.sql.catalyst.analysis
@@ -754,7 +795,8 @@ object GraftDdl {
     // only delta.* TBLPROPERTIES are table config; Spark's bookkeeping
     // properties (provider, owner, ...) stay out of the log
     MiniDelta.createTable(spark, path, translateColumnSpecs(schema),
-      partCols, properties.filter(_._1.startsWith("delta.")))
+      partCols, properties.filter(_._1.startsWith("delta.")),
+      clusterBy = clusterBy)
     GraftSqlTables.register(a, path, readOnly = false)
     path
   }
@@ -1089,6 +1131,16 @@ case class GraftRenameColumnCommand(table: String, readOnly: Boolean,
     from: String, to: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     MiniDelta.renameColumn(spark, table, from, to, readOnly = readOnly)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> CLUSTER BY (cols)` / `CLUSTER BY NONE`
+  * → [[MiniDelta.setClusterBy]] (empty cols = NONE). */
+case class GraftClusterByCommand(table: String, readOnly: Boolean,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    MiniDelta.setClusterBy(spark, table, cols, readOnly = readOnly)
     Seq.empty
   }
 }
