@@ -1027,14 +1027,43 @@ case class GraftShowCreateTableCommand(alias: String, table: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val schema = MiniDelta.latestSchema(spark, table)
       .getOrElse(spark.read.parquet(table).schema)
+    // full-fidelity column clauses: DEFAULT, GENERATED ALWAYS AS
+    // (expr), and IDENTITY specs render back out, so the statement
+    // re-creates the table's whole write contract, not just its shape
     val cols = schema.fields.map { f =>
+      val m = f.metadata
+      val dflt =
+        if (!m.contains("CURRENT_DEFAULT")) ""
+        else s" DEFAULT ${m.getString("CURRENT_DEFAULT")}"
+      val gen =
+        if (m.contains("delta.generationExpression"))
+          s" GENERATED ALWAYS AS " +
+            s"(${m.getString("delta.generationExpression")})"
+        else if (m.contains("delta.identity.start")) {
+          val st = m.getLong("delta.identity.start")
+          val sp =
+            if (m.contains("delta.identity.step"))
+              m.getLong("delta.identity.step")
+            else 1L
+          val kind =
+            if (m.contains("delta.identity.allowExplicitInsert") &&
+                m.getBoolean("delta.identity.allowExplicitInsert"))
+              "BY DEFAULT" else "ALWAYS"
+          s" GENERATED $kind AS IDENTITY " +
+            s"(START WITH $st INCREMENT BY $sp)"
+        } else ""
       s"  `${f.name}` ${f.dataType.sql}" +
-        (if (f.nullable) "" else " NOT NULL")
+        (if (f.nullable) "" else " NOT NULL") + dflt + gen
     }.mkString(",\n")
     val parts = MiniDelta.partitionColumns(spark, table)
     val partClause =
       if (parts.isEmpty) ""
       else parts.mkString("\nPARTITIONED BY (", ", ", ")")
+    val clusterCols = MiniDelta.clusteringColumns(spark, table)
+    val clusterClause =
+      if (clusterCols.isEmpty) ""
+      else clusterCols.map(c => s"`$c`")
+        .mkString("\nCLUSTER BY (", ", ", ")")
     val props = MiniDelta.tableConfig(spark, table).toSeq.sortBy(_._1)
     val propClause =
       if (props.isEmpty) ""
@@ -1042,7 +1071,7 @@ case class GraftShowCreateTableCommand(alias: String, table: String)
         .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
     Seq(Row(
       s"CREATE TABLE graft.$alias (\n$cols)\nUSING delta" +
-        s"$partClause\nLOCATION '$table'$propClause"))
+        s"$partClause$clusterClause\nLOCATION '$table'$propClause"))
   }
 }
 

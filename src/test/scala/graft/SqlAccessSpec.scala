@@ -1119,6 +1119,43 @@ class SqlAccessSpec extends AnyFunSuite {
     } finally GraftSqlTables.clear()
   }
 
+  test("SHOW CREATE renders DEFAULT/GENERATED/IDENTITY/CLUSTER BY and re-runs") {
+    val dir = freshDir()
+    GraftSqlTables.unregister("spec_sct")
+    GraftSqlTables.unregister("spec_sct2")
+    spark.sql(s"""
+      CREATE TABLE graft.spec_sct (
+        id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 2),
+        ts BIGINT,
+        bucket BIGINT GENERATED ALWAYS AS (ts % 4),
+        status STRING DEFAULT 'new'
+      ) CLUSTER BY (ts) LOCATION '$dir/t'""")
+    try {
+      val stmt = spark.sql("SHOW CREATE TABLE graft.spec_sct")
+        .head().getString(0)
+      assert(stmt.contains("DEFAULT 'new'"), stmt)
+      assert(stmt.contains(
+        "GENERATED ALWAYS AS IDENTITY (START WITH 7 INCREMENT BY 2)"),
+        stmt)
+      assert(stmt.contains("GENERATED ALWAYS AS (ts % 4)"), stmt)
+      assert(stmt.contains("CLUSTER BY (`ts`)"), stmt)
+      // the statement re-runs into a table with the SAME write contract
+      // the rendered LOCATION is the RESOLVED path (file: scheme), so
+      // swap just the trailing directory name
+      val stmt2 = stmt
+        .replace("graft.spec_sct", "graft.spec_sct2")
+        .replace("/t'", "/t2'")
+      spark.sql(stmt2)
+      spark.sql("INSERT INTO graft.spec_sct2 (ts) VALUES (9)")
+      MiniDelta.invalidateSnapshot(s"$dir/t2")
+      val r = spark.sql(
+        "SELECT id, ts, bucket, status FROM graft.spec_sct2").head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+        == ((7L, 9L, 1L, "new")), r)
+      assert(MiniDelta.clusteringColumns(spark, s"$dir/t2") == Seq("ts"))
+    } finally GraftSqlTables.clear()
+  }
+
   test("partition layout survives an all-rows delete (metaData fallback)") {
     val t = freshDir() + "/trades"
     seed(t)
