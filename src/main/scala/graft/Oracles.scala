@@ -1557,6 +1557,20 @@ ORDER BY status""",
 FROM lineitem WHERE l_quantity <= 3
 GROUP BY 1 ORDER BY 1""",
 
+    "s43_type_widening" ->
+      """WITH eras AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity <= 2
+  UNION ALL
+  SELECT l_returnflag AS flag,
+    CAST(l_quantity AS BIGINT) + 3000000000 AS qty
+  FROM lineitem WHERE l_quantity = 3
+)
+SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS no_rewrite
+FROM eras GROUP BY flag ORDER BY flag""",
+
     "s38_colmap_id_write" ->
       """SELECT l_returnflag AS flag,
   CAST(count(*) AS BIGINT) AS n_rows,

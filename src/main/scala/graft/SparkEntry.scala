@@ -2471,6 +2471,50 @@ object SparkEntry {
         .withColumn("files_skip_ok", lit(if (skipOk) 1L else 0L))
         .orderBy("flag")
     }),
+    "s43_type_widening" -> ((s, d) => {
+      // typeWidening: CREATE with qty INT, a narrow INSERT, ALTER
+      // COLUMN qty TYPE BIGINT (one metadata commit — the narrow files
+      // are NOT rewritten; reads upcast them), then an INSERT of values
+      // only a BIGINT can hold. The final aggregate spans both eras,
+      // proving the upcast read path end-to-end; the oracle recomputes
+      // it from the source.
+      val dir = scratch("s43_type_widening")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s43_trades")
+      graft.plans.GraftSqlTables.register("s43_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s43_trades (okey BIGINT, qty INT,
+          flag STRING)
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s43_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS INT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s43_lineitem WHERE l_quantity <= 2""")
+      val narrowFiles = graft.io.MiniDelta.snapshotFiles(s, table)
+        .select("path").collect().map(_.getString(0)).toSet
+      s.sql("ALTER TABLE graft.s43_trades ALTER COLUMN qty TYPE BIGINT")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      // metadata-only: the widen rewrote NOTHING
+      val afterFiles = graft.io.MiniDelta.snapshotFiles(s, table)
+        .select("path").collect().map(_.getString(0)).toSet
+      val noRewrite = narrowFiles == afterFiles
+      s.sql("""
+        INSERT INTO graft.s43_trades
+        SELECT l_orderkey AS okey,
+               CAST(l_quantity AS BIGINT) + 3000000000 AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s43_lineitem WHERE l_quantity = 3""")
+      s.sql("""
+        SELECT flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s43_trades GROUP BY flag""")
+        .withColumn("no_rewrite", lit(if (noRewrite) 1L else 0L))
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -97,7 +97,11 @@ object MiniDelta {
     * sidecar action files) are assembled by [[checkpointActionDF]]. */
   private val supportedReaderFeatures =
     Set("deletionVectors", "timestampNtz", "vacuumProtocolCheck",
-      "v2Checkpoint", "columnMapping")
+      "v2Checkpoint", "columnMapping",
+      // widened declared types read narrower files through Spark's
+      // parquet upcast (int→long, float→double, date→timestamp_ntz,
+      // int→decimal all verified on this Spark)
+      "typeWidening")
 
   /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
     * under the table root, Z85 UUID name), `i` (inline Z85 payload),
@@ -1861,6 +1865,96 @@ object MiniDelta {
       "ALTER COLUMN")
   }
 
+  /** The Delta typeWidening feature's allowed no-rewrite widenings:
+    * existing (narrower) files read through Spark's parquet upcast, so
+    * widening is one metadata commit. The matrix is the spec's:
+    * integral chain byte→short→int→long, float→double, integral→double,
+    * date→timestamp_ntz, decimal precision growth with non-shrinking
+    * scale headroom, and integral→decimal with enough integer digits. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+                         to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(t: DataType): Option[Int] = t match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(20)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => false // not a change at all
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          (d2.precision - d2.scale) >= (d1.precision - d1.scale) &&
+          (d2.precision > d1.precision || d2.scale > d1.scale)
+      case (f, d: DecimalType) =>
+        intDigits(f).exists(n => (d.precision - d.scale) >= n)
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c TYPE <wider> — Delta typeWidening:
+    * ONE metadata commit re-declares the column at the wider type and
+    * appends the change to the field's `delta.typeChanges` metadata
+    * (the spec's record of every widening, which a reader may use to
+    * plan upcasts); the typeWidening table feature (reader + writer —
+    * a pre-feature reader would mis-type the narrow files) joins the
+    * protocol in the same commit. No file is rewritten: reads scan
+    * under the DECLARED (wide) schema and Spark's parquet reader
+    * upcasts the narrow files. Non-widening changes refuse — they
+    * would need a rewrite. */
+  def widenColumnType(spark: SparkSession, table: String, column: String,
+                      to: org.apache.spark.sql.types.DataType,
+                      readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    val f = declared.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column $column in $table " +
+          s"(has ${declared.fieldNames.mkString(", ")})"))
+    require(isWidening(f.dataType, to),
+      s"ALTER COLUMN TYPE only widens without a rewrite: " +
+        s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
+        "supported widening (byte->short->int->long, float->double, " +
+        "integral->double, date->timestamp_ntz, decimal growth)")
+    require(!partitionColumns(spark, table)
+        .exists(_.equalsIgnoreCase(column)),
+      s"cannot widen partition column $column — the Hive directory " +
+        "values are typed by the layout")
+    val change = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName).build()
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges").toSeq
+      else Seq.empty
+    val f2 = f.copy(dataType = to,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putMetadataArray("delta.typeChanges",
+          (prior :+ change).toArray).build())
+    val schema2 = org.apache.spark.sql.types.StructType(
+      declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
+    val cur = resolveProtocol(spark, table, readVersion,
+      cpAtMost = readVersion).getOrElse(basicProtocol)
+    val up = cur.withFeature("typeWidening")
+    val protoLines = if (up == cur) Seq.empty else Seq(up.render)
+    writeCommit(spark, table, readVersion + 1,
+      protoLines :+ metaDataLine(table, schema2,
+        partitionColumns(spark, table),
+        tableConfig(spark, table, readVersion)),
+      "ALTER COLUMN")
+  }
+
   /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
     * exists FOR (the reference documents exactly this client hazard,
     * README.md:249-270): one metaData commit changes the LOGICAL name,
@@ -2704,6 +2798,13 @@ object MiniDelta {
     // layout is advisory for writes (Delta's rule — appends need not
     // cluster, OPTIMIZE restores the layout)
     "clustering",
+    // upheld: [[vacuum]] checks the protocol through this same gate
+    // before deleting anything (the feature's whole contract)
+    "vacuumProtocolCheck",
+    // upheld: widened declared types read old (narrower) files through
+    // Spark's parquet upcast, and [[widenColumnType]] is the only
+    // writer of type changes (records delta.typeChanges per the spec)
+    "typeWidening",
     // upheld by the writeCommit funnel: fresh/preserved baseRowId +
     // defaultRowCommitVersion on every add, high-water mark maintained
     // in the delta.rowTracking domain (rowTracking requires
@@ -4711,6 +4812,12 @@ object MiniDelta {
     // DRY RUN (Delta's form) reports the would-be deletions without
     // touching storage — the same candidate discovery, no delete calls
     if (readOnly && !dryRun) throw new ReadOnlyTableException(table)
+    // vacuumProtocolCheck's contract: verify the table's protocol is
+    // one this engine upholds BEFORE deleting anything — vacuuming a
+    // table whose features you don't understand can delete files a
+    // feature still references
+    if (!dryRun)
+      requireWritable(spark, table, latestVersion(spark, table))
     val snapRows = snapshotFiles(spark, table)
       .select("path", "dv_path").collect().toIndexedSeq
     val live = snapRows.map(_.getString(0)).toSet

@@ -312,27 +312,34 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         GraftClusterByCommand(e.path, e.readOnly, cols)
 
       // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT → one metadata
-      // commit ([[MiniDelta.setColumnDefault]]); every other ALTER
-      // COLUMN change (type, comment, position) refuses by name
+      // commit ([[MiniDelta.setColumnDefault]]); ALTER COLUMN c TYPE
+      // <wider> → the typeWidening metadata commit
+      // ([[MiniDelta.widenColumnType]]); nullability/comment/position
+      // changes refuse by name
       case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
         val changes = ac.specs.map { s =>
-          require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
-              s.newComment.isEmpty && s.newPosition.isEmpty,
-            "graft ALTER COLUMN supports SET DEFAULT / DROP DEFAULT " +
-              "only (type/nullability/comment/position changes are " +
-              "not supported)")
+          require(s.newNullability.isEmpty && s.newComment.isEmpty &&
+              s.newPosition.isEmpty,
+            "graft ALTER COLUMN supports SET DEFAULT / DROP DEFAULT / " +
+              "TYPE <widening> only (nullability/comment/position " +
+              "changes are not supported)")
           require(s.column.name.length == 1,
             "graft ALTER COLUMN supports top-level columns only " +
               s"(got nested ${s.column.name.mkString(".")})")
-          require(s.newDefaultExpression.isDefined || s.dropDefault,
+          require(s.newDataType.isDefined ||
+              s.newDefaultExpression.isDefined || s.dropDefault,
             "graft ALTER COLUMN: nothing to change")
-          (s.column.name.head,
-            s.newDefaultExpression.map(_.originalSQL))
+          require(s.newDataType.isEmpty ||
+              (s.newDefaultExpression.isEmpty && !s.dropDefault),
+            "graft ALTER COLUMN: change the TYPE and the DEFAULT in " +
+              "separate statements")
+          (s.column.name.head, s.newDataType,
+            s.newDefaultExpression.map(_.originalSQL), s.dropDefault)
         }
-        GraftSetDefaultCommand(e.path, e.readOnly, changes)
+        GraftAlterColumnCommand(e.path, e.readOnly, changes)
 
       // --- mapped-schema evolution: RENAME/DROP COLUMN route to the
       // engine's metadata-only commits (they require name-mode column
@@ -1174,15 +1181,21 @@ case class GraftClusterByCommand(table: String, readOnly: Boolean,
   }
 }
 
-/** `ALTER TABLE graft.<alias> ALTER COLUMN c SET DEFAULT e` /
-  * `DROP DEFAULT` → [[MiniDelta.setColumnDefault]] per change, in
-  * order (`None` = drop). */
-case class GraftSetDefaultCommand(table: String, readOnly: Boolean,
-    changes: Seq[(String, Option[String])]) extends LeafRunnableCommand {
+/** `ALTER TABLE graft.<alias> ALTER COLUMN c SET DEFAULT e /
+  * DROP DEFAULT / TYPE <wider>` — one engine commit per change, in
+  * order: a new type routes to [[MiniDelta.widenColumnType]]
+  * (typeWidening), default changes to [[MiniDelta.setColumnDefault]]
+  * (`None` sql = drop). */
+case class GraftAlterColumnCommand(table: String, readOnly: Boolean,
+    changes: Seq[(String, Option[org.apache.spark.sql.types.DataType],
+      Option[String], Boolean)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    changes.foreach { case (c, sql) =>
-      MiniDelta.setColumnDefault(spark, table, c, sql,
-        readOnly = readOnly)
+    changes.foreach {
+      case (c, Some(t), _, _) =>
+        MiniDelta.widenColumnType(spark, table, c, t, readOnly = readOnly)
+      case (c, None, sql, _) =>
+        MiniDelta.setColumnDefault(spark, table, c, sql,
+          readOnly = readOnly)
     }
     Seq.empty
   }

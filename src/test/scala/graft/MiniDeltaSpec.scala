@@ -1552,14 +1552,15 @@ class MiniDeltaSpec extends AnyFunSuite {
     // supported: v3 with features this engine honors
     val ok = mk(Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","timestampNtz"],"writerFeatures":["deletionVectors"]}}"""))
     assert(MiniDelta.readFiltered(spark, ok, Seq.empty).count() == 1)
-    // v3 with a feature this engine lacks (v2Checkpoint IS read now —
-    // its own fixture test; typeWidening would silently mis-read)
+    // v3 with a feature this engine lacks (v2Checkpoint and
+    // typeWidening ARE read now — their own tests; a genuinely unknown
+    // feature would silently mis-read)
     val e1 = intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.readFiltered(spark, mk(Seq(
-        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"],"writerFeatures":[]}}""")),
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["collations-preview"],"writerFeatures":[]}}""")),
         Seq.empty).count()
     }
-    assert(e1.getMessage.contains("typeWidening"))
+    assert(e1.getMessage.contains("collations-preview"))
     // reader version beyond the protocol this engine speaks
     intercept[MiniDelta.UnsupportedTableFeatureException] {
       MiniDelta.readFiltered(spark, mk(Seq(

@@ -1112,10 +1112,14 @@ class SqlAccessSpec extends AnyFunSuite {
       val e3 = intercept[Exception](spark.sql(
         "INSERT INTO graft.spec_def (id) VALUES (3)"))
       assert(e3.getMessage.contains("missing"), e3.getMessage)
-      // other ALTER COLUMN changes refuse by name
+      // a non-widening TYPE change refuses by name (TYPE routes to the
+      // typeWidening path); comment changes refuse outright
       val e2 = intercept[Exception](spark.sql(
         "ALTER TABLE graft.spec_def ALTER COLUMN score TYPE STRING"))
-      assert(e2.getMessage.contains("SET DEFAULT"), e2.getMessage)
+      assert(e2.getMessage.contains("widen"), e2.getMessage)
+      val e3b = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_def ALTER COLUMN score COMMENT 'x'"))
+      assert(e3b.getMessage.contains("not supported"), e3b.getMessage)
     } finally GraftSqlTables.clear()
   }
 

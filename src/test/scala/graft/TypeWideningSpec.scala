@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+
+/** Delta typeWidening: ALTER COLUMN TYPE re-declares a column at a
+  * WIDER type in one metadata commit — no file rewrite, because reads
+  * scan under the declared (wide) schema and Spark's parquet reader
+  * upcasts the narrow files (int→long, float→double, date→
+  * timestamp_ntz, integral→decimal all verified on this Spark). The
+  * change is recorded in the field's `delta.typeChanges` metadata and
+  * the typeWidening reader+writer feature joins the protocol (a
+  * pre-feature reader would mis-type the narrow files). */
+class TypeWideningSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("widen").toString + "/t"
+
+  test("widen int->long: metadata-only, both eras read, DML works") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.append(spark,
+      spark.range(3).select(col("id").cast("int").as("n"),
+        concat(lit("v"), col("id")).as("v")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val filesBefore = MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    MiniDelta.widenColumnType(spark, t, "n", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // metadata-only: the same files serve the new declared type
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet == filesBefore)
+    val schema = MiniDelta.latestSchema(spark, t).get
+    assert(schema("n").dataType == LongType)
+    val tc = schema("n").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc(0).getString("fromType") == "integer" &&
+      tc(0).getString("toType") == "long", tc.toSeq)
+    // the widening commit carries the reader+writer feature
+    val v = MiniDelta.latestVersion(spark, t)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      f"$t/_delta_log/$v%020d.json"))
+    assert(txt.contains("\"typeWidening\"") &&
+      txt.contains("readerFeatures") && txt.contains("writerFeatures"),
+      txt)
+    // old (int) files upcast; a wide append lands long natively
+    MiniDelta.append(spark,
+      Seq((3000000000L, "big")).toDF("n", "v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("n").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 3000000000L))
+    // copy-on-write DML reads the mixed files under the wide schema
+    MiniDelta.delete(spark, t, col("n") === 1L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // time travel BEFORE the widen (v0 = the first append) shows the
+    // narrow type
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty,
+      versionAsOf = Some(0L)).schema("n").dataType == IntegerType)
+  }
+
+  test("widening matrix: chains accumulate, non-widenings refuse") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1.toShort, 1.5f, 7)).toDF("s", "f", "d"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "s", IntegerType)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "s", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "f", DoubleType)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "d", DecimalType(12, 2))
+    MiniDelta.invalidateSnapshot(t)
+    val schema = MiniDelta.latestSchema(spark, t).get
+    assert(schema("s").dataType == LongType)
+    assert(schema("s").metadata.getMetadataArray("delta.typeChanges")
+      .map(m => (m.getString("fromType"), m.getString("toType"))).toSeq
+      == Seq(("short", "integer"), ("integer", "long")))
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("s", "f", "d").head()
+    assert((got.getLong(0), got.getDouble(1),
+      got.getDecimal(2).doubleValue()) == ((1L, 1.5, 7.0)))
+    // refusals: narrowing, cross-kind, scale-headroom loss, unknown
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "s", IntegerType))
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "f", LongType))
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "d", DecimalType(12, 4)))
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "nope", LongType))
+    // partition columns refuse (directory values are typed)
+    val p = freshTable()
+    MiniDelta.append(spark, Seq((1, "x")).toDF("n", "p"), p, Seq("p"))
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, p, "p", TimestampNTZType))
+  }
+
+  test("SQL ALTER COLUMN TYPE widens; stats skipping still works") {
+    import graft.plans.GraftSqlTables
+    val dir = Files.createTempDirectory("widensql").toString
+    GraftSqlTables.unregister("spec_widen")
+    spark.sql(s"""
+      CREATE TABLE graft.spec_widen (n INT, v STRING)
+      LOCATION '$dir/t'""")
+    try {
+      spark.sql("INSERT INTO graft.spec_widen VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE graft.spec_widen ALTER COLUMN n TYPE BIGINT")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      spark.sql("INSERT INTO graft.spec_widen VALUES (3000000000, 'c')")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      assert(spark.sql(
+        "SELECT sum(n) FROM graft.spec_widen").head().getLong(0)
+        == 3000000003L)
+      // a non-widening TYPE change refuses through SQL too
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_widen ALTER COLUMN n TYPE INT"))
+      assert(e.getMessage.contains("widen"), e.getMessage)
+    } finally GraftSqlTables.clear()
+  }
+}
