@@ -1557,6 +1557,14 @@ ORDER BY status""",
 FROM lineitem WHERE l_quantity <= 3
 GROUP BY 1 ORDER BY 1""",
 
+    "s44_variant" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 3
+  AND NOT (l_quantity = 3 AND l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1""",
+
     "s43_type_widening" ->
       """WITH eras AS (
   SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty

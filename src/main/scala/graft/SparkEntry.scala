@@ -2515,6 +2515,41 @@ object SparkEntry {
         .withColumn("no_rewrite", lit(if (noRewrite) 1L else 0L))
         .orderBy("flag")
     }),
+    "s44_variant" -> ((s, d) => {
+      // VARIANT columns (reader+writer feature variantType): CREATE
+      // with a VARIANT column, INSERT parse_json documents built from
+      // lineitem, DELETE on a variant field (CoW over variant files),
+      // then aggregate by extracted fields — the full
+      // encode/store/decode loop through the engine's write paths. The
+      // oracle recomputes the same aggregate from the raw columns.
+      val dir = scratch("s44_variant")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s44_trades")
+      graft.plans.GraftSqlTables.register("s44_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s44_trades (okey BIGINT, doc VARIANT)
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s44_trades
+        SELECT l_orderkey AS okey,
+               parse_json(concat('{"qty":', CAST(l_quantity AS BIGINT),
+                 ',"flag":"', l_returnflag, '"}')) AS doc
+        FROM graft.datalake.s44_lineitem WHERE l_quantity <= 3""")
+      s.sql("""
+        DELETE FROM graft.s44_trades
+        WHERE variant_get(doc, '$.qty', 'bigint') = 3
+          AND variant_get(doc, '$.flag', 'string') = 'R'""")
+      s.sql("""
+        SELECT variant_get(doc, '$.flag', 'string') AS flag,
+               count(*) AS n_rows,
+               CAST(sum(variant_get(doc, '$.qty', 'bigint')) AS BIGINT)
+                 AS sum_qty
+        FROM graft.s44_trades GROUP BY 1""")
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

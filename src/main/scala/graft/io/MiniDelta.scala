@@ -101,7 +101,9 @@ object MiniDelta {
       // widened declared types read narrower files through Spark's
       // parquet upcast (int→long, float→double, date→timestamp_ntz,
       // int→decimal all verified on this Spark)
-      "typeWidening")
+      "typeWidening",
+      // Spark 4 reads the variant parquet shape natively
+      "variantType")
 
   /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
     * under the table root, Z85 UUID name), `i` (inline Z85 payload),
@@ -1602,6 +1604,11 @@ object MiniDelta {
     // default into any write that omits the column ([[applyDefaults]])
     if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
       declared = declared.withWriterFeature("allowColumnDefaults")
+    // VARIANT columns at v0: the variantType reader+writer feature
+    // joins the protocol (a pre-feature reader would see an unknown
+    // schema type; Spark reads/writes the parquet shape natively)
+    if (schema.fields.exists(f => containsVariant(f.dataType)))
+      declared = declared.withFeature("variantType")
     // CLUSTER BY at v0: the clustering writer feature (+ its
     // domainMetadata prerequisite) joins the protocol and the layout
     // lands in the delta.clustering domain — PHYSICAL column names on
@@ -1700,6 +1707,8 @@ object MiniDelta {
       p = p.withWriterFeature("changeDataFeed")
     if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
       p = p.withWriterFeature("allowColumnDefaults")
+    if (schema.fields.exists(f => containsVariant(f.dataType)))
+      p = p.withFeature("variantType")
     // REPLACE declaring a mapping mode assigns fresh metadata exactly
     // like CREATE (the old contents are tombstoned in this same
     // commit, so nothing on disk constrains the assignment) — without
@@ -1790,18 +1799,28 @@ object MiniDelta {
       declared.fields.toIndexedSeq ++ cols2)
     val parts = partitionColumns(spark, table)
     // adding a generated column upgrades the writer contract in the
-    // same commit (legacy v4, or the feature on a v7 table)
-    val genProto =
-      if (!cols2.exists(_.metadata.contains(GenExprKey))) Seq.empty
+    // same commit (legacy v4, or the feature on a v7 table); a VARIANT
+    // column pulls in the variantType reader+writer feature the same
+    // way
+    val genProto = {
+      val needsGen = cols2.exists(_.metadata.contains(GenExprKey))
+      val needsVariant = cols2.exists(f => containsVariant(f.dataType))
+      if (!needsGen && !needsVariant) Seq.empty
       else {
         val cur = resolveProtocol(spark, table, readVersion,
           cpAtMost = readVersion).getOrElse(basicProtocol)
-        if (cur.minWriter >= 7)
-          Seq(cur.withWriterFeature("generatedColumns").render)
-        else if (cur.minWriter < 4)
-          Seq(ProtocolAction(cur.minReader, 4, Nil, Nil).render)
-        else Seq.empty
+        var up = cur
+        if (needsGen) {
+          up = if (up.minWriter >= 7) up.withWriterFeature(
+            "generatedColumns")
+          else if (up.minWriter < 4)
+            ProtocolAction(up.minReader, 4, Nil, Nil)
+          else up
+        }
+        if (needsVariant) up = up.withFeature("variantType")
+        if (up == cur) Seq.empty else Seq(up.render)
       }
+    }
     writeCommit(spark, table, readVersion + 1,
       genProto ++ Seq(metaDataLine(table, merged, parts, cfg2)),
       "ADD COLUMNS")
@@ -2103,8 +2122,30 @@ object MiniDelta {
           s"append would retype existing column(s) [${conflicts.mkString("; ")}]" +
             " — rewrite the table explicitly to change a column's type")
       val have = old.fieldNames.toSet
-      org.apache.spark.sql.types.StructType(
-        old.fields ++ incoming.fields.filterNot(f => have.contains(f.name)))
+      val appended = incoming.fields.filterNot(f => have.contains(f.name))
+      // a variant column joining an EXISTING table needs the
+      // variantType feature declared in the same commit — only ADD
+      // COLUMNS does that; the evolution paths commit metaData alone
+      require(!appended.exists(f => containsVariant(f.dataType)),
+        "schema evolution cannot introduce a VARIANT column (the " +
+          "variantType table feature must join the protocol); add it " +
+          "with ALTER TABLE ... ADD COLUMNS")
+      org.apache.spark.sql.types.StructType(old.fields ++ appended)
+  }
+
+  /** Whether a (nested) type contains Spark's VariantType — the Delta
+    * `variantType` reader+writer feature's trigger. */
+  private def containsVariant(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case VariantType => true
+      case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+      case a: ArrayType => containsVariant(a.elementType)
+      case m: MapType =>
+        containsVariant(m.keyType) || containsVariant(m.valueType)
+      case _ => false
+    }
   }
 
   /** Optimistic commit: create-if-absent on the version file. A losing
@@ -2805,6 +2846,8 @@ object MiniDelta {
     // Spark's parquet upcast, and [[widenColumnType]] is the only
     // writer of type changes (records delta.typeChanges per the spec)
     "typeWidening",
+    // upheld natively: Spark 4 reads/writes the variant parquet shape
+    "variantType",
     // upheld by the writeCommit funnel: fresh/preserved baseRowId +
     // defaultRowCommitVersion on every add, high-water mark maintained
     // in the delta.rowTracking domain (rowTracking requires
@@ -5043,6 +5086,15 @@ object MiniDelta {
       val newSchema0 =
         if (overwriteSchema) df.schema
         else mergedSchema(declared, df.schema)
+      // an overwriteSchema swap introducing VARIANT would declare the
+      // type without its variantType feature — REPLACE TABLE declares
+      // both in one commit
+      require(!overwriteSchema ||
+          !newSchema0.fields.exists(f => containsVariant(f.dataType)) ||
+          declared.exists(_.fields.exists(f => containsVariant(f.dataType))),
+        s"overwriteSchema cannot introduce a VARIANT column to $table " +
+          "(the variantType feature must join the protocol); use " +
+          "REPLACE TABLE, which declares it")
       // mapped tables compose with BOTH overwrite forms (late r13, the
       // append/merge rule): fields the table already declares KEEP
       // their established physicalName/id (same-name resolution across
