@@ -5346,6 +5346,8 @@ object MiniDelta {
       StructField("format", StringType, nullable = false),
       StructField("location", StringType, nullable = false),
       StructField("partitionColumns", ArrayType(StringType), nullable = false),
+      StructField("clusteringColumns", ArrayType(StringType),
+        nullable = false),
       StructField("numFiles", LongType, nullable = false),
       StructField("sizeInBytes", LongType, nullable = false),
       StructField("numRows", LongType, nullable = true),
@@ -5362,9 +5364,9 @@ object MiniDelta {
     val row: Row =
       if (!tableExists(spark, table)) {
         val files = listDataFiles(spark, table)
-        Row("parquet", table, Seq.empty[String], files.size.toLong,
-          files.map(_._2).sum, null, Map.empty[String, String], null, null,
-          null)
+        Row("parquet", table, Seq.empty[String], Seq.empty[String],
+          files.size.toLong, files.map(_._2).sum, null,
+          Map.empty[String, String], null, null, null)
       } else {
         val snap = snapshotFilesCached(spark, table)
         val recs = get_json_object(col("stats"), "$.numRecords")
@@ -5389,6 +5391,7 @@ object MiniDelta {
         val proto = resolveProtocol(spark, table, Long.MaxValue,
           Long.MaxValue).getOrElse(basicProtocol)
         Row("graft-delta", table, partitionColumns(spark, table),
+          clusteringColumns(spark, table),
           agg.getLong(0), agg.getLong(1), rows,
           tableConfig(spark, table), proto.minReader, proto.minWriter,
           (proto.readerFeats ++ proto.writerFeats).distinct.sorted)

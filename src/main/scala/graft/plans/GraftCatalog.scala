@@ -319,6 +319,7 @@ object GraftProcedures {
       StructField("format", StringType),
       StructField("location", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
+      StructField("clusteringColumns", ArrayType(StringType)),
       StructField("numFiles", LongType),
       StructField("sizeInBytes", LongType),
       StructField("numRows", LongType),

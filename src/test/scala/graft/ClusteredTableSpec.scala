@@ -38,6 +38,10 @@ class ClusteredTableSpec extends AnyFunSuite {
       v0.contains("delta.clustering") &&
       v0.contains("clusteringColumns"), v0)
     assert(MiniDelta.clusteringColumns(spark, t) == Seq("a", "b"))
+    // DESCRIBE DETAIL reports the layout (real Delta's column)
+    val dRow = MiniDelta.detail(spark, t).head()
+    assert(dRow.getSeq[String](
+      dRow.fieldIndex("clusteringColumns")) == Seq("a", "b"))
     // unclustered appends are legal (advisory layout)
     val rows = (0L until 400L).map(i => (i % 20, i / 20, s"v$i"))
     MiniDelta.append(spark, rows.toDF("a", "b", "v"), t, Seq.empty)
