@@ -104,6 +104,32 @@ class TypeWideningSpec extends AnyFunSuite {
       MiniDelta.widenColumnType(spark, p, "p", TimestampNTZType))
   }
 
+  test("one CDF feed spans a widen: narrow-era cdc upcasts") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType))),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark, Seq((1L, 10), (2L, 20)).toDF("id", "n"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty) // v2: narrow cdc
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "n", LongType) // v3
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.update(spark, t, col("id") === 2L,
+      Map("n" -> lit(3000000000L)), Seq.empty) // v4: wide cdc
+    MiniDelta.invalidateSnapshot(t)
+    // the v2 cdc files store int32, the v4 ones int64 — one feed under
+    // the current (wide) declared type serves both eras
+    val got = MiniDelta.readCdf(spark, t, 1L, 4L)
+      .select("id", "n", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10L, "delete"),
+      (2L, 20L, "update_preimage"),
+      (2L, 3000000000L, "update_postimage")), got)
+  }
+
   test("SQL ALTER COLUMN TYPE widens; stats skipping still works") {
     import graft.plans.GraftSqlTables
     val dir = Files.createTempDirectory("widensql").toString
