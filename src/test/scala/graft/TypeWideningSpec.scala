@@ -104,6 +104,34 @@ class TypeWideningSpec extends AnyFunSuite {
       MiniDelta.widenColumnType(spark, p, "p", TimestampNTZType))
   }
 
+  test("widen composes with id-mode mapping, rename, and DML") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("n", IntegerType))),
+      properties = Map("delta.columnMapping.mode" -> "id"))
+    MiniDelta.append(spark, Seq((1L, 10), (2L, 20)).toDF("id", "n"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "n", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // the mapping metadata (physicalName + field id) survives the
+    // widen — a post-widen rename stays metadata-only and the id-mode
+    // footer resolution keeps matching the narrow files
+    MiniDelta.renameColumn(spark, t, "n", "num")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq((3L, 3000000000L)).toDF("id", "num"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "num").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 3000000000L)))
+    // copy-on-write DML reads the mixed-width files by footer id
+    MiniDelta.delete(spark, t, col("num") === 10L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+  }
+
   test("one CDF feed spans a widen: narrow-era cdc upcasts") {
     import org.apache.spark.sql.types._
     val t = freshTable()
