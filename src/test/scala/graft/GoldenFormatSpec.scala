@@ -336,6 +336,42 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("late-r13 feature wire shapes match their goldens") {
+    // pins everything the late-r13 wave made newly writable:
+    // (1) a clustered v0 — clustering+domainMetadata writer features +
+    //     the delta.clustering domain carrying the layout;
+    // (2) a typeWidening commit — metaData with the widened type and
+    //     its delta.typeChanges record, protocol gaining the
+    //     reader+writer feature in the same commit;
+    // (3) a variant v0 — variantType in BOTH feature lists and the
+    //     spec's `variant` type name inside schemaString.
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val base = Files.createTempDirectory("golden_late13").toString
+    try {
+      import org.apache.spark.sql.types._
+      val tc = s"$base/clustered"
+      MiniDelta.createTable(spark, tc, StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))),
+        clusterBy = Seq("a"))
+      check("clustered_v0.json",
+        normalize(readText(f"$tc/_delta_log/${0L}%020d.json")))
+      val tw = s"$base/widen"
+      MiniDelta.createTable(spark, tw, StructType(Seq(
+        StructField("id", LongType), StructField("n", IntegerType))))
+      MiniDelta.widenColumnType(spark, tw, "n", LongType)
+      check("widen_commit.json",
+        normalize(readText(f"$tw/_delta_log/${1L}%020d.json")))
+      val tv = s"$base/variant"
+      MiniDelta.createTable(spark, tv, StructType(Seq(
+        StructField("id", LongType), StructField("v", VariantType))))
+      check("variant_v0.json",
+        normalize(readText(f"$tv/_delta_log/${0L}%020d.json")))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout
