@@ -84,6 +84,29 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       MiniDelta.setColumnDefault(spark, t, "v", None))
   }
 
+  test("a generated column may reference a defaulted one (fill runs first)") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType),
+      StructField("d", LongType, nullable = true, defMeta("5L")),
+      StructField("g", LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "d * 2").build()))))
+    // omit BOTH: the default fills first, the generated expr computes
+    // over the filled value
+    MiniDelta.append(spark, Seq(1L, 2L).toDF("id"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "d", "g").as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 5L, 10L), (2L, 5L, 10L)))
+    // provide d: the provided value feeds the generated expr
+    MiniDelta.append(spark, Seq((3L, 7L)).toDF("id", "d"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("id") === 3L).select("g").head().getLong(0) == 14L)
+  }
+
   test("DEFAULT must be constant; merge and overwrite fill it too") {
     import org.apache.spark.sql.types._
     val t = freshTable()
