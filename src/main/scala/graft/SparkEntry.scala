@@ -2378,8 +2378,21 @@ object SparkEntry {
         Option(f.listFiles()).toSeq.flatten.flatMap(c =>
           if (c.isDirectory) cdcParquets(c)
           else if (c.getName.endsWith(".parquet")) Seq(c) else Nil)
+      // parquet footer API, not spark.read-per-file: the column-name
+      // probe is driver-side metadata, one Spark job per file would be
+      // pure scheduler overhead (the s38 footer check's discipline)
       val cdcCols = cdcParquets(new java.io.File(s"$table/_change_data"))
-        .map(f => s.read.parquet(f.getAbsolutePath).columns.toSet)
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              s.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally r.close()
+        }
       val physOk = cdcCols.nonEmpty && cdcCols.forall(c =>
         c("qty") && c("_change_type") && !c("quantity"))
       s.sql("""
