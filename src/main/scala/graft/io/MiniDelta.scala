@@ -3389,9 +3389,14 @@ object MiniDelta {
     // OPTIMIZE honors the DECLARED layout — multi-column layouts
     // z-order, single-column layouts range-cluster — so `CALL
     // graft.optimize` on a clustered table does what Delta's OPTIMIZE
-    // does without the caller restating the columns
+    // does without the caller restating the columns. Gated on the
+    // (memoized) protocol: the domain probe driver-reads the JSON
+    // tail, and an unconditional call would tax every OPTIMIZE on
+    // every unclustered table (the writeCheckpoint rule).
     val (clusterBy1, zOrderBy1) =
       if (clusterBy.nonEmpty || zOrderBy.nonEmpty) (clusterBy, zOrderBy)
+      else if (!requireWritable(spark, table, readVersion)
+          .exists(_.writerFeats.contains("clustering"))) (Nil, Nil)
       else clusteringColumns(spark, table) match {
         case Seq() => (Nil, Nil)
         case Seq(one) => (Seq(one), Nil)
