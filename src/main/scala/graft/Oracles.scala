@@ -1557,6 +1557,19 @@ ORDER BY status""",
 FROM lineitem WHERE l_quantity <= 3
 GROUP BY 1 ORDER BY 1""",
 
+    "s45_merge_delete" ->
+      """WITH base AS (
+  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+    l_returnflag AS flag
+  FROM lineitem WHERE l_quantity <= 3
+)
+SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty
+FROM base
+WHERE NOT (flag = 'R' AND okey IN (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity = 2))
+GROUP BY 1 ORDER BY 1""",
+
     "s44_variant" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -2563,6 +2563,40 @@ object SparkEntry {
         FROM graft.s44_trades GROUP BY 1""")
         .orderBy("flag")
     }),
+    "s45_merge_delete" -> ((s, d) => {
+      // MERGE ... WHEN MATCHED AND cond THEN DELETE (the keyed
+      // anti-delete, late r13): delete the 'R' rows of every order
+      // that has a quantity-2 line — a join-scoped conditional delete
+      // the plain DELETE predicate cannot express. The oracle
+      // recomputes the surviving set with the same semi-join.
+      val dir = scratch("s45_merge_delete")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s45_trades")
+      graft.plans.GraftSqlTables.register("s45_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s45_trades (okey BIGINT, qty BIGINT,
+          flag STRING)
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s45_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               l_returnflag AS flag
+        FROM graft.datalake.s45_lineitem WHERE l_quantity <= 3""")
+      s.sql("""
+        MERGE INTO graft.s45_trades t USING (
+          SELECT DISTINCT l_orderkey AS okey
+          FROM graft.datalake.s45_lineitem WHERE l_quantity = 2) s
+        ON t.okey = s.okey
+        WHEN MATCHED AND t.flag = 'R' THEN DELETE""")
+      s.sql("""
+        SELECT flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s45_trades GROUP BY flag""")
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -4591,36 +4591,9 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    // distributed blast-radius pruning for the upsert: a target file
-    // can hold a matched key only if, for every orderable key column,
-    // its partition value / per-file stats range intersects the
-    // source's [min, max] — one tiny agg over the (usually small)
-    // source scopes the manifest BEFORE anything reaches the driver,
-    // so merging one day's keys into a 10⁷-file table collects that
-    // day's manifest rows, not the table's
-    val prunableKeys = keys.filter { k =>
-      import org.apache.spark.sql.types._
-      srcKeys.schema(k).dataType match {
-        case _: NumericType | StringType | DateType | TimestampType |
-             BooleanType | TimestampNTZType => true
-        case _ => false
-      }
-    }
-    val snapDF0 = snapshotFilesAt(spark, table, readVersion)
-    val snapDF =
-      if (prunableKeys.isEmpty) snapDF0
-      else {
-        val aggs = prunableKeys.flatMap(k =>
-          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
-        val b = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val cond = prunableKeys.zipWithIndex.map { case (k, i) =>
-          // null bound = zero non-null source keys for k: no target row
-          // can match, every file prunes (the merge is pure insert)
-          coalesce(fileRangeCond(k, partitionBy, srcKeys.schema(k).dataType,
-            b.get(2 * i), b.get(2 * i + 1)), lit(false))
-        }.reduce(_ && _)
-        snapDF0.where(cond)
-      }
+    val snapDF = pruneByKeyRanges(
+      snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
+      partitionBy)
     // identity resolution happens BEFORE the DV/CoW branch so both
     // write the same resolved frame; the commit stays pinned at
     // readVersion + 1 (the DML rule both branches already follow),
@@ -4674,6 +4647,109 @@ object MiniDelta {
       partitionBy, "MERGE", statsCols,
       extraLines = metaLines ++ idMetaLines, cdc = cdc,
       schemaOverride = schemaOverride)
+  }
+
+  /** Distributed blast-radius pruning for the keyed MERGE forms: a
+    * target file can hold a matched key only if, for every orderable
+    * key column, its partition value / per-file stats range intersects
+    * the source's [min, max] — one tiny agg over the (usually small)
+    * source scopes the manifest BEFORE anything reaches the driver, so
+    * merging one day's keys into a 10⁷-file table collects that day's
+    * manifest rows, not the table's. A null bound (zero non-null
+    * source keys for a column) prunes every file. */
+  private def pruneByKeyRanges(snapDF: DataFrame, srcKeys: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val prunableKeys = keys.filter { k =>
+      srcKeys.schema(k).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             BooleanType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+    if (prunableKeys.isEmpty) snapDF
+    else {
+      val aggs = prunableKeys.flatMap(k =>
+        Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+      val b = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val cond = prunableKeys.zipWithIndex.map { case (k, i) =>
+        coalesce(fileRangeCond(k, partitionBy, srcKeys.schema(k).dataType,
+          b.get(2 * i), b.get(2 * i + 1)), lit(false))
+      }.reduce(_ && _)
+      snapDF.where(cond)
+    }
+  }
+
+  /** MERGE's WHEN-MATCHED-THEN-DELETE form (no insert clause): delete
+    * exactly the target rows whose `keys` match a source row AND
+    * satisfy `cond` (None = every matched row) — Delta's keyed
+    * anti-delete. Unlike the upsert the source need not be key-unique:
+    * duplicate source keys cannot make a delete ambiguous. Both forms
+    * compose — copy-on-write rewrites only the files holding matches,
+    * the DV form masks the matched rows without rewriting anything —
+    * and CDF feeds carry exactly the deleted rows. The blast radius is
+    * range-pruned by the same stats discipline as the upsert. */
+  def mergeDelete(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], partitionBy: Seq[String],
+      cond: Option[org.apache.spark.sql.Column] = None,
+      readOnly: Boolean = false, statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(keys.nonEmpty, "merge requires at least one key column")
+    if (!tableExists(spark, table)) return -1L // nothing to delete from
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+    requireMappingWritable(declared, table, spark)
+    val condC = cond.getOrElse(lit(true))
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val snapDF = pruneByKeyRanges(
+      snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
+      partitionBy)
+    val cfg = tableConfig(spark, table, readVersion)
+    def hit(df: DataFrame): DataFrame =
+      df.join(srcKeys, keys, "left_semi")
+        .where(coalesce(condC, lit(false)))
+    if (cfg.get("delta.enableDeletionVectors").contains("true")) {
+      val snap = collected(snapDF.collect().toIndexedSeq)
+      if (snap.isEmpty) return readVersion
+      val matched = hit(withRowIdentity(spark, table, dvPairsOf(snap),
+        declared)).persist()
+      try {
+        dvMaskActions(spark, table, readVersion, declared, snap, matched)
+          .fold(readVersion) { lines =>
+            val cdcLines =
+              if (!cfg.get("delta.enableChangeDataFeed").contains("true"))
+                Seq.empty[String]
+              else {
+                val dataCols = matched.columns.filterNot(
+                  c => c == "__fname" || c == "__ri")
+                writeCdcFiles(spark, table,
+                  matched.select(dataCols.map(col).toIndexedSeq: _*)
+                    .withColumn("_change_type", lit("delete")),
+                  partitionBy)
+              }
+            beforeDmlCommitHook()
+            writeCommit(spark, table, readVersion + 1, cdcLines ++ lines,
+              "MERGE")
+          }
+      } finally { matched.unpersist(); () }
+    } else {
+      val snap = collected(
+        snapDF.select("path", "dv_path").collect().toIndexedSeq)
+      val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
+        hit)
+      if (touched.isEmpty) return readVersion
+      val cdc =
+        if (!cfg.get("delta.enableChangeDataFeed").contains("true")) None
+        else Some(hit(readFilesWithDv(spark, table, touched, declared))
+          .withColumn("_change_type", lit("delete")))
+      copyOnWrite(spark, table, readVersion, touched, declared,
+        // survivors = unmatched rows ∪ matched rows failing the
+        // condition (null cond = row survives, SQL delete semantics)
+        df => df.join(srcKeys, keys, "left_anti").unionByName(
+          df.join(srcKeys, keys, "left_semi")
+            .where(!coalesce(condC, lit(false)))),
+        partitionBy, "MERGE", statsCols, cdc = cdc)
+    }
   }
 
   /** [[merge]]'s identity resolution (Delta `identityColumns`): returns

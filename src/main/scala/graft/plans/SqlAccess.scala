@@ -411,9 +411,22 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             GraftMergeCommand(e.path, m.sourceTable,
               mergeKeysOf(m.mergeCondition), m.withSchemaEvolution,
               e.readOnly)
+          // WHEN MATCHED [AND cond] THEN DELETE with no insert clause:
+          // the keyed anti-delete ([[MiniDelta.mergeDelete]]); the
+          // condition binds to TARGET columns (target qualifiers
+          // stripped — a source-column reference fails resolution
+          // loudly inside the engine)
+          case (Seq(org.apache.spark.sql.catalyst.plans.logical
+              .DeleteAction(cond)), Seq()) =>
+            GraftMergeDeleteCommand(e.path, m.sourceTable,
+              mergeKeysOf(m.mergeCondition),
+              new Unbound(cond.map(stripQualifiers(_,
+                qualifiersOf(m.targetTable), declaredColsOf(e)))),
+              e.readOnly)
           case _ => throw new IllegalArgumentException(
-            "graft MERGE supports exactly WHEN MATCHED THEN UPDATE SET * " +
-              "WHEN NOT MATCHED THEN INSERT * (unconditional); got " +
+            "graft MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN " +
+              "NOT MATCHED THEN INSERT * (the canonical upsert) or " +
+              "WHEN MATCHED [AND cond] THEN DELETE alone; got " +
               s"matched=${m.matchedActions}, notMatched=${m.notMatchedActions}")
         }
 
@@ -949,6 +962,27 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
     }
     MiniDelta.merge(spark, table, src, keys,
       MiniDelta.partitionColumns(spark, table))
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO graft.<alias> t USING src s ON t.k = s.k WHEN MATCHED
+  * [AND cond] THEN DELETE` (no insert clause) — the keyed anti-delete,
+  * routed through [[MiniDelta.mergeDelete]]. The source analyzes
+  * inside [[run]] so it may itself read graft aliases. */
+case class GraftMergeDeleteCommand(table: String, source: LogicalPlan,
+    keys: Seq[String], condition: Unbound[Option[Expression]],
+    readOnly: Boolean = true)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    GraftDml.requireTable(spark, table, "MERGE")
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, source)
+    MiniDelta.mergeDelete(spark, table, src, keys,
+      MiniDelta.partitionColumns(spark, table),
+      condition.value.map(
+        org.apache.spark.sql.graft.ColumnBridge.column))
     Seq.empty
   }
 }

@@ -364,6 +364,61 @@ class MiniDeltaSpec extends AnyFunSuite {
       (1L, 10L, "update_postimage"), (3L, 500L, "insert")), feed)
   }
 
+  test("mergeDelete: keyed anti-delete, CoW and DV forms, exact CDF") {
+    import org.apache.spark.sql.types._
+    // CoW form on a CDF table: only matched-and-condition rows go
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // duplicate source keys are fine (a delete cannot be ambiguous)
+    val src = Seq(1L, 2L, 2L, 9L).toDF("k")
+    MiniDelta.mergeDelete(spark, t, src, Seq("k"), Seq.empty,
+      cond = Some(col("v") =!= "a"))
+    MiniDelta.invalidateSnapshot(t)
+    // k=1 matched but failed the condition; k=2 deleted; k=9 unmatched
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    assert(MiniDelta.readCdf(spark, t, 1L, 2L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "delete")))
+    // an unmatched source is a no-op: no commit lands
+    val vBefore = MiniDelta.latestVersion(spark, t)
+    MiniDelta.mergeDelete(spark, t, Seq(99L).toDF("k"), Seq("k"),
+      Seq.empty)
+    assert(MiniDelta.latestVersion(spark, t) == vBefore)
+    // DV form: matched rows are MASKED (or their files plainly removed
+    // when every live row matched) — never a rewrite, so no NEW file
+    // can appear
+    val t2 = freshTable()
+    MiniDelta.createTable(spark, t2, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      properties = Map("delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val filesBefore = MiniDelta.snapshotFiles(spark, t2)
+      .select("path").collect().map(_.getString(0)).toSet
+    MiniDelta.mergeDelete(spark, t2, Seq(1L, 3L).toDF("k"), Seq("k"),
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    assert(MiniDelta.snapshotFiles(spark, t2)
+      .select("path").collect().map(_.getString(0)).toSet
+      .subsetOf(filesBefore))
+    assert(MiniDelta.readFiltered(spark, t2, Seq.empty)
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+    assert(MiniDelta.readCdf(spark, t2, 1L, 2L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "delete"), (3L, "delete")))
+  }
+
   test("identity OVERWRITE: fresh assignment past the mark, no reset") {
     import org.apache.spark.sql.types._
     val idm = new MetadataBuilder()

@@ -552,12 +552,23 @@ class SqlAccessSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       assert(rows.toSeq == Seq((1L, "XLON", 100.0), (3L, "XLON", 31.0),
         (9L, "XAMS", 90.0)))
-      // a non-canonical MERGE clause set refuses by name
+      // MERGE ... WHEN MATCHED [AND cond] THEN DELETE (no insert
+      // clause) is the keyed anti-delete (late r13): matched rows
+      // satisfying the condition go, the rest survive
+      spark.sql("""MERGE INTO graft.spec_dml t USING (
+          SELECT 3L AS id UNION ALL SELECT 9L) s
+        ON t.id = s.id
+        WHEN MATCHED AND t.price < 50.0D THEN DELETE""")
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+      // a non-canonical MERGE clause set still refuses by name
       val e = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO graft.spec_dml t USING " +
-          "(SELECT 1L AS id) s ON t.id = s.id WHEN MATCHED THEN DELETE")
+          "(SELECT 1L AS id) s ON t.id = s.id " +
+          "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
       }
-      assert(e.getMessage.contains("UPDATE SET *"))
+      assert(e.getMessage.contains("THEN DELETE alone"))
       // DML on a read-only alias refuses before any work
       GraftSqlTables.register("spec_dml_ro", t)
       intercept[MiniDelta.ReadOnlyTableException] {
