@@ -1568,6 +1568,8 @@ SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
 FROM base
 WHERE NOT (flag = 'R' AND okey IN (
   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity = 2))
+  AND okey IN (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity = 1)
 GROUP BY 1 ORDER BY 1""",
 
     "s44_variant" ->

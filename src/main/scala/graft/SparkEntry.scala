@@ -2591,6 +2591,15 @@ object SparkEntry {
           FROM graft.datalake.s45_lineitem WHERE l_quantity = 2) s
         ON t.okey = s.okey
         WHEN MATCHED AND t.flag = 'R' THEN DELETE""")
+      // the sync-delete leg: sweep every order that has NO quantity-1
+      // line (WHEN NOT MATCHED BY SOURCE — the staleness sweep of a
+      // full-sync pipeline)
+      s.sql("""
+        MERGE INTO graft.s45_trades t USING (
+          SELECT DISTINCT l_orderkey AS okey
+          FROM graft.datalake.s45_lineitem WHERE l_quantity = 1) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
       s.sql("""
         SELECT flag, count(*) AS n_rows,
                CAST(sum(qty) AS BIGINT) AS sum_qty

@@ -4680,19 +4680,26 @@ object MiniDelta {
     }
   }
 
-  /** MERGE's WHEN-MATCHED-THEN-DELETE form (no insert clause): delete
-    * exactly the target rows whose `keys` match a source row AND
-    * satisfy `cond` (None = every matched row) — Delta's keyed
-    * anti-delete. Unlike the upsert the source need not be key-unique:
-    * duplicate source keys cannot make a delete ambiguous. Both forms
-    * compose — copy-on-write rewrites only the files holding matches,
-    * the DV form masks the matched rows without rewriting anything —
-    * and CDF feeds carry exactly the deleted rows. The blast radius is
-    * range-pruned by the same stats discipline as the upsert. */
+  /** MERGE's delete-only forms (no insert clause):
+    *  - `WHEN MATCHED [AND cond] THEN DELETE` (`bySource = false`):
+    *    delete the target rows whose `keys` match a source row AND
+    *    satisfy `cond` — the keyed anti-delete;
+    *  - `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`
+    *    (`bySource = true`): Delta's sync-delete — target rows whose
+    *    keys appear in NO source row go (the staleness sweep of a
+    *    full-sync pipeline). Discovery is inherently complement-shaped,
+    *    so the range pruning that scopes the matched form cannot apply
+    *    (every file may hold an unmatched row — Delta pays the same).
+    * Unlike the upsert the source need not be key-unique: duplicate
+    * source keys cannot make a delete ambiguous. Both storage forms
+    * compose — copy-on-write rewrites only the files holding doomed
+    * rows, the DV form masks them without rewriting anything — and CDF
+    * feeds carry exactly the deleted rows. */
   def mergeDelete(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], partitionBy: Seq[String],
       cond: Option[org.apache.spark.sql.Column] = None,
-      readOnly: Boolean = false, statsCols: Seq[String] = Nil): Long = {
+      readOnly: Boolean = false, statsCols: Seq[String] = Nil,
+      bySource: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(keys.nonEmpty, "merge requires at least one key column")
     if (!tableExists(spark, table)) return -1L // nothing to delete from
@@ -4701,12 +4708,16 @@ object MiniDelta {
     requireMappingWritable(declared, table, spark)
     val condC = cond.getOrElse(lit(true))
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val snapDF = pruneByKeyRanges(
-      snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
-      partitionBy)
+    val snapDF =
+      if (bySource) snapshotFilesAt(spark, table, readVersion)
+      else pruneByKeyRanges(
+        snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
+        partitionBy)
     val cfg = tableConfig(spark, table, readVersion)
+    val joinType = if (bySource) "left_anti" else "left_semi"
+    val surviveJoin = if (bySource) "left_semi" else "left_anti"
     def hit(df: DataFrame): DataFrame =
-      df.join(srcKeys, keys, "left_semi")
+      df.join(srcKeys, keys, joinType)
         .where(coalesce(condC, lit(false)))
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
       val snap = collected(snapDF.collect().toIndexedSeq)
@@ -4743,10 +4754,11 @@ object MiniDelta {
         else Some(hit(readFilesWithDv(spark, table, touched, declared))
           .withColumn("_change_type", lit("delete")))
       copyOnWrite(spark, table, readVersion, touched, declared,
-        // survivors = unmatched rows ∪ matched rows failing the
-        // condition (null cond = row survives, SQL delete semantics)
-        df => df.join(srcKeys, keys, "left_anti").unionByName(
-          df.join(srcKeys, keys, "left_semi")
+        // survivors = rows on the other side of the join ∪ doomed-side
+        // rows failing the condition (null cond = row survives, SQL
+        // delete semantics)
+        df => df.join(srcKeys, keys, surviveJoin).unionByName(
+          df.join(srcKeys, keys, joinType)
             .where(!coalesce(condC, lit(false)))),
         partitionBy, "MERGE", statsCols, cdc = cdc)
     }

@@ -401,33 +401,44 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
 
       case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>
         val e = entryOf(m.targetTable).get
-        // the engine's merge is the canonical upsert; every other clause
-        // combination is refused BY NAME rather than half-applied
-        require(m.notMatchedBySourceActions.isEmpty,
-          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported on " +
-            "graft tables")
-        (m.matchedActions, m.notMatchedActions) match {
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        // three supported clause shapes; every other combination is
+        // refused BY NAME rather than half-applied
+        (m.matchedActions, m.notMatchedActions,
+            m.notMatchedBySourceActions) match {
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+              Seq()) =>
             GraftMergeCommand(e.path, m.sourceTable,
               mergeKeysOf(m.mergeCondition), m.withSchemaEvolution,
               e.readOnly)
-          // WHEN MATCHED [AND cond] THEN DELETE with no insert clause:
-          // the keyed anti-delete ([[MiniDelta.mergeDelete]]); the
-          // condition binds to TARGET columns (target qualifiers
-          // stripped — a source-column reference fails resolution
-          // loudly inside the engine)
+          // WHEN MATCHED [AND cond] THEN DELETE alone: the keyed
+          // anti-delete ([[MiniDelta.mergeDelete]]); the condition
+          // binds to TARGET columns (target qualifiers stripped — a
+          // source-column reference fails resolution loudly inside
+          // the engine)
           case (Seq(org.apache.spark.sql.catalyst.plans.logical
-              .DeleteAction(cond)), Seq()) =>
+              .DeleteAction(cond)), Seq(), Seq()) =>
             GraftMergeDeleteCommand(e.path, m.sourceTable,
               mergeKeysOf(m.mergeCondition),
               new Unbound(cond.map(stripQualifiers(_,
                 qualifiersOf(m.targetTable), declaredColsOf(e)))),
               e.readOnly)
+          // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE alone:
+          // the sync-delete (stale target rows go)
+          case (Seq(), Seq(), Seq(org.apache.spark.sql.catalyst.plans
+              .logical.DeleteAction(cond))) =>
+            GraftMergeDeleteCommand(e.path, m.sourceTable,
+              mergeKeysOf(m.mergeCondition),
+              new Unbound(cond.map(stripQualifiers(_,
+                qualifiersOf(m.targetTable), declaredColsOf(e)))),
+              e.readOnly, bySource = true)
           case _ => throw new IllegalArgumentException(
             "graft MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN " +
-              "NOT MATCHED THEN INSERT * (the canonical upsert) or " +
-              "WHEN MATCHED [AND cond] THEN DELETE alone; got " +
-              s"matched=${m.matchedActions}, notMatched=${m.notMatchedActions}")
+              "NOT MATCHED THEN INSERT * (the canonical upsert), " +
+              "WHEN MATCHED [AND cond] THEN DELETE alone, or WHEN NOT " +
+              "MATCHED BY SOURCE [AND cond] THEN DELETE alone; got " +
+              s"matched=${m.matchedActions}, " +
+              s"notMatched=${m.notMatchedActions}, " +
+              s"notMatchedBySource=${m.notMatchedBySourceActions}")
         }
 
       case tt: RelationTimeTravel if entryOf(tt.relation).isDefined =>
@@ -967,12 +978,14 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
 }
 
 /** `MERGE INTO graft.<alias> t USING src s ON t.k = s.k WHEN MATCHED
-  * [AND cond] THEN DELETE` (no insert clause) — the keyed anti-delete,
-  * routed through [[MiniDelta.mergeDelete]]. The source analyzes
-  * inside [[run]] so it may itself read graft aliases. */
+  * [AND cond] THEN DELETE` (the keyed anti-delete) or `WHEN NOT
+  * MATCHED BY SOURCE [AND cond] THEN DELETE` (`bySource` — the
+  * sync-delete), each alone, routed through [[MiniDelta.mergeDelete]].
+  * The source analyzes inside [[run]] so it may itself read graft
+  * aliases. */
 case class GraftMergeDeleteCommand(table: String, source: LogicalPlan,
     keys: Seq[String], condition: Unbound[Option[Expression]],
-    readOnly: Boolean = true)
+    readOnly: Boolean = true, bySource: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
@@ -982,7 +995,8 @@ case class GraftMergeDeleteCommand(table: String, source: LogicalPlan,
     MiniDelta.mergeDelete(spark, table, src, keys,
       MiniDelta.partitionColumns(spark, table),
       condition.value.map(
-        org.apache.spark.sql.graft.ColumnBridge.column))
+        org.apache.spark.sql.graft.ColumnBridge.column),
+      bySource = bySource)
     Seq.empty
   }
 }

@@ -417,6 +417,28 @@ class MiniDeltaSpec extends AnyFunSuite {
       .select("k", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "delete"), (3L, "delete")))
+    // NOT MATCHED BY SOURCE form (the sync-delete): target rows whose
+    // keys appear in NO source row go — t still holds {1, 3, 4}; a
+    // source of {1, 4} sweeps the stale 3
+    MiniDelta.mergeDelete(spark, t, Seq(1L, 4L).toDF("k"), Seq("k"),
+      Seq.empty, bySource = true)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k").as[Long].collect().toSet == Set(1L, 4L))
+    assert(MiniDelta.readCdf(spark, t, 2L, 3L)
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "delete")))
+    // conditional by-source: only stale rows satisfying cond go
+    MiniDelta.append(spark, Seq((5L, "e"), (6L, "f")).toDF("k", "v"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.mergeDelete(spark, t, Seq(1L).toDF("k"), Seq("k"),
+      Seq.empty, cond = Some(col("v") === "e"), bySource = true)
+    MiniDelta.invalidateSnapshot(t)
+    // 4 and 6 are stale but fail the condition; 5 is stale and goes
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k").as[Long].collect().toSet == Set(1L, 4L, 6L))
   }
 
   test("identity OVERWRITE: fresh assignment past the mark, no reset") {

@@ -562,6 +562,15 @@ class SqlAccessSpec extends AnyFunSuite {
       MiniDelta.invalidateSnapshot(t)
       assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
         .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+      // NOT MATCHED BY SOURCE DELETE (the sync-delete): sweep target
+      // rows absent from the source — only id=1 is named, so 9 goes
+      spark.sql("""MERGE INTO graft.spec_dml t USING (
+          SELECT 1L AS id) s
+        ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L))
       // a non-canonical MERGE clause set still refuses by name
       val e = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO graft.spec_dml t USING " +
