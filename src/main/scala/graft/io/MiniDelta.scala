@@ -1850,8 +1850,19 @@ object MiniDelta {
           s"(has ${declared.fieldNames.mkString(", ")})"))
     val f2 = defaultSql match {
       case Some(sql) =>
-        // constant-only: analyzing against a zero-column frame makes
-        // any column reference fail resolution loudly
+        // constant-only, checked in two layers: first reject any column
+        // reference syntactically (the eval frame below is built on
+        // spark.range(1), which exposes an `id` column a reference
+        // could silently resolve against), then evaluate for type fit
+        val refs = org.apache.spark.sql.catalyst.parser
+          .CatalystSqlParser.parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+          }
+        if (refs.nonEmpty) throw new IllegalArgumentException(
+          s"DEFAULT for $column must be a constant expression of " +
+            s"type ${f.dataType.simpleString}: $sql references " +
+            s"column(s) ${refs.distinct.mkString(", ")}")
         try spark.range(1).select(expr(sql).cast(f.dataType)).head()
         catch {
           case e: Exception => throw new IllegalArgumentException(
@@ -1893,10 +1904,13 @@ object MiniDelta {
   private def isWidening(from: org.apache.spark.sql.types.DataType,
                          to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
+    // the spec's integral→decimal matrix requires precision−scale ≥ 10
+    // for byte/short/int and ≥ 20 for long — NOT merely enough digits
+    // to hold the source range. A laxer threshold (byte→3) would record
+    // a delta.typeChanges entry outside the spec matrix, which
+    // compliant readers validate and reject (table unreadable to them).
     def intDigits(t: DataType): Option[Int] = t match {
-      case ByteType => Some(3)
-      case ShortType => Some(5)
-      case IntegerType => Some(10)
+      case ByteType | ShortType | IntegerType => Some(10)
       case LongType => Some(20)
       case _ => None
     }
@@ -1949,6 +1963,13 @@ object MiniDelta {
         .exists(_.equalsIgnoreCase(column)),
       s"cannot widen partition column $column — the Hive directory " +
         "values are typed by the layout")
+    // expressions are NOT width-stable: hash(int) != hash(long) for the
+    // same value, so widening a column a CHECK constraint or another
+    // field's generation expression reads would silently diverge
+    // recomputation from stored values — refuse, like delta-spark
+    requireNotInConstraints(tableConfig(spark, table, readVersion),
+      column, "ALTER")
+    requireNotInGenerated(declared, column, "ALTER")
     val change = new org.apache.spark.sql.types.MetadataBuilder()
       .putString("fromType", f.dataType.typeName)
       .putString("toType", to.typeName).build()
@@ -2002,6 +2023,7 @@ object MiniDelta {
     require(!declared.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column $to already exists")
     requireNotInConstraints(cfg, from, "RENAME")
+    requireNotInGenerated(declared, from, "RENAME")
     val fields = declared.fields.toIndexedSeq
       .updated(idx, declared.fields(idx).copy(name = to))
     writeCommit(spark, table, readVersion + 1,
@@ -2035,6 +2057,21 @@ object MiniDelta {
     require(declared.fields.length > 1,
       "cannot drop the table's only column")
     requireNotInConstraints(cfg, name, "DROP")
+    requireNotInGenerated(declared, name, "DROP")
+    // the delta.clustering domain stores PHYSICAL names and never
+    // retracts: dropping a clustering column would leave the domain
+    // pointing at a dead physical name, and every later bare OPTIMIZE
+    // (and checkpoint domain carry) would target a non-existent column.
+    // Refuse (Delta's rule). Gated on the memoized protocol so the
+    // domain probe doesn't tax drops on unclustered tables.
+    if (requireWritable(spark, table, readVersion)
+        .exists(_.writerFeats.contains("clustering"))) {
+      val physDropped = physicalNameOf(declared.fields(idx))
+      require(!clusteringPhysicalCols(spark, table, readVersion)
+          .exists(_.contains(physDropped)),
+        s"DROP COLUMN $name refused: it is a clustering column — " +
+          "ALTER TABLE ... CLUSTER BY a layout without it first")
+    }
     val fields = declared.fields.toIndexedSeq.patch(idx, Nil, 1)
     writeCommit(spark, table, readVersion + 1,
       Seq(metaDataLine(table,
@@ -2056,6 +2093,28 @@ object MiniDelta {
     require(hits.isEmpty,
       s"$op COLUMN $column refused: CHECK constraint(s) " +
         s"${hits.keys.mkString(", ")} reference it — drop them first")
+  }
+
+  /** A generation expression that reads the column would silently stop
+    * binding (rename/drop) or diverge recomputation from stored values
+    * (widen — hash(int) != hash(long)); refuse, like delta-spark. Same
+    * conservative word-boundary match as the constraint guard. */
+  private def requireNotInGenerated(
+      schema: org.apache.spark.sql.types.StructType,
+      column: String, op: String): Unit = {
+    val re = ("(?i)(^|[^a-z0-9_`])" +
+      java.util.regex.Pattern.quote(column) + "($|[^a-z0-9_`])").r
+    val hits = schema.fields.filter { fld =>
+      !fld.name.equalsIgnoreCase(column) &&
+        fld.metadata.contains(GenExprKey) && {
+          val sql = fld.metadata.getString(GenExprKey)
+          re.findFirstIn(sql).isDefined ||
+            sql.toLowerCase.contains(s"`${column.toLowerCase}`")
+        }
+    }
+    require(hits.isEmpty,
+      s"$op COLUMN $column refused: generated column(s) " +
+        s"${hits.map(_.name).mkString(", ")} derive from it")
   }
 
   /** ALTER TABLE ... DROP CONSTRAINT. */
@@ -2348,7 +2407,32 @@ object MiniDelta {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else !f.exists(dst) && f.rename(tmp, dst)
+    } else {
+      // non-local: claim through FileContext.rename, whose DEFAULT is
+      // Options.Rename.NONE — the no-overwrite contract is enforced by
+      // the store itself (atomic on HDFS-like filesystems), where
+      // FileSystem.rename on several object-store connectors silently
+      // REPLACES an existing destination, so a raw exists+rename screen
+      // would be check-then-act (a commit landing inside the window is
+      // clobbered — a lost commit).
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, f.getConf)
+        fc.rename(tmp, dst) // default Options.Rename.NONE: no overwrite
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding for this scheme: fall back to
+          // the screen + rename and rely on the store refusing a rename
+          // onto an existing destination (HDFS-like semantics — a HARD
+          // requirement documented in ARCHITECTURE.md; stores whose
+          // rename replaces need an AbstractFileSystem binding or an
+          // external commit coordinator)
+          !f.exists(dst) && f.rename(tmp, dst)
+      }
+    }
   }
 
   /** Streamed commits written through [[writeCommitStreamed]] — the

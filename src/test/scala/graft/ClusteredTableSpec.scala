@@ -107,6 +107,28 @@ class ClusteredTableSpec extends AnyFunSuite {
     assert(MiniDelta.clusteringColumns(spark, t) == Seq("key"))
   }
 
+  test("DROP COLUMN refuses clustering columns; CLUSTER BY NONE frees") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"),
+      clusterBy = Seq("id"))
+    // dropping a clustering column would leave the never-retracting
+    // domain pointing at a dead physical name — every later bare
+    // OPTIMIZE would target a non-existent column
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.dropColumn(spark, t, "id"))
+    assert(e.getMessage.contains("clustering"), e.getMessage)
+    // re-stating the layout without the column frees it
+    MiniDelta.setClusterBy(spark, t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.dropColumn(spark, t, "id")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("v"))
+  }
+
   test("clustering layout survives checkpoints and rides into clones") {
     import org.apache.spark.sql.types._
     val t = freshTable()

@@ -119,6 +119,11 @@ class ColumnDefaultsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       MiniDelta.setColumnDefault(spark, t, "tag", Some("k + 1")))
     assert(e.getMessage.contains("constant"), e.getMessage)
+    // ... including a reference named `id`, which the eval frame's
+    // underlying range(1) would otherwise silently resolve
+    val e2 = intercept[IllegalArgumentException](
+      MiniDelta.setColumnDefault(spark, t, "tag", Some("id")))
+    assert(e2.getMessage.contains("constant"), e2.getMessage)
     MiniDelta.append(spark, Seq((1L, "a")).toDF("k", "v"), t, Seq.empty)
     MiniDelta.invalidateSnapshot(t)
     // merge source omits tag: both the matched replacement and the

@@ -104,6 +104,59 @@ class TypeWideningSpec extends AnyFunSuite {
       MiniDelta.widenColumnType(spark, p, "p", TimestampNTZType))
   }
 
+  test("guards: spec decimal thresholds, constraint and generated refs") {
+    import org.apache.spark.sql.types._
+    // integral→decimal follows the spec matrix: precision−scale ≥ 10
+    // for byte/short/int, ≥ 20 for long — byte→decimal(5,2) would
+    // record a typeChanges entry compliant readers reject
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1.toByte, 2L, 3, 4)).toDF("b", "l", "c", "g"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "b", DecimalType(5, 2)))
+    intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "l", DecimalType(19, 0)))
+    MiniDelta.widenColumnType(spark, t, "b", DecimalType(12, 2)) // 10≥10
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "l", DecimalType(20, 0)) // 20≥20
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("b", "l").head().toSeq.map(_.toString) ==
+      Seq("1.00", "2"))
+    // a CHECK constraint reading the column pins its type: hash()/mod
+    // semantics differ by width, so widening under it refuses
+    MiniDelta.addConstraint(spark, t, "c_pos", "c > 0")
+    MiniDelta.invalidateSnapshot(t)
+    val ce = intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "c", LongType))
+    assert(ce.getMessage.contains("c_pos"), ce.getMessage)
+    // same for a generated column deriving from it
+    val g = freshTable()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "hash(n)").build()
+    MiniDelta.createTable(spark, g, StructType(Seq(
+      StructField("n", IntegerType),
+      StructField("h", IntegerType, nullable = true, genMeta))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    val ge = intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, g, "n", LongType))
+    assert(ge.getMessage.contains("h"), ge.getMessage)
+    // rename/drop of a generated-referenced column would silently
+    // unbind the expression — both refuse too (mapping is enabled, so
+    // only the guard can be the refusal)
+    intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, g, "n", "m"))
+    intercept[IllegalArgumentException](
+      MiniDelta.dropColumn(spark, g, "n"))
+    // the generated column ITSELF widens/renames fine (its expression
+    // reads n, not h)
+    MiniDelta.renameColumn(spark, g, "h", "hh")
+    MiniDelta.invalidateSnapshot(g)
+    assert(MiniDelta.latestSchema(spark, g).get.fieldNames.toSeq ==
+      Seq("n", "hh"))
+  }
+
   test("widen composes with id-mode mapping, rename, and DML") {
     import org.apache.spark.sql.types._
     val t = freshTable()
