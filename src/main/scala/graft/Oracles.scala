@@ -1572,6 +1572,35 @@ WHERE NOT (flag = 'R' AND okey IN (
   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity = 1)
 GROUP BY 1 ORDER BY 1""",
 
+    "s46_merge_clauses" ->
+      """WITH base AS (
+  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+    CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+  FROM lineitem WHERE l_quantity <= 3
+), src AS (
+  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+    CAST(min(l_quantity) AS BIGINT) AS qty, min(l_returnflag) AS flag
+  FROM lineitem WHERE l_quantity IN (2, 3, 4) GROUP BY 1, 2
+), merged AS (
+  SELECT b.okey, b.lnum,
+    CASE WHEN s.okey IS NOT NULL AND NOT s.flag = 'R' AND s.qty = 2
+         THEN b.qty + 100 ELSE b.qty END AS qty,
+    CASE WHEN s.okey IS NOT NULL AND NOT s.flag = 'R' AND s.qty = 2
+         THEN 'U'
+         WHEN s.okey IS NULL AND NOT b.flag = 'N' THEN 'S'
+         ELSE b.flag END AS flag
+  FROM base b LEFT JOIN src s ON b.okey = s.okey AND b.lnum = s.lnum
+  WHERE NOT (s.okey IS NOT NULL AND s.flag = 'R')
+  UNION ALL
+  SELECT s.okey, s.lnum, s.qty * 10 AS qty, 'I' AS flag
+  FROM src s LEFT JOIN (SELECT DISTINCT okey, lnum FROM base) b
+    ON b.okey = s.okey AND b.lnum = s.lnum
+  WHERE b.okey IS NULL AND NOT s.flag = 'R'
+)
+SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(qty) AS BIGINT) AS sum_qty
+FROM merged GROUP BY flag ORDER BY flag""",
+
     "s44_variant" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

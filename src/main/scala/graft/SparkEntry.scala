@@ -2606,6 +2606,56 @@ object SparkEntry {
         FROM graft.s45_trades GROUP BY flag""")
         .orderBy("flag")
     }),
+    "s46_merge_clauses" -> ((s, d) => {
+      // the GENERAL MERGE (round 14): one statement with the full
+      // clause matrix — conditional matched DELETE + conditional
+      // matched UPDATE with explicit assignments reading both sides,
+      // a conditional NOT MATCHED INSERT with expressions, and a
+      // NOT MATCHED BY SOURCE UPDATE — first-applicable-clause-wins
+      // per row. The oracle recomputes the final table with the
+      // equivalent outer-join CASE logic.
+      val dir = scratch("s46_merge_clauses")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s46_trades")
+      graft.plans.GraftSqlTables.register("s46_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s46_trades (okey BIGINT, lnum BIGINT,
+          qty BIGINT, flag STRING)
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s46_trades
+        SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+               CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+        FROM graft.datalake.s46_lineitem WHERE l_quantity <= 3""")
+      // the source aggregates to UNIQUE keys (the synthetic lineitem
+      // repeats (okey, lnum); a duplicate-keyed source under matched
+      // clauses is ambiguous and refuses)
+      s.sql("""
+        MERGE INTO graft.s46_trades t USING (
+          SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+                 CAST(min(l_quantity) AS BIGINT) AS qty,
+                 min(l_returnflag) AS flag
+          FROM graft.datalake.s46_lineitem
+          WHERE l_quantity IN (2, 3, 4)
+          GROUP BY 1, 2) s
+        ON t.okey = s.okey AND t.lnum = s.lnum
+        WHEN MATCHED AND s.flag = 'R' THEN DELETE
+        WHEN MATCHED AND s.qty = 2
+          THEN UPDATE SET qty = t.qty + 100, flag = 'U'
+        WHEN NOT MATCHED AND s.flag <> 'R'
+          THEN INSERT (okey, lnum, qty, flag)
+          VALUES (s.okey, s.lnum, s.qty * 10, 'I')
+        WHEN NOT MATCHED BY SOURCE AND t.flag <> 'N'
+          THEN UPDATE SET flag = 'S'""")
+      s.sql("""
+        SELECT flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s46_trades GROUP BY flag""")
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

@@ -5013,6 +5013,345 @@ object MiniDelta {
     }
   }
 
+  /** Column-name namespace of the general [[mergeClauses]] form: inside
+    * matched-clause conditions and UPDATE assignments, target columns
+    * ride under their plain names and source columns under
+    * `__src_<name>` (the caller rewrites `s.x` references accordingly;
+    * [[plans.GraftMergeClausesCommand]] does it for SQL). */
+  val MergeSrcPrefix = "__src_"
+  private val MergeMatchedMarker = "__merge_matched"
+
+  /** One `WHEN MATCHED [AND cond]` clause: `set = Some(assignments)`
+    * for UPDATE (target column → expression over the combined
+    * namespace), `None` for DELETE. */
+  case class MergeMatchedClause(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Option[Map[String, org.apache.spark.sql.Column]])
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` clause: conditions
+    * and values reference SOURCE columns by plain name (Delta's rule —
+    * there is no target row to reference). */
+  case class MergeInsertClause(
+      cond: Option[org.apache.spark.sql.Column],
+      values: Map[String, org.apache.spark.sql.Column])
+
+  /** One `WHEN NOT MATCHED BY SOURCE [AND cond]` clause: conditions
+    * and assignments reference TARGET columns only (Delta's rule —
+    * there is no source row to reference). */
+  case class MergeBySourceClause(
+      cond: Option[org.apache.spark.sql.Column],
+      set: Option[Map[String, org.apache.spark.sql.Column]])
+
+  /** The GENERAL MERGE (Delta's full clause matrix): any combination
+    * of conditional `WHEN MATCHED THEN UPDATE SET .../DELETE`,
+    * `WHEN NOT MATCHED THEN INSERT ...`, and `WHEN NOT MATCHED BY
+    * SOURCE THEN UPDATE SET .../DELETE` clauses, evaluated per the SQL
+    * standard: for each target row, the FIRST applicable clause of its
+    * population (matched / not-matched-by-source) decides its fate —
+    * update (assignments evaluate against the PRE-update pair, like
+    * UPDATE), delete, or pass-through when no clause applies; each
+    * unmatched source row inserts under its first applicable
+    * not-matched clause or is dropped. The canonical star upsert and
+    * the delete-only forms keep their dedicated paths ([[merge]] /
+    * [[mergeDelete]] — they additionally do schema evolution and
+    * identity chains); this form refuses identity-table INSERT clauses
+    * and never evolves the schema.
+    *
+    * Scale: the same discipline as the specialized forms — matched
+    * discovery is range-pruned by the distinct source keys before
+    * anything reaches the driver, only files where a clause actually
+    * FIRES are rewritten, and a by-source clause (complement-shaped,
+    * like [[mergeDelete]]'s sync form) is what forces a full-manifest
+    * scan, never the clause set itself. Generated columns recompute
+    * post-SET on updated rows and compute/validate on inserts;
+    * DEFAULTs fill omitted insert columns; CHECK constraints enforce
+    * on every written row; both storage forms compose (copy-on-write
+    * rewrites firing files, the DV form masks updated/deleted rows and
+    * appends the new images); CDF feeds carry the exact
+    * update-pre/post, delete, and insert split. */
+  def mergeClauses(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeMatchedClause],
+      notMatched: Seq[MergeInsertClause],
+      bySource: Seq[MergeBySourceClause],
+      partitionBy: Seq[String], readOnly: Boolean = false,
+      statsCols: Seq[String] = Nil): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    // missing table: every source row is not-matched — the canonical
+    // merge's create-on-first-merge rule, scoped to the insert clauses
+    if (!tableExists(spark, table)) {
+      if (notMatched.isEmpty) return -1L
+      return append(spark,
+        resolveMergeInserts(source, None, table, notMatched),
+        table, partitionBy, readOnly, statsCols)
+    }
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion)
+    requireMappingWritable(declared, table, spark)
+    val decl = declared.getOrElse(throw new IllegalArgumentException(
+      s"general MERGE needs a declared schema; $table has none"))
+    require(!decl.fieldNames.exists(c => c.startsWith(MergeSrcPrefix) ||
+        c == MergeMatchedMarker),
+      s"table has a column colliding with the merge namespace " +
+        s"($MergeSrcPrefix*/$MergeMatchedMarker)")
+    val idFields = decl.fields.filter(_.metadata.contains(IdentityStartKey))
+    require(idFields.isEmpty || notMatched.isEmpty,
+      s"general MERGE cannot INSERT into identity-column table $table " +
+        "— use the canonical WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
+        "MATCHED THEN INSERT * form, which assigns the chain")
+    def checkSet(set: Map[String, org.apache.spark.sql.Column],
+                 clause: String): Unit = set.keys.foreach { k =>
+      val f = decl.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"MERGE $clause references unknown column $k (table columns: " +
+            s"${decl.fieldNames.mkString(", ")})"))
+      require(!f.metadata.contains(GenExprKey),
+        s"MERGE cannot SET generated column ${f.name} — it is always " +
+          "computed from its expression")
+      require(!f.metadata.contains(IdentityStartKey),
+        s"MERGE cannot SET identity column ${f.name}")
+    }
+    matched.foreach(_.set.foreach(checkSet(_, "UPDATE")))
+    bySource.foreach(_.set.foreach(checkSet(_, "UPDATE")))
+    notMatched.foreach { c =>
+      require(c.values.nonEmpty, "MERGE INSERT needs at least one column")
+      c.values.keys.foreach { k =>
+        require(decl.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"MERGE INSERT references unknown column $k (table columns: " +
+            s"${decl.fieldNames.mkString(", ")})")
+      }
+    }
+    // a target row updated/deleted by TWO source rows is ambiguous
+    // (Delta's runtime multiple-matches error; the keyed ON makes the
+    // static check exact) — insert/by-source-only clause sets are
+    // immune (duplicates cannot make a delete or an insert ambiguous)
+    if (matched.nonEmpty) {
+      val dup = source.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+      if (dup.collect().nonEmpty)
+        throw new IllegalArgumentException(
+          s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
+            "multiple source matches per target row are ambiguous")
+    }
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // combined namespace: the source side rides prefixed. Without
+    // matched clauses only MATCHEDNESS is consulted — join the distinct
+    // keys instead, so duplicate source keys never duplicate target rows
+    val srcSide = if (matched.nonEmpty) source else srcKeys
+    val srcP = srcSide.select(srcSide.columns.map(c =>
+        col(s"`$c`").as(MergeSrcPrefix + c)).toIndexedSeq: _*)
+      .withColumn(MergeMatchedMarker, lit(true))
+    val keyCond = keys.map(k =>
+      col(s"`$k`") === col(s"`$MergeSrcPrefix$k`")).reduce(_ && _)
+    val isMatched = coalesce(col(MergeMatchedMarker), lit(false))
+    def firstIdx(conds: Seq[Option[org.apache.spark.sql.Column]])
+        : org.apache.spark.sql.Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), e) =>
+        when(coalesce(c.getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(e) }
+    val mIdx = firstIdx(matched.map(_.cond))
+    val bIdx = firstIdx(bySource.map(_.cond))
+    def isinIdx(idx: org.apache.spark.sql.Column, ids: Seq[Int]) =
+      if (ids.isEmpty) lit(false) else idx.isin(ids.map(Int.box): _*)
+    val mUpd = matched.zipWithIndex.collect {
+      case (c, i) if c.set.isDefined => i }
+    val mDel = matched.zipWithIndex.collect {
+      case (c, i) if c.set.isEmpty => i }
+    val bUpd = bySource.zipWithIndex.collect {
+      case (c, i) if c.set.isDefined => i }
+    val bDel = bySource.zipWithIndex.collect {
+      case (c, i) if c.set.isEmpty => i }
+    val updateApplied =
+      when(isMatched, isinIdx(mIdx, mUpd)).otherwise(isinIdx(bIdx, bUpd))
+    val deleteApplied =
+      when(isMatched, isinIdx(mIdx, mDel)).otherwise(isinIdx(bIdx, bDel))
+    val affected = updateApplied || deleteApplied
+    // per-column output: the first applicable UPDATE clause's
+    // assignment, else the stored value — ONE projection, every
+    // expression evaluating against the PRE-update pair (SQL UPDATE
+    // semantics, shared with [[update]])
+    def valueFor(f: org.apache.spark.sql.types.StructField,
+                 set: Map[String, org.apache.spark.sql.Column]) =
+      set.find(_._1.equalsIgnoreCase(f.name))
+        .map(_._2.cast(f.dataType)).getOrElse(col(s"`${f.name}`"))
+    val outCols = decl.fields.toIndexedSeq.map { f =>
+      val branches =
+        matched.zipWithIndex.collect { case (cl, i) if cl.set.isDefined =>
+          (isMatched && mIdx === i, valueFor(f, cl.set.get)) } ++
+        bySource.zipWithIndex.collect { case (cl, i) if cl.set.isDefined =>
+          (!isMatched && bIdx === i, valueFor(f, cl.set.get)) }
+      branches.foldRight(col(s"`${f.name}`")) { case ((c0, v), e) =>
+        when(c0, v).otherwise(e) }.as(f.name)
+    }
+    def joined(df: DataFrame) = df.join(srcP, keyCond, "left_outer")
+    def hit(df: DataFrame) = joined(df).where(affected)
+    val cfg = tableConfig(spark, table, readVersion)
+    val cdfOn = cfg.get("delta.enableChangeDataFeed").contains("true")
+    val snapAll = snapshotFilesAt(spark, table, readVersion)
+    // a by-source clause is complement-shaped — every file may hold an
+    // unmatched row (mergeDelete's sync rule); otherwise the source
+    // key ranges scope discovery
+    val snapDF =
+      if (bySource.nonEmpty) snapAll
+      else pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy)
+    val declCols = decl.fieldNames.toIndexedSeq
+    if (cfg.get("delta.enableDeletionVectors").contains("true")) {
+      // DV form: mask every updated/deleted row, append the new images
+      val snap = collected(snapDF.collect().toIndexedSeq)
+      val tgt = withRowIdentity(spark, table, dvPairsOf(snap), declared)
+      val j = joined(tgt).persist()
+      try {
+        val doomed = j.where(affected)
+        val updatedOut = recomputeGenerated(
+          j.where(updateApplied).select(outCols: _*), declared)
+        val insertsOpt =
+          if (notMatched.isEmpty) None
+          else {
+            val tgtKeys = tgt.select(keys.map(col): _*).distinct()
+            Some(resolveMergeInserts(
+              source.join(tgtKeys, keys, "left_anti"), declared, table,
+              notMatched))
+          }
+        val maskLines = dvMaskActions(spark, table, readVersion, declared,
+          snap, doomed).getOrElse(Seq.empty)
+        val newData0 = insertsOpt.fold(updatedOut)(updatedOut.unionByName(_))
+        val writesRows = mUpd.nonEmpty || bUpd.nonEmpty || notMatched.nonEmpty
+        if (maskLines.isEmpty && (!writesRows || newData0.isEmpty))
+          return readVersion // nothing fired: no commit
+        // constraint check + parquet write = two evaluations; persist
+        // across the pair so a nondeterministic source validates the
+        // SAME rows it commits (the copyOnWrite discipline)
+        val constrained = constraintsOf(cfg).nonEmpty ||
+          invariantEntries(declared).nonEmpty
+        val newData = if (constrained) newData0.persist() else newData0
+        val added =
+          try {
+            if (constrained) enforceConstraints(newData, cfg, declared)
+            writeAndCapture(spark, newData, table, partitionBy)
+          } finally if (constrained) { newData.unpersist(); () }
+        val stats = fileStats(spark, table, added.map(_._1), statsCols)
+        val cdcLines =
+          if (!cdfOn) Seq.empty[String]
+          else {
+            val upd = j.where(updateApplied)
+            val pre = upd.select(declCols.map(col): _*)
+              .withColumn("_change_type", lit("update_preimage"))
+            val post = recomputeGenerated(upd.select(outCols: _*), declared)
+              .withColumn("_change_type", lit("update_postimage"))
+            val del = j.where(deleteApplied).select(declCols.map(col): _*)
+              .withColumn("_change_type", lit("delete"))
+            val feed = insertsOpt.fold(pre.unionByName(post).unionByName(del))(
+              i => pre.unionByName(post).unionByName(del).unionByName(
+                i.withColumn("_change_type", lit("insert"))))
+            writeCdcFiles(spark, table, feed, partitionBy)
+          }
+        beforeDmlCommitHook()
+        writeCommit(spark, table, readVersion + 1,
+          cdcLines ++ maskLines ++ added.map { case (p, sz, m) =>
+            addLine(p, sz, stats.get(p), modTime = Some(m)) },
+          "MERGE")
+      } finally { j.unpersist(); () }
+    } else {
+      // copy-on-write form: rewrite exactly the files where a clause
+      // FIRES; pass-through rows ride along, inserts land in the same
+      // commit
+      val snap = collected(
+        snapDF.select("path", "dv_path").collect().toIndexedSeq)
+      val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
+        hit)
+      val insertsOpt =
+        if (notMatched.isEmpty) None
+        else {
+          // matchedness is decided against ALL rows holding a source
+          // key — the range-pruned candidate files, NOT just the
+          // touched set (a key can match a row no clause fires on)
+          val candPairs =
+            if (bySource.isEmpty) dvPairsOf(snap)
+            else dvPairsOf(collected(
+              pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy)
+                .select("path", "dv_path").collect().toIndexedSeq))
+          val unmatchedSrc =
+            if (candPairs.isEmpty) source
+            else source.join(
+              readFilesWithDv(spark, table, candPairs, declared)
+                .select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+          Some(resolveMergeInserts(unmatchedSrc, declared, table,
+            notMatched))
+        }
+      if (touched.isEmpty &&
+          insertsOpt.forall(_.isEmpty)) return readVersion
+      val cdc =
+        if (!cdfOn) None
+        else {
+          val jt = joined(readFilesWithDv(spark, table, touched, declared))
+          val upd =
+            if (jt.columns.isEmpty) None else Some(jt.where(updateApplied))
+          val parts =
+            upd.toSeq.flatMap(u => Seq(
+              u.select(declCols.map(col): _*)
+                .withColumn("_change_type", lit("update_preimage")),
+              recomputeGenerated(u.select(outCols: _*), declared)
+                .withColumn("_change_type", lit("update_postimage")),
+              jt.where(deleteApplied).select(declCols.map(col): _*)
+                .withColumn("_change_type", lit("delete")))) ++
+            insertsOpt.map(_.withColumn("_change_type", lit("insert")))
+          parts.reduceOption(_.unionByName(_))
+        }
+      copyOnWrite(spark, table, readVersion, touched, declared,
+        df => {
+          val base =
+            if (df.columns.isEmpty) None // touched empty: inserts only
+            else Some(recomputeGenerated(
+              joined(df).where(!deleteApplied).select(outCols: _*),
+              declared))
+          (base, insertsOpt) match {
+            case (Some(b), Some(i)) => b.unionByName(i)
+            case (Some(b), None) => b
+            case (None, Some(i)) => i
+            case (None, None) => df // unreachable (guarded above)
+          }
+        },
+        partitionBy, "MERGE", statsCols, cdc = cdc)
+    }
+  }
+
+  /** [[mergeClauses]]'s insert resolution: each unmatched source row
+    * inserts under its FIRST applicable not-matched clause (or is
+    * dropped when none applies); per-clause frames get the full write
+    * contract — DEFAULTs fill omitted columns, generated columns
+    * compute-or-validate — then align to the declared schema
+    * (unassigned columns null, Delta's INSERT rule). */
+  private def resolveMergeInserts(source: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType],
+      table: String, notMatched: Seq[MergeInsertClause]): DataFrame = {
+    val iIdx = notMatched.zipWithIndex.foldRight(lit(-1)) {
+      case ((c, i), e) =>
+        when(coalesce(c.cond.getOrElse(lit(true)), lit(false)), lit(i))
+          .otherwise(e) }
+    val idxd = source.withColumn("__mc_i", iIdx)
+    def canonical(k: String): String =
+      declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(k)))
+        .map(_.name).getOrElse(k)
+    val frames = notMatched.zipWithIndex.map { case (cl, i) =>
+      val rows = idxd.where(col("__mc_i") === i)
+      val proj = rows.select(cl.values.toSeq.map { case (k, v) =>
+        v.as(canonical(k)) }: _*)
+      val filled = applyGenerated(applyDefaults(proj, declared),
+        declared, table)
+      declared.fold(filled)(d => filled.select(d.fields.toIndexedSeq.map {
+        f =>
+          if (filled.columns.exists(_.equalsIgnoreCase(f.name)))
+            col(s"`${f.name}`").cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+      }: _*))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = declared.isEmpty))
+  }
+
   /** VACUUM: physically delete data files no longer referenced by the
     * current snapshot (files removed by compaction/DML), but ONLY those
     * outside the retention horizon — a file stays on disk for at least

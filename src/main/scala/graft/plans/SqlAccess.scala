@@ -401,8 +401,18 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
 
       case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>
         val e = entryOf(m.targetTable).get
-        // three supported clause shapes; every other combination is
-        // refused BY NAME rather than half-applied
+        // the canonical upsert and the delete-only forms keep dedicated
+        // fast paths (schema evolution / identity chains / duplicate-
+        // key tolerance); everything else — conditional multi-clause
+        // sets, explicit assignments, source-referencing delete
+        // conditions — takes the general clause path below
+        val srcQuals = qualifiersOf(m.sourceTable)
+        def refsSource(cond: Option[Expression]): Boolean =
+          cond.exists(_.exists {
+            case u: UnresolvedAttribute => u.nameParts.length > 1 &&
+              srcQuals.contains(u.nameParts.head.toLowerCase)
+            case _ => false
+          })
         (m.matchedActions, m.notMatchedActions,
             m.notMatchedBySourceActions) match {
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
@@ -416,7 +426,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           // source-column reference fails resolution loudly inside
           // the engine)
           case (Seq(org.apache.spark.sql.catalyst.plans.logical
-              .DeleteAction(cond)), Seq(), Seq()) =>
+              .DeleteAction(cond)), Seq(), Seq()) if !refsSource(cond) =>
             GraftMergeDeleteCommand(e.path, m.sourceTable,
               mergeKeysOf(m.mergeCondition),
               new Unbound(cond.map(stripQualifiers(_,
@@ -425,20 +435,47 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           // WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE alone:
           // the sync-delete (stale target rows go)
           case (Seq(), Seq(), Seq(org.apache.spark.sql.catalyst.plans
-              .logical.DeleteAction(cond))) =>
+              .logical.DeleteAction(cond))) if !refsSource(cond) =>
             GraftMergeDeleteCommand(e.path, m.sourceTable,
               mergeKeysOf(m.mergeCondition),
               new Unbound(cond.map(stripQualifiers(_,
                 qualifiersOf(m.targetTable), declaredColsOf(e)))),
               e.readOnly, bySource = true)
-          case _ => throw new IllegalArgumentException(
-            "graft MERGE supports WHEN MATCHED THEN UPDATE SET * WHEN " +
-              "NOT MATCHED THEN INSERT * (the canonical upsert), " +
-              "WHEN MATCHED [AND cond] THEN DELETE alone, or WHEN NOT " +
-              "MATCHED BY SOURCE [AND cond] THEN DELETE alone; got " +
-              s"matched=${m.matchedActions}, " +
-              s"notMatched=${m.notMatchedActions}, " +
-              s"notMatchedBySource=${m.notMatchedBySourceActions}")
+          // every other combination takes the GENERAL clause path
+          // ([[MiniDelta.mergeClauses]]): conditional multi-clause
+          // matched/not-matched/not-matched-by-source with explicit
+          // assignments. Qualifier binding happens at RUN time, where
+          // the analyzed source's columns are known.
+          case _ =>
+            require(!m.withSchemaEvolution,
+              "graft MERGE WITH SCHEMA EVOLUTION is supported only on " +
+                "the canonical UPDATE SET * / INSERT * form")
+            import org.apache.spark.sql.catalyst.plans.logical._
+            def keyPartsOf(k: Expression): Seq[String] = k match {
+              case u: UnresolvedAttribute => u.nameParts
+              case other => throw new IllegalArgumentException(
+                s"MERGE assignment target must be a column: ${other.sql}")
+            }
+            def rawOf(a: MergeAction): RawMergeClause = a match {
+              case UpdateAction(c, assigns, _) => RawMergeClause(c,
+                RawUpdate(assigns.map(as =>
+                  (keyPartsOf(as.key), as.value))))
+              case UpdateStarAction(c) => RawMergeClause(c, RawUpdateStar)
+              case DeleteAction(c) => RawMergeClause(c, RawDelete)
+              case InsertAction(c, assigns) => RawMergeClause(c,
+                RawInsert(assigns.map(as =>
+                  (keyPartsOf(as.key), as.value))))
+              case InsertStarAction(c) => RawMergeClause(c, RawInsertStar)
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE action: $other")
+            }
+            GraftMergeClausesCommand(e.path, m.sourceTable,
+              mergeKeysOf(m.mergeCondition),
+              new Unbound(m.matchedActions.map(rawOf)),
+              new Unbound(m.notMatchedActions.map(rawOf)),
+              new Unbound(m.notMatchedBySourceActions.map(rawOf)),
+              qualifiersOf(m.targetTable), qualifiersOf(m.sourceTable),
+              declaredColsOf(e), e.readOnly)
         }
 
       case tt: RelationTimeTravel if entryOf(tt.relation).isDefined =>
@@ -997,6 +1034,154 @@ case class GraftMergeDeleteCommand(table: String, source: LogicalPlan,
       condition.value.map(
         org.apache.spark.sql.graft.ColumnBridge.column),
       bySource = bySource)
+    Seq.empty
+  }
+}
+
+/** Rule-time capture of one general-MERGE WHEN clause: the raw parser
+  * expressions ride to RUN time, where the analyzed source's columns
+  * are known and binding to [[MiniDelta.mergeClauses]]'s combined
+  * namespace can resolve unqualified and star references. */
+private[plans] sealed trait RawMergeAction extends Serializable
+private[plans] case class RawUpdate(
+    assignments: Seq[(Seq[String], Expression)]) extends RawMergeAction
+private[plans] case object RawUpdateStar extends RawMergeAction
+private[plans] case object RawDelete extends RawMergeAction
+private[plans] case class RawInsert(
+    assignments: Seq[(Seq[String], Expression)]) extends RawMergeAction
+private[plans] case object RawInsertStar extends RawMergeAction
+private[plans] case class RawMergeClause(cond: Option[Expression],
+    action: RawMergeAction) extends Serializable
+
+/** The GENERAL `MERGE INTO` (any clause combination beyond the three
+  * dedicated fast paths), routed through [[MiniDelta.mergeClauses]]:
+  * conditional multi-clause `WHEN MATCHED THEN UPDATE SET .../DELETE`,
+  * `WHEN NOT MATCHED [BY TARGET] THEN INSERT ...`, and `WHEN NOT
+  * MATCHED BY SOURCE THEN UPDATE SET .../DELETE`, first-applicable-
+  * clause-wins per row. Qualifier binding: `t.x` → target column `x`,
+  * `s.x` → the engine's `__src_x` (matched clauses) or plain source
+  * `x` (insert clauses); unqualified names bind target-first in
+  * matched clauses, source-only in insert clauses, target-only in
+  * by-source clauses (Delta's scoping rules). */
+case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
+    keys: Seq[String],
+    matched: Unbound[Seq[RawMergeClause]],
+    notMatched: Unbound[Seq[RawMergeClause]],
+    bySource: Unbound[Seq[RawMergeClause]],
+    targetQuals: Set[String], sourceQuals: Set[String],
+    declaredCols: Set[String],
+    readOnly: Boolean = true)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    if (!MiniDelta.tableExists(spark, table))
+      GraftDml.refuseRawDir(spark, table, "MERGE")
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, source)
+    val srcCols = src.columns.map(_.toLowerCase).toSet
+    val declared = MiniDelta.latestSchema(spark, table)
+
+    // contexts: "matched" (combined namespace), "insert" (plain source
+    // frame), "bysource" (target frame only)
+    def bind(e: Expression, ctx: String): Expression = e.transform {
+      case u: UnresolvedAttribute =>
+        val head = u.nameParts.head.toLowerCase
+        if (u.nameParts.length > 1 && sourceQuals.contains(head)) ctx match {
+          case "insert" => UnresolvedAttribute(u.nameParts.tail)
+          case "bysource" => throw new IllegalArgumentException(
+            "WHEN NOT MATCHED BY SOURCE cannot reference source " +
+              s"column ${u.nameParts.mkString(".")}")
+          case _ => UnresolvedAttribute(
+            (MiniDelta.MergeSrcPrefix + u.nameParts(1)) +:
+              u.nameParts.drop(2))
+        } else if (u.nameParts.length > 1 && targetQuals.contains(head)) {
+          if (declaredCols.contains(head))
+            throw new IllegalArgumentException(
+              s"ambiguous reference ${u.nameParts.mkString(".")}: " +
+                s"'${u.nameParts.head}' names both the MERGE target and " +
+                "a table column — alias the target differently")
+          if (ctx == "insert") throw new IllegalArgumentException(
+            "MERGE INSERT values cannot reference target column " +
+              u.nameParts.mkString("."))
+          UnresolvedAttribute(u.nameParts.tail)
+        } else if (u.nameParts.length == 1 && ctx == "matched" &&
+            !declaredCols.contains(head) && srcCols.contains(head)) {
+          // unqualified, not a target column, present on the source:
+          // bind the source side (target-first otherwise)
+          UnresolvedAttribute(Seq(MiniDelta.MergeSrcPrefix + u.nameParts.head))
+        } else u
+    }
+    def bindC(e: Expression, ctx: String) = ColumnBridge.column(bind(e, ctx))
+
+    def targetName(parts: Seq[String]): String = {
+      val np =
+        if (parts.length > 1 && targetQuals.contains(parts.head.toLowerCase))
+          parts.tail
+        else parts
+      require(np.length == 1,
+        s"MERGE assigns nested field ${parts.mkString(".")} — " +
+          "top-level columns only")
+      np.head
+    }
+    def setOf(assigns: Seq[(Seq[String], Expression)], ctx: String) =
+      assigns.map { case (parts, v) => targetName(parts) -> bindC(v, ctx) }
+        .toMap
+    // star expansions map each assignable declared column from its
+    // same-name source column; generated/identity columns are excluded
+    // (they recompute / keep the target's value — Delta's rule)
+    def starSet(prefix: String): Map[String,
+        org.apache.spark.sql.Column] = {
+      val d = declared.getOrElse(throw new IllegalArgumentException(
+        s"MERGE ... SET */INSERT * needs a declared schema on $table"))
+      d.fields.toIndexedSeq
+        .filterNot(f => f.metadata.contains("delta.generationExpression")
+          || f.metadata.contains("delta.identity.start"))
+        .map { f =>
+          val sc = src.columns.find(_.equalsIgnoreCase(f.name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"MERGE star clause needs source column ${f.name}"))
+          f.name -> org.apache.spark.sql.functions.col(s"`$prefix$sc`")
+        }.toMap
+    }
+
+    val mClauses = matched.value.map { rc =>
+      val c = rc.cond.map(bindC(_, "matched"))
+      rc.action match {
+        case RawUpdate(assigns) =>
+          MiniDelta.MergeMatchedClause(c, Some(setOf(assigns, "matched")))
+        case RawUpdateStar =>
+          MiniDelta.MergeMatchedClause(c,
+            Some(starSet(MiniDelta.MergeSrcPrefix)))
+        case RawDelete => MiniDelta.MergeMatchedClause(c, None)
+        case other => throw new IllegalArgumentException(
+          s"WHEN MATCHED supports UPDATE/DELETE, got $other")
+      }
+    }
+    val iClauses = notMatched.value.map { rc =>
+      val c = rc.cond.map(bindC(_, "insert"))
+      rc.action match {
+        case RawInsert(assigns) =>
+          MiniDelta.MergeInsertClause(c, setOf(assigns, "insert"))
+        case RawInsertStar =>
+          MiniDelta.MergeInsertClause(c, starSet(""))
+        case other => throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED supports INSERT, got $other")
+      }
+    }
+    val bClauses = bySource.value.map { rc =>
+      val c = rc.cond.map(bindC(_, "bysource"))
+      rc.action match {
+        case RawUpdate(assigns) =>
+          MiniDelta.MergeBySourceClause(c, Some(setOf(assigns, "bysource")))
+        case RawDelete => MiniDelta.MergeBySourceClause(c, None)
+        case other => throw new IllegalArgumentException(
+          s"WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, got $other")
+      }
+    }
+    MiniDelta.mergeClauses(spark, table, src, keys, mClauses, iClauses,
+      bClauses, MiniDelta.partitionColumns(spark, table))
     Seq.empty
   }
 }
