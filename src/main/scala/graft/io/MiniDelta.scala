@@ -5410,7 +5410,7 @@ object MiniDelta {
     // deliberately NOT resolvePath: dead candidates come from listing
     // THIS table's directory, so vacuum can never touch an external
     // (shallow-cloned) file living under the source table's root
-    if (!dryRun) dead.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    if (!dryRun) deleteDataFiles(spark, table, dead)
     // orphaned deletion-vector sidecars: a DV dir no live add references
     // (OPTIMIZE materialized it, or its masked files were removed) is
     // dead weight; age it on its mtime under the same horizon. Live
@@ -5479,6 +5479,50 @@ object MiniDelta {
     }
     if (!dryRun) deadBins.foreach(p => f.delete(new Path(s"$table/$p"), false))
     dead ++ deadDv ++ deadBins
+  }
+
+  /** Vacuum deletes past this count fan out over the cluster instead
+    * of issuing sequential driver-side RPCs (a 10⁷-file vacuum would
+    * otherwise take hours; the deletes are embarrassingly parallel and
+    * Delta's own vacuum distributes exactly this step). Test seam. */
+  private[graft] var vacuumParallelThreshold = 1024
+
+  /** Files deleted through the distributed vacuum path — bumped on the
+    * DRIVER after the fan-out job completes (task closures are
+    * serialized even in local mode, so an executor-side increment
+    * would hit a deserialized copy). Specs assert big file sets
+    * actually take the fan-out. */
+  private[graft] val distributedDeletes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Physically delete `rels` (data-file paths relative to `table`).
+    * Small sets delete driver-side; larger ones parallelize with one
+    * FileSystem per executor partition, the driver conf shipped
+    * through [[org.apache.spark.sql.graft.HadoopConfBridge]]. The DV
+    * sidecar/bin sets stay driver-side — they are mask-count-scale,
+    * never table-scale. */
+  private def deleteDataFiles(spark: SparkSession, table: String,
+                              rels: Seq[String]): Unit = {
+    if (rels.isEmpty) return
+    if (rels.size <= vacuumParallelThreshold) {
+      val f = fs(spark, table)
+      rels.foreach(p => f.delete(new Path(s"$table/$p"), false))
+    } else {
+      val h = org.apache.spark.sql.graft.HadoopConfBridge.handle(
+        spark.sparkContext.hadoopConfiguration)
+      // ~4k deletes per task: enough to amortize task overhead, small
+      // enough that stragglers re-balance across the cluster
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism * 4,
+        rels.size / 4096 + 1))
+      spark.sparkContext.parallelize(rels, slices)
+        .foreachPartition { it =>
+          val f2 = new Path(table).getFileSystem(h.conf)
+          it.foreach { p => f2.delete(new Path(s"$table/$p"), false); () }
+        }
+      distributedDeletes.addAndGet(rels.size)
+      ()
+    }
   }
 
   /** Log-retention cleanup (Delta's metadata cleanup): delete JSON

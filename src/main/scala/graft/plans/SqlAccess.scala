@@ -397,7 +397,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           stripQualifiers(a.value, quals, cols)))
         GraftUpdateCommand(e.path, new Unbound(stripped),
           new Unbound(condition.map(stripQualifiers(_, quals, cols))),
-          e.readOnly)
+          quals, e.readOnly)
 
       case m: MergeIntoTable if entryOf(m.targetTable).isDefined =>
         val e = entryOf(m.targetTable).get
@@ -677,6 +677,57 @@ final class Unbound[T](val value: T) extends Serializable
 
 /** Guards shared by the SQL write commands. */
 private[plans] object GraftDml {
+  /** Fold SET assignments keyed by (possibly NESTED) column paths into
+    * ONE Column per top-level column — `SET addr.city = 'x', addr.zip
+    * = 'y'` rebuilds the struct through `Column.withField` (Delta's
+    * nested-update semantics; untouched sibling fields pass through).
+    * `entries` carry qualifier-stripped name parts; paths are resolved
+    * case-insensitively against the DECLARED schema and canonicalized,
+    * so a path into a non-struct or a non-existent field refuses here
+    * (withField would silently ADD it). Whole-column + nested
+    * assignments to the same column, and duplicate paths, refuse. */
+  def foldAssignments(declared: org.apache.spark.sql.types.StructType,
+      entries: Seq[(Seq[String], org.apache.spark.sql.Column)],
+      op: String): Map[String, org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    // canonicalize every path segment against the declared tree
+    def resolve(parts: Seq[String]): Seq[String] = {
+      var t: org.apache.spark.sql.types.DataType = declared
+      parts.map { seg =>
+        t match {
+          case st: StructType =>
+            val f = st.fields.find(_.name.equalsIgnoreCase(seg))
+              .getOrElse(throw new IllegalArgumentException(
+                s"$op SET references unknown column " +
+                  s"${parts.mkString(".")} (no field '$seg' in " +
+                  s"${st.fieldNames.mkString(", ")})"))
+            t = f.dataType
+            f.name
+          case other => throw new IllegalArgumentException(
+            s"$op SET path ${parts.mkString(".")} descends into " +
+              s"${other.simpleString}, which has no fields")
+        }
+      }
+    }
+    val resolved = entries.map { case (parts, v) => (resolve(parts), v) }
+    resolved.groupBy(_._1.head).map { case (top, es) =>
+      val (whole, nested) = es.partition(_._1.length == 1)
+      if (whole.nonEmpty) {
+        require(es.size == 1,
+          s"$op SET assigns column $top more than once")
+        top -> whole.head._2
+      } else {
+        val paths = nested.map(_._1.mkString("."))
+        require(paths.distinct.size == paths.size,
+          s"$op SET assigns ${paths.diff(paths.distinct).head} twice")
+        top -> nested.foldLeft(col(s"`$top`")) { case (acc, (path, v)) =>
+          acc.withField(path.tail.map(p => s"`$p`").mkString("."), v)
+        }
+      }
+    }
+  }
+
   /** True when `table` is a plain directory already holding parquet but
     * no `_delta_log`. A first commit there would reference ONLY the
     * newly written files, and every later SELECT (which now sniffs the
@@ -740,7 +791,8 @@ case class GraftDeleteCommand(table: String,
   * case-insensitively, like every other Spark identifier. */
 case class GraftUpdateCommand(table: String,
     assignments: Unbound[Seq[Assignment]],
-    condition: Unbound[Option[Expression]], readOnly: Boolean = true)
+    condition: Unbound[Option[Expression]],
+    targetQuals: Set[String] = Set.empty, readOnly: Boolean = true)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
@@ -749,22 +801,30 @@ case class GraftUpdateCommand(table: String,
     val declared = MiniDelta.latestSchema(spark, table)
       .getOrElse(throw new IllegalStateException(
         s"$table has a _delta_log but no declared schema"))
-    val canonical: Map[String, String] =
-      declared.fieldNames.map(n => n.toLowerCase -> n).toMap
-    val set = assignments.value.map { a =>
-      val written = a.key match {
-        case u: UnresolvedAttribute => u.nameParts.last
+    val declaredLc = declared.fieldNames.map(_.toLowerCase).toSet
+    // assignment targets may be nested paths (SET addr.city = ...) and
+    // may carry the target qualifier; strip it here (the rule strips
+    // only VALUE expressions) with the same ambiguity refusal as
+    // conditions, then fold nested paths into one struct rebuild per
+    // top-level column
+    val entries = assignments.value.map { a =>
+      val parts = a.key match {
+        case u: UnresolvedAttribute => u.nameParts
         case other => throw new IllegalArgumentException(
           s"UPDATE SET target must be a column, got ${other.sql}")
       }
-      val name = canonical.getOrElse(written.toLowerCase,
-        throw new IllegalArgumentException(
-          s"UPDATE SET references unknown column $written " +
-            s"(table has ${declared.fieldNames.mkString(", ")})"))
-      name -> bridge.column(a.value)
-    }.toMap
-    require(set.size == assignments.value.size,
-      "UPDATE SET assigns the same column twice")
+      val np =
+        if (parts.length > 1 && targetQuals.contains(parts.head.toLowerCase)) {
+          if (declaredLc.contains(parts.head.toLowerCase))
+            throw new IllegalArgumentException(
+              s"ambiguous reference ${parts.mkString(".")}: " +
+                s"'${parts.head}' names both the UPDATE target and a " +
+                "table column — alias the target differently")
+          parts.tail
+        } else parts
+      (np, bridge.column(a.value))
+    }
+    val set = GraftDml.foldAssignments(declared, entries, "UPDATE")
     val pred = condition.value.map(bridge.column)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     MiniDelta.update(spark, table, pred, set,
@@ -1115,19 +1175,26 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
     }
     def bindC(e: Expression, ctx: String) = ColumnBridge.column(bind(e, ctx))
 
+    def targetParts(parts: Seq[String]): Seq[String] =
+      if (parts.length > 1 && targetQuals.contains(parts.head.toLowerCase))
+        parts.tail
+      else parts
     def targetName(parts: Seq[String]): String = {
-      val np =
-        if (parts.length > 1 && targetQuals.contains(parts.head.toLowerCase))
-          parts.tail
-        else parts
+      val np = targetParts(parts)
       require(np.length == 1,
-        s"MERGE assigns nested field ${parts.mkString(".")} — " +
-          "top-level columns only")
+        s"MERGE INSERT column ${parts.mkString(".")} must be " +
+          "top-level")
       np.head
     }
+    // UPDATE assignments may target nested paths (SET addr.city = ...),
+    // folded into one struct rebuild per top-level column — the same
+    // helper (and semantics) as UPDATE's
     def setOf(assigns: Seq[(Seq[String], Expression)], ctx: String) =
-      assigns.map { case (parts, v) => targetName(parts) -> bindC(v, ctx) }
-        .toMap
+      GraftDml.foldAssignments(
+        declared.getOrElse(throw new IllegalArgumentException(
+          s"general MERGE needs a declared schema on $table")),
+        assigns.map { case (parts, v) =>
+          (targetParts(parts), bindC(v, ctx)) }, "MERGE")
     // star expansions map each assignable declared column from its
     // same-name source column; generated/identity columns are excluded
     // (they recompute / keep the target's value — Delta's rule)
@@ -1163,7 +1230,10 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
       val c = rc.cond.map(bindC(_, "insert"))
       rc.action match {
         case RawInsert(assigns) =>
-          MiniDelta.MergeInsertClause(c, setOf(assigns, "insert"))
+          // INSERT targets are top-level columns (targetName refuses
+          // nested — there is no existing struct to rebuild from)
+          MiniDelta.MergeInsertClause(c, assigns.map { case (parts, v) =>
+            targetName(parts) -> bindC(v, "insert") }.toMap)
         case RawInsertStar =>
           MiniDelta.MergeInsertClause(c, starSet(""))
         case other => throw new IllegalArgumentException(

@@ -571,13 +571,25 @@ class SqlAccessSpec extends AnyFunSuite {
       MiniDelta.invalidateSnapshot(t)
       assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
         .collect().map(_.getLong(0)).toSeq == Seq(1L))
-      // a non-canonical MERGE clause set still refuses by name
+      // the formerly-refused combination routes through the GENERAL
+      // clause path since r14: matched rows delete, unmatched source
+      // rows insert (INSERT * requires the source to carry every
+      // assignable column)
+      spark.sql("""MERGE INTO graft.spec_dml t USING (
+          SELECT * FROM VALUES (1L, 'XOFF', 5.0D), (7L, 'XNEW', 7.0D)
+          AS v(id, mic, price)) s
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *""")
+      MiniDelta.invalidateSnapshot(t)
+      assert(spark.sql("SELECT id FROM graft.spec_dml ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(7L))
+      // ... and INSERT * with a source MISSING a target column refuses
       val e = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO graft.spec_dml t USING " +
           "(SELECT 1L AS id) s ON t.id = s.id " +
           "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
       }
-      assert(e.getMessage.contains("THEN DELETE alone"))
+      assert(e.getMessage.contains("source column"), e.getMessage)
       // DML on a read-only alias refuses before any work
       GraftSqlTables.register("spec_dml_ro", t)
       intercept[MiniDelta.ReadOnlyTableException] {
