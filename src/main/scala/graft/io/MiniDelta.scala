@@ -5199,12 +5199,16 @@ object MiniDelta {
       else pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy)
     val declCols = decl.fieldNames.toIndexedSeq
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
-      // DV form: mask every updated/deleted row, append the new images
+      // DV form: mask every updated/deleted row, append the new images.
+      // Persist only the AFFECTED rows (they feed the mask, the new
+      // images, and the CDF splits) — with a by-source clause the join
+      // covers the full table, and persisting that would cache the
+      // table instead of the blast radius
       val snap = collected(snapDF.collect().toIndexedSeq)
       val tgt = withRowIdentity(spark, table, dvPairsOf(snap), declared)
-      val j = joined(tgt).persist()
+      val j = joined(tgt).where(affected).persist()
       try {
-        val doomed = j.where(affected)
+        val doomed = j
         val updatedOut = recomputeGenerated(
           j.where(updateApplied).select(outCols: _*), declared)
         val insertsOpt =
