@@ -236,6 +236,26 @@ object ScaleBench {
         .select(col("id").as("v"), lit(0L).as("p")).repartition(1)
       val tMerge = timed(MiniDelta.merge(spark, table, mergeSrc,
         Seq("v"), Seq("p"), statsCols = Seq("v")))
+      // GENERAL MERGE (r14 mergeClauses) at the table's largest: a
+      // mixed source (matched keys 10..24 + unmatched negatives) drives
+      // a conditional matched DELETE, a matched UPDATE, and a NOT
+      // MATCHED INSERT in one commit — the clause machinery must add
+      // nothing to the blast radius (the source's key range pins
+      // discovery to the same first files of partition 0 at every n)
+      val mcSrc = spark.range(15L)
+        .select(when(col("id") < 5, col("id") - 100L)
+          .otherwise(col("id") + 10L).as("v"), lit(0L).as("p"))
+        .repartition(1)
+      val tMergeClauses = timed(MiniDelta.mergeClauses(spark, table,
+        mcSrc, Seq("v"),
+        matched = Seq(
+          MiniDelta.MergeMatchedClause(
+            Some(pmod(col("`__src_v`"), lit(5)) === 0), None),
+          MiniDelta.MergeMatchedClause(None,
+            Some(Map("v" -> col("`__src_v`"))))),
+        notMatched = Seq(MiniDelta.MergeInsertClause(None,
+          Map("v" -> col("v"), "p" -> col("p")))),
+        bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v")))
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
@@ -248,7 +268,8 @@ object ScaleBench {
         s""""clone":${fmt(tClone)},""" +
         s""""cdf_enable":${fmt(tCdfEnable)},""" +
         s""""delete_cdf":${fmt(tDeleteCdf)},""" +
-        s""""merge_scoped":${fmt(tMerge)}}""")
+        s""""merge_scoped":${fmt(tMerge)},""" +
+        s""""merge_clauses":${fmt(tMergeClauses)}}""")
     }
   }
 
