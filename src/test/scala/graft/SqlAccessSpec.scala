@@ -621,7 +621,7 @@ class SqlAccessSpec extends AnyFunSuite {
         spark.sql(
           "UPDATE graft.spec_edge SET price = 1.0D, PRICE = 2.0D")
       }
-      assert(dup.getMessage.contains("twice"))
+      assert(dup.getMessage.contains("more than once"))
       // an ON conjunct that does not relate target to source refuses
       val selfEq = intercept[IllegalArgumentException] {
         spark.sql("MERGE INTO graft.spec_edge t USING " +
