@@ -1601,6 +1601,22 @@ SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty
 FROM merged GROUP BY flag ORDER BY flag""",
 
+    "s47_generated_prune" ->
+      """WITH survived AS (
+  SELECT event_id, ts,
+    CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+         THEN 'archived' ELSE event_type END AS event_type
+  FROM events
+  WHERE ts > TIMESTAMP '2024-01-21 23:59:59'
+)
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM survived
+WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+             AND TIMESTAMP '2024-01-27 23:59:59'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "s44_variant" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -2656,6 +2656,57 @@ object SparkEntry {
         FROM graft.s46_trades GROUP BY flag""")
         .orderBy("flag")
     }),
+    "s47_generated_prune" -> ((s, d) => {
+      // generated-column partition pruning (round 14): the table is
+      // partitioned by day = CAST(ts AS DATE) but every filter below
+      // bounds the BASE timestamp only — pruning exists solely through
+      // the derivation machinery (GeneratedPruning: DML blast-radius
+      // discovery + the read-side rule), Delta's
+      // OptimizeGeneratedColumn restated. The DELETE cuts into the
+      // SELECT window and the UPDATE relabels its tail, so the oracle
+      // sees both DMLs; GeneratedPruningSpec pins the pruning counters
+      // this gate exercises.
+      val dir = scratch("s47_generated_prune")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/events_day"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s47_events_day")
+      graft.plans.GraftSqlTables.register("s47_events",
+        Tables.path(d, "events"))
+      s.sql(s"""
+        CREATE TABLE graft.s47_events_day (
+          event_id BIGINT, ts TIMESTAMP, event_type STRING,
+          user_id BIGINT,
+          day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+        PARTITIONED BY (day) LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s47_events_day (event_id, ts, event_type,
+          user_id)
+        SELECT event_id, ts, event_type, user_id
+        FROM graft.datalake.s47_events""")
+      // both DMLs bound ts only: discovery reaches the day directories
+      // through the derived bounds, never the whole manifest
+      s.sql("""
+        DELETE FROM graft.s47_events_day
+        WHERE ts <= TIMESTAMP '2024-01-21 23:59:59'""")
+      s.sql("""
+        UPDATE graft.s47_events_day SET event_type = 'archived'
+        WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'""")
+      // the read bounds ts only as well — the scan prunes to the
+      // implied day directories via the post-analysis rule
+      // day is CAST to STRING in the output: a DATE column round-trips
+      // as date32 on the Spark side but datetime.date on the DuckDB
+      // side, and the driver's value compare is type-sensitive
+      s.sql("""
+        SELECT CAST(day AS STRING) AS day, event_type,
+               count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.s47_events_day
+        WHERE ts BETWEEN TIMESTAMP '2024-01-20 00:00:00'
+                     AND TIMESTAMP '2024-01-27 23:59:59'
+        GROUP BY day, event_type""")
+        .orderBy("day", "event_type")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

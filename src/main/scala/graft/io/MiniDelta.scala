@@ -4087,7 +4087,9 @@ object MiniDelta {
     * table's. */
   private[graft] def dmlCandidates(snap: DataFrame,
                                    predicate: org.apache.spark.sql.Column,
-                                   partitionCols: Seq[String]): DataFrame = {
+                                   partitionCols: Seq[String],
+                                   declared: Option[org.apache.spark.sql
+                                     .types.StructType] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val simpleName = "[A-Za-z0-9_]+".r
@@ -4106,6 +4108,33 @@ object MiniDelta {
       when(raw === "__HIVE_DEFAULT_PARTITION__",
         lit(null).cast("string")).otherwise(raw)
     }
+    // generated-column derivation ([[graft.plans.GeneratedPruning]]): a
+    // bound on a BASE column implies a bound on its generated PARTITION
+    // column, so `DELETE WHERE ts < X` on a `day = CAST(ts AS DATE)`-
+    // partitioned table probes the day directories exactly like a
+    // direct partition predicate would — without it the blast radius
+    // of every timestamp-scoped DML is the whole table. Derived
+    // conditions are conservative (many base values share a partition),
+    // so they conjoin with the stats range and never claim exactness.
+    val genDerivs = declared.map(st =>
+        graft.plans.GeneratedPruning.derivationsOf(st, partitionCols))
+      .getOrElse(Seq.empty)
+    def genPvKey(d: graft.plans.GeneratedPruning.Derivation): String =
+      physicalColOf(declared, d.genCol) // mapped tables key pv physically
+    def derivedConds(n: String, v: Literal, cmp: String)
+        : Seq[org.apache.spark.sql.Column] =
+      genDerivs.filter(_.baseCol.equalsIgnoreCase(n)).flatMap { d =>
+        d.bound(v).flatMap { b =>
+          val pv = pvCol(genPvKey(d)).cast(d.genType)
+          val bl = org.apache.spark.sql.graft.ColumnBridge.column(b)
+          cmp match {
+            case "=" => Some(pv === bl)
+            case ">" | ">=" if d.monotonic => Some(pv >= bl)
+            case "<" | "<=" if d.monotonic => Some(pv <= bl)
+            case _ => None
+          }
+        }
+      }
     // returns (file-level condition, exact): exact means the condition
     // decides the row predicate for EVERY row of the file (pure
     // partition-column expression) — the only form Not() may negate
@@ -4140,7 +4169,10 @@ object MiniDelta {
             val range = (lo.map(x => mx >= l(x) || mx.isNull) ++
               hi.map(x => mn <= l(x) || mn.isNull))
               .reduceOption(_ && _).getOrElse(lit(true))
-            (col("stats").isNull || range, false)
+            // conjoin any implied generated-partition bound: a file
+            // whose partition value fails it provably holds no match
+            (derivedConds(n, v, cmp)
+              .foldLeft(col("stats").isNull || range)(_ && _), false)
         }
       }
     type T = Option[(org.apache.spark.sql.Column, Boolean)]
@@ -4165,10 +4197,21 @@ object MiniDelta {
         .reduce((x, y) => for ((a1, e1) <- x; (b1, e2) <- y)
           yield (a1 || b1, e1 && e2))
     def tNull(a: Expression, positive: Boolean): T =
-      nameOf(a).flatMap(n =>
+      nameOf(a).flatMap { n =>
         partitionCols.find(_.equalsIgnoreCase(n)).map(k =>
           (if (positive) pvCol(k).isNull else pvCol(k).isNotNull,
-            true))) // data-col nulls: stats can't see them
+            true)) // data-col nulls: stats can't see them…
+          .orElse { // …but a NULL-FAITHFUL generated partition can:
+            // g(c) IS NULL ⇔ c IS NULL (probed at recognition), so the
+            // file's partition value decides null-ness conservatively
+            val ds = genDerivs.filter(_.baseCol.equalsIgnoreCase(n))
+            if (ds.isEmpty) None
+            else Some((ds.map { d =>
+              val pv = pvCol(genPvKey(d))
+              if (positive) pv.isNull else pv.isNotNull
+            }.reduce(_ && _), false))
+          }
+      }
     // predicates arrive in TWO shapes: resolved/parsed catalyst nodes
     // (SQL DML via the parser: And/EqualTo/...) and the DataFrame API's
     // ColumnNode conversion, where every operator is an
@@ -4248,7 +4291,8 @@ object MiniDelta {
       return deleteWithDv(spark, table, predicate, readVersion, partitionBy)
     val declared = latestSchema(spark, table)
     val snap = collected(dmlCandidates(
-        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy,
+        declared)
       .select("path", "dv_path").collect().toIndexedSeq)
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.where(predicate))
@@ -4280,7 +4324,8 @@ object MiniDelta {
                            partitionBy: Seq[String]): Long = {
     val declared = latestSchema(spark, table, readVersion)
     val snap = collected(dmlCandidates(
-        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy,
+        declared)
       .collect().toIndexedSeq)
     if (snap.isEmpty) return readVersion
     val pairs = dvPairsOf(snap)
@@ -4322,7 +4367,8 @@ object MiniDelta {
                            readVersion: Long): Long = {
     val declared = latestSchema(spark, table, readVersion)
     val snap = collected(dmlCandidates(
-        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy,
+        declared)
       .collect().toIndexedSeq)
     if (snap.isEmpty) return readVersion
     val pairs = dvPairsOf(snap)
@@ -4526,7 +4572,8 @@ object MiniDelta {
       return updateWithDv(spark, table, predicate, set, partitionBy,
         statsCols, readVersion)
     val snap = collected(dmlCandidates(
-        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy)
+        snapshotFilesAt(spark, table, readVersion), predicate, partitionBy,
+        declared)
       .select("path", "dv_path").collect().toIndexedSeq)
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
       _.where(predicate))
@@ -6921,8 +6968,34 @@ object MiniDelta {
         // the declared schema — restore the declared column order
         readSchema.fold(df)(s => df.select(s.fieldNames.map(col).toIndexedSeq: _*))
       }.reduce(_.unionByName(_))
-      mapped.fold(out)(restoreLogical(out, _))
+      attachGenMetadata(mapped.fold(out)(restoreLogical(out, _)), declared)
     }
+  }
+
+  /** Re-attach `delta.generationExpression` field metadata to a read
+    * frame. The parquet relation STRIPS user-schema field metadata, but
+    * the generated-column prune rule
+    * ([[graft.plans.GeneratedPartitionPruneRule]]) discovers derivable
+    * columns from the attributes' own metadata — without this, `WHERE
+    * ts >= X` over a `day = CAST(ts AS DATE)`-partitioned table scans
+    * every partition. Only the generation key is attached (delta-spark
+    * surfaces the full field metadata; the minimal key keeps this
+    * engine's frame schemas otherwise byte-identical to before). */
+  private def attachGenMetadata(df: DataFrame,
+      declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val gens = declared.map(_.fields.filter(f =>
+        f.metadata.contains(GenExprKey) &&
+          df.columns.exists(_.equalsIgnoreCase(f.name))))
+      .getOrElse(Array.empty)
+    if (gens.isEmpty) df
+    else df.select(df.columns.map { c =>
+      gens.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) => col(s"`$c`").as(c, new MetadataBuilder()
+          .putString(GenExprKey, f.metadata.getString(GenExprKey)).build())
+        case None => col(s"`$c`")
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Read the table through min/max data skipping, with the exact range

@@ -212,6 +212,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => AclEnforcementRule)
+    // generated-column read pruning (Delta's OptimizeGeneratedColumn):
+    // post-hoc so Filters still see the full relation output (no column
+    // pruning yet) — the added partition conjunct then rides the
+    // optimizer's own pushdown into partition-directory pruning
+    ext.injectPostHocResolutionRule(_ => GeneratedPartitionPruneRule)
     // graft.<alias> SQL identifiers (SELECT / time travel / INSERT);
     // the alias registry (GraftSqlTables) is JVM-global like a shared
     // catalog — registrations resolve in every co-resident session
