@@ -1503,6 +1503,182 @@ object MiniDelta {
       "UNSET TBLPROPERTIES")
   }
 
+  /** The table features `ALTER TABLE ... DROP FEATURE` can remove —
+    * Delta's own removable-feature allowlist restated for the features
+    * this engine writes. Everything else refuses by name: dropping a
+    * feature whose traces cannot be purged (rowTracking's materialized
+    * ids, columnMapping's physical names, clustering's domain) would
+    * leave a table whose data silently violates its downgraded
+    * contract. */
+  private val removableFeatures: Set[String] = Set(
+    "deletionVectors", "typeWidening", "variantType", "v2Checkpoint",
+    "inCommitTimestamp", "allowColumnDefaults")
+
+  /** Of [[removableFeatures]], the READER features: dropping one
+    * changes what a reader must support, so history still carrying the
+    * feature's traces gates the drop (see [[dropFeature]]). */
+  private val removableReaderFeatures: Set[String] = Set(
+    "deletionVectors", "typeWidening", "variantType", "v2Checkpoint")
+
+  /** `ALTER TABLE ... DROP FEATURE <f> [TRUNCATE HISTORY]` — Delta's
+    * protocol DOWNGRADE, the inverse of the feature upgrades the
+    * property/DDL paths perform. Three phases, like delta-spark:
+    *
+    *  1. PRE-DOWNGRADE — remove the feature's live traces, each a
+    *     normal commit: deletionVectors disables the property and runs
+    *     the REORG purge (masks materialize, descriptors leave the
+    *     snapshot); v2Checkpoint flips `delta.checkpointPolicy` to
+    *     classic and writes a CLASSIC checkpoint; inCommitTimestamp
+    *     unsets the enablement/provenance properties. Traces this
+    *     engine cannot purge refuse by name instead (a variant column
+    *     still declared, a column DEFAULT still set, `delta.typeChanges`
+    *     records whose pre-widen files still store the narrow physical
+    *     type — delta-spark rewrites those files; here the drop refuses
+    *     until history holds no widen, keeping the downgrade sound).
+    *  2. HISTORY GATE (reader features only) — any surviving log entry
+    *     below the downgrade still references the feature (the
+    *     enablement commit, DV descriptors, a checkpoint's protocol
+    *     row), so a post-downgrade reader time-traveling there would be
+    *     broken. Without TRUNCATE HISTORY the drop refuses while such
+    *     traces survive (Delta's wait-for-retention rule: after
+    *     [[cleanupLogs]] ages the history out, the drop passes); with
+    *     it, the downgrade commits, a checkpoint pins the new contract,
+    *     and the ENTIRE prior log is cleaned up — time travel below the
+    *     downgrade then fails loudly (replay refuses a gapped window).
+    *  3. DOWNGRADE — one commit carrying the protocol action minus the
+    *     feature. minReaderVersion normalizes to 1 when no reader
+    *     feature remains (Delta's normalization); the writer contract
+    *     stays feature-enumerated.
+    *
+    * Returns the downgrade commit's version. */
+  def dropFeature(spark: SparkSession, table: String, feature: String,
+                  truncateHistory: Boolean = false,
+                  partitionBy: Seq[String] = Nil,
+                  readOnly: Boolean = false,
+                  nowMs: () => Long = () => System.currentTimeMillis())
+      : Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(tableExists(spark, table),
+      s"DROP FEATURE: $table has no _delta_log")
+    require(removableFeatures.contains(feature),
+      s"DROP FEATURE $feature is not supported on $table — removable " +
+        s"features: ${removableFeatures.toSeq.sorted.mkString(", ")}")
+    require(!truncateHistory ||
+        removableReaderFeatures.contains(feature),
+      s"DROP FEATURE $feature: TRUNCATE HISTORY applies to reader " +
+        "features only (a writer feature never gates reads)")
+    // ---- phase 1: pre-downgrade (live-trace removal / refusal)
+    val cfg0 = tableConfig(spark, table)
+    val schema0 = latestSchema(spark, table)
+    feature match {
+      case "deletionVectors" =>
+        if (cfg0.get("delta.enableDeletionVectors").contains("true"))
+          unsetTableProperties(spark, table,
+            Seq("delta.enableDeletionVectors"))
+        reorgPurge(spark, table, partitionBy) // no-op without live masks
+      case "v2Checkpoint" =>
+        if (cfg0.get("delta.checkpointPolicy").contains("v2"))
+          setTableProperties(spark, table,
+            Map("delta.checkpointPolicy" -> "classic"))
+        // a classic checkpoint must cover the log so no reader ever
+        // needs a v2 manifest again
+        writeCheckpoint(spark, table, latestVersion(spark, table), nowMs)
+      case "inCommitTimestamp" =>
+        if (cfg0.contains("delta.enableInCommitTimestamps") ||
+            cfg0.contains("delta.inCommitTimestampEnablementVersion"))
+          unsetTableProperties(spark, table, Seq(
+            "delta.enableInCommitTimestamps",
+            "delta.inCommitTimestampEnablementVersion",
+            "delta.inCommitTimestampEnablementTimestamp"),
+            ifExists = true)
+      case "variantType" =>
+        require(!schema0.exists(_.fields.exists(f =>
+            containsVariant(f.dataType))),
+          s"DROP FEATURE variantType: $table still declares a VARIANT " +
+            "column — drop those columns first")
+      case "allowColumnDefaults" =>
+        val defaulted = schema0.toSeq.flatMap(_.fields)
+          .filter(_.metadata.contains(CurrentDefaultKey)).map(_.name)
+        require(defaulted.isEmpty,
+          s"DROP FEATURE allowColumnDefaults: column(s) " +
+            s"${defaulted.mkString(", ")} still declare a DEFAULT — " +
+            "ALTER COLUMN ... DROP DEFAULT first")
+      case "typeWidening" =>
+        if (cfg0.get("delta.enableTypeWidening").contains("true"))
+          unsetTableProperties(spark, table,
+            Seq("delta.enableTypeWidening"))
+        val widened = schema0.toSeq.flatMap(_.fields)
+          .filter(_.metadata.contains("delta.typeChanges")).map(_.name)
+        require(widened.isEmpty,
+          s"DROP FEATURE typeWidening: column(s) " +
+            s"${widened.mkString(", ")} carry delta.typeChanges " +
+            "records and files written before the widen still store " +
+            "the narrow physical type — this engine does not rewrite " +
+            "them; the drop would break compliant readers")
+    }
+    // ---- phase 2 + 3: history gate, then the downgrade commit
+    val readVersion = latestVersion(spark, table)
+    val proto = resolveProtocol(spark, table, readVersion,
+      cpAtMost = readVersion).getOrElse(basicProtocol)
+    require(proto.readerFeats.contains(feature) ||
+        proto.writerFeats.contains(feature),
+      s"DROP FEATURE $feature: not declared in $table's protocol " +
+        s"(readerFeatures=${proto.readerFeats.mkString(",")} " +
+        s"writerFeatures=${proto.writerFeats.mkString(",")})")
+    if (removableReaderFeatures.contains(feature) && !truncateHistory)
+      require(!historyTraces(spark, table, feature, readVersion),
+        s"DROP FEATURE $feature: historical log entries still " +
+          "reference the feature, and a reader honoring the downgraded " +
+          "protocol could time-travel into them. Re-run as DROP " +
+          s"FEATURE $feature TRUNCATE HISTORY (removes the history " +
+          "below the downgrade), or retry after the log retention " +
+          "window has aged the references out")
+    val newReader = proto.readerFeats.filterNot(_ == feature)
+    val newProto = ProtocolAction(
+      if (newReader.isEmpty) 1 else proto.minReader,
+      proto.minWriter, newReader,
+      proto.writerFeats.filterNot(_ == feature))
+    val v = writeCommit(spark, table, readVersion + 1,
+      Seq(newProto.render), "DROP FEATURE")
+    if (truncateHistory) {
+      // pin the downgraded contract in a checkpoint, then age out the
+      // ENTIRE prior log (Delta's retention-zero cleanup)
+      writeCheckpoint(spark, table, v, nowMs)
+      cleanupLogs(spark, table, retainMs = Some(0L), nowMs = nowMs)
+    }
+    invalidateSnapshot(table)
+    v
+  }
+
+  /** True when any surviving log entry at or below `version` still
+    * references `feature`: a commit JSON containing the feature's
+    * trace marker (enablement property, protocol declaration, DV
+    * descriptor, widen record), or ANY checkpoint below the downgrade —
+    * a checkpoint re-states the then-current protocol, which by
+    * construction still declares the feature. Substring screen over
+    * driver-read JSONs, the [[requireReadable]] cost shape. */
+  private def historyTraces(spark: SparkSession, table: String,
+                            feature: String, version: Long): Boolean = {
+    val markers = feature match {
+      case "deletionVectors" => Seq("deletionVector")
+      case "typeWidening" => Seq("typeWidening", "delta.typeChanges")
+      case "variantType" => Seq("variant")
+      case "v2Checkpoint" => Seq("v2Checkpoint", "checkpointPolicy")
+      case other => Seq(other)
+    }
+    val f = fs(spark, table)
+    val jsonTraced = logJsonVersions(spark, table, 0L, version)
+      .exists { case (_, p) =>
+        val pp = new Path(p)
+        val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+        val in = f.open(pp)
+        try in.readFully(bytes) finally in.close()
+        val txt = new String(bytes, "UTF-8")
+        markers.exists(txt.contains)
+      }
+    jsonTraced || latestCheckpoint(spark, table, version).isDefined
+  }
+
   /** CREATE TABLE: an empty v0 commit declaring the schema, partition
     * layout, and table properties — the Delta create-then-insert
     * lifecycle. Refuses a path already holding a log (the table exists)

@@ -25,6 +25,7 @@ import graft.io.MiniDelta
   *   CREATE TABLE [IF NOT EXISTS] graft.fork SHALLOW CLONE graft.src
   *     [VERSION AS OF n | TIMESTAMP AS OF '<ts>'] [LOCATION '...']
   *   CONVERT TO DELTA graft.raw_alias
+  *   ALTER TABLE graft.t DROP FEATURE <name> [TRUNCATE HISTORY]
   *
   * A statement is intercepted ONLY when its table identifier resolves
   * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
@@ -94,6 +95,12 @@ object GraftMaintenanceVerbs {
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+""" + ident +
       """\s*;?\s*$""").r
+  // Delta's protocol downgrade (Spark's grammar lacks the verb):
+  //   ALTER TABLE graft.t DROP FEATURE <name> [TRUNCATE HISTORY]
+  private val DropFeatureRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+DROP\s+FEATURE\s+(?:`([^`]+)`|([\w]+))""" +
+      """(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*$""").r
 
   private def entryOf(id: String): Option[GraftSqlTables.Entry] = {
     val parts = id.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -147,6 +154,9 @@ object GraftMaintenanceVerbs {
         }
       case ConvertRe(id) => entryOf(id).map(e =>
         GraftConvertCommand(e.path, e.readOnly))
+      case DropFeatureRe(id, featQ, feat, trunc) => entryOf(id).map(e =>
+        GraftDropFeatureCommand(e.path, e.readOnly,
+          Option(featQ).getOrElse(feat), trunc != null))
       case _ => None
     }
 
@@ -351,6 +361,27 @@ case class GraftReorgCommand(table: String, readOnly: Boolean)
     // cached pre-REORG manifest still names the superseded DV-masked
     // files, and a VACUUM RETAIN 0 inside the cache TTL would delete
     // them out from under cached reads
+    MiniDelta.invalidateSnapshot(table)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE graft.t DROP FEATURE f [TRUNCATE HISTORY]` →
+  * [[MiniDelta.dropFeature]], Delta's protocol-downgrade verb: live
+  * traces purge first (property unset + REORG for deletionVectors,
+  * classic-checkpoint cutover for v2Checkpoint), reader-feature drops
+  * gate on surviving history unless TRUNCATE HISTORY removes it, and
+  * ONE commit carries the downgraded protocol action. */
+case class GraftDropFeatureCommand(table: String, readOnly: Boolean,
+    feature: String, truncateHistory: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = MiniDelta.dropFeature(spark, table, feature,
+      truncateHistory = truncateHistory, readOnly = readOnly,
+      partitionBy = MiniDelta.partitionColumns(spark, table))
+    // mutating verb: the cached snapshot predates the purge/truncation
     MiniDelta.invalidateSnapshot(table)
     Seq(Row(v))
   }
