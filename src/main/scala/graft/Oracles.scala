@@ -1601,6 +1601,13 @@ SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty
 FROM merged GROUP BY flag ORDER BY flag""",
 
+    "s48_drop_feature" ->
+      """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_quantity <= 3 AND l_returnflag <> 'R'
+GROUP BY 1 ORDER BY 1""",
+
     "s47_generated_prune" ->
       """WITH survived AS (
   SELECT event_id, ts,

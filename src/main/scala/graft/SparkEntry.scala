@@ -2707,6 +2707,41 @@ object SparkEntry {
         GROUP BY day, event_type""")
         .orderBy("day", "event_type")
     }),
+    "s48_drop_feature" -> ((s, d) => {
+      // DROP FEATURE end to end under the oracle (round 14): a DV
+      // table takes a masked DELETE, then ALTER TABLE ... DROP FEATURE
+      // deletionVectors TRUNCATE HISTORY purges the masks, downgrades
+      // the protocol, and truncates the log — and the table must read
+      // back exactly as the surviving rows afterwards. The downgrade
+      // wire shape is golden-pinned (GoldenFormatSpec); this gate
+      // prices and checks the full lifecycle.
+      val dir = scratch("s48_drop_feature")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s48_trades")
+      graft.plans.GraftSqlTables.register("s48_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s48_trades (okey BIGINT, lnum BIGINT,
+          qty BIGINT, flag STRING)
+        TBLPROPERTIES ('delta.enableDeletionVectors' = 'true')
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.s48_trades
+        SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+               CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+        FROM graft.datalake.s48_lineitem WHERE l_quantity <= 3""")
+      s.sql("DELETE FROM graft.s48_trades WHERE flag = 'R'") // DV masks
+      s.sql("""
+        ALTER TABLE graft.s48_trades DROP FEATURE deletionVectors
+        TRUNCATE HISTORY""")
+      s.sql("""
+        SELECT flag, count(*) AS n_rows,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s48_trades GROUP BY flag""")
+        .orderBy("flag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

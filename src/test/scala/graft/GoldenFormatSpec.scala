@@ -372,6 +372,42 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP FEATURE artifacts match the golden wire format") {
+    // pins the protocol-DOWNGRADE commit (the r14 verb): a DV table
+    // whose feature is dropped with TRUNCATE HISTORY must land the
+    // pre-downgrade property unset, the purge, and ONE protocol action
+    // minus the feature with minReaderVersion normalized — and leave a
+    // log directory holding ONLY the downgrade commit, its checkpoint,
+    // and the pointer (the truncation contract a reader relies on).
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("golden_df").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType), StructField("v", StringType))),
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      MiniDelta.append(spark,
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1),
+        t, Seq.empty, statsCols = Seq("id"))
+      MiniDelta.delete(spark, t, col("id") === 2L, Seq.empty) // DV mask
+      MiniDelta.invalidateSnapshot(t)
+      val v = MiniDelta.dropFeature(spark, t, "deletionVectors",
+        truncateHistory = true)
+      check("drop_feature_commit.json",
+        normalize(readText(f"$t/_delta_log/$v%020d.json")))
+      check("drop_feature_last_checkpoint.json",
+        normalize(readText(s"$t/_delta_log/_last_checkpoint")))
+      // surviving log shape: the downgrade version's artifacts only
+      val names = Files.list(Paths.get(s"$t/_delta_log")).toArray
+        .map(_.toString.split('/').last)
+        .filter(_.headOption.exists(_.isDigit)).sorted
+      assert(names.forall(_.startsWith(f"$v%020d")), names.toSeq)
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("roaring serialization matches the golden bytes") {
     // spans array-container territory plus a second 64K key bucket —
     // pins magic, key count, container headers, and value layout
