@@ -256,6 +256,40 @@ object ScaleBench {
         notMatched = Seq(MiniDelta.MergeInsertClause(None,
           Map("v" -> col("v"), "p" -> col("p")))),
         bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v")))
+      // generated-partitioned twin (r14 GeneratedPruning): n files over
+      // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
+      // bounded on ts ONLY — no stats on ts, so discovery scopes
+      // exclusively through the derived day bound. The manifest
+      // counter must read ONE day's files (~10) at every n; the delete
+      // cost is blast-radius, never table.
+      val tg = s"$dir/g"
+      MiniDelta.invalidateSnapshot(tg)
+      val day0 = 1700092800L // 2023-11-16 00:00:00 UTC (midnight)
+      MiniDelta.createTable(spark, tg,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.DateType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder().putString(
+              "delta.generationExpression", "CAST(ts AS DATE)")
+              .build()))),
+        partitionBy = Seq("day"))
+      val gbase = spark.range(n.toLong * rowsPerFile)
+        .select(col("id").as("v"),
+          (col("id") / rowsPerFile).cast("long").as("fid"))
+        .withColumn("ts", timestamp_seconds(lit(day0) +
+          (col("fid") / 10).cast("long") * 86400L +
+          pmod(col("v"), lit(1200))))
+        .repartition(n, col("fid")).drop("fid")
+      val tGenBuild = timed(MiniDelta.append(spark, gbase, tg,
+        Seq("day")))
+      val mBefore = MiniDelta.dmlManifestRows.get()
+      val tGenDelete = timed(MiniDelta.delete(spark, tg,
+        col("ts") <= timestamp_seconds(lit(day0 + 43200L)), Seq("day")))
+      val genManifest = MiniDelta.dmlManifestRows.get() - mBefore
       println("SCALEWRITE {" +
         s""""n_files":$n,"build":${fmt(tBuild)},""" +
         s""""append":${fmt(tAppend)},"delete_dv":${fmt(tDelete)},""" +
@@ -269,7 +303,10 @@ object ScaleBench {
         s""""cdf_enable":${fmt(tCdfEnable)},""" +
         s""""delete_cdf":${fmt(tDeleteCdf)},""" +
         s""""merge_scoped":${fmt(tMerge)},""" +
-        s""""merge_clauses":${fmt(tMergeClauses)}}""")
+        s""""merge_clauses":${fmt(tMergeClauses)},""" +
+        s""""genprune_build":${fmt(tGenBuild)},""" +
+        s""""genprune_delete":${fmt(tGenDelete)},""" +
+        s""""genprune_manifest":$genManifest}""")
     }
   }
 

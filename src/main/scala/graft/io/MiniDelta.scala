@@ -4437,7 +4437,36 @@ object MiniDelta {
         }
       case _ => None
     }
-    trans(org.apache.spark.sql.graft.ColumnBridge.catalyst(predicate))
+    // constant-expression bounds (`ts <= timestamp_seconds(...)`,
+    // `d >= current_date() - 7`) arrive as unresolved FUNCTION trees,
+    // not Literals — without folding, the whole comparison is opaque
+    // and discovery keeps every file. Replace each maximal
+    // attribute-free subtree with its folded literal: one
+    // analysis-only pass per constant subtree (Spark's own
+    // ConstantFolding does the evaluation and refuses nondeterministic
+    // expressions, so rand() stays opaque — sound).
+    val session = snap.sparkSession
+    def hasAttr(e: Expression): Boolean = e.exists {
+      case _: UnresolvedAttribute | _: AttributeReference => true
+      case _ => false
+    }
+    def foldToLiteral(e: Expression): Option[Expression] =
+      scala.util.Try {
+        session.range(1)
+          .select(org.apache.spark.sql.graft.ColumnBridge.column(e))
+          .queryExecution.optimizedPlan.expressions.collectFirst {
+            case org.apache.spark.sql.catalyst.expressions.Alias(
+              l: Literal, _) => l
+            case l: Literal => l
+          }
+      }.toOption.flatten
+    def foldConstants(e: Expression): Expression = e match {
+      case l: Literal => l
+      case _ if !hasAttr(e) => foldToLiteral(e).getOrElse(e)
+      case _ => e.mapChildren(foldConstants)
+    }
+    trans(foldConstants(
+        org.apache.spark.sql.graft.ColumnBridge.catalyst(predicate)))
       // null-valued conditions only arise from exact partition
       // subtrees, where null means "no row's predicate is TRUE" —
       // excluding the file is sound (see Not/And soundness above)
@@ -4900,7 +4929,7 @@ object MiniDelta {
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val snapDF = pruneByKeyRanges(
       snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
-      partitionBy)
+      partitionBy, declared)
     // identity resolution happens BEFORE the DV/CoW branch so both
     // write the same resolved frame; the commit stays pinned at
     // readVersion + 1 (the DML rule both branches already follow),
@@ -4965,7 +4994,9 @@ object MiniDelta {
     * manifest rows, not the table's. A null bound (zero non-null
     * source keys for a column) prunes every file. */
   private def pruneByKeyRanges(snapDF: DataFrame, srcKeys: DataFrame,
-      keys: Seq[String], partitionBy: Seq[String]): DataFrame = {
+      keys: Seq[String], partitionBy: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     val prunableKeys = keys.filter { k =>
       srcKeys.schema(k).dataType match {
@@ -4983,7 +5014,39 @@ object MiniDelta {
         coalesce(fileRangeCond(k, partitionBy, srcKeys.schema(k).dataType,
           b.get(2 * i), b.get(2 * i + 1)), lit(false))
       }.reduce(_ && _)
-      snapDF.where(cond)
+      // generated-column derivation ([[graft.plans.GeneratedPruning]]):
+      // when a key column is the BASE of a generated PARTITION column
+      // (merging ts-keyed changes into a day = CAST(ts AS DATE)
+      // layout), the source's [min, max] implies a partition range —
+      // the file check the plain key range cannot make when the key
+      // itself carries no stats. A pv-null file holds only null keys,
+      // which never equal a source key, so the null-excluding
+      // comparison stays sound.
+      val genDerivs = declared.map(st =>
+          graft.plans.GeneratedPruning.derivationsOf(st, partitionBy))
+        .getOrElse(Seq.empty)
+      def pvColOf(k: String): org.apache.spark.sql.Column = {
+        val raw = element_at(col("partitionValues"), k)
+        when(raw === "__HIVE_DEFAULT_PARTITION__",
+          lit(null).cast("string")).otherwise(raw)
+      }
+      val derived = prunableKeys.zipWithIndex.flatMap { case (k, i) =>
+        genDerivs.filter(_.baseCol.equalsIgnoreCase(k)).flatMap { d =>
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val dt = srcKeys.schema(k).dataType
+          val p = pvColOf(physicalColOf(declared, d.genCol))
+            .cast(d.genType)
+          def bnd(v: Any): Option[org.apache.spark.sql.Column] =
+            Option(v).flatMap(x => d.bound(Literal.create(x, dt)))
+              .map(org.apache.spark.sql.graft.ColumnBridge.column)
+          val (lo, hi) = (b.get(2 * i), b.get(2 * i + 1))
+          if (d.monotonic)
+            for (l <- bnd(lo); h <- bnd(hi)) yield p >= l && p <= h
+          else if (lo != null && lo == hi) bnd(lo).map(p === _)
+          else None
+        }
+      }
+      snapDF.where(derived.foldLeft(cond)(_ && _))
     }
   }
 
@@ -5019,7 +5082,7 @@ object MiniDelta {
       if (bySource) snapshotFilesAt(spark, table, readVersion)
       else pruneByKeyRanges(
         snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
-        partitionBy)
+        partitionBy, declared)
     val cfg = tableConfig(spark, table, readVersion)
     val joinType = if (bySource) "left_anti" else "left_semi"
     val surviveJoin = if (bySource) "left_semi" else "left_anti"
@@ -5419,7 +5482,8 @@ object MiniDelta {
     // key ranges scope discovery
     val snapDF =
       if (bySource.nonEmpty) snapAll
-      else pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy)
+      else pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy,
+        declared)
     val declCols = decl.fieldNames.toIndexedSeq
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
       // DV form: mask every updated/deleted row, append the new images.
@@ -5498,7 +5562,8 @@ object MiniDelta {
           val candPairs =
             if (bySource.isEmpty) dvPairsOf(snap)
             else dvPairsOf(collected(
-              pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy)
+              pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy,
+                declared)
                 .select("path", "dv_path").collect().toIndexedSeq))
           val unmatchedSrc =
             if (candPairs.isEmpty) source

@@ -154,6 +154,52 @@ class GeneratedPruningSpec extends AnyFunSuite {
     assert(ids == Set(200L, 201L, 210L, 211L, 300L, 310L, 311L))
   }
 
+  test("DML discovery: constant-EXPRESSION bounds fold to literals") {
+    val t = threeDayTable()
+    val d1 = filesOfDay(t, "2024-03-01")
+    val d2 = filesOfDay(t, "2024-03-02")
+    // the bound is a FUNCTION of constants, not a literal — without
+    // constant folding the whole comparison is opaque and every file
+    // collects (generated or not)
+    val bound = timestamp_seconds(lit(
+      ts("2024-03-02 23:00:00").getTime / 1000L))
+    val before = MiniDelta.dmlManifestRows.get()
+    MiniDelta.delete(spark, t, col("ts") <= bound, Seq("day"))
+    assert(MiniDelta.dmlManifestRows.get() - before == d1 + d2,
+      s"collected ${MiniDelta.dmlManifestRows.get() - before}, " +
+        s"expected $d1 + $d2")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().toSet ==
+      Set(300L, 301L, 310L, 311L))
+    // a nondeterministic bound stays opaque: correctness over pruning
+    MiniDelta.delete(spark, t,
+      col("v") <= rand() - lit(2.0), Seq("day")) // never true
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+  }
+
+  test("MERGE keyed discovery derives the partition range") {
+    val t = threeDayTable()
+    val d2 = filesOfDay(t, "2024-03-02")
+    val total = MiniDelta.snapshotFiles(spark, t).count()
+    assert(d2 < total)
+    // the source's ts [min, max] implies day ∈ [03-02, 03-02]; ts
+    // itself carries no per-file stats here, so only the derivation
+    // can scope the manifest
+    val src = Seq(ts("2024-03-02 01:00:00"), ts("2024-03-02 23:00:00"))
+      .toDF("ts")
+    val before = MiniDelta.dmlManifestRows.get()
+    MiniDelta.mergeDelete(spark, t, src, Seq("ts"), Seq("day"))
+    assert(MiniDelta.dmlManifestRows.get() - before == d2,
+      s"collected ${MiniDelta.dmlManifestRows.get() - before} manifest " +
+        s"rows, expected day 2's $d2 (of $total)")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id").as[Long].collect().toSet ==
+      Set(100L, 101L, 110L, 111L, 300L, 301L, 310L, 311L))
+  }
+
   test("read-side rule: WHERE on ts prunes the scan to the implied days") {
     val t = threeDayTable()
     val total = MiniDelta.snapshotFiles(spark, t).count()
