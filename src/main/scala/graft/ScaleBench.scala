@@ -276,7 +276,11 @@ object ScaleBench {
             new org.apache.spark.sql.types.MetadataBuilder().putString(
               "delta.generationExpression", "CAST(ts AS DATE)")
               .build()))),
-        partitionBy = Seq("day"))
+        partitionBy = Seq("day"),
+        // stats OFF so the curve isolates the DERIVATION: with the
+        // r14-defaulted min/max stats on ts, the plain range check
+        // would prune too and the point would prove nothing
+        properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
       val gbase = spark.range(n.toLong * rowsPerFile)
         .select(col("id").as("v"),
           (col("id") / rowsPerFile).cast("long").as("fid"))
