@@ -578,14 +578,33 @@ object MiniDelta {
   /** Per-file stats JSON (Delta protocol shape: numRecords, minValues,
     * maxValues) for the given relative paths — one distributed aggregate
     * over just those files, one result row per file (metadata-scale
-    * collect). Empty `statsCols` skips the pass entirely. */
+    * collect).
+    *
+    * Callers that pass explicit `statsCols` get exactly those; with an
+    * EMPTY list the columns DEFAULT per Delta's contract — the first
+    * `delta.dataSkippingNumIndexedCols` (32 unless the property says
+    * otherwise; 0 disables) min/max-able data columns of the written
+    * files, in schema order. Without the default, every write that
+    * doesn't hand-pick columns (every SQL INSERT/DML) lands stat-less
+    * adds and the table loses data skipping entirely — at 100 TB that
+    * is the difference between pruning to the overlapping files and
+    * scanning the table. Partition columns never appear (the Hive
+    * layout strips them from the files; their exact values ride
+    * partitionValues). */
   private def fileStats(spark: SparkSession, table: String,
                         rels: Seq[String],
                         statsCols0: Seq[String],
                         schemaOverride: Option[
                           org.apache.spark.sql.types.StructType] = None)
       : Map[String, String] = {
-    if (statsCols0.isEmpty || rels.isEmpty) return Map.empty
+    if (rels.isEmpty) return Map.empty
+    val indexedCols =
+      if (statsCols0.nonEmpty) -1 // explicit list wins
+      else tableConfig(spark, table)
+        .get("delta.dataSkippingNumIndexedCols")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(32)
+    if (statsCols0.isEmpty && indexedCols <= 0) return Map.empty
     // column-mapped table: the files (and therefore the stats JSON
     // keys) use PHYSICAL names — Delta's contract, and what makes a
     // mapped reader's data skipping resolve. `schemaOverride` carries
@@ -593,13 +612,34 @@ object MiniDelta {
     // would miss the new columns' fresh mapping metadata).
     val mapped = schemaOverride.orElse(latestSchema(spark, table))
       .filter(isColumnMapped)
-    val statsCols = mapped.fold(statsCols0)(st =>
-      statsCols0.map(physicalColOf(Some(st), _)))
+    val src = spark.read.option("basePath", table)
+      .parquet(rels.map(r => s"$table/$r").toIndexedSeq: _*)
+    def minMaxable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             TimestampNTZType | BooleanType => true
+        case _ => false // nested/binary/variant: no min/max stats
+      }
+    }
+    // defaulted columns EXCLUDE the partition layout: their exact
+    // values ride partitionValues (Delta skips them too), and the
+    // basePath-inferred frame would stat them under the path-inferred
+    // type, not the declared one
+    val partCols = partitionColsOf(rels.take(1))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val statsCols =
+      if (statsCols0.nonEmpty) mapped.fold(statsCols0)(st =>
+        statsCols0.map(physicalColOf(Some(st), _)))
+      else src.schema.fields.take(indexedCols)
+        .filter(f => minMaxable(f.dataType) &&
+          !partCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+        .map(_.name).toSeq
+    if (statsCols.isEmpty) return Map.empty
     val aggs = count(lit(1)).as("numRecords") +:
       statsCols.flatMap(c => Seq(min(col(s"`$c`")).as(s"min_$c"),
         max(col(s"`$c`")).as(s"max_$c")))
-    val rows = spark.read.option("basePath", table)
-      .parquet(rels.map(r => s"$table/$r").toIndexedSeq: _*)
+    val rows = src
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -4314,41 +4354,78 @@ object MiniDelta {
     // returns (file-level condition, exact): exact means the condition
     // decides the row predicate for EVERY row of the file (pure
     // partition-column expression) — the only form Not() may negate
+    // a literal may be losslessly widened into the DECLARED partition
+    // type (int bound on a long/double-partitioned column); anything
+    // lossy or unrelated refuses the leaf — comparing under the
+    // literal's own type would cast the stored partition STRING to it,
+    // which throws under ANSI ("2.0" → INT) or, worse, silently nulls
+    // and excludes a file whose rows DO match under row-level coercion
+    def widensLossless(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (a, b) if a == b => true
+        case (ByteType, ShortType | IntegerType | LongType | DoubleType) =>
+          true
+        case (ShortType, IntegerType | LongType | DoubleType) => true
+        case (IntegerType, LongType | DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+    }
     def leaf(a: Expression, v: Literal, cmp: String)
         : Option[(org.apache.spark.sql.Column, Boolean)] =
-      nameOf(a).filter(ok).map { n =>
+      nameOf(a).filter(ok).flatMap { n =>
         partitionCols.find(_.equalsIgnoreCase(n)) match {
           case Some(k) =>
-            val pv = pvCol(k).cast(v.dataType)
-            val l = lit(v.value match {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-              case x => x
-            }).cast(v.dataType)
-            (cmp match {
-              case "=" => pv === l
-              case ">" => pv > l
-              case ">=" => pv >= l
-              case "<" => pv < l
-              case "<=" => pv <= l
-            }, true)
+            val declType = declared.flatMap(_.fields
+              .find(_.name.equalsIgnoreCase(n)).map(_.dataType))
+            val t = declType.getOrElse(v.dataType)
+            if (!widensLossless(v.dataType, t)) None
+            else {
+              val pv = pvCol(k).cast(t)
+              // wrap the catalyst literal EXACTLY typed (ColumnBridge):
+              // lit(v.value) would reinterpret internal encodings — a
+              // TimestampType literal's value is Long MICROSECONDS,
+              // which lit(long).cast(timestamp) reads as seconds
+              val l = org.apache.spark.sql.graft.ColumnBridge.column(v)
+                .cast(t)
+              Some((cmp match {
+                case "=" => pv === l
+                case ">" => pv > l
+                case ">=" => pv >= l
+                case "<" => pv < l
+                case "<=" => pv <= l
+              }, true))
+            }
           case None =>
-            val lo = if (cmp == "=" || cmp == ">" || cmp == ">=") Some(v) else None
-            val hi = if (cmp == "=" || cmp == "<" || cmp == "<=") Some(v) else None
-            val mn = get_json_object(col("stats"), s"$$.minValues.$n")
-              .cast(v.dataType)
-            val mx = get_json_object(col("stats"), s"$$.maxValues.$n")
-              .cast(v.dataType)
-            def l(x: Literal) = lit(x.value match {
-              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-              case other => other
-            }).cast(x.dataType)
-            val range = (lo.map(x => mx >= l(x) || mx.isNull) ++
-              hi.map(x => mn <= l(x) || mn.isNull))
-              .reduceOption(_ && _).getOrElse(lit(true))
-            // conjoin any implied generated-partition bound: a file
-            // whose partition value fails it provably holds no match
-            (derivedConds(n, v, cmp)
-              .foldLeft(col("stats").isNull || range)(_ && _), false)
+            // stats compare under the DECLARED column type for the
+            // same reason as the partition branch: the JSON strings
+            // render the COLUMN's type ("2.0" for a double), and
+            // casting them to an int literal's type throws under ANSI
+            val declType = declared.flatMap(_.fields
+              .find(_.name.equalsIgnoreCase(n)).map(_.dataType))
+            val t = declType.getOrElse(v.dataType)
+            if (!widensLossless(v.dataType, t)) None
+            else Some {
+              val lo = if (cmp == "=" || cmp == ">" || cmp == ">=") Some(v) else None
+              val hi = if (cmp == "=" || cmp == "<" || cmp == "<=") Some(v) else None
+              val mn = get_json_object(col("stats"), s"$$.minValues.$n")
+                .cast(t)
+              val mx = get_json_object(col("stats"), s"$$.maxValues.$n")
+                .cast(t)
+              // exact-typed literal wrap, same reason as the
+              // partition branch (micros-as-seconds reinterpretation)
+              def l(x: Literal) =
+                org.apache.spark.sql.graft.ColumnBridge.column(x).cast(t)
+              val range = (lo.map(x => mx >= l(x) || mx.isNull) ++
+                hi.map(x => mn <= l(x) || mn.isNull))
+                .reduceOption(_ && _).getOrElse(lit(true))
+              // conjoin any implied generated-partition bound: a file
+              // whose partition value fails it provably holds no match
+              (derivedConds(n, v, cmp)
+                .foldLeft(col("stats").isNull || range)(_ && _), false)
+            }
         }
       }
     type T = Option[(org.apache.spark.sql.Column, Boolean)]

@@ -39,7 +39,10 @@ class GeneratedPruningSpec extends AnyFunSuite {
       StructField("ts", TimestampType),
       StructField("v", LongType),
       StructField("day", DateType, nullable = true,
-        genMeta("CAST(ts AS DATE)")))), partitionBy = Seq("day"))
+        genMeta("CAST(ts AS DATE)")))), partitionBy = Seq("day"),
+      // stats OFF: these specs must prove the DERIVATION prunes, not
+      // the (r14-defaulted) min/max stats on ts
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
     def day(d: Int, base: Long) = Seq(
       (base, ts(f"2024-03-0$d%d 01:00:00"), base * 10),
       (base + 1, ts(f"2024-03-0$d%d 23:00:00"), base * 10 + 10))
@@ -142,8 +145,9 @@ class GeneratedPruningSpec extends AnyFunSuite {
 
   test("DML discovery: an OR with an opaque side stays sound") {
     val t = threeDayTable()
-    // (ts-range OR v-equality): the v side has no stats declared here,
-    // so discovery must keep every file — and the result must be exact
+    // (ts-range OR v-equality): stats are disabled on this table, so
+    // the v side is opaque and discovery must keep every file — and
+    // the result must be exact
     MiniDelta.delete(spark, t,
       col("ts") < lit(ts("2024-03-02 00:00:00")) || col("v") === 3010L,
       Seq("day"))
@@ -160,7 +164,7 @@ class GeneratedPruningSpec extends AnyFunSuite {
     val d2 = filesOfDay(t, "2024-03-02")
     // the bound is a FUNCTION of constants, not a literal — without
     // constant folding the whole comparison is opaque and every file
-    // collects (generated or not)
+    // collects (generated or not; stats are off on this table)
     val bound = timestamp_seconds(lit(
       ts("2024-03-02 23:00:00").getTime / 1000L))
     val before = MiniDelta.dmlManifestRows.get()
@@ -184,9 +188,9 @@ class GeneratedPruningSpec extends AnyFunSuite {
     val d2 = filesOfDay(t, "2024-03-02")
     val total = MiniDelta.snapshotFiles(spark, t).count()
     assert(d2 < total)
-    // the source's ts [min, max] implies day ∈ [03-02, 03-02]; ts
-    // itself carries no per-file stats here, so only the derivation
-    // can scope the manifest
+    // the source's ts [min, max] implies day ∈ [03-02, 03-02]; stats
+    // are disabled on this table, so only the derivation can scope
+    // the manifest
     val src = Seq(ts("2024-03-02 01:00:00"), ts("2024-03-02 23:00:00"))
       .toDF("ts")
     val before = MiniDelta.dmlManifestRows.get()
@@ -245,7 +249,8 @@ class GeneratedPruningSpec extends AnyFunSuite {
       StructField("id", LongType),
       StructField("ts", TimestampType, nullable = true),
       StructField("day", DateType, nullable = true,
-        genMeta("CAST(ts AS DATE)")))), partitionBy = Seq("day"))
+        genMeta("CAST(ts AS DATE)")))), partitionBy = Seq("day"),
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
     MiniDelta.append(spark, Seq(
       (1L, ts("2024-03-01 01:00:00")), (2L, null.asInstanceOf[Timestamp]),
       (3L, ts("2024-03-02 01:00:00")))
@@ -270,7 +275,8 @@ class GeneratedPruningSpec extends AnyFunSuite {
       StructField("id", LongType),
       StructField("ts", TimestampType),
       StructField("mo", IntegerType, nullable = true,
-        genMeta("month(ts)")))), partitionBy = Seq("mo"))
+        genMeta("month(ts)")))), partitionBy = Seq("mo"),
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "0"))
     MiniDelta.append(spark, Seq(
       (1L, ts("2024-01-15 00:00:00")), (2L, ts("2024-02-15 00:00:00")),
       (3L, ts("2024-03-15 00:00:00")), (4L, ts("2023-12-15 00:00:00")))

@@ -857,7 +857,12 @@ class MiniDeltaSpec extends AnyFunSuite {
     val viaCp = MiniDelta.filesForRange(
       MiniDelta.snapshotFilesAt(spark, t, Long.MaxValue), "id", 100, 105)
     assert(viaCp.count() == pruned.count())
-    // files without stats (statsCols not requested) are kept, not dropped
+    // files without stats are kept, not dropped. Since r14 an empty
+    // statsCols DEFAULTS to the first delta.dataSkippingNumIndexedCols
+    // columns (Delta's contract), so a genuinely stat-less add needs
+    // the property set to 0 first.
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.dataSkippingNumIndexedCols" -> "0"))
     val before = MiniDelta.snapshotFiles(spark, t).count()
     MiniDelta.append(spark, batch(200, 201, "2023"), t, Seq("year"))
     val snap2 = MiniDelta.snapshotFiles(spark, t)
@@ -865,6 +870,37 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(statless >= 1)
     val kept = MiniDelta.filesForRange(snap2, "id", 100, 105)
     assert(kept.count() == pruned.count() + statless) // all survive
+  }
+
+  test("stats default to the first indexed data columns (Delta's rule)") {
+    // r14: an EMPTY statsCols defaults to the first
+    // delta.dataSkippingNumIndexedCols (32) min/max-able data columns —
+    // without it every SQL INSERT/DML landed stat-less adds and the
+    // table lost data skipping entirely. Partition columns never
+    // appear (their exact values ride partitionValues).
+    val t = freshTable()
+    MiniDelta.append(spark,
+      (1L to 10L).map(i => (i, "2023", s"v$i")).toDF(
+        "id", "year", "payload"), t, Seq("year")) // NO statsCols
+    val stats = MiniDelta.snapshotFiles(spark, t)
+      .select("stats").collect().map(_.getString(0))
+    assert(stats.nonEmpty && stats.forall(_ != null))
+    assert(stats.forall(s => s.contains("\"id\"") &&
+      s.contains("\"payload\"") && !s.contains("\"year\"")), stats.head)
+    // ...and the defaulted stats actually skip
+    val snap = MiniDelta.snapshotFiles(spark, t)
+    assert(MiniDelta.filesForRange(snap, "id", 999, 1000).count() == 0)
+    // the property bounds the list: 1 → only the first eligible column
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    MiniDelta.append(spark, Seq((11L, "2023", "v11")).toDF(
+      "id", "year", "payload"), t, Seq("year"))
+    MiniDelta.invalidateSnapshot(t)
+    val last = MiniDelta.snapshotFiles(spark, t)
+      .select("stats").collect().map(_.getString(0))
+      .filter(s => s != null && s.contains("11"))
+    assert(last.exists(s => s.contains("\"id\"") &&
+      !s.contains("\"payload\"")), last.toSeq)
   }
 
   test("clustered compaction makes stats skipping discriminate") {

@@ -830,11 +830,21 @@ class SqlAccessSpec extends AnyFunSuite {
       MiniDelta.invalidateSnapshot(t)
       val r2 = spark.sql("CALL graft.detail('spec_detail')").head()
       assert(r2.getAs[Long]("numRows") == 2)
+      // since r14 an empty statsCols DEFAULTS stats, so the append
+      // keeps numRows exact; a GENUINELY stat-less add (property 0)
+      // nulls it — a partial sum would read as exact
       MiniDelta.append(spark, Seq((9L, "XAMS", 1.0)).toDF("id", "mic",
-        "price"), t, Seq("mic")) // no statsCols
+        "price"), t, Seq("mic"))
       MiniDelta.invalidateSnapshot(t)
       val r3 = spark.sql("CALL graft.detail('spec_detail')").head()
-      assert(r3.isNullAt(r3.fieldIndex("numRows")))
+      assert(r3.getAs[Long]("numRows") == 3)
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.dataSkippingNumIndexedCols" -> "0"))
+      MiniDelta.append(spark, Seq((10L, "XAMS", 1.0)).toDF("id", "mic",
+        "price"), t, Seq("mic")) // stat-less for real
+      MiniDelta.invalidateSnapshot(t)
+      val r4 = spark.sql("CALL graft.detail('spec_detail')").head()
+      assert(r4.isNullAt(r4.fieldIndex("numRows")))
       // raw parquet alias: format parquet, listing-derived counts
       val raw = freshDir() + "/raw"
       Seq((1, 2)).toDF("a", "b").write.parquet(raw)
