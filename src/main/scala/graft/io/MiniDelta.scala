@@ -105,12 +105,28 @@ object MiniDelta {
       // Spark 4 reads the variant parquet shape natively
       "variantType")
 
+  /** The table's auto-checkpoint cadence: `delta.checkpointInterval`
+    * when set (Delta's property), else [[checkpointInterval]]. Resolved
+    * through the memoized tableConfig, so the commit funnel pays
+    * nothing. The pointer-gallop in [[latestCheckpoint]] keeps probing
+    * at the DEFAULT stride — reading the config there would recurse
+    * into checkpoint resolution, and a missed foreign checkpoint ahead
+    * of the pointer only lengthens the JSON tail, never wrongs it. */
+  private def checkpointEvery(spark: SparkSession, table: String): Int =
+    scala.util.Try(tableConfig(spark, table)
+        .get("delta.checkpointInterval")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption))
+      .toOption.flatten.filter(_ > 0).getOrElse(checkpointInterval)
+
   /** DV storage forms this engine decodes ([[RoaringDv]]): `u` (file
     * under the table root, Z85 UUID name), `i` (inline Z85 payload),
     * `p` (absolute file path). */
   private val supportedDvStorage = Set("u", "i", "p")
 
-  /** Write a parquet checkpoint automatically after every N commits. */
+  /** Write a parquet checkpoint automatically after every N commits —
+    * the default when the table does not set `delta.checkpointInterval`
+    * (Delta's property, honored per-table at the commit funnel via
+    * [[checkpointEvery]]). */
   val checkpointInterval = 10
 
   private def logDir(table: String) = s"$table/_delta_log"
@@ -2562,7 +2578,7 @@ object MiniDelta {
         // misread as a commit conflict (the commit itself persisted) —
         // and a partial checkpoint is never selected because
         // latestCheckpoint requires the writer's _SUCCESS marker
-        if ((v + 1) % checkpointInterval == 0)
+        if ((v + 1) % checkpointEvery(spark, table) == 0)
           try writeCheckpoint(spark, table, v) catch {
             case e: Exception => // non-fatal: the commit persisted and a
               // partial checkpoint is never selected (no _SUCCESS);
@@ -2762,7 +2778,7 @@ object MiniDelta {
       f.delete(tmp, false); ()
     }
     streamedRenders.incrementAndGet()
-    if ((version + 1) % checkpointInterval == 0)
+    if ((version + 1) % checkpointEvery(spark, table) == 0)
       try writeCheckpoint(spark, table, version) catch {
         case e: Exception =>
           System.err.println(

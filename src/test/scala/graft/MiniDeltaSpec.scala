@@ -872,6 +872,30 @@ class MiniDeltaSpec extends AnyFunSuite {
     assert(kept.count() == pruned.count() + statless) // all survive
   }
 
+  test("delta.checkpointInterval drives the auto-checkpoint cadence") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))),
+      properties = Map("delta.checkpointInterval" -> "3"))
+    def cpExists(v: Long): Boolean = new java.io.File(
+      f"$t/_delta_log/$v%020d.checkpoint.parquet").exists()
+    (1L to 5L).foreach { i =>
+      MiniDelta.append(spark, Seq(Tuple1(i)).toDF("id"), t, Seq.empty)
+    }
+    // commits v0(create)..v5: (v+1)%3==0 → checkpoints at v2 and v5
+    assert(cpExists(2L) && cpExists(5L))
+    assert(!cpExists(3L) && !cpExists(4L))
+    // the default cadence (10) stays for unconfigured tables
+    val t2 = freshTable()
+    (0 until 3).foreach { i =>
+      MiniDelta.append(spark,
+        Seq(Tuple1(i.toLong)).toDF("id"), t2, Seq.empty)
+    }
+    assert(!new java.io.File(s"$t2/_delta_log").listFiles()
+      .exists(_.getName.contains(".checkpoint.")))
+  }
+
   test("stats default to the first indexed data columns (Delta's rule)") {
     // r14: an EMPTY statsCols defaults to the first
     // delta.dataSkippingNumIndexedCols (32) min/max-able data columns —
