@@ -51,9 +51,12 @@ object PlanAudit {
     "s38_colmap_id_write", // id-mode WRITE lifecycle readback: footer
                           // field-id resolution stays a pure Project
                           // over the scan (r13)
-    "s39_cdf_write")      // table_changes over cdc-bearing commits:
+    "s39_cdf_write",      // table_changes over cdc-bearing commits:
                           // the feed is a union of cdc-file scans +
                           // partition-value literals, one agg (r13)
+    "s47_generated_prune") // ts-bounded read over a generated-
+                          // partitioned table: the DERIVED day bound
+                          // reaches the scan as PartitionFilters (r14)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
