@@ -17,6 +17,9 @@ object Bench {
       // same extension posture as Verify: sql_* gates need GraftSqlRule
       // and the named graft catalog
       .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      // write timestamps as INT64 MICROS (the real-Delta parquet shape;
+      // Spark's legacy INT96 default carries NO footer statistics)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

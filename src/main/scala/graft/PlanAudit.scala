@@ -66,6 +66,9 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      // write timestamps as INT64 MICROS (the real-Delta parquet shape;
+      // Spark's legacy INT96 default carries NO footer statistics)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

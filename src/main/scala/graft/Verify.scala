@@ -20,6 +20,9 @@ object Verify {
       // graft catalog named, so sql_* gates resolve graft.<alias> /
       // graft.datalake.<alias> identifiers
       .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      // write timestamps as INT64 MICROS (the real-Delta parquet shape;
+      // Spark's legacy INT96 default carries NO footer statistics)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,9 +30,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // the RESULT dump stays INT96 (tz-naive on read): the
+          // driver's DuckDB compare reads naive timestamps, and MICROS
+          // output would surface as tz-aware and type-mismatch every
+          // time-typed column. The engine's own table writes inside
+          // fn (commands run eagerly) already landed as
+          // TIMESTAMP_MICROS under the session conf above.
+          spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+          try df.coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

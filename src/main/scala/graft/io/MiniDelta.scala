@@ -628,6 +628,216 @@ object MiniDelta {
     // would miss the new columns' fresh mapping metadata).
     val mapped = schemaOverride.orElse(latestSchema(spark, table))
       .filter(isColumnMapped)
+    val explicitCols = if (statsCols0.isEmpty) None
+      else Some(mapped.fold(statsCols0)(st =>
+        statsCols0.map(physicalColOf(Some(st), _))))
+    // fast path: min/max straight from the parquet FOOTERS the write
+    // just produced — no second job over the data (delta-rs reads
+    // footers; delta-spark captures stats inside the write task).
+    // Anything the footer cannot answer faithfully falls back to the
+    // one-aggregate pass.
+    footerFileStats(spark, table, rels, explicitCols, indexedCols)
+      .getOrElse(aggregateFileStats(spark, table, rels, explicitCols,
+        indexedCols))
+  }
+
+  /** Per-file stats from parquet footer metadata: numRecords = the
+    * blocks' row counts, min/max merged across the row groups' column
+    * statistics — O(files) footer reads (distributed past 128 files),
+    * ZERO data IO. None (→ aggregate fallback) when any requested
+    * column's physical type lies outside the footer-faithful set
+    * (decimal, ntz, int96, non-string binary), a column is absent from
+    * the file schema, or any footer read fails; a column whose chunks
+    * lack usable statistics renders null (stat-less, conservatively
+    * kept by every consumer). String merges compare UTF-8 bytes
+    * UNSIGNED — parquet's own STRING sort order and Spark's binary
+    * collation, where UTF-16 code-unit order would disagree above the
+    * BMP. */
+  private def footerFileStats(spark: SparkSession, table: String,
+                              rels: Seq[String],
+                              explicitCols: Option[Seq[String]],
+                              indexedCols: Int)
+      : Option[Map[String, String]] = scala.util.Try {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val partCols = partitionColsOf(rels.take(1))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def footerOf(c: org.apache.hadoop.conf.Configuration, rel: String) = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$table/$rel"), c)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter finally r.close()
+    }
+    // footer-faithful kinds; anything else throws → fallback
+    def kindOf(t: org.apache.parquet.schema.Type): Int = {
+      if (!t.isPrimitive) sys.error("nested")
+      val p = t.asPrimitiveType
+      val anno = p.getLogicalTypeAnnotation
+      p.getPrimitiveTypeName match {
+        case INT64 => anno match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.isAdjustedToUTC && ts.getUnit ==
+                LogicalTypeAnnotation.TimeUnit.MICROS => 7 // timestamp
+          case null => 1 // long
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => 1
+          case _ => sys.error("int64 anno")
+        }
+        case INT32 => anno match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            6 // date
+          case null => 2 // int
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+              if i.isSigned => 2
+          case _ => sys.error("int32 anno")
+        }
+        case DOUBLE => 3
+        case FLOAT => 4
+        case BOOLEAN => 5
+        case BINARY => anno match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => 8
+          case _ => sys.error("binary anno")
+        }
+        case _ => sys.error("primitive") // INT96, FIXED_LEN (decimal)
+      }
+    }
+    val schema0 = footerOf(conf, rels.head).getFileMetaData.getSchema
+    // the default selection must MIRROR the aggregate fallback's
+    // eligibility (Spark-typed min/max-able): a column the aggregate
+    // WOULD stat but the footer cannot answer faithfully — INT96
+    // timestamps (Spark's legacy default output type), ntz, decimals —
+    // fails the whole footer path rather than silently dropping the
+    // column's stats. (The engine's own sessions write
+    // TIMESTAMP_MICROS, so their footers answer everything.)
+    def aggregateWouldStat(t: org.apache.parquet.schema.Type): Boolean =
+      t.isPrimitive && {
+        val p = t.asPrimitiveType
+        scala.util.Try(kindOf(t)).isSuccess ||
+          p.getPrimitiveTypeName ==
+            org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.INT96 || // legacy timestamp
+          (p.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              true
+            case ts: LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation => true // ntz/millis
+            case _ => false
+          })
+      }
+    val statsCols: Seq[String] = explicitCols.getOrElse(
+      schema0.getFields.asScala.toSeq.take(indexedCols)
+        .filter(f => aggregateWouldStat(f) &&
+          !partCols.contains(f.getName.toLowerCase(java.util.Locale.ROOT)))
+        .map(_.getName))
+    if (statsCols.isEmpty) return Some(Map.empty)
+    // resolve every requested column's kind against the first footer —
+    // an absent or unsupported column throws here (fallback), so the
+    // render below never half-answers
+    val kinds: Seq[(String, Int)] = statsCols.map(c =>
+      c -> kindOf(schema0.getFields.get(schema0.getFieldIndex(c)))) // throws on absent
+    def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x < y
+        i += 1
+      }
+      a.length < b.length
+    }
+    def tsString(micros: Long): String = {
+      val secs = Math.floorDiv(micros, 1000000L)
+      val micInSec = (micros - secs * 1000000L).toInt
+      val t = new java.sql.Timestamp(secs * 1000L)
+      t.setNanos(micInSec * 1000)
+      t.toString
+    }
+    def renderVal(kind: Int, v: Any): String = kind match {
+      case 1 | 2 => v.toString
+      case 3 =>
+        val d = v.asInstanceOf[java.lang.Double]
+        if (d.isNaN || d.isInfinite) "null" else d.toString
+      case 4 =>
+        val f = v.asInstanceOf[java.lang.Float]
+        if (f.isNaN || f.isInfinite) "null" else f.toString
+      case 5 => v.toString
+      case 6 => jstr(java.time.LocalDate
+        .ofEpochDay(v.asInstanceOf[java.lang.Integer].longValue).toString)
+      case 7 => jstr(tsString(v.asInstanceOf[java.lang.Long].longValue))
+      case 8 => jstr(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+        .toStringUsingUTF8)
+    }
+    def less(kind: Int, a: Any, b: Any): Boolean = kind match {
+      case 1 | 7 => a.asInstanceOf[java.lang.Long] <
+        b.asInstanceOf[java.lang.Long]
+      case 2 | 6 => a.asInstanceOf[java.lang.Integer] <
+        b.asInstanceOf[java.lang.Integer]
+      case 3 => a.asInstanceOf[java.lang.Double] <
+        b.asInstanceOf[java.lang.Double]
+      case 4 => a.asInstanceOf[java.lang.Float] <
+        b.asInstanceOf[java.lang.Float]
+      case 5 => !a.asInstanceOf[java.lang.Boolean] &&
+        b.asInstanceOf[java.lang.Boolean]
+      case 8 => unsignedLess(
+        a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+        b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+    }
+    val kindsArr = kinds.toArray
+    def jsonFor(c: org.apache.hadoop.conf.Configuration,
+                rel: String): String = {
+      val md = footerOf(c, rel)
+      val blocks = md.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      // merged (min, max) per column; None = no usable value anywhere
+      val merged = kindsArr.map { case (name, kind) =>
+        var mn: Any = null; var mx: Any = null; var usable = true
+        blocks.foreach { b =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == name)
+            .getOrElse(sys.error(s"column $name missing from a block"))
+          val st = chunk.getStatistics
+          if (st == null || st.isEmpty)
+            usable = false // unknown values in this chunk: col → null
+          else if (st.hasNonNullValue) {
+            val lo = st.genericGetMin; val hi = st.genericGetMax
+            if (mn == null || less(kind, lo, mn)) mn = lo
+            if (mx == null || less(kind, mx, hi)) mx = hi
+          } // all-null chunk: contributes nothing
+        }
+        if (!usable) (name, kind, null: Any, null: Any)
+        else (name, kind, mn, mx)
+      }
+      def side(takeMin: Boolean) = merged.map { case (n2, k2, mn, mx) =>
+        val v = if (takeMin) mn else mx
+        s""""$n2":${if (v == null) "null" else renderVal(k2, v)}"""
+      }.mkString("{", ",", "}")
+      s"""{"numRecords":$numRecords,"minValues":${side(true)},""" +
+        s""""maxValues":${side(false)}}"""
+    }
+    val pairs: Seq[(String, String)] =
+      if (rels.size <= 128) rels.map(r => r -> jsonFor(conf, r))
+      else {
+        // wide commits (the initial build of a many-file table): one
+        // footer read per task slice, the driver conf shipped like the
+        // distributed vacuum's
+        val h = org.apache.spark.sql.graft.HadoopConfBridge.handle(conf)
+        val slices = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism * 4, rels.size / 64 + 1))
+        spark.sparkContext.parallelize(rels, slices)
+          .map(r => r -> jsonFor(h.conf, r)).collect().toSeq
+      }
+    pairs.toMap
+  }.toOption
+
+  /** The one-aggregate fallback for [[footerFileStats]]: one
+    * distributed pass over just the written files, one result row per
+    * file (metadata-scale collect). */
+  private def aggregateFileStats(spark: SparkSession, table: String,
+                                 rels: Seq[String],
+                                 explicitCols: Option[Seq[String]],
+                                 indexedCols: Int)
+      : Map[String, String] = {
     val src = spark.read.option("basePath", table)
       .parquet(rels.map(r => s"$table/$r").toIndexedSeq: _*)
     def minMaxable(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -644,13 +854,11 @@ object MiniDelta {
     // type, not the declared one
     val partCols = partitionColsOf(rels.take(1))
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val statsCols =
-      if (statsCols0.nonEmpty) mapped.fold(statsCols0)(st =>
-        statsCols0.map(physicalColOf(Some(st), _)))
-      else src.schema.fields.take(indexedCols)
+    val statsCols = explicitCols.getOrElse(
+      src.schema.fields.take(indexedCols)
         .filter(f => minMaxable(f.dataType) &&
           !partCols.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
-        .map(_.name).toSeq
+        .map(_.name).toSeq)
     if (statsCols.isEmpty) return Map.empty
     val aggs = count(lit(1)).as("numRecords") +:
       statsCols.flatMap(c => Seq(min(col(s"`$c`")).as(s"min_$c"),

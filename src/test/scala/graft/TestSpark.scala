@@ -17,6 +17,9 @@ object TestSpark {
       // names the `graft` catalog so graft.datalake.t identifiers
       // survive eager catalog resolution (GraftCatalog Scaladoc)
       .config("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+      // write timestamps as INT64 MICROS (the real-Delta parquet shape;
+      // Spark's legacy INT96 default carries NO footer statistics)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
