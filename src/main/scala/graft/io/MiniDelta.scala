@@ -746,13 +746,12 @@ object MiniDelta {
       }
       a.length < b.length
     }
-    def tsString(micros: Long): String = {
-      val secs = Math.floorDiv(micros, 1000000L)
-      val micInSec = (micros - secs * 1000000L).toInt
-      val t = new java.sql.Timestamp(secs * 1000L)
-      t.setNanos(micInSec * 1000)
-      t.toString
-    }
+    // capture the SESSION zone driver-side: jsonFor may run on
+    // executors (wide commits), where SQLConf.get would not carry it
+    val sessionZone =
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    def tsString(micros: Long): String =
+      renderTimestampInZone(micros, sessionZone)
     def renderVal(kind: Int, v: Any): String = kind match {
       case 1 | 2 => v.toString
       case 3 =>
@@ -880,7 +879,13 @@ object MiniDelta {
         case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
         case n: java.lang.Number => n.toString
         case b: java.lang.Boolean => b.toString
-        // Date/Timestamp/etc. ride as quoted strings (Delta does the same)
+        // timestamps render in the SESSION zone (consumers cast the
+        // string back under it), not Timestamp.toString's JVM default
+        case t: java.sql.Timestamp =>
+          jstr(renderTimestampInZone(
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L,
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        // Date/etc. ride as quoted strings (Delta does the same)
         case x => jstr(x.toString)
       }
       def jsonOf(prefix: String) = statsCols.map { c =>
@@ -1317,14 +1322,39 @@ object MiniDelta {
     Some(b.result())
   }
 
+  // memo: (table, version) -> resolved configuration. The log below a
+  // version is immutable, so the entry never goes stale for a live
+  // table; a table REPLACED at the same path clears through
+  // [[invalidateSnapshot]] like every other permanent memo. Without
+  // this, every commit re-resolved the config (a sidecar read + a
+  // Spark collect over the JSON tail) once per consulting call site —
+  // the per-write fixed cost that dominated the write-lifecycle bench.
+  private val tableConfigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Map[String, String]]()
+
   /** The table's configuration (properties map) as of `atMost` — the
     * latest metaData action's `configuration`, resolved like
     * [[latestSchema]]: checkpoint config sidecar + JSON tail, falling
     * back to the full-history scan when the sidecar is missing (same
-    * degradation rule as the schema sidecar). */
+    * degradation rule as the schema sidecar). Memoized per
+    * (table, effective version) — the effective version pins the
+    * resolution, so repeat calls pay a hashmap lookup, not IO. */
   def tableConfig(spark: SparkSession, table: String,
                   atMost: Long = Long.MaxValue): Map[String, String] = {
     if (!tableExists(spark, table)) return Map.empty
+    // resolve the open-ended form to the version it would read at, so
+    // "latest" calls share the pinned calls' memo entries
+    val eff = math.min(latestVersion(spark, table), atMost)
+    if (eff < 0) return Map.empty
+    val hit = tableConfigMemo.get((table, eff))
+    if (hit != null) return hit
+    val cfg = tableConfigResolve(spark, table, eff)
+    tableConfigMemo.put((table, eff), cfg)
+    cfg
+  }
+
+  private def tableConfigResolve(spark: SparkSession, table: String,
+                                 atMost: Long): Map[String, String] = {
     val cp = latestCheckpoint(spark, table, atMost)
     val base = cp.flatMap(v => readConfigSidecar(spark, table, v)
       .orElse(readCheckpointMetaData(spark, table, v).flatMap(_._2)))
@@ -1345,6 +1375,28 @@ object MiniDelta {
         .select("metaData.configuration").collect().headOption
         .map(_.getMap[String, String](0).toMap)
     fromTail.orElse(base).getOrElse(Map.empty)
+  }
+
+  /** Render epoch-micros as `yyyy-MM-dd HH:mm:ss[.f…]` in `zoneId` —
+    * java.sql.Timestamp.toString's shape (fraction trimmed of trailing
+    * zeros, at least one digit), but in the SESSION timezone instead of
+    * the driver JVM's default. Stats consumers cast the JSON string
+    * back under `spark.sql.session.timeZone`, so the two must agree
+    * regardless of where the driver runs. */
+  private[graft] def renderTimestampInZone(micros: Long,
+                                           zoneId: String): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val micInSec = (micros - secs * 1000000L).toInt
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(secs, micInSec * 1000L),
+      java.time.ZoneId.of(zoneId))
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    var frac = f"$micInSec%06d"
+    while (frac.length > 1 && frac.endsWith("0"))
+      frac = frac.dropRight(1)
+    s"$base.$frac"
   }
 
   private val constraintKeyPrefix = "delta.constraints."
@@ -1831,6 +1883,26 @@ object MiniDelta {
         removableReaderFeatures.contains(feature),
       s"DROP FEATURE $feature: TRUNCATE HISTORY applies to reader " +
         "features only (a writer feature never gates reads)")
+    // ---- phase 0: the declared + history gates run BEFORE any
+    // mutating commit — a refusal must leave the table exactly as it
+    // found it (the earlier ordering had already committed the
+    // property unsets / purge when the history gate threw)
+    val gateVersion = latestVersion(spark, table)
+    val proto0 = resolveProtocol(spark, table, gateVersion,
+      cpAtMost = gateVersion).getOrElse(basicProtocol)
+    require(proto0.readerFeats.contains(feature) ||
+        proto0.writerFeats.contains(feature),
+      s"DROP FEATURE $feature: not declared in $table's protocol " +
+        s"(readerFeatures=${proto0.readerFeats.mkString(",")} " +
+        s"writerFeatures=${proto0.writerFeats.mkString(",")})")
+    if (removableReaderFeatures.contains(feature) && !truncateHistory)
+      historyTraceReason(spark, table, feature, gateVersion).foreach { r =>
+        throw new IllegalArgumentException(
+          s"DROP FEATURE $feature: $r — a reader honoring the " +
+            "downgraded protocol could time-travel into history that " +
+            s"still needs the feature. Re-run as DROP FEATURE $feature " +
+            "TRUNCATE HISTORY (removes the history below the downgrade)")
+      }
     // ---- phase 1: pre-downgrade (live-trace removal / refusal)
     val cfg0 = tableConfig(spark, table)
     val schema0 = latestSchema(spark, table)
@@ -1880,23 +1952,11 @@ object MiniDelta {
             "the narrow physical type — this engine does not rewrite " +
             "them; the drop would break compliant readers")
     }
-    // ---- phase 2 + 3: history gate, then the downgrade commit
+    // ---- phase 2: the downgrade commit (the protocol re-resolves at
+    // the post-phase-1 version — the gates above ran pre-mutation)
     val readVersion = latestVersion(spark, table)
     val proto = resolveProtocol(spark, table, readVersion,
       cpAtMost = readVersion).getOrElse(basicProtocol)
-    require(proto.readerFeats.contains(feature) ||
-        proto.writerFeats.contains(feature),
-      s"DROP FEATURE $feature: not declared in $table's protocol " +
-        s"(readerFeatures=${proto.readerFeats.mkString(",")} " +
-        s"writerFeatures=${proto.writerFeats.mkString(",")})")
-    if (removableReaderFeatures.contains(feature) && !truncateHistory)
-      require(!historyTraces(spark, table, feature, readVersion),
-        s"DROP FEATURE $feature: historical log entries still " +
-          "reference the feature, and a reader honoring the downgraded " +
-          "protocol could time-travel into them. Re-run as DROP " +
-          s"FEATURE $feature TRUNCATE HISTORY (removes the history " +
-          "below the downgrade), or retry after the log retention " +
-          "window has aged the references out")
     val newReader = proto.readerFeats.filterNot(_ == feature)
     val newProto = ProtocolAction(
       if (newReader.isEmpty) 1 else proto.minReader,
@@ -1914,15 +1974,20 @@ object MiniDelta {
     v
   }
 
-  /** True when any surviving log entry at or below `version` still
-    * references `feature`: a commit JSON containing the feature's
-    * trace marker (enablement property, protocol declaration, DV
-    * descriptor, widen record), or ANY checkpoint below the downgrade —
-    * a checkpoint re-states the then-current protocol, which by
-    * construction still declares the feature. Substring screen over
-    * driver-read JSONs, the [[requireReadable]] cost shape. */
-  private def historyTraces(spark: SparkSession, table: String,
-                            feature: String, version: Long): Boolean = {
+  /** Why a bare (no TRUNCATE HISTORY) reader-feature drop must refuse,
+    * or None when it may proceed: a surviving commit JSON at or below
+    * `version` containing the feature's trace marker (enablement
+    * property, protocol declaration, DV descriptor, widen record), or
+    * ANY checkpoint below the downgrade — a checkpoint re-states the
+    * then-current protocol, which by construction still declares the
+    * feature, and [[cleanupLogs]] always preserves the latest
+    * checkpoint, so no retention wait can ever age it out (which is
+    * why the message demands TRUNCATE HISTORY instead of suggesting a
+    * retry). Substring screen over driver-read JSONs, the
+    * [[requireReadable]] cost shape. */
+  private def historyTraceReason(spark: SparkSession, table: String,
+                                 feature: String, version: Long)
+      : Option[String] = {
     val markers = feature match {
       case "deletionVectors" => Seq("deletionVector")
       case "typeWidening" => Seq("typeWidening", "delta.typeChanges")
@@ -1940,7 +2005,13 @@ object MiniDelta {
         val txt = new String(bytes, "UTF-8")
         markers.exists(txt.contains)
       }
-    jsonTraced || latestCheckpoint(spark, table, version).isDefined
+    if (jsonTraced)
+      Some("historical log entries still reference the feature")
+    else if (latestCheckpoint(spark, table, version).isDefined)
+      Some("the table has checkpointed, and a checkpoint re-states the " +
+        "feature-bearing protocol (log cleanup always preserves the " +
+        "latest checkpoint, so it can never age out)")
+    else None
   }
 
   /** CREATE TABLE: an empty v0 commit declaring the schema, partition
@@ -6644,7 +6715,16 @@ object MiniDelta {
       s"convertToDelta: no parquet files under $table")
     val parts = partitionColsOf(files.map(_._1))
     val schema = spark.read.parquet(table).schema
-    val stats = fileStats(spark, table, files.map(_._1), statsCols)
+    // CONVERT stays stat-less unless `statsCols` opts in (Delta's
+    // convert does the same): the per-write stats DEFAULT would run a
+    // footer/aggregate pass over the ENTIRE foreign directory — a full
+    // min/max data scan when any column defeats the footer path (INT96
+    // timestamps, the historical Spark default) — and materialize an
+    // O(table files) stats map on the driver, breaking this function's
+    // streamed-render bound at 10⁷ files.
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, String]
+      else fileStats(spark, table, files.map(_._1), statsCols)
     // the discovery listing is a driver iterator by nature (paths +
     // two longs — strings, not rendered actions); the RENDER streams,
     // so the add lines (stats JSON and all) never sit in driver memory
@@ -7110,6 +7190,7 @@ object MiniDelta {
     cpGates.keySet.removeIf(_._1 == table)
     cpMetaCache.keySet.removeIf(_._1 == table)
     cpCompleteMemo.keySet.removeIf(_._1 == table)
+    tableConfigMemo.keySet.removeIf(_._1 == table)
     ()
   }
 

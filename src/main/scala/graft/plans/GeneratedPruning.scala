@@ -147,35 +147,47 @@ object GeneratedPruning {
     }
   }
 
+  /** One derivable edge for a single generated-column declaration,
+    * against a caller-supplied (ambiguity-aware) name→type resolver.
+    * The candidate is PROBED at a sample value before acceptance — a g
+    * that nulls valid input (an invalid trunc fmt) would break the
+    * null-faithful and monotonic claims, so it derives nothing. */
+  def derivationOf(genSql: String, genName: String, genType: DataType,
+                   typeOf: String => Option[DataType])
+      : Option[Derivation] =
+    recognize(genSql, typeOf).flatMap { case (base, mono, build) =>
+      // mirror the write path: computed value is cast to the
+      // DECLARED type of the generated column
+      val g = (x: Expression) => Cast(build(x), genType, tzOpt)
+      typeOf(base).flatMap { bt =>
+        val d = Derivation(base, bt, genName, genType, mono, g)
+        // validity probe: g over a mid-range sample must be non-null
+        val sample = bt match {
+          case StringType => Literal("2001-06-15 12:30:45")
+          case _ => Literal(
+            java.sql.Timestamp.valueOf("2001-06-15 12:30:45"))
+        }
+        d.bound(sample).map(_ => d)
+      }
+    }
+
   /** All derivable edges of a declared schema: partition columns whose
     * `delta.generationExpression` is a recognized shape over one
-    * top-level base column. Each candidate is PROBED at a sample value
-    * before acceptance — a g that nulls valid input (an invalid trunc
-    * fmt) would break the null-faithful and monotonic claims, so it
-    * derives nothing. Names in the result are LOGICAL. */
+    * top-level base column. Names in the result are LOGICAL. Used by
+    * the single-table consumers (DML blast-radius discovery), where
+    * the declared schema's names are unambiguous by construction. */
   def derivationsOf(schema: StructType,
                     partitionCols: Seq[String]): Seq[Derivation] = {
     val genKey = graft.io.MiniDelta.GenExprKey
-    def typeOf(n: String): Option[DataType] =
-      schema.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+    def typeOf(n: String): Option[DataType] = {
+      val ms = schema.fields.filter(_.name.equalsIgnoreCase(n))
+      if (ms.length == 1) Some(ms.head.dataType) else None
+    }
     partitionCols.flatMap { pc =>
       schema.fields.find(f => f.name.equalsIgnoreCase(pc) &&
           f.metadata.contains(genKey)).flatMap { gf =>
-        recognize(gf.metadata.getString(genKey), typeOf).flatMap {
-          case (base, mono, build) =>
-            // mirror the write path: computed value is cast to the
-            // DECLARED type of the generated column
-            val g = (x: Expression) => Cast(build(x), gf.dataType, tzOpt)
-            val d = Derivation(base, typeOf(base).get, gf.name,
-              gf.dataType, mono, g)
-            // validity probe: g over a mid-range sample must be non-null
-            val sample = d.baseType match {
-              case StringType => Literal("2001-06-15 12:30:45")
-              case _ => Literal(
-                java.sql.Timestamp.valueOf("2001-06-15 12:30:45"))
-            }
-            d.bound(sample).map(_ => d)
-        }
+        derivationOf(gf.metadata.getString(genKey), gf.name, gf.dataType,
+          typeOf)
       }
     }
   }
@@ -204,22 +216,28 @@ object GeneratedPartitionPruneRule extends Rule[LogicalPlan]
     with PredicateHelper {
   import GeneratedPruning._
 
+  /** One provenance-anchored edge: the Filter-visible base attribute
+    * (matched by exprId, never name), the Filter-visible generated
+    * partition attribute it implies a bound on, and the derivation's
+    * value machinery. */
+  private final case class Anchored(base: AttributeReference,
+                                    gen: AttributeReference,
+                                    d: Derivation)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case f @ Filter(cond, child) =>
-        val genKey = graft.io.MiniDelta.GenExprKey
         val genAttrs = child.output.collect {
-          case a: AttributeReference if a.metadata.contains(genKey) => a
+          case a: AttributeReference
+              if a.metadata.contains(graft.io.MiniDelta.GenExprKey) => a
         }
         if (genAttrs.isEmpty) f
         else {
-          val schema = StructType(child.output.map(a =>
-            StructField(a.name, a.dataType, a.nullable, a.metadata)))
-          val derivs = derivationsOf(schema, genAttrs.map(_.name))
-          if (derivs.isEmpty) f
+          val anchored = genAttrs.flatMap(anchor(child, _))
+          if (anchored.isEmpty) f
           else {
             val conjuncts = splitConjunctivePredicates(cond)
-            val extra = conjuncts.flatMap(deriveFrom(_, derivs, child))
+            val extra = conjuncts.flatMap(deriveFrom(_, anchored))
               .filterNot(d => conjuncts.exists(_.semanticEquals(d)))
               .distinct
             if (extra.isEmpty) f
@@ -228,10 +246,47 @@ object GeneratedPartitionPruneRule extends Rule[LogicalPlan]
         }
     }
 
-  private def attrOf(plan: LogicalPlan, name: String)
-      : Option[AttributeReference] =
-    plan.output.collectFirst {
-      case a: AttributeReference if a.name.equalsIgnoreCase(name) => a
+  /** Resolve one generated attribute to its provenance-anchored edge,
+    * or None when the derivation would not be sound. The generation
+    * expression's base-column NAME is resolved at the generated
+    * attribute's DEFINING node (the deepest plan node producing its
+    * exprId — the relation/projection that carries the metadata), and
+    * the resulting base attribute participates only if the SAME exprId
+    * is still visible at the Filter's child. Name-only pairing broke
+    * two ways (the round-14 finding): a self-join of two
+    * generated-partitioned tables let a predicate on `b.ts` derive a
+    * bound on `a.day`, and a Project recomputing an alias named like
+    * the base column (`ts + INTERVAL 10 DAYS AS ts`) derived a bound
+    * not implied by the predicate — both silently dropped rows. ExprId
+    * anchoring makes the first derive on the correct side and the
+    * second derive nothing (the alias mints a fresh exprId). Ambiguous
+    * names at the defining node bail entirely. */
+  private def anchor(child: LogicalPlan,
+                     gen: AttributeReference): Option[Anchored] = {
+    val defNode = definingNode(child, gen)
+    def typeAt(n: String): Option[DataType] = {
+      val ms = defNode.output.filter(_.name.equalsIgnoreCase(n))
+      if (ms.length == 1) Some(ms.head.dataType) else None
+    }
+    derivationOf(gen.metadata.getString(graft.io.MiniDelta.GenExprKey),
+      gen.name, gen.dataType, typeAt).flatMap { d =>
+      defNode.output.filter(_.name.equalsIgnoreCase(d.baseCol)) match {
+        case Seq(b: AttributeReference)
+            if child.outputSet.contains(b) =>
+          Some(Anchored(b, gen, d))
+        case _ => None
+      }
+    }
+  }
+
+  /** The deepest node of `plan` whose output still contains `gen`'s
+    * exprId — where the generated attribute (and the base column its
+    * expression references) are defined. */
+  private def definingNode(plan: LogicalPlan,
+                           gen: AttributeReference): LogicalPlan =
+    plan.children.find(_.outputSet.contains(gen)) match {
+      case Some(c) => definingNode(c, gen)
+      case None => plan
     }
 
   private def asLiteral(e: Expression): Option[Literal] = e match {
@@ -245,13 +300,13 @@ object GeneratedPartitionPruneRule extends Rule[LogicalPlan]
     * Only top-level comparisons translate; anything else derives
     * nothing (the conjunct still filters rows — we only lose pruning,
     * never correctness). */
-  private def deriveFrom(c: Expression, derivs: Seq[Derivation],
-                         child: LogicalPlan): Seq[Expression] = {
+  private def deriveFrom(c: Expression,
+                         anchored: Seq[Anchored]): Seq[Expression] = {
     def forBase(a: Expression): Seq[(Derivation, AttributeReference)] =
       a match {
         case ar: AttributeReference =>
-          derivs.filter(_.baseCol.equalsIgnoreCase(ar.name))
-            .flatMap(d => attrOf(child, d.genCol).map(d -> _))
+          anchored.filter(_.base.exprId == ar.exprId)
+            .map(an => an.d -> an.gen)
         case _ => Nil
       }
     def cmp(a: Expression, v: Expression, op: String): Seq[Expression] =
@@ -293,8 +348,8 @@ object GeneratedPartitionPruneRule extends Rule[LogicalPlan]
       // RuntimeReplaceable node (the optimizer expands it later —
       // after this rule has run), so translate it here
       case b: Between =>
-        deriveFrom(GreaterThanOrEqual(b.input, b.lower), derivs, child) ++
-          deriveFrom(LessThanOrEqual(b.input, b.upper), derivs, child)
+        deriveFrom(GreaterThanOrEqual(b.input, b.lower), anchored) ++
+          deriveFrom(LessThanOrEqual(b.input, b.upper), anchored)
       case _ => Nil
     }
   }

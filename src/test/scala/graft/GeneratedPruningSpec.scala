@@ -269,6 +269,53 @@ class GeneratedPruningSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("self-join: the derived bound binds to the FILTERED side only") {
+    // name-only pairing (the round-14 finding) let a predicate on b.ts
+    // derive a day-bound on a.day — collectFirst picked the left
+    // side's attribute — silently dropping every pair whose a-row lies
+    // outside b's range. The inequality join makes the misbinding
+    // observable: pairs (a, b) with b in day 3 must keep a-rows from
+    // ALL days.
+    val t = threeDayTable()
+    val total = MiniDelta.snapshotFiles(spark, t).count()
+    val d3 = filesOfDay(t, "2024-03-03")
+    val a = MiniDelta.readFiltered(spark, t, Seq.empty)
+    val b = MiniDelta.readFiltered(spark, t, Seq.empty)
+    val j = a.as("a").join(b.as("b"), col("a.id") =!= col("b.id"))
+      .where(col("b.ts") >= lit(ts("2024-03-03 00:00:00")))
+      .select(col("a.id").as("aid"), col("b.id").as("bid"))
+    val rows = j.collect()
+    // 4 b-rows in day 3 × (12 a-rows minus the equal id) = 44 pairs
+    assert(rows.length == 44,
+      s"got ${rows.length} pairs — a bound mis-anchored to a.day " +
+        "would drop every pair with an early a-row")
+    assert(rows.map(_.getLong(0)).toSet.size == 12,
+      "a-side rows from every day must survive")
+    // and the bound DID anchor to b's scan: one side pruned to day 3,
+    // the other read the full table
+    val scanned = scansOf(j.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned == total + d3,
+      s"scanned $scanned files, expected full a-side $total + " +
+        s"pruned b-side $d3")
+  }
+
+  test("recomputed alias named like the base column derives nothing") {
+    // SELECT day, ts + INTERVAL 10 DAYS AS ts ... WHERE ts >= X: the
+    // filter's `ts` is the ALIAS (fresh exprId), so no day-bound is
+    // implied — name-only pairing derived day >= g(X) and pruned every
+    // partition (the shifted bound lies past all real days)
+    val t = threeDayTable()
+    val df = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("id"), col("day"),
+        (col("ts") + expr("INTERVAL 10 DAYS")).as("ts"))
+      .where(col("ts") >= lit(ts("2024-03-12 00:00:00")))
+    assert(df.select("id").as[Long].collect().toSet ==
+      Set(200L, 201L, 210L, 211L, 300L, 301L, 310L, 311L),
+      "day-2 and day-3 rows qualify under the SHIFTED ts — a " +
+        "mis-derived bound on the real day column drops them all")
+  }
+
   test("equality-only shapes never derive range bounds") {
     val t = freshTable()
     MiniDelta.createTable(spark, t, StructType(Seq(
