@@ -1601,6 +1601,27 @@ SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty
 FROM merged GROUP BY flag ORDER BY flag""",
 
+    "s49_merge_identity" ->
+      """WITH m1 AS (
+  SELECT l_orderkey AS okey, CAST(min(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity <= 2 GROUP BY 1
+), m2 AS (
+  SELECT l_orderkey AS okey, CAST(min(l_quantity) AS BIGINT) AS qty
+  FROM lineitem WHERE l_quantity IN (2, 3) GROUP BY 1
+), final AS (
+  SELECT CASE WHEN m2.okey IS NOT NULL THEN m1.qty + 100
+              ELSE m1.qty END AS qty
+  FROM m1 LEFT JOIN m2 ON m1.okey = m2.okey
+  UNION ALL
+  SELECT m2.qty * 10 AS qty
+  FROM m2 LEFT JOIN m1 ON m1.okey = m2.okey
+  WHERE m1.okey IS NULL
+), n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM final)
+SELECT n.c AS n_rows, n.c AS n_ids, CAST(1 AS BIGINT) AS min_id,
+  n.c AS max_id, CAST(n.c * (n.c + 1) / 2 AS BIGINT) AS sum_id,
+  (SELECT CAST(sum(qty) AS BIGINT) FROM final) AS sum_qty
+FROM n""",
+
     "s48_drop_feature" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

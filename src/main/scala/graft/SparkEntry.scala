@@ -2742,6 +2742,55 @@ object SparkEntry {
         FROM graft.s48_trades GROUP BY flag""")
         .orderBy("flag")
     }),
+    "s49_merge_identity" -> ((s, d) => {
+      // identity assignment in general-MERGE INSERT clauses (round
+      // 15): a GENERATED ALWAYS AS IDENTITY table takes two MERGEs
+      // whose NOT MATCHED INSERT clauses omit the identity column —
+      // the chain assigns 1..N across both commits (the high-water
+      // mark advancing inside each MERGE's own commit), so
+      // count/min/max/sum of the ids are all oracle-exact even though
+      // the row↦id permutation is not deterministic.
+      val dir = scratch("s49_merge_identity")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("s49_trades")
+      graft.plans.GraftSqlTables.register("s49_lineitem",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.s49_trades (
+          id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1
+            INCREMENT BY 1),
+          okey BIGINT, qty BIGINT)
+        LOCATION '$table'""")
+      // first MERGE: everything inserts — ids 1..N1
+      s.sql("""
+        MERGE INTO graft.s49_trades t USING (
+          SELECT l_orderkey AS okey, CAST(min(l_quantity) AS BIGINT) AS qty
+          FROM graft.datalake.s49_lineitem WHERE l_quantity <= 2
+          GROUP BY 1) s
+        ON t.okey = s.okey
+        WHEN NOT MATCHED THEN INSERT (okey, qty) VALUES (s.okey, s.qty)""")
+      // second MERGE: matched keys update, new keys insert with fresh
+      // chain values continuing past the first commit's mark
+      s.sql("""
+        MERGE INTO graft.s49_trades t USING (
+          SELECT l_orderkey AS okey, CAST(min(l_quantity) AS BIGINT) AS qty
+          FROM graft.datalake.s49_lineitem WHERE l_quantity IN (2, 3)
+          GROUP BY 1) s
+        ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET qty = t.qty + 100
+        WHEN NOT MATCHED THEN INSERT (okey, qty)
+          VALUES (s.okey, s.qty * 10)""")
+      s.sql("""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT id) AS BIGINT) AS n_ids,
+               CAST(min(id) AS BIGINT) AS min_id,
+               CAST(max(id) AS BIGINT) AS max_id,
+               CAST(sum(id) AS BIGINT) AS sum_id,
+               CAST(sum(qty) AS BIGINT) AS sum_qty
+        FROM graft.s49_trades""")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

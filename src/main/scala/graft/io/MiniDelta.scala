@@ -5711,9 +5711,11 @@ object MiniDelta {
     * unmatched source row inserts under its first applicable
     * not-matched clause or is dropped. The canonical star upsert and
     * the delete-only forms keep their dedicated paths ([[merge]] /
-    * [[mergeDelete]] — they additionally do schema evolution and
-    * identity chains); this form refuses identity-table INSERT clauses
-    * and never evolves the schema.
+    * [[mergeDelete]] — they additionally do schema evolution); this
+    * form never evolves the schema. Identity columns assign on INSERT
+    * clauses through the high-water-mark chain
+    * ([[resolveMergeInsertsIdentity]] — explicit values require
+    * GENERATED BY DEFAULT) and refuse in UPDATE SETs.
     *
     * Scale: the same discipline as the specialized forms — matched
     * discovery is range-pruned by the distinct source keys before
@@ -5756,10 +5758,9 @@ object MiniDelta {
       s"table has a column colliding with the merge namespace " +
         s"($MergeSrcPrefix*/$MergeMatchedMarker)")
     val idFields = decl.fields.filter(_.metadata.contains(IdentityStartKey))
-    require(idFields.isEmpty || notMatched.isEmpty,
-      s"general MERGE cannot INSERT into identity-column table $table " +
-        "— use the canonical WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-        "MATCHED THEN INSERT * form, which assigns the chain")
+    require(idFields.length <= 1,
+      s"$table declares ${idFields.length} identity columns; at most " +
+        "one is supported")
     def checkSet(set: Map[String, org.apache.spark.sql.Column],
                  clause: String): Unit = set.keys.foreach { k =>
       val f = decl.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
@@ -5870,13 +5871,14 @@ object MiniDelta {
         val doomed = j
         val updatedOut = recomputeGenerated(
           j.where(updateApplied).select(outCols: _*), declared)
-        val insertsOpt =
-          if (notMatched.isEmpty) None
+        val (insertsOpt, idMeta) =
+          if (notMatched.isEmpty) (None, Seq.empty[String])
           else {
             val tgtKeys = tgt.select(keys.map(col): _*).distinct()
-            Some(resolveMergeInserts(
-              source.join(tgtKeys, keys, "left_anti"), declared, table,
-              notMatched))
+            val (ins, ml) = resolveMergeInsertsIdentity(spark, table,
+              source.join(tgtKeys, keys, "left_anti"), decl, notMatched,
+              partitionBy, readVersion)
+            (Some(ins), ml)
           }
         val maskLines = dvMaskActions(spark, table, readVersion, declared,
           snap, doomed).getOrElse(Seq.empty)
@@ -5913,7 +5915,7 @@ object MiniDelta {
           }
         beforeDmlCommitHook()
         writeCommit(spark, table, readVersion + 1,
-          cdcLines ++ maskLines ++ added.map { case (p, sz, m) =>
+          cdcLines ++ idMeta ++ maskLines ++ added.map { case (p, sz, m) =>
             addLine(p, sz, stats.get(p), modTime = Some(m)) },
           "MERGE")
       } finally { j.unpersist(); () }
@@ -5925,8 +5927,8 @@ object MiniDelta {
         snapDF.select("path", "dv_path").collect().toIndexedSeq)
       val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
         hit)
-      val insertsOpt =
-        if (notMatched.isEmpty) None
+      val (insertsOpt, idMeta) =
+        if (notMatched.isEmpty) (None, Seq.empty[String])
         else {
           // matchedness is decided against ALL rows holding a source
           // key — the range-pruned candidate files, NOT just the
@@ -5943,8 +5945,9 @@ object MiniDelta {
               readFilesWithDv(spark, table, candPairs, declared)
                 .select(keys.map(col): _*).distinct(),
               keys, "left_anti")
-          Some(resolveMergeInserts(unmatchedSrc, declared, table,
-            notMatched))
+          val (ins, ml) = resolveMergeInsertsIdentity(spark, table,
+            unmatchedSrc, decl, notMatched, partitionBy, readVersion)
+          (Some(ins), ml)
         }
       if (touched.isEmpty &&
           insertsOpt.forall(_.isEmpty)) return readVersion
@@ -5979,7 +5982,7 @@ object MiniDelta {
             case (None, None) => df // unreachable (guarded above)
           }
         },
-        partitionBy, "MERGE", statsCols, cdc = cdc)
+        partitionBy, "MERGE", statsCols, extraLines = idMeta, cdc = cdc)
     }
   }
 
@@ -5991,7 +5994,11 @@ object MiniDelta {
     * (unassigned columns null, Delta's INSERT rule). */
   private def resolveMergeInserts(source: DataFrame,
       declared: Option[org.apache.spark.sql.types.StructType],
-      table: String, notMatched: Seq[MergeInsertClause]): DataFrame = {
+      table: String, notMatched: Seq[MergeInsertClause],
+      // identity plumbing ([[resolveMergeInsertsIdentity]]): (identity
+      // column name, per-clause provides-it flags) — each clause frame
+      // gets a `__id_omitted` marker so the caller can split the union
+      idMarker: Option[(String, Seq[Boolean])] = None): DataFrame = {
     val iIdx = notMatched.zipWithIndex.foldRight(lit(-1)) {
       case ((c, i), e) =>
         when(coalesce(c.cond.getOrElse(lit(true)), lit(false)), lit(i))
@@ -6006,14 +6013,100 @@ object MiniDelta {
         v.as(canonical(k)) }: _*)
       val filled = applyGenerated(applyDefaults(proj, declared),
         declared, table)
-      declared.fold(filled)(d => filled.select(d.fields.toIndexedSeq.map {
-        f =>
+      val aligned = declared.fold(filled)(d =>
+        filled.select(d.fields.toIndexedSeq.map { f =>
           if (filled.columns.exists(_.equalsIgnoreCase(f.name)))
             col(s"`${f.name}`").cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
-      }: _*))
+        }: _*))
+      idMarker.fold(aligned) { case (_, assigns) =>
+        aligned.withColumn("__id_omitted", lit(!assigns(i))) }
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = declared.isEmpty))
+  }
+
+  /** [[resolveMergeInserts]] for identity-column tables: clauses that
+    * OMIT the identity column get fresh chain values (one
+    * [[assignIdentity]] pass over their union, strictly past the
+    * high-water mark), clauses that PROVIDE it require GENERATED BY
+    * DEFAULT (`delta.identity.allowExplicitInsert`) and keep their
+    * values with the mark syncing over them — the
+    * [[appendWithIdentity]] / [[mergeIdentityResolve]] contract
+    * restated for the general clause matrix. Returns the resolved
+    * frame + the metaData line advancing the mark (empty when it did
+    * not move), which MUST join the same pinned commit. */
+  private def resolveMergeInsertsIdentity(spark: SparkSession,
+      table: String, source: DataFrame,
+      decl: org.apache.spark.sql.types.StructType,
+      notMatched: Seq[MergeInsertClause], partitionBy: Seq[String],
+      readVersion: Long): (DataFrame, Seq[String]) = {
+    val idf = decl.fields.find(_.metadata.contains(IdentityStartKey))
+    if (idf.isEmpty)
+      return (resolveMergeInserts(source, Some(decl), table, notMatched),
+        Seq.empty)
+    val f = idf.get
+    val start = f.metadata.getLong(IdentityStartKey)
+    val step =
+      if (f.metadata.contains(IdentityStepKey))
+        f.metadata.getLong(IdentityStepKey)
+      else 1L
+    require(step != 0L, s"identity step of ${f.name} must be non-zero")
+    val hwm0: Option[Long] =
+      if (f.metadata.contains(IdentityHwmKey))
+        Some(f.metadata.getLong(IdentityHwmKey))
+      else None
+    val allowExplicit = f.metadata.contains(IdentityAllowExplicitKey) &&
+      f.metadata.getBoolean(IdentityAllowExplicitKey)
+    val assigns = notMatched.map(
+      _.values.keys.exists(_.equalsIgnoreCase(f.name)))
+    require(!assigns.contains(true) || allowExplicit,
+      s"${f.name} is GENERATED ALWAYS AS IDENTITY — explicit INSERT " +
+        "values refuse (declare it GENERATED BY DEFAULT to allow them)")
+    require(!source.columns.contains("__id_omitted"),
+      "merge source has a '__id_omitted' column, which collides with " +
+        "the identity-resolution marker")
+    val resolved = resolveMergeInserts(source, Some(decl), table,
+      notMatched, idMarker = Some((f.name, assigns)))
+    val declOrder = decl.fields.toIndexedSeq.map(fd => col(s"`${fd.name}`"))
+    val omitted = resolved.where(col("__id_omitted"))
+      .drop("__id_omitted", f.name)
+    val provided = resolved.where(!col("__id_omitted"))
+      .drop("__id_omitted")
+    def further(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    val (assignedPart, hwm1) =
+      if (!assigns.contains(false)) // every clause provides: no pass
+        (None, hwm0)
+      else {
+        val (a0, h) = assignIdentity(omitted, f.name, start, step, hwm0)
+        (Some(a0.select(declOrder: _*)), h)
+      }
+    val (providedPart, hwm2) =
+      if (!assigns.contains(true)) (None, hwm1)
+      else {
+        val mx = provided.agg(
+          (if (step > 0) max(col(s"`${f.name}`"))
+           else min(col(s"`${f.name}`"))).cast("long")).collect().head
+        val sync =
+          if (mx.isNullAt(0)) hwm1
+          else Some(hwm1.fold(mx.getLong(0))(further(_, mx.getLong(0))))
+        (Some(provided.select(declOrder: _*)), sync)
+      }
+    val out = (assignedPart.toSeq ++ providedPart.toSeq)
+      .reduce(_.unionByName(_))
+    val metaLines =
+      if (hwm2 == hwm0) Seq.empty[String]
+      else {
+        val f2 = f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(IdentityHwmKey, hwm2.get).build())
+        val schema2 = org.apache.spark.sql.types.StructType(
+          decl.fields.map(fd => if (fd.name == f.name) f2 else fd))
+        Seq(metaDataLine(table, schema2, partitionBy,
+          tableConfig(spark, table, readVersion)))
+      }
+    (out, metaLines)
   }
 
   /** VACUUM: physically delete data files no longer referenced by the

@@ -252,8 +252,8 @@ class MergeClausesSpec extends AnyFunSuite {
         Seq(MergeMatchedClause(None, Some(Map("h" -> lit(1L))))),
         Nil, Nil, Seq.empty))
     assert(ge.getMessage.contains("generated"), ge.getMessage)
-    // identity tables refuse INSERT clauses (the canonical form assigns
-    // the chain)
+    // GENERATED ALWAYS identity: an INSERT clause PROVIDING the column
+    // refuses (omitting it assigns the chain — see the identity test)
     val i = freshTable()
     MiniDelta.createTable(spark, i, StructType(Seq(
       StructField("id", LongType, nullable = true,
@@ -263,9 +263,77 @@ class MergeClausesSpec extends AnyFunSuite {
       StructField("k", LongType))))
     val ie = intercept[IllegalArgumentException](
       MiniDelta.mergeClauses(spark, i, Seq(1L).toDF("k"), Seq("k"),
-        Nil, Seq(MergeInsertClause(None, Map("k" -> col("k")))), Nil,
+        Nil, Seq(MergeInsertClause(None,
+          Map("id" -> lit(99L), "k" -> col("k")))), Nil,
         Seq.empty))
-    assert(ie.getMessage.contains("identity"), ie.getMessage)
+    assert(ie.getMessage.contains("GENERATED ALWAYS"), ie.getMessage)
+  }
+
+  test("identity columns assign on INSERT clauses through the chain") {
+    import org.apache.spark.sql.types._
+    // GENERATED ALWAYS: clauses omit the column, fresh values land
+    // strictly past the mark, and the mark advances IN the same commit
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("delta.identity.start", 10L)
+          .putLong("delta.identity.step", 10L).build()),
+      StructField("k", LongType),
+      StructField("v", StringType))))
+    MiniDelta.mergeClauses(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"),
+      Nil, Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v")))), Nil, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val r1 = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("k").select("id", "k").as[(Long, Long)].collect()
+    assert(r1.map(_._1).toSet == Set(10L, 20L), r1.mkString(","))
+    // a SECOND merge continues past the committed mark (proves the
+    // metaData line joined the first commit): matched k=2 updates,
+    // unmatched k=3 inserts with the next chain value
+    MiniDelta.mergeClauses(spark, t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"),
+      Seq(MergeMatchedClause(None, Some(Map("v" -> col("__src_v"))))),
+      Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v")))), Nil, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val r2 = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("k").select("id", "k", "v").as[(Long, Long, String)]
+      .collect()
+    assert(r2.toSeq == Seq((10L, 1L, "a"), (20L, 2L, "B"), (30L, 3L, "c")),
+      r2.mkString(","))
+    // GENERATED BY DEFAULT: a providing clause and an omitting clause
+    // compose — provided values keep, the mark syncs over them, and
+    // assigned values stay clear of both populations
+    val d = freshTable()
+    MiniDelta.createTable(spark, d, StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L)
+          .putBoolean("delta.identity.allowExplicitInsert", true).build()),
+      StructField("k", LongType))))
+    MiniDelta.mergeClauses(spark, d,
+      Seq(5L, 6L).toDF("k"), Seq("k"),
+      Nil, Seq(
+        MergeInsertClause(Some(col("k") === 5L),
+          Map("id" -> lit(100L), "k" -> col("k"))),
+        MergeInsertClause(None, Map("k" -> col("k")))), Nil, Seq.empty)
+    MiniDelta.invalidateSnapshot(d)
+    val rd = MiniDelta.readFiltered(spark, d, Seq.empty)
+      .orderBy("k").select("id", "k").as[(Long, Long)].collect()
+    assert(rd.find(_._2 == 5L).map(_._1).contains(100L), rd.mkString(","))
+    val assigned = rd.find(_._2 == 6L).get._1
+    assert(assigned == 1L, s"omitting clause assigns from start: $rd")
+    // next merge's assignment clears the synced provided extremum
+    MiniDelta.mergeClauses(spark, d,
+      Seq(7L).toDF("k"), Seq("k"),
+      Nil, Seq(MergeInsertClause(None, Map("k" -> col("k")))), Nil,
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(d)
+    val rd2 = MiniDelta.readFiltered(spark, d, Seq.empty)
+      .where(col("k") === 7L).select("id").as[Long].collect()
+    assert(rd2.toSeq == Seq(101L),
+      s"the mark must have synced past the provided 100: ${rd2.toSeq}")
   }
 
   test("SQL refusals: by-source source ref, nested target, no-op stays") {
