@@ -905,25 +905,72 @@ object MiniDelta {
     * guarantee that matters at 10⁷-file tables. */
   private[graft] val dataListings = new java.util.concurrent.atomic.AtomicLong
 
+  /** Tables whose first-level (partition) directory count exceeds this
+    * fan the candidate listing out over the cluster instead of walking
+    * the whole tree on one driver thread — at 10⁷ objects the LISTING,
+    * not the deletes, is the vacuum wall-clock (Delta's vacuum
+    * parallelizes the same step). Test seam. */
+  private[graft] var vacuumListParallelThreshold = 64
+
+  /** Distributed listing fan-outs taken — bumped on the DRIVER after
+    * the job (the [[distributedDeletes]] rule). Specs assert
+    * many-partition tables actually take the fan-out. */
+  private[graft] val distributedListings =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** (relative path, size, modification time) of every data file on
     * disk. Listing the DATA directory is proportional to the table's
     * file count — used only by [[vacuum]] and [[convertToDelta]]; never
-    * by commits (see [[writeAndCapture]]) or the per-query read path. */
+    * by commits (see [[writeAndCapture]]) or the per-query read path.
+    * The driver lists only the FIRST level; past
+    * [[vacuumListParallelThreshold]] partition directories the
+    * per-directory recursive walks run as one cluster job (one
+    * FileSystem per task, the [[deleteDataFiles]] discipline), so the
+    * serial driver cost is O(partition dirs), never O(files). */
   private def listDataFiles(spark: SparkSession,
                             table: String): Seq[(String, Long, Long)] = {
     dataListings.incrementAndGet()
     val root = new Path(table)
     val f = fs(spark, table)
     if (!f.exists(root)) return Seq.empty
-    val it = f.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val rootUri = root.toUri.getPath.stripSuffix("/")
-    while (it.hasNext) {
-      val s = it.next()
-      val p = s.getPath.toUri.getPath
-      if (p.endsWith(".parquet") && !p.contains("_delta_log"))
-        buf += ((p.stripPrefix(rootUri).stripPrefix("/"), s.getLen,
-          s.getModificationTime))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def walk(fsys: org.apache.hadoop.fs.FileSystem,
+             dir: Path): Seq[(String, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      val it = fsys.listFiles(dir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val p = s.getPath.toUri.getPath
+        if (p.endsWith(".parquet") && !p.contains("_delta_log"))
+          out += ((p, s.getLen, s.getModificationTime))
+      }
+      out.toSeq
+    }
+    def rel(t: (String, Long, Long)): (String, Long, Long) =
+      (t._1.stripPrefix(rootUri).stripPrefix("/"), t._2, t._3)
+    val top = f.listStatus(root)
+      .filterNot(_.getPath.getName == "_delta_log")
+    val (dirs, files) = top.partition(_.isDirectory)
+    buf ++= files.filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => rel((s.getPath.toUri.getPath, s.getLen,
+        s.getModificationTime)))
+    if (dirs.length <= vacuumListParallelThreshold) {
+      dirs.foreach(d => buf ++= walk(f, d.getPath).map(rel))
+    } else {
+      val h = org.apache.spark.sql.graft.HadoopConfBridge.handle(
+        spark.sparkContext.hadoopConfiguration)
+      val dirStrs = dirs.map(_.getPath.toString).toSeq
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism * 2, dirStrs.size))
+      buf ++= spark.sparkContext.parallelize(dirStrs, slices)
+        .flatMap { ds =>
+          val p = new Path(ds)
+          walk(p.getFileSystem(h.conf), p)
+        }.collect().map(rel)
+      distributedListings.incrementAndGet()
+      ()
     }
     buf.toSeq
   }

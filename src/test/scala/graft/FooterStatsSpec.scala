@@ -88,4 +88,37 @@ class FooterStatsSpec extends AnyFunSuite {
     val lo = MiniDelta.filesForRange(snap, "id", 0, 0).count()
     assert(lo >= 1 && lo < snap.count())
   }
+
+  test("footer-defeating kinds fall back INTO the aggregate pass") {
+    // the aggregateWouldStat mirror: a decimal column is min/max-able
+    // by the aggregate but NOT footer-faithful, so the whole footer
+    // path must fail INTO the aggregate — a mirror bug here would
+    // silently drop stats for every defaulted write carrying such a
+    // column, and nothing else would notice (skipping just degrades)
+    val t = freshTable()
+    val rows = Seq((1L, BigDecimal("12.34")), (9L, BigDecimal("-5.60")),
+      (4L, BigDecimal("99.99")))
+      .toDF("l", "dec")
+      .select(col("l"), col("dec").cast("decimal(10,2)").as("dec"))
+      .coalesce(1)
+    MiniDelta.append(spark, rows, t, Seq.empty)
+    val js = MiniDelta.snapshotFiles(spark, t)
+      .select("stats").collect().map(_.getString(0))
+    assert(js.length == 1 && js.head != null,
+      "stats must still land (via the aggregate) when the footer " +
+        "path cannot answer")
+    assert(js.head.contains("\"numRecords\":3"), js.head)
+    // BOTH columns stat — the long must not be dropped just because
+    // the decimal defeated the footer path; the decimal's SCALE
+    // survives in the JSON (raw-text check: json parsing would
+    // collapse -5.60 to a double)
+    assert(js.head.contains("\"minValues\":{\"l\":1,\"dec\":-5.60}"),
+      js.head)
+    assert(js.head.contains("\"maxValues\":{\"l\":9,\"dec\":99.99}"),
+      js.head)
+    // and the stats are consumable: a range outside [-5.60, 99.99]
+    // prunes the file
+    assert(MiniDelta.filesForRange(
+      MiniDelta.snapshotFiles(spark, t), "dec", 200, 300).count() == 0)
+  }
 }

@@ -114,6 +114,30 @@ class GoldenFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("defaulted footer-stats add action matches the golden format") {
+    // the r14 stats DEFAULT rides every SQL-built write; pin one
+    // defaulted add action's `stats` JSON (numRecords, min/maxValues
+    // key ordering, micro-precision timestamp rendering, all-null
+    // rendering) so a formatting drift cannot silently break foreign
+    // readers' data skipping
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("goldenstats").toString + "/t"
+    try {
+      MiniDelta.append(spark, Seq(
+        (1L, "beta", java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+          null.asInstanceOf[String], 2.5d),
+        (9L, "alpha", java.sql.Timestamp.valueOf("2023-12-31 23:59:59.999999"),
+          null.asInstanceOf[String], -0.25d))
+        .toDF("id", "s", "ts", "allnull", "d").coalesce(1),
+        t, Seq.empty) // no statsCols: exactly the defaulted-write shape
+      check("footer_stats_add.json",
+        normalize(readText(f"$t/_delta_log/${0L}%020d.json")))
+    } finally {
+      MiniDelta.commitClock = prevClock
+    }
+  }
+
   test("rowTracking log artifacts match the golden wire format") {
     // pins the LAST writer feature's wire shape: the enablement v0
     // (protocol carrying rowTracking + domainMetadata, metaData with

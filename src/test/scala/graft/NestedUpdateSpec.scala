@@ -117,4 +117,32 @@ class NestedUpdateSpec extends AnyFunSuite {
       assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 200L)
     } finally MiniDelta.vacuumParallelThreshold = prev
   }
+
+  test("vacuum fans the candidate LISTING out past the dir threshold") {
+    // round 15: candidate discovery was the one remaining serial
+    // O(table) stage — past the first-level-directory threshold the
+    // per-partition recursive walks run as one cluster job, and the
+    // result (both the survivors and the deleted debris) is identical
+    // to the driver walk
+    val t = Files.createTempDirectory("vaclist").toString + "/t"
+    val prevList = MiniDelta.vacuumListParallelThreshold
+    MiniDelta.vacuumListParallelThreshold = 8
+    try {
+      import org.apache.spark.sql.functions.{col, pmod}
+      MiniDelta.append(spark, spark.range(200)
+        .select(col("id"), pmod(col("id"), org.apache.spark.sql.functions
+          .lit(20)).as("p")), t, Seq("p")) // 20 partition dirs > 8
+      MiniDelta.invalidateSnapshot(t)
+      // orphan debris in one partition dir: only the listing can find it
+      val orphan = new java.io.File(s"$t/p=3/zzz_orphan.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+      val before = MiniDelta.distributedListings.get()
+      val deleted = MiniDelta.vacuum(spark, t, retainMs = 0L)
+      assert(MiniDelta.distributedListings.get() - before >= 1L,
+        "expected the distributed listing path")
+      assert(deleted.contains("p=3/zzz_orphan.parquet"), deleted)
+      assert(!orphan.exists())
+      assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 200L)
+    } finally MiniDelta.vacuumListParallelThreshold = prevList
+  }
 }
