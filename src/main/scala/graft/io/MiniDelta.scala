@@ -1264,6 +1264,12 @@ object MiniDelta {
         regexp_extract(input_file_name(), "([0-9]{20})\\.json", 1)
           .cast("long"))
 
+  // memo: (table, version) -> declared schema, the [[tableConfigMemo]]
+  // twin — without it every write and read-shape build re-ran the
+  // JSON-tail collect once per consulting call site
+  private val latestSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[org.apache.spark.sql.types.StructType]]()
+
   /** The table's declared schema as of `atMost` — the LATEST metaData
     * action (Delta keeps schema in the log, not in data files; old files
     * simply lack newer columns and read as null). None before the first
@@ -1271,11 +1277,24 @@ object MiniDelta {
     *
     * Scale: resolved from the checkpoint's schema sidecar plus the JSON
     * tail after it — O(since-last-checkpoint), not O(history), same as
-    * snapshot replay. */
+    * snapshot replay — and memoized per (table, effective version)
+    * like [[tableConfig]], cleared via [[invalidateSnapshot]]. */
   def latestSchema(spark: SparkSession, table: String,
                    atMost: Long = Long.MaxValue)
       : Option[org.apache.spark.sql.types.StructType] = {
     if (!tableExists(spark, table)) return None
+    val eff = math.min(latestVersion(spark, table), atMost)
+    if (eff < 0) return None
+    val hit = latestSchemaMemo.get((table, eff))
+    if (hit != null) return hit
+    val s = latestSchemaResolve(spark, table, eff)
+    latestSchemaMemo.put((table, eff), s)
+    s
+  }
+
+  private def latestSchemaResolve(spark: SparkSession, table: String,
+                                  atMost: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
     val cp = latestCheckpoint(spark, table, atMost)
     // own checkpoints carry the schema in a sidecar; REAL Delta
     // checkpoints carry it in their metaData action row
@@ -7331,6 +7350,7 @@ object MiniDelta {
     cpMetaCache.keySet.removeIf(_._1 == table)
     cpCompleteMemo.keySet.removeIf(_._1 == table)
     tableConfigMemo.keySet.removeIf(_._1 == table)
+    latestSchemaMemo.keySet.removeIf(_._1 == table)
     ()
   }
 
