@@ -1302,15 +1302,52 @@ object MiniDelta {
       .orElse(readCheckpointMetaData(spark, table, v)
         .map(m => parseSchema(m._1))))
     val from = if (base.isDefined) cp.get else -1L
-    val tail = logJsonVersions(spark, table, from + 1, atMost)
-    val fromTail =
-      if (tail.isEmpty) None
-      else logDFIn(spark, tail.map(_._2))
-        .where(col("metaData").isNotNull)
-        .orderBy(col("version").desc).limit(1)
-        .select("metaData.schemaString").collect().headOption
-        .map(_.getString(0))
+    // the tail is O(since-last-checkpoint) SMALL files: parse them on
+    // the driver (newest metaData wins) — a Spark JSON job here cost
+    // ~100 ms of per-job overhead on EVERY new version's first resolve,
+    // the dominant fixed cost of the write lifecycle
+    val fromTail = newestMetaDataField(spark, table, from + 1, atMost,
+      "schemaString").collectFirst { case s: String => s }
     fromTail.map(parseSchema).orElse(base)
+  }
+
+  /** Newest metaData action's `field` inside the JSON tail
+    * [fromInclusive, atMost], driver-parsed newest-first: None when no
+    * tail commit carries a metaData with a NON-NULL `field` (the
+    * legacy-format null-vs-stated distinction both consumers need).
+    * Returns the Jackson-decoded value: String for schemaString,
+    * Map[String, String] for configuration. */
+  private def newestMetaDataField(spark: SparkSession, table: String,
+                                  fromInclusive: Long, atMost: Long,
+                                  field: String): Option[Any] = {
+    val tail = logJsonVersions(spark, table, fromInclusive, atMost)
+    if (tail.isEmpty) return None
+    val f = fs(spark, table)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    tail.reverseIterator.flatMap { case (_, p) =>
+      val pp = new Path(p)
+      val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+      val in = f.open(pp)
+      try in.readFully(bytes) finally in.close()
+      val txt = new String(bytes, "UTF-8")
+      if (!txt.contains("\"metaData\"")) Iterator.empty
+      else txt.linesIterator.filter(_.contains("\"metaData\"")).flatMap {
+        line =>
+          val node =
+            try om.readTree(line) catch { case _: Exception => null }
+          val md = if (node == null) null else node.get("metaData")
+          val v = if (md == null || md.isNull) null else md.get(field)
+          if (v == null || v.isNull) Iterator.empty
+          else if (field == "configuration") {
+            val it = v.fieldNames()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val k = it.next(); b += k -> v.get(k).asText()
+            }
+            Iterator.single(b.result(): Any)
+          } else Iterator.single(v.asText(): Any)
+      }
+    }.nextOption()
   }
 
   private def parseSchema(json: String): org.apache.spark.sql.types.StructType =
@@ -1425,21 +1462,15 @@ object MiniDelta {
     val base = cp.flatMap(v => readConfigSidecar(spark, table, v)
       .orElse(readCheckpointMetaData(spark, table, v).flatMap(_._2)))
     val from = if (base.isDefined) cp.get else -1L
-    val tail = logJsonVersions(spark, table, from + 1, atMost)
     // a legacy-format metaData with NULL configuration is "not stated",
     // not "explicitly empty" — treating it as empty would silently
     // disarm CHECK constraints carried by the sidecar/older metaData.
-    // Scan back to the newest metaData that CARRIES a configuration
-    // (an explicit {} still overrides; it deserializes as an empty map,
-    // not null).
-    val fromTail =
-      if (tail.isEmpty) None
-      else logDFIn(spark, tail.map(_._2))
-        .where(col("metaData").isNotNull &&
-          col("metaData.configuration").isNotNull)
-        .orderBy(col("version").desc).limit(1)
-        .select("metaData.configuration").collect().headOption
-        .map(_.getMap[String, String](0).toMap)
+    // Scan back (driver-parsed, the latestSchemaResolve discipline) to
+    // the newest metaData that CARRIES a configuration (an explicit {}
+    // still overrides; it deserializes as an empty map, not null).
+    val fromTail = newestMetaDataField(spark, table, from + 1, atMost,
+      "configuration").collectFirst {
+        case m: Map[_, _] => m.asInstanceOf[Map[String, String]] }
     fromTail.orElse(base).getOrElse(Map.empty)
   }
 
