@@ -259,6 +259,19 @@ object ScaleBench {
         notMatched = Seq(MiniDelta.MergeInsertClause(None,
           Map("v" -> col("v"), "p" -> col("p")))),
         bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v")))
+      // vacuum candidate LISTING at the table's largest (r15): the
+      // dead files of every op above are on disk, and discovery is a
+      // first-level driver listing + per-directory recursive walks
+      // fanned out over the cluster past the threshold — the last
+      // serial O(table) maintenance stage, removed. DRY RUN so the
+      // curve's table is undisturbed; the distributed flag pins that
+      // the n=10000 point (1000 partition dirs) actually took the
+      // fan-out.
+      val lBefore = MiniDelta.distributedListings.get()
+      val tVacList = timed(MiniDelta.vacuum(spark, table, retainMs = 0L,
+        dryRun = true))
+      val vacListDistributed =
+        MiniDelta.distributedListings.get() - lBefore
       // generated-partitioned twin (r14 GeneratedPruning): n files over
       // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
       // bounded on ts ONLY — no stats on ts, so discovery scopes
@@ -311,6 +324,8 @@ object ScaleBench {
         s""""delete_cdf":${fmt(tDeleteCdf)},""" +
         s""""merge_scoped":${fmt(tMerge)},""" +
         s""""merge_clauses":${fmt(tMergeClauses)},""" +
+        s""""vacuum_list":${fmt(tVacList)},""" +
+        s""""vacuum_list_distributed":$vacListDistributed,""" +
         s""""genprune_build":${fmt(tGenBuild)},""" +
         s""""genprune_delete":${fmt(tGenDelete)},""" +
         s""""genprune_manifest":$genManifest}""")

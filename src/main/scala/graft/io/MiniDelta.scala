@@ -2262,10 +2262,13 @@ object MiniDelta {
     // remove-only commit's add/remove derivation (every row of every
     // removed file deleted) IS the correct feed — [[cdfDerivableOps]]
     val snapDF = snapshotFilesAt(spark, table, readVersion)
-    if (snapDF.isEmpty) return readVersion // already empty: no commit
+    // one metadata count serves BOTH the emptiness gate and the
+    // streamed render's batch sizing (the known-count overload)
+    val nFiles = snapDF.count()
+    if (nFiles == 0) return readVersion // already empty: no commit
     val now = System.currentTimeMillis()
     def bodyIt: Iterator[String] =
-      localRowIterator(snapDF.select("path"))
+      localRowIterator(snapDF.select("path"), nFiles, 100000L)
         .map(r => removeLine(r.getString(0), dataChange = true, now))
     beforeDmlCommitHook()
     writeCommitStreamed(spark, table, readVersion + 1, Seq.empty, bodyIt,
