@@ -336,6 +336,48 @@ class MergeClausesSpec extends AnyFunSuite {
       s"the mark must have synced past the provided 100: ${rd2.toSeq}")
   }
 
+  test("identity INSERT clauses compose with the DV form") {
+    import org.apache.spark.sql.types._
+    // the DV form carries the advanced mark through its own commit
+    // (writeCommit's idMeta line, not copyOnWrite's extraLines) — the
+    // mask + new-image + insert + mark must land atomically
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L).build()),
+      StructField("k", LongType),
+      StructField("v", StringType))),
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    // one source partition → one data file, so the matched UPDATE
+    // masks one row of a SURVIVING file (a fully-masked file would
+    // land as a plain remove, no descriptor)
+    MiniDelta.mergeClauses(spark, t,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), Seq("k"),
+      Nil, Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v")))), Nil, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.mergeClauses(spark, t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"),
+      Seq(MergeMatchedClause(None, Some(Map("v" -> col("__src_v"))))),
+      Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v")))), Nil, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .orderBy("k").select("id", "k", "v").as[(Long, Long, String)]
+      .collect().toSeq
+    // updated row KEEPS its identity; insert extends the chain past
+    // the first commit's mark
+    assert(rows.map(r => (r._2, r._3)) ==
+      Seq((1L, "a"), (2L, "B"), (3L, "c")), rows.mkString(","))
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L), rows.mkString(","))
+    // the second merge's update actually took the DV path (a mask
+    // descriptor exists), and the chain stayed collision-free
+    val masked = MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count()
+    assert(masked >= 1, "expected a DV mask from the matched UPDATE")
+  }
+
   test("SQL refusals: by-source source ref, nested target, no-op stays") {
     val dir = Files.createTempDirectory("mrgclref").toString
     GraftSqlTables.clear()
