@@ -118,4 +118,63 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.listing.ObjectListing.commonPrefixes(files, "x/").count() == 0)
     assert(graft.listing.ObjectListing.page(files, 10, 1).count() == 0)
   }
+
+  test("schema/config memos track versions and the invalidate contract") {
+    import org.apache.spark.sql.types._
+    // r15 memoizes tableConfig/latestSchema per (table, effective
+    // version): every mutation lands a NEW version, so the memo must
+    // never serve yesterday's resolution — and a table REPLACED at the
+    // same path resolves fresh after invalidateSnapshot (the
+    // documented contract of every permanent memo)
+    val t = Files.createTempDirectory("memo").toString + "/t"
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("a", LongType))), properties = Map("k" -> "1"))
+    assert(MiniDelta.tableConfig(spark, t).get("k").contains("1"))
+    MiniDelta.setTableProperties(spark, t, Map("k" -> "2"))
+    assert(MiniDelta.tableConfig(spark, t).get("k").contains("2"))
+    // pinned resolution still answers from the OLD version
+    assert(MiniDelta.tableConfig(spark, t, 0L).get("k").contains("1"))
+    MiniDelta.addColumns(spark, t, Seq(StructField("b", StringType)))
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("a", "b"))
+    assert(MiniDelta.latestSchema(spark, t, 0L).get.fieldNames.toSeq ==
+      Seq("a"))
+    // replace at the same path + invalidate: fresh table resolves fresh
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(new java.io.File(t).getParent))
+    new java.io.File(t).mkdirs()
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("z", StringType))), properties = Map("k" -> "9"))
+    assert(MiniDelta.tableConfig(spark, t).get("k").contains("9"))
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("z"))
+  }
+
+  test("legacy metaData without a configuration keeps the older config") {
+    import org.apache.spark.sql.types._
+    // the null-vs-stated rule, re-pinned against the r15 DRIVER-side
+    // tail parse: a metaData line that carries a schemaString but NO
+    // configuration field must not disarm the properties an earlier
+    // metaData declared (a legacy writer's shape); an explicit {} DOES
+    // override
+    val t = Files.createTempDirectory("legacymd").toString + "/t"
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("a", LongType))),
+      properties = Map("delta.appendOnly" -> "false", "marker" -> "yes"))
+    val schemaJson = MiniDelta.latestSchema(spark, t).get.json
+      .replace("\"", "\\\"")
+    // hand-written v1: a schema-bearing metaData with no configuration
+    // key at all (legacy shape)
+    val v1 = new java.io.File(f"$t%s/_delta_log/${1L}%020d.json")
+    java.nio.file.Files.writeString(v1.toPath,
+      s"""{"metaData":{"id":"legacy","schemaString":"$schemaJson",""" +
+        """"partitionColumns":[],"format":{"provider":"parquet",""" +
+        """"options":{}}}}""" + "\n")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.tableConfig(spark, t).get("marker").contains("yes"),
+      "a configuration-less metaData must keep the older config")
+    // schema resolution still takes the NEWEST metaData
+    assert(MiniDelta.latestSchema(spark, t).isDefined)
+  }
 }
