@@ -2979,6 +2979,125 @@ object MiniDelta {
   private val cdfDerivableOps: Set[String] =
     Set("TRUNCATE", "REPLACE TABLE", "RESTORE", "OVERWRITE")
 
+  /** Delta's optimistic-concurrency conflict RESOLUTION for predicate
+    * DML (DELETE/UPDATE): the commit pins `version` like every
+    * snapshot-dependent write, but a lost race re-examines the
+    * intervening winners instead of giving up — Delta's
+    * ConflictChecker restated. The rebase is sound iff every winner is
+    * logically disjoint from this transaction:
+    *   - no `metaData` / `protocol` action (the schema, config or
+    *     contract changed under us — MetadataChanged/ProtocolChanged);
+    *   - no `domainMetadata` outside the rowTracking high-water domain
+    *     (that one re-reads per attempt inside the commit funnel);
+    *   - no `remove` of a file THIS commit references (our removes,
+    *     which include every DV re-add target —
+    *     ConcurrentDeleteDelete/ConcurrentDeleteRead);
+    *   - every `dataChange` add provably holds no row matching the
+    *     DML's predicate, screened with the SAME file-level
+    *     (partitionValues, stats) condition discovery pruned with
+    *     ([[dmlFileCondition]]) — the ConcurrentAppend check. The
+    *     surviving history is equivalent to DML-before-winner, the
+    *     write reordering WriteSerializable (Delta's default
+    *     isolation) permits; a winner that MAY hold a matching row
+    *     still conflicts, so Serializable-grade anomalies (a DELETE
+    *     missing rows it should have seen) never commit silently.
+    * Anything unprovable throws exactly as before — resolution only
+    * widens the commits that SUCCEED, never what they mean.
+    * `readCond = None` (untranslatable predicate) makes every
+    * dataChange add a conflict. Winners are driver-read once per
+    * rebase (O(intervening commits) small files, the
+    * [[requireReadable]] cost shape); the add screen is ONE local
+    * evaluation over the collected add actions. */
+  private def writeCommitResolving(spark: SparkSession, table: String,
+      version: Long, lines: Seq[String], operation: String,
+      readCond: Option[org.apache.spark.sql.Column],
+      maxRebase: Int = 5): Long = {
+    require(!lines.exists(_.contains("\"txn\"")),
+      "resolving commits do not carry txn markers")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ourRemoved: Set[String] = lines.iterator
+      .filter(_.contains("\"remove\""))
+      .flatMap { l =>
+        val n = try om.readTree(l) catch { case _: Exception => null }
+        val r = if (n == null) null else n.get("remove")
+        if (r == null || r.isNull) Iterator.empty
+        else Iterator.single(r.get("path").asText())
+      }.toSet
+    val f = fs(spark, table)
+    var base = version
+    var attempt = 0
+    while (true) {
+      try return writeCommit(spark, table, base, lines, operation)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRebase) throw e
+          val latest = latestVersion(spark, table)
+          val addRows = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          logJsonVersions(spark, table, base, latest).foreach {
+            case (_, p) =>
+              val pp = new Path(p)
+              val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
+              val in = f.open(pp)
+              try in.readFully(bytes) finally in.close()
+              new String(bytes, "UTF-8").linesIterator
+                .filter(_.nonEmpty).foreach { line =>
+                  val node = try om.readTree(line)
+                    catch { case _: Exception => null }
+                  if (node == null) throw e // unreadable winner
+                  def has(k: String) = {
+                    val v = node.get(k); v != null && !v.isNull
+                  }
+                  if (has("metaData") || has("protocol")) throw e
+                  if (has("domainMetadata") &&
+                      node.get("domainMetadata").get("domain").asText() !=
+                        RowTrackingDomain) throw e
+                  if (has("remove") && ourRemoved.contains(
+                      node.get("remove").get("path").asText())) throw e
+                  if (has("add")) {
+                    val a = node.get("add")
+                    val dc = a.get("dataChange")
+                    if (dc == null || dc.asBoolean(true)) {
+                      if (readCond.isEmpty) throw e
+                      val pvNode = a.get("partitionValues")
+                      val pv = scala.collection.mutable
+                        .Map.empty[String, String]
+                      if (pvNode != null && !pvNode.isNull) {
+                        val it = pvNode.fieldNames()
+                        while (it.hasNext) {
+                          val k = it.next()
+                          val vn = pvNode.get(k)
+                          pv += k -> (if (vn.isNull) null else vn.asText())
+                        }
+                      }
+                      val st = a.get("stats")
+                      addRows += org.apache.spark.sql.Row(
+                        pv.toMap,
+                        if (st == null || st.isNull) null else st.asText())
+                    }
+                  }
+                }
+          }
+          if (addRows.nonEmpty) {
+            import org.apache.spark.sql.types._
+            import scala.jdk.CollectionConverters._
+            val schema = StructType(Seq(
+              StructField("partitionValues",
+                MapType(StringType, StringType, valueContainsNull = true)),
+              StructField("stats", StringType)))
+            val df = spark.createDataFrame(
+              new java.util.ArrayList(addRows.toSeq.asJava), schema)
+            if (df.where(coalesce(readCond.get, lit(false)))
+                .limit(1).count() > 0)
+              throw new ConcurrentCommitException(table, base)
+          }
+          base = latest + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Claim commit slot `dst` by moving fully-rendered temp file `tmp`
     * onto it with CREATE-IF-ABSENT semantics; false = another writer
     * owns the slot (`tmp` is left for the caller to clean up). On
@@ -4558,7 +4677,14 @@ object MiniDelta {
                           // mapped write: the data/cdc writers and the
                           // stats pass relabel under IT, not the probe
                           schemaOverride: Option[
-                            org.apache.spark.sql.types.StructType] = None)
+                            org.apache.spark.sql.types.StructType] = None,
+                          // predicate DML opts into Delta-style conflict
+                          // RESOLUTION ([[writeCommitResolving]]):
+                          // readCond is the discovery's own file-level
+                          // may-match condition, the add-conflict screen
+                          resolveConflicts: Boolean = false,
+                          readCond: Option[
+                            org.apache.spark.sql.Column] = None)
       : Long = {
     // the rewrite reads UNDER the files' deletion vectors: masked rows
     // are already deleted and must not be resurrected into the
@@ -4586,14 +4712,16 @@ object MiniDelta {
         partitionBy, schemaOverride))
     val now = System.currentTimeMillis()
     beforeDmlCommitHook()
-    writeCommit(spark, table, readVersion + 1,
-      cdcLines ++ extraLines ++
-        touched.map(_._1).sorted.map(p =>
-          removeLine(p, dataChange = dataChange, now)) ++
-        added.map { case (p, s, m) =>
-          addLine(p, s, stats.get(p), modTime = Some(m),
-            dataChange = dataChange) },
-      operation)
+    val allLines = cdcLines ++ extraLines ++
+      touched.map(_._1).sorted.map(p =>
+        removeLine(p, dataChange = dataChange, now)) ++
+      added.map { case (p, s, m) =>
+        addLine(p, s, stats.get(p), modTime = Some(m),
+          dataChange = dataChange) }
+    if (resolveConflicts)
+      writeCommitResolving(spark, table, readVersion + 1, allLines,
+        operation, readCond)
+    else writeCommit(spark, table, readVersion + 1, allLines, operation)
   }
 
   /** REORG TABLE ... APPLY (PURGE) — Delta's targeted deletion-vector
@@ -4700,7 +4828,26 @@ object MiniDelta {
                                    predicate: org.apache.spark.sql.Column,
                                    partitionCols: Seq[String],
                                    declared: Option[org.apache.spark.sql
-                                     .types.StructType] = None): DataFrame = {
+                                     .types.StructType] = None): DataFrame =
+    dmlFileCondition(snap.sparkSession, predicate, partitionCols, declared)
+      // null-valued conditions only arise from exact partition
+      // subtrees, where null means "no row's predicate is TRUE" —
+      // excluding the file is sound (see Not/And soundness above)
+      .fold(snap)(c => snap.where(coalesce(c, lit(false))))
+
+  /** The file-level may-match condition [[dmlCandidates]] applies,
+    * exposed on its own: a Column over (partitionValues, stats) action
+    * metadata that is FALSE only for files provably holding no row
+    * where `predicate` is TRUE. None when the predicate has no
+    * translatable structure (whole-table read). Shared by discovery
+    * AND the conflict checker ([[writeCommitResolving]]) — a
+    * concurrently ADDED file failing this condition provably cannot
+    * change the DML's outcome. */
+  private[graft] def dmlFileCondition(spark: SparkSession,
+      predicate: org.apache.spark.sql.Column,
+      partitionCols: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val simpleName = "[A-Za-z0-9_]+".r
@@ -4917,7 +5064,7 @@ object MiniDelta {
     // analysis-only pass per constant subtree (Spark's own
     // ConstantFolding does the evaluation and refuses nondeterministic
     // expressions, so rand() stays opaque — sound).
-    val session = snap.sparkSession
+    val session = spark
     def hasAttr(e: Expression): Boolean = e.exists {
       case _: UnresolvedAttribute | _: AttributeReference => true
       case _ => false
@@ -4939,10 +5086,7 @@ object MiniDelta {
     }
     trans(foldConstants(
         org.apache.spark.sql.graft.ColumnBridge.catalyst(predicate)))
-      // null-valued conditions only arise from exact partition
-      // subtrees, where null means "no row's predicate is TRUE" —
-      // excluding the file is sound (see Not/And soundness above)
-      .fold(snap) { case (c, _) => snap.where(coalesce(c, lit(false))) }
+      .map(_._1)
   }
 
   /** DELETE WHERE (Delta semantics): remove rows where `predicate` is
@@ -4983,7 +5127,9 @@ object MiniDelta {
         .withColumn("_change_type", lit("delete")))
     copyOnWrite(spark, table, readVersion, touched, declared,
       _.where(not(coalesce(predicate, lit(false)))),
-      partitionBy, "DELETE", statsCols, cdc = cdc)
+      partitionBy, "DELETE", statsCols, cdc = cdc,
+      resolveConflicts = true,
+      readCond = dmlFileCondition(spark, predicate, partitionBy, declared))
   }
 
   /** DELETE via deletion vectors: one narrow predicate scan over the
@@ -5025,8 +5171,9 @@ object MiniDelta {
                   .withColumn("_change_type", lit("delete")), partitionBy)
             }
           beforeDmlCommitHook()
-          writeCommit(spark, table, readVersion + 1, cdcLines ++ lines,
-            "DELETE")
+          writeCommitResolving(spark, table, readVersion + 1,
+            cdcLines ++ lines, "DELETE",
+            dmlFileCondition(spark, predicate, partitionBy, declared))
         }
     } finally { matched.unpersist(); () }
   }
@@ -5081,11 +5228,12 @@ object MiniDelta {
                   .withColumn("_change_type", lit("update_postimage"))),
               partitionBy)
           beforeDmlCommitHook()
-          writeCommit(spark, table, readVersion + 1,
+          writeCommitResolving(spark, table, readVersion + 1,
             cdcLines ++ maskLines ++
               added.map { case (pp, sz, m) =>
                 addLine(pp, sz, stats.get(pp), modTime = Some(m)) },
-            "UPDATE")
+            "UPDATE",
+            dmlFileCondition(spark, predicate, partitionBy, declared))
         }
     } finally { matched.unpersist(); () }
   }
@@ -5290,7 +5438,9 @@ object MiniDelta {
               .otherwise(col(c)).as(c))
         }.toIndexedSeq: _*), declared)
       },
-      partitionBy, "UPDATE", statsCols, cdc = cdc)
+      partitionBy, "UPDATE", statsCols, cdc = cdc,
+      resolveConflicts = true,
+      readCond = dmlFileCondition(spark, predicate, partitionBy, declared))
   }
 
   /** Re-evaluate every generated column from its expression — the

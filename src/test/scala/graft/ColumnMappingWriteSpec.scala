@@ -355,22 +355,28 @@ class ColumnMappingWriteSpec extends AnyFunSuite {
       p
     }
     // steal the slot AFTER the DML pinned its read version (the hook
-    // fires right before the commit lands). DML commits are no-retry:
-    // the lost race must surface as a conflict AND the winner's bytes
-    // must survive — Hadoop's local rename is POSIX rename(2), which
-    // silently REPLACES, so a screen+rename claim could clobber here
+    // fires right before the commit lands). The winner's bytes must
+    // survive the lost race — Hadoop's local rename is POSIX
+    // rename(2), which silently REPLACES, so a screen+rename claim
+    // could clobber here. A commitInfo-only winner is logically
+    // disjoint, so the r15 conflict resolution REBASES the delete past
+    // it instead of giving up — the non-clobber property is unchanged.
     var stolen: java.nio.file.Path = null
     val prevHook = MiniDelta.beforeDmlCommitHook
     MiniDelta.beforeDmlCommitHook = () => {
       MiniDelta.beforeDmlCommitHook = prevHook // fire once
       stolen = stealNextSlot()
     }
-    try intercept[MiniDelta.ConcurrentCommitException](
-      MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty))
-    finally MiniDelta.beforeDmlCommitHook = prevHook
+    try {
+      val v = MiniDelta.delete(spark, t, col("id") === 1L, Seq.empty)
+      assert(v == MiniDelta.latestVersion(spark, t),
+        "the rebased delete must land AFTER the winner")
+    } finally MiniDelta.beforeDmlCommitHook = prevHook
     assert(new String(Files.readAllBytes(stolen), "UTF-8") == sentinel,
       "losing writer clobbered the winning commit")
-    // streamed path (TRUNCATE) loses the same way, same guarantees
+    // streamed path (TRUNCATE, which keeps the strict pinned rule)
+    // loses the same way: conflict surfaces AND the winner survives
+    MiniDelta.append(spark, Seq((2L, "b")).toDF("id", "v"), t, Seq.empty)
     MiniDelta.invalidateSnapshot(t)
     val prevHook2 = MiniDelta.beforeDmlCommitHook
     MiniDelta.beforeDmlCommitHook = () => {

@@ -1359,8 +1359,9 @@ class MiniDeltaSpec extends AnyFunSuite {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
     // a concurrent writer lands BETWEEN the delete's snapshot read and
-    // its commit: the delete's touched set is stale and must conflict,
-    // not silently commit (it would resurrect the concurrent state)
+    // its commit, and its added file MAY hold a matching row (the
+    // sample's id stats include 1): Delta's ConcurrentAppend rule —
+    // the delete must conflict, not silently commit a stale result
     MiniDelta.beforeDmlCommitHook = () =>
       MiniDelta.append(spark, sample("2024", 1), t, Seq("year"))
     try {
@@ -1373,6 +1374,70 @@ class MiniDeltaSpec extends AnyFunSuite {
     MiniDelta.delete(spark, t, col("id") === 1L && col("year") === "2023",
       Seq("year"))
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+  }
+
+  test("predicate DML rebases over provably-disjoint concurrent commits") {
+    // r15: Delta's conflict RESOLUTION — a lost race re-examines the
+    // winners and rebases when they are logically disjoint, using the
+    // SAME file-level condition discovery pruned with
+    // (dmlFileCondition). WriteSerializable semantics: the surviving
+    // history is DML-before-winner.
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
+    // (1) concurrent append to a DISJOINT partition: the year='2023'
+    // delete proves the 2025 add holds no match and lands anyway
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => () // fire once
+      MiniDelta.append(spark, sample("2025", 2), t, Seq("year"))
+      ()
+    }
+    try {
+      val v = MiniDelta.delete(spark, t, col("year") === "2023",
+        Seq("year"))
+      assert(v == MiniDelta.latestVersion(spark, t))
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+    // BOTH effects present: 2023 gone, the concurrent 2025 rows intact
+    val years = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("year").as[String].collect().toSeq
+    assert(years.sorted == Seq("2025", "2025"), years)
+    // (2) data-column predicate: concurrent add whose id STATS exclude
+    // the sought key resolves too (stats-screened ConcurrentAppend)
+    MiniDelta.append(spark, sample("2026", 3), t, Seq("year"))
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => ()
+      MiniDelta.append(spark,
+        Seq((100L, "2026", "w")).toDF("id", "year", "payload"), t,
+        Seq("year"))
+      ()
+    }
+    try {
+      MiniDelta.update(spark, t, col("id") === 2L,
+        Map("payload" -> lit("upd")), Seq("year"))
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+    val rows = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(rows.contains((2L, "upd")) && rows.contains((100L, "w")), rows)
+    // (3) a concurrent METADATA change always conflicts (Delta's
+    // MetadataChanged), even with a disjoint-partition predicate
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => ()
+      MiniDelta.setTableProperties(spark, t, Map("spec.k" -> "1"))
+      ()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException] {
+      MiniDelta.delete(spark, t, col("year") === "2025", Seq("year"))
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+    // (4) a concurrent REMOVE of a file this DML rewrites conflicts
+    // (ConcurrentDeleteDelete): both target year=2026
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => ()
+      MiniDelta.delete(spark, t, col("year") === "2026", Seq("year"))
+      ()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException] {
+      MiniDelta.delete(spark, t,
+        col("year") === "2026" && col("id") <= 1L, Seq("year"))
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
   }
 
   test("UPDATE SET with an unknown column fails instead of no-opping") {
