@@ -4287,14 +4287,19 @@ object MiniDelta {
     val now = System.currentTimeMillis()
     val removes = oldPaths.toSeq.sorted.map(p => removeLine(p,
       dataChange = false, now))
-    // pinned version: the removes were computed from the snapshot read
-    // above, so the commit targets EXACTLY readVersion + 1 — any commit
-    // that landed in between throws ConcurrentCommitException instead of
-    // silently re-adding files a concurrent DELETE removed
-    writeCommit(spark, table, readVersion + 1,
+    // pinned version with conflict RESOLUTION: the removes were
+    // computed from the snapshot read above, so a concurrent commit
+    // removing any of THEM (a DELETE that beat us) still conflicts —
+    // but a pure rewrite's outcome cannot depend on files it never
+    // read, so concurrent dataChange APPENDS rebase past
+    // (readCond = lit(false): no add ever matches). This is what lets
+    // periodic OPTIMIZE land under continuous ingest instead of losing
+    // every race (Delta's compaction conflict rule).
+    beforeDmlCommitHook()
+    writeCommitResolving(spark, table, readVersion + 1,
       removes ++ added.map { case (p, s, m) => // pure rewrite
         addLine(p, s, stats.get(p), dataChange = false, modTime = Some(m)) },
-      "OPTIMIZE")
+      "OPTIMIZE", readCond = Some(lit(false)))
   }
 
   /** Relative paths of snapshot files that contain at least one row
@@ -4748,8 +4753,12 @@ object MiniDelta {
         .select("path", "dv_path").collect().toIndexedSeq)
       .map(r => (r.getString(0), Option(r.getString(1)))).toIndexedSeq
     if (touched.isEmpty) return readVersion // nothing masked: no commit
+    // same resolution posture as OPTIMIZE: a physical rewrite never
+    // depends on concurrently-appended files, so only removes of its
+    // own inputs (and metadata/protocol changes) conflict
     copyOnWrite(spark, table, readVersion, touched, declared,
-      identity, partitionBy, "REORG", statsCols, dataChange = false)
+      identity, partitionBy, "REORG", statsCols, dataChange = false,
+      resolveConflicts = true, readCond = Some(lit(false)))
   }
 
   private val addSizeRe = "\"size\"\\s*:\\s*([0-9]+)".r

@@ -1440,6 +1440,45 @@ class MiniDeltaSpec extends AnyFunSuite {
     } finally MiniDelta.beforeDmlCommitHook = () => ()
   }
 
+  test("OPTIMIZE rebases past concurrent ingest; conflicts on its inputs") {
+    // r15: a pure rewrite's outcome cannot depend on files it never
+    // read, so compaction lands under continuous ingest instead of
+    // losing every race — while a concurrent DELETE of one of its
+    // INPUT files still conflicts (the rewrite would resurrect rows)
+    val t = freshTable()
+    MiniDelta.append(spark, sample("2023", 3).repartition(3), t,
+      Seq("year"))
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => () // fire once
+      MiniDelta.append(spark, sample("2024", 1), t, Seq("year"))
+      ()
+    }
+    try {
+      val v = MiniDelta.compact(spark, t, Seq("year"))
+      assert(v == MiniDelta.latestVersion(spark, t),
+        "the rebased OPTIMIZE must land after the concurrent append")
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+    MiniDelta.invalidateSnapshot(t)
+    // both effects present: compaction landed AND the ingest survived
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 4)
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .where(element_at(col("partitionValues"), "year") === "2023")
+      .count() == 1, "2023 must be compacted to one file")
+    // the conflict side: a concurrent DELETE removes one of the
+    // compaction's inputs
+    MiniDelta.append(spark, sample("2025", 2).repartition(2), t,
+      Seq("year"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.beforeDmlCommitHook = () => {
+      MiniDelta.beforeDmlCommitHook = () => ()
+      MiniDelta.delete(spark, t, col("year") === "2025", Seq("year"))
+      ()
+    }
+    try intercept[MiniDelta.ConcurrentCommitException](
+      MiniDelta.compact(spark, t, Seq("year")))
+    finally MiniDelta.beforeDmlCommitHook = () => ()
+  }
+
   test("UPDATE SET with an unknown column fails instead of no-opping") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 2), t, Seq("year"))
