@@ -272,6 +272,14 @@ object ScaleBench {
         dryRun = true))
       val vacListDistributed =
         MiniDelta.distributedListings.get() - lBefore
+      // VACUUM LITE candidate discovery (r15): the same dry run with
+      // candidates derived from the log's tombstones — ZERO directory
+      // listing, so the point should read flat-to-log-size where
+      // vacuum_list grows with partition-directory count. Same table,
+      // same dead files, same report (modulo debris, of which the
+      // curve plants none).
+      val tVacLite = timed(MiniDelta.vacuum(spark, table, retainMs = 0L,
+        dryRun = true, lite = true))
       // generated-partitioned twin (r14 GeneratedPruning): n files over
       // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
       // bounded on ts ONLY — no stats on ts, so discovery scopes
@@ -326,6 +334,7 @@ object ScaleBench {
         s""""merge_clauses":${fmt(tMergeClauses)},""" +
         s""""vacuum_list":${fmt(tVacList)},""" +
         s""""vacuum_list_distributed":$vacListDistributed,""" +
+        s""""vacuum_lite":${fmt(tVacLite)},""" +
         s""""genprune_build":${fmt(tGenBuild)},""" +
         s""""genprune_delete":${fmt(tGenDelete)},""" +
         s""""genprune_manifest":$genManifest}""")

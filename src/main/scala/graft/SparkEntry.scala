@@ -934,6 +934,12 @@ object SparkEntry {
         src.where(pmod(col("l_linenumber"), lit(2)) === 1), table,
         Seq("l_returnflag"))
       graft.io.MiniDelta.compact(s, table, Seq("l_returnflag"))
+      // LITE first (Delta 3.3's log-derived candidates — this is what
+      // physically deletes the superseded files, making LITE itself
+      // load-bearing for the raw-scan equality below), then FULL,
+      // which must find nothing more (the listing sees only live
+      // files; any residue would double-count rows and fail the gate).
+      graft.io.MiniDelta.vacuum(s, table, lite = true)
       graft.io.MiniDelta.vacuum(s, table)
       s.read.parquet(table)
         .groupBy("l_returnflag")

@@ -2606,6 +2606,72 @@ object MiniDelta {
       "ALTER COLUMN")
   }
 
+  /** ALTER TABLE ... ALTER COLUMN c SYNC IDENTITY — Delta's identity
+    * resync: recompute `delta.identity.highWaterMark` from the values
+    * actually STORED in the column. The verb exists for GENERATED BY
+    * DEFAULT columns, where explicit inserts can land values the mark
+    * never saw (delta-spark allows the reverse drift too — a mark
+    * beyond freshly-deleted rows re-tightens to the surviving data,
+    * reclaiming chain range on the user's explicit request). The new
+    * mark is the extremum of the stored values in step direction (max
+    * for positive step, min for negative); an empty or all-null column
+    * CLEARS the mark, so the next assignment restarts at `start`. One
+    * metadata commit, PINNED at readVersion + 1 like every
+    * mark-advancing write (a concurrent identity append reading the
+    * stale mark must conflict, not silently overlap). Returns the new
+    * mark. Cost: one aggregate over the single column — column-pruned
+    * scan, no shuffle. */
+  def syncIdentity(spark: SparkSession, table: String, column: String,
+                   readOnly: Boolean = false): Option[Long] = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    val f = declared.fields.find(_.name.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column $column in $table " +
+          s"(has ${declared.fieldNames.mkString(", ")})"))
+    require(f.metadata.contains(IdentityStartKey),
+      s"SYNC IDENTITY: $column is not an identity column")
+    val step =
+      if (f.metadata.contains(IdentityStepKey))
+        f.metadata.getLong(IdentityStepKey)
+      else 1L
+    val mx = readFiltered(spark, table, Seq.empty).agg(
+      (if (step > 0) max(col(s"`${f.name}`"))
+      else min(col(s"`${f.name}`"))).cast("long")).collect().head
+    val newHwm: Option[Long] =
+      if (mx.isNullAt(0)) None else Some(mx.getLong(0))
+    val prior: Option[Long] =
+      if (f.metadata.contains(IdentityHwmKey))
+        Some(f.metadata.getLong(IdentityHwmKey))
+      else None
+    if (newHwm != prior) {
+      // MetadataBuilder has no remove — clearing round-trips the field
+      // metadata through its JSON form minus the key, preserving every
+      // unrelated entry (comments, typeChanges, mapping ids)
+      val m2 = newHwm match {
+        case Some(v) => new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(IdentityHwmKey, v).build()
+        case None =>
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(f.metadata.json)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          node.remove(IdentityHwmKey)
+          org.apache.spark.sql.types.Metadata.fromJson(node.toString)
+      }
+      val f2 = f.copy(metadata = m2)
+      val schema2 = org.apache.spark.sql.types.StructType(
+        declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
+      writeCommit(spark, table, readVersion + 1,
+        Seq(metaDataLine(table, schema2, partitionColumns(spark, table),
+          tableConfig(spark, table, readVersion))),
+        "ALTER COLUMN")
+      invalidateSnapshot(table)
+    }
+    newHwm
+  }
+
   /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
     * exists FOR (the reference documents exactly this client hazard,
     * README.md:249-270): one metaData commit changes the LOGICAL name,
@@ -6378,12 +6444,25 @@ object MiniDelta {
     * the log (uncommitted write debris, legacy commits) fall back to
     * their filesystem modification time. Returns the deleted relative
     * paths. `retainMs = 0` reproduces the reference environment's
-    * immediate vacuum. `nowMs` is injectable for horizon tests. */
+    * immediate vacuum. `nowMs` is injectable for horizon tests.
+    *
+    * `lite = true` is Delta 3.3's `VACUUM ... LITE`: candidates come
+    * from the LOG's remove tombstones alone — zero directory listing,
+    * so discovery is O(retained removes) instead of O(table files),
+    * the shape that matters on a 10⁷-object table where even the
+    * distributed listing pays one RPC per object. The trade is the
+    * Delta-documented one: untracked debris (uncommitted write
+    * leftovers that never got a remove action) is invisible to LITE
+    * and waits for a FULL vacuum, and a tombstone whose file an
+    * earlier vacuum already deleted is screened by the delete's own
+    * return value (full runs never see one — their candidates come
+    * from the listing, which only yields files that exist). */
   def vacuum(spark: SparkSession, table: String,
              retainMs: Long = 0L,
              readOnly: Boolean = false,
              nowMs: () => Long = () => System.currentTimeMillis(),
-             dryRun: Boolean = false): Seq[String] = {
+             dryRun: Boolean = false,
+             lite: Boolean = false): Seq[String] = {
     // DRY RUN (Delta's form) reports the would-be deletions without
     // touching storage — the same candidate discovery, no delete calls
     if (readOnly && !dryRun) throw new ReadOnlyTableException(table)
@@ -6419,14 +6498,31 @@ object MiniDelta {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val cutoff = nowMs() - retainMs
     val f = fs(spark, table)
-    val dead = listDataFiles(spark, table).collect {
-      case (p, _, mtime) if !live.contains(p) &&
-        tombstones.getOrElse(p, mtime) <= cutoff => p
-    }
+    // LITE aging uses the tombstone timestamp ONLY (there is no mtime
+    // without a listing); a path with no tombstone is simply not a
+    // LITE candidate. FULL keeps the mtime fallback for debris.
+    // External (absolute) tombstones are screened out: a shallow
+    // clone's COW DML removes reference the SOURCE table's absolute
+    // paths, and LITE's log-derived candidates would otherwise reach
+    // outside this root — the invariant full vacuum gets for free
+    // from listing only its own directory.
+    val dead =
+      if (lite) tombstones.collect {
+        case (p, ts) if !live.contains(p) && ts <= cutoff &&
+          !p.startsWith("/") && !p.contains("://") => p
+      }.toSeq.sorted
+      else listDataFiles(spark, table).collect {
+        case (p, _, mtime) if !live.contains(p) &&
+          tombstones.getOrElse(p, mtime) <= cutoff => p
+      }
     // deliberately NOT resolvePath: dead candidates come from listing
-    // THIS table's directory, so vacuum can never touch an external
-    // (shallow-cloned) file living under the source table's root
-    if (!dryRun) deleteDataFiles(spark, table, dead)
+    // THIS table's directory (or, LITE, from its own log), so vacuum
+    // can never touch an external (shallow-cloned) file living under
+    // the source table's root
+    val deadDeleted =
+      if (dryRun) existingDataFiles(spark, table, dead,
+        screenNeeded = lite)
+      else deleteDataFiles(spark, table, dead)
     // orphaned deletion-vector sidecars: a DV dir no live add references
     // (OPTIMIZE materialized it, or its masked files were removed) is
     // dead weight; age it on its mtime under the same horizon. Live
@@ -6450,8 +6546,16 @@ object MiniDelta {
       .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
       .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
     val dvRoot = new Path(s"${logDir(table)}/_dv")
+    // LITE sidecars: log-derived like the data candidates — a sidecar
+    // with no de-reference tombstone is retained (fail-safe), and the
+    // existence screen is mask-count-scale, never table-scale
     val deadDv =
-      if (!f.exists(dvRoot)) Seq.empty[String]
+      if (lite) dvDeref.collect {
+        case (rel, ts) if !liveDv.contains(rel) && ts <= cutoff &&
+          !rel.startsWith("/") && !rel.contains("://") &&
+          f.exists(new Path(s"$table/$rel")) => rel
+      }.toSeq.sorted
+      else if (!f.exists(dvRoot)) Seq.empty[String]
       else f.listStatus(dvRoot).toSeq.collect {
         case st if {
           val rel = s"_delta_log/_dv/${st.getPath.getName}"
@@ -6485,16 +6589,23 @@ object MiniDelta {
         .stripPrefix(s"$table/"))
       .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
       .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
-    val deadBins = f.listStatus(new Path(table)).toSeq.collect {
-      case st if {
-        val n = st.getPath.getName
-        n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
-          !liveBins.contains(n) &&
-          binDeref.getOrElse(n, st.getModificationTime) <= cutoff
-      } => st.getPath.getName
-    }
+    // LITE bins: log-derived (the root listing is O(first-level
+    // entries), which for an unpartitioned table IS O(table files))
+    val deadBins =
+      if (lite) binDeref.collect {
+        case (n, ts) if !liveBins.contains(n) && ts <= cutoff &&
+          f.exists(new Path(s"$table/$n")) => n
+      }.toSeq.sorted
+      else f.listStatus(new Path(table)).toSeq.collect {
+        case st if {
+          val n = st.getPath.getName
+          n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+            !liveBins.contains(n) &&
+            binDeref.getOrElse(n, st.getModificationTime) <= cutoff
+        } => st.getPath.getName
+      }
     if (!dryRun) deadBins.foreach(p => f.delete(new Path(s"$table/$p"), false))
-    dead ++ deadDv ++ deadBins
+    deadDeleted ++ deadDv ++ deadBins
   }
 
   /** Vacuum deletes past this count fan out over the cluster instead
@@ -6511,18 +6622,20 @@ object MiniDelta {
   private[graft] val distributedDeletes =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** Physically delete `rels` (data-file paths relative to `table`).
+  /** Physically delete `rels` (data-file paths relative to `table`),
+    * returning the subset that EXISTED (a LITE candidate can already
+    * be gone — delete's own boolean is the screen, no extra RPC).
     * Small sets delete driver-side; larger ones parallelize with one
     * FileSystem per executor partition, the driver conf shipped
     * through [[org.apache.spark.sql.graft.HadoopConfBridge]]. The DV
     * sidecar/bin sets stay driver-side — they are mask-count-scale,
     * never table-scale. */
   private def deleteDataFiles(spark: SparkSession, table: String,
-                              rels: Seq[String]): Unit = {
-    if (rels.isEmpty) return
+                              rels: Seq[String]): Seq[String] = {
+    if (rels.isEmpty) return Seq.empty
     if (rels.size <= vacuumParallelThreshold) {
       val f = fs(spark, table)
-      rels.foreach(p => f.delete(new Path(s"$table/$p"), false))
+      rels.filter(p => f.delete(new Path(s"$table/$p"), false))
     } else {
       val h = org.apache.spark.sql.graft.HadoopConfBridge.handle(
         spark.sparkContext.hadoopConfiguration)
@@ -6531,13 +6644,39 @@ object MiniDelta {
       val slices = math.max(1, math.min(
         spark.sparkContext.defaultParallelism * 4,
         rels.size / 4096 + 1))
-      spark.sparkContext.parallelize(rels, slices)
-        .foreachPartition { it =>
+      val deleted = spark.sparkContext.parallelize(rels, slices)
+        .mapPartitions { it =>
           val f2 = new Path(table).getFileSystem(h.conf)
-          it.foreach { p => f2.delete(new Path(s"$table/$p"), false); () }
-        }
-      distributedDeletes.addAndGet(rels.size)
-      ()
+          it.filter(p => f2.delete(new Path(s"$table/$p"), false))
+        }.collect().toSeq
+      distributedDeletes.addAndGet(deleted.size)
+      deleted
+    }
+  }
+
+  /** Subset of `rels` that exist under `table` — the LITE dry-run's
+    * report screen (log-derived candidates may already be gone; a
+    * dry run must not claim them). `screenNeeded = false` (FULL dry
+    * runs, whose candidates come from a listing and exist by
+    * construction) returns `rels` untouched. Distributes past the
+    * vacuum threshold like the deletes. */
+  private def existingDataFiles(spark: SparkSession, table: String,
+      rels: Seq[String], screenNeeded: Boolean): Seq[String] = {
+    if (!screenNeeded || rels.isEmpty) return rels
+    if (rels.size <= vacuumParallelThreshold) {
+      val f = fs(spark, table)
+      rels.filter(p => f.exists(new Path(s"$table/$p")))
+    } else {
+      val h = org.apache.spark.sql.graft.HadoopConfBridge.handle(
+        spark.sparkContext.hadoopConfiguration)
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism * 4,
+        rels.size / 4096 + 1))
+      spark.sparkContext.parallelize(rels, slices)
+        .mapPartitions { it =>
+          val f2 = new Path(table).getFileSystem(h.conf)
+          it.filter(p => f2.exists(new Path(s"$table/$p")))
+        }.collect().toSeq
     }
   }
 

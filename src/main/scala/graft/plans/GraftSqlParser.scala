@@ -16,7 +16,7 @@ import graft.io.MiniDelta
   * Spark's grammar lacks and delegates EVERYTHING else untouched —
   *
   *   OPTIMIZE graft.t [WHERE <partition predicate>] [ZORDER BY (c, ...)]
-  *   VACUUM graft.t [RETAIN <n> HOURS] [DRY RUN]
+  *   VACUUM graft.t [LITE|FULL] [RETAIN <n> HOURS] [DRY RUN]
   *   REORG TABLE graft.t APPLY (PURGE)
   *   DESCRIBE|DESC DETAIL graft.t
   *   DESCRIBE|DESC HISTORY graft.t [LIMIT n]
@@ -26,6 +26,7 @@ import graft.io.MiniDelta
   *     [VERSION AS OF n | TIMESTAMP AS OF '<ts>'] [LOCATION '...']
   *   CONVERT TO DELTA graft.raw_alias
   *   ALTER TABLE graft.t DROP FEATURE <name> [TRUNCATE HISTORY]
+  *   ALTER TABLE graft.t ALTER COLUMN c SYNC IDENTITY
   *
   * A statement is intercepted ONLY when its table identifier resolves
   * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
@@ -67,7 +68,7 @@ object GraftMaintenanceVerbs {
     ("""(?is)^\s*OPTIMIZE\s+""" + ident +
       """(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
-    ("""(?is)^\s*VACUUM\s+""" + ident +
+    ("""(?is)^\s*VACUUM\s+""" + ident + """(?:\s+(LITE|FULL))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?(?:\s+(DRY\s+RUN))?\s*;?\s*$""").r
   private val ReorgRe =
     ("""(?is)^\s*REORG\s+TABLE\s+""" + ident +
@@ -101,6 +102,12 @@ object GraftMaintenanceVerbs {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
       """\s+DROP\s+FEATURE\s+(?:`([^`]+)`|([\w]+))""" +
       """(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*$""").r
+  // Delta's identity resync (Spark's alterColumnAction grammar lacks it):
+  //   ALTER TABLE graft.t ALTER COLUMN c SYNC IDENTITY
+  private val SyncIdentityRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
+      """\s+ALTER\s+COLUMN\s+(?:`([^`]+)`|([\w]+))""" +
+      """\s+SYNC\s+IDENTITY\s*;?\s*$""").r
 
   private def entryOf(id: String): Option[GraftSqlTables.Entry] = {
     val parts = id.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`"))
@@ -120,12 +127,13 @@ object GraftMaintenanceVerbs {
           .filter(_.nonEmpty)).getOrElse(Seq.empty)
         GraftOptimizeCommand(e.path, e.readOnly, filters, zCols)
       }
-      case VacuumRe(id, hours, dry) => entryOf(id).map { e =>
+      case VacuumRe(id, mode, hours, dry) => entryOf(id).map { e =>
+        val lite = mode != null && mode.equalsIgnoreCase("LITE")
         if (dry != null)
           GraftVacuumDryRunCommand(e.path,
-            Option(hours).map(_.toLong * 3600000L))
+            Option(hours).map(_.toLong * 3600000L), lite)
         else GraftVacuumCommand(e.path, e.readOnly,
-          Option(hours).map(_.toLong * 3600000L))
+          Option(hours).map(_.toLong * 3600000L), lite)
       }
       case ReorgRe(id) => entryOf(id).map(e =>
         GraftReorgCommand(e.path, e.readOnly))
@@ -157,6 +165,9 @@ object GraftMaintenanceVerbs {
       case DropFeatureRe(id, featQ, feat, trunc) => entryOf(id).map(e =>
         GraftDropFeatureCommand(e.path, e.readOnly,
           Option(featQ).getOrElse(feat), trunc != null))
+      case SyncIdentityRe(id, colQ, colP) => entryOf(id).map(e =>
+        GraftSyncIdentityCommand(e.path, e.readOnly,
+          Option(colQ).getOrElse(colP)))
       case _ => None
     }
 
@@ -281,10 +292,12 @@ case class GraftOptimizeCommand(table: String, readOnly: Boolean,
   }
 }
 
-/** `VACUUM graft.t [RETAIN n HOURS]` → [[MiniDelta.vacuum]]. Without
-  * RETAIN the horizon is the table's
+/** `VACUUM graft.t [LITE|FULL] [RETAIN n HOURS]` →
+  * [[MiniDelta.vacuum]]. Without RETAIN the horizon is the table's
   * `delta.deletedFileRetentionDuration` (`interval <n>
-  * <hours|days|weeks>`) or Delta's documented 7-day default.
+  * <hours|days|weeks>`) or Delta's documented 7-day default. LITE
+  * (Delta 3.3) derives candidates from the log's tombstones with zero
+  * directory listing; FULL (the default) lists.
   *
   * A RETAIN below that configured horizon REFUSES unless
   * `spark.graft.vacuum.retentionDurationCheck.enabled=false` — Delta's
@@ -292,7 +305,8 @@ case class GraftOptimizeCommand(table: String, readOnly: Boolean,
   * needed by time travel, concurrent readers of recent snapshots, and
   * streaming sources reading the log tail. */
 case class GraftVacuumCommand(table: String, readOnly: Boolean,
-    retainMs: Option[Long]) extends LeafRunnableCommand {
+    retainMs: Option[Long], lite: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_deleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -320,8 +334,8 @@ case class GraftVacuumCommand(table: String, readOnly: Boolean,
           "to override deliberately")
     }
     val horizon = retainMs.getOrElse(configured)
-    Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon)
-      .size.toLong))
+    Seq(Row(MiniDelta.vacuum(spark, table, retainMs = horizon,
+      lite = lite).size.toLong))
   }
 }
 
@@ -331,8 +345,8 @@ case class GraftVacuumCommand(table: String, readOnly: Boolean,
   * read-only aliases — it reads. Same default horizon and retention
   * rules as the real run, minus the below-horizon refusal (reporting
   * an aggressive horizon's candidates is the point of a dry run). */
-case class GraftVacuumDryRunCommand(table: String, retainMs: Option[Long])
-    extends LeafRunnableCommand {
+case class GraftVacuumDryRunCommand(table: String, retainMs: Option[Long],
+    lite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
@@ -341,7 +355,8 @@ case class GraftVacuumDryRunCommand(table: String, retainMs: Option[Long])
       .flatMap(MiniDelta.parseDurationMs)
       .getOrElse(7L * 86400000L)
     MiniDelta.vacuum(spark, table,
-      retainMs = retainMs.getOrElse(configured), dryRun = true)
+      retainMs = retainMs.getOrElse(configured), dryRun = true,
+      lite = lite)
       .sorted.map(Row(_))
   }
 }
@@ -384,6 +399,24 @@ case class GraftDropFeatureCommand(table: String, readOnly: Boolean,
     // mutating verb: the cached snapshot predates the purge/truncation
     MiniDelta.invalidateSnapshot(table)
     Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE graft.t ALTER COLUMN c SYNC IDENTITY` →
+  * [[MiniDelta.syncIdentity]]: recompute the identity high-water mark
+  * from the stored values (Delta's resync for GENERATED BY DEFAULT
+  * columns whose explicit inserts outran — or whose deletes
+  * stranded — the mark). Returns the new mark (null = cleared, next
+  * assignment restarts at the declared START). */
+case class GraftSyncIdentityCommand(table: String, readOnly: Boolean,
+    column: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("high_water_mark", LongType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val hwm = MiniDelta.syncIdentity(spark, table, column,
+      readOnly = readOnly)
+    Seq(Row(hwm.map(java.lang.Long.valueOf).orNull))
   }
 }
 
