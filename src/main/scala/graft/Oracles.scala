@@ -1622,6 +1622,13 @@ SELECT n.c AS n_rows, n.c AS n_ids, CAST(1 AS BIGINT) AS min_id,
   (SELECT CAST(sum(qty) AS BIGINT) FROM final) AS sum_qty
 FROM n""",
 
+    "s50_auto_optimize" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "s48_drop_feature" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -2797,6 +2797,43 @@ object SparkEntry {
                CAST(sum(qty) AS BIGINT) AS sum_qty
         FROM graft.s49_trades""")
     }),
+    "s50_auto_optimize" -> ((s, d) => {
+      // auto-optimize pair (round 15): a table created with BOTH
+      // delta.autoOptimize.optimizeWrite (pre-write shuffle by the
+      // partition columns — one file per partition value per append
+      // instead of tasks × partitions) and autoCompact (the 4th
+      // append crosses minNumFiles and bin-packs the small files in
+      // the same call, dataChange=false). The gate is the s11
+      // discipline: vacuum, then a RAW directory scan must equal the
+      // source — any loss or double-count from the automatic rewrite
+      // fails the hash.
+      val dir = scratch("s50_auto_optimize")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val src = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+      graft.io.MiniDelta.createTable(s, table, src.schema,
+        partitionBy = Seq("l_returnflag"),
+        properties = Map(
+          "delta.autoOptimize.optimizeWrite" -> "true",
+          "delta.autoOptimize.autoCompact" -> "true"))
+      s.conf.set("spark.graft.autoCompact.minNumFiles", "4")
+      try for (r <- 0 to 3)
+        graft.io.MiniDelta.append(s,
+          src.where(pmod(col("l_linenumber"), lit(4)) === r), table,
+          Seq("l_returnflag"))
+      finally s.conf.unset("spark.graft.autoCompact.minNumFiles")
+      graft.io.MiniDelta.vacuum(s, table, lite = true)
+      s.read.parquet(table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(round(col("l_extendedprice") * 100)) / 100.0).as("sum_price"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "sql_table_changes" -> ((s, d) => {
       // table_changes through SQL (Delta's CDF TVF): append (v0),
       // UPDATE (v1), DELETE (v2), then read the feed since v0 from

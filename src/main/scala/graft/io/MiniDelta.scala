@@ -312,22 +312,88 @@ object MiniDelta {
       // referencing the identity column must validate the ASSIGNED
       // values, not the null-fill (appendWithIdentity enforces on the
       // assigned frame)
-      if (idFields.nonEmpty)
-        return appendWithIdentity(spark, df1, table, partitionBy,
-          statsCols, cfg0, txn, declared0.get, idFields)
-      // mapped evolution (late r13, closing the blind-append refusal):
-      // new columns joining a column-mapped schema get their mapping
-      // metadata assigned HERE, under a PINNED commit — see
-      // [[appendWithMappedEvolution]]
-      if (declared0.exists(isColumnMapped) && df1.columns.exists(c =>
-          !declared0.get.fieldNames.exists(_.equalsIgnoreCase(c))))
-        return appendWithMappedEvolution(spark, df1, table, partitionBy,
-          statsCols, txn)
-      enforceConstraints(alignForCheck(df1, declared0), cfg0, declared0)
-      val added = writeAndCapture(spark, df1, table, partitionBy)
-      appendCommit(spark, df1, table, partitionBy, statsCols, added,
-        cfg0, txn)
+      val v =
+        if (idFields.nonEmpty)
+          appendWithIdentity(spark, df1, table, partitionBy,
+            statsCols, cfg0, txn, declared0.get, idFields)
+        // mapped evolution (late r13, closing the blind-append
+        // refusal): new columns joining a column-mapped schema get
+        // their mapping metadata assigned HERE, under a PINNED
+        // commit — see [[appendWithMappedEvolution]]
+        else if (declared0.exists(isColumnMapped) && df1.columns.exists(
+            c => !declared0.get.fieldNames.exists(_.equalsIgnoreCase(c))))
+          appendWithMappedEvolution(spark, df1, table, partitionBy,
+            statsCols, txn)
+        else {
+          enforceConstraints(alignForCheck(df1, declared0), cfg0,
+            declared0)
+          val added = writeAndCapture(spark,
+            optimizeWriteFrame(df1, partitionBy, cfg0), table,
+            partitionBy)
+          appendCommit(spark, df1, table, partitionBy, statsCols, added,
+            cfg0, txn)
+        }
+      maybeAutoCompact(spark, table, partitionBy)
+      v
     } finally if (mustCache) { df.unpersist(); () }
+  }
+
+  /** Delta's optimized writes (`delta.autoOptimize.optimizeWrite`):
+    * shuffle the incoming frame by the table's Hive partition columns
+    * before the write, so each partition value's rows co-locate into
+    * few tasks. Without it, T input tasks touching P partitions write
+    * T×P files — the small-file explosion that makes streaming ingest
+    * unreadable at scale; with it a partition lands in (typically) one
+    * file per batch, and AQE's partition coalescing keeps low-volume
+    * batches from fanning out to empty shuffle tasks. Unpartitioned
+    * tables pass through: bin-packing them pre-write needs a size
+    * model; [[maybeAutoCompact]] and OPTIMIZE are the recovery paths
+    * Delta itself uses. */
+  private def optimizeWriteFrame(df: DataFrame, partitionBy: Seq[String],
+      cfg: Map[String, String]): DataFrame =
+    if (partitionBy.nonEmpty && cfg.get("delta.autoOptimize.optimizeWrite")
+        .exists(_.equalsIgnoreCase("true")))
+      df.repartition(partitionBy.map(c => col(s"`$c`")): _*)
+    else df
+
+  /** Post-commit auto compaction (`delta.autoOptimize.autoCompact`):
+    * after a data-adding commit, any partition holding at least
+    * `spark.graft.autoCompact.minNumFiles` (default 50) files smaller
+    * than `spark.graft.autoCompact.maxFileSize` (default 128 MiB) is
+    * bin-packed through the existing OPTIMIZE machinery — scoped to
+    * exactly those partitions AND to the small files (large files are
+    * neither read nor rewritten), committing `dataChange = false` with
+    * the compaction conflict rule, so it lands under concurrent ingest
+    * without losing races. Discovery is one aggregation over the
+    * snapshot manifest (metadata-scale); a no-trigger append pays one
+    * memoized config lookup and nothing else. */
+  private def maybeAutoCompact(spark: SparkSession, table: String,
+      partitionBy: Seq[String]): Unit = {
+    val cfg = tableConfig(spark, table)
+    if (!cfg.get("delta.autoOptimize.autoCompact")
+        .exists(_.equalsIgnoreCase("true"))) return
+    // the TTL-cached snapshot may predate the commit that just landed —
+    // discovery must see the files this very append wrote
+    invalidateSnapshot(table)
+    val minN = spark.conf.getOption("spark.graft.autoCompact.minNumFiles")
+      .map(_.toInt).getOrElse(50)
+    val maxSz = spark.conf.getOption("spark.graft.autoCompact.maxFileSize")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val small = snapshotFiles(spark, table).where(col("size") < maxSz)
+    val scopes: Seq[Map[String, String]] =
+      if (partitionBy.isEmpty) {
+        if (small.limit(minN).count() >= minN) Seq(Map.empty)
+        else Seq.empty
+      } else small.groupBy(col("partitionValues")).count()
+        .where(col("count") >= minN)
+        .collect().map(_.getAs[scala.collection.Map[String, String]](0)
+          .toMap).toSeq
+    if (scopes.isEmpty) return
+    compact(spark, table, partitionBy,
+      where = if (partitionBy.isEmpty) Seq.empty else scopes,
+      maxInputFileSize = maxSz)
+    invalidateSnapshot(table)
+    ()
   }
 
   /** Identity-column append (Delta writer v6 / `identityColumns`): an
@@ -398,7 +464,9 @@ object MiniDelta {
     // constraints are the authoritative set
     enforceConstraints(alignForCheck(outDf, Some(declared)), cfgPinned,
       Some(declared))
-    val added = writeAndCapture(spark, outDf, table, partitionBy)
+    val added = writeAndCapture(spark,
+      optimizeWriteFrame(outDf, partitionBy, cfgPinned), table,
+      partitionBy)
     val stats = fileStats(spark, table, added.map(_._1), statsCols)
     val txnLines = txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
@@ -527,7 +595,8 @@ object MiniDelta {
       declared.fields.toIndexedSeq ++ cols2)
     enforceConstraints(alignForCheck(df, Some(merged)), cfgPinned,
       Some(merged))
-    val added = writeAndCapture(spark, df, table, partitionBy,
+    val added = writeAndCapture(spark,
+      optimizeWriteFrame(df, partitionBy, cfgPinned), table, partitionBy,
       schemaOverride = Some(merged))
     val stats = fileStats(spark, table, added.map(_._1), statsCols,
       schemaOverride = Some(merged))
@@ -4242,7 +4311,8 @@ object MiniDelta {
               statsCols: Seq[String] = Nil,
               clusterBy: Seq[String] = Nil,
               zOrderBy: Seq[String] = Nil,
-              where: PartitionAcl.Filters = Seq.empty): Long = {
+              where: PartitionAcl.Filters = Seq.empty,
+              maxInputFileSize: Long = Long.MaxValue): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy (1-D) and zOrderBy (multi-D) are exclusive")
@@ -4253,8 +4323,14 @@ object MiniDelta {
     // OPTIMIZE ... WHERE: `where` scopes the rewrite to the matching
     // partition directories (metadata-only file selection, same filter
     // algebra as reads) — at 100 TB you compact yesterday's partition,
-    // not the table; unselected partitions are never read or removed
-    val current = filesForFilters(snapshotFiles(spark, table), where)
+    // not the table; unselected partitions are never read or removed.
+    // `maxInputFileSize` (Delta's optimize input screen, and what
+    // autoCompact rides): files already at-or-past the target size are
+    // neither read nor rewritten — re-binpacking a 1 GB file buys
+    // nothing and costs its full IO.
+    val inScope = filesForFilters(snapshotFiles(spark, table), where)
+    val current = (if (maxInputFileSize == Long.MaxValue) inScope
+      else inScope.where(col("size") < maxInputFileSize))
       .collect()
     if (current.isEmpty) return readVersion // nothing in scope: no commit
     val oldPaths = current.map(_.getString(0)).toSet
@@ -4294,6 +4370,19 @@ object MiniDelta {
     // single-task funnel this rewrite removes; with the count pinned each
     // partition value compacts in its own task unconditionally
     val n = spark.sessionState.conf.numShufflePartitions
+    // unpartitioned bin-pack parallelism scales to the INPUT volume:
+    // n tasks at table scale, but a small input (autoCompact's usual
+    // case) packs into ceil(bytes / target) files — a bare
+    // repartition(n) would round-robin a handful of small files
+    // across n tasks and EMIT MORE files than it consumed
+    lazy val nPacked = {
+      val totalBytes = current.iterator.map(_.getAs[Long]("size")).sum
+      val target =
+        if (maxInputFileSize != Long.MaxValue) maxInputFileSize
+        else 1024L * 1024 * 1024
+      math.max(1L, math.min(n.toLong,
+        (totalBytes + target - 1) / target)).toInt
+    }
     val binpacked =
       if (partitionBy.nonEmpty) data.repartition(n, partitionBy.map(col): _*)
       else if (sortCols.nonEmpty)
@@ -4304,7 +4393,7 @@ object MiniDelta {
         // single-task sort, without the single task (the round-4
         // scale-killer: one task z-sorting the entire table)
         data.repartitionByRange(n, sortCols.map(col): _*)
-      else data.repartition(n)
+      else data.repartition(nPacked)
     // clusterBy: sort within each rewrite task so maxRecordsPerFile
     // splits yield files covering CONTIGUOUS clusterBy ranges — tight,
     // disjoint min/max stats that make filesForRange discriminate
