@@ -5713,9 +5713,14 @@ object MiniDelta {
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val snapDF = pruneByKeyRanges(
-      snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
-      partitionBy, declared)
+    // the key-range file condition scopes discovery AND screens
+    // concurrent adds in the conflict resolver below (one srcKeys agg,
+    // both uses)
+    val fileKeyCond = keyRangeFileCond(srcKeys, keys, partitionBy,
+      declared)
+    val snapDF = fileKeyCond.fold(
+      snapshotFilesAt(spark, table, readVersion))(
+      snapshotFilesAt(spark, table, readVersion).where(_))
     // identity resolution happens BEFORE the DV/CoW branch so both
     // write the same resolved frame; the commit stays pinned at
     // readVersion + 1 (the DML rule both branches already follow),
@@ -5762,13 +5767,23 @@ object MiniDelta {
               .withColumn("_change_type", lit("insert"))))
         }
       }
+    // keyed-MERGE conflict RESOLUTION (the predicate-DML rule): a
+    // concurrent dataChange add provably holding no source-key row
+    // cannot change which rows matched NOR collide with the inserts —
+    // the rebase is merge-before-winner, WriteSerializable-legal. A
+    // may-match add, any remove of our inputs, and any
+    // metaData/protocol still conflict. Identity tables stay PINNED:
+    // their commit carries a high-water mark read at readVersion, and
+    // a winner could have assigned overlapping chain values without
+    // tripping any of the resolver's screens.
     copyOnWrite(spark, table, readVersion, touched, declared,
       df => if (df.columns.isEmpty) align(source2) // schema-less empty
             else align(df.join(srcKeys, keys, "left_anti"))
               .unionByName(align(source2)),
       partitionBy, "MERGE", statsCols,
       extraLines = metaLines ++ idMetaLines, cdc = cdc,
-      schemaOverride = schemaOverride)
+      schemaOverride = schemaOverride,
+      resolveConflicts = idFields.isEmpty, readCond = fileKeyCond)
   }
 
   /** Distributed blast-radius pruning for the keyed MERGE forms: a
@@ -5782,7 +5797,24 @@ object MiniDelta {
   private def pruneByKeyRanges(snapDF: DataFrame, srcKeys: DataFrame,
       keys: Seq[String], partitionBy: Seq[String],
       declared: Option[org.apache.spark.sql.types.StructType] = None)
-      : DataFrame = {
+      : DataFrame =
+    keyRangeFileCond(srcKeys, keys, partitionBy, declared)
+      .fold(snapDF)(c => snapDF.where(c))
+
+  /** The file-level may-hold-a-source-key condition
+    * [[pruneByKeyRanges]] applies, exposed on its own (the
+    * [[dmlFileCondition]] shape): a Column over (partitionValues,
+    * stats) action metadata that is FALSE/null only for files provably
+    * holding no row whose `keys` match a source row. None when no key
+    * column is range-orderable. Shared by discovery AND the
+    * keyed-MERGE conflict screen ([[writeCommitResolving]]) — a
+    * concurrently ADDED file failing it provably holds no row that
+    * could be matched by, or collide with an insert of, this merge's
+    * source. */
+  private def keyRangeFileCond(srcKeys: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.types._
     val prunableKeys = keys.filter { k =>
       srcKeys.schema(k).dataType match {
@@ -5791,7 +5823,7 @@ object MiniDelta {
         case _ => false
       }
     }
-    if (prunableKeys.isEmpty) snapDF
+    if (prunableKeys.isEmpty) None
     else {
       val aggs = prunableKeys.flatMap(k =>
         Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
@@ -5832,7 +5864,7 @@ object MiniDelta {
           else None
         }
       }
-      snapDF.where(derived.foldLeft(cond)(_ && _))
+      Some(derived.foldLeft(cond)(_ && _))
     }
   }
 
@@ -5864,11 +5896,17 @@ object MiniDelta {
     requireMappingWritable(declared, table, spark)
     val condC = cond.getOrElse(lit(true))
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val snapDF =
-      if (bySource) snapshotFilesAt(spark, table, readVersion)
-      else pruneByKeyRanges(
-        snapshotFilesAt(spark, table, readVersion), srcKeys, keys,
-        partitionBy, declared)
+    // keyed form: the key-range condition scopes discovery and screens
+    // concurrent adds in the resolver. By-source is complement-shaped:
+    // EVERY concurrent add may hold a row the sync should have swept
+    // (readCond None = every dataChange add conflicts; disjoint
+    // removes still rebase).
+    val fileKeyCond =
+      if (bySource) None
+      else keyRangeFileCond(srcKeys, keys, partitionBy, declared)
+    val snapDF = fileKeyCond.fold(
+      snapshotFilesAt(spark, table, readVersion))(
+      snapshotFilesAt(spark, table, readVersion).where(_))
     val cfg = tableConfig(spark, table, readVersion)
     val joinType = if (bySource) "left_anti" else "left_semi"
     val surviveJoin = if (bySource) "left_semi" else "left_anti"
@@ -5916,7 +5954,9 @@ object MiniDelta {
         df => df.join(srcKeys, keys, surviveJoin).unionByName(
           df.join(srcKeys, keys, joinType)
             .where(!coalesce(condC, lit(false)))),
-        partitionBy, "MERGE", statsCols, cdc = cdc)
+        partitionBy, "MERGE", statsCols, cdc = cdc,
+        // deletes assign nothing, so identity tables rebase too
+        resolveConflicts = true, readCond = fileKeyCond)
     }
   }
 
@@ -6266,11 +6306,12 @@ object MiniDelta {
     val snapAll = snapshotFilesAt(spark, table, readVersion)
     // a by-source clause is complement-shaped — every file may hold an
     // unmatched row (mergeDelete's sync rule); otherwise the source
-    // key ranges scope discovery
-    val snapDF =
-      if (bySource.nonEmpty) snapAll
-      else pruneByKeyRanges(snapAll, srcKeys, keys, partitionBy,
-        declared)
+    // key ranges scope discovery AND screen concurrent adds in the
+    // conflict resolver (the keyed-merge rule)
+    val fileKeyCond =
+      if (bySource.nonEmpty) None
+      else keyRangeFileCond(srcKeys, keys, partitionBy, declared)
+    val snapDF = fileKeyCond.fold(snapAll)(snapAll.where(_))
     val declCols = decl.fieldNames.toIndexedSeq
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
       // DV form: mask every updated/deleted row, append the new images.
@@ -6396,7 +6437,14 @@ object MiniDelta {
             case (None, None) => df // unreachable (guarded above)
           }
         },
-        partitionBy, "MERGE", statsCols, extraLines = idMeta, cdc = cdc)
+        partitionBy, "MERGE", statsCols, extraLines = idMeta, cdc = cdc,
+        // identity tables stay pinned (the merge rule: a winner may
+        // have assigned overlapping chain values without tripping any
+        // resolver screen); everything else rebases past provably
+        // disjoint winners
+        resolveConflicts = !decl.fields.exists(
+          _.metadata.contains(IdentityStartKey)),
+        readCond = fileKeyCond)
     }
   }
 
