@@ -389,11 +389,18 @@ object MiniDelta {
         .collect().map(_.getAs[scala.collection.Map[String, String]](0)
           .toMap).toSeq
     if (scopes.isEmpty) return
-    compact(spark, table, partitionBy,
-      where = if (partitionBy.isEmpty) Seq.empty else scopes,
-      maxInputFileSize = maxSz)
-    invalidateSnapshot(table)
-    ()
+    // best-effort, like Delta's: the APPEND already committed, so a
+    // compaction that loses its race past the rebase budget must not
+    // surface as a failed write — the small files stay until the next
+    // trigger (or an explicit OPTIMIZE)
+    try {
+      compact(spark, table, partitionBy,
+        where = if (partitionBy.isEmpty) Seq.empty else scopes,
+        maxInputFileSize = maxSz)
+      ()
+    } catch {
+      case _: ConcurrentCommitException => ()
+    } finally invalidateSnapshot(table)
   }
 
   /** Identity-column append (Delta writer v6 / `identityColumns`): an
@@ -2706,7 +2713,11 @@ object MiniDelta {
       if (f.metadata.contains(IdentityStepKey))
         f.metadata.getLong(IdentityStepKey)
       else 1L
-    val mx = readFiltered(spark, table, Seq.empty).agg(
+    // read AT the pinned version: the TTL-cached latest snapshot can
+    // lag readVersion, and a stale extremum would commit a too-low
+    // mark that later assignments duplicate from
+    val mx = readFiltered(spark, table, Seq.empty,
+      versionAsOf = Some(readVersion)).agg(
       (if (step > 0) max(col(s"`${f.name}`"))
       else min(col(s"`${f.name}`"))).cast("long")).collect().head
     val newHwm: Option[Long] =
