@@ -1692,12 +1692,17 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
     "s26_overwrite_where" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      """WITH final AS (
+  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+  WHERE l_quantity = 2
+  UNION ALL
+  SELECT l_returnflag, l_quantity, 0.0 AS l_extendedprice FROM lineitem
+  WHERE l_quantity = 1 AND l_returnflag <> 'R'
+)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-FROM lineitem
-WHERE l_quantity <= 2 AND (l_returnflag <> 'R' OR l_quantity = 2)
-GROUP BY l_returnflag ORDER BY l_returnflag""",
+FROM final GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "s25_deletion_vectors" ->
       """WITH f AS (

@@ -529,6 +529,16 @@ object SparkEntry {
         src.where(col("l_returnflag") === "R" && col("l_quantity") === 2),
         table, Seq("l_returnflag"),
         replaceWhere = Seq(Map("l_returnflag" -> "R")))
+      // predicate form (Delta 1.1 arbitrary replaceWhere, r15 late): a
+      // DATA-column scope the partition form cannot express — every
+      // qty=1 row across flags A/N is replaced by its price-zeroed
+      // image (a DELETE fused with the insert, partially-matching
+      // files keep their qty=2 rows)
+      graft.io.MiniDelta.overwrite(s,
+        src.where(col("l_quantity") === 1 && col("l_returnflag") =!= "R")
+          .withColumn("l_extendedprice", lit(0.0)),
+        table, Seq("l_returnflag"),
+        replaceWhereCond = Some(col("l_quantity") === 1))
       graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),

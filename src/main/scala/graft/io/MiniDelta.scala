@@ -6910,9 +6910,21 @@ object MiniDelta {
                 replaceWhere: PartitionAcl.Filters = Seq.empty,
                 overwriteSchema: Boolean = false,
                 readOnly: Boolean = false,
-                statsCols: Seq[String] = Nil): Long = {
+                statsCols: Seq[String] = Nil,
+                // Delta 1.1's ARBITRARY-predicate replaceWhere: rows
+                // matching the condition are replaced by `df` in one
+                // commit — whole files inside the scope are removed,
+                // partially-matching files rewrite keeping only their
+                // non-matching rows (a DELETE fused with the insert).
+                // Mutually exclusive with the partition-map form.
+                replaceWhereCond: Option[org.apache.spark.sql.Column] =
+                  None): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    require(!(overwriteSchema && replaceWhere.nonEmpty),
+    require(replaceWhere.isEmpty || replaceWhereCond.isEmpty,
+      "replaceWhere takes the partition-map form OR the predicate " +
+        "form, not both")
+    require(!(overwriteSchema &&
+        (replaceWhere.nonEmpty || replaceWhereCond.nonEmpty)),
       "overwriteSchema applies to FULL overwrites only (partial scopes " +
         "would leave files under two schemas)")
     val exists = tableExists(spark, table)
@@ -6926,7 +6938,8 @@ object MiniDelta {
     // evaluate df — persist across the whole sequence so a
     // nondeterministic source validates the SAME rows it commits
     // (mirrors append/copyOnWrite)
-    val mustCache = (replaceWhere.nonEmpty || constraintsOf(cfg).nonEmpty) &&
+    val mustCache = (replaceWhere.nonEmpty || replaceWhereCond.nonEmpty ||
+        constraintsOf(cfg).nonEmpty) &&
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (mustCache) df.persist()
     try {
@@ -6934,10 +6947,11 @@ object MiniDelta {
       // scope — on the FIRST write too (Delta rejects out-of-scope rows
       // even when the overwrite creates the table), so this runs BEFORE
       // the not-yet-created early return
-      if (replaceWhere.nonEmpty) {
+      if (replaceWhere.nonEmpty || replaceWhereCond.nonEmpty) {
         val conj = replaceWhere.filter(_.nonEmpty).map(_.map { case (k, v) =>
           col(k) === lit(v) }.reduce(_ && _))
-        val inScope = if (conj.isEmpty) lit(true) else conj.reduce(_ || _)
+        val inScope = replaceWhereCond.getOrElse(
+          if (conj.isEmpty) lit(true) else conj.reduce(_ || _))
         val outside = df.where(!coalesce(inScope, lit(false))).limit(1).collect()
         require(outside.isEmpty,
           s"replaceWhere: incoming rows fall outside the replaced scope " +
@@ -7047,20 +7061,63 @@ object MiniDelta {
       val metaLines =
         if (declared.exists(_.json == newSchema.json)) Nil
         else Seq(metaDataLine(table, newSchema, partitionBy, cfgOv))
-      val removed = filesForFilters(
-        snapshotFilesAt(spark, table, readVersion), replaceWhere)
-        .select("path").collect().map(_.getString(0)).toIndexedSeq
-      val added = writeAndCapture(spark, df1, table, partitionBy,
-        schemaOverride = schemaOverride)
-      val stats = fileStats(spark, table, added.map(_._1), statsCols,
-        schemaOverride = schemaOverride)
-      val now = System.currentTimeMillis()
-      writeCommit(spark, table, readVersion + 1,
-        metaLines ++ idMetaOv ++
-          removed.sorted.map(removeLine(_, dataChange = true, now)) ++
-          added.map { case (p, sz, m) =>
-            addLine(p, sz, stats.get(p), modTime = Some(m)) },
-        "OVERWRITE")
+      replaceWhereCond match {
+        case Some(c) =>
+          // predicate form: a DELETE WHERE c fused with the insert —
+          // blast-radius discovery scopes to the files that MAY hold a
+          // matching row (partition values exact, stats conservative),
+          // only files actually HOLDING one rewrite (survivors keep
+          // their non-matching rows), and the whole thing rides the
+          // copyOnWrite funnel: constraints, stats, CDF delete+insert
+          // images, and conflict RESOLUTION (a concurrent add provably
+          // outside the scope rebases — Delta's replaceWhere rule)
+          val fileCond = dmlFileCondition(spark, c, partitionBy, declared)
+          val snapRW = collected(dmlCandidates(
+            snapshotFilesAt(spark, table, readVersion), c, partitionBy,
+            declared).select("path", "dv_path").collect().toIndexedSeq)
+          val touched = matchingFiles(spark, table, dvPairsOf(snapRW),
+            declared, _.where(coalesce(c, lit(false))))
+          def alignNew(d2: DataFrame): DataFrame =
+            d2.select(newSchema.fields.map { f =>
+              if (d2.columns.contains(f.name)) col(s"`${f.name}`")
+              else lit(null).cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          val cdc =
+            if (!cfg.get("delta.enableChangeDataFeed").contains("true"))
+              None
+            else {
+              val doomed = readFilesWithDv(spark, table, touched, declared)
+              val ins = alignNew(df1)
+                .withColumn("_change_type", lit("insert"))
+              if (doomed.columns.isEmpty) Some(ins)
+              else Some(alignNew(doomed.where(coalesce(c, lit(false))))
+                .withColumn("_change_type", lit("delete"))
+                .unionByName(ins))
+            }
+          copyOnWrite(spark, table, readVersion, touched, declared,
+            rw => if (rw.columns.isEmpty) alignNew(df1)
+                  else alignNew(rw.where(!coalesce(c, lit(false))))
+                    .unionByName(alignNew(df1)),
+            partitionBy, "OVERWRITE", statsCols,
+            extraLines = metaLines ++ idMetaOv, cdc = cdc,
+            schemaOverride = schemaOverride,
+            resolveConflicts = idFieldsOv.isEmpty, readCond = fileCond)
+        case None =>
+          val removed = filesForFilters(
+            snapshotFilesAt(spark, table, readVersion), replaceWhere)
+            .select("path").collect().map(_.getString(0)).toIndexedSeq
+          val added = writeAndCapture(spark, df1, table, partitionBy,
+            schemaOverride = schemaOverride)
+          val stats = fileStats(spark, table, added.map(_._1), statsCols,
+            schemaOverride = schemaOverride)
+          val now = System.currentTimeMillis()
+          writeCommit(spark, table, readVersion + 1,
+            metaLines ++ idMetaOv ++
+              removed.sorted.map(removeLine(_, dataChange = true, now)) ++
+              added.map { case (p, sz, m) =>
+                addLine(p, sz, stats.get(p), modTime = Some(m)) },
+            "OVERWRITE")
+      }
     } finally if (mustCache) { df.unpersist(); () }
   }
 

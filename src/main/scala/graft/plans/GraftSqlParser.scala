@@ -27,6 +27,7 @@ import graft.io.MiniDelta
   *   CONVERT TO DELTA graft.raw_alias
   *   ALTER TABLE graft.t DROP FEATURE <name> [TRUNCATE HISTORY]
   *   ALTER TABLE graft.t ALTER COLUMN c SYNC IDENTITY
+  *   INSERT INTO graft.t REPLACE WHERE <cond> <query>
   *
   * A statement is intercepted ONLY when its table identifier resolves
   * in [[GraftSqlTables]] (graft.t / graft.datalake.t / a bare
@@ -102,6 +103,15 @@ object GraftMaintenanceVerbs {
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + ident +
       """\s+DROP\s+FEATURE\s+(?:`([^`]+)`|([\w]+))""" +
       """(?:\s+(TRUNCATE\s+HISTORY))?\s*;?\s*$""").r
+  // Delta's predicate replaceWhere (Spark's INSERT grammar lacks the
+  // clause): INSERT INTO graft.t REPLACE WHERE <cond> SELECT ...
+  // The lazy condition group stops at the first SELECT/VALUES/WITH/
+  // TABLE keyword, so scalar subqueries inside the condition are out
+  // of this verb's scope (use the engine API for those).
+  private val ReplaceWhereRe =
+    ("""(?is)^\s*INSERT\s+INTO\s+""" + ident +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+""" +
+      """((?:SELECT|VALUES|WITH|TABLE)\b.+)$""").r
   // Delta's identity resync (Spark's alterColumnAction grammar lacks it):
   //   ALTER TABLE graft.t ALTER COLUMN c SYNC IDENTITY
   private val SyncIdentityRe =
@@ -168,6 +178,9 @@ object GraftMaintenanceVerbs {
       case SyncIdentityRe(id, colQ, colP) => entryOf(id).map(e =>
         GraftSyncIdentityCommand(e.path, e.readOnly,
           Option(colQ).getOrElse(colP)))
+      case ReplaceWhereRe(id, condSql, querySql) => entryOf(id).map(e =>
+        GraftReplaceWhereCommand(e.path, e.readOnly, condSql,
+          delegate.parsePlan(querySql)))
       case _ => None
     }
 
@@ -417,6 +430,42 @@ case class GraftSyncIdentityCommand(table: String, readOnly: Boolean,
     val hwm = MiniDelta.syncIdentity(spark, table, column,
       readOnly = readOnly)
     Seq(Row(hwm.map(java.lang.Long.valueOf).orNull))
+  }
+}
+
+/** `INSERT INTO graft.t REPLACE WHERE <cond> <query>` →
+  * [[MiniDelta.overwrite]]'s predicate form (Delta 1.1's arbitrary
+  * replaceWhere): rows matching the condition are replaced by the
+  * query's output in ONE commit — a DELETE fused with the insert, with
+  * Delta's scope guard (every incoming row must satisfy the
+  * condition). Positional alignment against the declared schema, the
+  * plain-INSERT rule. */
+case class GraftReplaceWhereCommand(table: String, readOnly: Boolean,
+    condSql: String, query: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    val src = org.apache.spark.sql.graft.DatasetShim.ofRows(spark, query)
+    val parts = MiniDelta.partitionColumns(spark, table)
+    val aligned = MiniDelta.latestSchema(spark, table) match {
+      case None => src // first write: the overwrite falls through to append
+      case Some(st) =>
+        require(src.columns.length == st.fields.length,
+          s"REPLACE WHERE insert needs ${st.fields.length} columns " +
+            s"(${st.fieldNames.mkString(",")}), query produces " +
+            s"${src.columns.length}")
+        src.toDF(st.fieldNames.toIndexedSeq: _*)
+          .select(st.fields.map(f => org.apache.spark.sql.functions
+            .col(s"`${f.name}`").cast(f.dataType).as(f.name))
+            .toIndexedSeq: _*)
+    }
+    val cond = org.apache.spark.sql.graft.ColumnBridge.column(
+      spark.sessionState.sqlParser.parseExpression(condSql))
+    MiniDelta.overwrite(spark, aligned, table, parts,
+      replaceWhereCond = Some(cond))
+    MiniDelta.invalidateSnapshot(table)
+    Seq.empty
   }
 }
 
