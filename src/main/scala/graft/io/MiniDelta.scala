@@ -5751,7 +5751,8 @@ object MiniDelta {
       return mergeWithDv(spark, table, source2, keys, partitionBy,
         statsCols, readVersion, declared, align,
         metaLines ++ idMetaLines, srcKeys,
-        collected(snapDF.collect().toIndexedSeq), schemaOverride)
+        collected(snapDF.collect().toIndexedSeq), schemaOverride,
+        resolveConflicts = idFields.isEmpty, readCond = fileKeyCond)
     val snap = collected(snapDF
       .select("path", "dv_path").collect().toIndexedSeq)
     val touched = matchingFiles(spark, table, dvPairsOf(snap), declared,
@@ -5944,8 +5945,12 @@ object MiniDelta {
                   partitionBy)
               }
             beforeDmlCommitHook()
-            writeCommit(spark, table, readVersion + 1, cdcLines ++ lines,
-              "MERGE")
+            // the CoW branch's resolution rule, DV form (mask swaps
+            // emit remove+re-add pairs, so remove-overlap covers a
+            // winner racing on the same file); fileKeyCond is already
+            // None for by-source sweeps, making every add conflict
+            writeCommitResolving(spark, table, readVersion + 1,
+              cdcLines ++ lines, "MERGE", readCond = fileKeyCond)
           }
       } finally { matched.unpersist(); () }
     } else {
@@ -6082,7 +6087,14 @@ object MiniDelta {
                           srcKeys: DataFrame,
                           snap: Seq[org.apache.spark.sql.Row],
                           schemaOverride: Option[
-                            org.apache.spark.sql.types.StructType] = None)
+                            org.apache.spark.sql.types.StructType] = None,
+                          // the keyed-merge conflict screen (CoW rule):
+                          // DV swaps emit remove+re-add pairs, so the
+                          // resolver's remove-overlap check covers a
+                          // winner racing on the same file's mask
+                          resolveConflicts: Boolean = false,
+                          readCond: Option[
+                            org.apache.spark.sql.Column] = None)
       : Long = {
     val matched = withRowIdentity(spark, table, dvPairsOf(snap), declared)
       .join(srcKeys, keys, "left_semi")
@@ -6124,11 +6136,13 @@ object MiniDelta {
             partitionBy, schemaOverride)
         }
       beforeDmlCommitHook()
-      writeCommit(spark, table, readVersion + 1,
-        cdcLines ++ metaLines ++ maskLines ++
-          added.map { case (p, sz, m) =>
-            addLine(p, sz, stats.get(p), modTime = Some(m)) },
-        "MERGE")
+      val lines = cdcLines ++ metaLines ++ maskLines ++
+        added.map { case (p, sz, m) =>
+          addLine(p, sz, stats.get(p), modTime = Some(m)) }
+      if (resolveConflicts)
+        writeCommitResolving(spark, table, readVersion + 1, lines,
+          "MERGE", readCond)
+      else writeCommit(spark, table, readVersion + 1, lines, "MERGE")
     } finally {
       matched.unpersist()
       if (mustCache) incoming.unpersist()
@@ -6380,10 +6394,16 @@ object MiniDelta {
             writeCdcFiles(spark, table, feed, partitionBy)
           }
         beforeDmlCommitHook()
-        writeCommit(spark, table, readVersion + 1,
-          cdcLines ++ idMeta ++ maskLines ++ added.map { case (p, sz, m) =>
-            addLine(p, sz, stats.get(p), modTime = Some(m)) },
-          "MERGE")
+        val allLines = cdcLines ++ idMeta ++ maskLines ++
+          added.map { case (p, sz, m) =>
+            addLine(p, sz, stats.get(p), modTime = Some(m)) }
+        // the CoW branch's resolution rule, DV form; identity tables
+        // stay pinned (mark-overlap), by-source scopes already carry
+        // fileKeyCond = None (every add conflicts)
+        if (decl.fields.exists(_.metadata.contains(IdentityStartKey)))
+          writeCommit(spark, table, readVersion + 1, allLines, "MERGE")
+        else writeCommitResolving(spark, table, readVersion + 1,
+          allLines, "MERGE", readCond = fileKeyCond)
       } finally { j.unpersist(); () }
     } else {
       // copy-on-write form: rewrite exactly the files where a clause

@@ -112,6 +112,31 @@ class MergeRaceSpec extends AnyFunSuite {
       100L -> "race"), out)
   }
 
+  test("DV-form merge rebases past a disjoint add; mask races conflict") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, rows(1L -> "a").schema,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    MiniDelta.append(spark, rows(1L -> "a", 2L -> "b"), t, Seq.empty)
+    fireOnce {
+      MiniDelta.append(spark, rows(100L -> "race"), t, Seq.empty); ()
+    }
+    try MiniDelta.merge(spark, t, rows(2L -> "B", 10L -> "new"),
+      Seq("id"), Seq.empty)
+    finally MiniDelta.beforeDmlCommitHook = () => ()
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .as[(Long, String)].collect().toSet
+    assert(out == Set(1L -> "a", 2L -> "B", 10L -> "new",
+      100L -> "race"), out)
+    // conflict side: a concurrent DELETE swaps the mask of the very
+    // file this merge masks — its remove of our input must refuse
+    MiniDelta.invalidateSnapshot(t)
+    fireOnce { MiniDelta.delete(spark, t, col("id") === 10L, Seq.empty); () }
+    try intercept[MiniDelta.ConcurrentCommitException] {
+      MiniDelta.merge(spark, t, rows(10L -> "X"), Seq("id"), Seq.empty)
+    } finally MiniDelta.beforeDmlCommitHook = () => ()
+  }
+
   test("identity-table MERGE stays pinned: any concurrent commit conflicts") {
     import org.apache.spark.sql.types._
     val t = freshTable()
