@@ -85,6 +85,49 @@ class VacuumLiteSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, src, Seq.empty).count() == 3)
   }
 
+  test("property: LITE-then-FULL deletes exactly what FULL alone would") {
+    // over randomized op sequences (appends, DML, OPTIMIZE, DV mode),
+    // running LITE first must never change the total collected set or
+    // the surviving data — LITE is a prefix of FULL's work, not a
+    // different answer
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val base = Files.createTempDirectory(s"vlprop$seed").toString
+      val t = s"$base/t"
+      MiniDelta.append(spark, sample("2023", 4), t, Seq("year"))
+      if (rnd.nextBoolean())
+        MiniDelta.setTableProperties(spark, t,
+          Map("delta.enableDeletionVectors" -> "true"))
+      for (_ <- 1 to (2 + rnd.nextInt(3))) rnd.nextInt(4) match {
+        case 0 => MiniDelta.append(spark,
+          sample((2020 + rnd.nextInt(6)).toString, 1 + rnd.nextInt(3)),
+          t, Seq("year"))
+        case 1 => MiniDelta.delete(spark, t,
+          col("id") === (1L + rnd.nextInt(4)), Seq("year"))
+        case 2 => MiniDelta.compact(spark, t, Seq("year"))
+        case 3 => MiniDelta.update(spark, t,
+          col("id") === (1L + rnd.nextInt(4)),
+          Map("payload" -> lit(s"u$seed")), Seq("year"))
+      }
+      MiniDelta.invalidateSnapshot(t)
+      val expect = MiniDelta.readFiltered(spark, t, Seq.empty)
+        .orderBy("id", "year").collect().map(_.toSeq).toSeq
+      // twin copy: B runs FULL alone, A runs LITE then FULL
+      val t2 = s"$base/u"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(t), new java.io.File(t2))
+      MiniDelta.invalidateSnapshot(t2)
+      val a = MiniDelta.vacuum(spark, t, lite = true) ++
+        MiniDelta.vacuum(spark, t)
+      val b = MiniDelta.vacuum(spark, t2)
+      assert(a.sorted == b.sorted, s"seed $seed: $a vs $b")
+      MiniDelta.invalidateSnapshot(t)
+      val after = MiniDelta.readFiltered(spark, t, Seq.empty)
+        .orderBy("id", "year").collect().map(_.toSeq).toSeq
+      assert(after == expect, s"seed $seed lost rows")
+    }
+  }
+
   test("VACUUM ... LITE SQL verb: dry run reports, real run deletes") {
     val t = freshTable()
     MiniDelta.append(spark, sample("2023", 3), t, Seq("year"))
