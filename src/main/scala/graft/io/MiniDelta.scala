@@ -3908,6 +3908,48 @@ object MiniDelta {
     * 10^7-file regime — which [[checkpointActionDF]] reads back as a
     * union. Sidecar files from older checkpoints remain readable; new
     * checkpoints stop writing them. */
+  /** Snapshots past this action count render their checkpoint bulk as
+    * a DISTRIBUTED job (manifest rows → add-action JSON lines → parquet
+    * parts, no driver materialization) instead of the driver-side
+    * collect+render — at 10⁷ files the collected manifest alone is
+    * multi-GB of driver heap, and delta-spark distributes exactly this
+    * write. Below it the driver render is cheaper (no job overhead).
+    * Test seam. */
+  private[graft] var checkpointRenderThreshold = 5000
+
+  /** One snapshot-manifest row → its checkpoint add-action line.
+    * partitionValues carried VERBATIM from the snapshot — a real
+    * table's paths need not encode partitions, so re-deriving from
+    * the path would silently erase them. dataChange=false: the Delta
+    * spec marks every checkpoint action as not-logically-new.
+    * rowTracking ids ride the checkpoint VERBATIM — replay from it
+    * must preserve every file's identity. Pure, shared by the driver
+    * AND distributed renders (via [[CheckpointAddLine]]) so the two
+    * paths can never diverge in wire shape. */
+  private[graft] def checkpointAddLine(r: org.apache.spark.sql.Row)
+      : String = {
+    val dvIdx = r.fieldIndex("dv_path")
+    val mtIdx = r.fieldIndex("modificationTime")
+    val bridIdx = r.fieldIndex("base_row_id")
+    addLine(r.getString(r.fieldIndex("path")),
+      r.getLong(r.fieldIndex("size")),
+      Option(r.getString(r.fieldIndex("stats"))),
+      dataChange = false,
+      dv = if (r.isNullAt(dvIdx)) None
+        else Some((r.getString(dvIdx),
+          r.getLong(r.fieldIndex("dv_card")))),
+      partitionValues = Some(
+        r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
+      modTime = if (r.isNullAt(mtIdx)) None else Some(r.getLong(mtIdx)),
+      rowIds = if (r.isNullAt(bridIdx)) None
+        else Some((r.getLong(bridIdx),
+          r.getLong(r.fieldIndex("default_row_commit")))))
+  }
+
+  /** Checkpoints rendered through the distributed path — spec seam. */
+  private[graft] val distributedCheckpointRenders =
+    new java.util.concurrent.atomic.AtomicLong
+
   def writeCheckpoint(spark: SparkSession, table: String,
                       version: Long,
                       nowMs: () => Long = () => System.currentTimeMillis(),
@@ -3915,8 +3957,38 @@ object MiniDelta {
       : Unit = {
     val f = fs(spark, table)
     val cfg = tableConfig(spark, table, version)
-    val snapRows = replaySnapshot(spark, table, version,
-      cpAtMost = version - 1).collect()
+    val snapDF0 = replaySnapshot(spark, table, version,
+      cpAtMost = version - 1)
+    // count + DV probe in ONE pass; the count decides whether the bulk
+    // collects onto the driver at all
+    val mustCacheCp =
+      snapDF0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val snapDF = if (mustCacheCp) snapDF0.persist() else snapDF0
+    try {
+      writeCheckpointInner(spark, table, version, nowMs,
+        maxActionsPerPart, f, cfg, snapDF)
+    } finally if (mustCacheCp) { snapDF.unpersist(); () }
+  }
+
+  private def writeCheckpointInner(spark: SparkSession, table: String,
+      version: Long, nowMs: () => Long, maxActionsPerPart: Int,
+      f: org.apache.hadoop.fs.FileSystem, cfg: Map[String, String],
+      snapDF: DataFrame): Unit = {
+    val aggRow = snapDF.agg(count(lit(1)),
+      max(col("dv_path").isNotNull)).collect()(0)
+    val snapCount = aggRow.getLong(0)
+    val hasDvProbe = !aggRow.isNullAt(1) && aggRow.getBoolean(1)
+    // v2-policy checkpoints keep the driver-chunked render (their
+    // sidecar chunking already bounds file sizes; distributing them is
+    // future work) — the DEFAULT classic policy distributes
+    val distributed = snapCount > checkpointRenderThreshold &&
+      !cfg.get("delta.checkpointPolicy").contains("v2")
+    // driver mode holds the full manifest (spec-scale tables, cheaper
+    // than job overhead); distributed mode holds ONE probe row — the
+    // partition-layout sample — and nothing else
+    val snapRows =
+      if (distributed) snapDF.limit(1).collect()
+      else snapDF.collect()
     // the protocol row is the table's ACTUAL resolved contract (latest
     // protocol action, checkpoint + tail) — synthesizing one from DV
     // state alone would let 10 engine commits downgrade a real table's
@@ -3925,7 +3997,7 @@ object MiniDelta {
     // descriptors after the property was turned off must keep the DV
     // reader gate, or a reader trusting (1, 2) would resurrect the
     // masked rows.
-    val hasDv = snapRows.exists(r => !r.isNullAt(r.fieldIndex("dv_path")))
+    val hasDv = hasDvProbe
     val resolved = resolveProtocol(spark, table, version,
       cpAtMost = version - 1).getOrElse(basicProtocol)
     val proto =
@@ -3943,29 +4015,9 @@ object MiniDelta {
           .keys.toSeq).getOrElse(Seq.empty)
     val metaLines = latestSchema(spark, table, version)
       .map(s => metaDataLine(table, s, parts, cfg)).toSeq
-    val addLines = snapRows.map { r =>
-      val dvIdx = r.fieldIndex("dv_path")
-      val mtIdx = r.fieldIndex("modificationTime")
-      // partitionValues carried VERBATIM from the snapshot — a real
-      // table's paths need not encode partitions, so re-deriving from
-      // the path would silently erase them. dataChange=false: the Delta
-      // spec marks every checkpoint action as not-logically-new.
-      val bridIdx = r.fieldIndex("base_row_id")
-      addLine(r.getString(0), r.getLong(r.fieldIndex("size")),
-        Option(r.getString(r.fieldIndex("stats"))),
-        dataChange = false,
-        dv = if (r.isNullAt(dvIdx)) None
-          else Some((r.getString(dvIdx),
-            r.getLong(r.fieldIndex("dv_card")))),
-        partitionValues = Some(
-          r.getMap[String, String](r.fieldIndex("partitionValues")).toMap),
-        modTime = if (r.isNullAt(mtIdx)) None else Some(r.getLong(mtIdx)),
-        // rowTracking ids ride the checkpoint VERBATIM — replay from it
-        // must preserve every file's identity
-        rowIds = if (r.isNullAt(bridIdx)) None
-          else Some((r.getLong(bridIdx),
-            r.getLong(r.fieldIndex("default_row_commit")))))
-    }
+    val addLines: Seq[String] =
+      if (distributed) Seq.empty[String]
+      else snapRows.map(checkpointAddLine).toSeq
     // the rowTracking high-water mark must survive log cleanup: carry
     // the latest delta.rowTracking domainMetadata into the checkpoint
     // (spec rule — live domain metadata is snapshot state). Gated on
@@ -3999,7 +4051,6 @@ object MiniDelta {
     // path (it rides as a live add instead) or when the tombstone aged
     // past delta.deletedFileRetentionDuration. A null
     // deletionTimestamp cannot be aged — carried forever (fail-safe).
-    val livePaths = snapRows.map(_.getString(0)).toSet
     val horizon = nowMs() - retentionMs(cfg)
     val cpPrev = latestCheckpoint(spark, table, version - 1)
     // ONE pass each over the previous checkpoint and the JSON tail,
@@ -4043,13 +4094,29 @@ object MiniDelta {
       if (tailFiles.isEmpty) Seq.empty
       else actionsOf(logDFIn(spark, tailFiles), withCommitVersion = true)
     val tailRemoves: Seq[(String, Option[Long])] = tailActions.flatMap(_._1)
-    val removeLines = (prevRemoves ++ tailRemoves)
+    val reconciled = (prevRemoves ++ tailRemoves)
       .groupBy(_._1).view
       .mapValues { vs =>
         if (vs.exists(_._2.isEmpty)) None else Some(vs.flatMap(_._2).max) }
       .toSeq
-      .collect { case (p, ts)
-          if !livePaths.contains(p) && ts.forall(_ > horizon) =>
+      .filter { case (_, ts) => ts.forall(_ > horizon) }
+    // liveness screen (a revived path rides as a live add instead):
+    // driver set at spec scale; a distributed anti-join past the
+    // threshold — the live set IS the full manifest, and collecting it
+    // just for this screen would defeat the distributed render
+    val deadRemoves: Seq[(String, Option[Long])] =
+      if (!distributed) {
+        val livePaths = snapRows.map(_.getString(0)).toSet
+        reconciled.filterNot { case (p, _) => livePaths.contains(p) }
+      } else if (reconciled.isEmpty) Seq.empty
+      else {
+        val dead = spark.createDataset(reconciled.map(_._1))(
+            org.apache.spark.sql.Encoders.STRING).toDF("path")
+          .join(snapDF.select("path"), Seq("path"), "left_anti")
+          .collect().map(_.getString(0)).toSet
+        reconciled.filter { case (p, _) => dead.contains(p) }
+      }
+    val removeLines = deadRemoves.map { case (p, ts) =>
         val tsField = ts.fold("")(t => s""","deletionTimestamp":$t""")
         s"""{"remove":{"path":${jstr(p)},"dataChange":false$tsField}}"""
       }.sorted
@@ -4204,6 +4271,53 @@ object MiniDelta {
           case _ => ()
         }
       }
+    if (distributed) {
+      // DISTRIBUTED bulk render: manifest rows → add-action JSON lines
+      // (text parts, one cluster job) → parquet under the checkpoint
+      // action schema (a second job) — the driver holds the
+      // metadata-scale lines and a probe row, never the manifest. The
+      // per-row mapping is the SAME rowToAddLine the driver path uses,
+      // so the two renders cannot diverge in wire shape. Part naming
+      // uses the ACTUAL produced part count (the spec requires a
+      // complete 1..n set, not any particular row split).
+      val linesDir = s"$tmpBase/lines"
+      snapDF.map(CheckpointAddLine.of _)(
+          org.apache.spark.sql.Encoders.STRING)
+        .write.mode("overwrite").text(linesDir)
+      val smallLines = (proto +: metaLines) ++ removeLines ++
+        txnLines ++ domainLines
+      val smallOut = f.create(new Path(s"$linesDir/small-actions.json"),
+        true)
+      try smallOut.write(smallLines.mkString("\n").getBytes("UTF-8"))
+      finally smallOut.close()
+      val size2 = snapCount + smallLines.length
+      val nParts = math.max(1L,
+        (size2 + maxActionsPerPart - 1L) / maxActionsPerPart).toInt
+      val outDir = s"$tmpBase/out"
+      val bulkDF = spark.read.schema(cpSchema).json(linesDir)
+      (if (nParts == 1) bulkDF.coalesce(1)
+       else bulkDF.repartition(nParts))
+        .write.mode("overwrite").parquet(outDir)
+      val partFiles = f.listStatus(new Path(outDir)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val m = partFiles.length
+      if (m == 1)
+        place(partFiles.head, new Path(checkpointPath(table, version)))
+      else partFiles.zipWithIndex.foreach { case (pp, i) =>
+        place(pp, new Path(checkpointPartPath(table, version, i + 1, m)))
+      }
+      distributedCheckpointRenders.incrementAndGet()
+      f.delete(new Path(tmpBase), true)
+      if (readLastCheckpoint(spark, table).forall(_ < version)) {
+        val partsField = if (m > 1) s""","parts":$m""" else ""
+        val pOut = f.create(new Path(lastCheckpointPath(table)), true)
+        try pOut.write(
+          s"""{"version":$version,"size":$size2$partsField}"""
+            .getBytes("UTF-8"))
+        finally pOut.close()
+      }
+      return
+    }
     if (n == 1)
       renderPart(allLines, 0, new Path(checkpointPath(table, version)))
     else
@@ -9011,4 +9125,14 @@ object MiniDelta {
         .withColumn("_commit_version", lit(v))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+}
+
+/** Executor-side add-action rendering for the distributed checkpoint
+  * bulk — its own (stateless) Serializable holder so the Spark closure
+  * captures THIS object, never the [[MiniDelta]] singleton, whose memo
+  * caches are not serializable. The body resolves `MiniDelta`
+  * statically at run time on each executor. */
+private[graft] object CheckpointAddLine extends Serializable {
+  def of(r: org.apache.spark.sql.Row): String =
+    MiniDelta.checkpointAddLine(r)
 }

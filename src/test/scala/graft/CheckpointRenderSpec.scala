@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+
+/** Distributed checkpoint render (r15 late): past
+  * `checkpointRenderThreshold` actions the classic checkpoint's bulk
+  * renders as a cluster job (manifest rows → add-action JSON → parquet
+  * parts) instead of collecting the manifest onto the driver — the
+  * last O(table) driver-memory stage in the write path. The two
+  * renders share the per-row mapping, so these specs pin that they
+  * produce byte-equivalent ACTION SETS, that multi-part naming and the
+  * pointer stay correct, and that tombstones survive. */
+class CheckpointRenderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("cprender").toString + "/t"
+
+  private def build(t: String): Unit = {
+    MiniDelta.append(spark, (1 to 12).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(4), t, Seq.empty)
+    MiniDelta.append(spark, (13 to 20).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(3), t, Seq.empty)
+    // a CoW delete plants remove tombstones the checkpoint must carry
+    MiniDelta.delete(spark, t, col("id") === 3L, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+  }
+
+  private def cpActions(t: String): (Set[String], Set[String], Long) = {
+    // canonical view of the checkpoint's content: live add paths,
+    // remove paths, and the total action count from _last_checkpoint
+    val dir = new java.io.File(s"$t/_delta_log")
+    val parts = dir.listFiles().map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+      .map(n => s"$t/_delta_log/$n").sorted
+    assert(parts.nonEmpty, s"no checkpoint under $t")
+    val df = spark.read.parquet(parts.toIndexedSeq: _*)
+    val adds = df.where(col("add").isNotNull)
+      .select(col("add.path")).collect().map(_.getString(0)).toSet
+    val removes =
+      if (!df.columns.contains("remove")) Set.empty[String]
+      else df.where(col("remove").isNotNull)
+        .select(col("remove.path")).collect().map(_.getString(0)).toSet
+    val size = "\"size\":(\\d+)".r.findFirstMatchIn(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$t/_delta_log/_last_checkpoint"))).get.group(1).toLong
+    (adds, removes, size)
+  }
+
+  test("distributed render equals the driver render, action for action") {
+    val a = freshTable(); build(a)
+    val base = new java.io.File(a).getParent
+    val b = s"$base/u"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(a), new java.io.File(b))
+    MiniDelta.invalidateSnapshot(b)
+    val v = MiniDelta.latestVersion(spark, a)
+    val saved = MiniDelta.checkpointRenderThreshold
+    val before = MiniDelta.distributedCheckpointRenders.get()
+    try {
+      MiniDelta.checkpointRenderThreshold = 3 // force the cluster path
+      MiniDelta.writeCheckpoint(spark, a, v)
+      assert(MiniDelta.distributedCheckpointRenders.get() == before + 1)
+      MiniDelta.checkpointRenderThreshold = 1000000 // force driver path
+      MiniDelta.writeCheckpoint(spark, b, v)
+      assert(MiniDelta.distributedCheckpointRenders.get() == before + 1)
+    } finally MiniDelta.checkpointRenderThreshold = saved
+    val (addsA, rmA, sizeA) = cpActions(a)
+    val (addsB, rmB, sizeB) = cpActions(b)
+    assert(addsA == addsB && rmA == rmB && sizeA == sizeB,
+      s"renders diverged: $sizeA/$sizeB adds ${addsA.size}/${addsB.size}")
+    assert(rmA.nonEmpty, "the delete's tombstone must ride the checkpoint")
+    // both tables replay from their checkpoints identically
+    MiniDelta.invalidateSnapshot(a); MiniDelta.invalidateSnapshot(b)
+    val ra = MiniDelta.readFiltered(spark, a, Seq.empty)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val rb = MiniDelta.readFiltered(spark, b, Seq.empty)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(ra == rb && ra.size == 19)
+  }
+
+  test("distributed render splits into a complete multi-part set") {
+    val t = freshTable(); build(t)
+    val v = MiniDelta.latestVersion(spark, t)
+    val saved = MiniDelta.checkpointRenderThreshold
+    try {
+      MiniDelta.checkpointRenderThreshold = 3
+      MiniDelta.writeCheckpoint(spark, t, v, maxActionsPerPart = 4)
+    } finally MiniDelta.checkpointRenderThreshold = saved
+    val names = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName).filter(_.contains(".checkpoint.")).sorted
+    assert(names.length >= 2, s"expected multi-part, got ${names.toSeq}")
+    // every part declares the same total, and the set is complete 1..n
+    val partRe = """\d{20}\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+    val idx = names.collect { case partRe(i, n) => (i.toInt, n.toInt) }
+    assert(idx.map(_._2).distinct.length == 1)
+    assert(idx.map(_._1).sorted.toSeq == (1 to idx.head._2).toSeq)
+    // the pointer carries the parts field and replay works
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$t/_delta_log/_last_checkpoint")).contains("\"parts\""))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 19)
+    // replay survives JSON-tail cleanup: the checkpoint is authoritative
+    MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L),
+      nowMs = () => System.currentTimeMillis() + 3600000L)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 19)
+  }
+}
