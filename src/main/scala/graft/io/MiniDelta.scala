@@ -1194,7 +1194,12 @@ object MiniDelta {
         // THIS is the commit's authoritative clock (monotonic, stored
         // in the log, immune to file-mtime drift) and readers must
         // prefer it for time travel
-        StructField("inCommitTimestamp", LongType)))),
+        StructField("inCommitTimestamp", LongType),
+        // Delta's per-operation metrics map (values rendered as
+        // strings, the delta-spark convention) — numAddedFiles /
+        // numRemovedFiles / numCdcFiles on every funnel commit
+        StructField("operationMetrics",
+          MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
@@ -3047,8 +3052,22 @@ object MiniDelta {
         if (!ictEnabled) ""
         else s""","inCommitTimestamp":${
           fixedIct.getOrElse(nextIct(spark, table, v, now))}"""
+      // operationMetrics (Delta's commitInfo convention, values as
+      // strings): derived from the lines themselves, so every commit
+      // site gets them for free. Engine-rendered actions start their
+      // line with the action key, making the count a prefix check —
+      // no JSON parse on the commit hot path. Counted on the caller's
+      // lines (rowTracking injection rewrites add CONTENT, never the
+      // action count).
+      val nAddM = lines.count(_.startsWith("{\"add\""))
+      val nRemoveM = lines.count(_.startsWith("{\"remove\""))
+      val nCdcM = lines.count(_.startsWith("{\"cdc\""))
+      val metrics =
+        s""","operationMetrics":{"numAddedFiles":"$nAddM",""" +
+          s""""numRemovedFiles":"$nRemoveM"""" +
+          (if (nCdcM > 0) s""","numCdcFiles":"$nCdcM"""" else "") + "}"
       val ci = s"""{"commitInfo":{"operation":"$operation","version":$v,""" +
-        s""""timestamp":$now$ict}}"""
+        s""""timestamp":$now$ict$metrics}}"""
       // rowTracking rides per ATTEMPT: a rebased retry must re-read the
       // high-water mark (a concurrent commit advanced it) and re-stamp
       // defaultRowCommitVersion with the rebased version
@@ -3386,6 +3405,9 @@ object MiniDelta {
       if (!ictEnabled) ""
       else s""","inCommitTimestamp":${
         fixedIct.getOrElse(nextIct(spark, table, version, now))}"""
+    // streamed commits omit operationMetrics: the body is a
+    // one-shot iterator whose count is unknown when commitInfo (the
+    // first line) renders, and buffering it would defeat the stream
     val ci = s"""{"commitInfo":{"operation":"$operation",""" +
       s""""version":$version,"timestamp":$now$ict}}"""
     val proto =
