@@ -4000,11 +4000,7 @@ object MiniDelta {
       max(col("dv_path").isNotNull)).collect()(0)
     val snapCount = aggRow.getLong(0)
     val hasDvProbe = !aggRow.isNullAt(1) && aggRow.getBoolean(1)
-    // v2-policy checkpoints keep the driver-chunked render (their
-    // sidecar chunking already bounds file sizes; distributing them is
-    // future work) — the DEFAULT classic policy distributes
-    val distributed = snapCount > checkpointRenderThreshold &&
-      !cfg.get("delta.checkpointPolicy").contains("v2")
+    val distributed = snapCount > checkpointRenderThreshold
     // driver mode holds the full manifest (spec-scale tables, cheaper
     // than job overhead); distributed mode holds ONE probe row — the
     // partition-layout sample — and nothing else
@@ -4218,17 +4214,46 @@ object MiniDelta {
       val sidecarSchema = org.apache.spark.sql.types.StructType(
         logSchema.fields.filter(fd =>
           fd.name == "add" || fd.name == "remove"))
-      val sidecarRows = fileLines.grouped(maxActionsPerPart).zipWithIndex
-        .map { case (chunk, idx) =>
-          val sidecarName = java.util.UUID.randomUUID().toString + ".parquet"
-          val target = new Path(s"${logDir(table)}/_sidecars/$sidecarName")
-          f.mkdirs(target.getParent)
-          renderFile(chunk, idx, target, sidecarSchema)
-          val stSc = f.getFileStatus(target)
-          s"""{"sidecar":{"path":${jstr(sidecarName)},""" +
-            s""""sizeInBytes":${stSc.getLen},""" +
-            s""""modificationTime":${stSc.getModificationTime}}}"""
-        }.toSeq
+      def sidecarRowOf(part: Path): String = {
+        val sidecarName = java.util.UUID.randomUUID().toString + ".parquet"
+        val target = new Path(s"${logDir(table)}/_sidecars/$sidecarName")
+        f.mkdirs(target.getParent)
+        place(part, target)
+        val stSc = f.getFileStatus(target)
+        s"""{"sidecar":{"path":${jstr(sidecarName)},""" +
+          s""""sizeInBytes":${stSc.getLen},""" +
+          s""""modificationTime":${stSc.getModificationTime}}}"""
+      }
+      val sidecarRows =
+        if (distributed) {
+          // DISTRIBUTED sidecar bulk (the classic path's job shape):
+          // adds render on the cluster, the metadata-scale tombstones
+          // ride one driver-written file in the same lines dir
+          val linesDir = s"$tmpBase/lines"
+          snapDF.map(CheckpointAddLine.of _)(
+              org.apache.spark.sql.Encoders.STRING)
+            .write.mode("overwrite").text(linesDir)
+          if (removeLines.nonEmpty) {
+            val ro = f.create(new Path(s"$linesDir/removes.json"), true)
+            try ro.write(removeLines.mkString("\n").getBytes("UTF-8"))
+            finally ro.close()
+          }
+          val nParts = math.max(1L, (snapCount + removeLines.length +
+            maxActionsPerPart - 1L) / maxActionsPerPart).toInt
+          val outDir = s"$tmpBase/scrender"
+          val bulkDF = spark.read.schema(sidecarSchema).json(linesDir)
+          (if (nParts == 1) bulkDF.coalesce(1)
+           else bulkDF.repartition(nParts))
+            .write.mode("overwrite").parquet(outDir)
+          distributedCheckpointRenders.incrementAndGet()
+          f.listStatus(new Path(outDir)).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .toSeq.map(sidecarRowOf)
+        } else fileLines.grouped(maxActionsPerPart).zipWithIndex
+          .map { case (chunk, idx) =>
+            val tmpPart = renderTmp(chunk, idx, sidecarSchema)
+            sidecarRowOf(tmpPart)
+          }.toSeq
       val manifestLines = (proto +: metaLines) ++ txnLines ++
         domainLines ++
         Seq(s"""{"checkpointMetadata":{"version":$version}}""") ++
@@ -4261,8 +4286,14 @@ object MiniDelta {
           f"$version%020d.checkpoint.$uuid.parquet"))
       f.delete(new Path(tmpBase), true)
       if (readLastCheckpoint(spark, table).forall(_ < version)) {
+        // distributed mode never materialized addLines — count from
+        // the snapshot instead of the (empty) rendered seq
+        val v2Size =
+          if (distributed) snapCount + removeLines.length +
+            1 + metaLines.length + txnLines.length + domainLines.length
+          else size
         val pOut = f.create(new Path(lastCheckpointPath(table)), true)
-        try pOut.write(s"""{"version":$version,"size":$size}"""
+        try pOut.write(s"""{"version":$version,"size":$v2Size}"""
           .getBytes("UTF-8"))
         finally pOut.close()
       }

@@ -85,6 +85,52 @@ class CheckpointRenderSpec extends AnyFunSuite {
     assert(ra == rb && ra.size == 19)
   }
 
+  test("v2-policy distributed render: sidecars equal the driver's") {
+    val a = freshTable()
+    MiniDelta.append(spark, (1 to 5).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), a, Seq.empty)
+    MiniDelta.setTableProperties(spark, a,
+      Map("delta.checkpointPolicy" -> "v2"))
+    MiniDelta.invalidateSnapshot(a)
+    build(a)
+    val base = new java.io.File(a).getParent
+    val b = s"$base/u"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(a), new java.io.File(b))
+    MiniDelta.invalidateSnapshot(b)
+    val v = MiniDelta.latestVersion(spark, a)
+    val saved = MiniDelta.checkpointRenderThreshold
+    val before = MiniDelta.distributedCheckpointRenders.get()
+    try {
+      MiniDelta.checkpointRenderThreshold = 3
+      MiniDelta.writeCheckpoint(spark, a, v)
+      assert(MiniDelta.distributedCheckpointRenders.get() == before + 1)
+      MiniDelta.checkpointRenderThreshold = 1000000
+      MiniDelta.writeCheckpoint(spark, b, v)
+      assert(MiniDelta.distributedCheckpointRenders.get() == before + 1)
+    } finally MiniDelta.checkpointRenderThreshold = saved
+    def sidecarActions(t: String): (Set[String], Set[String]) = {
+      val sc = new java.io.File(s"$t/_delta_log/_sidecars")
+      assert(sc.isDirectory, s"no sidecars under $t")
+      val df = spark.read.parquet(s"$t/_delta_log/_sidecars")
+      (df.where(col("add").isNotNull).select(col("add.path"))
+        .collect().map(_.getString(0)).toSet,
+       df.where(col("remove").isNotNull).select(col("remove.path"))
+         .collect().map(_.getString(0)).toSet)
+    }
+    val (addsA, rmA) = sidecarActions(a)
+    val (addsB, rmB) = sidecarActions(b)
+    assert(addsA == addsB && rmA == rmB && rmA.nonEmpty)
+    // both replay from their v2 checkpoints identically after cleanup
+    for (t <- Seq(a, b)) {
+      MiniDelta.cleanupLogs(spark, t, retainMs = Some(0L),
+        nowMs = () => System.currentTimeMillis() + 3600000L)
+      MiniDelta.invalidateSnapshot(t)
+      // 5 seed + 20 built − the delete's TWO id=3 rows (seed + built)
+      assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 23)
+    }
+  }
+
   test("distributed render splits into a complete multi-part set") {
     val t = freshTable(); build(t)
     val v = MiniDelta.latestVersion(spark, t)
