@@ -1423,16 +1423,22 @@ FROM kept""",
     // walking 1000, 1003, ... with no collisions across commits
     "s36_identity" ->
       """WITH final AS (
-  SELECT CASE WHEN l_quantity = 1 THEN 11.0 ELSE l_quantity END AS q
+  SELECT CASE WHEN l_quantity = 1 THEN 11.0
+              WHEN l_quantity = 2 AND l_orderkey % 7 = 0 THEN 12.0
+              ELSE l_quantity END AS q,
+         CASE WHEN l_quantity = 2 AND l_orderkey % 7 = 0 THEN 'T'
+              END AS tag
   FROM lineitem WHERE l_quantity <= 2
   UNION ALL
-  SELECT l_quantity AS q FROM lineitem WHERE l_quantity = 3
+  SELECT l_quantity AS q, NULL AS tag
+  FROM lineitem WHERE l_quantity = 3
 )
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(count(*) AS BIGINT) AS n_ids,
   CAST(1000 AS BIGINT) AS min_id,
   CAST(1000 + 3 * (count(*) - 1) AS BIGINT) AS max_id,
-  CAST(sum(CAST(q AS BIGINT)) AS BIGINT) AS sum_qty
+  CAST(sum(CAST(q AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(count(tag) AS BIGINT) AS n_tagged
 FROM final""",
 
     // the oracle recomputes the generated bucket and the update's
@@ -1518,19 +1524,22 @@ ORDER BY change_type, flag""",
 SELECT 'delete' AS change_type, flag,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty,
-  CAST(1 AS BIGINT) AS phys_cols_ok
+  CAST(1 AS BIGINT) AS phys_cols_ok,
+  CAST(1 AS BIGINT) AS evolve_ok
 FROM base WHERE flag = 'R' AND qty = 2 GROUP BY flag
 UNION ALL
 SELECT 'update_preimage' AS change_type, flag,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty,
-  CAST(1 AS BIGINT) AS phys_cols_ok
+  CAST(1 AS BIGINT) AS phys_cols_ok,
+  CAST(1 AS BIGINT) AS evolve_ok
 FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
 UNION ALL
 SELECT 'update_postimage' AS change_type, flag,
   CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty + 5) AS BIGINT) AS sum_qty,
-  CAST(1 AS BIGINT) AS phys_cols_ok
+  CAST(1 AS BIGINT) AS phys_cols_ok,
+  CAST(1 AS BIGINT) AS evolve_ok
 FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
 ORDER BY change_type, flag""",
 

@@ -949,8 +949,17 @@ object SparkEntry {
       // load-bearing for the raw-scan equality below), then FULL,
       // which must find nothing more (the listing sees only live
       // files; any residue would double-count rows and fail the gate).
-      graft.io.MiniDelta.vacuum(s, table, lite = true)
-      graft.io.MiniDelta.vacuum(s, table)
+      // LITE's delete count is ASSERTED non-zero: without it the gate
+      // would still pass if LITE silently deleted nothing and FULL
+      // mopped up — the composition would prove FULL, not LITE.
+      val liteDeleted = graft.io.MiniDelta.vacuum(s, table, lite = true)
+      require(liteDeleted.nonEmpty,
+        "s11_vacuum: VACUUM LITE deleted no files — the raw-scan " +
+          "equality below would be FULL's work, not LITE's")
+      val fullDeleted = graft.io.MiniDelta.vacuum(s, table)
+      require(fullDeleted.isEmpty,
+        s"s11_vacuum: FULL vacuum found ${fullDeleted.size} files LITE " +
+          "missed — LITE's log-derived candidate set is incomplete")
       s.read.parquet(table)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -2248,12 +2257,29 @@ object SparkEntry {
             col("l_quantity")))
       graft.io.MiniDelta.merge(s, table, mergeSrc,
         Seq("l_orderkey", "l_linenumber", "l_partkey"), Seq.empty)
+      // EVOLUTION leg (r16 — the lifted refusal): a matched-only merge
+      // whose source carries a NEW column src_tag evolves the identity
+      // table's schema INSIDE the merge commit — one metaData action
+      // carrying the appended column with the mark untouched (zero
+      // inserts). Matched rows (original l_quantity = 2, okey % 7 = 0)
+      // are replaced wholesale: quantity 12.0 and the tag, identity
+      // values KEPT — so n_ids/min/max are unchanged and n_tagged
+      // counts exactly the matched set.
+      val evolveSrc = Tables.load(s, d, "lineitem")
+        .where(col("l_quantity") === 2 &&
+          pmod(col("l_orderkey"), lit(7)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          lit(12.0).as("l_quantity"), lit("T").as("src_tag"))
+      graft.io.MiniDelta.merge(s, table, evolveSrc,
+        Seq("l_orderkey", "l_linenumber", "l_partkey"), Seq.empty)
       graft.io.MiniDelta.invalidateSnapshot(table)
       graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("row_id")).as("n_ids"),
           min(col("row_id")).as("min_id"), max(col("row_id")).as("max_id"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(col("src_tag")).as("n_tagged"))
     }),
     "s38_colmap_id_write" -> ((s, d) => {
       // id-mode column-mapping WRITE lifecycle — the reference's own
@@ -2390,6 +2416,27 @@ object SparkEntry {
       s.sql("UPDATE graft.s40_trades SET quantity = quantity + 5 " +
         "WHERE flag = 'A' AND quantity = 1")
       s.sql("DELETE FROM graft.s40_trades WHERE flag = 'R' AND quantity = 2")
+      // EVOLVING MERGE leg (r16): a keyed merge whose source carries a
+      // NEW column 'bonus' — the mapped table grows it INLINE (fresh
+      // physicalName/id ratcheted past maxColumnId in the merge's own
+      // commit, no ALTER first), and the evolved column lands in data
+      // AND cdc files under its physical name. Insert-only source
+      // (negative keys) so the [3,4] change window above is untouched;
+      // the v5 cdc files still flow through the phys_cols_ok footer
+      // sweep below.
+      graft.io.MiniDelta.merge(s, table,
+        s.range(1, 4).select((col("id") * -1).as("okey"),
+          lit(50L).as("quantity"), lit("Z").as("flag"),
+          (col("id") * 10).as("bonus")),
+        Seq("okey"), Seq.empty)
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val evolvedField = graft.io.MiniDelta.latestSchema(s, table,
+          graft.io.MiniDelta.latestVersion(s, table)).get
+        .fields.find(_.name == "bonus")
+      val bonusSum = graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .agg(sum(col("bonus"))).collect()(0).getLong(0)
+      val evolveOk = evolvedField.exists(_.metadata.contains(
+        "delta.columnMapping.physicalName")) && bonusSum == 60L
       def cdcParquets(f: java.io.File): Seq[java.io.File] =
         Option(f.listFiles()).toSeq.flatten.flatMap(c =>
           if (c.isDirectory) cdcParquets(c)
@@ -2417,6 +2464,7 @@ object SparkEntry {
         FROM table_changes('s40_trades', 3, 4)
         GROUP BY _change_type, flag""")
         .withColumn("phys_cols_ok", lit(if (physOk) 1L else 0L))
+        .withColumn("evolve_ok", lit(if (evolveOk) 1L else 0L))
         .orderBy("change_type", "flag")
     }),
     "s41_defaults" -> ((s, d) => {

@@ -443,16 +443,28 @@ object MiniDelta {
     require(idFields.length == 1,
       s"$table declares ${idFields.length} identity columns; at most " +
         "one is supported")
-    // the identity commit path carries only the high-water-mark
-    // metaData — a frame with NEW columns would land them in files
-    // without ever declaring them (silently invisible to reads);
-    // explicit evolution first
-    val undeclared = df.columns.filterNot(c =>
-      declared.fieldNames.exists(_.equalsIgnoreCase(c)))
-    require(undeclared.isEmpty,
-      s"append cannot evolve the schema of identity-column table " +
-        s"$table (new column(s) ${undeclared.mkString(", ")}); add " +
-        "them first with ALTER TABLE ... ADD COLUMNS")
+    // schema evolution COMPOSES with identity (the pre-r16 refusal is
+    // gone, matching delta-spark's inline evolution): source-only
+    // columns are APPENDED to the declared schema, and the SAME
+    // metaData line that advances the high-water mark declares them —
+    // one metaData action per commit, the identity field's own
+    // metadata carried verbatim. On a column-mapped table the new
+    // fields get fresh physicalName/ids ratcheted past the PINNED
+    // maxColumnId (the [[appendWithMappedEvolution]] rule); the
+    // readVersion+1 pin already serializes the mark AND the id
+    // ratchet against concurrent writers in one throw.
+    val evolved0 = mergedSchema(Some(declared), df.schema)
+    val (evolvedSchema, evolvedCfg) =
+      if (isColumnMapped(declared) &&
+          evolved0.length != declared.length) {
+        val (cols2, cfg2) = assignMappingMeta(
+          evolved0.fields.drop(declared.length).toIndexedSeq, cfgPinned)
+        (org.apache.spark.sql.types.StructType(
+          declared.fields.toIndexedSeq ++ cols2), cfg2)
+      } else (evolved0, cfgPinned)
+    val schemaChanged = evolvedSchema.json != declared.json
+    val evolveOverride =
+      if (schemaChanged) Some(evolvedSchema) else None
     val f = idFields.head
     val start = f.metadata.getLong(IdentityStartKey)
     val step =
@@ -469,25 +481,28 @@ object MiniDelta {
     // the identity column sees real values), against the PINNED config
     // — the commit lands at readVersion + 1, so readVersion's
     // constraints are the authoritative set
-    enforceConstraints(alignForCheck(outDf, Some(declared)), cfgPinned,
-      Some(declared))
+    enforceConstraints(alignForCheck(outDf, Some(evolvedSchema)),
+      cfgPinned, Some(evolvedSchema))
     val added = writeAndCapture(spark,
       optimizeWriteFrame(outDf, partitionBy, cfgPinned), table,
-      partitionBy)
-    val stats = fileStats(spark, table, added.map(_._1), statsCols)
+      partitionBy, schemaOverride = evolveOverride)
+    val stats = fileStats(spark, table, added.map(_._1), statsCols,
+      schemaOverride = evolveOverride)
     val txnLines = txn.toSeq.map { case (appId, v) =>
       s"""{"txn":{"appId":${jstr(appId)},"version":$v,""" +
         s""""lastUpdated":${System.currentTimeMillis()}}}""" }
     val metaLines =
-      if (newHwm == hwm) Nil
+      if (newHwm == hwm && !schemaChanged) Nil
       else {
-        val f2 = f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong(IdentityHwmKey, newHwm.get).build())
+        val f2 =
+          if (newHwm == hwm) f
+          else f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(IdentityHwmKey, newHwm.get).build())
         val schema2 = org.apache.spark.sql.types.StructType(
-          declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
-        Seq(metaDataLine(table, schema2, partitionBy, cfgPinned))
+          evolvedSchema.fields.map(fd => if (fd.name == f.name) f2 else fd))
+        Seq(metaDataLine(table, schema2, partitionBy, evolvedCfg))
       }
     beforeDmlCommitHook()
     writeCommit(spark, table, readVersion + 1,
@@ -637,15 +652,22 @@ object MiniDelta {
     while (true) {
       val prior = latestSchema(spark, table)
       val merged = mergedSchema(prior, df.schema)
-      // a column-mapped schema cannot grow through a blind append: the
-      // new fields would carry no physicalName/id, poisoning the
-      // mapping. Explicit evolution assigns them — refuse by name.
+      // the table BECAME column-mapped since [[append]]'s dispatch
+      // probe (an upgrade raced in) and this frame grows its schema:
+      // the files staged above carry no mapping metadata for the new
+      // columns, so they cannot land — drop them (they are invisible
+      // until an add action references them; this is the crashed-write
+      // cleanup shape) and re-enter through the mapped-evolution path,
+      // which re-pins and rewrites under the extended physical schema
+      // with fresh physicalName/ids ratcheted past maxColumnId.
       if (prior.exists(isColumnMapped) &&
-          merged.length != prior.get.length)
-        throw new IllegalArgumentException(
-          s"append cannot evolve the schema of column-mapped table " +
-            s"$table — new columns need mapping metadata; add them " +
-            "first with ALTER TABLE ... ADD COLUMNS")
+          merged.length != prior.get.length) {
+        val fsys = fs(spark, table)
+        added.foreach { case (rel, _, _) =>
+          fsys.delete(new Path(s"$table/$rel"), false) }
+        return appendWithMappedEvolution(spark, df, table, partitionBy,
+          statsCols, txn)
+      }
       val cfg = tableConfig(spark, table)
       // a commit race may mean a constraint was ADDED since the
       // pre-write enforcement (addConstraint validated only the rows it
@@ -3169,16 +3191,32 @@ object MiniDelta {
     * Anything unprovable throws exactly as before — resolution only
     * widens the commits that SUCCEED, never what they mean.
     * `readCond = None` (untranslatable predicate) makes every
-    * dataChange add a conflict. Winners are driver-read once per
-    * rebase (O(intervening commits) small files, the
-    * [[requireReadable]] cost shape); the add screen is ONE local
-    * evaluation over the collected add actions. */
+    * dataChange add a conflict. Winners are driver-read ONCE across
+    * the whole rebase sequence, not once per attempt — `base` advances
+    * past every screened winner, so attempt N+1 reads only the commits
+    * that landed since attempt N's screen (pinned by
+    * [[winnerCommitsScreened]] + CommitRaceSpec); the add screen is
+    * ONE local evaluation over the collected add actions.
+    *
+    * `delta.isolationLevel = Serializable` (Delta's strict level — the
+    * default is WriteSerializable) disables the add screen entirely:
+    * EVERY intervening dataChange add conflicts, even one provably
+    * disjoint from the predicate, because Serializable forbids the
+    * DML-before-winner reordering the screen licenses (the winner's
+    * rows would be invisible to a DML that serialized AFTER them).
+    * Removes/metaData/protocol conflict identically at both levels. */
   private def writeCommitResolving(spark: SparkSession, table: String,
       version: Long, lines: Seq[String], operation: String,
       readCond: Option[org.apache.spark.sql.Column],
       maxRebase: Int = 5): Long = {
     require(!lines.exists(_.contains("\"txn\"")),
       "resolving commits do not carry txn markers")
+    // any winner carrying metaData conflicts below, so the isolation
+    // level cannot change mid-rebase — resolving it once at entry is
+    // exact for every path that reaches a successful commit
+    val strictSerializable = tableConfig(spark, table)
+      .get("delta.isolationLevel")
+      .exists(_.equalsIgnoreCase("Serializable"))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val ourRemoved: Set[String] = lines.iterator
       .filter(_.contains("\"remove\""))
@@ -3201,7 +3239,8 @@ object MiniDelta {
           val addRows = scala.collection.mutable.ArrayBuffer
             .empty[org.apache.spark.sql.Row]
           logJsonVersions(spark, table, base, latest).foreach {
-            case (_, p) =>
+            case (wv, p) =>
+              winnerCommitsScreened.add(s"$table@$wv")
               val pp = new Path(p)
               val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
               val in = f.open(pp)
@@ -3224,7 +3263,7 @@ object MiniDelta {
                     val a = node.get("add")
                     val dc = a.get("dataChange")
                     if (dc == null || dc.asBoolean(true)) {
-                      if (readCond.isEmpty) throw e
+                      if (strictSerializable || readCond.isEmpty) throw e
                       val pvNode = a.get("partitionValues")
                       val pv = scala.collection.mutable
                         .Map.empty[String, String]
@@ -3257,6 +3296,7 @@ object MiniDelta {
                 .limit(1).count() > 0)
               throw new ConcurrentCommitException(table, base)
           }
+          onRebaseScreenHook()
           base = latest + 1
       }
     }
@@ -3972,6 +4012,15 @@ object MiniDelta {
   private[graft] val distributedCheckpointRenders =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Every `table@version` winner commit the conflict resolver
+    * driver-read for screening — spec seam: a `table@version` appearing
+    * TWICE means a rebase attempt re-read a winner an earlier attempt
+    * already screened (the O(intervening)-per-attempt regression the
+    * advancing `base` exists to prevent). */
+  private[graft] val winnerCommitsScreened =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+
   def writeCheckpoint(spark: SparkSession, table: String,
                       version: Long,
                       nowMs: () => Long = () => System.currentTimeMillis(),
@@ -4002,10 +4051,10 @@ object MiniDelta {
     val hasDvProbe = !aggRow.isNullAt(1) && aggRow.getBoolean(1)
     val distributed = snapCount > checkpointRenderThreshold
     // driver mode holds the full manifest (spec-scale tables, cheaper
-    // than job overhead); distributed mode holds ONE probe row — the
-    // partition-layout sample — and nothing else
+    // than job overhead); distributed mode holds NO manifest rows at
+    // all — the layout derivation below is its own cluster aggregate
     val snapRows =
-      if (distributed) snapDF.limit(1).collect()
+      if (distributed) Array.empty[org.apache.spark.sql.Row]
       else snapDF.collect()
     // the protocol row is the table's ACTUAL resolved contract (latest
     // protocol action, checkpoint + tail) — synthesizing one from DV
@@ -4022,15 +4071,57 @@ object MiniDelta {
       (if (hasDv || cfg.get("delta.enableDeletionVectors").contains("true"))
          resolved.withDeletionVectors
        else resolved).render
-    // partition columns: path-derived for Hive-layout tables; a real
-    // table whose paths don't encode partitions falls back to the
-    // action-carried partitionValues keys
-    val parts0 = partitionColsOf(snapRows.map(_.getString(0)).toSeq)
-    val parts =
-      if (parts0.nonEmpty) parts0
-      else snapRows.headOption.map(r =>
-        r.getMap[String, String](r.fieldIndex("partitionValues"))
-          .keys.toSeq).getOrElse(Seq.empty)
+    // partition columns: derived from the WHOLE manifest, never from
+    // one sampled row — a mixed-layout snapshot (post-CONVERT debris,
+    // Hive-encoded files beside pathless action-carried ones) must not
+    // be described by whichever row a limit(1) probe returns. One
+    // distinct-aggregate over the (path-layout signature, pv-key set)
+    // pair runs as a cluster job; its collect is #distinct-layouts
+    // rows (1 for every healthy table), metadata-scale at any file
+    // count. A non-uniform partition-KEY set fails LOUDLY: rendering
+    // a checkpoint that mis-declares the layout poisons every replay
+    // that trusts it. Column ORDER prefers the Hive path order
+    // (pathless rows defer), then the log's declared
+    // `metaData.partitionColumns`, then sorted keys (deterministic
+    // where the old single-row probe was map-iteration-order).
+    val layoutRows = snapDF.select(
+        expr("array_join(transform(filter(slice(split(path, '/'), 1, " +
+          "greatest(size(split(path, '/')) - 1, 0)), " +
+          "s -> instr(s, '=') > 0), s -> substring_index(s, '=', 1)), " +
+          "'/')").as("sig"),
+        expr("array_join(array_sort(map_keys(coalesce(" +
+          "partitionValues, map()))), '/')").as("ks"))
+      .distinct().collect()
+    val pathSigs = layoutRows.map(_.getString(0)).distinct.filter(_.nonEmpty)
+    val keySets = layoutRows.map(_.getString(1)).distinct
+    require(keySets.length <= 1,
+      s"checkpoint render: snapshot of $table carries " +
+        s"${keySets.length} distinct partition-key sets " +
+        s"(${keySets.mkString(" | ")}) — refusing to render a " +
+        "checkpoint that would mis-declare the layout")
+    require(pathSigs.length <= 1,
+      s"checkpoint render: snapshot of $table mixes Hive path layouts " +
+        s"(${pathSigs.mkString(" | ")}) — refusing to render a " +
+        "checkpoint that would mis-declare the layout")
+    val aggKeys = keySets.headOption.filter(_.nonEmpty)
+      .map(_.split("/").toSeq).getOrElse(Seq.empty)
+    require(pathSigs.isEmpty ||
+        pathSigs.head.split("/").toSeq.sorted == aggKeys.sorted,
+      s"checkpoint render: $table's Hive path layout " +
+        s"(${pathSigs.mkString}) disagrees with the action-carried " +
+        s"partitionValues keys (${aggKeys.mkString(",")})")
+    val parts: Seq[String] =
+      if (layoutRows.isEmpty)
+        // EMPTY snapshot (all rows deleted): the layout still governs
+        // future writes — carry the log's declared partitionColumns
+        // instead of silently flipping the table to unpartitioned
+        metaPartitionColumns(spark, table).getOrElse(Seq.empty)
+      else pathSigs.headOption.map(_.split("/").toSeq).getOrElse {
+        if (aggKeys.isEmpty) Seq.empty
+        else metaPartitionColumns(spark, table)
+          .filter(_.sorted == aggKeys.sorted)
+          .getOrElse(aggKeys.sorted)
+      }
     val metaLines = latestSchema(spark, table, version)
       .map(s => metaDataLine(table, s, parts, cfg)).toSeq
     val addLines: Seq[String] =
@@ -4671,6 +4762,12 @@ object MiniDelta {
   /** Test seam: runs just before a DML commit lands — specs inject a
     * concurrent writer here to exercise the read-set conflict check. */
   private[graft] var beforeDmlCommitHook: () => Unit = () => ()
+
+  /** Fires after a conflict resolver's screen PASSES, before the next
+    * commit attempt — a test seam so CommitRaceSpec can land a SECOND
+    * winner mid-rebase and pin that attempt N+1 reads only the commits
+    * attempt N has not screened. */
+  private[graft] var onRebaseScreenHook: () => Unit = () => ()
 
   /** Commit wall-clock source (Delta's commitInfo timestamp) — a test
     * seam so TIMESTAMP AS OF specs can script history. */
@@ -5856,27 +5953,26 @@ object MiniDelta {
     // identity tables (Delta identityColumns) COMPOSE with merge since
     // late r13 (the pre-r13 refusal is gone): matched rows keep the
     // TARGET's identity value, inserts get fresh chain values — see
-    // [[mergeIdentityResolve]]. Evolution refuses (same rule as
-    // append): the identity commit's metaData carries the advanced
-    // high-water mark, and an evolved frame would land new columns in
-    // the same line without their own declaration discipline.
+    // [[mergeIdentityResolve]]. Since r16 evolution composes TOO
+    // (delta-spark evolves inline): the identity commit's metaData
+    // line carries the advanced high-water mark AND the evolved
+    // schema in ONE action — [[mergeIdentityResolve]] builds it over
+    // the merged schema, and the generic evolution line below is
+    // suppressed for identity tables so a commit never carries two
+    // metaData actions.
     val idFields = declared.toSeq.flatMap(_.fields.toSeq)
       .filter(_.metadata.contains(IdentityStartKey))
     require(idFields.length <= 1,
       s"$table declares ${idFields.length} identity columns; at most " +
         "one is supported")
-    if (idFields.nonEmpty)
-      require(merged.json == declared.get.json,
-        s"merge cannot evolve the schema of identity-column table " +
-          s"$table; add new columns first with ALTER TABLE ... ADD COLUMNS")
-    val metaLines = declared match {
-      case Some(d) if d.json != merged.json =>
+    val schemaChanged = declared.exists(_.json != merged.json)
+    val metaLines =
+      if (schemaChanged && idFields.isEmpty)
         // carry the config forward (same rule as append's evolution);
         // an evolving mapped merge carries the RATCHETED maxColumnId
         Seq(metaDataLine(table, merged, partitionBy,
           evolvedCfg.getOrElse(tableConfig(spark, table))))
-      case _ => Nil
-    }
+      else Nil
     // generated-column contract on the rows the merge will WRITE:
     // source-omitted generated columns compute, provided ones validate
     // (survivor rows carry their already-valid stored values)
@@ -5908,7 +6004,11 @@ object MiniDelta {
     val (source2, idMetaLines) = idFields.headOption match {
       case None => (source1, Seq.empty[String])
       case Some(f) => mergeIdentityResolve(spark, table, source1, f,
-        keys, partitionBy, readVersion, declared, snapDF, srcKeys)
+        keys, partitionBy, readVersion, declared, snapDF, srcKeys,
+        metaSchema = merged,
+        metaCfg = evolvedCfg.getOrElse(
+          tableConfig(spark, table, readVersion)),
+        forceMeta = schemaChanged)
     }
     // DV tables: MASK the matched target rows and append ALL source
     // rows (matched rows' replacements and unmatched inserts are both
@@ -6166,7 +6266,15 @@ object MiniDelta {
       source: DataFrame, f: org.apache.spark.sql.types.StructField,
       keys: Seq[String], partitionBy: Seq[String], readVersion: Long,
       declared: Option[org.apache.spark.sql.types.StructType],
-      snapDF: DataFrame, srcKeys: DataFrame)
+      snapDF: DataFrame, srcKeys: DataFrame,
+      // the schema/config the commit's metaData line must declare —
+      // the EVOLVED schema when the merge grows the table (one line
+      // carries both the evolution and the advanced mark), the
+      // declared one otherwise. `forceMeta` emits the line even when
+      // the mark did not move (evolution with zero inserts).
+      metaSchema: org.apache.spark.sql.types.StructType,
+      metaCfg: Map[String, String],
+      forceMeta: Boolean)
       : (DataFrame, Seq[String]) = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val start = f.metadata.getLong(IdentityStartKey)
@@ -6224,16 +6332,17 @@ object MiniDelta {
         (insertSrc, sync)
       } else assignIdentity(insertSrc, f.name, start, step, hwm)
     val metaLine =
-      if (newHwm == hwm) Nil
+      if (newHwm == hwm && !forceMeta) Nil
       else {
-        val f2 = f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong(IdentityHwmKey, newHwm.get).build())
-        val schema2 = StructType(declared.get.fields.map(fd =>
+        val f2 =
+          if (newHwm == hwm) f
+          else f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(IdentityHwmKey, newHwm.get).build())
+        val schema2 = StructType(metaSchema.fields.map(fd =>
           if (fd.name == f.name) f2 else fd))
-        Seq(metaDataLine(table, schema2, partitionBy,
-          tableConfig(spark, table, readVersion)))
+        Seq(metaDataLine(table, schema2, partitionBy, metaCfg))
       }
     (matchedPart.unionByName(insertPart), metaLine)
   }

@@ -158,4 +158,62 @@ class CheckpointRenderSpec extends AnyFunSuite {
     MiniDelta.invalidateSnapshot(t)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 19)
   }
+
+  test("mixed partition-key layouts refuse the render instead of " +
+      "mis-describing the table") {
+    // a healthy Hive-layout table plus post-CONVERT-style debris whose
+    // add action carries a DIFFERENT partitionValues key set: the r15
+    // renderer derived partitionColumns from ONE sampled row, so the
+    // checkpoint's declared layout depended on which row a limit(1)
+    // returned — the r16 derivation aggregates the whole manifest and
+    // fails loudly on non-uniformity
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "p", "v"),
+      t, Seq("p"))
+    val v = MiniDelta.writeCommit(spark, t,
+      MiniDelta.latestVersion(spark, t) + 1,
+      Seq("""{"add":{"path":"debris.parquet","partitionValues":""" +
+        """{"q":"1"},"size":1,"modificationTime":0,""" +
+        """"dataChange":true}}"""),
+      "WRITE")
+    MiniDelta.invalidateSnapshot(t)
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.writeCheckpoint(spark, t, v))
+    assert(e.getMessage.contains("distinct partition-key sets"),
+      e.getMessage)
+  }
+
+  test("pathless layout (action-carried partitionValues only) derives " +
+      "the declared columns from the aggregated keys") {
+    // no file path encodes p=...: the Hive-path derivation yields
+    // nothing and the render must fall back to the partitionValues
+    // keys aggregated across the manifest (ordered by the log's
+    // declared metaData.partitionColumns)
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType))),
+      partitionBy = Seq("p"))
+    val v = MiniDelta.writeCommit(spark, t,
+      MiniDelta.latestVersion(spark, t) + 1,
+      Seq("""{"add":{"path":"f1.parquet","partitionValues":{"p":"x"},""" +
+          """"size":1,"modificationTime":0,"dataChange":true}}""",
+        """{"add":{"path":"f2.parquet","partitionValues":{"p":"y"},""" +
+          """"size":1,"modificationTime":0,"dataChange":true}}"""),
+      "WRITE")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.writeCheckpoint(spark, t, v)
+    val parts = new java.io.File(s"$t/_delta_log").listFiles()
+      .map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+      .map(n => s"$t/_delta_log/$n").sorted
+    assert(parts.nonEmpty)
+    val declaredParts = spark.read.parquet(parts.toIndexedSeq: _*)
+      .where(col("metaData").isNotNull)
+      .select("metaData.partitionColumns")
+      .collect().head.getSeq[String](0)
+    assert(declaredParts == Seq("p"),
+      s"expected partitionColumns [p], got $declaredParts")
+  }
 }
