@@ -1605,10 +1605,24 @@ GROUP BY 1 ORDER BY 1""",
   FROM src s LEFT JOIN (SELECT DISTINCT okey, lnum FROM base) b
     ON b.okey = s.okey AND b.lnum = s.lnum
   WHERE b.okey IS NULL AND NOT s.flag = 'R'
+), src2 AS (
+  SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+    CAST(count(*) AS BIGINT) AS hits
+  FROM lineitem WHERE l_quantity = 1 GROUP BY 1, 2
+), evolved AS (
+  SELECT m.okey, m.lnum, m.qty, m.flag, s.hits AS score
+  FROM merged m LEFT JOIN src2 s ON m.okey = s.okey AND m.lnum = s.lnum
+  UNION ALL
+  SELECT s.okey, s.lnum, 0 AS qty, 'E' AS flag, s.hits AS score
+  FROM src2 s LEFT JOIN (SELECT DISTINCT okey, lnum FROM merged) m
+    ON m.okey = s.okey AND m.lnum = s.lnum
+  WHERE m.okey IS NULL
 )
 SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(sum(qty) AS BIGINT) AS sum_qty
-FROM merged GROUP BY flag ORDER BY flag""",
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
+  CAST(count(score) AS BIGINT) AS n_scored,
+  CAST(sum(score) AS BIGINT) AS sum_score
+FROM evolved GROUP BY flag ORDER BY flag""",
 
     "s49_merge_identity" ->
       """WITH m1 AS (

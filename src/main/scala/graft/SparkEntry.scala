@@ -2714,9 +2714,27 @@ object SparkEntry {
           VALUES (s.okey, s.lnum, s.qty * 10, 'I')
         WHEN NOT MATCHED BY SOURCE AND t.flag <> 'N'
           THEN UPDATE SET flag = 'S'""")
+      // WITH SCHEMA EVOLUTION leg (r16): a second general MERGE whose
+      // SET and INSERT target a column the table has not declared —
+      // 'score' appends inside the merge commit (one metaData action),
+      // matched rows take the source's per-key line count, unmatched
+      // source keys insert flag='E' rows carrying it
+      s.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.s46_trades t USING (
+          SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lnum,
+                 CAST(count(*) AS BIGINT) AS hits
+          FROM graft.datalake.s46_lineitem
+          WHERE l_quantity = 1
+          GROUP BY 1, 2) s
+        ON t.okey = s.okey AND t.lnum = s.lnum
+        WHEN MATCHED THEN UPDATE SET score = s.hits
+        WHEN NOT MATCHED THEN INSERT (okey, lnum, qty, flag, score)
+          VALUES (s.okey, s.lnum, 0, 'E', s.hits)""")
       s.sql("""
         SELECT flag, count(*) AS n_rows,
-               CAST(sum(qty) AS BIGINT) AS sum_qty
+               CAST(sum(qty) AS BIGINT) AS sum_qty,
+               CAST(count(score) AS BIGINT) AS n_scored,
+               CAST(sum(score) AS BIGINT) AS sum_score
         FROM graft.s46_trades GROUP BY flag""")
         .orderBy("flag")
     }),

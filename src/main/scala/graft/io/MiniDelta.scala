@@ -6490,7 +6490,15 @@ object MiniDelta {
       notMatched: Seq[MergeInsertClause],
       bySource: Seq[MergeBySourceClause],
       partitionBy: Seq[String], readOnly: Boolean = false,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      // Delta's `WITH SCHEMA EVOLUTION` (r16): SET/INSERT targets
+      // naming columns the table has not declared APPEND them —
+      // types inferred from the assignment expressions, one metaData
+      // action in the merge's own commit (carrying the mapped
+      // physicalName/id ratchet and/or the identity high-water mark
+      // when those features compose). Without the flag an unknown
+      // target refuses by name, exactly as before.
+      evolveSchema: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(keys.nonEmpty, "merge requires at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
@@ -6518,24 +6526,29 @@ object MiniDelta {
         "one is supported")
     def checkSet(set: Map[String, org.apache.spark.sql.Column],
                  clause: String): Unit = set.keys.foreach { k =>
-      val f = decl.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(
+      decl.fields.find(_.name.equalsIgnoreCase(k)) match {
+        case Some(f) =>
+          require(!f.metadata.contains(GenExprKey),
+            s"MERGE cannot SET generated column ${f.name} — it is " +
+              "always computed from its expression")
+          require(!f.metadata.contains(IdentityStartKey),
+            s"MERGE cannot SET identity column ${f.name}")
+        case None => require(evolveSchema,
           s"MERGE $clause references unknown column $k (table columns: " +
-            s"${decl.fieldNames.mkString(", ")})"))
-      require(!f.metadata.contains(GenExprKey),
-        s"MERGE cannot SET generated column ${f.name} — it is always " +
-          "computed from its expression")
-      require(!f.metadata.contains(IdentityStartKey),
-        s"MERGE cannot SET identity column ${f.name}")
+            s"${decl.fieldNames.mkString(", ")}); WITH SCHEMA " +
+            "EVOLUTION appends it")
+      }
     }
     matched.foreach(_.set.foreach(checkSet(_, "UPDATE")))
     bySource.foreach(_.set.foreach(checkSet(_, "UPDATE")))
     notMatched.foreach { c =>
       require(c.values.nonEmpty, "MERGE INSERT needs at least one column")
       c.values.keys.foreach { k =>
-        require(decl.fieldNames.exists(_.equalsIgnoreCase(k)),
+        require(evolveSchema ||
+            decl.fieldNames.exists(_.equalsIgnoreCase(k)),
           s"MERGE INSERT references unknown column $k (table columns: " +
-            s"${decl.fieldNames.mkString(", ")})")
+            s"${decl.fieldNames.mkString(", ")}); WITH SCHEMA " +
+            "EVOLUTION appends it")
       }
     }
     // a target row updated/deleted by TWO source rows is ambiguous
@@ -6558,6 +6571,75 @@ object MiniDelta {
     val srcP = srcSide.select(srcSide.columns.map(c =>
         col(s"`$c`").as(MergeSrcPrefix + c)).toIndexedSeq: _*)
       .withColumn(MergeMatchedMarker, lit(true))
+    // ---- schema evolution (`evolveSchema`) ----------------------------
+    // Unknown SET/INSERT targets across the clause set become APPENDED
+    // columns. Types are inferred from the assignment expressions —
+    // schema-only select over an EMPTY frame in the right namespace
+    // (the combined target+prefixed-source view for SET, the plain
+    // source for INSERT values), zero Spark jobs — and must agree
+    // across clauses. The evolved commit carries ONE metaData action;
+    // on a mapped table the fresh fields ratchet maxColumnId exactly
+    // like the keyed merge's evolution.
+    val newNames: Seq[String] =
+      if (!evolveSchema) Seq.empty
+      else (matched.flatMap(_.set.toSeq.flatMap(_.keys)) ++
+          bySource.flatMap(_.set.toSeq.flatMap(_.keys)) ++
+          notMatched.flatMap(_.values.keys))
+        .filterNot(k => decl.fieldNames.exists(_.equalsIgnoreCase(k)))
+        .foldLeft(Vector.empty[String])((acc, k) =>
+          if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k)
+    val cfg = tableConfig(spark, table, readVersion)
+    val merged0: org.apache.spark.sql.types.StructType =
+      if (newNames.isEmpty) decl
+      else {
+        import org.apache.spark.sql.types.{DataType, StructField, StructType}
+        val dummyNs = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(decl.fields.toIndexedSeq ++ srcP.schema.fields))
+        def typeOf(v: org.apache.spark.sql.Column,
+                   overNs: Boolean): DataType =
+          (if (overNs) dummyNs else source.limit(0))
+            .select(v.as("__t")).schema.head.dataType
+        val newFields = newNames.map { k =>
+          def of(set: Option[Map[String, org.apache.spark.sql.Column]],
+                 ns: Boolean) =
+            set.toSeq.flatMap(_.find(_._1.equalsIgnoreCase(k)))
+              .map(e => typeOf(e._2, ns))
+          val cands = matched.flatMap(c => of(c.set, ns = true)) ++
+            bySource.flatMap(c => of(c.set, ns = true)) ++
+            notMatched.flatMap(c => of(Some(c.values), ns = false))
+          val t0 = cands.head
+          require(cands.forall(DataType.equalsIgnoreNullability(_, t0)),
+            s"MERGE schema evolution infers conflicting types for $k: " +
+              cands.map(_.simpleString).distinct.mkString(", "))
+          require(!containsVariant(t0),
+            "schema evolution cannot introduce a VARIANT column (the " +
+              "variantType table feature must join the protocol); add " +
+              "it with ALTER TABLE ... ADD COLUMNS")
+          require(!k.startsWith(MergeSrcPrefix) && k != MergeMatchedMarker,
+            s"evolved column $k collides with the merge namespace")
+          StructField(k, t0, nullable = true)
+        }
+        StructType(decl.fields.toIndexedSeq ++ newFields)
+      }
+    val (outSchema, evolvedCfg) =
+      if (merged0.length == decl.length) (decl, None)
+      else if (isColumnMapped(decl)) {
+        val (cols2, cfg2) = assignMappingMeta(
+          merged0.fields.drop(decl.length).toIndexedSeq, cfg)
+        (org.apache.spark.sql.types.StructType(
+          decl.fields.toIndexedSeq ++ cols2), Some(cfg2))
+      } else (merged0, None)
+    val evolutionNeeded = outSchema.length != decl.length
+    val evolveOverride = evolvedCfg.map(_ => outSchema)
+    // target reads predate the evolution — null-fill the new columns
+    // ADDITIVELY (the frames carry internal __fname/__ri/__file
+    // columns a strict select would drop)
+    def alignTgt(df: DataFrame): DataFrame =
+      if (!evolutionNeeded || df.columns.isEmpty) df
+      else outSchema.fields.drop(decl.length).foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // -------------------------------------------------------------------
     val keyCond = keys.map(k =>
       col(s"`$k`") === col(s"`$MergeSrcPrefix$k`")).reduce(_ && _)
     val isMatched = coalesce(col(MergeMatchedMarker), lit(false))
@@ -6591,7 +6673,7 @@ object MiniDelta {
                  set: Map[String, org.apache.spark.sql.Column]) =
       set.find(_._1.equalsIgnoreCase(f.name))
         .map(_._2.cast(f.dataType)).getOrElse(col(s"`${f.name}`"))
-    val outCols = decl.fields.toIndexedSeq.map { f =>
+    val outCols = outSchema.fields.toIndexedSeq.map { f =>
       val branches =
         matched.zipWithIndex.collect { case (cl, i) if cl.set.isDefined =>
           (isMatched && mIdx === i, valueFor(f, cl.set.get)) } ++
@@ -6600,9 +6682,9 @@ object MiniDelta {
       branches.foldRight(col(s"`${f.name}`")) { case ((c0, v), e) =>
         when(c0, v).otherwise(e) }.as(f.name)
     }
-    def joined(df: DataFrame) = df.join(srcP, keyCond, "left_outer")
+    def joined(df: DataFrame) = alignTgt(df).join(srcP, keyCond,
+      "left_outer")
     def hit(df: DataFrame) = joined(df).where(affected)
-    val cfg = tableConfig(spark, table, readVersion)
     val cdfOn = cfg.get("delta.enableChangeDataFeed").contains("true")
     val snapAll = snapshotFilesAt(spark, table, readVersion)
     // a by-source clause is complement-shaped — every file may hold an
@@ -6613,7 +6695,7 @@ object MiniDelta {
       if (bySource.nonEmpty) None
       else keyRangeFileCond(srcKeys, keys, partitionBy, declared)
     val snapDF = fileKeyCond.fold(snapAll)(snapAll.where(_))
-    val declCols = decl.fieldNames.toIndexedSeq
+    val declCols = outSchema.fieldNames.toIndexedSeq
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
       // DV form: mask every updated/deleted row, append the new images.
       // Persist only the AFFECTED rows (they feed the mask, the new
@@ -6632,10 +6714,18 @@ object MiniDelta {
           else {
             val tgtKeys = tgt.select(keys.map(col): _*).distinct()
             val (ins, ml) = resolveMergeInsertsIdentity(spark, table,
-              source.join(tgtKeys, keys, "left_anti"), decl, notMatched,
-              partitionBy, readVersion)
+              source.join(tgtKeys, keys, "left_anti"), outSchema,
+              notMatched, partitionBy, readVersion,
+              metaCfgOpt = evolvedCfg, forceMeta = evolutionNeeded)
             (Some(ins), ml)
           }
+        // evolution without an identity metaData line (non-identity
+        // table, or an identity merge whose resolver emitted nothing):
+        // declare the evolved schema ourselves — never both
+        val evoLines =
+          if (!evolutionNeeded || idMeta.nonEmpty) Seq.empty[String]
+          else Seq(metaDataLine(table, outSchema, partitionBy,
+            evolvedCfg.getOrElse(cfg)))
         val maskLines = dvMaskActions(spark, table, readVersion, declared,
           snap, doomed).getOrElse(Seq.empty)
         val newData0 = insertsOpt.fold(updatedOut)(updatedOut.unionByName(_))
@@ -6650,10 +6740,13 @@ object MiniDelta {
         val newData = if (constrained) newData0.persist() else newData0
         val added =
           try {
-            if (constrained) enforceConstraints(newData, cfg, declared)
-            writeAndCapture(spark, newData, table, partitionBy)
+            if (constrained)
+              enforceConstraints(newData, cfg, Some(outSchema))
+            writeAndCapture(spark, newData, table, partitionBy,
+              schemaOverride = evolveOverride)
           } finally if (constrained) { newData.unpersist(); () }
-        val stats = fileStats(spark, table, added.map(_._1), statsCols)
+        val stats = fileStats(spark, table, added.map(_._1), statsCols,
+          schemaOverride = evolveOverride)
         val cdcLines =
           if (!cdfOn) Seq.empty[String]
           else {
@@ -6667,10 +6760,11 @@ object MiniDelta {
             val feed = insertsOpt.fold(pre.unionByName(post).unionByName(del))(
               i => pre.unionByName(post).unionByName(del).unionByName(
                 i.withColumn("_change_type", lit("insert"))))
-            writeCdcFiles(spark, table, feed, partitionBy)
+            writeCdcFiles(spark, table, feed, partitionBy,
+              schemaOverride = evolveOverride)
           }
         beforeDmlCommitHook()
-        val allLines = cdcLines ++ idMeta ++ maskLines ++
+        val allLines = cdcLines ++ evoLines ++ idMeta ++ maskLines ++
           added.map { case (p, sz, m) =>
             addLine(p, sz, stats.get(p), modTime = Some(m)) }
         // the CoW branch's resolution rule, DV form; identity tables
@@ -6708,9 +6802,15 @@ object MiniDelta {
                 .select(keys.map(col): _*).distinct(),
               keys, "left_anti")
           val (ins, ml) = resolveMergeInsertsIdentity(spark, table,
-            unmatchedSrc, decl, notMatched, partitionBy, readVersion)
+            unmatchedSrc, outSchema, notMatched, partitionBy,
+            readVersion, metaCfgOpt = evolvedCfg,
+            forceMeta = evolutionNeeded)
           (Some(ins), ml)
         }
+      val evoLines =
+        if (!evolutionNeeded || idMeta.nonEmpty) Seq.empty[String]
+        else Seq(metaDataLine(table, outSchema, partitionBy,
+          evolvedCfg.getOrElse(cfg)))
       if (touched.isEmpty &&
           insertsOpt.forall(_.isEmpty)) return readVersion
       val cdc =
@@ -6744,7 +6844,9 @@ object MiniDelta {
             case (None, None) => df // unreachable (guarded above)
           }
         },
-        partitionBy, "MERGE", statsCols, extraLines = idMeta, cdc = cdc,
+        partitionBy, "MERGE", statsCols,
+        extraLines = evoLines ++ idMeta, cdc = cdc,
+        schemaOverride = evolveOverride,
         // identity tables stay pinned (the merge rule: a winner may
         // have assigned overlapping chain values without tripping any
         // resolver screen); everything else rebases past provably
@@ -6806,9 +6908,16 @@ object MiniDelta {
     * not move), which MUST join the same pinned commit. */
   private def resolveMergeInsertsIdentity(spark: SparkSession,
       table: String, source: DataFrame,
+      // the schema the inserts align to AND the metaData line renders —
+      // the EVOLVED schema when the merge grows the table (one line
+      // then carries both the evolution and the advanced mark)
       decl: org.apache.spark.sql.types.StructType,
       notMatched: Seq[MergeInsertClause], partitionBy: Seq[String],
-      readVersion: Long): (DataFrame, Seq[String]) = {
+      readVersion: Long,
+      // evolving merges: the ratcheted mapped config to re-state, and
+      // `forceMeta` emits the line even when the mark did not move
+      metaCfgOpt: Option[Map[String, String]] = None,
+      forceMeta: Boolean = false): (DataFrame, Seq[String]) = {
     val idf = decl.fields.find(_.metadata.contains(IdentityStartKey))
     if (idf.isEmpty)
       return (resolveMergeInserts(source, Some(decl), table, notMatched),
@@ -6864,16 +6973,18 @@ object MiniDelta {
     val out = (assignedPart.toSeq ++ providedPart.toSeq)
       .reduce(_.unionByName(_))
     val metaLines =
-      if (hwm2 == hwm0) Seq.empty[String]
+      if (hwm2 == hwm0 && !forceMeta) Seq.empty[String]
       else {
-        val f2 = f.copy(metadata =
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong(IdentityHwmKey, hwm2.get).build())
+        val f2 =
+          if (hwm2 == hwm0) f
+          else f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(IdentityHwmKey, hwm2.get).build())
         val schema2 = org.apache.spark.sql.types.StructType(
           decl.fields.map(fd => if (fd.name == f.name) f2 else fd))
         Seq(metaDataLine(table, schema2, partitionBy,
-          tableConfig(spark, table, readVersion)))
+          metaCfgOpt.getOrElse(tableConfig(spark, table, readVersion))))
       }
     (out, metaLines)
   }

@@ -447,9 +447,6 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           // assignments. Qualifier binding happens at RUN time, where
           // the analyzed source's columns are known.
           case _ =>
-            require(!m.withSchemaEvolution,
-              "graft MERGE WITH SCHEMA EVOLUTION is supported only on " +
-                "the canonical UPDATE SET * / INSERT * form")
             import org.apache.spark.sql.catalyst.plans.logical._
             def keyPartsOf(k: Expression): Seq[String] = k match {
               case u: UnresolvedAttribute => u.nameParts
@@ -475,7 +472,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
               new Unbound(m.notMatchedActions.map(rawOf)),
               new Unbound(m.notMatchedBySourceActions.map(rawOf)),
               qualifiersOf(m.targetTable), qualifiersOf(m.sourceTable),
-              declaredColsOf(e), e.readOnly)
+              declaredColsOf(e), e.readOnly,
+              withSchemaEvolution = m.withSchemaEvolution)
         }
 
       case tt: RelationTimeTravel if entryOf(tt.relation).isDefined =>
@@ -1130,7 +1128,11 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
     bySource: Unbound[Seq[RawMergeClause]],
     targetQuals: Set[String], sourceQuals: Set[String],
     declaredCols: Set[String],
-    readOnly: Boolean = true)
+    readOnly: Boolean = true,
+    // `WITH SCHEMA EVOLUTION` (r16): star expansions also map
+    // source-only columns, explicit assignments may target columns the
+    // table has not declared — [[MiniDelta.mergeClauses]] appends them
+    withSchemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
@@ -1189,12 +1191,27 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
     // UPDATE assignments may target nested paths (SET addr.city = ...),
     // folded into one struct rebuild per top-level column — the same
     // helper (and semantics) as UPDATE's
-    def setOf(assigns: Seq[(Seq[String], Expression)], ctx: String) =
-      GraftDml.foldAssignments(
-        declared.getOrElse(throw new IllegalArgumentException(
-          s"general MERGE needs a declared schema on $table")),
-        assigns.map { case (parts, v) =>
-          (targetParts(parts), bindC(v, ctx)) }, "MERGE")
+    def setOf(assigns: Seq[(Seq[String], Expression)], ctx: String)
+        : Map[String, org.apache.spark.sql.Column] = {
+      val d = declared.getOrElse(throw new IllegalArgumentException(
+        s"general MERGE needs a declared schema on $table"))
+      val bound = assigns.map { case (parts, v) =>
+        (targetParts(parts), bindC(v, ctx)) }
+      // WITH SCHEMA EVOLUTION: a top-level target the table has not
+      // declared bypasses the nested-path folding (there is no
+      // existing struct to rebuild) and rides as a plain new-column
+      // assignment for the engine to append
+      val (fresh, known) = bound.partition { case (parts, _) =>
+        withSchemaEvolution && parts.length == 1 &&
+          !d.fieldNames.exists(_.equalsIgnoreCase(parts.head)) }
+      fresh.groupBy(_._1.head.toLowerCase).foreach { case (_, es) =>
+        require(es.size == 1,
+          s"MERGE SET assigns column ${es.head._1.head} more than once")
+      }
+      (if (known.isEmpty) Map.empty[String, org.apache.spark.sql.Column]
+       else GraftDml.foldAssignments(d, known, "MERGE")) ++
+        fresh.map { case (parts, v) => parts.head -> v }
+    }
     // star expansions map each assignable declared column from its
     // same-name source column; generated/identity columns are excluded
     // (they recompute / keep the target's value — Delta's rule)
@@ -1202,7 +1219,7 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
         org.apache.spark.sql.Column] = {
       val d = declared.getOrElse(throw new IllegalArgumentException(
         s"MERGE ... SET */INSERT * needs a declared schema on $table"))
-      d.fields.toIndexedSeq
+      val base = d.fields.toIndexedSeq
         .filterNot(f => f.metadata.contains("delta.generationExpression")
           || f.metadata.contains("delta.identity.start"))
         .map { f =>
@@ -1211,6 +1228,13 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
               s"MERGE star clause needs source column ${f.name}"))
           f.name -> org.apache.spark.sql.functions.col(s"`$prefix$sc`")
         }.toMap
+      // WITH SCHEMA EVOLUTION: the star also maps every SOURCE-only
+      // column — delta-spark's autoMerge star rule — which the engine
+      // then appends to the target schema
+      if (!withSchemaEvolution) base
+      else base ++ src.columns.toIndexedSeq
+        .filterNot(c => d.fieldNames.exists(_.equalsIgnoreCase(c)))
+        .map(c => c -> org.apache.spark.sql.functions.col(s"`$prefix$c`"))
     }
 
     val mClauses = matched.value.map { rc =>
@@ -1251,7 +1275,8 @@ case class GraftMergeClausesCommand(table: String, source: LogicalPlan,
       }
     }
     MiniDelta.mergeClauses(spark, table, src, keys, mClauses, iClauses,
-      bClauses, MiniDelta.partitionColumns(spark, table))
+      bClauses, MiniDelta.partitionColumns(spark, table),
+      evolveSchema = withSchemaEvolution)
     Seq.empty
   }
 }

@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+import graft.io.MiniDelta.{MergeBySourceClause, MergeInsertClause, MergeMatchedClause}
+import graft.plans.GraftSqlTables
+
+/** Schema evolution through the GENERAL MERGE (r16 — Delta's
+  * `WITH SCHEMA EVOLUTION` on the full clause matrix): SET/INSERT
+  * targets naming columns the table has not declared APPEND them,
+  * types inferred from the assignment expressions, one metaData
+  * action in the merge's own commit. Composes with both storage forms
+  * (CoW rewrite, DV mask+append), column mapping (fresh
+  * physicalName/ids ratcheted) and identity chains (the SAME line
+  * carries the advanced mark). Without the flag, unknown targets
+  * refuse by name exactly as before. */
+class MergeEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("mrgevo").toString + "/t"
+
+  private def metaLines(t: String, v: Long): Seq[String] =
+    Files.readString(java.nio.file.Paths.get(
+      f"$t/_delta_log/$v%020d.json")).linesIterator
+      .filter(_.contains("\"metaData\"")).toSeq
+
+  private def seed(t: String): Unit = {
+    MiniDelta.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "n"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+  }
+
+  test("unknown SET/INSERT targets refuse without the flag, append " +
+      "with it — one metaData action") {
+    val t = freshTable(); seed(t)
+    val src = Seq((2L, "B", 5L), (9L, "i", 90L)).toDF("k", "v", "bonus")
+    def clauses = (
+      Seq(MergeMatchedClause(None,
+        Some(Map("v" -> col("__src_v"), "score" -> (col("__src_bonus") * 2))))),
+      Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v"), "score" -> col("bonus")))))
+    val (m, i) = clauses
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.mergeClauses(spark, t, src, Seq("k"), m, i, Seq.empty,
+        Seq.empty))
+    assert(e.getMessage.contains("SCHEMA"), e.getMessage)
+    val ver = MiniDelta.mergeClauses(spark, t, src, Seq("k"), m, i,
+      Seq.empty, Seq.empty, evolveSchema = true)
+    assert(metaLines(t, ver).length == 1)
+    MiniDelta.invalidateSnapshot(t)
+    val sch = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    assert(sch.fieldNames.toSeq == Seq("k", "v", "n", "score"))
+    assert(sch("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "v", "n", "score")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "a", Some(10L), None),          // untouched, null-fills
+      (2L, "B", Some(20L), Some(10L)),     // update: score = 5 * 2
+      (3L, "c", Some(30L), None),
+      (9L, "i", None, Some(90L))))         // insert: n omitted -> null
+  }
+
+  test("SQL WITH SCHEMA EVOLUTION: explicit new-column SET + INSERT *") {
+    val dir = Files.createTempDirectory("mrgevosql").toString
+    GraftSqlTables.clear()
+    spark.sql(s"""
+      CREATE TABLE graft.evo_t (k BIGINT, v STRING)
+      LOCATION '$dir/t'""")
+    try {
+      spark.sql("INSERT INTO graft.evo_t VALUES (1, 'a'), (2, 'b')")
+      Seq((1L, "A", 7L), (5L, "e", 50L)).toDF("k", "v", "w")
+        .createOrReplaceTempView("evo_src")
+      // without the flag the general path refuses the unknown target
+      val e = intercept[Exception](spark.sql("""
+        MERGE INTO graft.evo_t t USING evo_src s ON t.k = s.k
+        WHEN MATCHED AND s.w > 0 THEN UPDATE SET v = s.v, w = s.w
+        WHEN NOT MATCHED THEN INSERT *
+      """))
+      assert(e.getMessage.contains("unknown column w"), e.getMessage)
+      spark.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.evo_t t
+        USING evo_src s ON t.k = s.k
+        WHEN MATCHED AND s.w > 0 THEN UPDATE SET v = s.v, w = s.w
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      assert(spark.sql("SELECT k, v, w FROM graft.evo_t")
+        .as[(Long, String, Option[Long])].collect().toSet == Set(
+        (1L, "A", Some(7L)), (2L, "b", None), (5L, "e", Some(50L))))
+    } finally GraftSqlTables.clear()
+  }
+
+  test("evolution composes with the DV storage form") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t,
+      Seq((0L, "z", 0L)).toDF("k", "v", "n").schema,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    // ONE multi-row file: masking k=1 must leave it partially-live
+    // (a fully-doomed single-row file is dropped whole, no DV)
+    MiniDelta.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("k", "v", "n").coalesce(1), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val ver = MiniDelta.mergeClauses(spark, t,
+      Seq((1L, 100L), (8L, 800L)).toDF("k", "extra"), Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("extra" -> col("__src_extra"))))),
+      notMatched = Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "extra" -> col("extra")))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true)
+    assert(metaLines(t, ver).length == 1)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "v", "extra")
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, Some("a"), Some(100L)), (2L, Some("b"), None),
+      (3L, Some("c"), None), (8L, None, Some(800L))))
+    // the update really took the DV path: the original file is masked,
+    // not rewritten (its add action still stands with a dv descriptor)
+    val dvs = MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count()
+    assert(dvs >= 1, "expected a deletion-vector mask, got a rewrite")
+  }
+
+  test("identity table: the SAME metaData line carries the evolved " +
+      "schema and the advanced mark") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L).build()),
+      StructField("k", LongType),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq((10L, "a"), (20L, "b")).toDF("k", "v"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val ver = MiniDelta.mergeClauses(spark, t,
+      Seq((20L, "B", 2L), (30L, "c", 3L)).toDF("k", "v", "rank"),
+      Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("v" -> col("__src_v"), "rank" -> col("__src_rank"))))),
+      notMatched = Seq(MergeInsertClause(None, Map(
+        "k" -> col("k"), "v" -> col("v"), "rank" -> col("rank")))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true)
+    val ml = metaLines(t, ver)
+    assert(ml.length == 1, s"expected ONE metaData action, got $ml")
+    assert(ml.head.contains("rank") &&
+      ml.head.contains("delta.identity.highWaterMark"))
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "k", "v", "rank")
+      .as[(Long, Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, 10L, "a", None), (2L, 20L, "B", Some(2L)),
+      (3L, 30L, "c", Some(3L))))
+  }
+
+  test("mapped table: evolved columns get physicalName/id, " +
+      "maxColumnId ratchets; by-source SET evolves too") {
+    val t = freshTable()
+    import org.apache.spark.sql.types._
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val ver = MiniDelta.mergeClauses(spark, t,
+      Seq((1L, "A")).toDF("k", "v"), Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("v" -> col("__src_v"))))),
+      notMatched = Seq.empty,
+      bySource = Seq(MergeBySourceClause(None,
+        Some(Map("status" -> lit("stale"))))),
+      partitionBy = Seq.empty, evolveSchema = true)
+    assert(metaLines(t, ver).length == 1)
+    MiniDelta.invalidateSnapshot(t)
+    val sch = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    val st = sch("status")
+    assert(st.metadata.contains("delta.columnMapping.physicalName") &&
+      st.metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(MiniDelta.tableConfig(spark, t)(
+      "delta.columnMapping.maxColumnId") == "3")
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "v", "status")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((1L, "A", None), (2L, "b", Some("stale"))))
+  }
+
+  test("conflicting inferred types refuse loudly") {
+    val t = freshTable(); seed(t)
+    val src = Seq((2L, 5L), (9L, 90L)).toDF("k", "bonus")
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.mergeClauses(spark, t, src, Seq("k"),
+        matched = Seq(MergeMatchedClause(None,
+          Some(Map("w" -> col("__src_bonus"))))),        // LONG
+        notMatched = Seq(MergeInsertClause(None,
+          Map("k" -> col("k"), "w" -> lit("text")))),    // STRING
+        bySource = Seq.empty, partitionBy = Seq.empty,
+        evolveSchema = true))
+    assert(e.getMessage.contains("conflicting types"), e.getMessage)
+  }
+}
