@@ -259,6 +259,22 @@ object ScaleBench {
         notMatched = Seq(MiniDelta.MergeInsertClause(None,
           Map("v" -> col("v"), "p" -> col("p")))),
         bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v")))
+      // EVOLVING general MERGE (r16 WITH SCHEMA EVOLUTION) at the
+      // table's largest: the same key-pinned blast radius PLUS one
+      // appended column — the evolution must price as one metaData
+      // line on top of the rewrite, never a table-scale cost, so the
+      // point reads flat beside merge_clauses across the 100× span
+      val evSrc = spark.range(5L)
+        .select((col("id") + 30L).as("v"), lit(0L).as("p"),
+          (col("id") * 7L).as("w")).repartition(1)
+      val tMergeEvolve = timed(MiniDelta.mergeClauses(spark, table,
+        evSrc, Seq("v"),
+        matched = Seq(MiniDelta.MergeMatchedClause(None,
+          Some(Map("w" -> col("`__src_w`"))))),
+        notMatched = Seq(MiniDelta.MergeInsertClause(None,
+          Map("v" -> col("v"), "p" -> col("p"), "w" -> col("w")))),
+        bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v"),
+        evolveSchema = true))
       // vacuum candidate LISTING at the table's largest (r15): the
       // dead files of every op above are on disk, and discovery is a
       // first-level driver listing + per-directory recursive walks
@@ -332,6 +348,7 @@ object ScaleBench {
         s""""delete_cdf":${fmt(tDeleteCdf)},""" +
         s""""merge_scoped":${fmt(tMerge)},""" +
         s""""merge_clauses":${fmt(tMergeClauses)},""" +
+        s""""merge_clauses_evolving":${fmt(tMergeEvolve)},""" +
         s""""vacuum_list":${fmt(tVacList)},""" +
         s""""vacuum_list_distributed":$vacListDistributed,""" +
         s""""vacuum_lite":${fmt(tVacLite)},""" +

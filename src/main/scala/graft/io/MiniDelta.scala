@@ -7417,20 +7417,22 @@ object MiniDelta {
       // (identity uniqueness spans the table's lifetime, not one era,
       // so time-traveled/restored rows can never collide with
       // post-overwrite ones) — and provided values need GENERATED BY
-      // DEFAULT, syncing the mark. Schema changes refuse (the append/
-      // merge rule: the mark metaData stays single-purpose, and an
-      // overwriteSchema swap would silently drop the identity
-      // metadata).
+      // DEFAULT, syncing the mark. Since r16 merge-EVOLUTION composes
+      // too (the append/merge rule: one metaData line carries the
+      // appended columns AND the advanced mark); only an
+      // overwriteSchema SWAP still refuses — it would silently drop
+      // the identity metadata.
       val idFieldsOv = declared.toSeq.flatMap(_.fields.toSeq)
         .filter(_.metadata.contains(IdentityStartKey))
       require(idFieldsOv.length <= 1,
         s"$table declares ${idFieldsOv.length} identity columns; at " +
           "most one is supported")
       if (idFieldsOv.nonEmpty)
-        require(!overwriteSchema &&
+        require(!overwriteSchema ||
             newSchema.json == declared.get.json,
-          s"overwrite cannot change the schema of identity-column " +
-            s"table $table; add new columns first with ALTER TABLE " +
+          s"overwriteSchema cannot swap the schema of identity-column " +
+            s"table $table — the swap would drop the identity " +
+            "metadata; evolve with a plain overwrite or ALTER TABLE " +
             "... ADD COLUMNS")
       val df0 = applyGenerated(applyDefaults(df, declared), declared,
         table)
@@ -7456,17 +7458,21 @@ object MiniDelta {
                 new org.apache.spark.sql.types.MetadataBuilder()
                   .withMetadata(f.metadata)
                   .putLong(IdentityHwmKey, newHwm.get).build())
+              // the line renders the NEW schema (identical to declared
+              // unless this overwrite evolves) so an evolving identity
+              // overwrite commits ONE metaData action carrying both
               val schema2 = org.apache.spark.sql.types.StructType(
-                declared.get.fields.map(fd =>
+                newSchema.fields.map(fd =>
                   if (fd.name == f.name) f2 else fd))
-              Seq(metaDataLine(table, schema2, partitionBy, cfg))
+              Seq(metaDataLine(table, schema2, partitionBy, cfgOv))
             }
           (out, lines)
       }
       enforceConstraints(alignForCheck(df1, Some(newSchema)), cfg,
         Some(newSchema))
       val metaLines =
-        if (declared.exists(_.json == newSchema.json)) Nil
+        if (declared.exists(_.json == newSchema.json) || idMetaOv.nonEmpty)
+          Nil
         else Seq(metaDataLine(table, newSchema, partitionBy, cfgOv))
       replaceWhereCond match {
         case Some(c) =>

@@ -173,6 +173,40 @@ class IdentityEvolutionSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a", None), (2L, "b", Some("x"))))
   }
 
+  test("OVERWRITE evolves an identity table: one metaData carries the " +
+      "new column and the re-assigned chain's mark") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta(1L, 1L)),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq("a", "b", "c").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // the swap's rows assign PAST the surviving mark (4, 5) and the
+    // frame carries a new column — pre-r16 the evolution refused
+    val v = MiniDelta.overwrite(spark,
+      Seq(("x", 1L), ("y", 2L)).toDF("v", "extra"), t, Seq.empty)
+    val ml = metaLines(t, v)
+    assert(ml.length == 1,
+      s"evolving identity OVERWRITE must commit ONE metaData action, " +
+        s"got ${ml.length}")
+    assert(ml.head.contains("extra") &&
+      ml.head.contains("delta.identity.highWaterMark"))
+    val sch = schemaAt(t)
+    assert(sch.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(sch("id").metadata.getLong("delta.identity.highWaterMark")
+      == 5L)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq((4L, "x", Some(1L)), (5L, "y", Some(2L))))
+    // the SWAP form still refuses: overwriteSchema would drop the
+    // identity metadata silently
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.overwrite(spark, Seq(("z", 9L)).toDF("v", "w"), t,
+        Seq.empty, overwriteSchema = true))
+    assert(e.getMessage.contains("overwriteSchema"), e.getMessage)
+  }
+
   test("identity × column-mapped MERGE evolution composes the same way") {
     val t = freshTable()
     MiniDelta.createTable(spark, t, StructType(Seq(

@@ -238,11 +238,19 @@ class MiniDeltaSpec extends AnyFunSuite {
     try intercept[MiniDelta.ConcurrentCommitException](MiniDelta.append(
       spark, Seq("f").toDF("v"), t, Seq.empty))
     finally MiniDelta.beforeDmlCommitHook = prevHook
-    // schema evolution through a blind append refuses (the identity
-    // commit path carries only the mark metaData)
-    val ev = intercept[IllegalArgumentException](MiniDelta.append(spark,
-      Seq(("g", 1.0)).toDF("v", "extra"), t, Seq.empty))
-    assert(ev.getMessage.contains("ADD COLUMNS"))
+    // schema evolution through an identity append COMPOSES since r16
+    // (the metaData line carries the appended column AND the mark) —
+    // the full matrix lives in IdentityEvolutionSpec. The raw-commit
+    // injection above planted a nonexistent add, so assert on the LOG
+    // (schema + advanced mark), not a table read.
+    MiniDelta.append(spark, Seq(("g", 1.0)).toDF("v", "extra"), t,
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val evSch = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    assert(evSch.fieldNames.contains("extra"))
+    assert(evSch("id").metadata
+      .getLong("delta.identity.highWaterMark") == 20L)
     // BY DEFAULT: provided values accepted, the mark syncs past them
     val t2 = freshTable()
     MiniDelta.createTable(spark, t2, StructType(Seq(
@@ -316,10 +324,17 @@ class MiniDeltaSpec extends AnyFunSuite {
     val last = MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("k") === 6L).select("rid").head().getLong(0)
     assert(last == 110L, last)
-    // evolution through merge refuses (mark metaData stays single-purpose)
-    val ev = intercept[IllegalArgumentException](MiniDelta.merge(spark, t,
-      Seq((7L, "g", 1.0)).toDF("k", "v", "extra"), Seq("k"), Seq.empty))
-    assert(ev.getMessage.contains("ADD COLUMNS"))
+    // evolution through an identity merge COMPOSES since r16 (ONE
+    // metaData line carries the appended column and the advanced
+    // mark) — the full matrix lives in IdentityEvolutionSpec; here
+    // just pin that the evolving insert continues the chain
+    MiniDelta.merge(spark, t,
+      Seq((7L, "g", 1.0)).toDF("k", "v", "extra"), Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val evolved = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 7L).select("rid", "extra").head()
+    assert(evolved.getLong(0) == 112L, evolved)
+    assert(evolved.getDouble(1) == 1.0)
   }
 
   test("identity MERGE: BY DEFAULT inserts sync the mark; DV+CDF form") {
@@ -464,13 +479,24 @@ class MiniDeltaSpec extends AnyFunSuite {
     MiniDelta.invalidateSnapshot(t)
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("v") === "f").select("rid").head().getLong(0) == 35L)
-    // GENERATED ALWAYS refuses provided values; schema change refuses
+    // GENERATED ALWAYS refuses provided values; merge-EVOLUTION
+    // composes since r16 (one metaData line carries column + mark —
+    // IdentityEvolutionSpec pins the matrix), while the
+    // overwriteSchema SWAP still refuses (it would drop the metadata)
     val pe = intercept[IllegalArgumentException](MiniDelta.overwrite(
       spark, Seq((99L, "z")).toDF("rid", "v"), t, Seq.empty))
     assert(pe.getMessage.contains("GENERATED ALWAYS"))
+    MiniDelta.overwrite(spark, Seq(("z", 1.0)).toDF("v", "extra"), t,
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val evolvedRow = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("rid", "v", "extra").head()
+    assert(evolvedRow.getLong(0) == 40L, evolvedRow)
+    assert(evolvedRow.getDouble(2) == 1.0)
     val se = intercept[IllegalArgumentException](MiniDelta.overwrite(
-      spark, Seq(("z", 1.0)).toDF("v", "extra"), t, Seq.empty))
-    assert(se.getMessage.contains("ADD COLUMNS"))
+      spark, Seq(("y", 2.0)).toDF("v", "w"), t, Seq.empty,
+      overwriteSchema = true))
+    assert(se.getMessage.contains("overwriteSchema"))
     // BY DEFAULT: provided values are kept and the mark syncs past them
     val t2 = freshTable()
     val idm2 = new MetadataBuilder()
