@@ -1789,6 +1789,15 @@ object MiniDelta {
     // arm an invariant the current data may already violate
     require(!props.keySet.exists(_.startsWith(constraintKeyPrefix)),
       s"use addConstraint/dropConstraint for $constraintKeyPrefix* keys")
+    // Delta names exactly two isolation levels; a typo'd value would
+    // silently run as WriteSerializable (the conflict resolver treats
+    // anything non-'Serializable' as the default) — refuse it here
+    props.get("delta.isolationLevel").foreach { lvl =>
+      require(Set("serializable", "writeserializable")
+          .contains(lvl.toLowerCase),
+        s"delta.isolationLevel must be Serializable or " +
+          s"WriteSerializable, got '$lvl'")
+    }
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     val schema = latestSchema(spark, table, readVersion).getOrElse(

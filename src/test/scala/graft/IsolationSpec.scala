@@ -67,6 +67,21 @@ class IsolationSpec extends AnyFunSuite {
     assert(out == Set(1L -> "a", 2L -> "b", 100L -> "race"), out)
   }
 
+  test("unknown isolation levels refuse at SET TBLPROPERTIES") {
+    val t = freshTable()
+    MiniDelta.append(spark, rows(1L -> "a"), t, Seq.empty)
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.setTableProperties(spark, t,
+        Map("delta.isolationLevel" -> "Snapshot")))
+    assert(e.getMessage.contains("WriteSerializable"), e.getMessage)
+    // both legal spellings land (case-insensitive, Delta's)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.isolationLevel" -> "WriteSerializable"))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.setTableProperties(spark, t,
+      Map("delta.isolationLevel" -> "Serializable"))
+  }
+
   test("each winner commit is screened exactly once across two rebase " +
       "attempts") {
     val t = freshTable()
