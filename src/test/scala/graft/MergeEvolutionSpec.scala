@@ -201,6 +201,35 @@ class MergeEvolutionSpec extends AnyFunSuite {
     assert(out == Set((1L, "A", None), (2L, "b", Some("stale"))))
   }
 
+  test("a CDF window spanning the evolution reads under the evolved " +
+      "schema; pre-evolution changes null-fill") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t,
+      Seq((0L, "z")).toDF("k", "v").schema,
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      t, Seq.empty) // v1: inserts, pre-evolution
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.mergeClauses(spark, t,
+      Seq((1L, "A", 9L), (5L, "e", 50L)).toDF("k", "v", "w"), Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("v" -> col("__src_v"), "w" -> col("__src_w"))))),
+      notMatched = Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "v" -> col("v"), "w" -> col("w")))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true) // v2: the evolving merge
+    MiniDelta.invalidateSnapshot(t)
+    val feed = MiniDelta.readCdf(spark, t, 0L)
+      .select("k", "w", "_change_type", "_commit_version")
+      .as[(Long, Option[Long], String, Long)].collect().toSet
+    assert(feed == Set(
+      (1L, None, "insert", 1L),              // pre-evolution: w nulls
+      (2L, None, "insert", 1L),
+      (1L, None, "update_preimage", 2L),     // preimage predates w
+      (1L, Some(9L), "update_postimage", 2L),
+      (5L, Some(50L), "insert", 2L)), feed)
+  }
+
   test("conflicting inferred types refuse loudly") {
     val t = freshTable(); seed(t)
     val src = Seq((2L, 5L), (9L, 90L)).toDF("k", "bonus")
