@@ -230,6 +230,39 @@ class MergeEvolutionSpec extends AnyFunSuite {
       (5L, Some(50L), "insert", 2L)), feed)
   }
 
+  test("evolution composes with Hive partitioning: rewrites stay in " +
+      "their directories, inserts land partitioned") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "x", 10L), (2L, "x", 20L), (3L, "y", 30L))
+        .toDF("k", "p", "n"), t, Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    val ver = MiniDelta.mergeClauses(spark, t,
+      Seq((2L, "x", 99L), (9L, "y", 90L)).toDF("k", "p", "tag"),
+      Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("tag" -> col("__src_tag"))))),
+      notMatched = Seq(MergeInsertClause(None, Map(
+        "k" -> col("k"), "p" -> col("p"), "tag" -> col("tag")))),
+      bySource = Seq.empty, partitionBy = Seq("p"),
+      evolveSchema = true)
+    assert(Files.readString(java.nio.file.Paths.get(
+      f"$t/_delta_log/$ver%020d.json")).linesIterator
+      .count(_.contains("\"metaData\"")) == 1)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("k", "p", "n", "tag")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, "x", Some(10L), None), (2L, "x", Some(20L), Some(99L)),
+      (3L, "y", Some(30L), None), (9L, "y", None, Some(90L))))
+    // partition pruning still works post-evolution: reading p=y scans
+    // only that directory's files
+    val yRows = MiniDelta.readFiltered(spark, t,
+      Seq(Map("p" -> "y"))).count()
+    assert(yRows == 2L)
+  }
+
   test("conflicting inferred types refuse loudly") {
     val t = freshTable(); seed(t)
     val src = Seq((2L, 5L), (9L, 90L)).toDF("k", "bonus")
