@@ -2947,10 +2947,73 @@ object MiniDelta {
       s""""partitionColumns":[$parts],"configuration":{$conf}}}"""
   }
 
+  /** Recursive NESTED-struct evolution (delta-spark's autoMerge rule,
+    * r16): an incoming STRUCT column may APPEND fields at any depth to
+    * the declared struct — declared fields keep their position, type,
+    * nullability and metadata; leaf retypes still reject (None); new
+    * fields land nullable at the end of their struct. Every other type
+    * pair (arrays, maps, scalars) keeps the exact-match requirement —
+    * Delta evolves structs-in-arrays too, but that surface waits for a
+    * demonstrated need. */
+  private def mergeStructTypes(
+      old: org.apache.spark.sql.types.DataType,
+      inc: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (old, inc) match {
+      case (o, i) if DataType.equalsIgnoreNullability(o, i) => Some(o)
+      case (o: StructType, i: StructType) =>
+        val kept = o.fields.map { of =>
+          i.fields.find(_.name.equalsIgnoreCase(of.name)) match {
+            case None => Some(of)
+            case Some(inf) => mergeStructTypes(of.dataType, inf.dataType)
+              .map(dt => of.copy(dataType = dt))
+          }
+        }
+        val appended = i.fields.filterNot(f =>
+            o.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(f => f.copy(nullable = true))
+        if (kept.exists(_.isEmpty)) None
+        else Some(StructType((kept.map(_.get) ++ appended).toIndexedSeq))
+      case _ => None
+    }
+  }
+
+  /** Recursively widen `c` (currently typed `from`) to the EVOLVED
+    * type `to`: new struct fields null-fill at any depth, array
+    * elements widen element-wise, a NULL struct stays null (never a
+    * struct of nulls), and agreeing types pass through untouched —
+    * the alignment every pre-evolution frame (rewrite survivors, CDF
+    * preimages) needs before a union with evolved rows. */
+  private def widenTo(c: org.apache.spark.sql.Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f0, t0) if DataType.equalsIgnoreNullability(f0, t0) => c
+      case (f0: StructType, t0: StructType) =>
+        val rebuilt = struct(t0.fields.map { tf =>
+          f0.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(ff) =>
+              widenTo(c.getField(ff.name), ff.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }.toIndexedSeq: _*)
+        when(c.isNull, lit(null).cast(t0)).otherwise(rebuilt)
+      case (f0: ArrayType, t0: ArrayType) =>
+        transform(c, x => widenTo(x, f0.elementType, t0.elementType))
+      case _ => c.cast(to)
+    }
+  }
+
   /** Schema evolution rule (Delta mergeSchema semantics): existing
     * columns keep their position and type; columns the incoming frame
-    * adds are APPENDED. Dropping/retyping requires an explicit rewrite,
-    * exactly like Delta without overwriteSchema. */
+    * adds are APPENDED, and STRUCT columns evolve RECURSIVELY
+    * ([[mergeStructTypes]] — new nested fields append inside their
+    * struct). Dropping/retyping requires an explicit rewrite, exactly
+    * like Delta without overwriteSchema. */
   private def mergedSchema(prior: Option[org.apache.spark.sql.types.StructType],
                            incoming: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = prior match {
@@ -2963,26 +3026,46 @@ object MiniDelta {
       // structural comparison: raw DataType equality includes nested
       // field METADATA, which would flag a mapped struct column as
       // "retyped" by any metadata-less incoming frame
+      val nestedEvolved =
+        scala.collection.mutable.Map.empty[String,
+          org.apache.spark.sql.types.DataType]
       val conflicts = incoming.fields.flatMap { f =>
-        old.fields.find(_.name == f.name)
-          .filterNot(o => org.apache.spark.sql.types.DataType
-            .equalsIgnoreNullability(o.dataType, f.dataType))
-          .map(o => s"${f.name}: ${o.dataType.simpleString} -> ${f.dataType.simpleString}")
+        old.fields.find(_.name == f.name).flatMap { o =>
+          if (org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(o.dataType, f.dataType)) None
+          else mergeStructTypes(o.dataType, f.dataType) match {
+            case Some(m) => nestedEvolved(o.name) = m; None
+            case None => Some(s"${f.name}: ${o.dataType.simpleString} " +
+              s"-> ${f.dataType.simpleString}")
+          }
+        }
       }
       if (conflicts.nonEmpty)
         throw new IllegalArgumentException(
           s"append would retype existing column(s) [${conflicts.mkString("; ")}]" +
             " — rewrite the table explicitly to change a column's type")
+      // nested growth inside a COLUMN-MAPPED schema refuses: every
+      // nested field of a mapped table carries its own physicalName/id,
+      // and this engine's mapping assignment is top-level — appending
+      // an unmapped nested field would poison the column's mapping
+      if (nestedEvolved.nonEmpty && isColumnMapped(old))
+        throw new IllegalArgumentException(
+          "nested-struct evolution on a column-mapped table is not " +
+            s"supported (column(s) ${nestedEvolved.keys.mkString(", ")})" +
+            " — restructure with an explicit rewrite")
       val have = old.fieldNames.toSet
       val appended = incoming.fields.filterNot(f => have.contains(f.name))
       // a variant column joining an EXISTING table needs the
       // variantType feature declared in the same commit — only ADD
       // COLUMNS does that; the evolution paths commit metaData alone
-      require(!appended.exists(f => containsVariant(f.dataType)),
+      require(!appended.exists(f => containsVariant(f.dataType)) &&
+          !nestedEvolved.values.exists(containsVariant),
         "schema evolution cannot introduce a VARIANT column (the " +
           "variantType table feature must join the protocol); add it " +
           "with ALTER TABLE ... ADD COLUMNS")
-      org.apache.spark.sql.types.StructType(old.fields ++ appended)
+      org.apache.spark.sql.types.StructType(
+        old.fields.map(of => nestedEvolved.get(of.name)
+          .map(dt => of.copy(dataType = dt)).getOrElse(of)) ++ appended)
   }
 
   /** Whether a (nested) type contains Spark's VariantType — the Delta
@@ -5988,11 +6071,15 @@ object MiniDelta {
     val source1 = applyGenerated(applyDefaults(source, declared),
       declared, table)
     // align BOTH sides to the evolved schema: survivors null-fill
-    // source-only columns, the source null-fills declared columns it
-    // lacks (Delta's insertAll semantics after evolution)
+    // source-only columns (and WIDEN nested-evolved structs — a
+    // pre-evolution read carries the narrow struct type), the source
+    // null-fills declared columns it lacks (Delta's insertAll
+    // semantics after evolution)
     def align(df: DataFrame): DataFrame =
       df.select(merged.fields.map { fld =>
-        if (df.columns.contains(fld.name)) col(fld.name)
+        if (df.columns.contains(fld.name))
+          widenTo(col(s"`${fld.name}`"), df.schema(fld.name).dataType,
+            fld.dataType).as(fld.name)
         else lit(null).cast(fld.dataType).as(fld.name)
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
@@ -7501,7 +7588,9 @@ object MiniDelta {
             declared, _.where(coalesce(c, lit(false))))
           def alignNew(d2: DataFrame): DataFrame =
             d2.select(newSchema.fields.map { f =>
-              if (d2.columns.contains(f.name)) col(s"`${f.name}`")
+              if (d2.columns.contains(f.name))
+                widenTo(col(s"`${f.name}`"), d2.schema(f.name).dataType,
+                  f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name)
             }.toIndexedSeq: _*)
           val cdc =

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.MiniDelta
+
+/** NESTED-struct schema evolution (r16 — delta-spark's autoMerge rule
+  * at depth): an incoming struct column may APPEND fields at any depth;
+  * declared fields keep position/type/metadata, leaf retypes still
+  * reject, old files read the new nested fields as null, and
+  * pre-evolution frames (rewrite survivors, CDF preimages) WIDEN
+  * through the recursive null-fill before any union with evolved rows.
+  * Column-mapped tables refuse by name (nested fields there carry
+  * their own physicalName/id this engine does not assign). */
+class NestedEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("nestevo").toString + "/t"
+
+  private def addr(city: String, zip: Long) =
+    struct(lit(city).as("city"), lit(zip).as("zip"))
+
+  private def addr3(city: String, zip: Long, geo: String) =
+    struct(lit(city).as("city"), lit(zip).as("zip"), lit(geo).as("geo"))
+
+  test("append widens a struct column: old rows null-fill the new " +
+      "nested field, leaf retypes still refuse") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq(1L).toDF("k").select(col("k"), addr("aa", 10L).as("a")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark,
+      Seq(2L).toDF("k").select(col("k"), addr3("bb", 20L, "G2").as("a")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val sch = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    val aT = sch("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(aT.fieldNames.toSeq == Seq("city", "zip", "geo"))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.geo"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((1L, "aa", None), (2L, "bb", Some("G2"))))
+    // a leaf retype inside the struct is still a loud refusal
+    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq(3L).toDF("k").select(col("k"),
+        struct(lit(7).as("city"), lit(1L).as("zip")).as("a")),
+      t, Seq.empty))
+    assert(e.getMessage.contains("retype"), e.getMessage)
+  }
+
+  test("keyed MERGE widens: survivors in rewritten files carry null " +
+      "nested fields beside the evolved source rows") {
+    val t = freshTable()
+    // ONE file holding both rows: the merge rewrites it, so the
+    // surviving (unmatched) row must WIDEN through the union
+    MiniDelta.append(spark,
+      Seq(1L, 2L).toDF("k")
+        .select(col("k"), addr("c1", 100L).as("a")).coalesce(1),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.merge(spark, t,
+      Seq(2L, 9L).toDF("k")
+        .select(col("k"), addr3("c2", 200L, "G9").as("a")),
+      Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"), col("a.geo"))
+      .as[(Long, String, Long, Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "c1", 100L, None),        // survivor: widened, geo null
+      (2L, "c2", 200L, Some("G9")),  // matched: replaced wholesale
+      (9L, "c2", 200L, Some("G9")))) // insert
+  }
+
+  test("DV-form merge and CDF feeds widen the preimages") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t,
+      Seq(0L).toDF("k").select(col("k"), addr("z", 0L).as("a")).schema,
+      properties = Map("delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq(1L, 2L).toDF("k")
+        .select(col("k"), addr("c1", 100L).as("a")).coalesce(1),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.merge(spark, t,
+      Seq(1L).toDF("k")
+        .select(col("k"), addr3("c9", 900L, "G1").as("a")),
+      Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.geo"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((1L, "c9", Some("G1")), (2L, "c1", None)))
+    // the mask (not a rewrite) handled the matched row
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .where(col("dv_path").isNotNull).count() >= 1)
+    // the feed spans the evolution: preimage renders widened (geo null)
+    val feed = MiniDelta.readCdf(spark, t,
+        MiniDelta.latestVersion(spark, t) - 1)
+      .where(col("_change_type").startsWith("update"))
+      .select(col("_change_type"), col("a.geo"))
+      .as[(String, Option[String])].collect().toSet
+    assert(feed == Set("update_preimage" -> None,
+      "update_postimage" -> Some("G1")), feed)
+  }
+
+  test("OVERWRITE with replaceWhere widens rewrite survivors") {
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("k", "p")
+        .select(col("k"), col("p"), addr("c1", 100L).as("a")).coalesce(1),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.overwrite(spark,
+      Seq((9L, "x")).toDF("k", "p")
+        .select(col("k"), col("p"), addr3("c2", 200L, "G").as("a")),
+      t, Seq.empty,
+      replaceWhereCond = Some(col("p") === "x"))
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.geo"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((2L, "c1", None), (9L, "c2", Some("G"))))
+  }
+
+  test("identity table: the single metaData line carries the widened " +
+      "struct and the mark; mapped tables refuse by name") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, new MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L).build()),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType), StructField("zip", LongType)))))))
+    MiniDelta.append(spark,
+      Seq(1).toDF("x").select(addr("aa", 1L).as("a")).drop("x"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val v = MiniDelta.append(spark,
+      Seq(1).toDF("x").select(addr3("bb", 2L, "G").as("a")).drop("x"),
+      t, Seq.empty)
+    val ml = Files.readString(java.nio.file.Paths.get(
+      f"$t/_delta_log/$v%020d.json")).linesIterator
+      .filter(_.contains("\"metaData\"")).toSeq
+    assert(ml.length == 1 && ml.head.contains("geo") &&
+      ml.head.contains("delta.identity.highWaterMark"))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("id"), col("a.geo"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, None), (2L, Some("G"))))
+    // mapped: nested growth refuses by name
+    val tm = freshTable()
+    MiniDelta.createTable(spark, tm, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark,
+      Seq(1L).toDF("k").select(col("k"), struct(lit("x").as("city")).as("a")),
+      tm, Seq.empty)
+    MiniDelta.invalidateSnapshot(tm)
+    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq(2L).toDF("k").select(col("k"), addr("y", 9L).as("a")), tm,
+      Seq.empty))
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("two-level nesting widens through both depths") {
+    val t = freshTable()
+    def deep(tag: String) = struct(lit(tag).as("tag"),
+      struct(lit(1L).as("x")).as("inner"))
+    def deep2(tag: String) = struct(lit(tag).as("tag"),
+      struct(lit(2L).as("x"), lit("NEW").as("y")).as("inner"))
+    MiniDelta.append(spark,
+      Seq(1L).toDF("k").select(col("k"), deep("t1").as("d")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark,
+      Seq(2L).toDF("k").select(col("k"), deep2("t2").as("d")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("d.inner.x"), col("d.inner.y"))
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set((1L, 1L, None), (2L, 2L, Some("NEW"))))
+  }
+}
