@@ -2951,10 +2951,9 @@ object MiniDelta {
     * r16): an incoming STRUCT column may APPEND fields at any depth to
     * the declared struct — declared fields keep their position, type,
     * nullability and metadata; leaf retypes still reject (None); new
-    * fields land nullable at the end of their struct. Every other type
-    * pair (arrays, maps, scalars) keeps the exact-match requirement —
-    * Delta evolves structs-in-arrays too, but that surface waits for a
-    * demonstrated need. */
+    * fields land nullable at the end of their struct. Structs INSIDE
+    * arrays and map VALUES evolve the same way (Delta's rule); map
+    * KEYS and every scalar pair keep the exact-match requirement. */
   private def mergeStructTypes(
       old: org.apache.spark.sql.types.DataType,
       inc: org.apache.spark.sql.types.DataType)
@@ -2975,6 +2974,13 @@ object MiniDelta {
           .map(f => f.copy(nullable = true))
         if (kept.exists(_.isEmpty)) None
         else Some(StructType((kept.map(_.get) ++ appended).toIndexedSeq))
+      case (o: ArrayType, i: ArrayType) =>
+        mergeStructTypes(o.elementType, i.elementType)
+          .map(dt => o.copy(elementType = dt))
+      case (o: MapType, i: MapType)
+          if DataType.equalsIgnoreNullability(o.keyType, i.keyType) =>
+        mergeStructTypes(o.valueType, i.valueType)
+          .map(dt => o.copy(valueType = dt))
       case _ => None
     }
   }
@@ -3004,6 +3010,9 @@ object MiniDelta {
         when(c.isNull, lit(null).cast(t0)).otherwise(rebuilt)
       case (f0: ArrayType, t0: ArrayType) =>
         transform(c, x => widenTo(x, f0.elementType, t0.elementType))
+      case (f0: MapType, t0: MapType) =>
+        transform_values(c,
+          (_, v) => widenTo(v, f0.valueType, t0.valueType))
       case _ => c.cast(to)
     }
   }

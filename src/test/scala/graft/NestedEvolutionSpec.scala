@@ -175,6 +175,45 @@ class NestedEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column-mapped"), e.getMessage)
   }
 
+  test("structs inside ARRAYS and MAP VALUES evolve; map-key changes " +
+      "refuse") {
+    val t = freshTable()
+    def items(tag: String) = array(struct(lit(tag).as("sku")))
+    def items2(tag: String, q: Long) = array(
+      struct(lit(tag).as("sku"), lit(q).as("qty")))
+    MiniDelta.append(spark,
+      Seq(1L).toDF("k").select(col("k"), items("s1").as("it"),
+        map(lit("a"), struct(lit(1L).as("x"))).as("m")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // evolving append: array elements gain qty, map values gain y
+    MiniDelta.append(spark,
+      Seq(2L).toDF("k").select(col("k"), items2("s2", 7L).as("it"),
+        map(lit("b"), struct(lit(2L).as("x"), lit("Y").as("y"))).as("m")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("it")(0).getField("sku"),
+        col("it")(0).getField("qty"),
+        map_values(col("m"))(0).getField("y"))
+      .as[(Long, String, Option[Long], Option[String])].collect().toSet
+    assert(out == Set((1L, "s1", None, None),
+      (2L, "s2", Some(7L), Some("Y"))))
+    // a merge whose survivors carry the NARROW array widens them
+    MiniDelta.merge(spark, t,
+      Seq(9L).toDF("k").select(col("k"), items2("s9", 9L).as("it"),
+        map(lit("c"), struct(lit(3L).as("x"), lit("Z").as("y"))).as("m")),
+      Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 3)
+    // changing a MAP KEY type is still a retype refusal
+    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      Seq(3L).toDF("k").select(col("k"), items("s3").as("it"),
+        map(lit(1L), struct(lit(1L).as("x"))).as("m")),
+      t, Seq.empty))
+    assert(e.getMessage.contains("retype"), e.getMessage)
+  }
+
   test("two-level nesting widens through both depths") {
     val t = freshTable()
     def deep(tag: String) = struct(lit(tag).as("tag"),
