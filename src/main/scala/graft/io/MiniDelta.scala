@@ -2954,7 +2954,7 @@ object MiniDelta {
     * fields land nullable at the end of their struct. Structs INSIDE
     * arrays and map VALUES evolve the same way (Delta's rule); map
     * KEYS and every scalar pair keep the exact-match requirement. */
-  private def mergeStructTypes(
+  private[graft] def mergeStructTypes(
       old: org.apache.spark.sql.types.DataType,
       inc: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
@@ -2998,7 +2998,13 @@ object MiniDelta {
     import org.apache.spark.sql.types._
     (from, to) match {
       case (f0, t0) if DataType.equalsIgnoreNullability(f0, t0) => c
-      case (f0: StructType, t0: StructType) =>
+      // only a genuine WIDENING rebuilds (every source nested field
+      // exists in the target); any other struct mismatch falls through
+      // to the cast below, which fails LOUDLY instead of silently
+      // dropping source fields
+      case (f0: StructType, t0: StructType)
+          if f0.fields.forall(ff =>
+            t0.fields.exists(_.name.equalsIgnoreCase(ff.name))) =>
         val rebuilt = struct(t0.fields.map { tf =>
           f0.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
             case Some(ff) =>
@@ -6685,17 +6691,16 @@ object MiniDelta {
     // across clauses. The evolved commit carries ONE metaData action;
     // on a mapped table the fresh fields ratchet maxColumnId exactly
     // like the keyed merge's evolution.
-    val newNames: Seq[String] =
+    val assignedNames: Seq[String] =
       if (!evolveSchema) Seq.empty
       else (matched.flatMap(_.set.toSeq.flatMap(_.keys)) ++
           bySource.flatMap(_.set.toSeq.flatMap(_.keys)) ++
           notMatched.flatMap(_.values.keys))
-        .filterNot(k => decl.fieldNames.exists(_.equalsIgnoreCase(k)))
         .foldLeft(Vector.empty[String])((acc, k) =>
           if (acc.exists(_.equalsIgnoreCase(k))) acc else acc :+ k)
     val cfg = tableConfig(spark, table, readVersion)
     val merged0: org.apache.spark.sql.types.StructType =
-      if (newNames.isEmpty) decl
+      if (assignedNames.isEmpty) decl
       else {
         import org.apache.spark.sql.types.{DataType, StructField, StructType}
         val dummyNs = spark.createDataFrame(
@@ -6705,7 +6710,11 @@ object MiniDelta {
                    overNs: Boolean): DataType =
           (if (overNs) dummyNs else source.limit(0))
             .select(v.as("__t")).schema.head.dataType
-        val newFields = newNames.map { k =>
+        // an assignment EVOLVES the schema when it targets an unknown
+        // column (appended) or nested-widens an existing STRUCT-bearing
+        // column ([[mergeStructTypes]]); scalar type mismatches keep
+        // their cast-at-write semantics untouched
+        val evolveEntries = assignedNames.flatMap { k =>
           def of(set: Option[Map[String, org.apache.spark.sql.Column]],
                  ns: Boolean) =
             set.toSeq.flatMap(_.find(_._1.equalsIgnoreCase(k)))
@@ -6714,36 +6723,58 @@ object MiniDelta {
             bySource.flatMap(c => of(c.set, ns = true)) ++
             notMatched.flatMap(c => of(Some(c.values), ns = false))
           val t0 = cands.head
-          require(cands.forall(DataType.equalsIgnoreNullability(_, t0)),
-            s"MERGE schema evolution infers conflicting types for $k: " +
-              cands.map(_.simpleString).distinct.mkString(", "))
-          require(!containsVariant(t0),
-            "schema evolution cannot introduce a VARIANT column (the " +
-              "variantType table feature must join the protocol); add " +
-              "it with ALTER TABLE ... ADD COLUMNS")
-          require(!k.startsWith(MergeSrcPrefix) && k != MergeMatchedMarker,
-            s"evolved column $k collides with the merge namespace")
-          StructField(k, t0, nullable = true)
+          decl.fields.find(_.name.equalsIgnoreCase(k)) match {
+            case None =>
+              require(cands.forall(
+                  DataType.equalsIgnoreNullability(_, t0)),
+                s"MERGE schema evolution infers conflicting types for " +
+                  s"$k: " +
+                  cands.map(_.simpleString).distinct.mkString(", "))
+              require(!containsVariant(t0),
+                "schema evolution cannot introduce a VARIANT column " +
+                  "(the variantType table feature must join the " +
+                  "protocol); add it with ALTER TABLE ... ADD COLUMNS")
+              require(!k.startsWith(MergeSrcPrefix) &&
+                  k != MergeMatchedMarker,
+                s"evolved column $k collides with the merge namespace")
+              Some(StructField(k, t0, nullable = true))
+            case Some(of0)
+                if !DataType.equalsIgnoreNullability(of0.dataType, t0) &&
+                  mergeStructTypes(of0.dataType, t0)
+                    .exists(_ != of0.dataType) =>
+              Some(StructField(of0.name, t0, nullable = true))
+            case _ => None
+          }
         }
-        StructType(decl.fields.toIndexedSeq ++ newFields)
+        if (evolveEntries.isEmpty) decl
+        else mergedSchema(Some(decl), StructType(evolveEntries))
       }
     val (outSchema, evolvedCfg) =
-      if (merged0.length == decl.length) (decl, None)
+      if (merged0.length == decl.length) (merged0, None)
       else if (isColumnMapped(decl)) {
         val (cols2, cfg2) = assignMappingMeta(
           merged0.fields.drop(decl.length).toIndexedSeq, cfg)
         (org.apache.spark.sql.types.StructType(
           decl.fields.toIndexedSeq ++ cols2), Some(cfg2))
       } else (merged0, None)
-    val evolutionNeeded = outSchema.length != decl.length
+    val evolutionNeeded = outSchema.json != decl.json
     val evolveOverride = evolvedCfg.map(_ => outSchema)
     // target reads predate the evolution — null-fill the new columns
-    // ADDITIVELY (the frames carry internal __fname/__ri/__file
-    // columns a strict select would drop)
+    // and WIDEN the nested-evolved ones ADDITIVELY (the frames carry
+    // internal __fname/__ri/__file columns a strict select would drop)
     def alignTgt(df: DataFrame): DataFrame =
       if (!evolutionNeeded || df.columns.isEmpty) df
-      else outSchema.fields.drop(decl.length).foldLeft(df)((d, f) =>
-        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      else outSchema.fields.foldLeft(df) { (d, f) =>
+        if (!d.columns.contains(f.name)) {
+          if (decl.fieldNames.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType))
+        } else if (!org.apache.spark.sql.types.DataType
+            .equalsIgnoreNullability(d.schema(f.name).dataType,
+              f.dataType))
+          d.withColumn(f.name, widenTo(col(s"`${f.name}`"),
+            d.schema(f.name).dataType, f.dataType))
+        else d
+      }
     // -------------------------------------------------------------------
     val keyCond = keys.map(k =>
       col(s"`$k`") === col(s"`$MergeSrcPrefix$k`")).reduce(_ && _)
@@ -6991,9 +7022,13 @@ object MiniDelta {
         declared, table)
       val aligned = declared.fold(filled)(d =>
         filled.select(d.fields.toIndexedSeq.map { f =>
-          if (filled.columns.exists(_.equalsIgnoreCase(f.name)))
-            col(s"`${f.name}`").cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          if (filled.columns.exists(_.equalsIgnoreCase(f.name))) {
+            // widenTo = cast for scalars; for struct-bearing columns it
+            // null-fills evolved nested fields a clause may omit
+            val actual = filled.schema.fields
+              .find(_.name.equalsIgnoreCase(f.name)).get.dataType
+            widenTo(col(s"`${f.name}`"), actual, f.dataType).as(f.name)
+          } else lit(null).cast(f.dataType).as(f.name)
         }: _*))
       idMarker.fold(aligned) { case (_, assigns) =>
         aligned.withColumn("__id_omitted", lit(!assigns(i))) }

@@ -1064,6 +1064,22 @@ case class GraftMergeCommand(table: String, source: LogicalPlan,
           s"MERGE source carries column(s) not in the target schema: " +
             s"${extra.mkString(", ")} — add WITH SCHEMA EVOLUTION to " +
             "append them, or drop them from the source")
+        // nested growth is evolution too (Delta's rule): a source
+        // struct column carrying MORE nested fields than the target's
+        // needs the same explicit opt-in
+        val widens = declared.fields.flatMap { f =>
+          src.schema.fields.find(_.name.equalsIgnoreCase(f.name))
+            .filterNot(sf => org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(sf.dataType, f.dataType))
+            .filter(sf => MiniDelta
+              .mergeStructTypes(f.dataType, sf.dataType)
+              .exists(_ != f.dataType))
+            .map(_ => f.name)
+        }
+        require(widens.isEmpty,
+          s"MERGE source would grow nested field(s) inside column(s) " +
+            s"${widens.mkString(", ")} — add WITH SCHEMA EVOLUTION to " +
+            "evolve them")
       }
     }
     MiniDelta.merge(spark, table, src, keys,

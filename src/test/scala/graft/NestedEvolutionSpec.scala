@@ -214,6 +214,60 @@ class NestedEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("retype"), e.getMessage)
   }
 
+  test("general MERGE widens an existing struct through SET/INSERT " +
+      "(evolveSchema); SQL canonical merge gates nested growth behind " +
+      "WITH SCHEMA EVOLUTION") {
+    import graft.io.MiniDelta.{MergeInsertClause, MergeMatchedClause}
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq(1L, 2L).toDF("k")
+        .select(col("k"), addr("c1", 100L).as("a")).coalesce(1),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val src = Seq(2L, 9L).toDF("k")
+      .select(col("k"), addr3("c2", 200L, "G").as("a"))
+    MiniDelta.mergeClauses(spark, t, src, Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("a" -> col("__src_a"))))),
+      notMatched = Seq(MergeInsertClause(None,
+        Map("k" -> col("k"), "a" -> col("a")))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.geo"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((1L, "c1", None), (2L, "c2", Some("G")),
+      (9L, "c2", Some("G"))))
+    // SQL canonical merge: nested growth without the flag refuses
+    val dir = Files.createTempDirectory("nestevosql").toString
+    graft.plans.GraftSqlTables.clear()
+    spark.sql(s"""
+      CREATE TABLE graft.ne_t (k BIGINT,
+        a STRUCT<city: STRING, zip: BIGINT>)
+      LOCATION '$dir/t'""")
+    try {
+      spark.sql("INSERT INTO graft.ne_t SELECT 1L AS k, " +
+        "named_struct('city', 'c1', 'zip', 100L) AS a")
+      Seq(1L).toDF("k")
+        .select(col("k"), addr3("c9", 900L, "G1").as("a"))
+        .createOrReplaceTempView("ne_src")
+      val e = intercept[Exception](spark.sql("""
+        MERGE INTO graft.ne_t t USING ne_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *"""))
+      assert(e.getMessage.contains("SCHEMA EVOLUTION"), e.getMessage)
+      spark.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.ne_t t
+        USING ne_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      assert(spark.sql("SELECT a.geo FROM graft.ne_t WHERE k = 1")
+        .as[Option[String]].head() == Some("G1"))
+    } finally graft.plans.GraftSqlTables.clear()
+  }
+
   test("two-level nesting widens through both depths") {
     val t = freshTable()
     def deep(tag: String) = struct(lit(tag).as("tag"),
