@@ -611,7 +611,8 @@ object MiniDelta {
     require(isColumnMapped(declared),
       s"$table stopped being column-mapped between probe and pin")
     val fresh = df.schema.fields.filterNot(f =>
-      declared.fieldNames.exists(_.equalsIgnoreCase(f.name))).toSeq
+        declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      .map(_.copy(nullable = true)).toSeq // old rows null-fill them
     val (cols2, cfg2) = assignMappingMeta(fresh, cfgPinned)
     val merged = org.apache.spark.sql.types.StructType(
       declared.fields.toIndexedSeq ++ cols2)
@@ -3069,7 +3070,12 @@ object MiniDelta {
             s"supported (column(s) ${nestedEvolved.keys.mkString(", ")})" +
             " — restructure with an explicit rewrite")
       val have = old.fieldNames.toSet
+      // appended columns are ALWAYS nullable regardless of the source
+      // frame's nullability (delta-spark's rule): every pre-evolution
+      // row null-fills them, so a carried-over nullable=false would
+      // declare a contract the table immediately violates
       val appended = incoming.fields.filterNot(f => have.contains(f.name))
+        .map(_.copy(nullable = true))
       // a variant column joining an EXISTING table needs the
       // variantType feature declared in the same commit — only ADD
       // COLUMNS does that; the evolution paths commit metaData alone

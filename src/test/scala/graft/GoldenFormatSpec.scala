@@ -438,4 +438,35 @@ class GoldenFormatSpec extends AnyFunSuite {
     check("roaring_encode.hex",
       hex(RoaringDv.encode(Seq(1L, 5L, 7L, 65536L, 1000000L))))
   }
+
+  test("evolving identity-merge commit matches the golden wire format") {
+    // the r16 single-metaData contract on the wire: ONE metaData
+    // action carrying the APPENDED column, the advanced
+    // delta.identity.highWaterMark, and the identity field's metadata
+    // verbatim, beside the rewrite's remove/add pair — the shape a
+    // foreign reader replays to adopt the evolution and the mark in
+    // one step
+    val prevClock = MiniDelta.commitClock
+    MiniDelta.commitClock = () => 1700000000000L
+    val t = Files.createTempDirectory("goldenevo").toString + "/t"
+    try {
+      import org.apache.spark.sql.types._
+      MiniDelta.createTable(spark, t, StructType(Seq(
+        StructField("id", LongType, nullable = true,
+          new MetadataBuilder().putLong("delta.identity.start", 1L)
+            .putLong("delta.identity.step", 1L).build()),
+        StructField("k", LongType),
+        StructField("v", StringType))))
+      MiniDelta.append(spark,
+        Seq((10L, "a"), (20L, "b")).toDF("k", "v").coalesce(1), t,
+        Seq.empty, statsCols = Seq("k"))
+      val ver = MiniDelta.merge(spark, t,
+        Seq((20L, "B", 5L), (30L, "c", 6L)).toDF("k", "v", "w")
+          .coalesce(1),
+        Seq("k"), Seq.empty, statsCols = Seq("k"))
+      val txt = readText(f"$t/_delta_log/$ver%020d.json")
+      assert(txt.linesIterator.count(_.contains("\"metaData\"")) == 1)
+      check("identity_evolving_merge_commit.json", normalize(txt))
+    } finally MiniDelta.commitClock = prevClock
+  }
 }
