@@ -2433,7 +2433,11 @@ object SparkEntry {
       val evolvedField = graft.io.MiniDelta.latestSchema(s, table,
           graft.io.MiniDelta.latestVersion(s, table)).get
         .fields.find(_.name == "bonus")
+      // scoped to the inserted keys (okey < 0): bonus exists only on
+      // the merge's insert rows, so the verification needs 3 rows by
+      // stats/row-group pruning — never a full-table aggregate pass
       val bonusSum = graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
+        .where(col("okey") < 0)
         .agg(sum(col("bonus"))).collect()(0).getLong(0)
       val evolveOk = evolvedField.exists(_.metadata.contains(
         "delta.columnMapping.physicalName")) && bonusSum == 60L

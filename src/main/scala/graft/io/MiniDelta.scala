@@ -292,7 +292,7 @@ object MiniDelta {
     // null-aligned view, matching what a reader will see.
     val declared0 = latestSchema(spark, table)
     requireMappingWritable(declared0, table, spark)
-    mergedSchema(declared0, df.schema)
+    val mergedProbe = mergedSchema(declared0, df.schema)
     val cfg0 = tableConfig(spark, table)
     // enforcement/validation + write = multiple evaluations of df;
     // cache across them (only when an extra pass actually exists, and
@@ -317,11 +317,13 @@ object MiniDelta {
           appendWithIdentity(spark, df1, table, partitionBy,
             statsCols, cfg0, txn, declared0.get, idFields)
         // mapped evolution (late r13, closing the blind-append
-        // refusal): new columns joining a column-mapped schema get
-        // their mapping metadata assigned HERE, under a PINNED
-        // commit — see [[appendWithMappedEvolution]]
-        else if (declared0.exists(isColumnMapped) && df1.columns.exists(
-            c => !declared0.get.fieldNames.exists(_.equalsIgnoreCase(c))))
+        // refusal; deep since r17): new columns — top-level OR nested
+        // struct growth — joining a column-mapped schema get their
+        // mapping metadata assigned HERE, under a PINNED commit — see
+        // [[appendWithMappedEvolution]]. json-diff, not column-count:
+        // nested growth keeps the column count.
+        else if (declared0.exists(isColumnMapped) &&
+            mergedProbe.json != declared0.get.json)
           appendWithMappedEvolution(spark, df1, table, partitionBy,
             statsCols, txn)
         else {
@@ -455,13 +457,9 @@ object MiniDelta {
     // ratchet against concurrent writers in one throw.
     val evolved0 = mergedSchema(Some(declared), df.schema)
     val (evolvedSchema, evolvedCfg) =
-      if (isColumnMapped(declared) &&
-          evolved0.length != declared.length) {
-        val (cols2, cfg2) = assignMappingMeta(
-          evolved0.fields.drop(declared.length).toIndexedSeq, cfgPinned)
-        (org.apache.spark.sql.types.StructType(
-          declared.fields.toIndexedSeq ++ cols2), cfg2)
-      } else (evolved0, cfgPinned)
+      if (isColumnMapped(declared) && evolved0.json != declared.json)
+        assignMappingMetaDeep(evolved0, cfgPinned)
+      else (evolved0, cfgPinned)
     val schemaChanged = evolvedSchema.json != declared.json
     val evolveOverride =
       if (schemaChanged) Some(evolvedSchema) else None
@@ -610,12 +608,12 @@ object MiniDelta {
     val cfgPinned = tableConfig(spark, table, readVersion)
     require(isColumnMapped(declared),
       s"$table stopped being column-mapped between probe and pin")
-    val fresh = df.schema.fields.filterNot(f =>
-        declared.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-      .map(_.copy(nullable = true)).toSeq // old rows null-fill them
-    val (cols2, cfg2) = assignMappingMeta(fresh, cfgPinned)
-    val merged = org.apache.spark.sql.types.StructType(
-      declared.fields.toIndexedSeq ++ cols2)
+    // full evolution rule, then deep mapping assignment: top-level
+    // appended columns AND nested struct growth both get fresh
+    // physicalName/ids at their own depth (r17 — delta-spark assigns
+    // at every level); already-declared fields pass through verbatim
+    val (merged, cfg2) = assignMappingMetaDeep(
+      mergedSchema(Some(declared), df.schema), cfgPinned)
     enforceConstraints(alignForCheck(df, Some(merged)), cfgPinned,
       Some(merged))
     val added = writeAndCapture(spark,
@@ -662,7 +660,7 @@ object MiniDelta {
       // which re-pins and rewrites under the extended physical schema
       // with fresh physicalName/ids ratcheted past maxColumnId.
       if (prior.exists(isColumnMapped) &&
-          merged.length != prior.get.length) {
+          merged.json != prior.get.json) {
         val fsys = fs(spark, table)
         added.foreach { case (rel, _, _) =>
           fsys.delete(new Path(s"$table/$rel"), false) }
@@ -1790,15 +1788,7 @@ object MiniDelta {
     // arm an invariant the current data may already violate
     require(!props.keySet.exists(_.startsWith(constraintKeyPrefix)),
       s"use addConstraint/dropConstraint for $constraintKeyPrefix* keys")
-    // Delta names exactly two isolation levels; a typo'd value would
-    // silently run as WriteSerializable (the conflict resolver treats
-    // anything non-'Serializable' as the default) — refuse it here
-    props.get("delta.isolationLevel").foreach { lvl =>
-      require(Set("serializable", "writeserializable")
-          .contains(lvl.toLowerCase),
-        s"delta.isolationLevel must be Serializable or " +
-          s"WriteSerializable, got '$lvl'")
-    }
+    requireValidIsolation(props)
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     val schema = latestSchema(spark, table, readVersion).getOrElse(
@@ -2229,6 +2219,19 @@ object MiniDelta {
     * lifecycle. Refuses a path already holding a log (the table exists)
     * or raw parquet (a v0 referencing nothing would orphan those rows
     * for every later log-driven read — the same guard as SQL INSERT). */
+  /** Delta names exactly two isolation levels; a typo'd value would
+    * silently run as WriteSerializable (the conflict resolver treats
+    * anything non-'Serializable' as the default). Validated at EVERY
+    * property-accepting entry point — CREATE/REPLACE TABLE and SET
+    * TBLPROPERTIES — matching delta-spark's DeltaConfigs validation. */
+  private def requireValidIsolation(props: Map[String, String]): Unit =
+    props.get("delta.isolationLevel").foreach { lvl =>
+      require(Set("serializable", "writeserializable")
+          .contains(lvl.toLowerCase),
+        s"delta.isolationLevel must be Serializable or " +
+          s"WriteSerializable, got '$lvl'")
+    }
+
   def createTable(spark: SparkSession, table: String,
                   schema: org.apache.spark.sql.types.StructType,
                   partitionBy: Seq[String] = Nil,
@@ -2236,6 +2239,7 @@ object MiniDelta {
                   readOnly: Boolean = false,
                   clusterBy: Seq[String] = Nil): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    requireValidIsolation(properties)
     require(!tableExists(spark, table),
       s"CREATE TABLE: $table already has a _delta_log")
     // clustered tables (Delta writer feature `clustering`, late r13):
@@ -2401,6 +2405,7 @@ object MiniDelta {
                    properties: Map[String, String] = Map.empty,
                    readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    requireValidIsolation(properties)
     if (!tableExists(spark, table))
       return createTable(spark, table, schema, partitionBy, properties)
     val missing = partitionBy.filterNot(p =>
@@ -2486,17 +2491,85 @@ object MiniDelta {
       cfg: Map[String, String])
       : (Seq[org.apache.spark.sql.types.StructField],
          Map[String, String]) = {
+    val (st, cfg2) = assignMappingMetaDeep(
+      org.apache.spark.sql.types.StructType(cols.toIndexedSeq), cfg)
+    (st.fields.toSeq, cfg2)
+  }
+
+  /** Deep form (r17, closing the nested-evolution-on-mapped refusal):
+    * walk a MERGED schema and stamp fresh mapping metadata onto every
+    * field that lacks it — at ANY depth, delta-spark assigns ids at
+    * every nesting level — pre-order, ratcheting past maxColumnId.
+    * Fields already mapped (everything the table declared before the
+    * evolution) pass through verbatim, so the call is idempotent and
+    * safe over a schema that is only PARTLY new (a struct column
+    * growing one nested field). */
+  private def assignMappingMetaDeep(
+      merged: org.apache.spark.sql.types.StructType,
+      cfg: Map[String, String])
+      : (org.apache.spark.sql.types.StructType, Map[String, String]) = {
+    import org.apache.spark.sql.types._
     var next = cfg.get("delta.columnMapping.maxColumnId")
       .map(_.toLong).getOrElse(0L)
-    val mappedCols = cols.map { f =>
-      next += 1
-      val phys = s"col_${next}_" +
-        java.util.UUID.randomUUID().toString.take(8)
-      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putString(PhysNameKey, phys)
-        .putLong(MapIdKey, next).build())
+    def mapField(f: StructField): StructField = {
+      val f2 =
+        if (f.metadata.contains(PhysNameKey)) f
+        else {
+          next += 1
+          val phys = s"col_${next}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysNameKey, phys)
+            .putLong(MapIdKey, next).build())
+        }
+      f2.copy(dataType = walk(f2.dataType))
     }
-    (mappedCols, cfg + ("delta.columnMapping.maxColumnId" -> next.toString))
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(mapField))
+      case a: ArrayType => a.copy(elementType = walk(a.elementType))
+      case m: MapType => m.copy(keyType = walk(m.keyType),
+        valueType = walk(m.valueType))
+      case other => other
+    }
+    (StructType(merged.fields.map(mapField)),
+      cfg + ("delta.columnMapping.maxColumnId" -> next.toString))
+  }
+
+  /** Carry established mapping metadata from a declared field onto a
+    * same-named incoming one — RECURSIVELY, so the nested fields of a
+    * struct surviving an overwriteSchema swap keep resolving to the
+    * same physical columns. Fields the declared side lacks pass
+    * through untouched for [[assignMappingMetaDeep]] to stamp fresh. */
+  private def carryMappingMeta(
+      old: org.apache.spark.sql.types.StructField,
+      f: org.apache.spark.sql.types.StructField)
+      : org.apache.spark.sql.types.StructField = {
+    import org.apache.spark.sql.types._
+    val meta =
+      if (!old.metadata.contains(PhysNameKey)) f.metadata
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysNameKey, old.metadata.getString(PhysNameKey))
+        if (old.metadata.contains(MapIdKey))
+          mb.putLong(MapIdKey, old.metadata.getLong(MapIdKey))
+        mb.build()
+      }
+    def walk(odt: DataType, fdt: DataType): DataType = (odt, fdt) match {
+      case (o: StructType, s: StructType) =>
+        StructType(s.fields.map { sf =>
+          o.fields.find(_.name.equalsIgnoreCase(sf.name)) match {
+            case Some(osf) => carryMappingMeta(osf, sf)
+            case None => sf
+          }
+        })
+      case (o: ArrayType, a: ArrayType) =>
+        a.copy(elementType = walk(o.elementType, a.elementType))
+      case (o: MapType, m: MapType) =>
+        m.copy(keyType = walk(o.keyType, m.keyType),
+          valueType = walk(o.valueType, m.valueType))
+      case _ => fdt
+    }
+    f.copy(dataType = walk(old.dataType, f.dataType), metadata = meta)
   }
 
   def addColumns(spark: SparkSession, table: String,
@@ -3045,8 +3118,12 @@ object MiniDelta {
       val nestedEvolved =
         scala.collection.mutable.Map.empty[String,
           org.apache.spark.sql.types.DataType]
+      // existing columns match CASE-INSENSITIVELY (Spark's default
+      // resolution, the nested rule above and the SQL gate's rule): a
+      // source spelling `Qty` for declared `qty` must MATCH it, never
+      // append a case-duplicate Spark could no longer resolve
       val conflicts = incoming.fields.flatMap { f =>
-        old.fields.find(_.name == f.name).flatMap { o =>
+        old.fields.find(_.name.equalsIgnoreCase(f.name)).flatMap { o =>
           if (org.apache.spark.sql.types.DataType
               .equalsIgnoreNullability(o.dataType, f.dataType)) None
           else mergeStructTypes(o.dataType, f.dataType) match {
@@ -3060,33 +3137,62 @@ object MiniDelta {
         throw new IllegalArgumentException(
           s"append would retype existing column(s) [${conflicts.mkString("; ")}]" +
             " — rewrite the table explicitly to change a column's type")
-      // nested growth inside a COLUMN-MAPPED schema refuses: every
-      // nested field of a mapped table carries its own physicalName/id,
-      // and this engine's mapping assignment is top-level — appending
-      // an unmapped nested field would poison the column's mapping
-      if (nestedEvolved.nonEmpty && isColumnMapped(old))
-        throw new IllegalArgumentException(
-          "nested-struct evolution on a column-mapped table is not " +
-            s"supported (column(s) ${nestedEvolved.keys.mkString(", ")})" +
-            " — restructure with an explicit rewrite")
-      val have = old.fieldNames.toSet
+      val have = old.fieldNames.map(_.toLowerCase).toSet
       // appended columns are ALWAYS nullable regardless of the source
       // frame's nullability (delta-spark's rule): every pre-evolution
       // row null-fills them, so a carried-over nullable=false would
       // declare a contract the table immediately violates
-      val appended = incoming.fields.filterNot(f => have.contains(f.name))
+      val appended = incoming.fields
+        .filterNot(f => have.contains(f.name.toLowerCase))
         .map(_.copy(nullable = true))
+      // a frame carrying two spellings of one NEW column (`Qty` and
+      // `qty`) would evolve an unresolvable schema — the ADD COLUMNS
+      // dup rule applied to the evolved set
+      val dup = appended.groupBy(_.name.toLowerCase).collect {
+        case (_, vs) if vs.length > 1 => vs.head.name }
+      require(dup.isEmpty,
+        s"schema evolution would append case-duplicate column(s): " +
+          s"${dup.mkString(", ")}")
       // a variant column joining an EXISTING table needs the
       // variantType feature declared in the same commit — only ADD
-      // COLUMNS does that; the evolution paths commit metaData alone
+      // COLUMNS does that; the evolution paths commit metaData alone.
+      // Scoped to the NEW fields: a struct that already legitimately
+      // holds a VARIANT (feature declared at CREATE/ADD COLUMNS) must
+      // not block unrelated nested growth beside it
       require(!appended.exists(f => containsVariant(f.dataType)) &&
-          !nestedEvolved.values.exists(containsVariant),
+          !nestedEvolved.exists { case (n, m) =>
+            newFieldsContainVariant(
+              old.fields.find(_.name == n).get.dataType, m) },
         "schema evolution cannot introduce a VARIANT column (the " +
           "variantType table feature must join the protocol); add it " +
           "with ALTER TABLE ... ADD COLUMNS")
       org.apache.spark.sql.types.StructType(
         old.fields.map(of => nestedEvolved.get(of.name)
           .map(dt => of.copy(dataType = dt)).getOrElse(of)) ++ appended)
+  }
+
+  /** Whether the fields `merged` ADDS over `old` contain VariantType —
+    * fields present in both recurse, so a pre-existing (feature-backed)
+    * VARIANT never blocks unrelated evolution beside it. */
+  private def newFieldsContainVariant(
+      old: org.apache.spark.sql.types.DataType,
+      merged: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (old, merged) match {
+      case (o: StructType, m: StructType) =>
+        m.fields.exists { mf =>
+          o.fields.find(_.name.equalsIgnoreCase(mf.name)) match {
+            case None => containsVariant(mf.dataType)
+            case Some(of) =>
+              newFieldsContainVariant(of.dataType, mf.dataType)
+          }
+        }
+      case (o: ArrayType, m: ArrayType) =>
+        newFieldsContainVariant(o.elementType, m.elementType)
+      case (o: MapType, m: MapType) =>
+        newFieldsContainVariant(o.valueType, m.valueType)
+      case _ => false
+    }
   }
 
   /** Whether a (nested) type contains Spark's VariantType — the Delta
@@ -3353,7 +3459,7 @@ object MiniDelta {
             .empty[org.apache.spark.sql.Row]
           logJsonVersions(spark, table, base, latest).foreach {
             case (wv, p) =>
-              winnerCommitsScreened.add(s"$table@$wv")
+              recordWinnerScreened(s"$table@$wv")
               val pp = new Path(p)
               val bytes = new Array[Byte](f.getFileStatus(pp).getLen.toInt)
               val in = f.open(pp)
@@ -4134,6 +4240,18 @@ object MiniDelta {
     java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
 
+  /** Bounded recording (r17): the list exists only as a spec seam —
+    * in a long-lived writer under contention it must not grow without
+    * bound, so it keeps the most recent window (far wider than any
+    * spec's contention run) and evicts from the head. */
+  private def recordWinnerScreened(s: String): Unit =
+    winnerCommitsScreened.synchronized {
+      winnerCommitsScreened.add(s)
+      if (winnerCommitsScreened.size > 4096)
+        winnerCommitsScreened.remove(0)
+      ()
+    }
+
   def writeCheckpoint(spark: SparkSession, table: String,
                       version: Long,
                       nowMs: () => Long = () => System.currentTimeMillis(),
@@ -4228,10 +4346,10 @@ object MiniDelta {
         // EMPTY snapshot (all rows deleted): the layout still governs
         // future writes — carry the log's declared partitionColumns
         // instead of silently flipping the table to unpartitioned
-        metaPartitionColumns(spark, table).getOrElse(Seq.empty)
+        metaPartitionColumns(spark, table, version).getOrElse(Seq.empty)
       else pathSigs.headOption.map(_.split("/").toSeq).getOrElse {
         if (aggKeys.isEmpty) Seq.empty
-        else metaPartitionColumns(spark, table)
+        else metaPartitionColumns(spark, table, version)
           .filter(_.sorted == aggKeys.sorted)
           .getOrElse(aggKeys.sorted)
       }
@@ -6055,12 +6173,10 @@ object MiniDelta {
     // evolving append relies on.
     val (merged, evolvedCfg) =
       if (declared.exists(isColumnMapped) &&
-          merged0.length != declared.get.length) {
-        val (cols2, cfg2) = assignMappingMeta(
-          merged0.fields.drop(declared.get.length).toIndexedSeq,
+          merged0.json != declared.get.json) {
+        val (m2, cfg2) = assignMappingMetaDeep(merged0,
           tableConfig(spark, table, readVersion))
-        (org.apache.spark.sql.types.StructType(
-          declared.get.fields.toIndexedSeq ++ cols2), Some(cfg2))
+        (m2, Some(cfg2))
       } else (merged0, None)
     val schemaOverride = evolvedCfg.map(_ => merged)
     // identity tables (Delta identityColumns) COMPOSE with merge since
@@ -6096,12 +6212,17 @@ object MiniDelta {
     // pre-evolution read carries the narrow struct type), the source
     // null-fills declared columns it lacks (Delta's insertAll
     // semantics after evolution)
+    // column match is CASE-INSENSITIVE (Spark's resolution): a source
+    // spelling `N` for declared `n` supplies its values, never a
+    // silent null-fill
     def align(df: DataFrame): DataFrame =
       df.select(merged.fields.map { fld =>
-        if (df.columns.contains(fld.name))
-          widenTo(col(s"`${fld.name}`"), df.schema(fld.name).dataType,
-            fld.dataType).as(fld.name)
-        else lit(null).cast(fld.dataType).as(fld.name)
+        df.columns.find(_.equalsIgnoreCase(fld.name)) match {
+          case Some(actual) =>
+            widenTo(col(s"`$actual`"), df.schema(actual).dataType,
+              fld.dataType).as(fld.name)
+          case None => lit(null).cast(fld.dataType).as(fld.name)
+        }
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // the key-range file condition scopes discovery AND screens
@@ -6744,24 +6865,41 @@ object MiniDelta {
                   k != MergeMatchedMarker,
                 s"evolved column $k collides with the merge namespace")
               Some(StructField(k, t0, nullable = true))
-            case Some(of0)
-                if !DataType.equalsIgnoreNullability(of0.dataType, t0) &&
-                  mergeStructTypes(of0.dataType, t0)
-                    .exists(_ != of0.dataType) =>
-              Some(StructField(of0.name, t0, nullable = true))
-            case _ => None
+            case Some(of0) =>
+              // nested-widening an EXISTING struct-bearing column: the
+              // evolved type composes across ALL clauses assigning it
+              // (a fold of mergeStructTypes), never cands.head alone —
+              // two clauses growing DIFFERENT nested fields union, and
+              // a clause whose type cannot compose refuses HERE with
+              // the named column, not later as an opaque positional
+              // struct-cast failure. Scalar mismatches (no clause
+              // widens) keep their cast-at-write semantics untouched.
+              val widens = cands.exists(t =>
+                mergeStructTypes(of0.dataType, t)
+                  .exists(_ != of0.dataType))
+              if (!widens) None
+              else {
+                val mergedT = cands.foldLeft(
+                  Option(of0.dataType): Option[DataType])((acc, t) =>
+                  acc.flatMap(a => mergeStructTypes(a, t)))
+                require(mergedT.isDefined,
+                  s"MERGE schema evolution infers conflicting types " +
+                    s"for $k: ${of0.dataType.simpleString} vs " +
+                    cands.map(_.simpleString).distinct.mkString(", "))
+                if (mergedT.get == of0.dataType) None
+                else Some(StructField(of0.name, mergedT.get,
+                  nullable = true))
+              }
           }
         }
         if (evolveEntries.isEmpty) decl
         else mergedSchema(Some(decl), StructType(evolveEntries))
       }
     val (outSchema, evolvedCfg) =
-      if (merged0.length == decl.length) (merged0, None)
+      if (merged0.json == decl.json) (merged0, None)
       else if (isColumnMapped(decl)) {
-        val (cols2, cfg2) = assignMappingMeta(
-          merged0.fields.drop(decl.length).toIndexedSeq, cfg)
-        (org.apache.spark.sql.types.StructType(
-          decl.fields.toIndexedSeq ++ cols2), Some(cfg2))
+        val (m2, cfg2) = assignMappingMetaDeep(merged0, cfg)
+        (m2, Some(cfg2))
       } else (merged0, None)
     val evolutionNeeded = outSchema.json != decl.json
     val evolveOverride = evolvedCfg.map(_ => outSchema)
@@ -7533,30 +7671,23 @@ object MiniDelta {
       // replacement), genuinely new fields get fresh physical names
       // with ids ratcheted past maxColumnId, and the writes below
       // relabel under the extended schema via schemaOverride.
-      val (newSchema, cfgOv) = declared.filter(isColumnMapped) match {
+      val (newSchemaM, cfgOv) = declared.filter(isColumnMapped) match {
         case None => (newSchema0, cfg)
         case Some(d) =>
-          val fresh = newSchema0.fields.filterNot(f =>
-            d.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          val (assigned, cfg2) = assignMappingMeta(fresh.toIndexedSeq, cfg)
-          val byName = assigned.map(f => f.name.toLowerCase -> f).toMap
-          (org.apache.spark.sql.types.StructType(
+          // same-name fields KEEP their established physicalName/id —
+          // at DEPTH too (r17: the nested fields of a surviving struct
+          // resolve across the swap); genuinely new fields, top-level
+          // or nested, get fresh names with ids ratcheted past
+          // maxColumnId
+          val carried = org.apache.spark.sql.types.StructType(
             newSchema0.fields.map { f =>
               d.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-                case Some(old) if old.metadata.contains(PhysNameKey) =>
-                  val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                    .withMetadata(f.metadata).putString(PhysNameKey,
-                      old.metadata.getString(PhysNameKey))
-                  if (old.metadata.contains(MapIdKey))
-                    mb.putLong(MapIdKey, old.metadata.getLong(MapIdKey))
-                  f.copy(metadata = mb.build())
-                case Some(_) => f
-                case None => byName(f.name.toLowerCase)
+                case Some(old) => carryMappingMeta(old, f)
+                case None => f
               }
-            }.toIndexedSeq), cfg2)
+            }.toIndexedSeq)
+          assignMappingMetaDeep(carried, cfg)
       }
-      val schemaOverride =
-        declared.filter(isColumnMapped).map(_ => newSchema)
       // identity tables compose with OVERWRITE (late r13, closing the
       // by-name refusal): the omitted column is ASSIGNED past the
       // high-water mark — the mark is NOT reset by the data swap
@@ -7564,22 +7695,63 @@ object MiniDelta {
       // so time-traveled/restored rows can never collide with
       // post-overwrite ones) — and provided values need GENERATED BY
       // DEFAULT, syncing the mark. Since r16 merge-EVOLUTION composes
-      // too (the append/merge rule: one metaData line carries the
-      // appended columns AND the advanced mark); only an
-      // overwriteSchema SWAP still refuses — it would silently drop
-      // the identity metadata.
-      val idFieldsOv = declared.toSeq.flatMap(_.fields.toSeq)
+      // too; since r17 the overwriteSchema SWAP composes as well
+      // (delta-spark's rule): a swap that KEEPS the identity column
+      // carries its metadata onto the swapped field — start/step/
+      // allowExplicitInsert verbatim, or the incoming field's own
+      // re-declared spec (re-seed), with the high-water mark NEVER
+      // regressing (carried unless the incoming spec declares one) —
+      // and only a swap that would silently DROP the column's
+      // identity metadata still refuses.
+      val idFieldsDecl = declared.toSeq.flatMap(_.fields.toSeq)
         .filter(_.metadata.contains(IdentityStartKey))
-      require(idFieldsOv.length <= 1,
-        s"$table declares ${idFieldsOv.length} identity columns; at " +
+      require(idFieldsDecl.length <= 1,
+        s"$table declares ${idFieldsDecl.length} identity columns; at " +
           "most one is supported")
-      if (idFieldsOv.nonEmpty)
-        require(!overwriteSchema ||
-            newSchema.json == declared.get.json,
-          s"overwriteSchema cannot swap the schema of identity-column " +
-            s"table $table — the swap would drop the identity " +
-            "metadata; evolve with a plain overwrite or ALTER TABLE " +
-            "... ADD COLUMNS")
+      val newSchema =
+        if (!overwriteSchema || idFieldsDecl.isEmpty) newSchemaM
+        else {
+          val f = idFieldsDecl.head
+          val kept = newSchemaM.fields
+            .find(_.name.equalsIgnoreCase(f.name))
+          require(kept.isDefined,
+            s"overwriteSchema cannot swap away identity column " +
+              s"${f.name} of $table — the swap would drop the " +
+              "identity metadata; keep the column (its identity spec " +
+              "carries over) or re-declare it with identity metadata")
+          require(kept.get.dataType ==
+              org.apache.spark.sql.types.LongType,
+            s"overwriteSchema must keep identity column ${f.name} of " +
+              s"$table as BIGINT, got " +
+              kept.get.dataType.simpleString)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(kept.get.metadata)
+          if (!kept.get.metadata.contains(IdentityStartKey)) {
+            mb.putLong(IdentityStartKey,
+              f.metadata.getLong(IdentityStartKey))
+            if (f.metadata.contains(IdentityStepKey))
+              mb.putLong(IdentityStepKey,
+                f.metadata.getLong(IdentityStepKey))
+            if (f.metadata.contains(IdentityAllowExplicitKey))
+              mb.putBoolean(IdentityAllowExplicitKey,
+                f.metadata.getBoolean(IdentityAllowExplicitKey))
+          }
+          // the mark spans the table's LIFETIME: carried even across a
+          // re-seed unless the incoming spec declares its own
+          if (!kept.get.metadata.contains(IdentityHwmKey) &&
+              f.metadata.contains(IdentityHwmKey))
+            mb.putLong(IdentityHwmKey, f.metadata.getLong(IdentityHwmKey))
+          val stamped = kept.get.copy(metadata = mb.build())
+          org.apache.spark.sql.types.StructType(newSchemaM.fields.map(
+            fd => if (fd.name.equalsIgnoreCase(f.name)) stamped else fd)
+            .toIndexedSeq)
+        }
+      val schemaOverride =
+        declared.filter(isColumnMapped).map(_ => newSchema)
+      // resolution reads the FINAL schema's identity field — after an
+      // overwriteSchema swap that is the stamped (or re-seeded) spec
+      val idFieldsOv = newSchema.fields
+        .filter(_.metadata.contains(IdentityStartKey)).toSeq
       val df0 = applyGenerated(applyDefaults(df, declared), declared,
         table)
       val (df1, idMetaOv) = idFieldsOv.headOption match {
@@ -7638,10 +7810,12 @@ object MiniDelta {
             declared, _.where(coalesce(c, lit(false))))
           def alignNew(d2: DataFrame): DataFrame =
             d2.select(newSchema.fields.map { f =>
-              if (d2.columns.contains(f.name))
-                widenTo(col(s"`${f.name}`"), d2.schema(f.name).dataType,
-                  f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
+              d2.columns.find(_.equalsIgnoreCase(f.name)) match {
+                case Some(actual) =>
+                  widenTo(col(s"`$actual`"), d2.schema(actual).dataType,
+                    f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
             }.toIndexedSeq: _*)
           val cdc =
             if (!cfg.get("delta.enableChangeDataFeed").contains("true"))
@@ -7929,11 +8103,16 @@ object MiniDelta {
   /** Latest metaData action's `partitionColumns`: the JSON tail since
     * the last checkpoint first (newest wins), then the checkpoint's own
     * metaData row. O(since-last-checkpoint), like [[latestSchema]]. */
-  private def metaPartitionColumns(spark: SparkSession, table: String)
+  /** The log's declared `metaData.partitionColumns`, resolved AT
+    * `atMost` (r17): a checkpoint rendered for an older version of a
+    * table whose partition layout was later re-declared must read the
+    * columns declared at the RENDERED version, not HEAD's. */
+  private def metaPartitionColumns(spark: SparkSession, table: String,
+                                   atMost: Long = Long.MaxValue)
       : Option[Seq[String]] = {
-    val cp = latestCheckpoint(spark, table, Long.MaxValue)
+    val cp = latestCheckpoint(spark, table, atMost)
     val from = cp.getOrElse(-1L)
-    val tail = logJsonVersions(spark, table, from + 1)
+    val tail = logJsonVersions(spark, table, from + 1, atMost)
     val fromTail =
       if (tail.isEmpty) None
       else logDFIn(spark, tail.map(_._2))
@@ -8715,7 +8894,14 @@ object MiniDelta {
     val present = logical.fields.filter(lf =>
       df.columns.exists(_.equalsIgnoreCase(lf.name)))
     df.select((present.map { lf =>
-      val c = col(s"`${lf.name}`")
+      // a frame still carrying a PRE-evolution struct shape widens to
+      // the full logical type first (new nested fields null-fill) —
+      // the physical cast below is positional and needs full arity.
+      // Agreeing types pass through widenTo untouched, so the common
+      // path pays nothing.
+      val actual = df.schema.fields
+        .find(_.name.equalsIgnoreCase(lf.name)).get.dataType
+      val c = widenTo(col(s"`${lf.name}`"), actual, lf.dataType)
         .cast(physicalType(lf.dataType, withIds))
       if (withIds && lf.metadata.contains(MapIdKey))
         c.as(physicalNameOf(lf),

@@ -199,12 +199,62 @@ class IdentityEvolutionSpec extends AnyFunSuite {
       .select("id", "v", "extra").as[(Long, String, Option[Long])]
       .collect().sortBy(_._1).toSeq
     assert(out == Seq((4L, "x", Some(1L)), (5L, "y", Some(2L))))
-    // the SWAP form still refuses: overwriteSchema would drop the
-    // identity metadata silently
+    // the SWAP form refuses only when it would DROP the identity
+    // column (its metadata would vanish silently) — r17 narrowed the
+    // pre-r17 blanket refusal to exactly that case
     val e = intercept[IllegalArgumentException](
       MiniDelta.overwrite(spark, Seq(("z", 9L)).toDF("v", "w"), t,
         Seq.empty, overwriteSchema = true))
-    assert(e.getMessage.contains("overwriteSchema"), e.getMessage)
+    assert(e.getMessage.contains("overwriteSchema") &&
+      e.getMessage.contains("drop"), e.getMessage)
+  }
+
+  test("overwriteSchema SWAP composes when the identity column is " +
+      "KEPT: its spec carries onto the swapped field, the mark never " +
+      "regresses, and the dropped column is gone") {
+    val t = freshTable()
+    val byDefault = new MetadataBuilder()
+      .putLong("delta.identity.start", 1L)
+      .putLong("delta.identity.step", 1L)
+      .putBoolean("delta.identity.allowExplicitInsert", true).build()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType, nullable = true, byDefault),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq("a", "b", "c").toDF("v"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // swap: keeps id (values PROVIDED — BY DEFAULT allows), drops v,
+    // adds w — the identity spec must carry onto the swapped field and
+    // the mark sync past the provided extremum (pre-swap mark was 3)
+    val v = MiniDelta.overwrite(spark,
+      Seq((7L, "x"), (9L, "y")).toDF("id", "w"), t, Seq.empty,
+      overwriteSchema = true)
+    val sch = schemaAt(t)
+    assert(sch.fieldNames.toSeq == Seq("id", "w"))
+    val idF = sch("id")
+    assert(idF.metadata.getLong("delta.identity.start") == 1L)
+    assert(idF.metadata.getBoolean("delta.identity.allowExplicitInsert"))
+    assert(idF.metadata.getLong("delta.identity.highWaterMark") == 9L,
+      idF.metadata.json)
+    // ONE metaData action carries the swapped schema AND the mark
+    assert(metaLines(t, v).length == 1)
+    // post-swap appends continue the chain PAST the synced mark
+    MiniDelta.append(spark, Seq("zz").toDF("w"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("id", "w").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((7L, "x"), (9L, "y"), (10L, "zz")), out.toString)
+    // GENERATED ALWAYS still refuses PROVIDED values through the swap
+    // (the identity-value rule, not the swap rule)
+    val t2 = freshTable()
+    MiniDelta.createTable(spark, t2, StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta(1L, 1L)),
+      StructField("v", StringType))))
+    MiniDelta.append(spark, Seq("a").toDF("v"), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val e2 = intercept[IllegalArgumentException](
+      MiniDelta.overwrite(spark, Seq((5L, "x")).toDF("id", "w"), t2,
+        Seq.empty, overwriteSchema = true))
+    assert(e2.getMessage.contains("GENERATED ALWAYS"), e2.getMessage)
   }
 
   test("identity × column-mapped MERGE evolution composes the same way") {

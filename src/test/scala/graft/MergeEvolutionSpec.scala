@@ -276,4 +276,46 @@ class MergeEvolutionSpec extends AnyFunSuite {
         evolveSchema = true))
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
+
+  test("a differently-CASED source column MATCHES the declared one " +
+      "(never appends a case-duplicate); case-dup NEW columns refuse") {
+    // Spark's default resolution is case-insensitive — an evolving
+    // append whose source spells `N` for declared `n` must match it,
+    // or the evolved schema would hold two columns Spark can no
+    // longer resolve unambiguously (and delta-spark would reject)
+    val t = freshTable(); seed(t)
+    val v = MiniDelta.append(spark,
+      Seq((4L, "d", 40L, 1.5)).toDF("k", "v", "N", "extra"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val sch = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    assert(sch.fieldNames.toSeq == Seq("k", "v", "n", "extra"),
+      sch.fieldNames.mkString(","))
+    assert(metaLines(t, v).length == 1)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 4L).select("n", "extra")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((40L, 1.5)))
+    // two spellings of one NEW column in the same frame refuse: the
+    // evolved schema would be unresolvable
+    import org.apache.spark.sql.types._
+    val dupFrame = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9L, 1L, 2L)),
+      StructType(Seq(StructField("k", LongType),
+        StructField("w", LongType), StructField("W", LongType))))
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.append(spark, dupFrame, t, Seq.empty))
+    assert(e.getMessage.contains("case-duplicate"), e.getMessage)
+    // and through MERGE: the cased source column UPDATES the declared
+    // one rather than evolving a duplicate
+    val src = Seq((2L, 99L)).toDF("k", "N")
+    MiniDelta.merge(spark, t, src, Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val sch2 = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get
+    assert(sch2.fieldNames.toSeq == Seq("k", "v", "n", "extra"))
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 2L).select("n").head().getLong(0) == 99L)
+  }
 }

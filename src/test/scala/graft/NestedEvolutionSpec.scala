@@ -13,8 +13,9 @@ import graft.io.MiniDelta
   * reject, old files read the new nested fields as null, and
   * pre-evolution frames (rewrite survivors, CDF preimages) WIDEN
   * through the recursive null-fill before any union with evolved rows.
-  * Column-mapped tables refuse by name (nested fields there carry
-  * their own physicalName/id this engine does not assign). */
+  * Column-mapped tables compose too (r17): appended nested fields get
+  * fresh physicalName/ids at their own depth, ratcheted past
+  * maxColumnId, and land in the files under the physical names. */
 class NestedEvolutionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -133,7 +134,8 @@ class NestedEvolutionSpec extends AnyFunSuite {
   }
 
   test("identity table: the single metaData line carries the widened " +
-      "struct and the mark; mapped tables refuse by name") {
+      "struct and the mark; mapped tables grow nested fields under " +
+      "fresh physical names") {
     import org.apache.spark.sql.types._
     val t = freshTable()
     MiniDelta.createTable(spark, t, StructType(Seq(
@@ -158,7 +160,10 @@ class NestedEvolutionSpec extends AnyFunSuite {
       .select(col("id"), col("a.geo"))
       .as[(Long, Option[String])].collect().toSet
     assert(out == Set((1L, None), (2L, Some("G"))))
-    // mapped: nested growth refuses by name
+    // mapped: nested growth composes (r17 — the pre-r17 refusal is
+    // gone): the appended nested field gets a FRESH physicalName/id
+    // at its own depth, maxColumnId ratchets past it, the data file
+    // stores the physical name, and the logical read round-trips
     val tm = freshTable()
     MiniDelta.createTable(spark, tm, StructType(Seq(
       StructField("k", LongType),
@@ -169,10 +174,40 @@ class NestedEvolutionSpec extends AnyFunSuite {
       Seq(1L).toDF("k").select(col("k"), struct(lit("x").as("city")).as("a")),
       tm, Seq.empty)
     MiniDelta.invalidateSnapshot(tm)
-    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+    val maxBefore = MiniDelta.tableConfig(spark, tm)(
+      "delta.columnMapping.maxColumnId").toLong
+    MiniDelta.append(spark,
       Seq(2L).toDF("k").select(col("k"), addr("y", 9L).as("a")), tm,
-      Seq.empty))
-    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+      Seq.empty)
+    MiniDelta.invalidateSnapshot(tm)
+    val schM = MiniDelta.latestSchema(spark, tm,
+      MiniDelta.latestVersion(spark, tm)).get
+    val zipF = schM("a").dataType.asInstanceOf[StructType]("zip")
+    assert(zipF.metadata.contains("delta.columnMapping.physicalName") &&
+      zipF.metadata.contains("delta.columnMapping.id"),
+      s"appended nested field must carry mapping metadata: $zipF")
+    val zipPhys = zipF.metadata.getString("delta.columnMapping.physicalName")
+    assert(zipPhys.startsWith("col_"), zipPhys)
+    assert(zipF.metadata.getLong("delta.columnMapping.id") > maxBefore)
+    assert(MiniDelta.tableConfig(spark, tm)(
+      "delta.columnMapping.maxColumnId").toLong > maxBefore)
+    // the evolving commit's file stores the PHYSICAL nested name
+    val nestedCols = Option(new java.io.File(tm).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet"))
+      .flatMap { p =>
+        spark.read.parquet(p.getAbsolutePath).schema.fields.toSeq
+          .flatMap(_.dataType match {
+            case st: StructType => st.fieldNames.toSeq
+            case _ => Seq.empty[String]
+          })
+      }.toSet
+    assert(nestedCols.contains(zipPhys) && !nestedCols.contains("zip"),
+      s"expected physical nested column $zipPhys (never logical " +
+        s"'zip') in $nestedCols")
+    val outM = MiniDelta.readFiltered(spark, tm, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(outM == Set((1L, "x", None), (2L, "y", Some(9L))))
   }
 
   test("structs inside ARRAYS and MAP VALUES evolve; map-key changes " +
