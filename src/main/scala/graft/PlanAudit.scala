@@ -54,9 +54,50 @@ object PlanAudit {
     "s39_cdf_write",      // table_changes over cdc-bearing commits:
                           // the feed is a union of cdc-file scans +
                           // partition-value literals, one agg (r13)
-    "s47_generated_prune") // ts-bounded read over a generated-
+    "s47_generated_prune", // ts-bounded read over a generated-
                           // partitioned table: the DERIVED day bound
                           // reaches the scan as PartitionFilters (r14)
+    "s36_identity",       // evolving identity-merge lifecycle readback
+    "s40_mapped_cdf",     // evolving mapped-merge lifecycle readback:
+                          // relabel stays a pure Project (r16/r17)
+    "s46_merge_clauses")  // general MERGE WITH SCHEMA EVOLUTION
+                          // lifecycle readback (r16/r17)
+
+  /** Prose pin for the r16/r17 schema-evolution WRITE shapes — the
+    * parts of the evolving-merge contract a readback explain cannot
+    * show. Appended verbatim to PLANS.md on every regeneration. */
+  val evolutionAppendix: String =
+    """
+## Appendix: evolving-merge commit shapes (s36 / s40 / s46)
+
+Claims measured by the r16 writecurve (BASELINE.md "r16 writecurve: the
+evolution matrix at scale" — `merge_clauses_evolving` FLAT at
+2.13/1.68/2.62 s across 100/1,000/10,000 files, at-or-below the
+non-evolving merge beside it) and pinned by MergeEvolutionSpec /
+IdentityEvolutionSpec / NestedEvolutionSpec:
+
+- **Evolution is metadata, never a table pass.** An evolving append /
+  keyed merge / general `MERGE WITH SCHEMA EVOLUTION` commits exactly
+  ONE `metaData` action carrying the evolved schema (identity tables:
+  the SAME line also advances the high-water mark; mapped tables: the
+  SAME commit's config carries the ratcheted `maxColumnId`, with fresh
+  physicalName/ids assigned at every nesting depth since r17). No
+  pre-evolution file is read or rewritten for the schema change
+  itself.
+- **Rewrites stay blast-radius-scoped.** Discovery is key-range-pruned
+  (`keyRangeFileCond` over partitionValues + per-file stats); only
+  files where a clause actually FIRES rewrite. The evolving leg of the
+  writecurve prices at-or-below the non-evolving one because the new
+  column rides the already-planned rewrite.
+- **Pre-evolution frames widen as a pure Project.** `widenTo` aligns
+  rewrite survivors / CDF preimages / clause assignments to the
+  evolved type — null-filling new (nested) fields in a projection, no
+  shuffle, no extra scan. On mapped tables the physical rename is the
+  same Project (`toPhysical` casts to the physical struct shape).
+- **Readback plans below** (s36/s40/s46 sections): the post-evolution
+  aggregate is one pruned scan + two-phase agg; mapped relabel stays a
+  Project over the scan exactly like the non-evolving mapped gates.
+"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -83,6 +124,7 @@ object PlanAudit {
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
     }
+    sb.append(evolutionAppendix)
     Files.createDirectories(Paths.get(out).getParent)
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

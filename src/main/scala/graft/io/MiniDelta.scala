@@ -6949,10 +6949,27 @@ object MiniDelta {
     // assignment, else the stored value — ONE projection, every
     // expression evaluating against the PRE-update pair (SQL UPDATE
     // semantics, shared with [[update]])
+    // static type of an UPDATE assignment over the joined namespace —
+    // schema-only select, zero Spark jobs; evolving merges only
+    lazy val updNs = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        outSchema.fields.toIndexedSeq ++ srcP.schema.fields))
     def valueFor(f: org.apache.spark.sql.types.StructField,
                  set: Map[String, org.apache.spark.sql.Column]) =
-      set.find(_._1.equalsIgnoreCase(f.name))
-        .map(_._2.cast(f.dataType)).getOrElse(col(s"`${f.name}`"))
+      set.find(_._1.equalsIgnoreCase(f.name)).map { case (_, v) =>
+        if (!evolutionNeeded) v.cast(f.dataType)
+        else {
+          // an assignment writing a nested-widened column WIDENS to
+          // the evolved type (its own clause may carry only a subset
+          // of the union another clause contributed) — the positional
+          // cast would refuse the arity; scalars keep cast-at-write
+          val vt = updNs.select(v.as("__t")).schema.head.dataType
+          if (org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(vt, f.dataType)) v.cast(f.dataType)
+          else widenTo(v, vt, f.dataType)
+        }
+      }.getOrElse(col(s"`${f.name}`"))
     val outCols = outSchema.fields.toIndexedSeq.map { f =>
       val branches =
         matched.zipWithIndex.collect { case (cl, i) if cl.set.isDefined =>

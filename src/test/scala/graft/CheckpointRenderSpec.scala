@@ -53,6 +53,34 @@ class CheckpointRenderSpec extends AnyFunSuite {
     (adds, removes, size)
   }
 
+  test("empty-snapshot render at an OLD version carries the partition " +
+      "columns declared AT that version, not HEAD's re-declaration") {
+    // the layout fallback resolves metaData.partitionColumns AT the
+    // rendered version (r17): a checkpoint for v_empty of a table
+    // whose partitioning was later re-declared must not stamp HEAD's
+    // layout into an older snapshot's metaData
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("id", "p"), t, Seq("p"))
+    MiniDelta.delete(spark, t, lit(true), Seq("p"))
+    MiniDelta.invalidateSnapshot(t)
+    val vEmpty = MiniDelta.latestVersion(spark, t)
+    // HEAD re-declares the table UNPARTITIONED
+    import org.apache.spark.sql.types._
+    MiniDelta.replaceTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType))))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.writeCheckpoint(spark, t, vEmpty)
+    val cp = spark.read.parquet(
+      f"$t/_delta_log/$vEmpty%020d.checkpoint.parquet")
+    val parts = cp.where(col("metaData").isNotNull)
+      .select("metaData.partitionColumns").collect()
+      .map(_.getSeq[String](0)).head
+    assert(parts == Seq("p"),
+      s"checkpoint at v$vEmpty must declare the layout of ITS version " +
+        s"(p), got $parts")
+  }
+
   test("distributed render equals the driver render, action for action") {
     val a = freshTable(); build(a)
     val base = new java.io.File(a).getParent

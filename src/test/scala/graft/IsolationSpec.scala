@@ -82,6 +82,26 @@ class IsolationSpec extends AnyFunSuite {
       Map("delta.isolationLevel" -> "Serializable"))
   }
 
+  test("unknown isolation levels refuse at CREATE and REPLACE TABLE " +
+      "too (the silent-WriteSerializable-downgrade guard)") {
+    // every property-accepting entry point validates (r17): a typo'd
+    // level declared at CREATE must refuse loudly, never run silently
+    // as WriteSerializable in the conflict resolver
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.createTable(spark, t, sch,
+        properties = Map("delta.isolationLevel" -> "Snapshot")))
+    assert(e.getMessage.contains("WriteSerializable"), e.getMessage)
+    MiniDelta.createTable(spark, t, sch,
+      properties = Map("delta.isolationLevel" -> "Serializable"))
+    val e2 = intercept[IllegalArgumentException](
+      MiniDelta.replaceTable(spark, t, sch,
+        properties = Map("delta.isolationLevel" -> "REPEATABLE_READ")))
+    assert(e2.getMessage.contains("WriteSerializable"), e2.getMessage)
+  }
+
   test("each winner commit is screened exactly once across two rebase " +
       "attempts") {
     val t = freshTable()

@@ -277,6 +277,64 @@ class MergeEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conflicting types"), e.getMessage)
   }
 
+  test("cross-clause nested widening UNIONS each clause's new fields; " +
+      "non-composable clause shapes refuse by name") {
+    // r17 (the cands.head fix): an existing struct column's evolved
+    // type is the COMPOSITION of every clause's assignment type — two
+    // clauses growing different nested fields union them; a clause
+    // whose shape cannot compose refuses with the column named, never
+    // an opaque positional struct-cast failure downstream
+    val t = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "c1"), (2L, "c2")).toDF("k", "city")
+        .select(col("k"), struct(col("city")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val src = Seq((2L, "u2", 20L, "G2"), (9L, "u9", 90L, "G9"))
+      .toDF("k", "city", "zip", "geo")
+    MiniDelta.mergeClauses(spark, t, src, Seq("k"),
+      matched = Seq(MergeMatchedClause(None, Some(Map(
+        "a" -> struct(col("__src_city").as("city"),
+          col("__src_zip").as("zip")))))),
+      notMatched = Seq(MergeInsertClause(None, Map(
+        "k" -> col("k"),
+        "a" -> struct(col("city").as("city"),
+          col("geo").as("geo"))))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true)
+    MiniDelta.invalidateSnapshot(t)
+    val aT = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(aT.fieldNames.toSeq == Seq("city", "zip", "geo"),
+      aT.fieldNames.mkString(","))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"), col("a.geo"))
+      .as[(Long, String, Option[Long], Option[String])].collect().toSet
+    assert(out == Set(
+      (1L, "c1", None, None),
+      (2L, "u2", Some(20L), None),
+      (9L, "u9", None, Some("G9"))), out)
+    // non-composable: one clause widens zip as LONG, the other
+    // declares it STRING — the fold refuses naming the column
+    val t2 = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "c1")).toDF("k", "city")
+        .select(col("k"), struct(col("city")).as("a")), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.mergeClauses(spark, t2, src, Seq("k"),
+        matched = Seq(MergeMatchedClause(None, Some(Map(
+          "a" -> struct(col("__src_city").as("city"),
+            col("__src_zip").as("zip")))))),              // zip LONG
+        notMatched = Seq(MergeInsertClause(None, Map(
+          "k" -> col("k"),
+          "a" -> struct(col("city").as("city"),
+            lit("z").as("zip"))))),                       // zip STRING
+        bySource = Seq.empty, partitionBy = Seq.empty,
+        evolveSchema = true))
+    assert(e.getMessage.contains("conflicting types"), e.getMessage)
+  }
+
   test("a differently-CASED source column MATCHES the declared one " +
       "(never appends a case-duplicate); case-dup NEW columns refuse") {
     // Spark's default resolution is case-insensitive — an evolving

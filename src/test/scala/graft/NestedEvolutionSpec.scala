@@ -210,6 +210,35 @@ class NestedEvolutionSpec extends AnyFunSuite {
     assert(outM == Set((1L, "x", None), (2L, "y", Some(9L))))
   }
 
+  test("keyed MERGE widens a struct on a COLUMN-MAPPED table: the " +
+      "nested field gets a fresh physical name, survivors null-fill") {
+    import org.apache.spark.sql.types._
+    val tm = freshTable()
+    MiniDelta.createTable(spark, tm, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark,
+      Seq((1L, "c1"), (2L, "c2")).toDF("k", "city")
+        .select(col("k"), struct(col("city")).as("a")), tm, Seq.empty)
+    MiniDelta.invalidateSnapshot(tm)
+    val src = Seq(2L).toDF("k").select(col("k"), addr("u2", 20L).as("a"))
+      .union(Seq(9L).toDF("k").select(col("k"), addr("u9", 90L).as("a")))
+    MiniDelta.merge(spark, tm, src, Seq("k"), Seq.empty)
+    MiniDelta.invalidateSnapshot(tm)
+    val schM = MiniDelta.latestSchema(spark, tm,
+      MiniDelta.latestVersion(spark, tm)).get
+    val zipF = schM("a").dataType.asInstanceOf[StructType]("zip")
+    assert(zipF.metadata.contains("delta.columnMapping.physicalName"),
+      zipF.toString)
+    val out = MiniDelta.readFiltered(spark, tm, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "c1", None), (2L, "u2", Some(20L)),
+      (9L, "u9", Some(90L))), out)
+  }
+
   test("structs inside ARRAYS and MAP VALUES evolve; map-key changes " +
       "refuse") {
     val t = freshTable()

@@ -88,6 +88,50 @@ class VariantSpec extends AnyFunSuite {
     assert(got == Map(1L -> -1L, 2L -> 1L), got)
   }
 
+  test("a struct already holding a VARIANT field does not block " +
+      "unrelated nested growth beside it; a NEW nested variant " +
+      "still refuses") {
+    import org.apache.spark.sql.types._
+    // the evolution gate checks only NEWLY appended fields (r17): the
+    // feature-backed variant declared at CREATE is not a reason to
+    // refuse appending an unrelated sibling inside the same struct
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", StructType(Seq(
+        StructField("v", VariantType), StructField("n", LongType)))))))
+    MiniDelta.append(spark, spark.sql(
+      """SELECT 1L AS id,
+        named_struct('v', parse_json('{"x":1}'), 'n', 10L) AS a"""),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // unrelated sibling 'extra' appends inside the variant-bearing
+    // struct — pre-r17 the whole-type variant sweep refused this
+    MiniDelta.append(spark, spark.sql(
+      """SELECT 2L AS id,
+        named_struct('v', parse_json('{"x":2}'), 'n', 20L,
+          'extra', 'e2') AS a"""), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val got = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .selectExpr("id", "variant_get(a.v, '$.x', 'long')", "a.extra")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 1L, None), (2L, 2L, Some("e2"))), got)
+    // but a NEW nested field of VARIANT type still refuses through
+    // evolution (metaData-only commit cannot declare the feature —
+    // irrelevant here since it is declared, but the gate is uniform
+    // on a table WITHOUT the feature)
+    val t2 = freshTable()
+    MiniDelta.append(spark, Seq(1L).toDF("id")
+      .select(col("id"), struct(lit(1L).as("n")).as("a")), t2, Seq.empty)
+    MiniDelta.invalidateSnapshot(t2)
+    val e = intercept[IllegalArgumentException](MiniDelta.append(spark,
+      spark.sql("""SELECT 2L AS id,
+        named_struct('n', 2L, 'w', parse_json('{"y":1}')) AS a"""),
+      t2, Seq.empty))
+    assert(e.getMessage.contains("VARIANT"), e.getMessage)
+  }
+
   test("SQL: CREATE with VARIANT, INSERT parse_json, aggregate by field") {
     import graft.plans.GraftSqlTables
     val dir = Files.createTempDirectory("varsql").toString
