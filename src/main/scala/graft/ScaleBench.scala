@@ -296,6 +296,28 @@ object ScaleBench {
       // curve plants none).
       val tVacLite = timed(MiniDelta.vacuum(spark, table, retainMs = 0L,
         dryRun = true, lite = true))
+      // NESTED evolution on a COLUMN-MAPPED table at the table's
+      // largest (r17, LAST on this table so every earlier column stays
+      // comparable to the r15/r16 curves): upgrade the curve table to
+      // name-mapping (a metadata commit re-stating the schema —
+      // O(columns), never O(files)), append a NEW struct column, then
+      // grow a nested field inside it. Both evolving appends write ONE
+      // small file + ONE metaData action carrying the deep
+      // physicalName/id assignment — all three points must read flat
+      // across the 100× span.
+      val tMapUpgrade = timed(MiniDelta.setTableProperties(spark, table,
+        Map("delta.columnMapping.mode" -> "name")))
+      val evs1 = spark.range(3L)
+        .select((col("id") + 2000000L).as("v"), lit(0L).as("p"),
+          struct(col("id").as("a")).as("meta")).repartition(1)
+      val tStructEvolveMapped = timed(MiniDelta.append(spark, evs1,
+        table, Seq("p"), statsCols = Seq("v")))
+      val evs2 = spark.range(3L)
+        .select((col("id") + 3000000L).as("v"), lit(0L).as("p"),
+          struct(col("id").as("a"), lit("x").as("b")).as("meta"))
+        .repartition(1)
+      val tNestedEvolveMapped = timed(MiniDelta.append(spark, evs2,
+        table, Seq("p"), statsCols = Seq("v")))
       // generated-partitioned twin (r14 GeneratedPruning): n files over
       // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
       // bounded on ts ONLY — no stats on ts, so discovery scopes
@@ -349,6 +371,9 @@ object ScaleBench {
         s""""merge_scoped":${fmt(tMerge)},""" +
         s""""merge_clauses":${fmt(tMergeClauses)},""" +
         s""""merge_clauses_evolving":${fmt(tMergeEvolve)},""" +
+        s""""map_upgrade":${fmt(tMapUpgrade)},""" +
+        s""""struct_evolve_mapped":${fmt(tStructEvolveMapped)},""" +
+        s""""nested_evolve_mapped":${fmt(tNestedEvolveMapped)},""" +
         s""""vacuum_list":${fmt(tVacList)},""" +
         s""""vacuum_list_distributed":$vacListDistributed,""" +
         s""""vacuum_lite":${fmt(tVacLite)},""" +

@@ -1447,6 +1447,11 @@ object MiniDelta {
               val k = it.next(); b += k -> v.get(k).asText()
             }
             Iterator.single(b.result(): Any)
+          } else if (field == "partitionColumns") {
+            val b = Seq.newBuilder[String]
+            val it = v.elements()
+            while (it.hasNext) b += it.next().asText()
+            Iterator.single(b.result(): Any)
           } else Iterator.single(v.asText(): Any)
       }
     }.nextOption()
@@ -8129,15 +8134,12 @@ object MiniDelta {
       : Option[Seq[String]] = {
     val cp = latestCheckpoint(spark, table, atMost)
     val from = cp.getOrElse(-1L)
-    val tail = logJsonVersions(spark, table, from + 1, atMost)
-    val fromTail =
-      if (tail.isEmpty) None
-      else logDFIn(spark, tail.map(_._2))
-        .where(col("metaData").isNotNull &&
-          col("metaData.partitionColumns").isNotNull)
-        .orderBy(col("version").desc).limit(1)
-        .select("metaData.partitionColumns").collect().headOption
-        .map(_.getSeq[String](0))
+    // the JSON tail parses DRIVER-SIDE (r17 — [[newestMetaDataField]],
+    // the schema/config probes' discipline): a handful of small commit
+    // files never justifies a Spark job's scheduling fixed cost, and
+    // this probe runs once per SQL statement
+    val fromTail = newestMetaDataField(spark, table, from + 1, atMost,
+      "partitionColumns").map(_.asInstanceOf[Seq[String]])
     fromTail.orElse(cp.flatMap { v =>
       checkpointActionDF(spark, table, v)
         .filter(_.columns.contains("metaData"))
