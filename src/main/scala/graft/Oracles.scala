@@ -1391,15 +1391,20 @@ ORDER BY via, "key" """,
 
     // the mapped-lifecycle readback: every qty<=2 row except the
     // DELETEd ones, under the renamed column, minus the dropped one
+    // sum_meta recomputes the r17 nested-alter leg: meta.qty2 (the
+    // renamed meta.a) carries l_quantity on the ODD-linenumber append
+    // only; every other row reads the evolved struct as NULL
     "s34_column_rename" ->
       """WITH kept AS (
-  SELECT l_orderkey, l_quantity, l_extendedprice
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
   FROM lineitem WHERE l_quantity <= 2
     AND NOT (l_quantity = 2 AND l_orderkey % 3 = 0))
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
   sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-  CAST(3 AS INTEGER) AS n_cols
+  sum(round((CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END)
+    * 100)) / 100.0 AS sum_meta,
+  CAST(4 AS INTEGER) AS n_cols
 FROM kept""",
 
     // the 'ALL' row is DESCRIBE DETAIL's census: numFiles = one file

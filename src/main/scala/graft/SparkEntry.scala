@@ -2147,10 +2147,14 @@ object SparkEntry {
       // name-mode mapping (v1, metadata upgrade), RENAME
       // l_extendedprice->price (v2, metadata-only), append under the
       // NEW logical name (v3 — the file on disk stores the physical
-      // name), copy-on-write DELETE under mapping (v4), DROP
-      // l_linenumber (v5). The readback resolves old and new files
-      // through the mapping; the oracle restates the surviving rows
-      // from the source with zero knowledge of the mapping machinery.
+      // name; since r17 the SAME append also EVOLVES a NEW struct
+      // column 'meta' whose nested fields get deep physicalName/ids),
+      // copy-on-write DELETE under mapping (v4), DROP l_linenumber
+      // (v5), then the r17 NESTED alters: RENAME meta.a->qty2 (v6) and
+      // DROP meta.b (v7), both metadata-only. The readback resolves
+      // old and new files through the mapping at every depth; the
+      // oracle restates the surviving rows from the source with zero
+      // knowledge of the mapping machinery.
       val dir = scratch("s34_rename")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
@@ -2166,16 +2170,21 @@ object SparkEntry {
       graft.io.MiniDelta.renameColumn(s, table, "l_extendedprice", "price")
       graft.io.MiniDelta.append(s,
         src.where(pmod(col("l_linenumber"), lit(2)) === 1)
-          .withColumnRenamed("l_extendedprice", "price"), table, Seq.empty)
+          .withColumnRenamed("l_extendedprice", "price")
+          .withColumn("meta", struct(col("l_quantity").as("a"),
+            col("l_orderkey").as("b"))), table, Seq.empty)
       graft.io.MiniDelta.delete(s, table,
         col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 0,
         Seq.empty)
       graft.io.MiniDelta.dropColumn(s, table, "l_linenumber")
+      graft.io.MiniDelta.renameColumn(s, table, "meta.a", "qty2")
+      graft.io.MiniDelta.dropColumn(s, table, "meta.b")
       graft.io.MiniDelta.invalidateSnapshot(table)
       val out = graft.io.MiniDelta.readFiltered(s, table, Seq.empty)
       out.agg(count(lit(1)).as("n_rows"),
           (sum(round(col("price") * 100)) / 100.0).as("sum_price"),
-          sum(col("l_quantity").cast("long")).as("sum_qty"))
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          (sum(round(col("meta.qty2") * 100)) / 100.0).as("sum_meta"))
         .withColumn("n_cols", lit(out.columns.length))
     }),
     "s35_generated" -> ((s, d) => {

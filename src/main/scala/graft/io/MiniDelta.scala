@@ -2867,20 +2867,60 @@ object MiniDelta {
     newHwm
   }
 
+  /** Rebuild `schema` rewriting the struct field at the dotted
+    * `path` (case-insensitive per segment, Spark's resolution): `fn`
+    * receives the PARENT struct and the addressed field and returns
+    * the replacement, or None to drop it. Missing segments refuse by
+    * name; a path crossing a non-struct (array/map) refuses — the SQL
+    * surface addresses struct nesting only, like delta-spark's. */
+  private def rewriteFieldAt(
+      schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String], op: String)(
+      fn: (org.apache.spark.sql.types.StructType,
+           org.apache.spark.sql.types.StructField)
+        => Option[org.apache.spark.sql.types.StructField])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def rec(st: StructType, p: Seq[String], trail: String): StructType = {
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(p.head))
+      require(idx >= 0, s"no such column: $trail${p.head}")
+      val f = st.fields(idx)
+      if (p.length == 1)
+        StructType(fn(st, f)
+          .fold(st.fields.toIndexedSeq.patch(idx, Nil, 1))(f2 =>
+            st.fields.toIndexedSeq.updated(idx, f2)))
+      else f.dataType match {
+        case inner: StructType =>
+          StructType(st.fields.toIndexedSeq.updated(idx,
+            f.copy(dataType = rec(inner, p.tail, s"$trail${p.head}."))))
+        case other => throw new IllegalArgumentException(
+          s"$op: $trail${p.head} is ${other.simpleString}, not a " +
+            "struct — nested paths address struct fields only")
+      }
+    }
+    rec(schema, path, "")
+  }
+
   /** ALTER TABLE ... RENAME COLUMN — the operation column mapping
     * exists FOR (the reference documents exactly this client hazard,
     * README.md:249-270): one metaData commit changes the LOGICAL name,
     * the physicalName keeps pointing at the bytes already on disk, no
     * file is rewritten. Requires column mapping, either mode (enable
     * name mode with SET TBLPROPERTIES, or declare id mode at CREATE);
-    * top-level columns only; refuses names a CHECK constraint
-    * references (the constraint text would silently stop binding —
-    * Delta refuses the same). */
+    * since r17 `from` may be a dotted NESTED path (`a.b` renames field
+    * b inside struct a — legal because mapping metadata lives at every
+    * depth, so the nested physicalName keeps pointing at the stored
+    * bytes); refuses names a CHECK constraint references (the
+    * constraint text would silently stop binding — Delta refuses the
+    * same; for nested paths the guard is conservative on the leaf
+    * name). */
   def renameColumn(spark: SparkSession, table: String, from: String,
                    to: String, readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    require(!from.contains(".") && !to.contains("."),
-      "RENAME COLUMN supports top-level columns only")
+    require(!to.contains("."),
+      "RENAME COLUMN: the new name must be a bare field name (the " +
+        "field stays inside its parent struct)")
+    val path = from.split("\\.").toSeq
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     require(cfg.get("delta.columnMapping.mode")
@@ -2890,17 +2930,18 @@ object MiniDelta {
         "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
-    val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(from))
-    require(idx >= 0, s"no such column: $from")
-    require(!declared.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"column $to already exists")
-    requireNotInConstraints(cfg, from, "RENAME")
-    requireNotInGenerated(declared, from, "RENAME")
-    val fields = declared.fields.toIndexedSeq
-      .updated(idx, declared.fields(idx).copy(name = to))
+    requireNotInConstraints(cfg, path.last, "RENAME")
+    requireNotInGenerated(declared, path.last, "RENAME")
+    val schema2 = rewriteFieldAt(declared, path, "RENAME COLUMN") {
+      (parent, f) =>
+        require(!parent.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column $to already exists" +
+            (if (path.length > 1) s" inside ${path.init.mkString(".")}"
+             else ""))
+        Some(f.copy(name = to))
+    }
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(table,
-        org.apache.spark.sql.types.StructType(fields),
+      Seq(metaDataLine(table, schema2,
         partitionColumns(spark, table), cfg)),
       "RENAME COLUMN")
   }
@@ -2909,12 +2950,15 @@ object MiniDelta {
     * the data stays in the files, unread (Delta's drop is metadata-only
     * too; physical cleanup is a table rewrite). Requires column mapping
     * for the same reason rename does: without it, a later add of the
-    * same name would resurrect the dropped bytes. */
+    * same name would resurrect the dropped bytes. Since r17 `name` may
+    * be a dotted NESTED path (`a.b` drops field b inside struct a) —
+    * the struct must keep at least one field (parquet cannot store an
+    * empty group), and the constraint/generated guards stay
+    * conservative on the leaf name. */
   def dropColumn(spark: SparkSession, table: String, name: String,
                  readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    require(!name.contains("."),
-      "DROP COLUMN supports top-level columns only")
+    val path = name.split("\\.").toSeq
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     require(cfg.get("delta.columnMapping.mode")
@@ -2924,30 +2968,35 @@ object MiniDelta {
         "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
-    val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(name))
-    require(idx >= 0, s"no such column: $name")
-    require(declared.fields.length > 1,
-      "cannot drop the table's only column")
-    requireNotInConstraints(cfg, name, "DROP")
-    requireNotInGenerated(declared, name, "DROP")
+    requireNotInConstraints(cfg, path.last, "DROP")
+    requireNotInGenerated(declared, path.last, "DROP")
     // the delta.clustering domain stores PHYSICAL names and never
     // retracts: dropping a clustering column would leave the domain
     // pointing at a dead physical name, and every later bare OPTIMIZE
     // (and checkpoint domain carry) would target a non-existent column.
     // Refuse (Delta's rule). Gated on the memoized protocol so the
-    // domain probe doesn't tax drops on unclustered tables.
-    if (requireWritable(spark, table, readVersion)
+    // domain probe doesn't tax drops on unclustered tables. Clustering
+    // columns are top-level by construction, so nested drops skip it.
+    if (path.length == 1 && requireWritable(spark, table, readVersion)
         .exists(_.writerFeats.contains("clustering"))) {
+      val idx = declared.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such column: $name")
       val physDropped = physicalNameOf(declared.fields(idx))
       require(!clusteringPhysicalCols(spark, table, readVersion)
           .exists(_.contains(physDropped)),
         s"DROP COLUMN $name refused: it is a clustering column — " +
           "ALTER TABLE ... CLUSTER BY a layout without it first")
     }
-    val fields = declared.fields.toIndexedSeq.patch(idx, Nil, 1)
+    val schema2 = rewriteFieldAt(declared, path, "DROP COLUMN") {
+      (parent, _) =>
+        require(parent.fields.length > 1,
+          if (path.length == 1) "cannot drop the table's only column"
+          else s"cannot drop the only field of struct " +
+            path.init.mkString("."))
+        None
+    }
     writeCommit(spark, table, readVersion + 1,
-      Seq(metaDataLine(table,
-        org.apache.spark.sql.types.StructType(fields),
+      Seq(metaDataLine(table, schema2,
         partitionColumns(spark, table), cfg)),
       "DROP COLUMNS")
   }

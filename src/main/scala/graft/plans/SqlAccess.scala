@@ -348,11 +348,10 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
-        require(rc.column.name.length == 1,
-          "graft RENAME COLUMN supports top-level columns only " +
-            s"(got nested ${rc.column.name.mkString(".")})")
+        // nested paths compose since r17 (mapping metadata lives at
+        // every depth): a.b renames field b inside struct a
         GraftRenameColumnCommand(e.path, e.readOnly,
-          rc.column.name.head, rc.newName)
+          rc.column.name.mkString("."), rc.newName)
 
       case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _)
@@ -361,12 +360,9 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         require(!dc.ifExists,
           "graft DROP COLUMN does not support IF EXISTS — absent " +
             "columns refuse by name")
-        val names = dc.columnsToDrop.map { c =>
-          require(c.name.length == 1,
-            "graft DROP COLUMN supports top-level columns only " +
-              s"(got nested ${c.name.mkString(".")})")
-          c.name.head
-        }
+        // nested paths compose since r17: a.b drops field b inside
+        // struct a (metadata-only, the stored bytes stay unread)
+        val names = dc.columnsToDrop.map(_.name.mkString("."))
         GraftDropColumnsCommand(e.path, e.readOnly, names)
 
       case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
