@@ -2577,6 +2577,12 @@ object MiniDelta {
     f.copy(dataType = walk(old.dataType, f.dataType), metadata = meta)
   }
 
+  /** ALTER TABLE ... ADD COLUMNS — one metadata commit appending
+    * nullable columns; existing files read them as null. Since r17 a
+    * column name may be a dotted NESTED path (`a.c` appends field c
+    * inside struct a, delta-spark's syntax) — the leaf is forced
+    * nullable and, on mapped tables, gets its fresh physicalName/id at
+    * depth like every other evolution. */
   def addColumns(spark: SparkSession, table: String,
                  cols: Seq[org.apache.spark.sql.types.StructField],
                  readOnly: Boolean = false): Long = {
@@ -2586,7 +2592,8 @@ object MiniDelta {
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema — nothing to evolve"))
     requireMappingWritable(Some(declared), table, spark)
-    val clash = cols.map(_.name).filter(n =>
+    val (nested, top) = cols.partition(_.name.contains("."))
+    val clash = top.map(_.name).filter(n =>
       declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
       s"column(s) already exist: ${clash.mkString(", ")}")
@@ -2594,19 +2601,37 @@ object MiniDelta {
       case (_, vs) if vs.size > 1 => vs.head.name }
     require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
     val cfg = tableConfig(spark, table, readVersion)
-    val (cols2, cfg2) =
-      if (!isColumnMapped(declared)) (cols, cfg)
-      else assignMappingMeta(cols, cfg)
-    val merged = org.apache.spark.sql.types.StructType(
-      declared.fields.toIndexedSeq ++ cols2)
+    val withNested = nested.foldLeft(declared) { (sch, f) =>
+      val path = f.name.split("\\.").toSeq
+      // forced nullable: every existing row reads the new field as null
+      val leaf = f.copy(name = path.last, nullable = true)
+      rewriteFieldAt(sch, path.init, "ADD COLUMNS") { (_, pf) =>
+        pf.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            require(!st.fieldNames.exists(_.equalsIgnoreCase(path.last)),
+              s"column(s) already exist: ${f.name}")
+            Some(pf.copy(dataType = org.apache.spark.sql.types
+              .StructType(st.fields.toIndexedSeq :+ leaf)))
+          case other => throw new IllegalArgumentException(
+            s"ADD COLUMNS: ${path.init.mkString(".")} is " +
+              s"${other.simpleString}, not a struct — nested paths " +
+              "address struct fields only")
+        }
+      }
+    }
+    val merged0 = org.apache.spark.sql.types.StructType(
+      withNested.fields.toIndexedSeq ++ top)
+    val (merged, cfg2) =
+      if (!isColumnMapped(declared)) (merged0, cfg)
+      else assignMappingMetaDeep(merged0, cfg)
     val parts = partitionColumns(spark, table)
     // adding a generated column upgrades the writer contract in the
     // same commit (legacy v4, or the feature on a v7 table); a VARIANT
     // column pulls in the variantType reader+writer feature the same
     // way
     val genProto = {
-      val needsGen = cols2.exists(_.metadata.contains(GenExprKey))
-      val needsVariant = cols2.exists(f => containsVariant(f.dataType))
+      val needsGen = cols.exists(_.metadata.contains(GenExprKey))
+      val needsVariant = cols.exists(f => containsVariant(f.dataType))
       if (!needsGen && !needsVariant) Seq.empty
       else {
         val cur = resolveProtocol(spark, table, readVersion,

@@ -277,9 +277,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
         val fields = cols.map { c =>
-          require(c.path.isEmpty,
-            "graft ADD COLUMNS supports top-level columns only " +
-              s"(got nested ${c.name.mkString(".")})")
+          // nested paths compose since r17: (a.c TYPE) appends field c
+          // inside struct a — the engine inserts at the parent path
           require(c.position.isEmpty,
             "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
               "supported")
@@ -292,7 +291,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString("comment", cm).build())
           org.apache.spark.sql.types.StructField(
-            c.colName, c.dataType, c.nullable, meta)
+            c.name.mkString("."), c.dataType, c.nullable, meta)
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 

@@ -117,6 +117,46 @@ class NestedAlterSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a struct"), e2.getMessage)
   }
 
+  test("nested ADD COLUMNS appends inside the struct: old rows read " +
+      "null, mapped tables stamp depth metadata, clashes refuse") {
+    val t = freshTable(); mk(t)
+    MiniDelta.addColumns(spark, t, Seq(
+      StructField("a.geo", StringType, nullable = false))) // forced null
+    MiniDelta.invalidateSnapshot(t)
+    val aT = MiniDelta.latestSchema(spark, t,
+      MiniDelta.latestVersion(spark, t)).get("a").dataType
+      .asInstanceOf[StructType]
+    assert(aT.fieldNames.toSeq == Seq("city", "zip", "geo"))
+    assert(aT("geo").nullable)
+    assert(aT("geo").metadata
+      .contains("delta.columnMapping.physicalName"))
+    // writes land it; old rows null-fill
+    MiniDelta.append(spark,
+      Seq((3L, "c3", 30L, "G3")).toDF("k", "city", "zip", "geo")
+        .select(col("k"), struct(col("city"), col("zip"),
+          col("geo")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.geo"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(out == Set((1L, None), (2L, None), (3L, Some("G3"))), out)
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.addColumns(spark, t, Seq(
+        StructField("a.ZIP", LongType))))
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    // UNMAPPED tables take nested adds too (no mapping needed to
+    // append a field that old files simply lack)
+    val tu = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, "x")).toDF("k", "city")
+        .select(col("k"), struct(col("city")).as("a")), tu, Seq.empty)
+    MiniDelta.invalidateSnapshot(tu)
+    MiniDelta.addColumns(spark, tu, Seq(StructField("a.n", LongType)))
+    MiniDelta.invalidateSnapshot(tu)
+    assert(MiniDelta.readFiltered(spark, tu, Seq.empty)
+      .select("a.n").head().isNullAt(0))
+  }
+
   test("SQL forms: ALTER TABLE ... RENAME/DROP a nested path") {
     import graft.plans.GraftSqlTables
     val t = freshTable(); mk(t)
@@ -126,11 +166,13 @@ class NestedAlterSpec extends AnyFunSuite {
       spark.sql(
         "ALTER TABLE graft.spec_nestalter RENAME COLUMN a.zip TO zc")
       spark.sql("ALTER TABLE graft.spec_nestalter DROP COLUMN a.city")
+      spark.sql(
+        "ALTER TABLE graft.spec_nestalter ADD COLUMNS (a.geo STRING)")
       MiniDelta.invalidateSnapshot(t)
       val out = spark.sql(
-        "SELECT k, a.zc FROM graft.spec_nestalter ORDER BY k")
-        .as[(Long, Long)].collect().toSeq
-      assert(out == Seq((1L, 10L), (2L, 20L)), out.toString)
+        "SELECT k, a.zc, a.geo FROM graft.spec_nestalter ORDER BY k")
+        .as[(Long, Long, Option[String])].collect().toSeq
+      assert(out == Seq((1L, 10L, None), (2L, 20L, None)), out.toString)
     } finally GraftSqlTables.clear()
   }
 }
