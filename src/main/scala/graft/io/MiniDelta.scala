@@ -2773,20 +2773,12 @@ object MiniDelta {
                       to: org.apache.spark.sql.types.DataType,
                       readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    val path = column.split("\\.").toSeq
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
     requireMappingWritable(Some(declared), table, spark)
-    val f = declared.fields.find(_.name.equalsIgnoreCase(column))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no such column $column in $table " +
-          s"(has ${declared.fieldNames.mkString(", ")})"))
-    require(isWidening(f.dataType, to),
-      s"ALTER COLUMN TYPE only widens without a rewrite: " +
-        s"${f.dataType.simpleString} -> ${to.simpleString} is not a " +
-        "supported widening (byte->short->int->long, float->double, " +
-        "integral->double, date->timestamp_ntz, decimal growth)")
-    require(!partitionColumns(spark, table)
+    require(path.length > 1 || !partitionColumns(spark, table)
         .exists(_.equalsIgnoreCase(column)),
       s"cannot widen partition column $column — the Hive directory " +
         "values are typed by the layout")
@@ -2794,23 +2786,35 @@ object MiniDelta {
     // same value, so widening a column a CHECK constraint or another
     // field's generation expression reads would silently diverge
     // recomputation from stored values — refuse, like delta-spark
+    // (for nested paths, conservative on the leaf name)
     requireNotInConstraints(tableConfig(spark, table, readVersion),
-      column, "ALTER")
-    requireNotInGenerated(declared, column, "ALTER")
-    val change = new org.apache.spark.sql.types.MetadataBuilder()
-      .putString("fromType", f.dataType.typeName)
-      .putString("toType", to.typeName).build()
-    val prior =
-      if (f.metadata.contains("delta.typeChanges"))
-        f.metadata.getMetadataArray("delta.typeChanges").toSeq
-      else Seq.empty
-    val f2 = f.copy(dataType = to,
-      metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putMetadataArray("delta.typeChanges",
-          (prior :+ change).toArray).build())
-    val schema2 = org.apache.spark.sql.types.StructType(
-      declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
+      path.last, "ALTER")
+    requireNotInGenerated(declared, path.last, "ALTER")
+    // since r17 `column` may be a dotted NESTED path: the
+    // delta.typeChanges record lives on the nested field itself (each
+    // StructField carries its own metadata, the spec's shape), and the
+    // narrow files upcast through the same declared-schema read
+    val schema2 = rewriteFieldAt(declared, path, "ALTER COLUMN") {
+      (_, f) =>
+        require(isWidening(f.dataType, to),
+          s"ALTER COLUMN TYPE only widens without a rewrite: " +
+            s"${f.dataType.simpleString} -> ${to.simpleString} is " +
+            "not a supported widening (byte->short->int->long, " +
+            "float->double, integral->double, date->timestamp_ntz, " +
+            "decimal growth)")
+        val change = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("fromType", f.dataType.typeName)
+          .putString("toType", to.typeName).build()
+        val prior =
+          if (f.metadata.contains("delta.typeChanges"))
+            f.metadata.getMetadataArray("delta.typeChanges").toSeq
+          else Seq.empty
+        Some(f.copy(dataType = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putMetadataArray("delta.typeChanges",
+              (prior :+ change).toArray).build()))
+    }
     val cur = resolveProtocol(spark, table, readVersion,
       cpAtMost = readVersion).getOrElse(basicProtocol)
     val up = cur.withFeature("typeWidening")

@@ -325,9 +325,14 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             "graft ALTER COLUMN supports SET DEFAULT / DROP DEFAULT / " +
               "TYPE <widening> only (nullability/comment/position " +
               "changes are not supported)")
-          require(s.column.name.length == 1,
-            "graft ALTER COLUMN supports top-level columns only " +
-              s"(got nested ${s.column.name.mkString(".")})")
+          // nested paths compose for TYPE widening since r17 (the
+          // delta.typeChanges record lives on the nested field);
+          // DEFAULTs stay top-level (a nested default has no
+          // column-omission semantics to materialize)
+          require(s.column.name.length == 1 || s.newDataType.isDefined,
+            "graft ALTER COLUMN on a nested path supports TYPE " +
+              s"<widening> only (got nested " +
+              s"${s.column.name.mkString(".")})")
           require(s.newDataType.isDefined ||
               s.newDefaultExpression.isDefined || s.dropDefault,
             "graft ALTER COLUMN: nothing to change")
@@ -335,7 +340,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
               (s.newDefaultExpression.isEmpty && !s.dropDefault),
             "graft ALTER COLUMN: change the TYPE and the DEFAULT in " +
               "separate statements")
-          (s.column.name.head, s.newDataType,
+          (s.column.name.mkString("."), s.newDataType,
             s.newDefaultExpression.map(_.originalSQL), s.dropDefault)
         }
         GraftAlterColumnCommand(e.path, e.readOnly, changes)

@@ -233,4 +233,61 @@ class TypeWideningSpec extends AnyFunSuite {
       assert(e.getMessage.contains("widen"), e.getMessage)
     } finally GraftSqlTables.clear()
   }
+
+  test("NESTED widen (r17): a.n int->long is metadata-only, the " +
+      "typeChanges record rides the nested field, narrow files upcast") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.append(spark,
+      spark.range(3).select(col("id").as("k"),
+        struct(col("id").cast("int").as("n"),
+          concat(lit("c"), col("id")).as("city")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val filesBefore = MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet
+    MiniDelta.widenColumnType(spark, t, "a.n", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.snapshotFiles(spark, t)
+      .select("path").collect().map(_.getString(0)).toSet == filesBefore)
+    val aT = MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType]
+    assert(aT("n").dataType == LongType)
+    val tc = aT("n").metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc(0).getString("fromType") == "integer" &&
+      tc(0).getString("toType") == "long", tc.toSeq)
+    // the narrow file upcasts through the declared-schema read, and a
+    // post-widen append lands wide values beside it
+    MiniDelta.append(spark,
+      Seq((9L, 3000000000L, "c9")).toDF("k", "n", "city")
+        .select(col("k"),
+          struct(col("n"), col("city")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .agg(sum(col("a.n"))).head().getLong(0) == 3000000003L)
+    // non-widening nested change refuses; missing nested path refuses
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "a.city", LongType))
+    assert(e.getMessage.contains("widen"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      MiniDelta.widenColumnType(spark, t, "a.zzz", LongType))
+    assert(e2.getMessage.contains("no such column"), e2.getMessage)
+    // SQL form on a nested path: narrowing refuses, a further legal
+    // widening (long -> decimal(21,0)) lands
+    import graft.plans.GraftSqlTables
+    GraftSqlTables.unregister("spec_widen_nested")
+    GraftSqlTables.register("spec_widen_nested", t, readOnly = false)
+    try {
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_widen_nested ALTER COLUMN a.n TYPE INT"))
+      assert(e3.getMessage.contains("widen"), e3.getMessage)
+      spark.sql("ALTER TABLE graft.spec_widen_nested " +
+        "ALTER COLUMN a.n TYPE DECIMAL(21,0)")
+      MiniDelta.invalidateSnapshot(t)
+      val aT2 = MiniDelta.latestSchema(spark, t).get("a").dataType
+        .asInstanceOf[StructType]
+      assert(aT2("n").dataType == DecimalType(21, 0))
+      assert(aT2("n").metadata
+        .getMetadataArray("delta.typeChanges").length == 2)
+    } finally GraftSqlTables.clear()
+  }
 }
