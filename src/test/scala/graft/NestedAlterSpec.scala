@@ -157,6 +157,52 @@ class NestedAlterSpec extends AnyFunSuite {
       .select("a.n").head().isNullAt(0))
   }
 
+  test("one CDF feed spans a nested RENAME; RESTORE below a nested " +
+      "DROP brings the field's stored bytes back") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", LongType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "c1", 10L), (2L, "c2", 20L)).toDF("k", "city", "zip")
+        .select(col("k"),
+          struct(col("city"), col("zip")).as("a")), t, Seq.empty) // v1
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.renameColumn(spark, t, "a.zip", "zc")             // v2
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.update(spark, t, col("k") === 2L,
+      Map("a" -> struct(col("a.city").as("city"),
+        lit(99L).as("zc"))), Seq.empty)                          // v3
+    MiniDelta.invalidateSnapshot(t)
+    // one feed spans the rename: pre-rename inserts and post-rename
+    // update images all read under the CURRENT logical name a.zc
+    // (the cdc files store the stable physical 'zip')
+    val feed = MiniDelta.readCdf(spark, t, 0, 3)
+      .select(col("_change_type"), col("k"), col("a.zc"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(
+      ("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 99L)),
+      feed.toString)
+    // RESTORE below a nested DROP: the field returns WITH its stored
+    // bytes (drop is metadata-only, so nothing was lost)
+    val vBeforeDrop = MiniDelta.latestVersion(spark, t)
+    MiniDelta.dropColumn(spark, t, "a.city")
+    MiniDelta.invalidateSnapshot(t)
+    assert(!MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType].fieldNames.contains("city"))
+    MiniDelta.restore(spark, t, vBeforeDrop)
+    MiniDelta.invalidateSnapshot(t)
+    val back = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"))
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "c1"), (2L, "c2")), back.toString)
+  }
+
   test("SQL forms: ALTER TABLE ... RENAME/DROP a nested path") {
     import graft.plans.GraftSqlTables
     val t = freshTable(); mk(t)
