@@ -1635,20 +1635,123 @@ object MiniDelta {
   private[graft] val CurrentDefaultKey = "CURRENT_DEFAULT"
   private[graft] val ExistsDefaultKey = "EXISTS_DEFAULT"
 
+  /** Dotted paths of every field carrying a `CURRENT_DEFAULT`, at any
+    * struct depth — the deep census the feature-declaration and DROP
+    * FEATURE guards need once defaults can live on nested fields. */
+  private def defaultedPathsDeep(
+      st: org.apache.spark.sql.types.StructType,
+      prefix: String = ""): Seq[String] =
+    st.fields.toIndexedSeq.flatMap { f =>
+      val here =
+        if (f.metadata.contains(CurrentDefaultKey))
+          Seq(prefix + f.name)
+        else Seq.empty
+      here ++ (f.dataType match {
+        case inner: org.apache.spark.sql.types.StructType =>
+          defaultedPathsDeep(inner, s"$prefix${f.name}.")
+        case _ => Seq.empty
+      })
+    }
+
+  /** True when a struct type carries a `CURRENT_DEFAULT` on any field
+    * at any struct depth (arrays/maps excluded — their elements have
+    * no omission event for a default to fill). */
+  private def hasDeepDefault(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.exists(f => f.metadata.contains(CurrentDefaultKey) ||
+        hasDeepDefault(f.dataType))
+    case _ => false
+  }
+
+  /** The value an OMITTED struct column with nested defaults
+    * materializes as: each defaulted field reads its default, every
+    * other field the null a reader's fill would produce (recursing
+    * into deeper defaulted structs). */
+  private def structFromDefaults(
+      st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    struct(st.fields.toIndexedSeq.map { f =>
+      val c =
+        if (f.metadata.contains(CurrentDefaultKey))
+          expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType)
+        else f.dataType match {
+          case inner: org.apache.spark.sql.types.StructType
+              if hasDeepDefault(inner) => structFromDefaults(inner)
+          case _ => lit(null).cast(f.dataType)
+        }
+      c.as(f.name)
+    }: _*)
+
+  /** Layer nested defaults onto a PROVIDED struct column whose type
+    * lacks a defaulted field (subset-struct write): `withField` fills
+    * exactly the missing defaulted fields; provided fields keep their
+    * values (DEFAULT constrains omission, not content). */
+  private def fillNestedDefaults(c: org.apache.spark.sql.Column,
+      provided: org.apache.spark.sql.types.DataType,
+      decl: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    provided match {
+      case pt: org.apache.spark.sql.types.StructType =>
+        decl.fields.foldLeft(c) { (acc, nf) =>
+          pt.fields.find(_.name.equalsIgnoreCase(nf.name)) match {
+            case None if nf.metadata.contains(CurrentDefaultKey) =>
+              acc.withField(s"`${nf.name}`",
+                expr(nf.metadata.getString(CurrentDefaultKey))
+                  .cast(nf.dataType))
+            case None => nf.dataType match {
+              case inner: org.apache.spark.sql.types.StructType
+                  if hasDeepDefault(inner) =>
+                acc.withField(s"`${nf.name}`", structFromDefaults(inner))
+              case _ => acc
+            }
+            case Some(pf) => (pf.dataType, nf.dataType) match {
+              case (pi: org.apache.spark.sql.types.StructType,
+                    ni: org.apache.spark.sql.types.StructType)
+                  if hasDeepDefault(ni) =>
+                acc.withField(s"`${nf.name}`",
+                  fillNestedDefaults(acc.getField(nf.name), pi, ni))
+              case _ => acc
+            }
+          }
+        }
+      case _ => c
+    }
+
   /** The column-DEFAULT writer contract, applied at every row-producing
     * write: a declared `CURRENT_DEFAULT` column the incoming frame
     * omits is FILLED with its (constant) default expression — one
     * narrow projection, free. Runs BEFORE [[applyGenerated]] so a
     * generated column may reference a defaulted one. A provided column
-    * keeps its values (DEFAULT constrains omission, not content). */
+    * keeps its values (DEFAULT constrains omission, not content).
+    * Since r18 defaults live on NESTED struct fields too: an omitted
+    * struct column with nested defaults materializes as the defaults
+    * (nulls elsewhere); a provided struct whose type LACKS a defaulted
+    * field gets exactly that field filled. Zero cost when no nested
+    * default is declared (one metadata scan). */
   private def applyDefaults(df: DataFrame,
       declared: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val defs = declared.map(_.fields.filter(f =>
+    val dl = declared.map(_.fields).getOrElse(Array.empty)
+    val defs = dl.filter(f =>
       f.metadata.contains(CurrentDefaultKey) &&
-        !df.columns.exists(_.equalsIgnoreCase(f.name))))
-      .getOrElse(Array.empty)
-    defs.foldLeft(df)((acc, f) => acc.withColumn(f.name,
+        !df.columns.exists(_.equalsIgnoreCase(f.name)))
+    val df1 = defs.foldLeft(df)((acc, f) => acc.withColumn(f.name,
       expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType)))
+    val nested = dl.filter(f => !f.metadata.contains(CurrentDefaultKey) &&
+      hasDeepDefault(f.dataType))
+    nested.foldLeft(df1) { (acc, f) =>
+      val st = f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      acc.columns.find(_.equalsIgnoreCase(f.name)) match {
+        case None => acc.withColumn(f.name, structFromDefaults(st))
+        case Some(cn) =>
+          acc.schema(cn).dataType match {
+            case pt: org.apache.spark.sql.types.StructType =>
+              acc.withColumn(cn,
+                fillNestedDefaults(col(s"`$cn`"), pt, st))
+            case _ => acc // type mismatch refuses later, loudly
+          }
+      }
+    }
   }
 
   /** The generated-column writer contract, applied at every
@@ -2138,8 +2241,7 @@ object MiniDelta {
           s"DROP FEATURE variantType: $table still declares a VARIANT " +
             "column — drop those columns first")
       case "allowColumnDefaults" =>
-        val defaulted = schema0.toSeq.flatMap(_.fields)
-          .filter(_.metadata.contains(CurrentDefaultKey)).map(_.name)
+        val defaulted = schema0.toSeq.flatMap(defaultedPathsDeep(_))
         require(defaulted.isEmpty,
           s"DROP FEATURE allowColumnDefaults: column(s) " +
             s"${defaulted.mkString(", ")} still declare a DEFAULT — " +
@@ -2329,10 +2431,11 @@ object MiniDelta {
     // the in-log clock is authoritative from creation (Delta's rule)
     if (properties.get("delta.enableInCommitTimestamps").contains("true"))
       declared = declared.withWriterFeature("inCommitTimestamp")
-    // column DEFAULTs at v0: the allowColumnDefaults writer feature
-    // joins the protocol — a compliant writer must MATERIALIZE the
-    // default into any write that omits the column ([[applyDefaults]])
-    if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
+    // column DEFAULTs at v0 (any struct depth since r18): the
+    // allowColumnDefaults writer feature joins the protocol — a
+    // compliant writer must MATERIALIZE the default into any write
+    // that omits the column ([[applyDefaults]])
+    if (defaultedPathsDeep(schema).nonEmpty)
       declared = declared.withWriterFeature("allowColumnDefaults")
     // VARIANT columns at v0: the variantType reader+writer feature
     // joins the protocol (a pre-feature reader would see an unknown
@@ -2439,7 +2542,7 @@ object MiniDelta {
         .withWriterFeature("domainMetadata")
     if (properties.get("delta.enableChangeDataFeed").contains("true"))
       p = p.withWriterFeature("changeDataFeed")
-    if (schema.fields.exists(_.metadata.contains(CurrentDefaultKey)))
+    if (defaultedPathsDeep(schema).nonEmpty)
       p = p.withWriterFeature("allowColumnDefaults")
     if (schema.fields.exists(f => containsVariant(f.dataType)))
       p = p.withFeature("variantType")
@@ -2585,38 +2688,77 @@ object MiniDelta {
     * depth like every other evolution. */
   def addColumns(spark: SparkSession, table: String,
                  cols: Seq[org.apache.spark.sql.types.StructField],
-                 readOnly: Boolean = false): Long = {
+                 readOnly: Boolean = false): Long =
+    addColumnsAt(spark, table, cols.map { f =>
+      val path = f.name.split("\\.").toSeq
+      (path, f.copy(name = path.last))
+    }, readOnly)
+
+  /** Path-parts form of [[addColumns]]: each entry pairs the FULL
+    * dotted path (ending at the new field's name) with the field
+    * definition carrying the BARE leaf name — the SQL layer threads
+    * the parser's segments through unjoined, so a backtick-quoted
+    * identifier containing a literal dot never reads as nesting. */
+  def addColumnsAt(spark: SparkSession, table: String,
+                   cols: Seq[(Seq[String],
+                     org.apache.spark.sql.types.StructField)],
+                   readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema — nothing to evolve"))
     requireMappingWritable(Some(declared), table, spark)
-    val (nested, top) = cols.partition(_.name.contains("."))
+    val (nested, top0) = cols.partition(_._1.length > 1)
+    val top = top0.map(_._2)
     val clash = top.map(_.name).filter(n =>
       declared.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
       s"column(s) already exist: ${clash.mkString(", ")}")
-    val dup = cols.groupBy(_.name.toLowerCase).collect {
-      case (_, vs) if vs.size > 1 => vs.head.name }
+    val dup = cols.groupBy(_._1.map(_.toLowerCase)).collect {
+      case (_, vs) if vs.size > 1 => vs.head._1.mkString(".") }
     require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
+    // a generation expression is materialized/validated on writes at
+    // the TOP level only ([[applyGenerated]]): declaring one on a
+    // nested field would record an obligation no write enforces —
+    // refuse loudly (delta-spark does not support nested generated
+    // columns either)
+    val nestedGen = nested.filter(_._2.metadata.contains(GenExprKey))
+    require(nestedGen.isEmpty,
+      s"ADD COLUMNS: generated columns must be top-level (got " +
+        s"${nestedGen.map(_._1.mkString(".")).mkString(", ")})")
     val cfg = tableConfig(spark, table, readVersion)
-    val withNested = nested.foldLeft(declared) { (sch, f) =>
-      val path = f.name.split("\\.").toSeq
+    val withNested = nested.foldLeft(declared) { case (sch, (path, f)) =>
       // forced nullable: every existing row reads the new field as null
-      val leaf = f.copy(name = path.last, nullable = true)
-      rewriteFieldAt(sch, path.init, "ADD COLUMNS") { (_, pf) =>
-        pf.dataType match {
-          case st: org.apache.spark.sql.types.StructType =>
-            require(!st.fieldNames.exists(_.equalsIgnoreCase(path.last)),
-              s"column(s) already exist: ${f.name}")
-            Some(pf.copy(dataType = org.apache.spark.sql.types
-              .StructType(st.fields.toIndexedSeq :+ leaf)))
+      val leaf = f.copy(nullable = true)
+      // the parent path may end INSIDE an array/map (`a.element.x`
+      // appends x to a's element struct, r18): rewrite at the last
+      // named field and descend the trailing container run to the
+      // struct that grows
+      val (fieldPath, suffix) = splitTrailingContainers(sch, path.init)
+      import org.apache.spark.sql.types._
+      def addAt(dt: DataType, p: Seq[String]): DataType = p match {
+        case Seq() => dt match {
+          case st: StructType =>
+            require(!st.fieldNames.exists(_.equalsIgnoreCase(leaf.name)),
+              s"column(s) already exist: ${path.mkString(".")}")
+            StructType(st.fields.toIndexedSeq :+ leaf)
           case other => throw new IllegalArgumentException(
             s"ADD COLUMNS: ${path.init.mkString(".")} is " +
               s"${other.simpleString}, not a struct — nested paths " +
               "address struct fields only")
         }
+        case s +: rest => (dt, s.toLowerCase) match {
+          case (ArrayType(et, n), "element") => ArrayType(addAt(et, rest), n)
+          case (MapType(kt, vt, n), "key") => MapType(addAt(kt, rest), vt, n)
+          case (MapType(kt, vt, n), "value") => MapType(kt, addAt(vt, rest), n)
+          case (other, seg) => throw new IllegalArgumentException(
+            s"ADD COLUMNS: segment $seg does not address into " +
+              other.simpleString)
+        }
+      }
+      rewriteFieldAt(sch, fieldPath, "ADD COLUMNS") { (_, pf) =>
+        Some(pf.copy(dataType = addAt(pf.dataType, suffix)))
       }
     }
     val merged0 = org.apache.spark.sql.types.StructType(
@@ -2630,8 +2772,8 @@ object MiniDelta {
     // column pulls in the variantType reader+writer feature the same
     // way
     val genProto = {
-      val needsGen = cols.exists(_.metadata.contains(GenExprKey))
-      val needsVariant = cols.exists(f => containsVariant(f.dataType))
+      val needsGen = cols.exists(_._2.metadata.contains(GenExprKey))
+      val needsVariant = cols.exists(c => containsVariant(c._2.dataType))
       if (!needsGen && !needsVariant) Seq.empty
       else {
         val cur = resolveProtocol(spark, table, readVersion,
@@ -2665,48 +2807,57 @@ object MiniDelta {
     * obligation; the feature stays declared (features never retract). */
   def setColumnDefault(spark: SparkSession, table: String, column: String,
                        defaultSql: Option[String],
-                       readOnly: Boolean = false): Long = {
+                       readOnly: Boolean = false): Long =
+    setColumnDefault(spark, table, column.split("\\.").toSeq, defaultSql,
+      readOnly)
+
+  def setColumnDefault(spark: SparkSession, table: String,
+                       path: Seq[String], defaultSql: Option[String],
+                       readOnly: Boolean): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
+    val column = path.mkString(".")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
     requireMappingWritable(Some(declared), table, spark)
-    val f = declared.fields.find(_.name.equalsIgnoreCase(column))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no such column $column in $table " +
-          s"(has ${declared.fieldNames.mkString(", ")})"))
-    val f2 = defaultSql match {
-      case Some(sql) =>
-        // constant-only, checked in two layers: first reject any column
-        // reference syntactically (the eval frame below is built on
-        // spark.range(1), which exposes an `id` column a reference
-        // could silently resolve against), then evaluate for type fit
-        val refs = org.apache.spark.sql.catalyst.parser
-          .CatalystSqlParser.parseExpression(sql).collect {
-            case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.name
-          }
-        if (refs.nonEmpty) throw new IllegalArgumentException(
-          s"DEFAULT for $column must be a constant expression of " +
-            s"type ${f.dataType.simpleString}: $sql references " +
-            s"column(s) ${refs.distinct.mkString(", ")}")
-        try spark.range(1).select(expr(sql).cast(f.dataType)).head()
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
+    // structOnly: a default inside an array/map element has no
+    // omission event to materialize at (elements arrive wholesale)
+    val schema2 = rewriteFieldAt(declared, path, "ALTER COLUMN",
+        structOnly = true) { (_, f) =>
+      val f2 = defaultSql match {
+        case Some(sql) =>
+          // constant-only, checked in two layers: first reject any column
+          // reference syntactically (the eval frame below is built on
+          // spark.range(1), which exposes an `id` column a reference
+          // could silently resolve against), then evaluate for type fit
+          val refs = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseExpression(sql).collect {
+              case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name
+            }
+          if (refs.nonEmpty) throw new IllegalArgumentException(
             s"DEFAULT for $column must be a constant expression of " +
-              s"type ${f.dataType.simpleString}: $sql (${e.getMessage})")
-        }
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putString(CurrentDefaultKey, sql).build())
-      case None =>
-        require(f.metadata.contains(CurrentDefaultKey),
-          s"$column has no DEFAULT to drop")
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata).remove(CurrentDefaultKey).build())
+              s"type ${f.dataType.simpleString}: $sql references " +
+              s"column(s) ${refs.distinct.mkString(", ")}")
+          try spark.range(1).select(expr(sql).cast(f.dataType)).head()
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"DEFAULT for $column must be a constant expression of " +
+                s"type ${f.dataType.simpleString}: $sql (${e.getMessage})")
+          }
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(CurrentDefaultKey, sql).build())
+        case None =>
+          require(f.metadata.contains(CurrentDefaultKey),
+            s"$column has no DEFAULT to drop")
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).remove(CurrentDefaultKey).build())
+      }
+      Some(f2)
     }
-    val schema2 = org.apache.spark.sql.types.StructType(
-      declared.fields.map(fd => if (fd.name == f.name) f2 else fd))
     val protoLines =
       if (defaultSql.isEmpty) Seq.empty
       else {
@@ -2771,9 +2922,18 @@ object MiniDelta {
     * would need a rewrite. */
   def widenColumnType(spark: SparkSession, table: String, column: String,
                       to: org.apache.spark.sql.types.DataType,
-                      readOnly: Boolean = false): Long = {
+                      readOnly: Boolean = false): Long =
+    widenColumnType(spark, table, column.split("\\.").toSeq, to, readOnly)
+
+  /** Path-parts form (the SQL front door threads the parser's
+    * multipart name through UNJOINED, so a backtick-quoted identifier
+    * containing a literal dot is never conflated with a nested path). */
+  def widenColumnType(spark: SparkSession, table: String,
+                      path: Seq[String],
+                      to: org.apache.spark.sql.types.DataType,
+                      readOnly: Boolean): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    val path = column.split("\\.").toSeq
+    val column = path.mkString(".")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
@@ -2786,30 +2946,56 @@ object MiniDelta {
     // same value, so widening a column a CHECK constraint or another
     // field's generation expression reads would silently diverge
     // recomputation from stored values — refuse, like delta-spark
-    // (for nested paths, conservative on the leaf name)
+    // (nested paths match the full dotted path since r18)
     requireNotInConstraints(tableConfig(spark, table, readVersion),
-      path.last, "ALTER")
-    requireNotInGenerated(declared, path.last, "ALTER")
+      path, "ALTER")
+    requireNotInGenerated(declared, path, "ALTER")
     // since r17 `column` may be a dotted NESTED path: the
     // delta.typeChanges record lives on the nested field itself (each
     // StructField carries its own metadata, the spec's shape), and the
-    // narrow files upcast through the same declared-schema read
-    val schema2 = rewriteFieldAt(declared, path, "ALTER COLUMN") {
+    // narrow files upcast through the same declared-schema read.
+    // Since r18 a TRAILING element/key/value run widens the type
+    // INSIDE the last named field (`a.element`, `m.value` —
+    // delta-spark's array/map widening surface); the record then
+    // carries the spec's `fieldPath` pointing inside that field.
+    val (fieldPath, suffix) = splitTrailingContainers(declared, path)
+    val schema2 = rewriteFieldAt(declared, fieldPath, "ALTER COLUMN") {
       (_, f) =>
-        require(isWidening(f.dataType, to),
-          s"ALTER COLUMN TYPE only widens without a rewrite: " +
-            s"${f.dataType.simpleString} -> ${to.simpleString} is " +
-            "not a supported widening (byte->short->int->long, " +
-            "float->double, integral->double, date->timestamp_ntz, " +
-            "decimal growth)")
-        val change = new org.apache.spark.sql.types.MetadataBuilder()
-          .putString("fromType", f.dataType.typeName)
+        import org.apache.spark.sql.types._
+        var fromLeaf: DataType = f.dataType
+        def widen(dt: DataType, p: Seq[String]): DataType = p match {
+          case Seq() =>
+            fromLeaf = dt
+            require(isWidening(dt, to),
+              s"ALTER COLUMN TYPE only widens without a rewrite: " +
+                s"${dt.simpleString} -> ${to.simpleString} is " +
+                "not a supported widening (byte->short->int->long, " +
+                "float->double, integral->double, date->timestamp_ntz, " +
+                "decimal growth)")
+            to
+          case s +: rest => (dt, s.toLowerCase) match {
+            case (ArrayType(et, n), "element") =>
+              ArrayType(widen(et, rest), n)
+            case (MapType(kt, vt, n), "key") =>
+              MapType(widen(kt, rest), vt, n)
+            case (MapType(kt, vt, n), "value") =>
+              MapType(kt, widen(vt, rest), n)
+            case (other, seg) => throw new IllegalArgumentException(
+              s"ALTER COLUMN ${path.mkString(".")}: segment $seg does " +
+                s"not address into ${other.simpleString}")
+          }
+        }
+        val newType = widen(f.dataType, suffix)
+        val cb = new org.apache.spark.sql.types.MetadataBuilder()
+        if (suffix.nonEmpty)
+          cb.putString("fieldPath", suffix.mkString("."))
+        val change = cb.putString("fromType", fromLeaf.typeName)
           .putString("toType", to.typeName).build()
         val prior =
           if (f.metadata.contains("delta.typeChanges"))
             f.metadata.getMetadataArray("delta.typeChanges").toSeq
           else Seq.empty
-        Some(f.copy(dataType = to,
+        Some(f.copy(dataType = newType,
           metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putMetadataArray("delta.typeChanges",
@@ -2896,20 +3082,87 @@ object MiniDelta {
     newHwm
   }
 
+  /** Split `path` after the LAST segment that resolves as a struct
+    * FIELD under `schema`, walking Delta's element/key/value container
+    * segments by TYPE — field resolution wins over the container
+    * keywords (a literal column named `element` stays a field,
+    * matching [[rewriteFieldAt]]'s precedence), so the returned suffix
+    * is exactly the trailing container run addressing INSIDE the last
+    * named field (`a.element`, `m.value`). A path that resolves to no
+    * field at all returns `(path, Nil)` and the caller's rewrite
+    * refuses it loudly by name. */
+  private def splitTrailingContainers(
+      schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    var cur: Option[DataType] = Some(schema)
+    var lastField = -1
+    for ((seg, i) <- path.zipWithIndex) {
+      cur = cur.flatMap {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)).map { f =>
+            lastField = i; f.dataType }
+        case ArrayType(et, _) if seg.equalsIgnoreCase("element") =>
+          Some(et)
+        case MapType(kt, _, _) if seg.equalsIgnoreCase("key") => Some(kt)
+        case MapType(_, vt, _) if seg.equalsIgnoreCase("value") =>
+          Some(vt)
+        case _ => None
+      }
+    }
+    val suffix = path.drop(lastField + 1)
+    // a suffix holding anything but the container keywords is a
+    // MISSING FIELD, not a container descent — return the whole path
+    // so the rewrite refuses it by name ("no such column")
+    if (lastField < 0 || suffix.exists(s =>
+        !Set("element", "key", "value").contains(s.toLowerCase)))
+      (path, Seq.empty)
+    else (path.take(lastField + 1), suffix)
+  }
+
   /** Rebuild `schema` rewriting the struct field at the dotted
     * `path` (case-insensitive per segment, Spark's resolution): `fn`
     * receives the PARENT struct and the addressed field and returns
     * the replacement, or None to drop it. Missing segments refuse by
-    * name; a path crossing a non-struct (array/map) refuses — the SQL
-    * surface addresses struct nesting only, like delta-spark's. */
+    * name. Since r18 a path may CROSS arrays and maps with Delta's own
+    * path segments — `a.element.x` addresses field x of a's element
+    * struct, `m.key.x` / `m.value.x` the key/value struct of map m —
+    * matching delta-spark's nested ALTER surface; `structOnly` callers
+    * (DEFAULT, which needs an omission event that array/map elements
+    * never have) keep the struct-nesting-only refusal. A path ENDING
+    * at element/key/value still refuses: those are containers, not
+    * fields the verbs address. */
   private def rewriteFieldAt(
       schema: org.apache.spark.sql.types.StructType,
-      path: Seq[String], op: String)(
+      path: Seq[String], op: String, structOnly: Boolean = false)(
       fn: (org.apache.spark.sql.types.StructType,
            org.apache.spark.sql.types.StructField)
         => Option[org.apache.spark.sql.types.StructField])
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    // descend through containers at p.head = element/key/value until a
+    // struct surfaces; returns the rebuilt type and the path remainder
+    def recType(dt: DataType, p: Seq[String], trail: String): DataType =
+      (dt, p.head.toLowerCase) match {
+        case (ArrayType(et, n), "element") if !structOnly =>
+          require(p.length > 1, s"$op: $trail${p.head} addresses the " +
+            "array element itself — ALTER the array column instead")
+          ArrayType(recType(et, p.tail, s"$trail${p.head}."), n)
+        case (MapType(kt, vt, n), "key") if !structOnly =>
+          require(p.length > 1, s"$op: $trail${p.head} addresses the " +
+            "map key itself — ALTER the map column instead")
+          MapType(recType(kt, p.tail, s"$trail${p.head}."), vt, n)
+        case (MapType(kt, vt, n), "value") if !structOnly =>
+          require(p.length > 1, s"$op: $trail${p.head} addresses the " +
+            "map value itself — ALTER the map column instead")
+          MapType(kt, recType(vt, p.tail, s"$trail${p.head}."), n)
+        case (st: StructType, _) => rec(st, p, trail)
+        case (other, _) => throw new IllegalArgumentException(
+          s"$op: $trail${p.head} descends into ${other.simpleString}, " +
+            "not a struct — " +
+            (if (structOnly) "nested paths address struct fields only"
+             else "use element/key/value to cross arrays and maps"))
+      }
     def rec(st: StructType, p: Seq[String], trail: String): StructType = {
       val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(p.head))
       require(idx >= 0, s"no such column: $trail${p.head}")
@@ -2918,14 +3171,9 @@ object MiniDelta {
         StructType(fn(st, f)
           .fold(st.fields.toIndexedSeq.patch(idx, Nil, 1))(f2 =>
             st.fields.toIndexedSeq.updated(idx, f2)))
-      else f.dataType match {
-        case inner: StructType =>
-          StructType(st.fields.toIndexedSeq.updated(idx,
-            f.copy(dataType = rec(inner, p.tail, s"$trail${p.head}."))))
-        case other => throw new IllegalArgumentException(
-          s"$op: $trail${p.head} is ${other.simpleString}, not a " +
-            "struct — nested paths address struct fields only")
-      }
+      else
+        StructType(st.fields.toIndexedSeq.updated(idx, f.copy(
+          dataType = recType(f.dataType, p.tail, s"$trail${p.head}."))))
     }
     rec(schema, path, "")
   }
@@ -2944,12 +3192,17 @@ object MiniDelta {
     * same; for nested paths the guard is conservative on the leaf
     * name). */
   def renameColumn(spark: SparkSession, table: String, from: String,
-                   to: String, readOnly: Boolean = false): Long = {
+                   to: String, readOnly: Boolean = false): Long =
+    renameColumn(spark, table, from.split("\\.").toSeq, to, readOnly)
+
+  /** Path-parts form (see [[widenColumnType]]'s note — the SQL layer
+    * passes the parser's segments unjoined). */
+  def renameColumn(spark: SparkSession, table: String, path: Seq[String],
+                   to: String, readOnly: Boolean): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(!to.contains("."),
       "RENAME COLUMN: the new name must be a bare field name (the " +
         "field stays inside its parent struct)")
-    val path = from.split("\\.").toSeq
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     require(cfg.get("delta.columnMapping.mode")
@@ -2959,8 +3212,8 @@ object MiniDelta {
         "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
-    requireNotInConstraints(cfg, path.last, "RENAME")
-    requireNotInGenerated(declared, path.last, "RENAME")
+    requireNotInConstraints(cfg, path, "RENAME")
+    requireNotInGenerated(declared, path, "RENAME")
     val schema2 = rewriteFieldAt(declared, path, "RENAME COLUMN") {
       (parent, f) =>
         require(!parent.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -2985,9 +3238,14 @@ object MiniDelta {
     * empty group), and the constraint/generated guards stay
     * conservative on the leaf name. */
   def dropColumn(spark: SparkSession, table: String, name: String,
-                 readOnly: Boolean = false): Long = {
+                 readOnly: Boolean = false): Long =
+    dropColumn(spark, table, name.split("\\.").toSeq, readOnly)
+
+  /** Path-parts form (see [[widenColumnType]]'s note). */
+  def dropColumn(spark: SparkSession, table: String, path: Seq[String],
+                 readOnly: Boolean): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
-    val path = name.split("\\.").toSeq
+    val name = path.mkString(".")
     val readVersion = latestVersion(spark, table)
     val cfg = tableConfig(spark, table, readVersion)
     require(cfg.get("delta.columnMapping.mode")
@@ -2997,8 +3255,8 @@ object MiniDelta {
         "'name') first")
     val declared = latestSchema(spark, table, readVersion).getOrElse(
       sys.error(s"$table has no declared schema"))
-    requireNotInConstraints(cfg, path.last, "DROP")
-    requireNotInGenerated(declared, path.last, "DROP")
+    requireNotInConstraints(cfg, path, "DROP")
+    requireNotInGenerated(declared, path, "DROP")
     // the delta.clustering domain stores PHYSICAL names and never
     // retracts: dropping a clustering column would leave the domain
     // pointing at a dead physical name, and every later bare OPTIMIZE
@@ -3030,40 +3288,71 @@ object MiniDelta {
       "DROP COLUMNS")
   }
 
+  /** The regexes an expression-text guard uses to decide whether a
+    * CHECK constraint / generation expression references the column at
+    * `path`. Top-level (length 1): word-boundary match on the bare or
+    * backticked name, conservative (r17 behavior). Nested (r18,
+    * path-aware — the old leaf-only match refused renaming `meta.a`
+    * whenever any constraint mentioned an unrelated top-level `a`):
+    *   - the FULL dotted path, each segment optionally backticked,
+    *     with `.` counting as a TRAILING boundary so a reference to a
+    *     DEEPER field (`meta.a.b`) still blocks altering its ancestor
+    *     `meta.a` (the access path goes through it);
+    *   - any ANCESTOR struct used WHOLE (`to_json(meta)`, `meta =
+    *     ...`): altering a field inside it changes the struct value's
+    *     shape. Ancestor-followed-by-`.field` is ordinary field access
+    *     and does NOT block — that is the false refusal this fixes. */
+  private def pathRefRegexes(path: Seq[String])
+      : Seq[scala.util.matching.Regex] = {
+    def seg(s: String) = "`?" + java.util.regex.Pattern.quote(s) + "`?"
+    if (path.length == 1)
+      Seq(("(?i)(^|[^a-z0-9_`])" +
+        java.util.regex.Pattern.quote(path.head) + "($|[^a-z0-9_`])").r,
+        ("(?i)" + java.util.regex.Pattern.quote(
+          s"`${path.head}`")).r)
+    else {
+      val full = ("(?i)(^|[^a-z0-9_`])" + path.map(seg).mkString("\\.") +
+        "($|[^a-z0-9_`])").r
+      val ancestors = (1 until path.length).map { n =>
+        ("(?i)(^|[^a-z0-9_`])" + path.take(n).map(seg).mkString("\\.") +
+          "($|[^a-z0-9_.`])").r
+      }
+      full +: ancestors
+    }
+  }
+
   /** A CHECK constraint that references the column by name would
     * silently stop binding after a rename/drop — refuse, like Delta
-    * (word-boundary match on the constraint SQL, conservative). */
+    * (regex match on the constraint SQL; path-aware for nested
+    * targets, see [[pathRefRegexes]]). */
   private def requireNotInConstraints(cfg: Map[String, String],
-                                      column: String, op: String): Unit = {
+                                      path: Seq[String], op: String): Unit = {
+    val res = pathRefRegexes(path)
     val hits = constraintsOf(cfg).filter { case (_, sql) =>
-      ("(?i)(^|[^a-z0-9_`])" + java.util.regex.Pattern.quote(column) +
-        "($|[^a-z0-9_`])").r.findFirstIn(sql).isDefined ||
-        sql.toLowerCase.contains(s"`${column.toLowerCase}`")
+      res.exists(_.findFirstIn(sql).isDefined)
     }
     require(hits.isEmpty,
-      s"$op COLUMN $column refused: CHECK constraint(s) " +
+      s"$op COLUMN ${path.mkString(".")} refused: CHECK constraint(s) " +
         s"${hits.keys.mkString(", ")} reference it — drop them first")
   }
 
   /** A generation expression that reads the column would silently stop
     * binding (rename/drop) or diverge recomputation from stored values
     * (widen — hash(int) != hash(long)); refuse, like delta-spark. Same
-    * conservative word-boundary match as the constraint guard. */
+    * path-aware match as the constraint guard. */
   private def requireNotInGenerated(
       schema: org.apache.spark.sql.types.StructType,
-      column: String, op: String): Unit = {
-    val re = ("(?i)(^|[^a-z0-9_`])" +
-      java.util.regex.Pattern.quote(column) + "($|[^a-z0-9_`])").r
+      path: Seq[String], op: String): Unit = {
+    val res = pathRefRegexes(path)
     val hits = schema.fields.filter { fld =>
-      !fld.name.equalsIgnoreCase(column) &&
+      !(path.length == 1 && fld.name.equalsIgnoreCase(path.head)) &&
         fld.metadata.contains(GenExprKey) && {
           val sql = fld.metadata.getString(GenExprKey)
-          re.findFirstIn(sql).isDefined ||
-            sql.toLowerCase.contains(s"`${column.toLowerCase}`")
+          res.exists(_.findFirstIn(sql).isDefined)
         }
     }
     require(hits.isEmpty,
-      s"$op COLUMN $column refused: generated column(s) " +
+      s"$op COLUMN ${path.mkString(".")} refused: generated column(s) " +
         s"${hits.map(_.name).mkString(", ")} derive from it")
   }
 
@@ -3113,7 +3402,12 @@ object MiniDelta {
     * KEYS and every scalar pair keep the exact-match requirement. */
   private[graft] def mergeStructTypes(
       old: org.apache.spark.sql.types.DataType,
-      inc: org.apache.spark.sql.types.DataType)
+      inc: org.apache.spark.sql.types.DataType,
+      // evolving-MERGE only (r18): a nested leaf whose incoming type
+      // WIDENS the declared one (the typeWidening matrix) merges to
+      // the wider type; appends/overwrites keep the refuse-on-retype
+      // rule (Delta widens through MERGE evolution, not blind append)
+      widenLeaves: Boolean = false)
       : Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     (old, inc) match {
@@ -3122,8 +3416,9 @@ object MiniDelta {
         val kept = o.fields.map { of =>
           i.fields.find(_.name.equalsIgnoreCase(of.name)) match {
             case None => Some(of)
-            case Some(inf) => mergeStructTypes(of.dataType, inf.dataType)
-              .map(dt => of.copy(dataType = dt))
+            case Some(inf) =>
+              mergeStructTypes(of.dataType, inf.dataType, widenLeaves)
+                .map(dt => of.copy(dataType = dt))
           }
         }
         val appended = i.fields.filterNot(f =>
@@ -3132,14 +3427,88 @@ object MiniDelta {
         if (kept.exists(_.isEmpty)) None
         else Some(StructType((kept.map(_.get) ++ appended).toIndexedSeq))
       case (o: ArrayType, i: ArrayType) =>
-        mergeStructTypes(o.elementType, i.elementType)
+        mergeStructTypes(o.elementType, i.elementType, widenLeaves)
           .map(dt => o.copy(elementType = dt))
       case (o: MapType, i: MapType)
           if DataType.equalsIgnoreNullability(o.keyType, i.keyType) =>
-        mergeStructTypes(o.valueType, i.valueType)
+        mergeStructTypes(o.valueType, i.valueType, widenLeaves)
           .map(dt => o.copy(valueType = dt))
+      case (o, i) if widenLeaves && isWidening(o, i) => Some(i)
       case _ => None
     }
+  }
+
+  /** Stamp the spec's `delta.typeChanges` records onto every field the
+    * evolving merge WIDENED (diff of the declared vs evolved schema):
+    * a struct field's own scalar change records on that field (at any
+    * struct depth, incl. structs inside arrays/maps — fields are
+    * addressable and carry their own metadata); a bare container
+    * element/value change records on the owning field with the spec's
+    * `fieldPath`. Returns the stamped schema and whether ANY change
+    * was recorded (the caller declares the typeWidening feature in the
+    * same commit — the contract [[widenColumnType]] keeps, fused into
+    * the merge). */
+  private def stampTypeChanges(
+      from: org.apache.spark.sql.types.StructType,
+      to: org.apache.spark.sql.types.StructType)
+      : (org.apache.spark.sql.types.StructType, Boolean) = {
+    import org.apache.spark.sql.types._
+    var any = false
+    def walkField(ff: StructField, tf: StructField): StructField = {
+      if (DataType.equalsIgnoreNullability(ff.dataType, tf.dataType)) tf
+      else {
+        val legs =
+          scala.collection.mutable.ArrayBuffer
+            .empty[(Seq[String], DataType, DataType)]
+        def dt(a: DataType, b: DataType, path: Seq[String]): DataType =
+          (a, b) match {
+            case _ if DataType.equalsIgnoreNullability(a, b) => b
+            case (as: StructType, bs: StructType) =>
+              StructType(bs.fields.map { bf =>
+                as.fields.find(_.name.equalsIgnoreCase(bf.name)) match {
+                  case None => bf // appended — no type change
+                  case Some(af) => walkField(af, bf)
+                }
+              })
+            case (aa: ArrayType, ba: ArrayType) =>
+              ba.copy(elementType =
+                dt(aa.elementType, ba.elementType, path :+ "element"))
+            case (am: MapType, bm: MapType) =>
+              bm.copy(
+                keyType = dt(am.keyType, bm.keyType, path :+ "key"),
+                valueType = dt(am.valueType, bm.valueType, path :+ "value"))
+            case (a0, b0) =>
+              any = true
+              legs += ((path, a0, b0))
+              b0
+          }
+        val newT = dt(ff.dataType, tf.dataType, Seq.empty)
+        if (legs.isEmpty) tf.copy(dataType = newT)
+        else {
+          val prior =
+            if (tf.metadata.contains("delta.typeChanges"))
+              tf.metadata.getMetadataArray("delta.typeChanges").toSeq
+            else Seq.empty
+          val records = legs.toSeq.map { case (p, a0, b0) =>
+            val cb = new MetadataBuilder()
+            if (p.nonEmpty) cb.putString("fieldPath", p.mkString("."))
+            cb.putString("fromType", a0.typeName)
+              .putString("toType", b0.typeName).build()
+          }
+          tf.copy(dataType = newT,
+            metadata = new MetadataBuilder().withMetadata(tf.metadata)
+              .putMetadataArray("delta.typeChanges",
+                (prior ++ records).toArray).build())
+        }
+      }
+    }
+    val out = StructType(to.fields.map { tf =>
+      from.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+        case None => tf
+        case Some(ff) => walkField(ff, tf)
+      }
+    })
+    (out, any)
   }
 
   /** Recursively widen `c` (currently typed `from`) to the EVOLVED
@@ -3187,7 +3556,10 @@ object MiniDelta {
     * struct). Dropping/retyping requires an explicit rewrite, exactly
     * like Delta without overwriteSchema. */
   private def mergedSchema(prior: Option[org.apache.spark.sql.types.StructType],
-                           incoming: org.apache.spark.sql.types.StructType)
+                           incoming: org.apache.spark.sql.types.StructType,
+                           // evolving-MERGE only: nested leaves may
+                           // WIDEN (see [[mergeStructTypes]])
+                           widenLeaves: Boolean = false)
       : org.apache.spark.sql.types.StructType = prior match {
     case None => incoming
     case Some(old) =>
@@ -3209,7 +3581,8 @@ object MiniDelta {
         old.fields.find(_.name.equalsIgnoreCase(f.name)).flatMap { o =>
           if (org.apache.spark.sql.types.DataType
               .equalsIgnoreNullability(o.dataType, f.dataType)) None
-          else mergeStructTypes(o.dataType, f.dataType) match {
+          else mergeStructTypes(o.dataType, f.dataType,
+              widenLeaves) match {
             case Some(m) => nestedEvolved(o.name) = m; None
             case None => Some(s"${f.name}: ${o.dataType.simpleString} " +
               s"-> ${f.dataType.simpleString}")
@@ -6958,13 +7331,14 @@ object MiniDelta {
               // struct-cast failure. Scalar mismatches (no clause
               // widens) keep their cast-at-write semantics untouched.
               val widens = cands.exists(t =>
-                mergeStructTypes(of0.dataType, t)
+                mergeStructTypes(of0.dataType, t, widenLeaves = true)
                   .exists(_ != of0.dataType))
               if (!widens) None
               else {
                 val mergedT = cands.foldLeft(
                   Option(of0.dataType): Option[DataType])((acc, t) =>
-                  acc.flatMap(a => mergeStructTypes(a, t)))
+                  acc.flatMap(a =>
+                    mergeStructTypes(a, t, widenLeaves = true)))
                 require(mergedT.isDefined,
                   s"MERGE schema evolution infers conflicting types " +
                     s"for $k: ${of0.dataType.simpleString} vs " +
@@ -6976,14 +7350,31 @@ object MiniDelta {
           }
         }
         if (evolveEntries.isEmpty) decl
-        else mergedSchema(Some(decl), StructType(evolveEntries))
+        else mergedSchema(Some(decl), StructType(evolveEntries),
+          widenLeaves = true)
       }
-    val (outSchema, evolvedCfg) =
+    val (outSchema1, evolvedCfg) =
       if (merged0.json == decl.json) (merged0, None)
       else if (isColumnMapped(decl)) {
         val (m2, cfg2) = assignMappingMetaDeep(merged0, cfg)
         (m2, Some(cfg2))
       } else (merged0, None)
+    // a widened nested leaf is a TYPE CHANGE the spec records: stamp
+    // delta.typeChanges on the owning field and declare the
+    // typeWidening feature in the SAME commit (what ALTER COLUMN TYPE
+    // does, fused into the evolving merge) — r18, the last
+    // evolution-matrix seam
+    val (outSchema, typeChanged) =
+      if (outSchema1.json == decl.json) (outSchema1, false)
+      else stampTypeChanges(decl, outSchema1)
+    val widenProto: Seq[String] =
+      if (!typeChanged) Seq.empty
+      else {
+        val cur = resolveProtocol(spark, table, readVersion,
+          cpAtMost = readVersion).getOrElse(basicProtocol)
+        val up = cur.withFeature("typeWidening")
+        if (up == cur) Seq.empty else Seq(up.render)
+      }
     val evolutionNeeded = outSchema.json != decl.json
     val evolveOverride = evolvedCfg.map(_ => outSchema)
     // target reads predate the evolution — null-fill the new columns
@@ -7144,7 +7535,8 @@ object MiniDelta {
               schemaOverride = evolveOverride)
           }
         beforeDmlCommitHook()
-        val allLines = cdcLines ++ evoLines ++ idMeta ++ maskLines ++
+        val allLines = widenProto ++ cdcLines ++ evoLines ++ idMeta ++
+          maskLines ++
           added.map { case (p, sz, m) =>
             addLine(p, sz, stats.get(p), modTime = Some(m)) }
         // the CoW branch's resolution rule, DV form; identity tables
@@ -7225,7 +7617,7 @@ object MiniDelta {
           }
         },
         partitionBy, "MERGE", statsCols,
-        extraLines = evoLines ++ idMeta, cdc = cdc,
+        extraLines = widenProto ++ evoLines ++ idMeta, cdc = cdc,
         schemaOverride = evolveOverride,
         // identity tables stay pinned (the merge rule: a winner may
         // have assigned overlapping chain values without tripping any
@@ -9732,21 +10124,27 @@ object MiniDelta {
                   }
                   df.select((sel :+ col("_change_type")).toIndexedSeq: _*)
                 case None =>
-                  val df = spark.read.parquet(paths: _*)
-                  val present = df.columns.toSet
+                  // scan under the DECLARED schema (r18): cdc files
+                  // written BEFORE a type widening carry the narrow
+                  // type and upcast through this read exactly like the
+                  // data files (incl. nested widenings — the whole
+                  // declared struct shape is requested); columns a cdc
+                  // file predates null-fill, Delta's own evolution
+                  // semantics and what the mapped branch already does
+                  import org.apache.spark.sql.types._
+                  val dataFields = declared.toSeq.flatMap(_.fields)
+                    .filterNot(f => pv.contains(f.name))
+                  val fileSchema = StructType(dataFields.toIndexedSeq :+
+                    StructField("_change_type", StringType))
+                  val df = spark.read.schema(fileSchema).parquet(paths: _*)
                   val sel = fields.map { n =>
-                    if (present(n)) col(n)
-                    else if (pv.contains(n)) {
+                    if (pv.contains(n)) {
                       // genuinely a partition column: the action
                       // carries it
                       val dt = declared.map(_(n).dataType)
-                        .getOrElse(org.apache.spark.sql.types.StringType)
+                        .getOrElse(StringType)
                       lit(pv(n)).cast(dt).as(n)
-                    }
-                    // NOT in the files and NOT a partition value:
-                    // resolve loudly — null-filling here would be
-                    // silent data loss
-                    else col(n)
+                    } else col(s"`$n`")
                   }
                   df.select((sel :+ col("_change_type")): _*)
               }

@@ -278,7 +278,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
         val fields = cols.map { c =>
           // nested paths compose since r17: (a.c TYPE) appends field c
-          // inside struct a — the engine inserts at the parent path
+          // inside struct a — the engine inserts at the parent path;
+          // segments thread through unjoined (r18)
           require(c.position.isEmpty,
             "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
               "supported")
@@ -290,8 +291,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             org.apache.spark.sql.types.Metadata.empty)(cm =>
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString("comment", cm).build())
-          org.apache.spark.sql.types.StructField(
-            c.name.mkString("."), c.dataType, c.nullable, meta)
+          (c.name, org.apache.spark.sql.types.StructField(
+            c.name.last, c.dataType, c.nullable, meta))
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 
@@ -326,13 +327,10 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
               "TYPE <widening> only (nullability/comment/position " +
               "changes are not supported)")
           // nested paths compose for TYPE widening since r17 (the
-          // delta.typeChanges record lives on the nested field);
-          // DEFAULTs stay top-level (a nested default has no
-          // column-omission semantics to materialize)
-          require(s.column.name.length == 1 || s.newDataType.isDefined,
-            "graft ALTER COLUMN on a nested path supports TYPE " +
-              s"<widening> only (got nested " +
-              s"${s.column.name.mkString(".")})")
+          // delta.typeChanges record lives on the nested field) and
+          // for SET/DROP DEFAULT since r18 (the nested field's
+          // CURRENT_DEFAULT, materialized by the write contract when
+          // the field is omitted); segments thread through unjoined
           require(s.newDataType.isDefined ||
               s.newDefaultExpression.isDefined || s.dropDefault,
             "graft ALTER COLUMN: nothing to change")
@@ -340,7 +338,7 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
               (s.newDefaultExpression.isEmpty && !s.dropDefault),
             "graft ALTER COLUMN: change the TYPE and the DEFAULT in " +
               "separate statements")
-          (s.column.name.mkString("."), s.newDataType,
+          (s.column.name, s.newDataType,
             s.newDefaultExpression.map(_.originalSQL), s.dropDefault)
         }
         GraftAlterColumnCommand(e.path, e.readOnly, changes)
@@ -353,9 +351,11 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
         // nested paths compose since r17 (mapping metadata lives at
-        // every depth): a.b renames field b inside struct a
+        // every depth): a.b renames field b inside struct a. The
+        // parser's segments thread through UNJOINED (r18) so a
+        // backticked name containing a literal dot stays one segment.
         GraftRenameColumnCommand(e.path, e.readOnly,
-          rc.column.name.mkString("."), rc.newName)
+          rc.column.name, rc.newName)
 
       case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _)
@@ -365,9 +365,10 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           "graft DROP COLUMN does not support IF EXISTS — absent " +
             "columns refuse by name")
         // nested paths compose since r17: a.b drops field b inside
-        // struct a (metadata-only, the stored bytes stay unread)
-        val names = dc.columnsToDrop.map(_.name.mkString("."))
-        GraftDropColumnsCommand(e.path, e.readOnly, names)
+        // struct a (metadata-only, the stored bytes stay unread);
+        // segments thread through unjoined (r18)
+        GraftDropColumnsCommand(e.path, e.readOnly,
+          dc.columnsToDrop.map(_.name))
 
       case InsertIntoStatement(rel, partSpec, userCols, query, overwrite,
           ifPartitionNotExists, byName) if entryOf(rel).isDefined =>
@@ -636,9 +637,21 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
             names.exists(_.equalsIgnoreCase(t)))
           val badMissing = missing.filterNot { m =>
             val f = st(m)
+            def deepDefault(
+                dt: org.apache.spark.sql.types.DataType): Boolean =
+              dt match {
+                case s2: org.apache.spark.sql.types.StructType =>
+                  s2.fields.exists(nf =>
+                    nf.metadata.contains("CURRENT_DEFAULT") ||
+                      deepDefault(nf.dataType))
+                case _ => false
+              }
             f.metadata.contains("delta.generationExpression") ||
               f.metadata.contains("delta.identity.start") ||
-              f.metadata.contains("CURRENT_DEFAULT")
+              f.metadata.contains("CURRENT_DEFAULT") ||
+              // a struct with NESTED defaults (r18) is omissible too:
+              // the write contract materializes the defaulted fields
+              deepDefault(f.dataType)
           }
           require(badMissing.isEmpty,
             s"BY NAME/column-list insert must cover the target schema " +
@@ -1026,12 +1039,12 @@ case class GraftCreateTableCommand(alias: String, query: LogicalPlan,
   * [[MiniDelta.addColumns]] — one metadata commit, existing files read
   * the new columns as null. */
 case class GraftAddColumnsCommand(table: String,
-    cols: Seq[org.apache.spark.sql.types.StructField],
+    cols: Seq[(Seq[String], org.apache.spark.sql.types.StructField)],
     readOnly: Boolean = true) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
     GraftDml.requireTable(spark, table, "ALTER TABLE ADD COLUMNS")
-    MiniDelta.addColumns(spark, table, cols)
+    MiniDelta.addColumnsAt(spark, table, cols)
     Seq.empty
   }
 }
@@ -1508,7 +1521,7 @@ case class GraftDropConstraintCommand(table: String, readOnly: Boolean,
   * [[MiniDelta.renameColumn]] (metadata-only; needs name-mode column
   * mapping, which the engine command explains by name). */
 case class GraftRenameColumnCommand(table: String, readOnly: Boolean,
-    from: String, to: String) extends LeafRunnableCommand {
+    from: Seq[String], to: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     MiniDelta.renameColumn(spark, table, from, to, readOnly = readOnly)
     Seq.empty
@@ -1531,7 +1544,8 @@ case class GraftClusterByCommand(table: String, readOnly: Boolean,
   * (typeWidening), default changes to [[MiniDelta.setColumnDefault]]
   * (`None` sql = drop). */
 case class GraftAlterColumnCommand(table: String, readOnly: Boolean,
-    changes: Seq[(String, Option[org.apache.spark.sql.types.DataType],
+    changes: Seq[(Seq[String],
+      Option[org.apache.spark.sql.types.DataType],
       Option[String], Boolean)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     changes.foreach {
@@ -1548,7 +1562,7 @@ case class GraftAlterColumnCommand(table: String, readOnly: Boolean,
 /** `ALTER TABLE graft.<alias> DROP COLUMN a [, b ...]` →
   * [[MiniDelta.dropColumn]] per column, in order. */
 case class GraftDropColumnsCommand(table: String, readOnly: Boolean,
-    names: Seq[String]) extends LeafRunnableCommand {
+    names: Seq[Seq[String]]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     names.foreach(MiniDelta.dropColumn(spark, table, _,
       readOnly = readOnly))

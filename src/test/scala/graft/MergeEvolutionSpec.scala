@@ -376,4 +376,54 @@ class MergeEvolutionSpec extends AnyFunSuite {
     assert(MiniDelta.readFiltered(spark, t, Seq.empty)
       .where(col("k") === 2L).select("n").head().getLong(0) == 99L)
   }
+
+  test("evolving merge WIDENS a nested field of a COLUMN-MAPPED " +
+      "table: widening + deep physicalName preservation in one " +
+      "commit (r18 — the last evolution-matrix seam)") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("v", IntegerType),
+        StructField("w", StringType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark,
+      Seq((1L, 10, "a"), (2L, 20, "b")).toDF("k", "v", "w")
+        .select(col("k"), struct(col("v"), col("w")).as("meta")),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val physBefore = MiniDelta.latestSchema(spark, t).get("meta")
+      .dataType.asInstanceOf[StructType]("v").metadata
+      .getString("delta.columnMapping.physicalName")
+    // the source assigns meta with v LONG (wider) and a NEW field z
+    val src = Seq((2L, 99L, "B", 7L), (9L, 900L, "I", 70L))
+      .toDF("k", "v", "w", "z")
+    val ver = MiniDelta.mergeClauses(spark, t, src, Seq("k"),
+      matched = Seq(MergeMatchedClause(None, Some(Map(
+        "meta" -> struct(col("__src_v").as("v"), col("__src_w").as("w"),
+          col("__src_z").as("z")))))),
+      notMatched = Seq(MergeInsertClause(None, Map(
+        "k" -> col("k"),
+        "meta" -> struct(col("v"), col("w"), col("z"))))),
+      bySource = Seq.empty, partitionBy = Seq.empty,
+      evolveSchema = true)
+    assert(metaLines(t, ver).length == 1) // ONE commit carries it all
+    MiniDelta.invalidateSnapshot(t)
+    val mT = MiniDelta.latestSchema(spark, t).get("meta").dataType
+      .asInstanceOf[StructType]
+    assert(mT("v").dataType == LongType, mT("v").dataType.toString)
+    // the widened field keeps pointing at its stored bytes
+    assert(mT("v").metadata
+      .getString("delta.columnMapping.physicalName") == physBefore)
+    // the NEW nested field got fresh mapping metadata at depth
+    assert(mT("z").metadata.contains("delta.columnMapping.physicalName"))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("meta.v"), col("meta.z"))
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 10L, None),        // untouched narrow bytes upcast
+      (2L, 99L, Some(7L)),
+      (9L, 900L, Some(70L))), out.toString)
+  }
 }

@@ -221,4 +221,244 @@ class NestedAlterSpec extends AnyFunSuite {
       assert(out == Seq((1L, 10L, None), (2L, 20L, None)), out.toString)
     } finally GraftSqlTables.clear()
   }
+
+  test("nested SET DEFAULT (r18): omission materializes the default — " +
+      "omitted struct, subset struct, provided value wins; DROP " +
+      "removes the obligation") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", LongType)))))))
+    MiniDelta.setColumnDefault(spark, t, "a.zip", Some("42"))
+    MiniDelta.invalidateSnapshot(t)
+    val aT = MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType]
+    assert(aT("zip").metadata.getString("CURRENT_DEFAULT") == "42")
+    // a constant of the wrong shape refuses; a column reference refuses
+    intercept[IllegalArgumentException](
+      MiniDelta.setColumnDefault(spark, t, "a.zip", Some("k + 1")))
+    // subset struct: the defaulted field fills, provided fields keep
+    MiniDelta.append(spark, Seq((1L, "c1")).toDF("k", "city")
+      .select(col("k"), struct(col("city")).as("a")), t, Seq.empty)
+    // omitted struct column entirely: defaults + nulls
+    MiniDelta.append(spark, Seq(Tuple1(2L)).toDF("k"), t, Seq.empty)
+    // provided value wins (DEFAULT constrains omission, not content)
+    MiniDelta.append(spark, Seq((3L, "c3", 30L)).toDF("k", "city", "zip")
+      .select(col("k"),
+        struct(col("city"), col("zip")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, Some("c1"), Some(42L)),
+      (2L, None, Some(42L)),
+      (3L, Some("c3"), Some(30L))), out.toString)
+    // DROP DEFAULT: later omission reads null again
+    MiniDelta.setColumnDefault(spark, t, "a.zip", None)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq((4L, "c4")).toDF("k", "city")
+      .select(col("k"), struct(col("city")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 4L).select(col("a.zip")).head().isNullAt(0))
+    // dropping again has nothing to drop
+    intercept[IllegalArgumentException](
+      MiniDelta.setColumnDefault(spark, t, "a.zip", None))
+    // SQL form on a nested path
+    import graft.plans.GraftSqlTables
+    GraftSqlTables.unregister("spec_nestdef")
+    GraftSqlTables.register("spec_nestdef", t, readOnly = false)
+    try {
+      spark.sql("ALTER TABLE graft.spec_nestdef ALTER COLUMN a.zip " +
+        "SET DEFAULT 7")
+      MiniDelta.invalidateSnapshot(t)
+      spark.sql("INSERT INTO graft.spec_nestdef (k) VALUES (5)")
+      MiniDelta.invalidateSnapshot(t)
+      val z = spark.sql("SELECT a.zip FROM graft.spec_nestdef " +
+        "WHERE k = 5").as[Option[Long]].head()
+      assert(z.contains(7L), z.toString)
+    } finally GraftSqlTables.clear()
+  }
+
+  test("guards are path-aware (r18): a CHECK on top-level `a` no " +
+      "longer blocks renaming meta.a; a CHECK on the dotted path or " +
+      "the WHOLE ancestor struct still does") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("a", LongType),
+        StructField("b", LongType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.addConstraint(spark, t, "a_pos", "a > 0")
+    MiniDelta.invalidateSnapshot(t)
+    // r17 refused this on the leaf name; path-aware matching allows it
+    MiniDelta.renameColumn(spark, t, "meta.a", "aa")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get("meta").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq == Seq("aa", "b"))
+    // a constraint referencing the DOTTED path refuses rename AND drop
+    MiniDelta.addConstraint(spark, t, "mb", "meta.b > 0")
+    MiniDelta.invalidateSnapshot(t)
+    val e1 = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, t, "meta.b", "bb"))
+    assert(e1.getMessage.contains("mb"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      MiniDelta.dropColumn(spark, t, "meta.b"))
+    assert(e2.getMessage.contains("mb"), e2.getMessage)
+    // the sibling un-referenced field still alters freely
+    MiniDelta.renameColumn(spark, t, "meta.aa", "az")
+    MiniDelta.invalidateSnapshot(t)
+    // a constraint using the ancestor struct WHOLE blocks its fields
+    MiniDelta.dropConstraint(spark, t, "mb")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.addConstraint(spark, t, "mj", "to_json(meta) IS NOT NULL")
+    MiniDelta.invalidateSnapshot(t)
+    val e3 = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, t, "meta.b", "bb"))
+    assert(e3.getMessage.contains("mj"), e3.getMessage)
+    // ...but does NOT block an unrelated top-level column (k is
+    // referenced by nothing; a_pos still pins top-level a)
+    MiniDelta.renameColumn(spark, t, "k", "k2")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("k2", "a", "meta"))
+    val e3b = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, t, "a", "a2"))
+    assert(e3b.getMessage.contains("a_pos"), e3b.getMessage)
+    // generated guard, same precision: generation over top-level a2
+    // does not block the nested rename; over the dotted path it does
+    val g = freshTable()
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "meta.b * 2").build()
+    MiniDelta.createTable(spark, g, StructType(Seq(
+      StructField("meta", StructType(Seq(
+        StructField("a", LongType),
+        StructField("b", LongType)))),
+      StructField("h", LongType, nullable = true, genMeta))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.renameColumn(spark, g, "meta.a", "aa") // not referenced
+    MiniDelta.invalidateSnapshot(g)
+    val e4 = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, g, "meta.b", "bb"))
+    assert(e4.getMessage.contains("h"), e4.getMessage)
+  }
+
+  test("nested ALTER crosses arrays and maps (r18): element/value " +
+      "paths ADD/RENAME/WIDEN/DROP struct fields inside containers; " +
+      "terminal element widens the array's element type with the " +
+      "spec's fieldPath record") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("xs", ArrayType(StructType(Seq(
+        StructField("x", IntegerType),
+        StructField("y", StringType))))),
+      StructField("m", MapType(StringType, StructType(Seq(
+        StructField("v", IntegerType),
+        StructField("w", StringType))))),
+      StructField("ns", ArrayType(IntegerType)))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq(1L).toDF("k").select(col("k"),
+      array(struct(lit(7).as("x"), lit("p").as("y"))).as("xs"),
+      map(lit("q"), struct(lit(3).as("v"), lit("u").as("w"))).as("m"),
+      array(lit(5)).as("ns")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // ADD a field inside the array's element struct
+    MiniDelta.addColumns(spark, t, Seq(
+      StructField("xs.element.z", LongType)))
+    MiniDelta.invalidateSnapshot(t)
+    // RENAME a field inside the element struct: stored bytes keep
+    // reading under the new logical name
+    MiniDelta.renameColumn(spark, t, "xs.element.x", "xx")
+    MiniDelta.invalidateSnapshot(t)
+    // WIDEN the renamed nested field (int -> long, no rewrite)
+    MiniDelta.widenColumnType(spark, t, "xs.element.xx", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // WIDEN a map value's struct field
+    MiniDelta.widenColumnType(spark, t, "m.value.v", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // TERMINAL element: widen the array's element TYPE itself; the
+    // typeChanges record lands on the array FIELD with fieldPath
+    MiniDelta.widenColumnType(spark, t, "ns.element", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    val sch = MiniDelta.latestSchema(spark, t).get
+    val nsMeta = sch("ns").metadata
+      .getMetadataArray("delta.typeChanges")
+    assert(nsMeta.length == 1 &&
+      nsMeta.head.getString("fieldPath") == "element" &&
+      nsMeta.head.getString("toType") == "long", nsMeta.mkString)
+    assert(sch("ns").dataType == ArrayType(LongType))
+    // DROP a field inside the element struct
+    MiniDelta.dropColumn(spark, t, "xs.element.y")
+    MiniDelta.invalidateSnapshot(t)
+    val xsT = MiniDelta.latestSchema(spark, t).get("xs").dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(xsT.fieldNames.toSeq == Seq("xx", "z"))
+    // the stored narrow bytes read back under every change
+    val row = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("xs")(0).getField("xx"), col("xs")(0).getField("z"),
+        element_at(col("m"), "q").getField("v"), col("ns")(0))
+      .head()
+    assert(row.getLong(0) == 7L && row.isNullAt(1) &&
+      row.getLong(2) == 3L && row.getLong(3) == 5L, row.toString)
+    // writes at the evolved shape land
+    MiniDelta.append(spark, Seq(2L).toDF("k").select(col("k"),
+      array(struct(lit(8L).as("xx"), lit(80L).as("z"))).as("xs"),
+      map(lit("r"), struct(lit(4L).as("v"), lit("u2").as("w"))).as("m"),
+      array(lit(6L)).as("ns")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty).count() == 2)
+    // a non-container, non-struct crossing still refuses loudly
+    val e = intercept[IllegalArgumentException](
+      MiniDelta.dropColumn(spark, t, "k.x"))
+    assert(e.getMessage.contains("not a struct"), e.getMessage)
+  }
+
+  test("one CDF feed spans a nested TYPE widening: pre-widen cdc " +
+      "files carry the narrow type and upcast through the declared " +
+      "read") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", IntegerType)))))),
+      properties = Map("delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "c1", 10), (2L, "c2", 20)).toDF("k", "city", "zip")
+        .select(col("k"),
+          struct(col("city"), col("zip")).as("a")), t, Seq.empty) // v1
+    MiniDelta.invalidateSnapshot(t)
+    // v2: an UPDATE writes cdc files with the NARROW (int) zip
+    MiniDelta.update(spark, t, col("k") === 2L,
+      Map("a" -> struct(col("a.city").as("city"),
+        lit(21).cast("int").as("zip"))), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // v3: widen the nested field
+    MiniDelta.widenColumnType(spark, t, "a.zip", LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // v4: an UPDATE writes cdc files with the WIDE (long) zip
+    MiniDelta.update(spark, t, col("k") === 1L,
+      Map("a" -> struct(col("a.city").as("city"),
+        lit(11L).as("zip"))), Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // one feed across narrow-cdc, widen, wide-cdc: every zip upcasts
+    // through the declared (wide) read
+    val feed = MiniDelta.readCdf(spark, t, 0)
+      .select(col("_change_type"), col("k"), col("a.zip"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(
+      ("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 21L),
+      ("update_preimage", 1L, 10L), ("update_postimage", 1L, 11L)),
+      feed.toString)
+    // the feed's declared type is the WIDE one
+    assert(MiniDelta.readCdf(spark, t, 0).schema("a").dataType
+      .asInstanceOf[StructType]("zip").dataType == LongType)
+  }
 }
