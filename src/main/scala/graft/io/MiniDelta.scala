@@ -8575,6 +8575,14 @@ object MiniDelta {
       partitionSegments(_).map(_.split("=", 2)(0)).toSeq
     }
 
+  // memo: (table, version) -> partition layout — the layout is
+  // version-deterministic, and the one-file path probe below is a
+  // Spark job (limit(1).collect()) that used to run once or more per
+  // SQL statement; cleared via [[invalidateSnapshot]] like its
+  // schema/config siblings (r18)
+  private val partitionColsMemo = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long), Seq[String]]()
+
   /** Declared partition layout, path-derived like every other layout
     * probe ([[partitionColsOf]]): one file path of the current snapshot
     * suffices because all files of a table share one layout. When the
@@ -8586,10 +8594,14 @@ object MiniDelta {
   def partitionColumns(spark: SparkSession, table: String): Seq[String] =
     if (!tableExists(spark, table)) Seq.empty
     else {
-      val fromFiles = partitionColsOf(snapshotFilesCached(spark, table)
-        .select("path").limit(1).collect().map(_.getString(0)))
-      if (fromFiles.nonEmpty) fromFiles
-      else metaPartitionColumns(spark, table).getOrElse(Seq.empty)
+      val eff = latestVersion(spark, table)
+      if (eff < 0) Seq.empty
+      else partitionColsMemo.computeIfAbsent((table, eff), _ => {
+        val fromFiles = partitionColsOf(snapshotFilesCached(spark, table)
+          .select("path").limit(1).collect().map(_.getString(0)))
+        if (fromFiles.nonEmpty) fromFiles
+        else metaPartitionColumns(spark, table).getOrElse(Seq.empty)
+      })
     }
 
   /** Latest metaData action's `partitionColumns`: the JSON tail since
@@ -9117,6 +9129,7 @@ object MiniDelta {
     cpCompleteMemo.keySet.removeIf(_._1 == table)
     tableConfigMemo.keySet.removeIf(_._1 == table)
     latestSchemaMemo.keySet.removeIf(_._1 == table)
+    partitionColsMemo.keySet.removeIf(_._1 == table)
     ()
   }
 
@@ -9957,22 +9970,25 @@ object MiniDelta {
     val tail = tailV.map(_._2)
     if (tail.isEmpty) return empty
     val log = logDFIn(spark, tail)
-    val changed = log.where(
-        col("remove").isNotNull && col("remove.dataChange"))
-      .select("version").distinct()
-      .collect().map(_.getLong(0)).toSet
+    // one collect for both the changed-version screen and the adds
+    // (r18 — was two jobs per streaming micro-batch poll)
+    val acts = log.select(col("version"),
+        col("add.path").as("ap"), col("add.dataChange").as("adc"),
+        coalesce(col("add.dv.path"), realDvMarker).as("adv"),
+        col("remove.dataChange").as("rdc"))
+      .collect()
+    val changed = acts.filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getLong(0)).toSet
     if (changed.nonEmpty && !skipChangeCommits)
       throw new IllegalStateException(
         s"$table is not append-only in versions ($fromVersion, " +
           s"$toVersion] (data-changing removes at ${changed.toSeq.sorted
             .mkString(", ")}); stream the change feed instead, or set " +
           "skipChangeCommits to drop those commits whole")
-    val adds = log.where(col("add").isNotNull && col("add.dataChange") &&
-        !col("version").isin(changed.toSeq: _*))
-      .select(col("add.path"),
-        coalesce(col("add.dv.path"), realDvMarker).as("dv"))
-      .collect().map(r => (r.getString(0),
-        if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
+    val adds = acts.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getBoolean(2) && !changed(r.getLong(0)))
+      .map(r => (r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getString(3)))).toSeq
     if (adds.isEmpty) empty
     else readFilesWithDv(spark, table, adds, declared)
   }
@@ -10001,36 +10017,42 @@ object MiniDelta {
     val tail = tailV.map(_._2)
     if (tail.isEmpty) return emptyFeed
     val log = logDFIn(spark, tail)
-    val ops = log.where(col("commitInfo").isNotNull)
-      .select(col("version"), col("commitInfo.operation"))
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    def filesOf(action: String) = log
-      .where(col(action).isNotNull && col(s"$action.dataChange"))
-      .select(col("version"), col(s"$action.path"))
-      .collect().groupBy(_.getLong(0)).view
-      .mapValues(_.map(_.getString(1)).toSeq).toMap
+    // ONE collect over the window's actions (r18 — this used to be
+    // five separate jobs: ops, add files, remove files, add DVs, cdc
+    // files; each cost a full job + driver gap on every CDF read).
+    // Every log line holds one action, so the row count is unchanged.
+    val acts = log.select(col("version"),
+        col("commitInfo.operation").as("op"),
+        col("add.path").as("ap"), col("add.dataChange").as("adc"),
+        coalesce(col("add.dv.path"), realDvMarker).as("adv"),
+        col("remove.path").as("rp"), col("remove.dataChange").as("rdc"),
+        col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"))
+      .collect()
+    val ops = acts.flatMap(r =>
+      Option(r.getString(1)).map(r.getLong(0) -> _)).toMap
+    val addRows = acts.filter(r =>
+      !r.isNullAt(2) && !r.isNullAt(3) && r.getBoolean(3))
     // adds carry their own DV; a removed path's prior content is read
     // under the DV in effect BEFORE the commit (resolved lazily from
     // the v-1 snapshot, metadata-scale)
-    val addDv = log.where(col("add").isNotNull && col("add.dataChange"))
-      .select(col("version"), col("add.path"),
-        coalesce(col("add.dv.path"), realDvMarker))
-      .collect().map(r => (r.getLong(0), r.getString(1)) ->
-        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
-    val adds = filesOf("add")
-    val removes = filesOf("remove")
+    val addDv = addRows.map(r => (r.getLong(0), r.getString(2)) ->
+      (if (r.isNullAt(4)) None else Some(r.getString(4)))).toMap
+    val adds: Map[Long, Seq[String]] = addRows.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(2)).toSeq).toMap
+    val removes: Map[Long, Seq[String]] = acts.filter(r =>
+        !r.isNullAt(5) && !r.isNullAt(6) && r.getBoolean(6))
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(5)).toSeq).toMap
     // Delta CDF rule: a commit that carries cdc actions serves its
     // change feed FROM those files (they hold the authoritative
     // _change_type rows a real writer computed — e.g. MERGE pre/post
     // pairs); the add/remove multiset reconstruction is only the
     // fallback for commits without them
-    val cdcFiles: Map[Long, Seq[(String, Map[String, String])]] = log
-      .where(col("cdc").isNotNull)
-      .select(col("version"), col("cdc.path"), col("cdc.partitionValues"))
-      .collect().groupBy(_.getLong(0)).view
-      .mapValues(_.map(r => (r.getString(1),
-        if (r.isNullAt(2)) Map.empty[String, String]
-        else r.getMap[String, String](2).toMap)).toSeq).toMap
+    val cdcFiles: Map[Long, Seq[(String, Map[String, String])]] =
+      acts.filter(!_.isNullAt(7)).groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getString(7),
+          if (r.isNullAt(8)) Map.empty[String, String]
+          else r.getMap[String, String](8).toMap)).toSeq).toMap
     if (adds.isEmpty && removes.isEmpty && cdcFiles.isEmpty)
       return emptyFeed
     val f = fs(spark, table)
