@@ -1549,20 +1549,24 @@ FROM base WHERE flag = 'A' AND qty = 1 GROUP BY flag
 ORDER BY change_type, flag""",
 
     "s41_defaults" ->
-      """WITH base AS (
-  SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
-  FROM lineitem WHERE l_quantity <= 2
+      """WITH eras AS (
+  SELECT 'new' AS status, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(0 AS BIGINT) AS boost, CAST(NULL AS BIGINT) AS bump
+  FROM lineitem WHERE l_quantity <= 2 AND l_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'adj' AS status, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(7 AS BIGINT) AS boost, CAST(NULL AS BIGINT) AS bump
+  FROM lineitem WHERE l_quantity <= 2 AND l_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'adj' AS status, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(7 AS BIGINT) AS boost, CAST(5 AS BIGINT) AS bump
+  FROM lineitem WHERE l_quantity = 3
 )
-SELECT 'adj' AS status, CAST(count(*) AS BIGINT) AS n_rows,
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty,
-  CAST(7 * count(*) AS BIGINT) AS sum_boost
-FROM base WHERE okey % 2 = 1
-UNION ALL
-SELECT 'new' AS status, CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(sum(qty) AS BIGINT) AS sum_qty,
-  CAST(0 AS BIGINT) AS sum_boost
-FROM base WHERE okey % 2 = 0
-ORDER BY status""",
+  CAST(sum(boost) AS BIGINT) AS sum_boost,
+  CAST(sum(bump) AS BIGINT) AS sum_bump
+FROM eras GROUP BY status ORDER BY status""",
 
     "s42_clustered" ->
       """SELECT l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1690,16 +1694,24 @@ GROUP BY 1 ORDER BY 1""",
 
     "s43_type_widening" ->
       """WITH eras AS (
-  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+    CAST(NULL AS BIGINT) AS v
   FROM lineitem WHERE l_quantity <= 2
   UNION ALL
   SELECT l_returnflag AS flag,
-    CAST(l_quantity AS BIGINT) + 3000000000 AS qty
+    CAST(l_quantity AS BIGINT) + 3000000000 AS qty,
+    CAST(NULL AS BIGINT) AS v
   FROM lineitem WHERE l_quantity = 3
+  UNION ALL
+  SELECT 'W' AS flag, CAST(sum(l_quantity) AS BIGINT) AS qty,
+    CAST(count(*) AS BIGINT) * 2 AS v
+  FROM lineitem WHERE l_quantity = 4 GROUP BY l_orderkey
 )
 SELECT flag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(qty) AS BIGINT) AS sum_qty,
-  CAST(1 AS BIGINT) AS no_rewrite
+  CAST(sum(v) AS BIGINT) AS sum_v,
+  CAST(1 AS BIGINT) AS no_rewrite,
+  CAST(1 AS BIGINT) AS widen_ok
 FROM eras GROUP BY flag ORDER BY flag""",
 
     "s38_colmap_id_write" ->

@@ -318,6 +318,32 @@ object ScaleBench {
         .repartition(1)
       val tNestedEvolveMapped = timed(MiniDelta.append(spark, evs2,
         table, Seq("p"), statsCols = Seq("v")))
+      // EVOLVING merge that WIDENS a nested field of the (now mapped)
+      // curve table (r18 — the last evolution-matrix seam): meta.c
+      // joins as INT via a small evolving append, then a WITH SCHEMA
+      // EVOLUTION merge whose source carries meta.c as LONG — the
+      // widening is one metaData action (+ the typeWidening protocol
+      // upgrade) on top of a key-pinned insert, so the point must read
+      // flat across the 100× span like its evolution siblings.
+      val evs3 = spark.range(3L)
+        .select((col("id") + 4000000L).as("v"), lit(0L).as("p"),
+          struct(col("id").as("a"), lit("x").as("b"),
+            lit(1).cast("int").as("c")).as("meta")).repartition(1)
+      MiniDelta.append(spark, evs3, table, Seq("p"),
+        statsCols = Seq("v"))
+      val mwSrc = spark.range(3L)
+        .select((col("id") + 5000000L).as("v"), lit(0L).as("p"),
+          struct(col("id").as("a"), lit("y").as("b"),
+            (col("id") + 3000000000L).as("c")).as("meta"))
+        .repartition(1)
+      val tMergeWidenMapped = timed(MiniDelta.mergeClauses(spark, table,
+        mwSrc, Seq("v"),
+        matched = Seq(MiniDelta.MergeMatchedClause(None,
+          Some(Map("meta" -> col("`__src_meta`"))))),
+        notMatched = Seq(MiniDelta.MergeInsertClause(None,
+          Map("v" -> col("v"), "p" -> col("p"), "meta" -> col("meta")))),
+        bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v"),
+        evolveSchema = true))
       // generated-partitioned twin (r14 GeneratedPruning): n files over
       // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
       // bounded on ts ONLY — no stats on ts, so discovery scopes
@@ -374,6 +400,7 @@ object ScaleBench {
         s""""map_upgrade":${fmt(tMapUpgrade)},""" +
         s""""struct_evolve_mapped":${fmt(tStructEvolveMapped)},""" +
         s""""nested_evolve_mapped":${fmt(tNestedEvolveMapped)},""" +
+        s""""merge_widen_mapped":${fmt(tMergeWidenMapped)},""" +
         s""""vacuum_list":${fmt(tVacList)},""" +
         s""""vacuum_list_distributed":$vacListDistributed,""" +
         s""""vacuum_lite":${fmt(tVacLite)},""" +

@@ -2513,10 +2513,25 @@ object SparkEntry {
         SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
         FROM graft.datalake.s41_lineitem
         WHERE l_quantity <= 2 AND pmod(l_orderkey, 2) = 1""")
+      // NESTED default leg (r18): grow a struct column, declare a
+      // DEFAULT on a field INSIDE it, and a third column-list INSERT
+      // omitting the struct — the write contract materializes
+      // meta = {note: null, bump: 5}; both earlier eras null-fill meta
+      // wholesale. The oracle recomputes every era's fill.
+      s.sql("ALTER TABLE graft.s41_trades " +
+        "ADD COLUMNS (meta STRUCT<note: STRING, bump: BIGINT>)")
+      s.sql("ALTER TABLE graft.s41_trades " +
+        "ALTER COLUMN meta.bump SET DEFAULT 5")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      s.sql("""
+        INSERT INTO graft.s41_trades (okey, qty)
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty
+        FROM graft.datalake.s41_lineitem WHERE l_quantity = 3""")
       s.sql("""
         SELECT status, count(*) AS n_rows,
                CAST(sum(qty) AS BIGINT) AS sum_qty,
-               CAST(sum(boost) AS BIGINT) AS sum_boost
+               CAST(sum(boost) AS BIGINT) AS sum_boost,
+               CAST(sum(meta.bump) AS BIGINT) AS sum_bump
         FROM graft.s41_trades GROUP BY status""")
         .orderBy("status")
     }),
@@ -2598,11 +2613,40 @@ object SparkEntry {
                CAST(l_quantity AS BIGINT) + 3000000000 AS qty,
                l_returnflag AS flag
         FROM graft.datalake.s43_lineitem WHERE l_quantity = 3""")
+      // NESTED merge-widening leg (r18): grow a struct column, then an
+      // evolving MERGE whose source carries meta.v as BIGINT widens
+      // the declared INT field in the merge's own commit —
+      // delta.typeChanges rides the nested field and the typeWidening
+      // feature joins the same commit; pre-merge rows null-fill meta.
+      // widen_ok pins the declared type + the recorded change.
+      s.sql("ALTER TABLE graft.s43_trades ADD COLUMNS (meta STRUCT<v: INT>)")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      s.sql("""
+        MERGE WITH SCHEMA EVOLUTION INTO graft.s43_trades t
+        USING (SELECT l_orderkey + 5000000000 AS okey,
+                      CAST(sum(l_quantity) AS BIGINT) AS qty,
+                      'W' AS flag,
+                      named_struct('v',
+                        CAST(count(*) AS BIGINT) * 2) AS meta
+               FROM graft.datalake.s43_lineitem WHERE l_quantity = 4
+               GROUP BY l_orderkey) s
+        ON t.okey = s.okey
+        WHEN MATCHED THEN UPDATE SET t.qty = s.qty
+        WHEN NOT MATCHED THEN INSERT (okey, qty, flag, meta)
+          VALUES (s.okey, s.qty, s.flag, s.meta)""")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val metaV = graft.io.MiniDelta.latestSchema(s, table).get("meta")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("v")
+      val widenOk = metaV.dataType ==
+        org.apache.spark.sql.types.LongType &&
+        metaV.metadata.contains("delta.typeChanges")
       s.sql("""
         SELECT flag, count(*) AS n_rows,
-               CAST(sum(qty) AS BIGINT) AS sum_qty
+               CAST(sum(qty) AS BIGINT) AS sum_qty,
+               CAST(sum(meta.v) AS BIGINT) AS sum_v
         FROM graft.s43_trades GROUP BY flag""")
         .withColumn("no_rewrite", lit(if (noRewrite) 1L else 0L))
+        .withColumn("widen_ok", lit(if (widenOk) 1L else 0L))
         .orderBy("flag")
     }),
     "s44_variant" -> ((s, d) => {

@@ -9403,8 +9403,13 @@ object MiniDelta {
       // path pays nothing.
       val actual = df.schema.fields
         .find(_.name.equalsIgnoreCase(lf.name)).get.dataType
+      // cast target relaxed to nullable: an aligned frame's struct
+      // fields are nullable even where the declared field is NOT NULL
+      // (widenTo rebuilds via getField), and Spark refuses a
+      // nullable→non-null struct-field cast; nullability here is
+      // analysis-only — the written values are the frame's
       val c = widenTo(col(s"`${lf.name}`"), actual, lf.dataType)
-        .cast(physicalType(lf.dataType, withIds))
+        .cast(nullify(physicalType(lf.dataType, withIds)))
       if (withIds && lf.metadata.contains(MapIdKey))
         c.as(physicalNameOf(lf),
           new org.apache.spark.sql.types.MetadataBuilder()
@@ -9456,6 +9461,23 @@ object MiniDelta {
     * mode (`withIds`), where each field instead carries the Spark
     * parquet field-id key so the scan matches file columns by footer
     * field_id rather than by name. */
+  /** The same type with every level nullable — a CAST target that
+    * never trips Spark's nullable→non-null struct-field refusal.
+    * Field metadata (parquet field ids) is preserved. */
+  private def nullify(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case at: ArrayType =>
+        ArrayType(nullify(at.elementType), containsNull = true)
+      case mt: MapType => MapType(mt.keyType,
+        nullify(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def physicalType(dt: org.apache.spark.sql.types.DataType,
                            withIds: Boolean)
       : org.apache.spark.sql.types.DataType = {
