@@ -1314,7 +1314,8 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
       """SELECT l_returnflag,
   CASE WHEN l_quantity = 1 THEN 'legacy' ELSE 'evolved' END AS src,
   CAST(count(*) AS BIGINT) AS n_rows,
-  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS verbs_ok
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY 1, 2 ORDER BY 1, 2""",
 

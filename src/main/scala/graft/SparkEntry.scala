@@ -1823,11 +1823,31 @@ object SparkEntry {
                'evolved'
         FROM graft.datalake.sql_alt_src
         WHERE l_quantity = 2""")
+      // r18 metadata verbs, each ONE commit with zero data movement:
+      // COMMENT, declaration-order FIRST/AFTER, DROP NOT NULL — the
+      // final aggregate reading identically afterwards (plus the
+      // verbs_ok schema pin) IS the proof the alters were
+      // metadata-only and order is name-resolved
+      s.sql("ALTER TABLE graft.sql_alt_trades ALTER COLUMN qty " +
+        "COMMENT 'line quantity'")
+      s.sql("ALTER TABLE graft.sql_alt_trades ALTER COLUMN src FIRST")
+      s.sql("ALTER TABLE graft.sql_alt_trades ALTER COLUMN src " +
+        "AFTER qty")
+      s.sql("ALTER TABLE graft.sql_alt_trades ALTER COLUMN qty " +
+        "DROP NOT NULL")
+      graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
+      val altSch = graft.io.MiniDelta.latestSchema(s, s"$dir/trades").get
+      val verbsOk =
+        altSch.fieldNames.toSeq ==
+          Seq("l_orderkey", "qty", "src", "l_returnflag") &&
+        altSch("qty").metadata.getString("comment") == "line quantity" &&
+        altSch("qty").nullable
       s.sql("""
         SELECT l_returnflag, coalesce(src, 'legacy') AS src,
                count(*) AS n_rows, sum(qty) AS sum_qty
         FROM graft.sql_alt_trades
         GROUP BY l_returnflag, src ORDER BY l_returnflag, src""")
+        .withColumn("verbs_ok", lit(if (verbsOk) 1L else 0L))
     }),
     "sql_insert" -> ((s, d) => {
       // INSERT INTO through SQL: first write creates the table

@@ -3012,6 +3012,135 @@ object MiniDelta {
       "ALTER COLUMN")
   }
 
+  /** ALTER TABLE ... ALTER COLUMN c COMMENT 'txt' — one metadata
+    * commit stamping the field's `comment` metadata (Spark's own key;
+    * what DESCRIBE/SHOW CREATE render and delta-spark writes). Nested
+    * paths compose (incl. through arrays/maps via element/key/value);
+    * an empty string clears the comment, matching Spark's surface
+    * (COMMENT '' — there is no DROP COMMENT verb). */
+  def setColumnComment(spark: SparkSession, table: String,
+                       path: Seq[String], comment: String,
+                       readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    val schema2 = rewriteFieldAt(declared, path, "ALTER COLUMN") {
+      (_, f) =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Some(f.copy(metadata =
+          (if (comment.isEmpty) mb.remove("comment")
+           else mb.putString("comment", comment)).build()))
+    }
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, schema2, partitionColumns(spark, table),
+        tableConfig(spark, table, readVersion))),
+      "ALTER COLUMN")
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c DROP NOT NULL — one metadata
+    * commit relaxing the declared field to nullable (Delta's verb; a
+    * compliant reader stops validating the contract). SET NOT NULL
+    * refuses BY NAME: this engine's write paths deliberately allow
+    * subset appends whose omitted columns read null (the Delta
+    * null-fill), so declaring NOT NULL would record a contract no
+    * write enforces — an enforced `CHECK (c IS NOT NULL)` constraint
+    * expresses the same intent through [[addConstraint]], which every
+    * row-producing write validates. */
+  def setColumnNullability(spark: SparkSession, table: String,
+                           path: Seq[String], nullable: Boolean,
+                           readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    require(nullable,
+      s"ALTER COLUMN ${path.mkString(".")} SET NOT NULL is not " +
+        "supported: this engine's writes allow subset appends whose " +
+        "omitted columns read null, so the schema flag would be an " +
+        "unenforced contract — ADD CONSTRAINT ... CHECK (" +
+        s"${path.mkString(".")} IS NOT NULL) is validated on every " +
+        "write instead")
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    val schema2 = rewriteFieldAt(declared, path, "ALTER COLUMN") {
+      (_, f) => Some(f.copy(nullable = true))
+    }
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, schema2, partitionColumns(spark, table),
+        tableConfig(spark, table, readVersion))),
+      "ALTER COLUMN")
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c FIRST / AFTER other — one metadata
+    * commit reordering the field among its SIBLINGS (top level, or
+    * inside its parent struct at any depth). Order is declaration
+    * metadata only: parquet resolution is by name (or by
+    * physicalName/field-id on mapped tables), so no file is rewritten
+    * and every era keeps reading — the same reason rename needs
+    * mapping but reorder does not. `after = None` means FIRST. */
+  def moveColumn(spark: SparkSession, table: String, path: Seq[String],
+                 after: Option[String],
+                 readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    import org.apache.spark.sql.types._
+    val readVersion = latestVersion(spark, table)
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    def reorder(st: StructType): StructType = {
+      val idx = st.fields.indexWhere(
+        _.name.equalsIgnoreCase(path.last))
+      require(idx >= 0, s"no such column: ${path.mkString(".")}")
+      val f = st.fields(idx)
+      val rest = st.fields.toIndexedSeq.patch(idx, Nil, 1)
+      val at = after match {
+        case None => 0
+        case Some(a) =>
+          require(!a.equalsIgnoreCase(path.last),
+            s"ALTER COLUMN ${path.mkString(".")}: AFTER itself")
+          val i = rest.indexWhere(_.name.equalsIgnoreCase(a))
+          require(i >= 0, s"no such column: $a" +
+            (if (path.length > 1) s" inside ${path.init.mkString(".")}"
+             else ""))
+          i + 1
+      }
+      StructType(rest.patch(at, Seq(f), 0))
+    }
+    val schema2 =
+      if (path.length == 1) reorder(declared)
+      else {
+        // the parent path may end inside an array/map — descend the
+        // trailing container run to the struct whose siblings reorder
+        val (fieldPath, suffix) = splitTrailingContainers(declared,
+          path.init)
+        def at(dt: DataType, p: Seq[String]): DataType = p match {
+          case Seq() => dt match {
+            case st: StructType => reorder(st)
+            case other => throw new IllegalArgumentException(
+              s"ALTER COLUMN: ${path.init.mkString(".")} is " +
+                s"${other.simpleString}, not a struct")
+          }
+          case s +: rest0 => (dt, s.toLowerCase) match {
+            case (ArrayType(et, n), "element") => ArrayType(at(et, rest0), n)
+            case (MapType(kt, vt, n), "key") => MapType(at(kt, rest0), vt, n)
+            case (MapType(kt, vt, n), "value") => MapType(kt, at(vt, rest0), n)
+            case (other, seg) => throw new IllegalArgumentException(
+              s"ALTER COLUMN: segment $seg does not address into " +
+                other.simpleString)
+          }
+        }
+        rewriteFieldAt(declared, fieldPath, "ALTER COLUMN") { (_, pf) =>
+          Some(pf.copy(dataType = at(pf.dataType, suffix)))
+        }
+      }
+    writeCommit(spark, table, readVersion + 1,
+      Seq(metaDataLine(table, schema2, partitionColumns(spark, table),
+        tableConfig(spark, table, readVersion))),
+      "ALTER COLUMN")
+  }
+
   /** ALTER TABLE ... ALTER COLUMN c SYNC IDENTITY — Delta's identity
     * resync: recompute `delta.identity.highWaterMark` from the values
     * actually STORED in the column. The verb exists for GENERATED BY

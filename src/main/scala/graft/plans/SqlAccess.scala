@@ -311,36 +311,44 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         })
         GraftClusterByCommand(e.path, e.readOnly, cols)
 
-      // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT → one metadata
-      // commit ([[MiniDelta.setColumnDefault]]); ALTER COLUMN c TYPE
-      // <wider> → the typeWidening metadata commit
-      // ([[MiniDelta.widenColumnType]]); nullability/comment/position
-      // changes refuse by name
+      // ALTER COLUMN c SET DEFAULT e / DROP DEFAULT / TYPE <wider> /
+      // COMMENT 'txt' / DROP NOT NULL / FIRST / AFTER other — one
+      // metadata commit per change, each routed to its engine verb
+      // (SET NOT NULL refuses inside the engine with the CHECK
+      // guidance). Nested paths compose everywhere since r17/r18;
+      // segments thread through unjoined.
       case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
           u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
           if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
         val e = GraftSqlTables.resolve(u.multipartIdentifier).get
-        val changes = ac.specs.map { s =>
-          require(s.newNullability.isEmpty && s.newComment.isEmpty &&
-              s.newPosition.isEmpty,
-            "graft ALTER COLUMN supports SET DEFAULT / DROP DEFAULT / " +
-              "TYPE <widening> only (nullability/comment/position " +
-              "changes are not supported)")
-          // nested paths compose for TYPE widening since r17 (the
-          // delta.typeChanges record lives on the nested field) and
-          // for SET/DROP DEFAULT since r18 (the nested field's
-          // CURRENT_DEFAULT, materialized by the write contract when
-          // the field is omitted); segments thread through unjoined
-          require(s.newDataType.isDefined ||
-              s.newDefaultExpression.isDefined || s.dropDefault,
-            "graft ALTER COLUMN: nothing to change")
-          require(s.newDataType.isEmpty ||
-              (s.newDefaultExpression.isEmpty && !s.dropDefault),
-            "graft ALTER COLUMN: change the TYPE and the DEFAULT in " +
-              "separate statements")
-          (s.column.name, s.newDataType,
-            s.newDefaultExpression.map(_.originalSQL), s.dropDefault)
-        }
+        val changes: Seq[(Seq[String], GraftColumnChange)] =
+          ac.specs.map { s =>
+            val picked = Seq(
+              s.newDataType.map(GraftColumnChange.Type(_)
+                : GraftColumnChange),
+              s.newComment.map(GraftColumnChange.Comment(_)
+                : GraftColumnChange),
+              s.newNullability.map(GraftColumnChange.Nullability(_)
+                : GraftColumnChange),
+              s.newPosition.map { p =>
+                (p.position match {
+                  case a: org.apache.spark.sql.connector.catalog
+                      .TableChange.After =>
+                    GraftColumnChange.Position(Some(a.column()))
+                  case _ => GraftColumnChange.Position(None) // FIRST
+                }): GraftColumnChange
+              },
+              if (s.newDefaultExpression.isDefined || s.dropDefault)
+                Some(GraftColumnChange.Default(
+                  s.newDefaultExpression.map(_.originalSQL))
+                  : GraftColumnChange)
+              else None).flatten
+            require(picked.nonEmpty, "graft ALTER COLUMN: nothing to change")
+            require(picked.length == 1,
+              "graft ALTER COLUMN: one change per column per statement " +
+                "(TYPE, DEFAULT, COMMENT, nullability, position)")
+            (s.column.name, picked.head)
+          }
         GraftAlterColumnCommand(e.path, e.readOnly, changes)
 
       // --- mapped-schema evolution: RENAME/DROP COLUMN route to the
@@ -1538,21 +1546,46 @@ case class GraftClusterByCommand(table: String, readOnly: Boolean,
   }
 }
 
-/** `ALTER TABLE graft.<alias> ALTER COLUMN c SET DEFAULT e /
-  * DROP DEFAULT / TYPE <wider>` — one engine commit per change, in
-  * order: a new type routes to [[MiniDelta.widenColumnType]]
-  * (typeWidening), default changes to [[MiniDelta.setColumnDefault]]
-  * (`None` sql = drop). */
+/** One ALTER COLUMN change, parsed — each variant maps to one
+  * metadata-only engine commit. */
+sealed trait GraftColumnChange
+object GraftColumnChange {
+  /** TYPE <wider> → [[MiniDelta.widenColumnType]] (typeWidening). */
+  case class Type(t: org.apache.spark.sql.types.DataType)
+    extends GraftColumnChange
+  /** SET DEFAULT e / DROP DEFAULT (`None`) →
+    * [[MiniDelta.setColumnDefault]]. */
+  case class Default(sql: Option[String]) extends GraftColumnChange
+  /** COMMENT 'txt' → [[MiniDelta.setColumnComment]] ('' clears). */
+  case class Comment(text: String) extends GraftColumnChange
+  /** DROP NOT NULL (true) → [[MiniDelta.setColumnNullability]];
+    * SET NOT NULL (false) refuses there with the CHECK guidance. */
+  case class Nullability(nullable: Boolean) extends GraftColumnChange
+  /** FIRST (`None`) / AFTER other (`Some`) →
+    * [[MiniDelta.moveColumn]]. */
+  case class Position(after: Option[String]) extends GraftColumnChange
+}
+
+/** `ALTER TABLE graft.<alias> ALTER COLUMN c <change>` — one engine
+  * commit per change, in statement order. */
 case class GraftAlterColumnCommand(table: String, readOnly: Boolean,
-    changes: Seq[(Seq[String],
-      Option[org.apache.spark.sql.types.DataType],
-      Option[String], Boolean)]) extends LeafRunnableCommand {
+    changes: Seq[(Seq[String], GraftColumnChange)])
+    extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     changes.foreach {
-      case (c, Some(t), _, _) =>
+      case (c, GraftColumnChange.Type(t)) =>
         MiniDelta.widenColumnType(spark, table, c, t, readOnly = readOnly)
-      case (c, None, sql, _) =>
+      case (c, GraftColumnChange.Default(sql)) =>
         MiniDelta.setColumnDefault(spark, table, c, sql,
+          readOnly = readOnly)
+      case (c, GraftColumnChange.Comment(txt)) =>
+        MiniDelta.setColumnComment(spark, table, c, txt,
+          readOnly = readOnly)
+      case (c, GraftColumnChange.Nullability(n)) =>
+        MiniDelta.setColumnNullability(spark, table, c, n,
+          readOnly = readOnly)
+      case (c, GraftColumnChange.Position(after)) =>
+        MiniDelta.moveColumn(spark, table, c, after,
           readOnly = readOnly)
     }
     Seq.empty

@@ -461,4 +461,97 @@ class NestedAlterSpec extends AnyFunSuite {
     assert(MiniDelta.readCdf(spark, t, 0).schema("a").dataType
       .asInstanceOf[StructType]("zip").dataType == LongType)
   }
+
+  test("ALTER COLUMN COMMENT / FIRST-AFTER / DROP NOT NULL (r18): " +
+      "metadata-only, nested paths compose, SET NOT NULL refuses " +
+      "with the CHECK guidance") {
+    import graft.plans.GraftSqlTables
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", LongType)))))))
+    MiniDelta.append(spark,
+      Seq((1L, "c1", 10L)).toDF("k", "city", "zip")
+        .select(col("k"),
+          struct(col("city"), col("zip")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val v0 = MiniDelta.latestVersion(spark, t)
+    // COMMENT on a nested field: one commit, the metadata key rides it
+    MiniDelta.setColumnComment(spark, t, Seq("a", "zip"), "postal code")
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestVersion(spark, t) == v0 + 1)
+    assert(MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType]("zip").metadata
+      .getString("comment") == "postal code")
+    // '' clears it
+    MiniDelta.setColumnComment(spark, t, Seq("a", "zip"), "")
+    MiniDelta.invalidateSnapshot(t)
+    assert(!MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType]("zip").metadata.contains("comment"))
+    // FIRST at the top level: declaration order flips, data still reads
+    MiniDelta.moveColumn(spark, t, Seq("a"), after = None)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("a", "k"))
+    // AFTER moves it back
+    MiniDelta.moveColumn(spark, t, Seq("a"), after = Some("k"))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get.fieldNames.toSeq ==
+      Seq("k", "a"))
+    // nested FIRST: siblings inside the struct reorder, bytes keep
+    // reading by name
+    MiniDelta.moveColumn(spark, t, Seq("a", "zip"), after = None)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get("a").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("zip", "city"))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("a.city"), col("a.zip"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "c1", 10L)), out.toString)
+    // writes at the NEW declaration order land and read back
+    MiniDelta.append(spark,
+      Seq((2L, 20L, "c2")).toDF("k", "zip", "city")
+        .select(col("k"),
+          struct(col("zip"), col("city")).as("a")), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .where(col("k") === 2L).select(col("a.zip"))
+      .head().getLong(0) == 20L)
+    // AFTER a missing sibling refuses by name
+    val em = intercept[IllegalArgumentException](
+      MiniDelta.moveColumn(spark, t, Seq("a", "zip"), Some("nope")))
+    assert(em.getMessage.contains("no such column"), em.getMessage)
+    // DROP NOT NULL relaxes the declared flag; SET NOT NULL refuses
+    // pointing at the enforced CHECK surface
+    MiniDelta.setColumnNullability(spark, t, Seq("k"), nullable = true)
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestSchema(spark, t).get("k").nullable)
+    val en = intercept[IllegalArgumentException](
+      MiniDelta.setColumnNullability(spark, t, Seq("k"),
+        nullable = false))
+    assert(en.getMessage.contains("CHECK"), en.getMessage)
+    // SQL forms
+    GraftSqlTables.unregister("spec_altmisc")
+    GraftSqlTables.register("spec_altmisc", t, readOnly = false)
+    try {
+      spark.sql("ALTER TABLE graft.spec_altmisc ALTER COLUMN a.city " +
+        "COMMENT 'city name'")
+      spark.sql("ALTER TABLE graft.spec_altmisc ALTER COLUMN a FIRST")
+      spark.sql("ALTER TABLE graft.spec_altmisc ALTER COLUMN a " +
+        "AFTER k")
+      spark.sql("ALTER TABLE graft.spec_altmisc ALTER COLUMN k " +
+        "DROP NOT NULL")
+      MiniDelta.invalidateSnapshot(t)
+      val sch = MiniDelta.latestSchema(spark, t).get
+      assert(sch.fieldNames.toSeq == Seq("k", "a"))
+      assert(sch("a").dataType.asInstanceOf[StructType]("city")
+        .metadata.getString("comment") == "city name")
+      val es = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_altmisc ALTER COLUMN k SET NOT NULL"))
+      assert(es.getMessage.contains("CHECK"), es.getMessage)
+    } finally GraftSqlTables.clear()
+  }
 }
