@@ -2702,6 +2702,21 @@ object MiniDelta {
   def addColumnsAt(spark: SparkSession, table: String,
                    cols: Seq[(Seq[String],
                      org.apache.spark.sql.types.StructField)],
+                   readOnly: Boolean = false): Long =
+    addColumnsPositioned(spark, table,
+      cols.map(c => (c._1, c._2, None)), readOnly)
+
+  /** [[addColumnsAt]] with an optional POSITION per column (r18,
+    * delta-spark's `ADD COLUMNS (c TYPE FIRST / AFTER other)`):
+    * `None` appends at the end, `Some(None)` is FIRST, `Some(Some(a))`
+    * inserts after sibling `a` — among the TOP-level columns or inside
+    * the parent struct of a nested path. Position is declaration
+    * metadata only (name-resolved reads), same contract as
+    * [[moveColumn]]. */
+  def addColumnsPositioned(spark: SparkSession, table: String,
+                   cols: Seq[(Seq[String],
+                     org.apache.spark.sql.types.StructField,
+                     Option[Option[String]])],
                    readOnly: Boolean = false): Long = {
     if (readOnly) throw new ReadOnlyTableException(table)
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
@@ -2728,41 +2743,63 @@ object MiniDelta {
       s"ADD COLUMNS: generated columns must be top-level (got " +
         s"${nestedGen.map(_._1.mkString(".")).mkString(", ")})")
     val cfg = tableConfig(spark, table, readVersion)
-    val withNested = nested.foldLeft(declared) { case (sch, (path, f)) =>
-      // forced nullable: every existing row reads the new field as null
-      val leaf = f.copy(nullable = true)
-      // the parent path may end INSIDE an array/map (`a.element.x`
-      // appends x to a's element struct, r18): rewrite at the last
-      // named field and descend the trailing container run to the
-      // struct that grows
-      val (fieldPath, suffix) = splitTrailingContainers(sch, path.init)
-      import org.apache.spark.sql.types._
-      def addAt(dt: DataType, p: Seq[String]): DataType = p match {
-        case Seq() => dt match {
-          case st: StructType =>
-            require(!st.fieldNames.exists(_.equalsIgnoreCase(leaf.name)),
-              s"column(s) already exist: ${path.mkString(".")}")
-            StructType(st.fields.toIndexedSeq :+ leaf)
-          case other => throw new IllegalArgumentException(
-            s"ADD COLUMNS: ${path.init.mkString(".")} is " +
-              s"${other.simpleString}, not a struct — nested paths " +
-              "address struct fields only")
-        }
-        case s +: rest => (dt, s.toLowerCase) match {
-          case (ArrayType(et, n), "element") => ArrayType(addAt(et, rest), n)
-          case (MapType(kt, vt, n), "key") => MapType(addAt(kt, rest), vt, n)
-          case (MapType(kt, vt, n), "value") => MapType(kt, addAt(vt, rest), n)
-          case (other, seg) => throw new IllegalArgumentException(
-            s"ADD COLUMNS: segment $seg does not address into " +
-              other.simpleString)
-        }
+    // insert `leaf` into `st` at `pos` (None = append, Some(None) =
+    // FIRST, Some(Some(a)) = AFTER sibling a) — [[moveColumn]]'s rule
+    def insertField(st: org.apache.spark.sql.types.StructType,
+                    leaf: org.apache.spark.sql.types.StructField,
+                    pos: Option[Option[String]], where: String)
+        : org.apache.spark.sql.types.StructType = {
+      val at = pos match {
+        case None => st.fields.length
+        case Some(None) => 0
+        case Some(Some(a)) =>
+          val i = st.fields.indexWhere(_.name.equalsIgnoreCase(a))
+          require(i >= 0, s"no such column: $a$where")
+          i + 1
       }
-      rewriteFieldAt(sch, fieldPath, "ADD COLUMNS") { (_, pf) =>
-        Some(pf.copy(dataType = addAt(pf.dataType, suffix)))
-      }
+      org.apache.spark.sql.types.StructType(
+        st.fields.toIndexedSeq.patch(at, Seq(leaf), 0))
     }
-    val merged0 = org.apache.spark.sql.types.StructType(
-      withNested.fields.toIndexedSeq ++ top)
+    val withNested = nested.foldLeft(declared) {
+      case (sch, (path, f, pos)) =>
+        // forced nullable: every existing row reads the new field as
+        // null
+        val leaf = f.copy(nullable = true)
+        // the parent path may end INSIDE an array/map (`a.element.x`
+        // appends x to a's element struct, r18): rewrite at the last
+        // named field and descend the trailing container run to the
+        // struct that grows
+        val (fieldPath, suffix) = splitTrailingContainers(sch, path.init)
+        import org.apache.spark.sql.types._
+        def addAt(dt: DataType, p: Seq[String]): DataType = p match {
+          case Seq() => dt match {
+            case st: StructType =>
+              require(!st.fieldNames.exists(
+                  _.equalsIgnoreCase(leaf.name)),
+                s"column(s) already exist: ${path.mkString(".")}")
+              insertField(st, leaf, pos,
+                s" inside ${path.init.mkString(".")}")
+            case other => throw new IllegalArgumentException(
+              s"ADD COLUMNS: ${path.init.mkString(".")} is " +
+                s"${other.simpleString}, not a struct — nested paths " +
+                "address struct fields only")
+          }
+          case s +: rest => (dt, s.toLowerCase) match {
+            case (ArrayType(et, n), "element") => ArrayType(addAt(et, rest), n)
+            case (MapType(kt, vt, n), "key") => MapType(addAt(kt, rest), vt, n)
+            case (MapType(kt, vt, n), "value") => MapType(kt, addAt(vt, rest), n)
+            case (other, seg) => throw new IllegalArgumentException(
+              s"ADD COLUMNS: segment $seg does not address into " +
+                other.simpleString)
+          }
+        }
+        rewriteFieldAt(sch, fieldPath, "ADD COLUMNS") { (_, pf) =>
+          Some(pf.copy(dataType = addAt(pf.dataType, suffix)))
+        }
+    }
+    val merged0 = top0.foldLeft(withNested) {
+      case (sch, (_, f, pos)) => insertField(sch, f, pos, "")
+    }
     val (merged, cfg2) =
       if (!isColumnMapped(declared)) (merged0, cfg)
       else assignMappingMetaDeep(merged0, cfg)

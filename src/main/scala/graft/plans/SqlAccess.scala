@@ -279,10 +279,8 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         val fields = cols.map { c =>
           // nested paths compose since r17: (a.c TYPE) appends field c
           // inside struct a — the engine inserts at the parent path;
-          // segments thread through unjoined (r18)
-          require(c.position.isEmpty,
-            "graft ADD COLUMNS appends at the end; FIRST/AFTER is not " +
-              "supported")
+          // segments thread through unjoined, and FIRST/AFTER places
+          // the new field among its siblings (r18)
           require(c.default.isEmpty,
             "ADD COLUMNS with a DEFAULT is not supported (Delta's own " +
               "rule — existing rows would need backfill semantics); " +
@@ -291,8 +289,13 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
             org.apache.spark.sql.types.Metadata.empty)(cm =>
             new org.apache.spark.sql.types.MetadataBuilder()
               .putString("comment", cm).build())
+          val pos = c.position.map(_.position match {
+            case a: org.apache.spark.sql.connector.catalog
+                .TableChange.After => Some(a.column())
+            case _ => None // FIRST
+          })
           (c.name, org.apache.spark.sql.types.StructField(
-            c.name.last, c.dataType, c.nullable, meta))
+            c.name.last, c.dataType, c.nullable, meta), pos)
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 
@@ -1047,12 +1050,13 @@ case class GraftCreateTableCommand(alias: String, query: LogicalPlan,
   * [[MiniDelta.addColumns]] — one metadata commit, existing files read
   * the new columns as null. */
 case class GraftAddColumnsCommand(table: String,
-    cols: Seq[(Seq[String], org.apache.spark.sql.types.StructField)],
+    cols: Seq[(Seq[String], org.apache.spark.sql.types.StructField,
+      Option[Option[String]])],
     readOnly: Boolean = true) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
     GraftDml.requireTable(spark, table, "ALTER TABLE ADD COLUMNS")
-    MiniDelta.addColumnsAt(spark, table, cols)
+    MiniDelta.addColumnsPositioned(spark, table, cols)
     Seq.empty
   }
 }

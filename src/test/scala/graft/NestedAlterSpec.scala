@@ -552,6 +552,25 @@ class NestedAlterSpec extends AnyFunSuite {
       val es = intercept[Exception](spark.sql(
         "ALTER TABLE graft.spec_altmisc ALTER COLUMN k SET NOT NULL"))
       assert(es.getMessage.contains("CHECK"), es.getMessage)
+      // positioned ADD COLUMNS (r18): FIRST / AFTER place the new
+      // fields among their siblings — top-level and nested in one
+      // statement ('a' is (zip, city) at this point)
+      spark.sql("ALTER TABLE graft.spec_altmisc ADD COLUMNS " +
+        "(tag STRING FIRST, a.geo STRING AFTER zip)")
+      MiniDelta.invalidateSnapshot(t)
+      val sch2 = MiniDelta.latestSchema(spark, t).get
+      assert(sch2.fieldNames.toSeq == Seq("tag", "k", "a"),
+        sch2.fieldNames.mkString(","))
+      assert(sch2("a").dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq("zip", "geo", "city"))
+      // a positioned add AFTER a missing sibling refuses by name
+      val ep = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_altmisc ADD COLUMNS " +
+          "(t2 STRING AFTER nope)"))
+      assert(ep.getMessage.contains("no such column"), ep.getMessage)
+      // data written before the adds still reads under the new layout
+      assert(spark.sql("SELECT a.zip FROM graft.spec_altmisc " +
+        "WHERE k = 1").as[Long].head() == 10L)
     } finally GraftSqlTables.clear()
   }
 }

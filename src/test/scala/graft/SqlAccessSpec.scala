@@ -1155,13 +1155,15 @@ class SqlAccessSpec extends AnyFunSuite {
         "INSERT INTO graft.spec_def (id) VALUES (3)"))
       assert(e3.getMessage.contains("missing"), e3.getMessage)
       // a non-widening TYPE change refuses by name (TYPE routes to the
-      // typeWidening path); comment changes refuse outright
+      // typeWidening path); COMMENT is its own metadata verb since r18
       val e2 = intercept[Exception](spark.sql(
         "ALTER TABLE graft.spec_def ALTER COLUMN score TYPE STRING"))
       assert(e2.getMessage.contains("widen"), e2.getMessage)
-      val e3b = intercept[Exception](spark.sql(
-        "ALTER TABLE graft.spec_def ALTER COLUMN score COMMENT 'x'"))
-      assert(e3b.getMessage.contains("not supported"), e3b.getMessage)
+      spark.sql("ALTER TABLE graft.spec_def ALTER COLUMN score " +
+        "COMMENT 'x'")
+      MiniDelta.invalidateSnapshot(s"$dir/t")
+      assert(MiniDelta.latestSchema(spark, s"$dir/t").get("score")
+        .metadata.getString("comment") == "x")
     } finally GraftSqlTables.clear()
   }
 
