@@ -1463,22 +1463,36 @@ GROUP BY 1 ORDER BY 1""",
     // change row carries a commit timestamp (n_ts == n_rows)
     "sql_table_changes" ->
       """WITH src AS (
-  SELECT l_orderkey, l_quantity, l_extendedprice
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
   FROM lineitem WHERE l_quantity <= 2),
-upd AS (SELECT * FROM src WHERE l_quantity = 1 AND l_extendedprice <> 0),
-del AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 0)
+upd AS (SELECT * FROM src WHERE l_quantity = 1),
+del AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 0),
+up2 AS (SELECT * FROM src WHERE l_quantity = 2 AND l_orderkey % 3 = 1)
 SELECT * FROM (
-  SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+  SELECT 'delete' AS change_type, CAST(3 AS BIGINT) AS commit_version,
          CAST(count(*) AS BIGINT) AS n_rows,
          sum(round(l_extendedprice*100))/100.0 AS sum_price,
+         CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
          CAST(count(*) AS BIGINT) AS n_ts FROM del
   UNION ALL
-  SELECT 'update_postimage', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
-         0.0, CAST(count(*) AS BIGINT) FROM upd
-  UNION ALL
-  SELECT 'update_preimage', CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
-         sum(round(l_extendedprice*100))/100.0,
+  SELECT 'update_postimage', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         0.0, CAST(sum(l_linenumber) AS BIGINT),
          CAST(count(*) AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'update_preimage', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(sum(l_linenumber) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM upd
+  UNION ALL
+  SELECT 'update_postimage', CAST(5 AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(count(*) AS DOUBLE),
+         CAST(sum(l_linenumber) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM up2
+  UNION ALL
+  SELECT 'update_preimage', CAST(5 AS BIGINT), CAST(count(*) AS BIGINT),
+         sum(round(l_extendedprice*100))/100.0,
+         CAST(sum(l_linenumber) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM up2
 ) ORDER BY change_type, commit_version""",
 
     "s33_detail" ->

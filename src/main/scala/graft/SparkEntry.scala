@@ -2988,13 +2988,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
     "sql_table_changes" -> ((s, d) => {
-      // table_changes through SQL (Delta's CDF TVF): append (v0),
-      // UPDATE (v1), DELETE (v2), then read the feed since v0 from
-      // plain spark.sql. The engine reconstructs row-level changes from
-      // the commits' file actions, so only rows the UPDATE actually
-      // changed appear as pre/postimages; _commit_version pins each
-      // change to its commit and _commit_timestamp (wall-clock,
-      // non-oracle-stable) is checked by count only.
+      // table_changes through SQL (Delta's CDF TVF): append (v0), CDF
+      // on (v1 — DMLs now write REAL _change_data files), UPDATE (v2),
+      // DELETE (v3), a NESTED-era TYPE WIDENING (v4, metadata-only —
+      // contributes no feed rows), then a second UPDATE (v5) whose cdc
+      // files carry the WIDE type. One feed spans it all: the v2/v3
+      // cdc files store l_linenumber as INT and upcast through the
+      // declared (BIGINT) read — the r18 readCdf contract — so
+      // sum_line aggregates both eras under one type.
+      // _commit_timestamp (wall-clock, non-oracle-stable) is checked
+      // by count only.
       val dir = scratch("sql_tc")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.io.MiniDelta.invalidateSnapshot(s"$dir/trades")
@@ -3004,17 +3007,26 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"))
       graft.io.MiniDelta.append(s, src, table, Seq("l_returnflag"))
+      graft.io.MiniDelta.setTableProperties(s, table,
+        Map("delta.enableChangeDataFeed" -> "true"))
       graft.io.MiniDelta.update(s, table, col("l_quantity") === 1,
         Map("l_extendedprice" -> lit(0.0)), Seq("l_returnflag"))
       graft.io.MiniDelta.delete(s, table,
         col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 0,
         Seq("l_returnflag"))
+      graft.io.MiniDelta.widenColumnType(s, table, "l_linenumber",
+        org.apache.spark.sql.types.LongType)
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.io.MiniDelta.update(s, table,
+        col("l_quantity") === 2 && pmod(col("l_orderkey"), lit(3)) === 1,
+        Map("l_extendedprice" -> lit(1.0)), Seq("l_returnflag"))
       graft.plans.GraftSqlTables.register("sql_tc_trades", table)
       s.sql("""
         SELECT _change_type AS change_type,
                _commit_version AS commit_version,
                count(*) AS n_rows,
                sum(round(l_extendedprice * 100)) / 100.0 AS sum_price,
+               CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
                count(_commit_timestamp) AS n_ts
         FROM table_changes('sql_tc_trades', 1)
         GROUP BY 1, 2 ORDER BY 1, 2""")
