@@ -267,6 +267,26 @@ class NestedAlterSpec extends AnyFunSuite {
     // dropping again has nothing to drop
     intercept[IllegalArgumentException](
       MiniDelta.setColumnDefault(spark, t, "a.zip", None))
+    // composes with column MAPPING: the CURRENT_DEFAULT rides the
+    // nested field beside its physicalName, and the materialized fill
+    // lands under the physical layout
+    val tm = freshTable()
+    MiniDelta.createTable(spark, tm, StructType(Seq(
+      StructField("k", LongType),
+      StructField("a", StructType(Seq(
+        StructField("city", StringType),
+        StructField("zip", LongType)))))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.setColumnDefault(spark, tm, "a.zip", Some("42"))
+    MiniDelta.invalidateSnapshot(tm)
+    val zf = MiniDelta.latestSchema(spark, tm).get("a").dataType
+      .asInstanceOf[StructType]("zip")
+    assert(zf.metadata.getString("CURRENT_DEFAULT") == "42" &&
+      zf.metadata.contains("delta.columnMapping.physicalName"))
+    MiniDelta.append(spark, Seq(Tuple1(7L)).toDF("k"), tm, Seq.empty)
+    MiniDelta.invalidateSnapshot(tm)
+    assert(MiniDelta.readFiltered(spark, tm, Seq.empty)
+      .select(col("a.zip")).head().getLong(0) == 42L)
     // SQL form on a nested path
     import graft.plans.GraftSqlTables
     GraftSqlTables.unregister("spec_nestdef")
