@@ -1656,7 +1656,7 @@ object MiniDelta {
   /** True when a struct type carries a `CURRENT_DEFAULT` on any field
     * at any struct depth (arrays/maps excluded — their elements have
     * no omission event for a default to fill). */
-  private def hasDeepDefault(
+  private[graft] def hasDeepDefault(
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case st: org.apache.spark.sql.types.StructType =>
       st.fields.exists(f => f.metadata.contains(CurrentDefaultKey) ||
@@ -2771,30 +2771,20 @@ object MiniDelta {
         // struct that grows
         val (fieldPath, suffix) = splitTrailingContainers(sch, path.init)
         import org.apache.spark.sql.types._
-        def addAt(dt: DataType, p: Seq[String]): DataType = p match {
-          case Seq() => dt match {
-            case st: StructType =>
-              require(!st.fieldNames.exists(
-                  _.equalsIgnoreCase(leaf.name)),
-                s"column(s) already exist: ${path.mkString(".")}")
-              insertField(st, leaf, pos,
-                s" inside ${path.init.mkString(".")}")
-            case other => throw new IllegalArgumentException(
-              s"ADD COLUMNS: ${path.init.mkString(".")} is " +
-                s"${other.simpleString}, not a struct — nested paths " +
-                "address struct fields only")
-          }
-          case s +: rest => (dt, s.toLowerCase) match {
-            case (ArrayType(et, n), "element") => ArrayType(addAt(et, rest), n)
-            case (MapType(kt, vt, n), "key") => MapType(addAt(kt, rest), vt, n)
-            case (MapType(kt, vt, n), "value") => MapType(kt, addAt(vt, rest), n)
-            case (other, seg) => throw new IllegalArgumentException(
-              s"ADD COLUMNS: segment $seg does not address into " +
-                other.simpleString)
-          }
-        }
         rewriteFieldAt(sch, fieldPath, "ADD COLUMNS") { (_, pf) =>
-          Some(pf.copy(dataType = addAt(pf.dataType, suffix)))
+          Some(pf.copy(dataType =
+            rewriteTypeAtSuffix(pf.dataType, suffix, "ADD COLUMNS") {
+              case st: StructType =>
+                require(!st.fieldNames.exists(
+                    _.equalsIgnoreCase(leaf.name)),
+                  s"column(s) already exist: ${path.mkString(".")}")
+                insertField(st, leaf, pos,
+                  s" inside ${path.init.mkString(".")}")
+              case other => throw new IllegalArgumentException(
+                s"ADD COLUMNS: ${path.init.mkString(".")} is " +
+                  s"${other.simpleString}, not a struct — nested " +
+                  "paths address struct fields only")
+            }))
         }
     }
     val merged0 = top0.foldLeft(withNested) {
@@ -3000,29 +2990,17 @@ object MiniDelta {
       (_, f) =>
         import org.apache.spark.sql.types._
         var fromLeaf: DataType = f.dataType
-        def widen(dt: DataType, p: Seq[String]): DataType = p match {
-          case Seq() =>
-            fromLeaf = dt
-            require(isWidening(dt, to),
-              s"ALTER COLUMN TYPE only widens without a rewrite: " +
-                s"${dt.simpleString} -> ${to.simpleString} is " +
-                "not a supported widening (byte->short->int->long, " +
-                "float->double, integral->double, date->timestamp_ntz, " +
-                "decimal growth)")
-            to
-          case s +: rest => (dt, s.toLowerCase) match {
-            case (ArrayType(et, n), "element") =>
-              ArrayType(widen(et, rest), n)
-            case (MapType(kt, vt, n), "key") =>
-              MapType(widen(kt, rest), vt, n)
-            case (MapType(kt, vt, n), "value") =>
-              MapType(kt, widen(vt, rest), n)
-            case (other, seg) => throw new IllegalArgumentException(
-              s"ALTER COLUMN ${path.mkString(".")}: segment $seg does " +
-                s"not address into ${other.simpleString}")
-          }
+        val newType = rewriteTypeAtSuffix(f.dataType, suffix,
+            s"ALTER COLUMN ${path.mkString(".")}") { dt =>
+          fromLeaf = dt
+          require(isWidening(dt, to),
+            s"ALTER COLUMN TYPE only widens without a rewrite: " +
+              s"${dt.simpleString} -> ${to.simpleString} is " +
+              "not a supported widening (byte->short->int->long, " +
+              "float->double, integral->double, date->timestamp_ntz, " +
+              "decimal growth)")
+          to
         }
-        val newType = widen(f.dataType, suffix)
         val cb = new org.apache.spark.sql.types.MetadataBuilder()
         if (suffix.nonEmpty)
           cb.putString("fieldPath", suffix.mkString("."))
@@ -3152,24 +3130,14 @@ object MiniDelta {
         // trailing container run to the struct whose siblings reorder
         val (fieldPath, suffix) = splitTrailingContainers(declared,
           path.init)
-        def at(dt: DataType, p: Seq[String]): DataType = p match {
-          case Seq() => dt match {
-            case st: StructType => reorder(st)
-            case other => throw new IllegalArgumentException(
-              s"ALTER COLUMN: ${path.init.mkString(".")} is " +
-                s"${other.simpleString}, not a struct")
-          }
-          case s +: rest0 => (dt, s.toLowerCase) match {
-            case (ArrayType(et, n), "element") => ArrayType(at(et, rest0), n)
-            case (MapType(kt, vt, n), "key") => MapType(at(kt, rest0), vt, n)
-            case (MapType(kt, vt, n), "value") => MapType(kt, at(vt, rest0), n)
-            case (other, seg) => throw new IllegalArgumentException(
-              s"ALTER COLUMN: segment $seg does not address into " +
-                other.simpleString)
-          }
-        }
         rewriteFieldAt(declared, fieldPath, "ALTER COLUMN") { (_, pf) =>
-          Some(pf.copy(dataType = at(pf.dataType, suffix)))
+          Some(pf.copy(dataType =
+            rewriteTypeAtSuffix(pf.dataType, suffix, "ALTER COLUMN") {
+              case st: StructType => reorder(st)
+              case other => throw new IllegalArgumentException(
+                s"ALTER COLUMN: ${path.init.mkString(".")} is " +
+                  s"${other.simpleString}, not a struct")
+            }))
         }
       }
     writeCommit(spark, table, readVersion + 1,
@@ -3284,6 +3252,36 @@ object MiniDelta {
         !Set("element", "key", "value").contains(s.toLowerCase)))
       (path, Seq.empty)
     else (path.take(lastField + 1), suffix)
+  }
+
+  /** Rebuild `dt` applying `fn` to the type addressed by a TRAILING
+    * run of Delta's element/key/value container segments (empty
+    * `suffix` applies `fn` to `dt` itself) — the shared descent for
+    * every verb that transforms a type INSIDE the last named field
+    * (TYPE widening, positioned nested ADD, nested reorder). A
+    * segment that does not address into the current type refuses by
+    * name. */
+  private def rewriteTypeAtSuffix(
+      dt: org.apache.spark.sql.types.DataType,
+      suffix: Seq[String], op: String)(
+      fn: org.apache.spark.sql.types.DataType =>
+          org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    suffix match {
+      case Seq() => fn(dt)
+      case s +: rest => (dt, s.toLowerCase) match {
+        case (ArrayType(et, n), "element") =>
+          ArrayType(rewriteTypeAtSuffix(et, rest, op)(fn), n)
+        case (MapType(kt, vt, n), "key") =>
+          MapType(rewriteTypeAtSuffix(kt, rest, op)(fn), vt, n)
+        case (MapType(kt, vt, n), "value") =>
+          MapType(kt, rewriteTypeAtSuffix(vt, rest, op)(fn), n)
+        case (other, seg) => throw new IllegalArgumentException(
+          s"$op: segment $seg does not address into " +
+            other.simpleString)
+      }
+    }
   }
 
   /** Rebuild `schema` rewriting the struct field at the dotted
@@ -3477,11 +3475,17 @@ object MiniDelta {
         ("(?i)" + java.util.regex.Pattern.quote(
           s"`${path.head}`")).r)
     else {
-      val full = ("(?i)(^|[^a-z0-9_`])" + path.map(seg).mkString("\\.") +
+      // `\s*\.\s*` between segments: SQL accepts whitespace around the
+      // dot in qualified names (`meta . a`), and a guard that missed
+      // that spelling would let the rename silently unbind it
+      val dot = "\\s*\\.\\s*"
+      val full = ("(?i)(^|[^a-z0-9_`])" + path.map(seg).mkString(dot) +
         "($|[^a-z0-9_`])").r
+      // ancestor WHOLE-use: not followed by (whitespace-)dot — that
+      // would be ordinary field access, which must not block
       val ancestors = (1 until path.length).map { n =>
-        ("(?i)(^|[^a-z0-9_`])" + path.take(n).map(seg).mkString("\\.") +
-          "($|[^a-z0-9_.`])").r
+        ("(?i)(^|[^a-z0-9_`])" + path.take(n).map(seg).mkString(dot) +
+          "(?!\\s*\\.)($|[^a-z0-9_`])").r
       }
       full +: ancestors
     }
@@ -7494,9 +7498,19 @@ object MiniDelta {
               // two clauses growing DIFFERENT nested fields union, and
               // a clause whose type cannot compose refuses HERE with
               // the named column, not later as an opaque positional
-              // struct-cast failure. Scalar mismatches (no clause
-              // widens) keep their cast-at-write semantics untouched.
-              val widens = cands.exists(t =>
+              // struct-cast failure. TOP-LEVEL scalar mismatches keep
+              // their cast-at-write semantics untouched (the guard
+              // below): widening a plain column has its own explicit
+              // verb (ALTER COLUMN TYPE) — an evolving merge must not
+              // silently retype it and attach the reader-blocking
+              // typeWidening feature as a side effect.
+              val structBearing = of0.dataType match {
+                case _: org.apache.spark.sql.types.StructType |
+                     _: org.apache.spark.sql.types.ArrayType |
+                     _: org.apache.spark.sql.types.MapType => true
+                case _ => false
+              }
+              val widens = structBearing && cands.exists(t =>
                 mergeStructTypes(of0.dataType, t, widenLeaves = true)
                   .exists(_ != of0.dataType))
               if (!widens) None
@@ -10304,6 +10318,22 @@ object MiniDelta {
           cdcFiles(v).groupBy(_._2).toSeq
             .sortBy(_._1.toSeq.sorted.mkString("\u0001"))
             .map { case (pv, fs2) =>
+              // a cdc action of a partitioned table must carry every
+              // partition value: the declared-schema scan below
+              // null-fills columns the files lack, so a malformed
+              // action (missing partitionValues key) would otherwise
+              // surface as silent nulls in the feed — refuse loudly
+              // instead (the pre-r18 behavior for this anomaly)
+              val missingPv = partitionColumns(spark, table).filterNot(
+                pc => pv.contains(
+                  cdfMapped.fold(pc)(st => physicalColOf(Some(st), pc))))
+              if (missingPv.nonEmpty)
+                throw new IllegalStateException(
+                  s"change feed at version $v: cdc action is missing " +
+                    s"partitionValues for column(s) " +
+                    s"${missingPv.mkString(", ")} — malformed log " +
+                    "entry (or the feed window spans a " +
+                    "partition-layout change; read the eras separately)")
               val paths = fs2.map(t2 => resolvePath(table, t2._1))
               cdfMapped match {
                 case Some(st) =>

@@ -648,21 +648,12 @@ case class GraftInsertCommand(table: String, query: LogicalPlan,
             names.exists(_.equalsIgnoreCase(t)))
           val badMissing = missing.filterNot { m =>
             val f = st(m)
-            def deepDefault(
-                dt: org.apache.spark.sql.types.DataType): Boolean =
-              dt match {
-                case s2: org.apache.spark.sql.types.StructType =>
-                  s2.fields.exists(nf =>
-                    nf.metadata.contains("CURRENT_DEFAULT") ||
-                      deepDefault(nf.dataType))
-                case _ => false
-              }
             f.metadata.contains("delta.generationExpression") ||
               f.metadata.contains("delta.identity.start") ||
-              f.metadata.contains("CURRENT_DEFAULT") ||
+              f.metadata.contains(MiniDelta.CurrentDefaultKey) ||
               // a struct with NESTED defaults (r18) is omissible too:
               // the write contract materializes the defaulted fields
-              deepDefault(f.dataType)
+              MiniDelta.hasDeepDefault(f.dataType)
           }
           require(badMissing.isEmpty,
             s"BY NAME/column-list insert must cover the target schema " +

@@ -425,5 +425,27 @@ class MergeEvolutionSpec extends AnyFunSuite {
       (1L, 10L, None),        // untouched narrow bytes upcast
       (2L, 99L, Some(7L)),
       (9L, 900L, Some(70L))), out.toString)
+    // TOP-LEVEL scalar mismatches keep cast-at-write: an evolving
+    // merge assigning a LONG expression to a declared INT column must
+    // NOT silently retype it (widening a plain column has its own
+    // explicit verb and would attach the reader-blocking typeWidening
+    // feature as a side effect)
+    val ts = freshTable()
+    MiniDelta.append(spark,
+      Seq((1L, 10)).toDF("k", "n")
+        .select(col("k"), col("n").cast("int").as("n")), ts, Seq.empty)
+    MiniDelta.invalidateSnapshot(ts)
+    MiniDelta.mergeClauses(spark, ts,
+      Seq((1L, 99L)).toDF("k", "n"), Seq("k"),
+      matched = Seq(MergeMatchedClause(None,
+        Some(Map("n" -> col("__src_n"))))),
+      notMatched = Seq.empty, bySource = Seq.empty,
+      partitionBy = Seq.empty, evolveSchema = true)
+    MiniDelta.invalidateSnapshot(ts)
+    val sch3 = MiniDelta.latestSchema(spark, ts).get
+    assert(sch3("n").dataType ==
+      org.apache.spark.sql.types.IntegerType, sch3("n").dataType)
+    assert(MiniDelta.readFiltered(spark, ts, Seq.empty)
+      .select("n").head().getInt(0) == 99)
   }
 }

@@ -333,6 +333,19 @@ class NestedAlterSpec extends AnyFunSuite {
     // the sibling un-referenced field still alters freely
     MiniDelta.renameColumn(spark, t, "meta.aa", "az")
     MiniDelta.invalidateSnapshot(t)
+    // SQL accepts whitespace around the dot in qualified names — the
+    // guard must catch that spelling too
+    MiniDelta.addConstraint(spark, t, "mbs", "meta . b < 100")
+    MiniDelta.invalidateSnapshot(t)
+    val e2b = intercept[IllegalArgumentException](
+      MiniDelta.renameColumn(spark, t, "meta.b", "bb"))
+    assert(e2b.getMessage.contains("mbs"), e2b.getMessage)
+    // ...while a whitespace-dot FIELD ACCESS does not read as a
+    // whole-ancestor use for the sibling
+    MiniDelta.renameColumn(spark, t, "meta.az", "aa")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.dropConstraint(spark, t, "mbs")
+    MiniDelta.invalidateSnapshot(t)
     // a constraint using the ancestor struct WHOLE blocks its fields
     MiniDelta.dropConstraint(spark, t, "mb")
     MiniDelta.invalidateSnapshot(t)
