@@ -99,6 +99,56 @@ IdentityEvolutionSpec / NestedEvolutionSpec:
   Project over the scan exactly like the non-evolving mapped gates.
 """
 
+  /** Prose pin for the r18 nested-ALTER surface — metadata-only verb
+    * shapes a readback explain cannot show. Appended verbatim to
+    * PLANS.md on every regeneration. */
+  val nestedAlterAppendix: String =
+    """
+## Appendix: the r18 nested-ALTER surface — every verb is one metadata commit
+
+Claims measured by the r18 writecurve (BASELINE.md "r18 writecurve:
+evolving-merge NESTED TYPE WIDENING on a mapped table at scale" —
+`merge_widen_mapped` FLAT at 1.62/1.62/1.82 s across 100/1,000/10,000
+files) and pinned by NestedAlterSpec / TypeWideningSpec /
+MergeEvolutionSpec:
+
+- **The whole ALTER COLUMN verb set is metadata-only.** SET/DROP
+  DEFAULT (now on nested struct fields), COMMENT, FIRST/AFTER reorder
+  (any struct depth, incl. positioned ADD COLUMNS), DROP NOT NULL,
+  TYPE widening (now crossing arrays/maps via Delta's
+  `element`/`key`/`value` path segments, with a trailing container run
+  widening the element/value type itself under the spec's `fieldPath`
+  record) — each commits one `metaData` action. No verb reads or
+  rewrites a data file; at 10⁷ files the cost is independent of the
+  table.
+- **Omission semantics stay projection-shaped.** A nested DEFAULT is
+  materialized by `applyDefaults` as a narrow Project over the
+  incoming frame (struct rebuild via `withField` / a defaults-struct
+  literal) — zero cost when no nested default is declared (one
+  driver-side metadata scan decides).
+- **Evolving-merge widening fuses the ALTER into the DML commit.**
+  `mergeStructTypes(widenLeaves)` composes the clause types for
+  STRUCT-bearing columns only (top-level scalars keep cast-at-write —
+  silently retyping a plain column would attach the reader-blocking
+  typeWidening feature as a side effect), `stampTypeChanges` records
+  the spec's `delta.typeChanges`, and the `typeWidening` feature joins
+  the protocol in the SAME commit as the key-pinned rewrite — the
+  widening itself adds no file I/O, which is what the flat writecurve
+  point pins.
+- **CDF reads under the declared schema.** `readCdf` scans cdc files
+  with an explicit (wide, evolved) schema on BOTH the mapped and
+  unmapped branches, so pre-widen cdc files upcast exactly like data
+  files and pre-evolution files null-fill — while a cdc action of a
+  partitioned table MISSING a partitionValues key refuses loudly
+  (silent nulls would be data loss). The whole per-window action
+  census is ONE metadata collect (r18: was five).
+- **Guards are text-precise, fail-closed.** The constraint/generated
+  guards match the full dotted path (each segment optionally
+  backticked, whitespace-tolerant dots, `.` as a trailing boundary so
+  deeper references block their ancestors) plus whole-ancestor uses;
+  unresolvable shapes still refuse conservatively.
+"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "docs/PLANS.md"
@@ -125,6 +175,7 @@ IdentityEvolutionSpec / NestedEvolutionSpec:
       sb.append("```\n")
     }
     sb.append(evolutionAppendix)
+    sb.append(nestedAlterAppendix)
     Files.createDirectories(Paths.get(out).getParent)
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
