@@ -3027,6 +3027,90 @@ object MiniDelta {
       "ALTER COLUMN")
   }
 
+  /** ALTER TABLE ... REPLACE COLUMNS (c1 T1, c2 T2, ...) — one
+    * metadata commit RE-DECLARING the top-level column list
+    * (delta-spark's verb): columns absent from the new list DROP
+    * (metadata-only — mapping keeps their bytes dark, same rule as
+    * DROP COLUMN), new columns ADD (forced nullable: existing rows
+    * read null; fresh physicalName/id), and SURVIVING same-name
+    * columns may REORDER and re-comment but keep their exact TYPE
+    * (changing a type needs the widening verb or a rewrite) and their
+    * FULL established metadata — mapping ids, delta.typeChanges,
+    * identity marks, defaults — because silently shedding those would
+    * break narrow-file reads / chain invariants / fill obligations.
+    * Requires column mapping, like DROP COLUMN and for the same
+    * reason; dropped columns hit the same constraint/generated
+    * guards; partition columns must survive (the directory layout
+    * encodes them). */
+  def replaceColumns(spark: SparkSession, table: String,
+                     cols: Seq[org.apache.spark.sql.types.StructField],
+                     readOnly: Boolean = false): Long = {
+    if (readOnly) throw new ReadOnlyTableException(table)
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "REPLACE COLUMNS needs at least one column")
+    val dup = cols.groupBy(_.name.toLowerCase).collect {
+      case (_, vs) if vs.size > 1 => vs.head.name }
+    require(dup.isEmpty,
+      s"duplicate column(s) in REPLACE COLUMNS: ${dup.mkString(", ")}")
+    val readVersion = latestVersion(spark, table)
+    val cfg = tableConfig(spark, table, readVersion)
+    require(cfg.get("delta.columnMapping.mode").exists(Set("name", "id")),
+      s"REPLACE COLUMNS needs column mapping (mode name or id): ALTER " +
+        "TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode' = " +
+        "'name') first")
+    val declared = latestSchema(spark, table, readVersion).getOrElse(
+      sys.error(s"$table has no declared schema"))
+    requireMappingWritable(Some(declared), table, spark)
+    val missingParts = partitionColumns(spark, table).filterNot(pc =>
+      cols.exists(_.name.equalsIgnoreCase(pc)))
+    require(missingParts.isEmpty,
+      s"REPLACE COLUMNS must keep partition column(s) " +
+        s"${missingParts.mkString(", ")} — the directory layout " +
+        "encodes them")
+    val dropped = declared.fields.filterNot(of =>
+      cols.exists(_.name.equalsIgnoreCase(of.name)))
+    dropped.foreach { d =>
+      requireNotInConstraints(cfg, Seq(d.name), "DROP")
+      requireNotInGenerated(declared, Seq(d.name), "DROP")
+    }
+    val out = cols.map { f =>
+      declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case Some(old) =>
+          require(DataType.equalsIgnoreNullability(old.dataType,
+              f.dataType),
+            s"REPLACE COLUMNS cannot change ${old.name}: " +
+              s"${old.dataType.simpleString} -> " +
+              s"${f.dataType.simpleString} (use ALTER COLUMN TYPE for " +
+              "a widening; anything else needs a rewrite)")
+          // survivor: full old metadata + the new comment (set or
+          // cleared by the restated list), old name spelling kept
+          val mb = new MetadataBuilder().withMetadata(old.metadata)
+          val meta =
+            (if (f.metadata.contains("comment"))
+              mb.putString("comment", f.metadata.getString("comment"))
+            else mb.remove("comment")).build()
+          old.copy(metadata = meta,
+            nullable = old.nullable || f.nullable)
+        case None => f.copy(nullable = true)
+      }
+    }
+    val (merged, cfg2) = assignMappingMetaDeep(StructType(out), cfg)
+    val needsVariant = out.exists(f => containsVariant(f.dataType)) &&
+      !declared.fields.exists(f => containsVariant(f.dataType))
+    val protoLines =
+      if (!needsVariant) Seq.empty
+      else {
+        val cur = resolveProtocol(spark, table, readVersion,
+          cpAtMost = readVersion).getOrElse(basicProtocol)
+        val up = cur.withFeature("variantType")
+        if (up == cur) Seq.empty else Seq(up.render)
+      }
+    writeCommit(spark, table, readVersion + 1,
+      protoLines ++ Seq(metaDataLine(table, merged,
+        partitionColumns(spark, table), cfg2)),
+      "REPLACE COLUMNS")
+  }
+
   /** ALTER TABLE ... ALTER COLUMN c COMMENT 'txt' — one metadata
     * commit stamping the field's `comment` metadata (Spark's own key;
     * what DESCRIBE/SHOW CREATE render and delta-spark writes). Nested

@@ -299,6 +299,32 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
         }
         GraftAddColumnsCommand(e.path, fields, e.readOnly)
 
+      // ALTER TABLE ... REPLACE COLUMNS (c1 T1, ...) → one metadata
+      // commit re-declaring the top-level column list (drops absent
+      // columns, adds new ones nullable, reorders/re-comments
+      // survivors which keep type + full metadata) — the engine verb
+      // requires column mapping and guards dropped references
+      case rc0 @ org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceColumns(
+          u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _)
+          if GraftSqlTables.resolve(u.multipartIdentifier).isDefined =>
+        val e = GraftSqlTables.resolve(u.multipartIdentifier).get
+        val fields = rc0.columnsToAdd.map { c =>
+          require(c.name.length == 1,
+            "REPLACE COLUMNS declares the TOP-LEVEL list only (got " +
+              s"nested ${c.name.mkString(".")})")
+          require(c.default.isEmpty,
+            "REPLACE COLUMNS with a DEFAULT is not supported — " +
+              "declare the list, then ALTER COLUMN ... SET DEFAULT")
+          val meta = c.comment.fold(
+            org.apache.spark.sql.types.Metadata.empty)(cm =>
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("comment", cm).build())
+          org.apache.spark.sql.types.StructField(
+            c.name.head, c.dataType, c.nullable, meta)
+        }
+        GraftReplaceColumnsCommand(e.path, fields, e.readOnly)
+
       // ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE → one
       // metadata commit re-stating the delta.clustering domain
       case cb @ org.apache.spark.sql.catalyst.plans.logical
@@ -1594,6 +1620,20 @@ case class GraftDropColumnsCommand(table: String, readOnly: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     names.foreach(MiniDelta.dropColumn(spark, table, _,
       readOnly = readOnly))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.<alias> REPLACE COLUMNS (c1 T1, ...)` →
+  * [[MiniDelta.replaceColumns]] (metadata-only; needs column
+  * mapping, which the engine verb explains by name). */
+case class GraftReplaceColumnsCommand(table: String,
+    cols: Seq[org.apache.spark.sql.types.StructField],
+    readOnly: Boolean = true) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (readOnly) throw new MiniDelta.ReadOnlyTableException(table)
+    GraftDml.requireTable(spark, table, "ALTER TABLE REPLACE COLUMNS")
+    MiniDelta.replaceColumns(spark, table, cols)
     Seq.empty
   }
 }

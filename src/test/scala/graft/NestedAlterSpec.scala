@@ -606,4 +606,89 @@ class NestedAlterSpec extends AnyFunSuite {
         "WHERE k = 1").as[Long].head() == 10L)
     } finally GraftSqlTables.clear()
   }
+
+  test("REPLACE COLUMNS (r18): drop + add + reorder in ONE metadata " +
+      "commit; survivors keep type and metadata, dropped bytes never " +
+      "resurrect, type changes and unmapped tables refuse") {
+    import graft.plans.GraftSqlTables
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType),
+      StructField("v", StringType),
+      StructField("gone", LongType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark,
+      Seq((1L, "x", 100L), (2L, "y", 200L)).toDF("k", "v", "gone"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val v0 = MiniDelta.latestVersion(spark, t)
+    val physV = MiniDelta.latestSchema(spark, t).get("v").metadata
+      .getString("delta.columnMapping.physicalName")
+    MiniDelta.replaceColumns(spark, t, Seq(
+      StructField("v", StringType, nullable = true,
+        new MetadataBuilder().putString("comment", "the value").build()),
+      StructField("k", LongType),
+      StructField("fresh", LongType)))
+    MiniDelta.invalidateSnapshot(t)
+    assert(MiniDelta.latestVersion(spark, t) == v0 + 1) // one commit
+    val sch = MiniDelta.latestSchema(spark, t).get
+    assert(sch.fieldNames.toSeq == Seq("v", "k", "fresh"))
+    // survivor keeps its physicalName (bytes keep reading) + new comment
+    assert(sch("v").metadata
+      .getString("delta.columnMapping.physicalName") == physV)
+    assert(sch("v").metadata.getString("comment") == "the value")
+    assert(sch("fresh").metadata
+      .contains("delta.columnMapping.physicalName"))
+    val out = MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select(col("k"), col("v"), col("fresh"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(out == Set((1L, "x", None), (2L, "y", None)), out.toString)
+    // re-adding the dropped name gets a FRESH physical: old bytes dark
+    MiniDelta.replaceColumns(spark, t, Seq(
+      StructField("v", StringType), StructField("k", LongType),
+      StructField("fresh", LongType), StructField("gone", LongType)))
+    MiniDelta.invalidateSnapshot(t)
+    val g2 = MiniDelta.latestSchema(spark, t).get("gone")
+    assert(g2.metadata.getString("delta.columnMapping.physicalName")
+      != "gone")
+    assert(MiniDelta.readFiltered(spark, t, Seq.empty)
+      .select("gone").collect().forall(_.isNullAt(0)))
+    // ...and the restated survivor WITHOUT a comment clears it
+    assert(!MiniDelta.latestSchema(spark, t).get("v").metadata
+      .contains("comment"))
+    // a type change refuses by name
+    val et = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, t, Seq(
+        StructField("k", StringType), StructField("v", StringType))))
+    assert(et.getMessage.contains("cannot change"), et.getMessage)
+    // dropping a constraint-referenced column refuses
+    MiniDelta.addConstraint(spark, t, "k_pos", "k > 0")
+    MiniDelta.invalidateSnapshot(t)
+    val ec = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, t, Seq(
+        StructField("v", StringType))))
+    assert(ec.getMessage.contains("k_pos"), ec.getMessage)
+    // unmapped tables refuse with the mapping hint
+    val tu = freshTable()
+    MiniDelta.append(spark, Seq((1L, "a")).toDF("k", "v"), tu, Seq.empty)
+    MiniDelta.invalidateSnapshot(tu)
+    val eu = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, tu, Seq(
+        StructField("k", LongType))))
+    assert(eu.getMessage.contains("column mapping"), eu.getMessage)
+    // SQL form
+    GraftSqlTables.unregister("spec_replcols")
+    GraftSqlTables.register("spec_replcols", t, readOnly = false)
+    try {
+      spark.sql("ALTER TABLE graft.spec_replcols DROP CONSTRAINT k_pos")
+      spark.sql("ALTER TABLE graft.spec_replcols REPLACE COLUMNS " +
+        "(k BIGINT, v STRING COMMENT 'vv')")
+      MiniDelta.invalidateSnapshot(t)
+      val sch3 = MiniDelta.latestSchema(spark, t).get
+      assert(sch3.fieldNames.toSeq == Seq("k", "v"))
+      assert(sch3("v").metadata.getString("comment") == "vv")
+      assert(spark.sql("SELECT count(*) FROM graft.spec_replcols " +
+        "WHERE v IS NOT NULL").as[Long].head() == 2L)
+    } finally GraftSqlTables.clear()
+  }
 }
