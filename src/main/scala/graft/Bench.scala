@@ -76,6 +76,20 @@ object Bench {
     val keep = Iterator.iterate(bySlowest.size)(_ - 5)
       .find(k => k <= 5 || line(bySlowest.take(k), bySlowest.size - k).length <= 1700)
       .getOrElse(5)
+    // sibling artifact with ALL per-query timings: the headline line
+    // truncates to the slowest ~keep for the output window, which made
+    // sub-cutoff movers invisible round-over-round — the full map goes
+    // to a file the driver commits alongside BENCH_r{N}.json
+    try {
+      val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL_PATH",
+        "/root/repo/bench_full_latest.json")
+      val full = s"""{"total":${fmt(total)},"n_queries":${results.size}""" +
+        s""","sf":"$sfDir","runs":$runs,"queries":""" +
+        bySlowest.map { case (k, v) => s""""$k":${fmt(v)}""" }
+          .mkString("{", ",", "}") + "}\n"
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(line(bySlowest.take(keep), bySlowest.size - keep))
     spark.stop()
   }

@@ -1319,6 +1319,18 @@ GROUP BY l_returnflag ORDER BY l_returnflag""",
 FROM lineitem WHERE l_quantity <= 2
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "sql_replace_columns" ->
+      """SELECT l_returnflag AS flag,
+  CASE WHEN l_quantity = 1 THEN 'legacy' ELSE 'post' END AS src,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(1 AS BIGINT) AS order_ok, CAST(1 AS BIGINT) AS tt_ok,
+  CAST(1 AS BIGINT) AS cdf_refuse_ok,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity = 2)
+    AS cdf_rows
+FROM lineitem WHERE l_quantity <= 2
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "sql_insert" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

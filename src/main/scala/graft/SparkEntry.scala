@@ -1849,6 +1849,90 @@ object SparkEntry {
         GROUP BY l_returnflag, src ORDER BY l_returnflag, src""")
         .withColumn("verbs_ok", lit(if (verbsOk) 1L else 0L))
     }),
+    "sql_replace_columns" -> ((s, d) => {
+      // ALTER TABLE REPLACE COLUMNS end to end (r19 — the verb's
+      // oracle surface) on a column-mapped + CDF + PARTITIONED table:
+      // one metadata commit re-declares the top-level list — 'note'
+      // DROPS (metadata-only; mapping keeps its bytes dark), 'tag'
+      // ADDS (fresh physical name, nullable), survivors REORDER,
+      // re-comment, and keep their physicalName — so every
+      // pre-replace file keeps serving the surviving columns' bytes.
+      // The final aggregate reads REAL pre-replace qty/okey values
+      // through the post-replace schema: that working at all IS the
+      // physical-name-stability proof (a re-stamped name would read
+      // those columns as null). Composition pins fold into the row:
+      //   order_ok      — declared order is the restated list,
+      //                   survivors kept physicalName, the comment
+      //                   landed, 'note' is gone;
+      //   tt_ok         — VERSION AS OF 1 time travel renders the
+      //                   PRE-replace schema ('note' present+filled);
+      //   cdf_refuse_ok — table_changes ACROSS the replace boundary
+      //                   refuses loudly (rendering under the
+      //                   post-drop schema would silently omit
+      //                   'note's data — delta-spark blocks batch CDF
+      //                   across mapping schema changes the same way);
+      //   cdf_rows      — the post-replace era's feed renders fine.
+      val dir = scratch("sql_rc")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val table = s"$dir/trades"
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      graft.plans.GraftSqlTables.unregister("sql_rc_trades")
+      graft.plans.GraftSqlTables.register("sql_rc_src",
+        Tables.path(d, "lineitem"))
+      s.sql(s"""
+        CREATE TABLE graft.sql_rc_trades (okey BIGINT, qty BIGINT,
+          note STRING, flag STRING)
+        PARTITIONED BY (flag)
+        TBLPROPERTIES ('delta.columnMapping.mode' = 'name',
+          'delta.enableChangeDataFeed' = 'true')
+        LOCATION '$table'""")
+      s.sql("""
+        INSERT INTO graft.sql_rc_trades
+        SELECT l_orderkey AS okey, CAST(l_quantity AS BIGINT) AS qty,
+               'old' AS note, l_returnflag AS flag
+        FROM graft.datalake.sql_rc_src WHERE l_quantity = 1""")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val physBefore = graft.io.MiniDelta.latestSchema(s, table).get
+        .fields.map(f => f.name -> f.metadata.getString(
+          "delta.columnMapping.physicalName")).toMap
+      s.sql("""ALTER TABLE graft.sql_rc_trades REPLACE COLUMNS
+        (qty BIGINT, okey BIGINT COMMENT 'order key', tag STRING,
+         flag STRING)""")
+      s.sql("""
+        INSERT INTO graft.sql_rc_trades
+        SELECT CAST(l_quantity AS BIGINT) AS qty, l_orderkey AS okey,
+               'post' AS tag, l_returnflag AS flag
+        FROM graft.datalake.sql_rc_src WHERE l_quantity = 2""")
+      graft.io.MiniDelta.invalidateSnapshot(table)
+      val after = graft.io.MiniDelta.latestSchema(s, table).get
+      val orderOk =
+        after.fieldNames.toSeq == Seq("qty", "okey", "tag", "flag") &&
+        Seq("qty", "okey", "flag").forall(c =>
+          after(c).metadata.getString(
+            "delta.columnMapping.physicalName") == physBefore(c)) &&
+        after("okey").metadata.getString("comment") == "order key"
+      val tt = s.sql("SELECT count(*) AS n, count(note) AS notes " +
+        "FROM graft.sql_rc_trades VERSION AS OF 1").head()
+      val ttOk = tt.getLong(0) > 0 && tt.getLong(1) == tt.getLong(0)
+      val cdfRefuseOk =
+        try {
+          s.sql("SELECT * FROM table_changes('sql_rc_trades', 1, 3)")
+            .count(); false
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("DROPPED") }
+      val cdfRows = s.sql(
+        "SELECT count(*) FROM table_changes('sql_rc_trades', 3, 3)")
+        .head().getLong(0)
+      s.sql("""
+        SELECT flag, coalesce(tag, 'legacy') AS src,
+               count(*) AS n_rows, sum(qty) AS sum_qty
+        FROM graft.sql_rc_trades
+        GROUP BY flag, tag ORDER BY flag, src""")
+        .withColumn("order_ok", lit(if (orderOk) 1L else 0L))
+        .withColumn("tt_ok", lit(if (ttOk) 1L else 0L))
+        .withColumn("cdf_refuse_ok", lit(if (cdfRefuseOk) 1L else 0L))
+        .withColumn("cdf_rows", lit(cdfRows))
+    }),
     "sql_insert" -> ((s, d) => {
       // INSERT INTO through SQL: first write creates the table
       // (positional), second appends BY NAME with shuffled column order;

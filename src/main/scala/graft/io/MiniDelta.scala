@@ -2831,7 +2831,17 @@ object MiniDelta {
     * the protocol lacks it. Applies to FUTURE writes only: existing
     * rows keep their stored values (every write materializes, so no
     * row on disk ever "reads through" a default). DROP removes the
-    * obligation; the feature stays declared (features never retract). */
+    * obligation; the feature stays declared (features never retract).
+    *
+    * INTEROP CAVEAT — nested paths: this engine accepts dotted struct
+    * paths (`meta.score SET DEFAULT`) and its own writes materialize
+    * the deep fill ([[applyDefaults]]); stock delta-spark declares
+    * `CURRENT_DEFAULT` on TOP-LEVEL columns only, so on a table shared
+    * with other allowColumnDefaults-compliant writers a nested default
+    * fills only for rows THIS engine wrote — keep defaults top-level
+    * on cross-writer tables. Paths through arrays/maps refuse
+    * (structOnly below): an element has no omission event to
+    * materialize at — elements arrive wholesale. */
   def setColumnDefault(spark: SparkSession, table: String, column: String,
                        defaultSql: Option[String],
                        readOnly: Boolean = false): Long =
@@ -3073,6 +3083,22 @@ object MiniDelta {
       requireNotInConstraints(cfg, Seq(d.name), "DROP")
       requireNotInGenerated(declared, Seq(d.name), "DROP")
     }
+    // same clustering guard as [[dropColumn]]: the delta.clustering
+    // domain stores PHYSICAL names and never retracts, so letting
+    // REPLACE COLUMNS shed a clustering column would leave the domain
+    // pointing at a dead physical name and break every later bare
+    // OPTIMIZE/compact. Gated on the memoized protocol, probed once
+    // for the whole dropped set.
+    if (dropped.nonEmpty && requireWritable(spark, table, readVersion)
+        .exists(_.writerFeats.contains("clustering"))) {
+      val clustered = clusteringPhysicalCols(spark, table, readVersion)
+      dropped.foreach { d =>
+        require(!clustered.exists(_.contains(physicalNameOf(d))),
+          s"REPLACE COLUMNS cannot drop ${d.name}: it is a " +
+            "clustering column — ALTER TABLE ... CLUSTER BY a layout " +
+            "without it first")
+      }
+    }
     val out = cols.map { f =>
       declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(old) =>
@@ -3091,7 +3117,24 @@ object MiniDelta {
             else mb.remove("comment")).build()
           old.copy(metadata = meta,
             nullable = old.nullable || f.nullable)
-        case None => f.copy(nullable = true)
+        case None =>
+          // a NEW column may not smuggle in a generation or default
+          // obligation: those keys imply writer features
+          // (generatedColumns / allowColumnDefaults) this one-commit
+          // re-declaration does not negotiate, and the SQL surface
+          // refuses them here too — use ADD COLUMNS (generated) or
+          // ALTER COLUMN ... SET DEFAULT, which upgrade the protocol
+          // in their own commit
+          require(!f.metadata.contains(GenExprKey),
+            s"REPLACE COLUMNS cannot introduce generated column " +
+              s"${f.name}: use ADD COLUMNS, which declares the " +
+              "generatedColumns writer feature in the same commit")
+          require(!f.metadata.contains(CurrentDefaultKey),
+            s"REPLACE COLUMNS cannot introduce a DEFAULT on new " +
+              s"column ${f.name}: declare the list, then ALTER " +
+              "COLUMN ... SET DEFAULT (which declares the " +
+              "allowColumnDefaults writer feature)")
+          f.copy(nullable = true)
       }
     }
     val (merged, cfg2) = assignMappingMetaDeep(StructType(out), cfg)
@@ -10235,6 +10278,86 @@ object MiniDelta {
     tail.getOrElse(base)
   }
 
+  /** Deep physical-key loss screen for feed windows ([[readCdf]] +
+    * [[readAppends]]): the (nested) column paths an era schema carries
+    * whose PHYSICAL key the end schema lost. A loss means the window
+    * crosses a column DROP (DROP COLUMN, REPLACE COLUMNS, a
+    * REPLACE-TABLE schema overwrite) — rendering those eras' rows
+    * under the end schema would silently omit data they carried, so
+    * feed readers refuse (delta-spark blocks batch CDF across
+    * column-mapping schema changes for the same reason). What
+    * deliberately PASSES: renames (the physical key is stable and
+    * every era relabels to the current logical name — this engine's
+    * pinned exact-render divergence, NestedAlterSpec), ADD COLUMNS /
+    * type widening / reorders / comments / defaults (additive), and a
+    * mapping UPGRADE (upgrade semantics set physicalName = the
+    * current name, so keys persist). Unmapped fields key by name —
+    * the identity physical name. */
+  private[graft] def feedLostColumns(
+      era: org.apache.spark.sql.types.StructType,
+      end: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def leaves(dt: DataType, prefix: String): Seq[String] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => leaves(f.dataType, prefix) match {
+          case Seq() => Seq(prefix + f.name)
+          case _ => leaves(f.dataType, prefix + f.name + ".")
+        })
+      case _ => Seq.empty
+    }
+    def walk(e: StructType, n: StructType, prefix: String): Seq[String] = {
+      val byPhys = n.fields.map(f => physicalNameOf(f) -> f).toMap
+      e.fields.toSeq.flatMap { ef =>
+        val path = prefix + ef.name
+        byPhys.get(physicalNameOf(ef)) match {
+          case None => Seq(path)
+          case Some(nf) => descend(ef.dataType, nf.dataType, path + ".")
+        }
+      }
+    }
+    def descend(ed: org.apache.spark.sql.types.DataType,
+                nd: org.apache.spark.sql.types.DataType,
+                prefix: String): Seq[String] = (ed, nd) match {
+      case (es: StructType, ns: StructType) => walk(es, ns, prefix)
+      case (es: StructType, _) =>
+        // struct flattened to a scalar: every era leaf is gone
+        Seq(prefix.stripSuffix(".")) ++ leaves(es, prefix)
+      case (ea: ArrayType, na: ArrayType) =>
+        descend(ea.elementType, na.elementType, prefix + "element.")
+      case (em: MapType, nm: MapType) =>
+        descend(em.keyType, nm.keyType, prefix + "key.") ++
+          descend(em.valueType, nm.valueType, prefix + "value.")
+      case _ => Seq.empty // scalar change: widening, not a loss
+    }
+    walk(era, end, "")
+  }
+
+  /** Refuse a feed window whose era schemas lost physical columns
+    * relative to the end schema (see [[feedLostColumns]]). Zero cost
+    * when the window carries no metaData action; when it does, the
+    * pre-window era (the schema rows at the window's start render
+    * under) joins the screen. */
+  private def requireFeedSchemaCompatible(spark: SparkSession,
+      table: String, fromVersion: Long, toVersion: Long,
+      windowSchemas: Seq[String],
+      end: Option[org.apache.spark.sql.types.StructType],
+      what: String): Unit = {
+    if (windowSchemas.isEmpty || end.isEmpty) return
+    val startEra =
+      if (fromVersion < 0) None
+      else latestSchema(spark, table, fromVersion)
+    val lost = (startEra.toSeq ++ windowSchemas.map(parseSchema))
+      .flatMap(e => feedLostColumns(e, end.get)).distinct
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        s"$what at versions ($fromVersion, $toVersion] crosses a " +
+          s"schema change that DROPPED column(s) ${lost.mkString(", ")}" +
+          " (DROP COLUMN / REPLACE COLUMNS / a schema overwrite): " +
+          "rendering under the current schema would silently omit " +
+          "data those versions carried — read the eras separately " +
+          "(feed up to the boundary version, then from it)")
+  }
+
   /** The append-only change feed for versions in `(fromVersion,
     * toVersion]`: rows of every dataChange ADD, read with its own
     * deletion vector. Matches the real Delta streaming-source
@@ -10261,8 +10384,15 @@ object MiniDelta {
     val acts = log.select(col("version"),
         col("add.path").as("ap"), col("add.dataChange").as("adc"),
         coalesce(col("add.dv.path"), realDvMarker).as("adv"),
-        col("remove.dataChange").as("rdc"))
+        col("remove.dataChange").as("rdc"),
+        col("metaData.schemaString").as("ms"))
       .collect()
+    // the streaming source rides this feed: a mid-window column DROP
+    // (REPLACE COLUMNS / DROP COLUMN / schema overwrite) must refuse
+    // loudly, never null-fill — same collect, no extra job
+    requireFeedSchemaCompatible(spark, table, fromVersion, toVersion,
+      acts.flatMap(r => Option(r.getString(5))).toSeq, declared,
+      "append feed")
     val changed = acts.filter(r => !r.isNullAt(4) && r.getBoolean(4))
       .map(_.getLong(0)).toSet
     if (changed.nonEmpty && !skipChangeCommits)
@@ -10312,8 +10442,15 @@ object MiniDelta {
         col("add.path").as("ap"), col("add.dataChange").as("adc"),
         coalesce(col("add.dv.path"), realDvMarker).as("adv"),
         col("remove.path").as("rp"), col("remove.dataChange").as("rdc"),
-        col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"))
+        col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"),
+        col("metaData.schemaString").as("ms"))
       .collect()
+    // a metaData action inside the window that DROPPED columns makes
+    // the end-schema render silently lossy — refuse (same collect, no
+    // extra job; renames/adds/widenings pass, see [[feedLostColumns]])
+    requireFeedSchemaCompatible(spark, table, fromVersion, toVersion,
+      acts.flatMap(r => Option(r.getString(9))).toSeq, declared,
+      "change feed")
     val ops = acts.flatMap(r =>
       Option(r.getString(1)).map(r.getLong(0) -> _)).toMap
     val addRows = acts.filter(r =>

@@ -316,6 +316,14 @@ case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan]
           require(c.default.isEmpty,
             "REPLACE COLUMNS with a DEFAULT is not supported — " +
               "declare the list, then ALTER COLUMN ... SET DEFAULT")
+          // the restated list ORDER is what binds — a FIRST/AFTER
+          // clause here would be silently redundant at best and
+          // contradictory at worst, so refuse (mirrors the ADD
+          // COLUMNS posture pre-r18 rather than dropping the clause)
+          require(c.position.isEmpty,
+            s"REPLACE COLUMNS: FIRST/AFTER on ${c.name.mkString(".")}" +
+              " is not supported — the declared list order already " +
+              "expresses every column's position")
           val meta = c.comment.fold(
             org.apache.spark.sql.types.Metadata.empty)(cm =>
             new org.apache.spark.sql.types.MetadataBuilder()

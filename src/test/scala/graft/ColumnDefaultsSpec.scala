@@ -107,6 +107,31 @@ class ColumnDefaultsSpec extends AnyFunSuite {
       .where(col("id") === 3L).select("g").head().getLong(0) == 14L)
   }
 
+  test("DEFAULT through containers refuses (r19): an array/map " +
+      "element has no omission event to materialize the fill at") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("x", LongType))))),
+      StructField("attrs", MapType(StringType, StructType(Seq(
+        StructField("y", LongType))))))))
+    // elements arrive wholesale: there is no per-element omission a
+    // writer could fill, so the container-crossing path refuses (the
+    // structOnly contract) — in both spellings
+    val ea = intercept[IllegalArgumentException](
+      MiniDelta.setColumnDefault(spark, t,
+        Seq("tags", "element", "x"), Some("1"), readOnly = false))
+    assert(ea.getMessage.contains("struct fields only"), ea.getMessage)
+    val em = intercept[IllegalArgumentException](
+      MiniDelta.setColumnDefault(spark, t,
+        Seq("attrs", "value", "y"), Some("1"), readOnly = false))
+    assert(em.getMessage.contains("struct fields only"), em.getMessage)
+    // ...and the refusal left no commit behind (metadata untouched)
+    assert(MiniDelta.latestVersion(spark, t) == 0L)
+  }
+
   test("DEFAULT must be constant; merge and overwrite fill it too") {
     import org.apache.spark.sql.types._
     val t = freshTable()

@@ -132,6 +132,50 @@ class DropFeatureSpec extends AnyFunSuite {
     assert(!commitJson(td, vd).contains("allowColumnDefaults"))
   }
 
+  test("typeWidening drop composition (r19): live typeChanges refuse " +
+      "the drop; REPLACE COLUMNS shedding the widened column unblocks " +
+      "it; feeds never silently null-fill across the span") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("amt", IntegerType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, 7)).toDF("id", "amt"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.widenColumnType(spark, t, "amt",
+      org.apache.spark.sql.types.LongType)
+    MiniDelta.invalidateSnapshot(t)
+    // the pre-widen file still stores the narrow physical type: the
+    // drop refuses by column name while the typeChanges record lives
+    val ew = intercept[IllegalArgumentException](
+      MiniDelta.dropFeature(spark, t, "typeWidening",
+        truncateHistory = true))
+    assert(ew.getMessage.contains("amt") &&
+      ew.getMessage.contains("typeChanges"), ew.getMessage)
+    // REPLACE COLUMNS sheds the widened column — no record survives
+    MiniDelta.replaceColumns(spark, t, Seq(
+      StructField("id", LongType), StructField("note", StringType)))
+    MiniDelta.invalidateSnapshot(t)
+    // a feed across the REPLACE refuses loudly (amt's era data would
+    // silently vanish under the post-drop schema)
+    val ef = intercept[IllegalStateException](
+      MiniDelta.readAppends(spark, t, 0L).count())
+    assert(ef.getMessage.contains("DROPPED") &&
+      ef.getMessage.contains("amt"), ef.getMessage)
+    // now the reader-feature downgrade passes under TRUNCATE HISTORY
+    val vd = MiniDelta.dropFeature(spark, t, "typeWidening",
+      truncateHistory = true)
+    MiniDelta.invalidateSnapshot(t)
+    assert(!commitJson(t, vd).contains("typeWidening"))
+    // post-downgrade writes + feeds run clean under the new contract
+    MiniDelta.append(spark, Seq((2L, "n2")).toDF("id", "note"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val rows = MiniDelta.readAppends(spark, t, vd)
+      .select("id", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "n2")), rows.toString)
+  }
+
   test("non-removable and absent features refuse by name") {
     val t = freshTable()
     MiniDelta.createTable(spark, t, StructType(Seq(

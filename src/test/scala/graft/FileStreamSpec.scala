@@ -526,4 +526,62 @@ class FileStreamSpec extends AnyFunSuite {
         versionsPerBatch.toSeq)
     } finally if (q.isActive) q.stop()
   }
+
+  test("graft-delta stream crossing REPLACE COLUMNS refuses loudly " +
+      "(r19): a mid-stream column DROP never silently null-fills") {
+    import spark.implicits._
+    import graft.io.MiniDelta
+    import org.apache.spark.sql.types._
+    val t = Files.createTempDirectory("gdrepl").toString + "/t"
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("id", LongType), StructField("note", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "note"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdreplcp").toString)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        got ++= b.select("id").collect().map(_.getLong(0)); ()
+      }).start()
+    try {
+      q.processAllAvailable()
+      assert(got.toSet == Set(1L, 2L))
+      // mid-stream REPLACE COLUMNS drops 'note' — the next poll's
+      // window crosses the boundary and must refuse, not render the
+      // old rows lossily under the new schema
+      MiniDelta.replaceColumns(spark, t, Seq(
+        StructField("id", LongType), StructField("tag", StringType)))
+      MiniDelta.invalidateSnapshot(t)
+      MiniDelta.append(spark, Seq((3L, "t")).toDF("id", "tag"),
+        t, Seq.empty)
+      MiniDelta.invalidateSnapshot(t)
+      val err = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def hasDrop(e: Throwable): Boolean = e != null &&
+        (Option(e.getMessage).exists(_.contains("DROPPED")) ||
+          hasDrop(e.getCause))
+      assert(hasDrop(err), err.getMessage)
+    } finally if (q.isActive) q.stop()
+    // a FRESH stream from the post-replace offset drains cleanly —
+    // the refusal is about the boundary, not the table
+    val got2 = scala.collection.mutable.Set.empty[Long]
+    val q2 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "3").load(t)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gdreplcp2").toString)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        got2 ++= b.select("id").collect().map(_.getLong(0)); ()
+      }).start()
+    try {
+      q2.processAllAvailable()
+      assert(got2.toSet == Set(3L), got2.toString)
+    } finally q2.stop()
+  }
 }

@@ -691,4 +691,106 @@ class NestedAlterSpec extends AnyFunSuite {
         "WHERE v IS NOT NULL").as[Long].head() == 2L)
     } finally GraftSqlTables.clear()
   }
+
+  test("REPLACE COLUMNS composition (r19): clustering guard, no " +
+      "smuggled gen/default metadata on NEW columns, SQL refuses " +
+      "FIRST/AFTER, time travel keeps the pre-replace schema, feeds " +
+      "refuse across the boundary and render per era") {
+    import graft.plans.GraftSqlTables
+    // shedding a clustering column would orphan the never-retracting
+    // delta.clustering domain — same refusal as DROP COLUMN
+    val tc = freshTable()
+    MiniDelta.createTable(spark, tc, StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"),
+      clusterBy = Seq("id"))
+    val ecl = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, tc, Seq(
+        StructField("v", StringType), StructField("w", LongType))))
+    assert(ecl.getMessage.contains("clustering column"), ecl.getMessage)
+    // CLUSTER BY NONE frees the column (the feature stays declared —
+    // the guard probes the DOMAIN, not the protocol)
+    MiniDelta.setClusterBy(spark, tc, Seq.empty)
+    MiniDelta.invalidateSnapshot(tc)
+    MiniDelta.replaceColumns(spark, tc, Seq(
+      StructField("v", StringType), StructField("w", LongType)))
+    MiniDelta.invalidateSnapshot(tc)
+    assert(MiniDelta.latestSchema(spark, tc).get.fieldNames.toSeq ==
+      Seq("v", "w"))
+    // a NEW column may not smuggle generation/default obligations in
+    // (their writer features aren't negotiated by this verb)
+    val eg = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, tc, Seq(
+        StructField("v", StringType),
+        StructField("g", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.generationExpression", "1 + 1").build()))))
+    assert(eg.getMessage.contains("generated"), eg.getMessage)
+    val ed = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, tc, Seq(
+        StructField("v", StringType),
+        StructField("dd", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("CURRENT_DEFAULT", "7").build()))))
+    assert(ed.getMessage.contains("SET DEFAULT"), ed.getMessage)
+    // ...but a SURVIVOR's established default rides through (full
+    // metadata keep — the feature was declared when the default landed)
+    MiniDelta.setColumnDefault(spark, tc, "w", Some("5"))
+    MiniDelta.invalidateSnapshot(tc)
+    MiniDelta.replaceColumns(spark, tc, Seq(
+      StructField("w", LongType), StructField("v", StringType)))
+    MiniDelta.invalidateSnapshot(tc)
+    assert(MiniDelta.latestSchema(spark, tc).get("w").metadata
+      .getString("CURRENT_DEFAULT") == "5")
+
+    // lifecycle for the read-side pins: v1 insert under (k, note),
+    // v2 REPLACE drops note + adds tag, v3 insert under (k, tag)
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("note", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name",
+        "delta.enableChangeDataFeed" -> "true"))
+    MiniDelta.append(spark,
+      Seq((1L, "n1"), (2L, "n2")).toDF("k", "note"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.replaceColumns(spark, t, Seq(
+      StructField("k", LongType), StructField("tag", StringType)))
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq((3L, "t3")).toDF("k", "tag"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // time travel: the pre-replace version keeps ITS schema
+    assert(MiniDelta.latestSchema(spark, t, 1L).get.fieldNames.toSeq ==
+      Seq("k", "note"))
+    // a feed ACROSS the boundary refuses loudly, naming the loss —
+    // rendering under the post-drop schema would silently omit note
+    val ec = intercept[IllegalStateException](
+      MiniDelta.readCdf(spark, t, -1L).count())
+    assert(ec.getMessage.contains("DROPPED") &&
+      ec.getMessage.contains("note"), ec.getMessage)
+    // the append feed (the streaming source's path) refuses the same
+    val ea = intercept[IllegalStateException](
+      MiniDelta.readAppends(spark, t, 0L).count())
+    assert(ea.getMessage.contains("DROPPED"), ea.getMessage)
+    // per-era windows render fine on both sides of the boundary
+    val pre = MiniDelta.readCdf(spark, t, -1L, 1L)
+      .select("k", "note", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(pre == Set((1L, "n1", "insert"), (2L, "n2", "insert")),
+      pre.toString)
+    val post = MiniDelta.readCdf(spark, t, 2L)
+      .select("k", "tag", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(post == Seq((3L, "t3", "insert")), post.toString)
+    // SQL: FIRST/AFTER inside the restated list refuses — the list
+    // order is what binds, a silently dropped clause would mislead
+    GraftSqlTables.unregister("spec_rc19")
+    GraftSqlTables.register("spec_rc19", t, readOnly = false)
+    try {
+      val ef = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.spec_rc19 REPLACE COLUMNS " +
+          "(tag STRING FIRST, k BIGINT)"))
+      assert(ef.getMessage.contains("list order"), ef.getMessage)
+    } finally GraftSqlTables.clear()
+  }
 }
