@@ -60,8 +60,12 @@ object PlanAudit {
     "s36_identity",       // evolving identity-merge lifecycle readback
     "s40_mapped_cdf",     // evolving mapped-merge lifecycle readback:
                           // relabel stays a pure Project (r16/r17)
-    "s46_merge_clauses")  // general MERGE WITH SCHEMA EVOLUTION
+    "s46_merge_clauses",  // general MERGE WITH SCHEMA EVOLUTION
                           // lifecycle readback (r16/r17)
+    "sql_replace_columns") // REPLACE COLUMNS lifecycle readback: the
+                          // post-replace scan reads pre-replace bytes
+                          // through stable physicalNames — a pure
+                          // Project over the pruned scan (r19)
 
   /** Prose pin for the r16/r17 schema-evolution WRITE shapes — the
     * parts of the evolving-merge contract a readback explain cannot

@@ -344,6 +344,21 @@ object ScaleBench {
           Map("v" -> col("v"), "p" -> col("p"), "meta" -> col("meta")))),
         bySource = Nil, partitionBy = Seq("p"), statsCols = Seq("v"),
         evolveSchema = true))
+      // REPLACE COLUMNS (r19): one metadata commit re-declaring the
+      // top-level list — a drop (the scratch column added just before,
+      // untimed) plus an add (fresh physical name) plus the full
+      // survivor metadata carry. Cost is O(schema) by construction;
+      // the curve point must read flat across the 100× file span.
+      MiniDelta.addColumns(spark, table, Seq(
+        org.apache.spark.sql.types.StructField("rc_tmp",
+          org.apache.spark.sql.types.StringType)))
+      MiniDelta.invalidateSnapshot(table)
+      val rcBase = MiniDelta.latestSchema(spark, table).get.fields
+        .filterNot(_.name == "rc_tmp").toSeq
+      val tReplaceColumns = timed(MiniDelta.replaceColumns(spark, table,
+        rcBase :+ org.apache.spark.sql.types.StructField("rc_tag",
+          org.apache.spark.sql.types.StringType)))
+      MiniDelta.invalidateSnapshot(table)
       // generated-partitioned twin (r14 GeneratedPruning): n files over
       // n/10 day partitions of day = CAST(ts AS DATE), and a DELETE
       // bounded on ts ONLY — no stats on ts, so discovery scopes
@@ -401,6 +416,7 @@ object ScaleBench {
         s""""struct_evolve_mapped":${fmt(tStructEvolveMapped)},""" +
         s""""nested_evolve_mapped":${fmt(tNestedEvolveMapped)},""" +
         s""""merge_widen_mapped":${fmt(tMergeWidenMapped)},""" +
+        s""""replace_columns":${fmt(tReplaceColumns)},""" +
         s""""vacuum_list":${fmt(tVacList)},""" +
         s""""vacuum_list_distributed":$vacListDistributed,""" +
         s""""vacuum_lite":${fmt(tVacLite)},""" +

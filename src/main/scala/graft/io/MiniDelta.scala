@@ -3134,6 +3134,16 @@ object MiniDelta {
               s"column ${f.name}: declare the list, then ALTER " +
               "COLUMN ... SET DEFAULT (which declares the " +
               "allowColumnDefaults writer feature)")
+          // nor pre-stamped mapping metadata: a caller-supplied
+          // physicalName on a NEW column could only alias bytes some
+          // DROPPED column left behind — the no-resurrection contract
+          // says new columns get FRESH physical names, assigned here
+          require(!f.metadata.contains(PhysNameKey) &&
+              !f.metadata.contains(MapIdKey),
+            s"REPLACE COLUMNS: new column ${f.name} carries column-" +
+              "mapping metadata — physical names are assigned by the " +
+              "engine (a caller-chosen one could resurrect dropped " +
+              "bytes)")
           f.copy(nullable = true)
       }
     }
@@ -10662,11 +10672,21 @@ object MiniDelta {
       base.withColumn("_commit_version", lit(null).cast("long"))
     }
     if (tail.isEmpty) return empty
-    val changed = logDFIn(spark, tail)
-      .where(col("add").isNotNull && col("add.dataChange"))
+    // one collect serves both the incremental adds and the schema-loss
+    // screen (metaData rows pass the relaxed filter, dropped driver-side)
+    val acts = logDFIn(spark, tail)
+      .where((col("add").isNotNull && col("add.dataChange")) ||
+        col("metaData").isNotNull)
       .select(col("add.path").as("path"), col("version"),
-        coalesce(col("add.dv.path"), realDvMarker).as("dv_path"))
+        coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
+        col("metaData.schemaString").as("ms"))
       .collect()
+    // same refusal as readCdf/readAppends: a mid-window column DROP
+    // makes the end-schema render silently lossy
+    requireFeedSchemaCompatible(spark, table, fromVersion, toVersion,
+      acts.flatMap(r => Option(r.getString(3))).toSeq, declared,
+      "incremental feed")
+    val changed = acts.filter(r => !r.isNullAt(0))
     if (changed.isEmpty) return empty
     // a consumer resuming from before a VACUUM horizon would read files
     // that no longer exist — fail with the actual cause, not a deep

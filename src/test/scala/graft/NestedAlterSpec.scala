@@ -733,6 +733,15 @@ class NestedAlterSpec extends AnyFunSuite {
           new MetadataBuilder()
             .putString("CURRENT_DEFAULT", "7").build()))))
     assert(ed.getMessage.contains("SET DEFAULT"), ed.getMessage)
+    // ...nor pre-stamped mapping metadata (a caller-chosen physical
+    // name could alias dropped bytes — no-resurrection)
+    val ep = intercept[IllegalArgumentException](
+      MiniDelta.replaceColumns(spark, tc, Seq(
+        StructField("v", StringType),
+        StructField("ghost", LongType, nullable = true,
+          new MetadataBuilder().putString(
+            "delta.columnMapping.physicalName", "id").build()))))
+    assert(ep.getMessage.contains("resurrect"), ep.getMessage)
     // ...but a SURVIVOR's established default rides through (full
     // metadata keep — the feature was declared when the default landed)
     MiniDelta.setColumnDefault(spark, tc, "w", Some("5"))
@@ -772,6 +781,10 @@ class NestedAlterSpec extends AnyFunSuite {
     val ea = intercept[IllegalStateException](
       MiniDelta.readAppends(spark, t, 0L).count())
     assert(ea.getMessage.contains("DROPPED"), ea.getMessage)
+    // ...and so does the file-level incremental feed
+    val er = intercept[IllegalStateException](
+      MiniDelta.readChanges(spark, t, 0L).count())
+    assert(er.getMessage.contains("DROPPED"), er.getMessage)
     // per-era windows render fine on both sides of the boundary
     val pre = MiniDelta.readCdf(spark, t, -1L, 1L)
       .select("k", "note", "_change_type").collect()
