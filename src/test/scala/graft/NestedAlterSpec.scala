@@ -812,4 +812,56 @@ class NestedAlterSpec extends AnyFunSuite {
         ef.getMessage)
     } finally GraftSqlTables.clear()
   }
+
+  test("feed guard composes with RESTORE and CLONE (r19): a restore " +
+      "bringing the dropped column back HEALS the boundary (no era " +
+      "lost anything anymore); a clone of a replaced table carries " +
+      "the post-replace schema with survivor physical names") {
+    val t = freshTable()
+    MiniDelta.createTable(spark, t, StructType(Seq(
+      StructField("k", LongType), StructField("note", StringType))),
+      properties = Map("delta.columnMapping.mode" -> "name"))
+    MiniDelta.append(spark, Seq((1L, "n1")).toDF("k", "note"),
+      t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    val vPre = MiniDelta.latestVersion(spark, t)
+    MiniDelta.dropColumn(spark, t, "note")
+    MiniDelta.invalidateSnapshot(t)
+    MiniDelta.append(spark, Seq(Tuple1(2L)).toDF("k"), t, Seq.empty)
+    MiniDelta.invalidateSnapshot(t)
+    // while dropped: a cross-boundary feed refuses
+    val e = intercept[IllegalStateException](
+      MiniDelta.readChanges(spark, t, 0L).count())
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    MiniDelta.restore(spark, t, vPre)
+    MiniDelta.invalidateSnapshot(t)
+    // restored: the end schema carries note again under its ORIGINAL
+    // physical key (restore re-commits the old metaData), so no era
+    // lost anything — the SAME feed now renders; pre-drop rows serve
+    // their stored bytes, drop-era rows read null (they never had it)
+    val feed = MiniDelta.readChanges(spark, t, 0L)
+      .select(col("k"), col("note")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(feed == Set((1L, Some("n1")), (2L, None)), feed.toString)
+    // CLONE after a REPLACE: the clone's v0 metaData IS the replaced
+    // declaration — survivors keep physicalName so the (source) bytes
+    // keep reading through the clone
+    MiniDelta.replaceColumns(spark, t, Seq(
+      StructField("k", LongType), StructField("tag", StringType)))
+    MiniDelta.invalidateSnapshot(t)
+    val physK = MiniDelta.latestSchema(spark, t).get("k").metadata
+      .getString("delta.columnMapping.physicalName")
+    val dst = freshTable()
+    MiniDelta.cloneShallow(spark, t, dst)
+    MiniDelta.invalidateSnapshot(dst)
+    val cs = MiniDelta.latestSchema(spark, dst).get
+    assert(cs.fieldNames.toSeq == Seq("k", "tag"), cs.treeString)
+    assert(cs("k").metadata.getString(
+      "delta.columnMapping.physicalName") == physK)
+    assert(!cs.fieldNames.contains("note"))
+    val cloneRows = MiniDelta.readFiltered(spark, dst, Seq.empty)
+      .select(col("k"), col("tag")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(cloneRows == Set((1L, None)), cloneRows.toString)
+  }
 }
