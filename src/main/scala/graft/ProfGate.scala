@@ -35,13 +35,34 @@ object ProfGate {
       Int, (Long, String)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[
       (Int, Double, String, Long)]()
+    // executionId -> the graft call site of the SQL execution that owns
+    // it (async broadcast/AQE-stage jobs carry no graft frame in their
+    // own stage details, but they DO carry spark.sql.execution.id)
+    val execSite = new java.util.concurrent.ConcurrentHashMap[
+      Long, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.
+              SparkListenerSQLExecutionStart =>
+            val site = s.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("ProfGate"))
+              .map(_.trim).getOrElse(s.description.take(90))
+            execSite.put(s.executionId, site)
+            ()
+          case _ => ()
+        }
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         // first graft frame of the stage's call stack — the engine
         // call site that launched the job
         val det = js.stageInfos.headOption.map(_.details).getOrElse("")
         val site = det.linesIterator.find(l => l.contains("graft.") &&
             !l.contains("ProfGate")).map(_.trim)
+          .orElse(Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(id => Option(execSite.get(id.toLong)))
+            .map("@ " + _))
           .getOrElse(
             if (sys.env.contains("PROF_DETAILS"))
               "? " + det.linesIterator.take(6).mkString(" | ")

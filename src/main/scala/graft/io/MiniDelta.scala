@@ -6038,19 +6038,31 @@ object MiniDelta {
     * table. */
   def versionAtTimestamp(spark: SparkSession, table: String,
                          tsMs: Long): Long = {
-    val files = logJsonVersions(spark, table).map(_._2)
-    require(files.nonEmpty, s"$table has no commits")
+    val vps = logJsonVersions(spark, table)
+    require(vps.nonEmpty, s"$table has no commits")
     // inCommitTimestamp (when a real writer recorded one) is the
-    // commit's authoritative clock; the plain timestamp is the fallback
-    val ts = coalesce(col("commitInfo.inCommitTimestamp"),
-      col("commitInfo.timestamp"))
-    val rows = logDFIn(spark, files)
-      .where(col("commitInfo").isNotNull && ts.isNotNull && ts <= tsMs)
-      .agg(max(col("version"))).collect()
-    if (rows.isEmpty || rows(0).isNullAt(0))
-      throw new IllegalArgumentException(
-        s"no commit at or before timestamp $tsMs in $table")
-    rows(0).getLong(0)
+    // commit's authoritative clock; the plain timestamp is the fallback.
+    // Metadata-scale logs resolve on the driver (r19 opt — one parse,
+    // no Spark job); oversized logs keep the distributed scan.
+    val hit: Option[Long] = localActions(spark, table, vps) match {
+      case Some(acts) =>
+        val vs = acts.flatMap { case (v, node) =>
+          jnode(node, "commitInfo").flatMap(ci =>
+            jnode(ci, "inCommitTimestamp").orElse(jnode(ci, "timestamp"))
+              .map(_.asLong())).filter(_ <= tsMs).map(_ => v)
+        }
+        if (vs.isEmpty) None else Some(vs.max)
+      case None =>
+        val ts = coalesce(col("commitInfo.inCommitTimestamp"),
+          col("commitInfo.timestamp"))
+        val rows = logDFIn(spark, vps.map(_._2))
+          .where(col("commitInfo").isNotNull && ts.isNotNull && ts <= tsMs)
+          .agg(max(col("version"))).collect()
+        if (rows.isEmpty || rows(0).isNullAt(0)) None
+        else Some(rows(0).getLong(0))
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"no commit at or before timestamp $tsMs in $table"))
   }
 
   /** [[readFiltered]] pinned at the snapshot as of a wall-clock time. */
@@ -6067,14 +6079,22 @@ object MiniDelta {
     * the change feed). */
   def commitTimestamps(spark: SparkSession, table: String, fromV: Long,
                        toV: Long): Map[Long, Long] = {
-    val files = logJsonVersions(spark, table, fromV, toV).map(_._2)
-    if (files.isEmpty) return Map.empty
-    val ts = coalesce(col("commitInfo.inCommitTimestamp"),
-      col("commitInfo.timestamp"))
-    logDFIn(spark, files)
-      .where(col("commitInfo").isNotNull && ts.isNotNull)
-      .select(col("version"), ts).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vps = logJsonVersions(spark, table, fromV, toV)
+    if (vps.isEmpty) return Map.empty
+    localActions(spark, table, vps) match {
+      case Some(acts) => acts.flatMap { case (v, node) =>
+        jnode(node, "commitInfo").flatMap(ci =>
+          jnode(ci, "inCommitTimestamp").orElse(jnode(ci, "timestamp"))
+            .map(t => v -> t.asLong()))
+      }.toMap
+      case None =>
+        val ts = coalesce(col("commitInfo.inCommitTimestamp"),
+          col("commitInfo.timestamp"))
+        logDFIn(spark, vps.map(_._2))
+          .where(col("commitInfo").isNotNull && ts.isNotNull)
+          .select(col("version"), ts).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
   }
 
   /** Rewrite `touched` files as `rewrite(their contents)` and commit
@@ -6914,12 +6934,6 @@ object MiniDelta {
     // (every source row is whenNotMatched, i.e. a plain append)
     if (!tableExists(spark, table))
       return append(spark, source, table, partitionBy, readOnly, statsCols)
-    val dup = source.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
-    if (dup.collect().nonEmpty)
-      throw new IllegalArgumentException(
-        s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
-          "multiple source matches per target row are ambiguous")
     val readVersion = latestVersion(spark, table)
     val declared = latestSchema(spark, table)
     requireMappingWritable(declared, table, spark)
@@ -6988,11 +7002,11 @@ object MiniDelta {
         }
       }.toIndexedSeq: _*)
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    // the key-range file condition scopes discovery AND screens
-    // concurrent adds in the conflict resolver below (one srcKeys agg,
-    // both uses)
-    val fileKeyCond = keyRangeFileCond(srcKeys, keys, partitionBy,
-      declared)
+    // ONE source aggregation: the duplicate-source-key refusal (Delta's
+    // multiple-matches error) and the key-range file condition that
+    // scopes discovery AND screens concurrent adds in the conflict
+    // resolver below (r19 opt: was two separate collect jobs)
+    val fileKeyCond = mergeKeyScreen(source, keys, partitionBy, declared)
     val snapDF = fileKeyCond.fold(
       snapshotFilesAt(spark, table, readVersion))(
       snapshotFilesAt(spark, table, readVersion).where(_))
@@ -7095,22 +7109,72 @@ object MiniDelta {
       partitionBy: Seq[String],
       declared: Option[org.apache.spark.sql.types.StructType])
       : Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.types._
-    val prunableKeys = keys.filter { k =>
-      srcKeys.schema(k).dataType match {
-        case _: NumericType | StringType | DateType | TimestampType |
-             BooleanType | TimestampNTZType => true
-        case _ => false
-      }
-    }
+    val prunableKeys = prunableKeysOf(srcKeys.schema, keys)
     if (prunableKeys.isEmpty) None
     else {
       val aggs = prunableKeys.flatMap(k =>
         Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
       val b = srcKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+      Some(keyRangeCondFromBounds(srcKeys.schema, prunableKeys, b, 0,
+        partitionBy, declared))
+    }
+  }
+
+  /** Key columns whose type supports min/max range pruning. */
+  private def prunableKeysOf(
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    keys.filter { k =>
+      schema(k).dataType match {
+        case _: NumericType | StringType | DateType | TimestampType |
+             BooleanType | TimestampNTZType => true
+        case _ => false
+      }
+    }
+  }
+
+  /** ONE aggregation job over the merge source that both rejects
+    * duplicate source keys (Delta's multiple-matches error — ambiguous
+    * upserts) and computes the per-key [min, max] bounds feeding the
+    * file-level may-match condition. The former shape was two separate
+    * collect jobs per keyed merge (a groupBy-limit dup probe, then a
+    * range agg over the distinct keys) — min/max over the grouped keys
+    * equal min/max over the raw source, so both answers come out of one
+    * pass (guide §1.2/§2: don't launch two jobs where one suffices).
+    * Returns the same condition [[keyRangeFileCond]] would. */
+  private def mergeKeyScreen(source: DataFrame, keys: Seq[String],
+      partitionBy: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.Column] = {
+    val prunableKeys = prunableKeysOf(source.schema, keys)
+    val grouped = source.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val aggs = max(col("__n")).as("__dup") +: prunableKeys.flatMap(k =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+    val b = grouped.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (!b.isNullAt(0) && b.getLong(0) > 1)
+      throw new IllegalArgumentException(
+        s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
+          "multiple source matches per target row are ambiguous")
+    if (prunableKeys.isEmpty) None
+    else Some(keyRangeCondFromBounds(source.schema, prunableKeys, b, 1,
+      partitionBy, declared))
+  }
+
+  /** The file-level condition built from already-collected per-key
+    * bounds (`b` holds lo/hi pairs starting at column `off`) — shared
+    * by [[keyRangeFileCond]] and [[mergeKeyScreen]]. */
+  private def keyRangeCondFromBounds(
+      srcSchema: org.apache.spark.sql.types.StructType,
+      prunableKeys: Seq[String], b: org.apache.spark.sql.Row, off: Int,
+      partitionBy: Seq[String],
+      declared: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.Column = {
+    {
       val cond = prunableKeys.zipWithIndex.map { case (k, i) =>
-        coalesce(fileRangeCond(k, partitionBy, srcKeys.schema(k).dataType,
-          b.get(2 * i), b.get(2 * i + 1)), lit(false))
+        coalesce(fileRangeCond(k, partitionBy, srcSchema(k).dataType,
+          b.get(off + 2 * i), b.get(off + 2 * i + 1)), lit(false))
       }.reduce(_ && _)
       // generated-column derivation ([[graft.plans.GeneratedPruning]]):
       // when a key column is the BASE of a generated PARTITION column
@@ -7131,20 +7195,20 @@ object MiniDelta {
       val derived = prunableKeys.zipWithIndex.flatMap { case (k, i) =>
         genDerivs.filter(_.baseCol.equalsIgnoreCase(k)).flatMap { d =>
           import org.apache.spark.sql.catalyst.expressions.Literal
-          val dt = srcKeys.schema(k).dataType
+          val dt = srcSchema(k).dataType
           val p = pvColOf(physicalColOf(declared, d.genCol))
             .cast(d.genType)
           def bnd(v: Any): Option[org.apache.spark.sql.Column] =
             Option(v).flatMap(x => d.bound(Literal.create(x, dt)))
               .map(org.apache.spark.sql.graft.ColumnBridge.column)
-          val (lo, hi) = (b.get(2 * i), b.get(2 * i + 1))
+          val (lo, hi) = (b.get(off + 2 * i), b.get(off + 2 * i + 1))
           if (d.monotonic)
             for (l <- bnd(lo); h <- bnd(hi)) yield p >= l && p <= h
           else if (lo != null && lo == hi) bnd(lo).map(p === _)
           else None
         }
       }
-      Some(derived.foldLeft(cond)(_ && _))
+      derived.foldLeft(cond)(_ && _)
     }
   }
 
@@ -7552,18 +7616,6 @@ object MiniDelta {
             "EVOLUTION appends it")
       }
     }
-    // a target row updated/deleted by TWO source rows is ambiguous
-    // (Delta's runtime multiple-matches error; the keyed ON makes the
-    // static check exact) — insert/by-source-only clause sets are
-    // immune (duplicates cannot make a delete or an insert ambiguous)
-    if (matched.nonEmpty) {
-      val dup = source.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
-      if (dup.collect().nonEmpty)
-        throw new IllegalArgumentException(
-          s"merge source has duplicate keys on (${keys.mkString(", ")}): " +
-            "multiple source matches per target row are ambiguous")
-    }
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // combined namespace: the source side rides prefixed. Without
     // matched clauses only MATCHEDNESS is consulted — join the distinct
@@ -7779,9 +7831,23 @@ object MiniDelta {
     // unmatched row (mergeDelete's sync rule); otherwise the source
     // key ranges scope discovery AND screen concurrent adds in the
     // conflict resolver (the keyed-merge rule)
-    val fileKeyCond =
-      if (bySource.nonEmpty) None
-      else keyRangeFileCond(srcKeys, keys, partitionBy, declared)
+    // a target row updated/deleted by TWO source rows is ambiguous
+    // (Delta's runtime multiple-matches error; the keyed ON makes the
+    // static check exact) — insert/by-source-only clause sets are
+    // immune (duplicates cannot make a delete or an insert ambiguous).
+    // The dup refusal and the range bounds come out of ONE source
+    // aggregation ([[mergeKeyScreen]], r19 opt — was two jobs); with a
+    // by-source clause the condition is discarded (complement-shaped
+    // discovery) but the dup screen still applies.
+    val fileKeyCond = (matched.nonEmpty, bySource.isEmpty) match {
+      case (true, true) =>
+        mergeKeyScreen(source, keys, partitionBy, declared)
+      case (true, false) =>
+        mergeKeyScreen(source, keys, partitionBy, declared); None
+      case (false, true) =>
+        keyRangeFileCond(srcKeys, keys, partitionBy, declared)
+      case (false, false) => None
+    }
     val snapDF = fileKeyCond.fold(snapAll)(snapAll.where(_))
     val declCols = outSchema.fieldNames.toIndexedSeq
     if (cfg.get("delta.enableDeletionVectors").contains("true")) {
@@ -8136,14 +8202,35 @@ object MiniDelta {
             col("remove.deletionTimestamp").cast("long").as("ts")))
         else None
       }
-    val jsonRemoves = logDF(spark, table)
-      .select(col("remove.path").as("path"),
-        col("remove.deletionTimestamp").cast("long").as("ts"))
-    val tombstones: Map[String, Long] = cpRemoves.fold(jsonRemoves)(
-        jsonRemoves.unionByName(_))
-      .where(col("path").isNotNull && col("ts").isNotNull)
-      .groupBy("path").agg(max("ts").as("ts"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE driver parse of the (metadata-scale) JSON log serves all
+    // three vacuum passes below — tombstones, DV-sidecar de-refs, and
+    // real-DV bin de-refs were three separate distributed scans over
+    // the same files (r19 opt). Logs past the size threshold keep the
+    // distributed shape; checkpoint remove rows stay a (single) parquet
+    // collect either way.
+    val localActs = localActions(spark, table, logJsonVersions(spark, table))
+    val jsonRemovePairs: Seq[(String, Long)] = localActs match {
+      case Some(acts) => acts.flatMap { case (_, node) =>
+        jnode(node, "remove").flatMap { rem =>
+          for {
+            p <- jnode(rem, "path").map(_.asText())
+            t <- jnode(rem, "deletionTimestamp").map(_.asLong())
+          } yield (p, t)
+        }
+      }
+      case None => logDF(spark, table)
+        .select(col("remove.path").as("path"),
+          col("remove.deletionTimestamp").cast("long").as("ts"))
+        .where(col("path").isNotNull && col("ts").isNotNull)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val cpRemovePairs: Seq[(String, Long)] = cpRemoves.fold(
+        Seq.empty[(String, Long)])(
+      _.where(col("path").isNotNull && col("ts").isNotNull)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val tombstones: Map[String, Long] =
+      (jsonRemovePairs ++ cpRemovePairs).groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
     val cutoff = nowMs() - retainMs
     val f = fs(spark, table)
     // LITE aging uses the tombstone timestamp ONLY (there is no mtime
@@ -8186,12 +8273,23 @@ object MiniDelta {
     // retention window (a mask created on day 0 and materialized on
     // day 10 must survive until day 10 + horizon). Fallback: mtime,
     // for sidecars whose referencing adds never got a tombstone.
-    val dvDeref: Map[String, Long] = logDF(spark, table)
-      .where(col("add").isNotNull && col("add.dv.path").isNotNull)
-      .select(col("add.dv.path").as("d"), col("add.path").as("p"))
-      .collect()
-      .groupBy(_.getString(0))
-      .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
+    val dvAddPairs: Seq[(String, String)] = localActs match {
+      case Some(acts) => acts.flatMap { case (_, node) =>
+        jnode(node, "add").flatMap { add =>
+          for {
+            d <- jnode(add, "dv").flatMap(jnode(_, "path")).map(_.asText())
+            p <- jnode(add, "path").map(_.asText())
+          } yield (d, p)
+        }
+      }
+      case None => logDF(spark, table)
+        .where(col("add").isNotNull && col("add.dv.path").isNotNull)
+        .select(col("add.dv.path").as("d"), col("add.path").as("p"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+    val dvDeref: Map[String, Long] = dvAddPairs
+      .groupBy(_._1)
+      .view.mapValues(_.flatMap(r => tombstones.get(r._2)))
       .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
     val dvRoot = new Path(s"${logDir(table)}/_dv")
     // LITE sidecars: log-derived like the data candidates — a sidecar
@@ -8227,15 +8325,29 @@ object MiniDelta {
       case r if !r.isNullAt(1) &&
         r.getString(1).startsWith(RealDvPrefix) => binOf(r.getString(1))
     }.flatten.toSet
-    val binDeref: Map[String, Long] = logDF(spark, table)
-      .where(col("add").isNotNull &&
-        col("add.deletionVector.storageType") === "u")
-      .select(col("add.deletionVector.pathOrInlineDv").as("d"),
-        col("add.path").as("p"))
-      .collect()
-      .groupBy(r => RoaringDv.dvFileOf(table, "u", r.getString(0))
+    val binAddPairs: Seq[(String, String)] = localActs match {
+      case Some(acts) => acts.flatMap { case (_, node) =>
+        jnode(node, "add").flatMap { add =>
+          val rdv = jnode(add, "deletionVector")
+          if (!rdv.exists(r => jnode(r, "storageType")
+              .exists(_.asText() == "u"))) None
+          else for {
+            d <- rdv.flatMap(jnode(_, "pathOrInlineDv")).map(_.asText())
+            p <- jnode(add, "path").map(_.asText())
+          } yield (d, p)
+        }
+      }
+      case None => logDF(spark, table)
+        .where(col("add").isNotNull &&
+          col("add.deletionVector.storageType") === "u")
+        .select(col("add.deletionVector.pathOrInlineDv").as("d"),
+          col("add.path").as("p"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+    val binDeref: Map[String, Long] = binAddPairs
+      .groupBy(r => RoaringDv.dvFileOf(table, "u", r._1)
         .stripPrefix(s"$table/"))
-      .view.mapValues(_.flatMap(r => tombstones.get(r.getString(1))))
+      .view.mapValues(_.flatMap(r => tombstones.get(r._2)))
       .collect { case (d, ts) if ts.nonEmpty => d -> ts.max }.toMap
     // LITE bins: log-derived (the root listing is O(first-level
     // entries), which for an unpartitioned table IS O(table files))
@@ -8765,28 +8877,53 @@ object MiniDelta {
   def history(spark: SparkSession, table: String): DataFrame = {
     // logDFIn, not logDF: history needs the version column (derived
     // from each commit's file name)
-    val files = logJsonVersions(spark, table).map(_._2)
-    if (files.isEmpty)
+    val historySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("operation",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_added",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_removed",
+        org.apache.spark.sql.types.LongType)))
+    val vps = logJsonVersions(spark, table)
+    if (vps.isEmpty)
       return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("version",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("operation",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_added",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("n_removed",
-            org.apache.spark.sql.types.LongType))))
-    val log = logDFIn(spark, files)
-    val ops = log.where(col("commitInfo").isNotNull)
-      .select(col("version"), col("commitInfo.operation").as("operation"))
-    val counts = log.groupBy("version").agg(
-      sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("n_added"),
-      sum(when(col("remove").isNotNull, 1L).otherwise(0L)).as("n_removed"))
-    ops.join(counts, "version")
-      .select("version", "operation", "n_added", "n_removed")
-      .orderBy(col("version").desc)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), historySchema)
+    // metadata-scale logs fold on the driver (r19 opt — the distributed
+    // shape was a scan + aggregation + join + sort, ~4 jobs per call)
+    localActions(spark, table, vps) match {
+      case Some(acts) =>
+        val byV = acts.groupBy(_._1)
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          byV.toSeq.sortBy(-_._1).flatMap { case (v, nodes) =>
+            val op = nodes.flatMap(n => jnode(n._2, "commitInfo")
+              .flatMap(jnode(_, "operation")).map(_.asText())).headOption
+            // the distributed shape inner-joins ops with counts: a
+            // commit without a commitInfo operation yields no row
+            op.map { o =>
+              org.apache.spark.sql.Row(java.lang.Long.valueOf(v), o,
+                java.lang.Long.valueOf(
+                  nodes.count(n => jnode(n._2, "add").isDefined).toLong),
+                java.lang.Long.valueOf(
+                  nodes.count(n => jnode(n._2, "remove").isDefined).toLong))
+            }
+          }.asJava
+        spark.createDataFrame(rows, historySchema)
+      case None =>
+        val log = logDFIn(spark, vps.map(_._2))
+        val ops = log.where(col("commitInfo").isNotNull)
+          .select(col("version"),
+            col("commitInfo.operation").as("operation"))
+        val counts = log.groupBy("version").agg(
+          sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("remove").isNotNull, 1L).otherwise(0L))
+            .as("n_removed"))
+        ops.join(counts, "version")
+          .select("version", "operation", "n_added", "n_removed")
+          .orderBy(col("version").desc)
+    }
   }
 
   /** DESCRIBE DETAIL (Delta's table-introspection verb): one row
@@ -9271,6 +9408,290 @@ object MiniDelta {
     * re-checkpointing a version that already has a checkpoint folds from
     * the PREVIOUS one instead of reading the very path it is about to
     * overwrite (Spark rejects overwrite-while-reading). */
+  /** The snapshot manifest's column shape — [[replaySnapshot]]'s output
+    * contract, shared by the distributed replay's final select and the
+    * driver-side [[localReplay]]. */
+  private val manifestSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("stats", StringType),
+      StructField("dv_path", StringType),
+      StructField("dv_card", LongType),
+      StructField("base_row_id", LongType),
+      StructField("default_row_commit", LongType)))
+  }
+
+  /** Size cap for the driver-side replay fast path: a JSON tail whose
+    * total bytes exceed this stays on the distributed replay. The
+    * default (8 MiB ≈ tens of thousands of actions) bounds driver heap
+    * and parse time; production tables with large manifests checkpoint
+    * anyway, which routes them to the distributed path regardless. */
+  private def localReplayMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.snapshot.localReplayMaxBytes")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(8L * 1024 * 1024)
+
+  /** Driver-parsed `(version, action JsonNode)` pairs of the given
+    * commit files, when their total bytes fit under
+    * [[localReplayMaxBytes]] — ONE read+parse serving every
+    * metadata-scale consumer that would otherwise run its own
+    * distributed JSON scan over the same files (vacuum's three log
+    * passes, commit timestamps). None when the log is too big for the
+    * driver; callers fall back to the distributed query. */
+  private def localActions(spark: SparkSession, table: String,
+      files: Seq[(Long, String)])
+      : Option[Seq[(Long, com.fasterxml.jackson.databind.JsonNode)]] = {
+    val f = fs(spark, table)
+    val sized = files.map { case (v, p) =>
+      (v, p, f.getFileStatus(new Path(p)).getLen)
+    }
+    if (sized.map(_._3).sum > localReplayMaxBytes(spark)) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Some(sized.flatMap { case (v, p, len) =>
+      val bytes = new Array[Byte](len.toInt)
+      val in = f.open(new Path(p))
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty)
+        .flatMap { line =>
+          try Some(v -> om.readTree(line))
+          catch { case _: Exception => None }
+        }.toSeq
+    })
+  }
+
+  /** Null-safe child access on a parsed action node. */
+  private def jnode(n: com.fasterxml.jackson.databind.JsonNode,
+      k: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    Option(n.get(k)).filterNot(_.isNull)
+
+  /** The "rdv" marker [[realDvMarker]] renders, computed from a parsed
+    * add node (same concat_ws skip-null semantics, offset coalesced to
+    * -1). Null when the add carries no real DV descriptor. */
+  private def rdvMarkerOfNode(
+      add: com.fasterxml.jackson.databind.JsonNode): String =
+    jnode(add, "deletionVector") match {
+      case Some(rdv) if jnode(rdv, "storageType").isDefined =>
+        (Seq(Some("rdv"), jnode(rdv, "storageType").map(_.asText()),
+          jnode(rdv, "pathOrInlineDv").map(_.asText()),
+          Some(jnode(rdv, "offset").map(_.asLong()).getOrElse(-1L)
+            .toString),
+          jnode(rdv, "sizeInBytes").map(_.asLong().toString)).flatten)
+          .mkString("\u0000")
+      case _ => null
+    }
+
+  /** `coalesce(add.dv.path, realDvMarker)` on a parsed add node. */
+  private def advOfNode(
+      add: com.fasterxml.jackson.databind.JsonNode): String =
+    jnode(add, "dv").flatMap(jnode(_, "path")).map(_.asText())
+      .getOrElse(rdvMarkerOfNode(add))
+
+  /** Parsed partitionValues object → scala map (JSON null values stay
+    * null, like the distributed MapType read). Null when absent. */
+  private def pvOfNode(n: com.fasterxml.jackson.databind.JsonNode,
+      k: String): scala.collection.Map[String, String] =
+    jnode(n, k).map { o =>
+      import scala.jdk.CollectionConverters._
+      o.properties().asScala.map(e => e.getKey ->
+        (if (e.getValue.isNull) null: String else e.getValue.asText()))
+        .toMap
+    }.orNull
+
+  /** The checkpoint at `v` normalized to the manifest shape (+ a
+    * `version` column pinned at `v`) — the folded snapshot base the
+    * replay layers its JSON tail onto. Handles the action-shape REAL
+    * Delta checkpoint (single file or multi-part) and this engine's
+    * own manifest shape. */
+  private def checkpointBaseDF(spark: SparkSession, table: String,
+                               v: Long): DataFrame = {
+    // action-shape (single file OR multi-part union); legacy directory
+    // manifests fall through to the parquet-dir read below
+    val raw = checkpointActionDF(spark, table, v)
+      .getOrElse(spark.read.parquet(checkpointPath(table, v)))
+    if (raw.columns.contains("add")) {
+      // REAL Delta checkpoint: one row per action, live adds ride as
+      // a nullable struct column. A real-DV descriptor becomes the
+      // same "rdv" marker the JSON tail produces.
+      val addT = raw.schema("add").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val stats =
+        if (addT.fieldNames.contains("stats")) col("add.stats")
+        else lit(null).cast("string")
+      // a real descriptor rides as a marker; this engine's own
+      // checkpoints may ALSO carry legacy parquet-sidecar refs in the
+      // custom dv field — coalesce both forms
+      val hasReal = addT.fieldNames.contains("deletionVector")
+      val hasCustom = addT.fieldNames.contains("dv")
+      val (dvPath, dvCard) = (hasReal, hasCustom) match {
+        case (true, true) =>
+          (coalesce(col("add.dv.path"), realDvMarker),
+            coalesce(col("add.dv.cardinality"),
+              col("add.deletionVector.cardinality")))
+        case (true, false) =>
+          (realDvMarker, col("add.deletionVector.cardinality"))
+        case (false, true) =>
+          (col("add.dv.path"), col("add.dv.cardinality"))
+        case _ => (lit(null).cast("string"), lit(null).cast("long"))
+      }
+      val mt =
+        if (addT.fieldNames.contains("modificationTime"))
+          col("add.modificationTime").cast("long")
+        else lit(null).cast("long")
+      // rowTracking ids ride the snapshot so re-adds (DV swaps,
+      // RESTORE) and checkpoint folding PRESERVE them
+      val (brid, dcv) =
+        if (addT.fieldNames.contains("baseRowId"))
+          (col("add.baseRowId").cast("long"),
+            col("add.defaultRowCommitVersion").cast("long"))
+        else (lit(null).cast("long"), lit(null).cast("long"))
+      raw.where(col("add").isNotNull).select(
+        col("add.path").as("path"),
+        col("add.partitionValues").as("partitionValues"),
+        col("add.size").cast("long").as("size"),
+        mt.as("modificationTime"),
+        stats.as("stats"),
+        dvPath.as("dv_path"),
+        dvCard.cast("long").as("dv_card"),
+        brid.as("base_row_id"),
+        dcv.as("default_row_commit"),
+        lit(v).as("version"))
+    } else {
+      // this engine's own manifest shape; pre-DV checkpoints lack the
+      // dv columns: null-fill them
+      val withDv =
+        if (raw.columns.contains("dv_path")) raw
+        else raw.withColumn("dv_path", lit(null).cast("string"))
+          .withColumn("dv_card", lit(null).cast("long"))
+      withDv.select(col("path"), col("partitionValues"), col("size"),
+        lit(null).cast("long").as("modificationTime"),
+        col("stats"), col("dv_path"), col("dv_card"),
+        lit(null).cast("long").as("base_row_id"),
+        lit(null).cast("long").as("default_row_commit"),
+        lit(v).as("version"))
+    }
+  }
+
+  // (table, checkpoint version) -> the checkpoint's manifest rows,
+  // collected ONCE (checkpoint files are immutable once named — the
+  // cpGates memo discipline). None = over the row cap; the distributed
+  // replay stays in charge for that checkpoint.
+  private val cpRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Option[Seq[org.apache.spark.sql.Row]]]()
+
+  /** Row cap for memoizing a checkpoint base on the driver. 100k
+    * manifest rows ≈ tens of MB of driver heap; production-scale
+    * manifests (10^6+ files) stay on executors. */
+  private def localReplayMaxCpRows(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.snapshot.localReplayMaxCpRows")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(100000)
+
+  /** The checkpoint base as driver rows (manifest shape + version),
+    * memoized per immutable (table, version); None when the checkpoint
+    * is too big for the driver fold. */
+  private def cpBaseRows(spark: SparkSession, table: String,
+      v: Long): Option[Seq[org.apache.spark.sql.Row]] =
+    cpRowsMemo.computeIfAbsent((table, v), { _ =>
+      val cap = localReplayMaxCpRows(spark)
+      val rows = checkpointBaseDF(spark, table, v).limit(cap + 1).collect()
+      if (rows.length > cap) None else Some(rows.toIndexedSeq)
+    })
+
+  /** Driver-side fold of a JSON tail (over an optional checkpoint-base
+    * row set) into the manifest rows the distributed replay computes:
+    * latest add per path wins,
+    * minus paths whose newest remove is strictly newer than their
+    * newest add (a same-version remove+re-add keeps the add — Delta's
+    * in-commit reconciliation rule, the `rm_v <= add_v` predicate
+    * below). Returns None when the tail is over the size threshold —
+    * the caller falls through to the distributed replay. Commit files
+    * are read once each and parsed with Jackson (the requireReadable
+    * discipline); the result is a LocalRelation, so downstream manifest
+    * filters/collects are driver-local instead of multi-job queries. */
+  private def localReplay(spark: SparkSession, table: String,
+                          tail: Seq[(Long, String)],
+                          base: Seq[org.apache.spark.sql.Row] = Seq.empty)
+      : Option[DataFrame] = {
+    val f = fs(spark, table)
+    val sized = tail.map { case (v, p) =>
+      (v, p, f.getFileStatus(new Path(p)).getLen)
+    }
+    if (sized.map(_._3).sum > localReplayMaxBytes(spark)) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def strOf(n: com.fasterxml.jackson.databind.JsonNode,
+              k: String): String = {
+      val c = n.get(k)
+      if (c == null || c.isNull) null else c.asText()
+    }
+    def longOf(n: com.fasterxml.jackson.databind.JsonNode,
+               k: String): java.lang.Long = {
+      val c = n.get(k)
+      if (c == null || c.isNull) null else java.lang.Long.valueOf(c.asLong())
+    }
+    // path -> (newest add version, its manifest row); the checkpoint
+    // base seeds the fold as adds at the checkpoint's version (its
+    // rows carry `version` in the trailing column)
+    val adds = new java.util.LinkedHashMap[
+      String, (Long, org.apache.spark.sql.Row)]()
+    val removes = new java.util.HashMap[String, java.lang.Long]()
+    base.foreach { r =>
+      adds.put(r.getString(0), (r.getLong(9),
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.take(9))))
+    }
+    sized.foreach { case (v, p, len) =>
+      val bytes = new Array[Byte](len.toInt)
+      val in = f.open(new Path(p))
+      try in.readFully(bytes) finally in.close()
+      new String(bytes, "UTF-8").linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          val node =
+            try om.readTree(line) catch { case _: Exception => null }
+          if (node != null) {
+            val add = node.get("add")
+            if (add != null && !add.isNull) {
+              val path = strOf(add, "path")
+              val pv = pvOfNode(add, "partitionValues")
+              val dv = add.get("dv")
+              // a REAL descriptor rides as the same "rdv" marker the
+              // distributed replay renders ([[rdvMarkerOfNode]])
+              val dvPath = advOfNode(add)
+              val dvCard: java.lang.Long =
+                if (dv != null && !dv.isNull &&
+                    longOf(dv, "cardinality") != null)
+                  longOf(dv, "cardinality")
+                else jnode(add, "deletionVector")
+                  .map(r => longOf(r, "cardinality")).orNull
+              val row = org.apache.spark.sql.Row(path, pv,
+                longOf(add, "size"), longOf(add, "modificationTime"),
+                strOf(add, "stats"), dvPath, dvCard,
+                longOf(add, "baseRowId"),
+                longOf(add, "defaultRowCommitVersion"))
+              val prev = adds.get(path)
+              if (prev == null || prev._1 <= v) adds.put(path, (v, row))
+            }
+            val rem = node.get("remove")
+            if (rem != null && !rem.isNull) {
+              val path = strOf(rem, "path")
+              val old = removes.get(path)
+              if (old == null || old.longValue() < v)
+                removes.put(path, java.lang.Long.valueOf(v))
+            }
+          }
+        }
+    }
+    import scala.jdk.CollectionConverters._
+    val live = adds.asScala.values.collect {
+      case (addV, row)
+        if Option(removes.get(row.getString(0)))
+          .forall(_.longValue() <= addV) => row
+    }.toSeq
+    Some(spark.createDataFrame(live.asJava, manifestSchema))
+  }
+
   private def replaySnapshot(spark: SparkSession, table: String,
                              version: Long, cpAtMost: Long): DataFrame = {
     requireReadable(spark, table, version)
@@ -9286,8 +9707,26 @@ object MiniDelta {
     // read ONLY the tail commits: replay after a checkpoint touches
     // O(since-last-checkpoint) log files, not every JSON in a
     // long-lived table's history
-    val tailFiles = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
-      version).map(_._2)
+    val tailVP = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
+      version)
+    // metadata-scale fast path (r19 opt): a tail under the size
+    // threshold folds on the DRIVER into a LocalRelation — the
+    // distributed replay below is two aggregations + two joins whose
+    // every materialization costs ~4 Spark jobs of scheduler overhead
+    // on a few KB of JSON. A checkpoint base joins the fold through
+    // [[cpBaseRows]] (one memoized collect per immutable checkpoint —
+    // the cpGates discipline). Past the thresholds the distributed
+    // replay keeps the 10^7-file manifest on executors where it
+    // belongs.
+    val localBase: Option[Seq[org.apache.spark.sql.Row]] =
+      cp.fold(Option(Seq.empty[org.apache.spark.sql.Row]))(
+        cpBaseRows(spark, table, _))
+    if (localBase.isDefined)
+      localReplay(spark, table, tailVP, localBase.get) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    val tailFiles = tailVP.map(_._2)
     val log =
       if (tailFiles.nonEmpty) logDFIn(spark, tailFiles)
       else spark.createDataFrame(
@@ -9295,73 +9734,7 @@ object MiniDelta {
         logSchema.add("version", org.apache.spark.sql.types.LongType))
     // the checkpoint IS the folded snapshot at cp: treat its manifest
     // rows as adds at version cp, then replay only the tail on top
-    val base = cp.map { v =>
-      // action-shape (single file OR multi-part union); legacy directory
-      // manifests fall through to the parquet-dir read below
-      val raw = checkpointActionDF(spark, table, v)
-        .getOrElse(spark.read.parquet(checkpointPath(table, v)))
-      if (raw.columns.contains("add")) {
-        // REAL Delta checkpoint: one row per action, live adds ride as
-        // a nullable struct column. A real-DV descriptor becomes the
-        // same "rdv" marker the JSON tail produces.
-        val addT = raw.schema("add").dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val stats =
-          if (addT.fieldNames.contains("stats")) col("add.stats")
-          else lit(null).cast("string")
-        // a real descriptor rides as a marker; this engine's own
-        // checkpoints may ALSO carry legacy parquet-sidecar refs in the
-        // custom dv field — coalesce both forms
-        val hasReal = addT.fieldNames.contains("deletionVector")
-        val hasCustom = addT.fieldNames.contains("dv")
-        val (dvPath, dvCard) = (hasReal, hasCustom) match {
-          case (true, true) =>
-            (coalesce(col("add.dv.path"), realDvMarker),
-              coalesce(col("add.dv.cardinality"),
-                col("add.deletionVector.cardinality")))
-          case (true, false) =>
-            (realDvMarker, col("add.deletionVector.cardinality"))
-          case (false, true) =>
-            (col("add.dv.path"), col("add.dv.cardinality"))
-          case _ => (lit(null).cast("string"), lit(null).cast("long"))
-        }
-        val mt =
-          if (addT.fieldNames.contains("modificationTime"))
-            col("add.modificationTime").cast("long")
-          else lit(null).cast("long")
-        // rowTracking ids ride the snapshot so re-adds (DV swaps,
-        // RESTORE) and checkpoint folding PRESERVE them
-        val (brid, dcv) =
-          if (addT.fieldNames.contains("baseRowId"))
-            (col("add.baseRowId").cast("long"),
-              col("add.defaultRowCommitVersion").cast("long"))
-          else (lit(null).cast("long"), lit(null).cast("long"))
-        raw.where(col("add").isNotNull).select(
-          col("add.path").as("path"),
-          col("add.partitionValues").as("partitionValues"),
-          col("add.size").cast("long").as("size"),
-          mt.as("modificationTime"),
-          stats.as("stats"),
-          dvPath.as("dv_path"),
-          dvCard.cast("long").as("dv_card"),
-          brid.as("base_row_id"),
-          dcv.as("default_row_commit"),
-          lit(v).as("version"))
-      } else {
-        // this engine's own manifest shape; pre-DV checkpoints lack the
-        // dv columns: null-fill them
-        val withDv =
-          if (raw.columns.contains("dv_path")) raw
-          else raw.withColumn("dv_path", lit(null).cast("string"))
-            .withColumn("dv_card", lit(null).cast("long"))
-        withDv.select(col("path"), col("partitionValues"), col("size"),
-          lit(null).cast("long").as("modificationTime"),
-          col("stats"), col("dv_path"), col("dv_card"),
-          lit(null).cast("long").as("base_row_id"),
-          lit(null).cast("long").as("default_row_commit"),
-          lit(v).as("version"))
-      }
-    }
+    val base = cp.map(checkpointBaseDF(spark, table, _))
     val jsonAdds = log.where(col("add").isNotNull)
       .select(col("add.path").as("path"),
         col("add.partitionValues").as("partitionValues"),
@@ -9442,6 +9815,7 @@ object MiniDelta {
     readableThrough.remove(table)
     writerProto.remove(table)
     cpGates.keySet.removeIf(_._1 == table)
+    cpRowsMemo.keySet.removeIf(_._1 == table)
     cpMetaCache.keySet.removeIf(_._1 == table)
     cpCompleteMemo.keySet.removeIf(_._1 == table)
     tableConfigMemo.keySet.removeIf(_._1 == table)
@@ -10206,14 +10580,27 @@ object MiniDelta {
       // empty batch would crash typical aggregate-and-index handlers.
       // The CDF feed also wakes on dataChange REMOVES (pure deletes);
       // the file-level feed only on adds.
-      val delivers = col("add").isNotNull && col("add.dataChange") ||
-        (if (deliverRemoves)
-          col("remove").isNotNull && col("remove.dataChange")
-         else lit(false))
-      val hasChanges = logJsonVersions(spark, table, v, v).map(_._2) match {
+      val hasChanges = logJsonVersions(spark, table, v, v) match {
         case Seq() => false
-        case files => logDFIn(spark, files)
-          .where(delivers).limit(1).collect().nonEmpty
+        case vps =>
+          def dc(n: com.fasterxml.jackson.databind.JsonNode,
+                 k: String): Boolean =
+            jnode(n, k).exists(a =>
+              jnode(a, "dataChange").exists(_.asBoolean()))
+          // one driver parse per polled commit (r19 opt — was a Spark
+          // job per version); oversized commits fall back
+          localActions(spark, table, vps) match {
+            case Some(acts) => acts.exists { case (_, n) =>
+              dc(n, "add") || (deliverRemoves && dc(n, "remove")) }
+            case None =>
+              val delivers =
+                col("add").isNotNull && col("add.dataChange") ||
+                (if (deliverRemoves)
+                  col("remove").isNotNull && col("remove.dataChange")
+                 else lit(false))
+              logDFIn(spark, vps.map(_._2))
+                .where(delivers).limit(1).collect().nonEmpty
+          }
       }
       if (hasChanges) handle(feed(v), v)
       writeMarker(v)
@@ -10274,17 +10661,26 @@ object MiniDelta {
         .agg(max(col("txn.version").cast("long"))).collect()(0))
       .collect { case r if !r.isNullAt(0) => r.getLong(0) }
       .getOrElse(-1L)
-    val tailFiles = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
-      Long.MaxValue).map(_._2)
+    val tailVP = logJsonVersions(spark, table, cp.getOrElse(-1L) + 1,
+      Long.MaxValue)
     // latest-commit-wins (a writer may legitimately LOWER its
-    // sequence): the newest tail entry overrides the checkpoint's
+    // sequence): the newest tail entry overrides the checkpoint's.
+    // Metadata-scale tails fold on the driver (r19 opt).
     val tail: Option[Long] =
-      if (tailFiles.isEmpty) None
-      else logDFIn(spark, tailFiles)
-        .where(col("txn.appId") === appId)
-        .orderBy(col("version").desc).limit(1)
-        .select(col("txn.version").cast("long"))
-        .collect().headOption.map(_.getLong(0))
+      if (tailVP.isEmpty) None
+      else localActions(spark, table, tailVP) match {
+        case Some(acts) => acts.reverseIterator.collectFirst {
+          case (_, node) if jnode(node, "txn").exists(t =>
+              jnode(t, "appId").exists(_.asText() == appId)) =>
+            jnode(node, "txn").flatMap(jnode(_, "version"))
+              .map(_.asLong()).getOrElse(-1L)
+        }
+        case None => logDFIn(spark, tailVP.map(_._2))
+          .where(col("txn.appId") === appId)
+          .orderBy(col("version").desc).limit(1)
+          .select(col("txn.version").cast("long"))
+          .collect().headOption.map(_.getLong(0))
+      }
     tail.getOrElse(base)
   }
 
@@ -10388,15 +10784,31 @@ object MiniDelta {
     requireFeedWindow(spark, table, fromVersion, toVersion, tailV.map(_._1))
     val tail = tailV.map(_._2)
     if (tail.isEmpty) return empty
-    val log = logDFIn(spark, tail)
-    // one collect for both the changed-version screen and the adds
-    // (r18 — was two jobs per streaming micro-batch poll)
-    val acts = log.select(col("version"),
-        col("add.path").as("ap"), col("add.dataChange").as("adc"),
-        coalesce(col("add.dv.path"), realDvMarker).as("adv"),
-        col("remove.dataChange").as("rdc"),
-        col("metaData.schemaString").as("ms"))
-      .collect()
+    // one census for both the changed-version screen and the adds
+    // (r18 — was two jobs per streaming micro-batch poll; r19 — a
+    // metadata-scale window folds on the DRIVER, zero jobs)
+    val acts: Array[org.apache.spark.sql.Row] =
+      localActions(spark, table, tailV) match {
+        case Some(list) => list.map { case (v, node) =>
+          val add = jnode(node, "add")
+          org.apache.spark.sql.Row(
+            java.lang.Long.valueOf(v),
+            add.flatMap(jnode(_, "path")).map(_.asText()).orNull,
+            add.flatMap(jnode(_, "dataChange"))
+              .map(b => java.lang.Boolean.valueOf(b.asBoolean())).orNull,
+            add.map(advOfNode).orNull,
+            jnode(node, "remove").flatMap(jnode(_, "dataChange"))
+              .map(b => java.lang.Boolean.valueOf(b.asBoolean())).orNull,
+            jnode(node, "metaData").flatMap(jnode(_, "schemaString"))
+              .map(_.asText()).orNull)
+        }.toArray
+        case None => logDFIn(spark, tail).select(col("version"),
+            col("add.path").as("ap"), col("add.dataChange").as("adc"),
+            coalesce(col("add.dv.path"), realDvMarker).as("adv"),
+            col("remove.dataChange").as("rdc"),
+            col("metaData.schemaString").as("ms"))
+          .collect()
+      }
     // the streaming source rides this feed: a mid-window column DROP
     // (REPLACE COLUMNS / DROP COLUMN / schema overwrite) must refuse
     // loudly, never null-fill — same collect, no extra job
@@ -10442,19 +10854,42 @@ object MiniDelta {
     requireFeedWindow(spark, table, fromVersion, toVersion, tailV.map(_._1))
     val tail = tailV.map(_._2)
     if (tail.isEmpty) return emptyFeed
-    val log = logDFIn(spark, tail)
-    // ONE collect over the window's actions (r18 — this used to be
+    // ONE census over the window's actions (r18 — this used to be
     // five separate jobs: ops, add files, remove files, add DVs, cdc
-    // files; each cost a full job + driver gap on every CDF read).
+    // files; each cost a full job + driver gap on every CDF read.
+    // r19 — a metadata-scale window folds on the DRIVER, zero jobs).
     // Every log line holds one action, so the row count is unchanged.
-    val acts = log.select(col("version"),
-        col("commitInfo.operation").as("op"),
-        col("add.path").as("ap"), col("add.dataChange").as("adc"),
-        coalesce(col("add.dv.path"), realDvMarker).as("adv"),
-        col("remove.path").as("rp"), col("remove.dataChange").as("rdc"),
-        col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"),
-        col("metaData.schemaString").as("ms"))
-      .collect()
+    val acts: Array[org.apache.spark.sql.Row] =
+      localActions(spark, table, tailV) match {
+        case Some(list) => list.map { case (v, node) =>
+          val add = jnode(node, "add")
+          val rem = jnode(node, "remove")
+          val cdc = jnode(node, "cdc")
+          org.apache.spark.sql.Row(
+            java.lang.Long.valueOf(v),
+            jnode(node, "commitInfo").flatMap(jnode(_, "operation"))
+              .map(_.asText()).orNull,
+            add.flatMap(jnode(_, "path")).map(_.asText()).orNull,
+            add.flatMap(jnode(_, "dataChange"))
+              .map(b => java.lang.Boolean.valueOf(b.asBoolean())).orNull,
+            add.map(advOfNode).orNull,
+            rem.flatMap(jnode(_, "path")).map(_.asText()).orNull,
+            rem.flatMap(jnode(_, "dataChange"))
+              .map(b => java.lang.Boolean.valueOf(b.asBoolean())).orNull,
+            cdc.flatMap(jnode(_, "path")).map(_.asText()).orNull,
+            cdc.map(pvOfNode(_, "partitionValues")).orNull,
+            jnode(node, "metaData").flatMap(jnode(_, "schemaString"))
+              .map(_.asText()).orNull)
+        }.toArray
+        case None => logDFIn(spark, tail).select(col("version"),
+            col("commitInfo.operation").as("op"),
+            col("add.path").as("ap"), col("add.dataChange").as("adc"),
+            coalesce(col("add.dv.path"), realDvMarker).as("adv"),
+            col("remove.path").as("rp"), col("remove.dataChange").as("rdc"),
+            col("cdc.path").as("cp"), col("cdc.partitionValues").as("cpv"),
+            col("metaData.schemaString").as("ms"))
+          .collect()
+      }
     // a metaData action inside the window that DROPPED columns makes
     // the end-schema render silently lossy — refuse (same collect, no
     // extra job; renames/adds/widenings pass, see [[feedLostColumns]])
@@ -10672,15 +11107,31 @@ object MiniDelta {
       base.withColumn("_commit_version", lit(null).cast("long"))
     }
     if (tail.isEmpty) return empty
-    // one collect serves both the incremental adds and the schema-loss
-    // screen (metaData rows pass the relaxed filter, dropped driver-side)
-    val acts = logDFIn(spark, tail)
-      .where((col("add").isNotNull && col("add.dataChange")) ||
-        col("metaData").isNotNull)
-      .select(col("add.path").as("path"), col("version"),
-        coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
-        col("metaData.schemaString").as("ms"))
-      .collect()
+    // one census serves both the incremental adds and the schema-loss
+    // screen (metaData rows pass the relaxed filter, dropped
+    // driver-side); metadata-scale windows fold on the DRIVER (r19)
+    val acts: Array[org.apache.spark.sql.Row] =
+      localActions(spark, table, tailV) match {
+        case Some(list) => list.flatMap { case (v, node) =>
+          val add = jnode(node, "add").filter(a =>
+            jnode(a, "dataChange").exists(_.asBoolean()))
+          val ms = jnode(node, "metaData")
+            .flatMap(jnode(_, "schemaString")).map(_.asText())
+          if (add.isEmpty && ms.isEmpty) None
+          else Some(org.apache.spark.sql.Row(
+            add.flatMap(jnode(_, "path")).map(_.asText()).orNull,
+            java.lang.Long.valueOf(v),
+            add.map(advOfNode).orNull,
+            ms.orNull))
+        }.toArray
+        case None => logDFIn(spark, tail)
+          .where((col("add").isNotNull && col("add.dataChange")) ||
+            col("metaData").isNotNull)
+          .select(col("add.path").as("path"), col("version"),
+            coalesce(col("add.dv.path"), realDvMarker).as("dv_path"),
+            col("metaData.schemaString").as("ms"))
+          .collect()
+      }
     // same refusal as readCdf/readAppends: a mid-window column DROP
     // makes the end-schema render silently lossy
     requireFeedSchemaCompatible(spark, table, fromVersion, toVersion,
