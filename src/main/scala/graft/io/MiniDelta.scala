@@ -520,9 +520,22 @@ object MiniDelta {
     val mustCache =
       df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (mustCache) df.persist()
-    val counts = df.groupBy(
-        org.apache.spark.sql.functions.spark_partition_id().as("pid"))
-      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // single-stage per-partition count (r19 opt): the former
+    // groupBy(spark_partition_id).count() paid a shuffle + 3-4 AQE
+    // stage jobs per identity write for what is one narrow pass; this
+    // emits one (pid, n) row per partition with no exchange. Also the
+    // cache-populating pass, like before. Empty partitions now yield
+    // n=0 rows — the offsets fold treats missing and zero alike.
+    val counts = df.toDF().mapPartitions { it =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single(Row(
+        Integer.valueOf(org.apache.spark.TaskContext.getPartitionId()),
+        java.lang.Long.valueOf(n)))
+    }(Encoders.row(StructType(Seq(
+      StructField("pid", org.apache.spark.sql.types.IntegerType),
+      StructField("n", LongType)))))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     if (total == 0L) {
       if (mustCache) df.unpersist()
@@ -5191,11 +5204,25 @@ object MiniDelta {
         .map(actionsOf(_, withCommitVersion = false)).getOrElse(Seq.empty)
     }
     val prevRemoves: Seq[(String, Option[Long])] = prevActions.flatMap(_._1)
-    val tailFiles = logJsonVersions(spark, table,
-      cpPrev.getOrElse(-1L) + 1, version).map(_._2)
+    val tailVP = logJsonVersions(spark, table,
+      cpPrev.getOrElse(-1L) + 1, version)
     val tailActions =
-      if (tailFiles.isEmpty) Seq.empty
-      else actionsOf(logDFIn(spark, tailFiles), withCommitVersion = true)
+      if (tailVP.isEmpty) Seq.empty
+      // metadata-scale tails fold on the driver (r19 opt)
+      else localActions(spark, table, tailVP) match {
+        case Some(acts) => acts.flatMap { case (v, node) =>
+          val rem = jnode(node, "remove").flatMap(r =>
+            jnode(r, "path").map(_.asText()).map(p =>
+              (p, jnode(r, "deletionTimestamp").map(_.asLong()))))
+          val txn = jnode(node, "txn").flatMap(t =>
+            jnode(t, "appId").map(_.asText()).map(a =>
+              (a, jnode(t, "version").map(_.asLong()).getOrElse(0L), v)))
+          if (rem.isEmpty && txn.isEmpty) None else Some((rem, txn))
+        }
+        case None =>
+          actionsOf(logDFIn(spark, tailVP.map(_._2)),
+            withCommitVersion = true)
+      }
     val tailRemoves: Seq[(String, Option[Long])] = tailActions.flatMap(_._1)
     val reconciled = (prevRemoves ++ tailRemoves)
       .groupBy(_._1).view
@@ -9795,7 +9822,19 @@ object MiniDelta {
     * pruning queries replay the log once per 120 s, not per query. */
   def snapshotFilesCached(spark: SparkSession, table: String): DataFrame = {
     val cache = snapshotCache
-    val df = cache.getOrElseUpdate(table)(snapshotFiles(spark, table).persist())
+    val df = cache.getOrElseUpdate(table) {
+      val snap = snapshotFiles(spark, table)
+      // a LocalRelation manifest ([[localReplay]]) is already driver
+      // rows: persisting it would wrap it in an InMemoryRelation,
+      // BLOCKING Catalyst's ConvertToLocalRelation fold that makes
+      // downstream pruning collects job-free (and wasting block-manager
+      // copies). Distributed manifests keep the persist — replaying a
+      // big log once per TTL window is the cache's whole point.
+      if (snap.queryExecution.analyzed
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation]) snap
+      else snap.persist()
+    }
     // configureSnapshotCache may have swapped the cache mid-miss; clear
     // the orphaned instance (again) so the raced persist is released
     if (cache ne snapshotCache) cache.clear()
